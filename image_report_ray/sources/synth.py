@@ -1,0 +1,134 @@
+"""Deterministic synthetic transcripts / changelog generator (no Ray).
+
+Implements the FIXTURES.md shapes: a base transcripts table and a WAL of
+I/U/D change events, seeded (numpy PCG64) so every run is bit-identical.
+Generation is vectorized (numpy string ops + fancy indexing) and chunked
+per epoch — each epoch derives its own rng stream from ``(seed, epoch)``,
+so epochs can be generated independently and out of order.
+
+Knobs mirror the fixture matrix: op mix, duplicate-lsn rate (exactly-once
+tests), hot-key fraction (skew / salting tests), and an additive ``meta``
+column appearing from a configured epoch onward (schema evolution).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..config import TOOL_VOCABULARY
+from ..schema import CHANGE_SCHEMA
+
+_TS_BASE_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in microseconds
+_FILLERS = np.array([" lorem ipsum dolor sit amet" * k for k in range(1, 6)])
+
+
+def gen_epoch(
+    epoch: int,
+    epoch_size: int,
+    *,
+    seed: int = 42,
+    n_convs: int = 200,
+    max_turns: int = 64,
+    op_mix: tuple[float, float, float] = (0.6, 0.3, 0.1),
+    dup_rate: float = 0.0,
+    hot_frac: float = 0.0,
+    n_hot: int = 5,
+    evolve_from_epoch: int | None = None,
+) -> pa.Table:
+    """One epoch of change events; lsns are ``[epoch*epoch_size, ...)``.
+
+    Duplicate deliveries (``dup_rate``) re-append a sample of the epoch's
+    own rows, so total rows = epoch_size + dups while distinct lsns stay
+    epoch_size. Hot-key skew routes ``hot_frac`` of events to ``n_hot``
+    conversations (Zipf-hot stand-in).
+    """
+    rng = np.random.default_rng(np.random.PCG64(seed * 1_000_003 + epoch))
+    n = epoch_size
+    lsn = np.arange(epoch * epoch_size, epoch * epoch_size + n, dtype=np.int64)
+
+    conv_idx = rng.integers(0, n_convs, size=n)
+    if hot_frac > 0 and n_hot > 0:
+        hot_mask = rng.random(n) < hot_frac
+        conv_idx[hot_mask] = rng.integers(0, min(n_hot, n_convs), size=int(hot_mask.sum()))
+    turn_idx = rng.integers(0, max_turns, size=n).astype(np.int32)
+
+    op_draw = rng.random(n)
+    op = np.full(n, "U", dtype="U1")
+    op[op_draw < op_mix[0]] = "I"
+    op[op_draw >= op_mix[0] + op_mix[1]] = "D"
+
+    roles = np.array(["user", "assistant", "assistant", "tool"])
+    role = roles[(turn_idx % 4)]
+    conv_id = np.char.add("conv-", np.char.zfill(conv_idx.astype("U8"), 8))
+    base = np.char.add(
+        np.char.add(np.char.add("t", conv_idx.astype("U8")), "_"),
+        np.char.add(np.char.add(turn_idx.astype("U8"), "_"), lsn.astype("U12")),
+    )
+    text = np.char.add(base, _FILLERS[lsn % len(_FILLERS)])
+
+    tool_vocab = np.array(TOOL_VOCABULARY)
+    tool = tool_vocab[conv_idx % len(tool_vocab)]
+    tool_valid = role == "tool"
+
+    is_d = op == "D"
+    payload_valid = ~is_d
+
+    ts = _TS_BASE_US + lsn * 1_000
+
+    cols: dict[str, pa.Array] = {
+        "lsn": pa.array(lsn, type=pa.int64()),
+        "op": pa.array(op),
+        "conv_id": pa.array(conv_id),
+        "turn_idx": pa.array(turn_idx, type=pa.int32()),
+        "role": pa.array(np.where(payload_valid, role, ""), mask=is_d),
+        "text": pa.array(np.where(payload_valid, text, ""), mask=is_d),
+        "tool": pa.array(
+            np.where(tool_valid & payload_valid, tool, ""), mask=~(tool_valid & payload_valid)
+        ),
+        "ts": pa.array(np.where(payload_valid, ts, 0), mask=is_d, type=pa.timestamp("us")),
+    }
+    table = pa.Table.from_pydict(cols, schema=CHANGE_SCHEMA)
+    if evolve_from_epoch is not None and epoch >= evolve_from_epoch:
+        meta = np.char.add("m", lsn.astype("U12"))
+        table = table.append_column(
+            pa.field("meta", pa.string()), pa.array(np.where(is_d, "", meta), mask=is_d)
+        )
+
+    if dup_rate > 0:
+        k = int(round(n * dup_rate))
+        if k:
+            dup_idx = rng.integers(0, n, size=k)
+            table = pa.concat_tables([table, table.take(pa.array(np.sort(dup_idx)))])
+    return table
+
+
+def write_wal(
+    wal_dir: str,
+    *,
+    n_epochs: int,
+    epoch_size: int,
+    **gen_kwargs,
+) -> list[str]:
+    """Write ``wal_dir/epoch=K/part-0.parquet`` per epoch; return paths."""
+    paths = []
+    for epoch in range(n_epochs):
+        t = gen_epoch(epoch, epoch_size, **gen_kwargs)
+        d = os.path.join(wal_dir, f"epoch={epoch:05d}")
+        os.makedirs(d, exist_ok=True)
+        p = os.path.join(d, "part-0.parquet")
+        pq.write_table(t, p)
+        paths.append(p)
+    return paths
+
+
+def full_changelog(
+    n_epochs: int, epoch_size: int, **gen_kwargs
+) -> pa.Table:
+    """All epochs concatenated (for the naive oracle / small tests)."""
+    from ..schema import concat_evolving
+
+    return concat_evolving([gen_epoch(e, epoch_size, **gen_kwargs) for e in range(n_epochs)])

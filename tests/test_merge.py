@@ -1,0 +1,176 @@
+"""LWW merge kernel unit tests (no Ray) + oracle equivalence on one table.
+
+Techniques mirror the reference's test strategy (SURVEY.md §5): golden
+vectors, degenerate inputs, randomized equivalence vs the naive applier.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from image_report_ray.schema import CHANGE_SCHEMA, SchemaEvolutionError, concat_evolving
+from image_report_ray.sources.synth import full_changelog, gen_epoch
+from image_report_ray.state.merge import (
+    MergeStats,
+    compact_changes,
+    export_canonical,
+    merge_state_with_changes,
+    table_digest,
+)
+from image_report_ray.state.oracle import apply_naive
+
+
+def mk_changes(rows):
+    """rows: list of (lsn, op, conv, turn, text)."""
+    cols = {
+        "lsn": [r[0] for r in rows],
+        "op": [r[1] for r in rows],
+        "conv_id": [r[2] for r in rows],
+        "turn_idx": [r[3] for r in rows],
+        "role": ["user"] * len(rows),
+        "text": [r[4] for r in rows],
+        "tool": [None] * len(rows),
+        "ts": [1_704_067_200_000_000 + r[0] for r in rows],
+    }
+    return pa.Table.from_pydict(cols, schema=CHANGE_SCHEMA)
+
+
+def test_compact_keeps_max_lsn_per_key():
+    t = mk_changes([(1, "I", "a", 0, "v1"), (3, "U", "a", 0, "v3"), (2, "U", "a", 0, "v2")])
+    out = compact_changes(t)
+    assert out.num_rows == 1
+    assert out.column("text").to_pylist() == ["v3"]
+    assert out.column("_seen_i").to_pylist() == [1]
+    assert out.column("_seen_u").to_pylist() == [2]
+
+
+def test_compact_counts_duplicate_lsn():
+    t = mk_changes([(1, "I", "a", 0, "v1"), (1, "I", "a", 0, "v1"), (2, "U", "a", 0, "v2")])
+    out = compact_changes(t)
+    assert out.num_rows == 1
+    assert out.column("_dups").to_pylist() == [1]
+    # duplicates still count as received under their op
+    assert out.column("_seen_i").to_pylist() == [2]
+
+
+def test_compact_idempotent():
+    t = mk_changes([(1, "I", "a", 0, "x"), (2, "U", "b", 1, "y")])
+    once = compact_changes(t)
+    twice = compact_changes(once)
+    assert once.sort_by("lsn").equals(twice.sort_by("lsn"))
+
+
+def test_merge_basic_ledger():
+    t = mk_changes(
+        [(1, "I", "a", 0, "a0"), (2, "I", "a", 1, "a1"), (3, "U", "a", 0, "a0v2"), (4, "D", "a", 1, "")]
+    )
+    state, stats = merge_state_with_changes(None, t)
+    stats.check()
+    assert stats.received == 4
+    assert stats.rows_live == 1
+    assert stats.tombstoned == 1
+    canon = export_canonical(state)
+    assert canon.column("text").to_pylist() == ["a0v2"]
+
+
+def test_merge_tombstone_blocks_stale_resurrection():
+    e1 = mk_changes([(1, "I", "a", 0, "v1"), (5, "D", "a", 0, "")])
+    state, _ = merge_state_with_changes(None, e1)
+    # A late, stale update (lsn 3 < tombstone lsn 5) must NOT resurrect.
+    late = mk_changes([(3, "U", "a", 0, "stale")])
+    state2, stats = merge_state_with_changes(state, late)
+    assert stats.applied == 0
+    assert stats.stale_skipped == 1
+    assert export_canonical(state2).num_rows == 0
+
+
+def test_merge_delete_then_reinsert():
+    e = mk_changes([(1, "I", "a", 0, "v1"), (2, "D", "a", 0, ""), (3, "I", "a", 0, "v3")])
+    state, _ = merge_state_with_changes(None, e)
+    assert export_canonical(state).column("text").to_pylist() == ["v3"]
+
+
+def test_merge_redelivery_same_lsn_skipped():
+    e1 = mk_changes([(1, "I", "a", 0, "v1")])
+    state, _ = merge_state_with_changes(None, e1)
+    state2, stats = merge_state_with_changes(state, e1)  # redelivered event
+    assert stats.applied == 0
+    assert stats.received == 1
+    assert export_canonical(state2).column("text").to_pylist() == ["v1"]
+
+
+def test_merge_empty_changes():
+    state, stats = merge_state_with_changes(None, mk_changes([]))
+    assert state.num_rows == 0
+    assert stats.received == 0
+    stats.check()
+
+
+def test_merge_update_to_nonexistent_key_materializes():
+    # An update to a key never inserted still lands (upsert semantics),
+    # matching the naive oracle.
+    e = mk_changes([(1, "U", "ghost", 7, "boo")])
+    state, _ = merge_state_with_changes(None, e)
+    canon = export_canonical(state)
+    assert canon.num_rows == 1
+    assert canon.column("conv_id").to_pylist() == ["ghost"]
+
+
+def test_schema_evolution_null_fill():
+    base = mk_changes([(1, "I", "a", 0, "v1")])
+    evolved = mk_changes([(2, "I", "b", 0, "v2")]).append_column(
+        "meta", pa.array(["m2"])
+    )
+    state, _ = merge_state_with_changes(None, base)
+    state2, _ = merge_state_with_changes(state, evolved)
+    canon = export_canonical(state2)
+    assert canon.column("meta").to_pylist() == [None, "m2"]
+
+
+def test_schema_evolution_type_conflict_raises():
+    base = mk_changes([(1, "I", "a", 0, "v1")]).append_column("meta", pa.array(["m"]))
+    bad = mk_changes([(2, "I", "b", 0, "v2")]).append_column("meta", pa.array([3]))
+    with pytest.raises(SchemaEvolutionError):
+        concat_evolving([base, bad])
+
+
+def test_randomized_equivalence_vs_oracle():
+    """Seeded random logs; incremental engine merge == naive replay."""
+    for seed in range(5):
+        log = full_changelog(
+            n_epochs=3,
+            epoch_size=400,
+            seed=seed,
+            n_convs=40,
+            max_turns=8,
+            dup_rate=0.05,
+        )
+        golden = apply_naive(log)
+        state = None
+        for epoch in range(3):
+            e = gen_epoch(epoch, 400, seed=seed, n_convs=40, max_turns=8, dup_rate=0.05)
+            state, stats = merge_state_with_changes(state, e)
+            stats.check()
+        got = export_canonical(state)
+        assert got.equals(golden), f"seed={seed}: engine != oracle"
+
+
+def test_randomized_equivalence_with_evolution():
+    log = full_changelog(
+        n_epochs=4, epoch_size=300, seed=9, n_convs=30, max_turns=6, evolve_from_epoch=2
+    )
+    golden = apply_naive(log)
+    state = None
+    for epoch in range(4):
+        e = gen_epoch(epoch, 300, seed=9, n_convs=30, max_turns=6, evolve_from_epoch=2)
+        state, _ = merge_state_with_changes(state, e)
+    got = export_canonical(state)
+    assert got.equals(golden)
+
+
+def test_digest_order_independent():
+    t = mk_changes([(1, "I", "a", 0, "x"), (2, "I", "b", 0, "y")])
+    s1 = table_digest(t)
+    s2 = table_digest(t.take(pa.array([1, 0])))
+    assert s1 == s2
+    assert table_digest(t.slice(0, 1)) != s1
