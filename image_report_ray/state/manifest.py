@@ -1,0 +1,171 @@
+"""Lake layout, two-phase commit manifest, checkpoint/resume.
+
+Exactly-once is enforced the Delta-Lake way (PAPERS.md, Delta Lake VLDB
+2020): data files are written first under deterministic names, then a
+single atomically-renamed JSON commit record makes them visible. A crash
+mid-epoch leaves only invisible data files (overwritten on retry); a crash
+after commit makes the retry a no-op because the epoch is listed as
+committed. The deterministic-output-name idea is the reference's
+``<stem>.ir.xml`` idempotent overwrite discipline (/root/reference/ir:473,
+402-411) promoted to a transactional protocol.
+
+Layout::
+
+    lake/
+      _lake.json                         # immutable lake config (P, salt, versions)
+      _commits/epoch=00004.json          # commit record (atomic rename = commit point)
+      data/epoch=00004/pid=00003.parquet # full compacted state of pid 3 as of epoch 4
+      _lineage/epoch=00004/pid=00003.xml # per-partition lineage report
+
+The commit record doubles as the checkpoint: per partition it stores
+``(file, last_lsn, rows_live, tombstoned, keys_total, digest)`` — exactly
+the ``(last-applied LSN, row-count, merkle digest)`` triple the north rule
+requires for resume.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .. import STATE_FORMAT_VERSION, VERSION
+
+_COMMIT_RE = re.compile(r"^epoch=(\d+)\.json$")
+
+# Fixed writer options so re-runs are byte-identical (north-rule replay
+# determinism; the v2 doc's byte-identical re-run requirement,
+# /root/reference/docs/report-schema-v2.md:93-96).
+PARQUET_OPTS = dict(compression="zstd", data_page_version="1.0")
+
+
+class Lake:
+    """A partitioned, transactionally-committed Parquet state lake."""
+
+    def __init__(
+        self,
+        root: str,
+        *,
+        num_partitions: int | None = None,
+        salt_keys: frozenset[str] = frozenset(),
+        salt_factor: int = 4,
+    ) -> None:
+        self.root = root
+        cfg_path = os.path.join(root, "_lake.json")
+        if os.path.exists(cfg_path):
+            with open(cfg_path) as f:
+                cfg = json.load(f)
+            if num_partitions is not None and num_partitions != cfg["num_partitions"]:
+                raise ValueError(
+                    f"lake has P={cfg['num_partitions']}, asked for {num_partitions}; "
+                    "partition count is immutable for a lake's lifetime"
+                )
+            self.num_partitions = cfg["num_partitions"]
+            self.salt_keys = frozenset(cfg["salt_keys"])
+            self.salt_factor = cfg["salt_factor"]
+        else:
+            if num_partitions is None:
+                raise ValueError("new lake needs num_partitions")
+            self.num_partitions = num_partitions
+            self.salt_keys = frozenset(salt_keys)
+            self.salt_factor = salt_factor
+            os.makedirs(os.path.join(root, "_commits"), exist_ok=True)
+            os.makedirs(os.path.join(root, "data"), exist_ok=True)
+            tmp = cfg_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(
+                    {
+                        "num_partitions": self.num_partitions,
+                        "salt_keys": sorted(self.salt_keys),
+                        "salt_factor": self.salt_factor,
+                        "engine_version": VERSION,
+                        "state_format_version": STATE_FORMAT_VERSION,
+                    },
+                    f,
+                    indent=2,
+                    sort_keys=True,
+                )
+            os.replace(tmp, cfg_path)
+
+    # ---- paths -------------------------------------------------------
+    def data_path(self, epoch: int, pid: int) -> str:
+        return os.path.join(self.root, "data", f"epoch={epoch:05d}", f"pid={pid:05d}.parquet")
+
+    def commit_path(self, epoch: int) -> str:
+        return os.path.join(self.root, "_commits", f"epoch={epoch:05d}.json")
+
+    def lineage_path(self, epoch: int, pid: int) -> str:
+        return os.path.join(self.root, "_lineage", f"epoch={epoch:05d}", f"pid={pid:05d}.xml")
+
+    # ---- commit log --------------------------------------------------
+    def committed_epochs(self) -> list[int]:
+        d = os.path.join(self.root, "_commits")
+        if not os.path.isdir(d):
+            return []
+        out = []
+        for name in os.listdir(d):
+            m = _COMMIT_RE.match(name)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def read_commit(self, epoch: int) -> dict:
+        with open(self.commit_path(epoch)) as f:
+            return json.load(f)
+
+    def commit(self, epoch: int, partitions: dict[int, dict]) -> None:
+        """Atomically publish an epoch. ``partitions`` maps pid -> entry
+        (file path relative to root + checkpoint counters)."""
+        record = {
+            "epoch": epoch,
+            "engine_version": VERSION,
+            "state_format_version": STATE_FORMAT_VERSION,
+            "partitions": {str(pid): entry for pid, entry in sorted(partitions.items())},
+        }
+        path = self.commit_path(epoch)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(record, f, indent=2, sort_keys=True)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+
+    def is_committed(self, epoch: int) -> bool:
+        return os.path.exists(self.commit_path(epoch))
+
+    # ---- current state resolution -----------------------------------
+    def current_entries(self) -> dict[int, dict]:
+        """pid -> latest committed entry (last committed epoch wins)."""
+        out: dict[int, dict] = {}
+        for epoch in self.committed_epochs():
+            rec = self.read_commit(epoch)
+            for pid_s, entry in rec["partitions"].items():
+                out[int(pid_s)] = {**entry, "epoch": epoch}
+        return out
+
+    def current_files(self) -> dict[int, str]:
+        return {
+            pid: os.path.join(self.root, e["file"]) for pid, e in self.current_entries().items()
+        }
+
+    def checkpoint(self, pid: int) -> dict | None:
+        """Latest (last_lsn, row counts, digest) for a partition."""
+        return self.current_entries().get(pid)
+
+    # ---- state IO ----------------------------------------------------
+    def read_partition_state(self, pid: int) -> pa.Table | None:
+        path = self.current_files().get(pid)
+        if path is None:
+            return None
+        return pq.read_table(path)
+
+    @staticmethod
+    def write_state_file(table: pa.Table, path: str) -> None:
+        """Deterministic, atomic state-file write (tmp + rename)."""
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".inprogress"
+        pq.write_table(table, tmp, **PARQUET_OPTS)
+        os.replace(tmp, path)

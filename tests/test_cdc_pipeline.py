@@ -1,0 +1,169 @@
+"""End-to-end CDC pipeline tests (Ray): oracle equality, exactly-once,
+crash/resume, skew salting, lineage invariants.
+
+The centerpiece is the north-rule invariant: replaying the full changelog
+through the distributed engine reproduces the naive oracle's table
+bit-for-bit (per-turn text equality under stable (conv_id, turn_idx)
+ordering).
+"""
+
+import json
+import os
+
+import pyarrow as pa
+import pytest
+
+from image_report_ray.config import EngineConfig
+from image_report_ray.pipelines.cdc import (
+    apply_epoch,
+    canonical_state_table,
+    discover_epochs,
+    run_job,
+)
+from image_report_ray.sources.synth import full_changelog, write_wal
+from image_report_ray.state.manifest import Lake
+from image_report_ray.state.oracle import apply_naive
+from image_report_ray.xmlreport import read_report
+
+GEN = dict(seed=11, n_convs=60, max_turns=10, dup_rate=0.04)
+
+
+@pytest.fixture()
+def wal(tmp_path):
+    d = str(tmp_path / "wal")
+    write_wal(d, n_epochs=3, epoch_size=400, **GEN)
+    return d
+
+
+def golden(n_epochs=3, epoch_size=400, **kw):
+    return apply_naive(full_changelog(n_epochs, epoch_size, **{**GEN, **kw}))
+
+
+def test_end_to_end_oracle_equality(ray_session, tmp_path, wal):
+    cfg = EngineConfig(num_partitions=8, batch_size=256)
+    summary = run_job(str(tmp_path / "lake"), wal, cfg)
+    assert summary["epochs_applied"] == 3
+    got = canonical_state_table(Lake(str(tmp_path / "lake")))
+    assert got.equals(golden()), "engine final state != naive oracle"
+
+
+def test_resume_skips_committed_epochs(ray_session, tmp_path, wal):
+    cfg = EngineConfig(num_partitions=8, batch_size=256)
+    lake_dir = str(tmp_path / "lake")
+    run_job(lake_dir, wal, cfg)
+    # Re-run the whole job: every epoch must be skipped, state unchanged.
+    summary2 = run_job(lake_dir, wal, cfg)
+    assert summary2["epochs_applied"] == 0
+    assert summary2["epochs_skipped"] == 3
+    assert canonical_state_table(Lake(lake_dir)).equals(golden())
+
+
+def test_crash_mid_epoch_before_commit_resumes_clean(ray_session, tmp_path, wal):
+    """Simulate a crash after epoch 1's data files are written but before
+    the manifest promotion: orphan data files must be invisible, and the
+    resumed run must produce the uninterrupted result."""
+    cfg = EngineConfig(num_partitions=8, batch_size=256)
+    lake_dir = str(tmp_path / "lake")
+    lake = Lake(lake_dir, num_partitions=8)
+    epochs = discover_epochs(wal)
+    apply_epoch(lake, 0, epochs[0], cfg)
+
+    # "Crash": run epoch 1's merge work, then delete its commit record.
+    apply_epoch(lake, 1, epochs[1], cfg)
+    os.remove(lake.commit_path(1))
+    assert 1 not in lake.committed_epochs()
+    # Orphan data files exist but are not visible.
+    assert os.path.isdir(os.path.join(lake_dir, "data", "epoch=00001"))
+    state_after_crash = canonical_state_table(Lake(lake_dir))
+    golden_e0 = apply_naive(full_changelog(1, 400, **GEN))
+    assert state_after_crash.equals(golden_e0)
+
+    # Resume: epochs 1 and 2 re-apply; final state == oracle.
+    summary = run_job(lake_dir, wal, cfg)
+    assert summary["epochs_applied"] == 2
+    assert summary["epochs_skipped"] == 1
+    assert canonical_state_table(Lake(lake_dir)).equals(golden())
+
+
+def test_determinism_two_runs_byte_identical(ray_session, tmp_path, wal):
+    cfg = EngineConfig(num_partitions=8, batch_size=256)
+    run_job(str(tmp_path / "lake_a"), wal, cfg)
+    run_job(str(tmp_path / "lake_b"), wal, cfg)
+    ea = Lake(str(tmp_path / "lake_a")).current_entries()
+    eb = Lake(str(tmp_path / "lake_b")).current_entries()
+    assert ea.keys() == eb.keys()
+    for pid in ea:
+        assert ea[pid]["digest"] == eb[pid]["digest"]
+        fa = os.path.join(str(tmp_path / "lake_a"), ea[pid]["file"])
+        fb = os.path.join(str(tmp_path / "lake_b"), eb[pid]["file"])
+        with open(fa, "rb") as a, open(fb, "rb") as b:
+            assert a.read() == b.read(), f"pid {pid} state file not byte-identical"
+
+
+def test_schema_evolution_through_pipeline(ray_session, tmp_path):
+    d = str(tmp_path / "wal")
+    write_wal(d, n_epochs=4, epoch_size=300, seed=5, n_convs=40, max_turns=8,
+              evolve_from_epoch=2)
+    cfg = EngineConfig(num_partitions=8, batch_size=256)
+    run_job(str(tmp_path / "lake"), d, cfg)
+    got = canonical_state_table(Lake(str(tmp_path / "lake")))
+    want = apply_naive(
+        full_changelog(4, 300, seed=5, n_convs=40, max_turns=8, evolve_from_epoch=2)
+    )
+    assert "meta" in got.column_names
+    assert got.equals(want)
+
+
+def test_skew_salting_spreads_hot_conversation(ray_session, tmp_path):
+    d = str(tmp_path / "wal")
+    write_wal(d, n_epochs=2, epoch_size=800, seed=8, n_convs=50, max_turns=16,
+              hot_frac=0.5, n_hot=1)
+    hot = frozenset({"conv-00000000"})
+    cfg = EngineConfig(num_partitions=8, batch_size=256, salt_factor=4)
+    run_job(str(tmp_path / "lake"), d, cfg, salt_keys=hot)
+    lake = Lake(str(tmp_path / "lake"))
+    # Correctness under salting:
+    want = apply_naive(
+        full_changelog(2, 800, seed=8, n_convs=50, max_turns=16, hot_frac=0.5, n_hot=1)
+    )
+    assert canonical_state_table(lake).equals(want)
+    # The hot conversation's rows actually landed in >1 partition.
+    import pyarrow.parquet as pq
+
+    pids_with_hot = set()
+    for pid, f in lake.current_files().items():
+        t = pq.read_table(f, columns=["conv_id"])
+        if "conv-00000000" in set(t.column("conv_id").to_pylist()):
+            pids_with_hot.add(pid)
+    assert len(pids_with_hot) > 1, "salting did not spread the hot conversation"
+
+
+def test_lineage_reports_written_and_conserve(ray_session, tmp_path, wal):
+    cfg = EngineConfig(num_partitions=4, batch_size=256)
+    lake_dir = str(tmp_path / "lake")
+    run_job(lake_dir, wal, cfg)
+    lake = Lake(lake_dir)
+    total_received = 0
+    for epoch in lake.committed_epochs():
+        rec = lake.read_commit(epoch)
+        for pid_s in rec["partitions"]:
+            root = read_report(lake.lineage_path(epoch, int(pid_s)))
+            ledger = root.find("ledger")
+            st = root.find("state")
+            received = int(ledger.get("received"))
+            assert received == (
+                int(ledger.get("applied"))
+                + int(ledger.get("stale_skipped"))
+                + int(ledger.get("dup_skipped"))
+            )
+            assert int(st.get("rows_live")) + int(st.get("tombstoned")) == int(
+                st.get("keys_total")
+            )
+            total_received += received
+    # Every generated event (incl. injected duplicates) is accounted for.
+    n_events = full_changelog(3, 400, **GEN).num_rows
+    assert total_received == n_events
+    # Lineage state counts match an actual scan of the live table.
+    live_rows = canonical_state_table(lake).num_rows
+    latest = lake.current_entries()
+    assert sum(e["rows_live"] for e in latest.values()) == live_rows
