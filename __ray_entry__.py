@@ -1,16 +1,12 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` exposes one callable per implemented pipeline from
+SURVEY.md §2; ``oracle_sql()`` gives the DuckDB-equivalent SQL over the
+pre-registered views. Column names/types match between the two on purpose
+(the driver value-hashes after sorting columns by name).
 """
 
 from __future__ import annotations
@@ -18,27 +14,269 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+# SQL twin of image_report_ray.sources.wal.events_to_changelog — every
+# expression is integer/string arithmetic so Ray and DuckDB agree exactly.
+CHANGELOG_CTE = """
+WITH ch AS (
+    SELECT
+        event_id AS lsn,
+        CASE WHEN (event_id * 7919) % 10 < 6 THEN 'I'
+             WHEN (event_id * 7919) % 10 < 9 THEN 'U'
+             ELSE 'D' END AS op,
+        'c' || CAST(user_id AS VARCHAR) AS conv_id,
+        CAST(event_id % 8 AS INTEGER) AS turn_idx,
+        CASE CAST(event_id % 4 AS INTEGER)
+             WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+             WHEN 2 THEN 'assistant' ELSE 'tool' END AS role,
+        props AS text,
+        CASE WHEN CAST(event_id % 4 AS INTEGER) = 3 THEN event_type END AS tool,
+        ts
+    FROM events
+)
+"""
+
+_FINAL_STATE = """
+SELECT conv_id, turn_idx, role, text, tool, ts{extra_cols}
+FROM (
+    SELECT ch.*, ROW_NUMBER() OVER (
+        PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+    FROM ch
+)
+WHERE rn = 1 AND op <> 'D'
+ORDER BY conv_id, turn_idx
+"""
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: replay the sf0.001 events-derived changelog through the
+    full CDC engine (4 epochs, manifest, lineage) and return the
+    materialized transcripts state."""
+    import shutil
+    import tempfile
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from image_report_ray.config import EngineConfig
+    from image_report_ray.pipelines.cdc import apply_epoch, canonical_state_table
+    from image_report_ray.sources.wal import events_to_changelog, max_event_id
+    from image_report_ray.state.manifest import Lake
+
+    sf_dir = "/root/testdata/sf0.001"
+    n_epochs = 4
+    span = (max_event_id(sf_dir) + n_epochs) // n_epochs
+    d = tempfile.mkdtemp(prefix="irr-entry-")
+    try:
+        lake = Lake(d, num_partitions=8)
+        cfg = EngineConfig(num_partitions=8)
+        for epoch in range(n_epochs):
+            lo, hi = epoch * span, (epoch + 1) * span
+            ds = rd.read_parquet(
+                f"{sf_dir}/events.parquet",
+                columns=["event_id", "ts", "user_id", "event_type", "props"],
+            ).map_batches(
+                lambda t, lo=lo, hi=hi: events_to_changelog(
+                    t.filter(
+                        pc.and_(
+                            pc.greater_equal(t.column("event_id"), lo),
+                            pc.less(t.column("event_id"), hi),
+                        )
+                    )
+                ),
+                batch_format="pyarrow",
+            )
+            apply_epoch(lake, epoch, ds, cfg)
+        return canonical_state_table(lake)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from image_report_ray.pipelines import cdcq, relational, similarity, text
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # CDC core (SURVEY §2.4 T3, §2.5 J3, §2.7 O4, §2.8 D1)
+        "cdc_apply": cdcq.cdc_apply,
+        "cdc_apply_dups": cdcq.cdc_apply_dups,
+        "cdc_apply_evolve": cdcq.cdc_apply_evolve,
+        "cdc_counts": cdcq.cdc_counts,
+        # relational / windowed (SURVEY §2.5 J1-J2, §2.6, §2.7, §2.10)
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "q3_top_orders": relational.q3_top_orders,
+        "q5_region_revenue": relational.q5_region_revenue,
+        "customers_without_orders": relational.customers_without_orders,
+        "user_hour_activity": relational.user_hour_activity,
+        "sessionize_users": relational.sessionize_users,
+        "asof_click_before_purchase": relational.asof_click_before_purchase,
+        # text analysis / dedup (training-data ops)
+        "text_stats": text.text_stats,
+        "top_tokens": text.top_tokens,
+        "dedup_exact": text.dedup_exact,
+        "lang_stats": text.lang_stats,
+        # similarity search
+        "knn_cosine": similarity.knn_cosine,
+        "embedding_near_dups": lambda sf: similarity.embedding_near_dups(sf, 0.4),
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "cdc_apply": CHANGELOG_CTE + _FINAL_STATE.format(extra_cols=""),
+        # duplicates deliver identical rows: the oracle is the dup-free state
+        "cdc_apply_dups": CHANGELOG_CTE + _FINAL_STATE.format(extra_cols=""),
+        "cdc_apply_evolve": """
+WITH ch AS (
+    SELECT
+        event_id AS lsn,
+        CASE WHEN (event_id * 7919) % 10 < 6 THEN 'I'
+             WHEN (event_id * 7919) % 10 < 9 THEN 'U'
+             ELSE 'D' END AS op,
+        'c' || CAST(user_id AS VARCHAR) AS conv_id,
+        CAST(event_id % 8 AS INTEGER) AS turn_idx,
+        CASE CAST(event_id % 4 AS INTEGER)
+             WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+             WHEN 2 THEN 'assistant' ELSE 'tool' END AS role,
+        props AS text,
+        CASE WHEN CAST(event_id % 4 AS INTEGER) = 3 THEN event_type END AS tool,
+        ts,
+        CASE WHEN (event_id * 7919) % 10 < 9
+              AND event_id >= (SELECT (MAX(event_id) + 1) // 2 FROM events)
+             THEN 'm' || CAST(event_id AS VARCHAR) END AS meta
+    FROM events
+)
+"""
+        + _FINAL_STATE.format(extra_cols=", meta"),
+        "cdc_counts": CHANGELOG_CTE
+        + """
+SELECT lsn // 2500 AS epoch, op, CAST(COUNT(*) AS BIGINT) AS n
+FROM ch GROUP BY 1, 2 ORDER BY epoch, op
+""",
+        # money is summed as exact integer cents on both sides so the
+        # distributed sum is order-independent and bit-equal to DuckDB's
+        "q1_pricing_summary": """
+WITH c AS (
+    SELECT l_returnflag, l_linestatus,
+           CAST(round(l_quantity      * 100) AS BIGINT) AS qty_c,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+           CAST(round(l_discount      * 100) AS BIGINT) AS disc_c,
+           CAST(round(l_tax           * 100) AS BIGINT) AS tax_c
+    FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+)
+SELECT l_returnflag, l_linestatus,
+       SUM(qty_c)   / 100.0                                             AS sum_qty,
+       SUM(price_c) / 100.0                                             AS sum_base_price,
+       (SUM(price_c * (100 - disc_c)) // 100) / 100.0                   AS sum_disc_price,
+       (SUM(price_c * (100 - disc_c) * (100 + tax_c)) // 10000) / 100.0 AS sum_charge,
+       (SUM(qty_c)   * 100 // COUNT(*)) / 10000.0                       AS avg_qty,
+       (SUM(price_c) * 100 // COUNT(*)) / 10000.0                       AS avg_price,
+       (SUM(disc_c)  * 100 // COUNT(*)) / 10000.0                       AS avg_disc,
+       COUNT(*)                                                         AS count_order
+FROM c
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+        "q3_top_orders": """
+SELECT l_orderkey,
+       (SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+            * (100 - CAST(round(l_discount * 100) AS BIGINT))) // 100) / 100.0
+           AS revenue,
+       o_orderdate
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate  > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+        "q5_region_revenue": """
+SELECT n_name,
+       (SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+            * (100 - CAST(round(l_discount * 100) AS BIGINT))) // 100) / 100.0
+           AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY n_name
+""",
+        "customers_without_orders": """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+ORDER BY c_custkey
+""",
+        "user_hour_activity": """
+SELECT user_id,
+       epoch_us(ts) // 3600000000 AS hour_bucket,
+       COUNT(*)                   AS n_events,
+       SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
+FROM events
+GROUP BY user_id, hour_bucket
+ORDER BY user_id, hour_bucket
+""",
+        "sessionize_users": """
+WITH o AS (
+    SELECT user_id, ts,
+           LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+    FROM events
+)
+SELECT user_id,
+       CAST(SUM(CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+FROM o GROUP BY user_id ORDER BY user_id
+""",
+        "asof_click_before_purchase": """
+SELECT p.event_id, c.ts AS click_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts > c.ts
+ORDER BY p.event_id
+""",
+        "text_stats": r"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT)                                  AS n_chars_calc,
+       CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT)       AS n_tokens,
+       CAST(length(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT)  AS n_punct
+FROM documents ORDER BY doc_id
+""",
+        "top_tokens": r"""
+SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS token FROM documents)
+GROUP BY token ORDER BY n DESC, token ASC LIMIT 20
+""",
+        "dedup_exact": """
+SELECT MIN(doc_id) AS doc_id, text FROM documents
+GROUP BY text ORDER BY doc_id
+""",
+        "lang_stats": """
+SELECT lang, COUNT(*) AS n_docs,
+       (SUM(n_chars) * 10000 // COUNT(*)) / 10000.0 AS avg_chars
+FROM documents GROUP BY lang ORDER BY lang
+""",
+        "knn_cosine": """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+s AS (SELECT e.vec_id,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) AS sim
+      FROM embeddings e, q WHERE e.vec_id <> 0)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rnk,
+       vec_id
+FROM s ORDER BY rnk LIMIT 10
+""",
+        "embedding_near_dups": """
+WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+       ROUND(list_cosine_similarity(a.e, b.e), 4) AS sim
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.e, b.e) >= 0.4
+ORDER BY vec_id_a, vec_id_b
+""",
+    }

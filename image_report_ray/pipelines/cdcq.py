@@ -1,0 +1,113 @@
+"""Driver-facing CDC queries: changelog derived from the ``events`` table
+(see ``sources/wal.py``) replayed through the REAL engine — lake, manifest,
+lineage and all — with the final state returned for the DuckDB
+window-function oracle to check.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..config import EngineConfig
+from ..pipelines.cdc import apply_epoch, canonical_state_table
+from ..sources.wal import changelog_dataset, events_to_changelog, max_event_id
+from ..state.manifest import Lake
+from ._util import ds_to_table, finalize
+
+_P = 8  # partitions for the query-scale lakes
+
+
+def _run_lake(apply_fn) -> pa.Table:
+    """Run ``apply_fn(lake, cfg)`` against a scratch lake; return state."""
+    d = tempfile.mkdtemp(prefix="irr-cdcq-")
+    try:
+        lake = Lake(d, num_partitions=_P)
+        cfg = EngineConfig(num_partitions=_P)
+        apply_fn(lake, cfg)
+        return canonical_state_table(lake)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def cdc_apply(sf_dir: str) -> pa.Table:
+    """LWW-apply the full derived changelog; return the materialized state."""
+
+    def go(lake, cfg):
+        apply_epoch(lake, 0, changelog_dataset(sf_dir), cfg)
+
+    return _run_lake(go)
+
+
+def cdc_apply_dups(sf_dir: str) -> pa.Table:
+    """Same, but ~1/7 of events are delivered twice (exactly-once check:
+    the result must equal the duplicate-free replay)."""
+    import ray.data as rd
+
+    def go(lake, cfg):
+        base = changelog_dataset(sf_dir)
+        def every_seventh(t: pa.Table) -> pa.Table:
+            eid = t.column("event_id")
+            if isinstance(eid, pa.ChunkedArray):
+                eid = eid.combine_chunks()
+            mask = (eid.to_numpy(zero_copy_only=False) % 7) == 0
+            return events_to_changelog(t.filter(pa.array(mask)))
+
+        dup_events = rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "ts", "user_id", "event_type", "props"],
+        ).map_batches(every_seventh, batch_format="pyarrow")
+        apply_epoch(lake, 0, base.union(dup_events), cfg)
+
+    return _run_lake(go)
+
+
+def cdc_apply_evolve(sf_dir: str) -> pa.Table:
+    """Two-epoch replay with an additive ``meta`` column appearing in the
+    second half of the log — exercises unify + null-fill through the real
+    commit path."""
+    import ray.data as rd
+
+    thr = (max_event_id(sf_dir) + 1) // 2
+
+    def go(lake, cfg):
+        src = lambda: rd.read_parquet(  # noqa: E731
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "ts", "user_id", "event_type", "props"],
+        )
+        early = src().map_batches(
+            lambda t: events_to_changelog(
+                t.filter(pc.less(t.column("event_id"), thr))
+            ),
+            batch_format="pyarrow",
+        )
+        late = src().map_batches(
+            lambda t: events_to_changelog(
+                t.filter(pc.greater_equal(t.column("event_id"), thr)),
+                evolve_from_lsn=thr,
+            ),
+            batch_format="pyarrow",
+        )
+        apply_epoch(lake, 0, early, cfg)
+        apply_epoch(lake, 1, late, cfg)
+
+    return _run_lake(go)
+
+
+def cdc_counts(sf_dir: str, epoch_size: int = 2500) -> pa.Table:
+    """Per-(epoch, op) event counts — the lineage op-profile aggregate,
+    computed as per-batch partials + a tiny grouped sum."""
+    from ray.data.aggregate import Count
+
+    def bucket(t: pa.Table) -> pa.Table:
+        ep = pc.divide(t.column("lsn"), epoch_size)
+        return pa.table({"epoch": ep, "op": t.column("op")})
+
+    ds = changelog_dataset(sf_dir).map_batches(bucket, batch_format="pyarrow")
+    out = ds.groupby(["epoch", "op"]).aggregate(Count(alias_name="n"))
+    t = ds_to_table(out)
+    t = t.set_column(t.column_names.index("n"), "n", t.column("n").cast(pa.int64()))
+    return finalize(t, [("epoch", "ascending"), ("op", "ascending")])

@@ -1,0 +1,389 @@
+"""Relational query pipelines over the TPC-H-ish testdata tables.
+
+Each function takes ``sf_dir`` and returns a small, deterministically
+sorted ``pyarrow.Table`` whose column names match the DuckDB oracle SQL in
+``__ray_entry__`` exactly. The pipelines are written scale-first:
+
+* reads are column-pruned (`columns=[...]`) and predicate-filtered inside
+  vectorized ``map_batches`` — only needed bytes leave storage;
+* small sides (dimension tables, key sets) are **broadcast** via
+  ``ray.put`` and looked up per batch — the engine analogue of the
+  reference's static paper-size dimension-table join
+  (/root/reference/papersize.py:37-65, SURVEY.md J1): never a shuffle;
+* large-large joins use ``Dataset.join`` (hash-partitioned) with an
+  explicit ``num_partitions``;
+* aggregates go through ``groupby().aggregate(...)`` which combines
+  map-side per block before the exchange.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ._util import ds_to_table, finalize
+
+_US_PER_HOUR = 3_600_000_000
+
+# Hash-join partition count for large-large joins at test scale.
+_JOIN_PARTS = 8
+
+
+def _rd():
+    import ray.data as rd
+
+    return rd
+
+
+def _cents(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """2-decimal double -> exact integer hundredths (int64).
+
+    Money math as int64 makes distributed sums ORDER-INDEPENDENT and
+    bit-identical to the DuckDB oracle — a float sum's low bits depend on
+    block arrival order, which flips rounded cents at boundaries.
+    """
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return np.rint(col.to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+
+
+def q1_pricing_summary(sf_dir: str) -> pa.Table:
+    """TPC-H Q1 shape: grouped pricing summary of shipped lineitems.
+
+    Aggregation is exact integer arithmetic (cents / 1e-4 / 1e-6 dollar
+    units); the grouped Sum combines map-side per block before the
+    exchange, so the shuffle carries one partial row per (group, block).
+    """
+    from ray.data.aggregate import Count, Sum
+
+    rd = _rd()
+    cutoff = pa.scalar(np.datetime64("1998-09-02", "us"), type=pa.timestamp("us"))
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t.column("l_shipdate"), cutoff))
+        qty_c = _cents(t.column("l_quantity"))
+        price_c = _cents(t.column("l_extendedprice"))
+        disc_c = _cents(t.column("l_discount"))
+        tax_c = _cents(t.column("l_tax"))
+        disc_price_u = price_c * (100 - disc_c)          # 1e-4 dollars
+        charge_u = disc_price_u * (100 + tax_c)          # 1e-6 dollars
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "qty_c": qty_c, "price_c": price_c, "disc_c": disc_c,
+                "disc_price_u": disc_price_u, "charge_u": charge_u,
+            }
+        )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+            "l_discount", "l_tax", "l_shipdate",
+        ],
+    )
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty_c", alias_name="s_qty_c"),
+            Sum("price_c", alias_name="s_price_c"),
+            Sum("disc_price_u", alias_name="s_dp_u"),
+            Sum("charge_u", alias_name="s_ch_u"),
+            Sum("disc_c", alias_name="s_disc_c"),
+            Count(alias_name="count_order"),
+        )
+    )
+    t = ds_to_table(out)
+    # All decimals derive from int64 by floor-division then ONE exact float
+    # division — no float re-rounding, so the value is bit-identical to the
+    # SQL oracle no matter the block order (tie-free by construction).
+    n = t.column("count_order").to_numpy().astype(np.int64)
+    qty_c = t.column("s_qty_c").to_numpy().astype(np.int64)
+    price_c = t.column("s_price_c").to_numpy().astype(np.int64)
+    disc_c = t.column("s_disc_c").to_numpy().astype(np.int64)
+    dp_u = t.column("s_dp_u").to_numpy().astype(np.int64)
+    ch_u = t.column("s_ch_u").to_numpy().astype(np.int64)
+    cols = {
+        "l_returnflag": t.column("l_returnflag"),
+        "l_linestatus": t.column("l_linestatus"),
+        "sum_qty": qty_c / 100.0,
+        "sum_base_price": price_c / 100.0,
+        "sum_disc_price": (dp_u // 100) / 100.0,
+        "sum_charge": (ch_u // 10_000) / 100.0,
+        "avg_qty": (qty_c * 100 // n) / 10_000.0,
+        "avg_price": (price_c * 100 // n) / 10_000.0,
+        "avg_disc": (disc_c * 100 // n) / 10_000.0,
+        "count_order": pa.array(n),
+    }
+    return finalize(pa.table(cols),
+                    [("l_returnflag", "ascending"), ("l_linestatus", "ascending")])
+
+
+def q3_top_orders(sf_dir: str) -> pa.Table:
+    """TPC-H Q3 shape: top-10 open-order revenue for one market segment.
+
+    customer (filtered) and the filtered orders are broadcast small sides;
+    lineitem streams through a vectorized filter + grouped sum.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+    cutoff = pa.scalar(np.datetime64("1998-01-01", "us"), type=pa.timestamp("us"))
+
+    import pyarrow.parquet as pq
+
+    # Small side 1: BUILDING customers' keys.
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    cust_keys = set(
+        cust.filter(pc.equal(cust.column("c_mktsegment"), "BUILDING"))
+        .column("c_custkey")
+        .to_pylist()
+    )
+
+    # Small side 2: qualifying orders -> orderdate lookup.
+    orders = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    omask = pc.and_(
+        pc.less(orders.column("o_orderdate"), cutoff),
+        pc.is_in(orders.column("o_custkey"), value_set=pa.array(sorted(cust_keys))),
+    )
+    orders = orders.filter(omask)
+    odate = dict(
+        zip(orders.column("o_orderkey").to_pylist(), orders.column("o_orderdate").to_pylist())
+    )
+    odate_ref = ray.put(odate)
+    okeys = pa.array(sorted(odate))
+
+    def li_filter(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater(t.column("l_shipdate"), cutoff),
+            pc.is_in(t.column("l_orderkey"), value_set=okeys),
+        )
+        t = t.filter(m)
+        rev_u = _cents(t.column("l_extendedprice")) * (100 - _cents(t.column("l_discount")))
+        return t.select(["l_orderkey"]).append_column("rev_u", pa.array(rev_u))
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    per_order = ds.map_batches(li_filter, batch_format="pyarrow").groupby("l_orderkey").aggregate(
+        Sum("rev_u", alias_name="rev_u_sum")
+    )
+
+    def attach_date(t: pa.Table) -> pa.Table:
+        lookup = ray.get(odate_ref)
+        dates = [lookup[k] for k in t.column("l_orderkey").to_pylist()]
+        rev = (t.column("rev_u_sum").to_numpy().astype(np.int64) // 100) / 100.0
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "revenue": rev,
+                "o_orderdate": pa.array(dates, type=pa.timestamp("us")),
+            }
+        )
+
+    t = ds_to_table(per_order.map_batches(attach_date, batch_format="pyarrow"))
+    t = finalize(t, [("revenue", "descending"), ("l_orderkey", "ascending")])
+    return t.slice(0, 10).select(["l_orderkey", "revenue", "o_orderdate"])
+
+
+def q5_region_revenue(sf_dir: str) -> pa.Table:
+    """TPC-H Q5 shape: revenue by nation inside one region.
+
+    Dimension chain region->nation->customer/supplier is broadcast;
+    orders ⋈ lineitem is a genuine hash-partitioned ``Dataset.join``.
+    """
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"), type=pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64("1997-01-01", "us"), type=pa.timestamp("us"))
+
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    rkey = region.filter(pc.equal(region.column("r_name"), "ASIA")).column("r_regionkey")
+    asia_nations = nation.filter(pc.is_in(nation.column("n_regionkey"), value_set=rkey))
+    nk_to_name = dict(
+        zip(
+            asia_nations.column("n_nationkey").to_pylist(),
+            asia_nations.column("n_name").to_pylist(),
+        )
+    )
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    c_nk = dict(zip(cust.column("c_custkey").to_pylist(), cust.column("c_nationkey").to_pylist()))
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    s_nk = dict(zip(supp.column("s_suppkey").to_pylist(), supp.column("s_nationkey").to_pylist()))
+
+    def orders_prep(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(t.column("o_orderdate"), lo), pc.less(t.column("o_orderdate"), hi)
+        )
+        t = t.filter(m)
+        nk = pa.array([c_nk.get(k, -1) for k in t.column("o_custkey").to_pylist()], pa.int32())
+        t = t.append_column("c_nation", nk)
+        return t.select(["o_orderkey", "c_nation"]).filter(
+            pc.is_in(t.column("c_nation"), value_set=pa.array(list(nk_to_name), pa.int32()))
+        )
+
+    orders_ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(orders_prep, batch_format="pyarrow")
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        nk = pa.array([s_nk.get(k, -2) for k in t.column("l_suppkey").to_pylist()], pa.int32())
+        rev_u = _cents(t.column("l_extendedprice")) * (100 - _cents(t.column("l_discount")))
+        return (
+            t.select(["l_orderkey"])
+            .append_column("s_nation", nk)
+            .append_column("rev_u", pa.array(rev_u))
+        )
+
+    li_ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(li_prep, batch_format="pyarrow")
+
+    joined = li_ds.join(
+        orders_ds,
+        "inner",
+        num_partitions=_JOIN_PARTS,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def same_nation(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("s_nation"), t.column("c_nation")))
+        names = pa.array([nk_to_name[k] for k in t.column("s_nation").to_pylist()])
+        return t.select(["rev_u"]).append_column("n_name", names)
+
+    out = (
+        joined.map_batches(same_nation, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Sum("rev_u", alias_name="rev_u_sum"))
+    )
+    t = ds_to_table(out)
+    rev = (t.column("rev_u_sum").to_numpy().astype(np.int64) // 100) / 100.0
+    t = pa.table({"n_name": t.column("n_name"), "revenue": rev})
+    return finalize(t, [("n_name", "ascending")])
+
+
+def customers_without_orders(sf_dir: str) -> pa.Table:
+    """Broadcast anti-join: customers that never placed an order.
+
+    The order-key set is collected once and shipped to every filter task
+    (at real scale: a Bloom filter of the keys, same shape).
+    """
+    rd = _rd()
+    okeys = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"]).unique(
+        "o_custkey"
+    )
+    keyset = pa.array(sorted(okeys))
+
+    def anti(t: pa.Table) -> pa.Table:
+        return t.filter(pc.invert(pc.is_in(t.column("c_custkey"), value_set=keyset)))
+
+    ds = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+    t = ds_to_table(ds.map_batches(anti, batch_format="pyarrow"))
+    return finalize(t, [("c_custkey", "ascending")])
+
+
+def user_hour_activity(sf_dir: str) -> pa.Table:
+    """Tumbling 1-hour window per user: event count + value sum."""
+    from ray.data.aggregate import Count, Sum
+
+    rd = _rd()
+
+    def bucket(t: pa.Table) -> pa.Table:
+        us = t.column("ts").cast(pa.int64())
+        hb = pc.divide(us, _US_PER_HOUR)
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "hour_bucket": hb,
+                "value_c": pa.array(_cents(t.column("value"))),
+            }
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+    out = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby(["user_id", "hour_bucket"])
+        .aggregate(Count(alias_name="n_events"), Sum("value_c", alias_name="s_value_c"))
+    )
+    t = ds_to_table(out)
+    sum_value = t.column("s_value_c").to_numpy().astype(np.int64) / 100.0
+    t = pa.table(
+        {
+            "user_id": t.column("user_id"),
+            "hour_bucket": t.column("hour_bucket"),
+            "n_events": t.column("n_events").cast(pa.int64()),
+            "sum_value": sum_value,
+        }
+    )
+    return finalize(t, [("user_id", "ascending"), ("hour_bucket", "ascending")])
+
+
+def sessionize_users(sf_dir: str) -> pa.Table:
+    """Session windows (30-minute inactivity gap) per user.
+
+    Ray Data has no event-time windows; the engine's contract is
+    partition-by-key + sort-by-time inside ``map_groups`` (ordering
+    assumption: per-user event streams fit a group — true by construction
+    of the key)."""
+    rd = _rd()
+    gap = pd.Timedelta(minutes=30)
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        new_session = g["ts"].diff().isna() | (g["ts"].diff() > gap)
+        return pd.DataFrame(
+            {"user_id": [g["user_id"].iloc[0]], "n_sessions": [int(new_session.sum())]}
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
+    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    t = ds_to_table(out)
+    t = t.set_column(
+        t.column_names.index("n_sessions"),
+        "n_sessions",
+        t.column("n_sessions").cast(pa.int64()),
+    )
+    return finalize(t, [("user_id", "ascending")])
+
+
+def asof_click_before_purchase(sf_dir: str) -> pa.Table:
+    """As-of join: for every purchase, the user's latest strictly-earlier
+    click. Sorted ``merge_asof`` per user-group (SURVEY-guide as-of shape).
+    """
+    rd = _rd()
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g["event_type"] == "purchase"].sort_values(["ts", "event_id"])
+        c = g[g["event_type"] == "click"].sort_values(["ts", "event_id"])
+        if p.empty:
+            return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                                 "click_ts": pd.Series([], dtype="datetime64[us]")})
+        if c.empty:
+            return pd.DataFrame({"event_id": p["event_id"], "click_ts": pd.NaT})
+        m = pd.merge_asof(
+            p[["event_id", "ts"]],
+            c[["ts"]].assign(click_ts=c["ts"]),
+            on="ts",
+            direction="backward",
+            allow_exact_matches=False,
+        )
+        return m[["event_id", "click_ts"]]
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type", "ts"]
+    )
+    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return finalize(ds_to_table(out), [("event_id", "ascending")])

@@ -1,0 +1,116 @@
+"""Similarity search over the ``embeddings`` table (list<float> column).
+
+Brute-force cosine is the exact baseline: the query matrix is broadcast
+once (``ray.put``), each batch does one float64 matmul against it, and only
+per-batch top-k survivors travel to the driver — O(k·num_batches) rows
+leave the cluster, never the similarity matrix. The IVF/LSH bucketed
+variant (``pipelines/dedup.py`` shares its hyperplane machinery) is the
+scale path for 100 TB.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ._util import ds_to_table, finalize, round_col
+
+
+def _rd():
+    import ray.data as rd
+
+    return rd
+
+
+def _stack(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """list<float> column -> (n, dim) float64 matrix, zero-copy flatten."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(col)
+    return flat.reshape(n, -1) if n else flat.reshape(0, 0)
+
+
+def _query_vector(sf_dir: str, vec_id: int) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    row = t.filter(pc.equal(t.column("vec_id"), vec_id))
+    if row.num_rows == 0:
+        raise ValueError(f"vec_id {vec_id} not found")
+    return _stack(row.column("embedding"))[0]
+
+
+def knn_cosine(sf_dir: str, query_vec_id: int = 0, k: int = 10) -> pa.Table:
+    """Exact top-k cosine neighbors of one stored vector (excluding it)."""
+    import ray
+
+    rd = _rd()
+    q = _query_vector(sf_dir, query_vec_id)
+    qn = q / np.linalg.norm(q)
+    q_ref = ray.put(qn)
+
+    def batch_topk(t: pa.Table) -> pa.Table:
+        qv = ray.get(q_ref)
+        m = _stack(t.column("embedding"))
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (m @ qv) / norms
+        ids = t.column("vec_id").to_numpy()
+        keep = ids != query_vec_id
+        sims, ids = sims[keep], ids[keep]
+        if len(ids) > k:  # survivors only: per-batch top-k
+            part = np.argpartition(-sims, k)[:k]
+            sims, ids = sims[part], ids[part]
+        return pa.table({"vec_id": pa.array(ids, pa.int64()), "sim": pa.array(sims)})
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    t = ds_to_table(ds.map_batches(batch_topk, batch_format="pyarrow"))
+    t = finalize(t, [("sim", "descending"), ("vec_id", "ascending")]).slice(0, k)
+    rnk = pa.array(np.arange(1, t.num_rows + 1), pa.int64())
+    return t.select(["vec_id"]).append_column("rnk", rnk).select(["rnk", "vec_id"])
+
+
+def embedding_near_dups(sf_dir: str, threshold: float = 0.95) -> pa.Table:
+    """Embedding-cosine near-duplicate pairs (vec_id_a < vec_id_b).
+
+    The full (small) matrix is broadcast once; each batch computes its
+    block-row of the similarity matrix and emits only pairs over the
+    threshold. At 100 TB the broadcast side becomes IVF centroids /
+    LSH buckets instead of the full matrix."""
+    import pyarrow.parquet as pq
+    import ray
+
+    rd = _rd()
+    all_t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    all_m = _stack(all_t.column("embedding"))
+    all_norm = np.linalg.norm(all_m, axis=1)
+    all_norm[all_norm == 0] = 1.0
+    all_mn = all_m / all_norm[:, None]
+    all_ids = all_t.column("vec_id").to_numpy()
+    ref = ray.put((all_mn, all_ids))
+
+    def block_pairs(t: pa.Table) -> pa.Table:
+        mn_all, ids_all = ray.get(ref)
+        m = _stack(t.column("embedding"))
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        mn = m / norms[:, None]
+        ids = t.column("vec_id").to_numpy()
+        sims = mn @ mn_all.T
+        ai, bj = np.nonzero(sims >= threshold)
+        a, b, s = ids[ai], ids_all[bj], sims[ai, bj]
+        keep = a < b
+        return pa.table(
+            {
+                "vec_id_a": pa.array(a[keep], pa.int64()),
+                "vec_id_b": pa.array(b[keep], pa.int64()),
+                "sim": pa.array(s[keep]),
+            }
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    t = ds_to_table(ds.map_batches(block_pairs, batch_format="pyarrow"))
+    t = round_col(t, "sim", 4)
+    return finalize(t, [("vec_id_a", "ascending"), ("vec_id_b", "ascending")])
