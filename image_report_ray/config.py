@@ -107,6 +107,8 @@ class EngineConfig:
     num_partitions: int = 16          # P: fixed across cluster sizes; >= 4N actors
     epoch_size: int = 10_000          # change events per epoch (WAL window)
     batch_size: int = 65_536          # rows per map_batches batch
+    map_task_rows: int = 131_072      # target WAL rows per exchange map task
+    epoch_lookahead: int = 1          # map stages pre-submitted beyond current epoch
     concurrency: int | None = None    # merge parallelism hint (None -> Ray decides)
     continue_on_error: bool = False   # fail-fast vs keep-going (/root/reference/ir:500-506)
     salt_threshold: int = 50_000      # events/epoch for one conv_id before salting

@@ -2,23 +2,35 @@
 
 Engine lifecycle (SURVEY.md §3), one epoch::
 
-    read_parquet(wal/epoch=K)                    # source (S1/S3: epoch order)
-      .map_batches(validate_changes)             # contract checks
-      .map_batches(compact_changes)              # pre-shuffle combiner (A2 partials)
-      .map_batches(add_pid)                      # salt-aware hash routing
-      .groupby(_pid).map_groups(merge_task)      # the ONLY shuffle; stateful merge
-      -> per-partition state parquet (staged, deterministic names)
-      -> lineage XML per partition               # the reference's report graft
-      -> atomic commit manifest                  # exactly-once promotion
+    WAL files / changelog Dataset                  # source (S1/S3: epoch order)
+      -> map stage (Ray tasks, one per ~map_task_rows of input):
+           validate -> compact (combiner) -> route -> split into P sub-tables
+           (returned as P separate objects, num_returns=P)
+      -> reduce stage (P Ray tasks): per-partition LWW merge against the
+           committed prior state, staged Parquet write, stats row
+      -> per-partition lineage XML                 # the reference's report graft
+      -> atomic commit manifest                    # exactly-once promotion
 
-Scale notes (100 TB design): the shuffle key is a small integer pid with
-P fixed, so the exchange is a bounded hash partition, never a global sort;
-the combiner folds each batch to one row per key before the shuffle, so
-the exchange moves O(distinct keys/epoch), not O(events); partition state
-lives in committed Parquet files (merge-on-write per partition per epoch),
-not in actor memory, so state size is bounded by disk, resume is free, and
-any worker can merge any partition. Epochs stream through the Ray Data
-streaming executor with backpressure; nothing materializes the full WAL.
+Why raw Ray tasks for the exchange instead of ``Dataset.groupby``: the
+epoch is a *transaction* — every merge must see exactly the prior epoch's
+committed state, so each epoch ends at a commit barrier.  Under Ray Data's
+streaming executor that barrier turns the sort-based ``groupby`` shuffle
+into a serial choke point (the executor also reserves CPU slots per
+operator, so a 4-operator pipeline at small CPU counts runs each phase
+~2-wide; measured: 2->8 CPUs gave only 1.26x).  The two-stage object-store
+exchange here is the textbook map/reduce shuffle — map tasks return P
+slices (``num_returns=P``), reduce tasks consume one column of the ref
+matrix — and measures 2.9x from 2->8 CPUs on the same input.  Dataset
+remains the API for sources and stateless stages; a changelog Dataset is
+accepted directly (its blocks feed the same split tasks).
+
+Scale notes (100 TB design): the exchange moves O(distinct keys/epoch)
+rows because the combiner folds each map task's input to one surviving
+event per key before the split; partition state lives in committed Parquet
+(merge-on-write per partition per epoch), not actor memory, so state is
+bounded by disk, resume is free, and any worker can merge any partition.
+``run_job`` keeps a bounded lookahead of map stages in flight so epoch K+1
+reads/compacts while epoch K merges — the WAL never materializes fully.
 """
 
 from __future__ import annotations
@@ -34,7 +46,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..config import EngineConfig
-from ..schema import DELETED_COL, LSN_COL, PID_COL
+from ..schema import DELETED_COL, PID_COL, concat_evolving
 from ..stages.derive import make_add_pid, validate_changes
 from ..state.manifest import Lake
 from ..state.merge import (
@@ -48,6 +60,12 @@ from ..state.merge import (
 from ..xmlreport import build_partition_report, write_report
 
 _EPOCH_DIR_RE = re.compile(r"^epoch=(\d+)$")
+
+_STATS_FIELDS = (
+    "received", "received_i", "received_u", "received_d",
+    "applied", "stale_skipped", "dup_skipped",
+    "rows_live", "tombstoned", "keys_total", "last_lsn",
+)
 
 
 def discover_epochs(wal_dir: str) -> dict[int, list[str]]:
@@ -71,125 +89,199 @@ def discover_epochs(wal_dir: str) -> dict[int, list[str]]:
     return dict(sorted(out.items()))
 
 
-def _make_merge_task(
+# ---- pure kernels (importable & testable without Ray) -----------------
+
+
+def prepare_and_split(
+    changes: pa.Table,
+    num_partitions: int,
+    salt_keys: frozenset[str] = frozenset(),
+    salt_factor: int = 4,
+    *,
+    continue_on_error: bool = False,
+) -> tuple[pa.Table, ...]:
+    """validate -> compact (combiner) -> route -> split into P sub-tables.
+
+    The map side of the exchange. Output slice ``i`` holds partition i's
+    surviving events (payload + accounting columns, no pid column — the
+    reducer knows its pid positionally)."""
+    t = validate_changes(changes, continue_on_error=continue_on_error)
+    t = compact_changes(t)
+    t = make_add_pid(num_partitions, salt_keys, salt_factor)(t)
+    pid = t.column(PID_COL)
+    if isinstance(pid, pa.ChunkedArray):
+        pid = pid.combine_chunks()
+    pid_np = pid.to_numpy(zero_copy_only=False)
+    order = np.argsort(pid_np, kind="stable")
+    t = t.take(pa.array(order)).drop_columns([PID_COL])
+    bounds = np.searchsorted(pid_np[order], np.arange(num_partitions + 1))
+    return tuple(
+        t.slice(bounds[i], bounds[i + 1] - bounds[i]) for i in range(num_partitions)
+    )
+
+
+def merge_partition_kernel(
+    pid: int,
+    parts: list[pa.Table],
+    prior: pa.Table | None,
+    prior_lsn: int,
     lake_root: str,
     epoch: int,
-    current_files: dict[int, str],
-    checkpoints: dict[int, int],
     track_hot_keys: int,
-):
-    """Group-merge task: one invocation per partition present in the epoch.
+) -> dict | None:
+    """The reduce side: apply one partition's change slices to its state.
 
-    Reads the partition's committed state file, applies the (compacted)
-    changes, writes the new state file under a deterministic staged name,
-    and returns a one-row stats table. Side effects are idempotent: a Ray
-    retry overwrites the same path via tmp+rename, and visibility waits
-    for the driver's commit.
-    """
+    Writes the new state file under its deterministic staged name and
+    returns a JSON-able stats row. Idempotent: a Ray retry overwrites the
+    same path via tmp+rename, and visibility waits for the driver's commit
+    (two-phase, manifest.py)."""
+    t0 = time.perf_counter()
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return None
+    changes = concat_evolving(parts)
+    new_state, stats = merge_state_with_changes(
+        prior, changes, prior_last_lsn=prior_lsn, track_hot_keys=track_hot_keys
+    )
+    digest = table_digest(new_state)
 
-    def merge_task(group: pa.Table) -> pa.Table:
-        t0 = time.perf_counter()
-        pid = int(group.column(PID_COL)[0].as_py())
-        changes = group.drop_columns([PID_COL])
-        prior = pq.read_table(current_files[pid]) if pid in current_files else None
-        prior_lsn = checkpoints.get(pid, -1)
-        new_state, stats = merge_state_with_changes(
-            prior, changes, prior_last_lsn=prior_lsn, track_hot_keys=track_hot_keys
-        )
-        digest = table_digest(new_state)
+    rel = os.path.join("data", f"epoch={epoch:05d}", f"pid={pid:05d}.parquet")
+    Lake.write_state_file(new_state, os.path.join(lake_root, rel))
 
-        rel = os.path.join("data", f"epoch={epoch:05d}", f"pid={pid:05d}.parquet")
-        Lake.write_state_file(new_state, os.path.join(lake_root, rel))
+    # Turn-index occupancy profile over live rows — the engine's
+    # projection profile (/root/reference/analysis.py:107-108),
+    # RLE-encoded into lineage by the driver.
+    live_turns = new_state.filter(pc.invert(new_state.column(DELETED_COL))).column(
+        "turn_idx"
+    )
+    tnp = live_turns.combine_chunks().to_numpy(zero_copy_only=False)
+    profile = np.bincount(tnp, minlength=0).tolist() if len(tnp) else []
 
-        # Turn-index occupancy profile over live rows — the engine's
-        # projection profile (/root/reference/analysis.py:107-108),
-        # RLE-encoded into lineage by the driver.
-        live_turns = new_state.filter(pc.invert(new_state.column(DELETED_COL))).column(
-            "turn_idx"
-        )
-        tnp = live_turns.combine_chunks().to_numpy(zero_copy_only=False)
-        profile = np.bincount(tnp, minlength=0).tolist() if len(tnp) else []
+    return {
+        "pid": pid,
+        "file": rel,
+        "duration_sec": time.perf_counter() - t0,
+        "digest": digest,
+        "turn_profile": profile,
+        "hot_keys": stats.hot_keys,
+        **{k: getattr(stats, k) for k in _STATS_FIELDS},
+    }
 
-        duration = time.perf_counter() - t0
-        row = {
-            "pid": pid,
-            "file": rel,
-            "duration_sec": duration,
-            "digest": digest,
-            "turn_profile": json.dumps(profile),
-            "hot_keys": json.dumps(stats.hot_keys),
-            **{
-                k: getattr(stats, k)
-                for k in (
-                    "received", "received_i", "received_u", "received_d",
-                    "applied", "stale_skipped", "dup_skipped",
-                    "rows_live", "tombstoned", "keys_total", "last_lsn",
-                )
-            },
-        }
-        return pa.Table.from_pylist([row])
 
-    return merge_task
+# ---- Ray remote wrappers (built lazily; the library never inits Ray) --
+
+_REMOTES: dict | None = None
+
+
+def _remotes() -> dict:
+    global _REMOTES
+    if _REMOTES is None:
+        import ray
+
+        @ray.remote
+        def map_files(files: list[str], P: int, salt_keys, salt_factor, cont: bool):
+            t = concat_evolving([pq.read_table(f) for f in files])
+            return prepare_and_split(
+                t, P, salt_keys, salt_factor, continue_on_error=cont
+            )
+
+        @ray.remote
+        def map_block(block: pa.Table, P: int, salt_keys, salt_factor, cont: bool):
+            return prepare_and_split(
+                block, P, salt_keys, salt_factor, continue_on_error=cont
+            )
+
+        @ray.remote
+        def merge_part(pid, prior_path, prior_lsn, lake_root, epoch, hot_k, *parts):
+            prior = pq.read_table(prior_path) if prior_path else None
+            return merge_partition_kernel(
+                pid, list(parts), prior, prior_lsn, lake_root, epoch, hot_k
+            )
+
+        _REMOTES = {"map_files": map_files, "map_block": map_block, "merge": merge_part}
+    return _REMOTES
+
+
+def _group_files(files: list[str], target_rows: int) -> list[list[str]]:
+    """Greedy grouping of WAL files into ~target_rows map tasks using
+    Parquet footer row counts (metadata only — no data read)."""
+    groups: list[list[str]] = []
+    cur: list[str] = []
+    cur_rows = 0
+    for f in files:
+        n = pq.read_metadata(f).num_rows
+        if cur and cur_rows + n > target_rows:
+            groups.append(cur)
+            cur, cur_rows = [], 0
+        cur.append(f)
+        cur_rows += n
+    if cur:
+        groups.append(cur)
+    return groups
+
+
+def submit_map_stage(
+    lake: Lake, wal: "str | list[str] | object", cfg: EngineConfig
+) -> list:
+    """Launch the epoch's map tasks; returns the list of per-task ref
+    tuples (each tuple has P object refs, one per partition)."""
+    R = _remotes()
+    P = lake.num_partitions
+    args = (P, lake.salt_keys, lake.salt_factor, cfg.continue_on_error)
+    if isinstance(wal, str):
+        wal = [wal]
+    if isinstance(wal, list):
+        groups = _group_files(wal, cfg.map_task_rows)
+        return [
+            R["map_files"].options(num_returns=P).remote(g, *args) for g in groups
+        ]
+    # a ray.data.Dataset: execute its (lazy) plan; blocks feed split tasks.
+    refs = wal.to_arrow_refs()
+    return [R["map_block"].options(num_returns=P).remote(r, *args) for r in refs]
 
 
 def apply_epoch(
     lake: Lake,
     epoch: int,
-    wal: "str | list[str] | ray.data.Dataset",
+    wal: "str | list[str] | object",
     cfg: EngineConfig | None = None,
+    *,
+    map_refs: list | None = None,
 ) -> dict[int, MergeStats] | None:
     """Apply one epoch exactly-once. Returns per-pid stats, or ``None`` if
-    the epoch was already committed (idempotent redelivery, D1/S2)."""
-    import ray.data as rd
+    the epoch was already committed (idempotent redelivery, D1/S2).
+
+    ``map_refs`` lets ``run_job`` pre-submit the map stage (lookahead
+    pipelining); correctness is unaffected because map tasks don't touch
+    state — only merges read the prior commit."""
+    import ray
 
     cfg = cfg or EngineConfig(num_partitions=lake.num_partitions)
     if lake.is_committed(epoch):
         return None
 
-    if isinstance(wal, (str, list)):
-        # partitioning=None: the WAL's epoch=K directory names are delivery
-        # metadata, not data — hive inference must not inject an `epoch`
-        # column into the changelog schema (it would masquerade as an
-        # additive schema-evolution column downstream).
-        ds = rd.read_parquet(wal, partitioning=None)
-    else:
-        ds = wal
-    cont = cfg.continue_on_error
-    ds = ds.map_batches(
-        lambda t: validate_changes(t, continue_on_error=cont),
-        batch_format="pyarrow",
-        batch_size=cfg.batch_size,
-    )
-    ds = ds.map_batches(compact_changes, batch_format="pyarrow", batch_size=cfg.batch_size)
-    ds = ds.map_batches(
-        make_add_pid(lake.num_partitions, lake.salt_keys, lake.salt_factor),
-        batch_format="pyarrow",
-        batch_size=cfg.batch_size,
-    )
+    R = _remotes()
+    mats = map_refs if map_refs is not None else submit_map_stage(lake, wal, cfg)
 
-    merge_task = _make_merge_task(
-        lake.root, epoch, lake.current_files(),
-        {pid: e["last_lsn"] for pid, e in lake.current_entries().items()},
-        track_hot_keys=3,
-    )
-    stats_rows = (
-        ds.groupby(PID_COL).map_groups(merge_task, batch_format="pyarrow").take_all()
-    )
+    current = lake.current_entries()
+    files = {pid: os.path.join(lake.root, e["file"]) for pid, e in current.items()}
+    lsns = {pid: e["last_lsn"] for pid, e in current.items()}
+    stat_refs = [
+        R["merge"].remote(
+            pid, files.get(pid), lsns.get(pid, -1), lake.root, epoch, 3,
+            *[m[pid] for m in mats],
+        )
+        for pid in range(lake.num_partitions)
+    ]
+    rows = [r for r in ray.get(stat_refs) if r is not None]
 
     entries: dict[int, dict] = {}
     out_stats: dict[int, MergeStats] = {}
-    for row in stats_rows:
+    for row in rows:
         pid = int(row["pid"])
         stats = MergeStats(
-            **{
-                k: int(row[k])
-                for k in (
-                    "received", "received_i", "received_u", "received_d",
-                    "applied", "stale_skipped", "dup_skipped",
-                    "rows_live", "tombstoned", "keys_total", "last_lsn",
-                )
-            },
-            hot_keys=[tuple(x) for x in json.loads(row["hot_keys"])],
+            **{k: int(row[k]) for k in _STATS_FIELDS},
+            hot_keys=[tuple(x) for x in row["hot_keys"]],
         )
         out_stats[pid] = stats
         report = build_partition_report(
@@ -198,7 +290,7 @@ def apply_epoch(
             stats=stats,
             digest=row["digest"],
             duration_sec=float(row["duration_sec"]),
-            turn_profile=json.loads(row["turn_profile"]),
+            turn_profile=row["turn_profile"],
             params={
                 "num_partitions": lake.num_partitions,
                 "salt_factor": lake.salt_factor,
@@ -229,9 +321,11 @@ def run_job(
     salt_keys: frozenset[str] = frozenset(),
 ) -> dict:
     """Tail the whole WAL: apply every epoch in order, skipping committed
-    ones (resume). Returns the run summary (events/s, counts) — the
-    engine's version of the reference's end-of-run summary
-    (/root/reference/ir:606-617)."""
+    ones (resume). Map stages for up to ``cfg.epoch_lookahead`` future
+    epochs run while the current epoch merges/commits — the streaming
+    overlap that keeps workers busy across the per-epoch commit barrier.
+    Returns the run summary (events/s, counts) — the engine's version of
+    the reference's end-of-run summary (/root/reference/ir:606-617)."""
     cfg = cfg or EngineConfig()
     lake = Lake(
         lake_dir,
@@ -240,10 +334,19 @@ def run_job(
         salt_factor=cfg.salt_factor,
     )
     epochs = discover_epochs(wal_dir)
+    pending = [e for e in epochs if not lake.is_committed(e)]
     t0 = time.perf_counter()
     applied_epochs, skipped_epochs, events = 0, 0, 0
-    for epoch, files in epochs.items():
-        res = apply_epoch(lake, epoch, files, cfg)
+    skipped_epochs = len(epochs) - len(pending)
+
+    inflight: dict[int, list] = {}
+    for e in pending[: cfg.epoch_lookahead + 1]:
+        inflight[e] = submit_map_stage(lake, epochs[e], cfg)
+    for i, e in enumerate(pending):
+        nxt = i + cfg.epoch_lookahead + 1
+        if nxt < len(pending) and pending[nxt] not in inflight:
+            inflight[pending[nxt]] = submit_map_stage(lake, epochs[pending[nxt]], cfg)
+        res = apply_epoch(lake, e, epochs[e], cfg, map_refs=inflight.pop(e))
         if res is None:
             skipped_epochs += 1
         else:
@@ -288,8 +391,6 @@ def canonical_state_table(lake: Lake) -> pa.Table:
     if not files:
         return pa.table({})
     tables = [export_canonical(pq.read_table(f)) for f in files]
-    from ..schema import concat_evolving
-
     t = concat_evolving(tables)
     return t.take(
         pc.sort_indices(t, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")])

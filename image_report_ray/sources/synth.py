@@ -111,17 +111,29 @@ def write_wal(
     *,
     n_epochs: int,
     epoch_size: int,
+    n_parts: int = 1,
     **gen_kwargs,
 ) -> list[str]:
-    """Write ``wal_dir/epoch=K/part-0.parquet`` per epoch; return paths."""
+    """Write ``wal_dir/epoch=K/part-J.parquet`` per epoch; return paths.
+
+    ``n_parts > 1`` row-slices each epoch across several files so the Ray
+    reader gets one task per part — a single-file epoch serializes the
+    whole pre-shuffle chain (read -> changelog -> compact -> route) into
+    one task, which caps scaling no matter the CPU count.
+    """
     paths = []
     for epoch in range(n_epochs):
         t = gen_epoch(epoch, epoch_size, **gen_kwargs)
         d = os.path.join(wal_dir, f"epoch={epoch:05d}")
         os.makedirs(d, exist_ok=True)
-        p = os.path.join(d, "part-0.parquet")
-        pq.write_table(t, p)
-        paths.append(p)
+        span = (t.num_rows + n_parts - 1) // n_parts
+        for j in range(n_parts):
+            part = t.slice(j * span, span)
+            if part.num_rows == 0:
+                break
+            p = os.path.join(d, f"part-{j:03d}.parquet")
+            pq.write_table(part, p)
+            paths.append(p)
     return paths
 
 
