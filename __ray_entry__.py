@@ -92,9 +92,20 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from image_report_ray.pipelines import cdcq, relational, similarity, text
+    from image_report_ray.pipelines import cdcq, dedup, relational, similarity, text
 
     return {
+        # near-duplicate detection (training-data ops)
+        "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
+        "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
+        "dedup_simhash": dedup.dedup_simhash,
+        # text quality / tokenization / language-ID / fingerprints
+        "quality_score": text.quality_score,
+        "tokenize_bpe": text.tokenize_bpe,
+        "lang_id": text.lang_id,
+        "fingerprint_docs": text.fingerprint_docs,
+        # approximate similarity search
+        "knn_cosine_lsh": similarity.knn_cosine_lsh,
         # CDC core (SURVEY §2.4 T3, §2.5 J3, §2.7 O4, §2.8 D1)
         "cdc_apply": cdcq.cdc_apply,
         "cdc_apply_dups": cdcq.cdc_apply_dups,
@@ -121,6 +132,68 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # exact word-3-gram Jaccard near-dup pairs (tau = 0.2); the SQL
+        # mirrors the engine's inverted-index join shape
+        "dedup_ngram_jaccard": r"""
+WITH arr AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ws FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+  )) AS shingle
+  FROM arr WHERE len(ws) >= 3
+),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT da AS doc_id_a, db AS doc_id_b, CAST(i AS BIGINT) AS n_common,
+       ROUND(i * 1.0 / (ca.n + cb.n - i), 6) AS jaccard
+FROM inter JOIN cnt ca ON inter.da = ca.doc_id JOIN cnt cb ON inter.db = cb.doc_id
+WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.2
+ORDER BY doc_id_a, doc_id_b
+""",
+        "quality_score": r"""
+WITH q AS (
+  SELECT doc_id, text, regexp_extract_all(lower(text), '\S+') AS ws
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(ws) AS n_tokens,
+         len(list_filter(ws, w -> list_contains(
+             ['the','a','and','of','to','table','row','value','key','fast'], w)))
+             AS n_stop,
+         COALESCE(list_sum(list_transform(ws, w -> length(w))), 0) AS sum_len,
+         length(regexp_extract_all(text, '[.,!?;:]')) AS n_punct
+  FROM q
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_stop AS BIGINT) AS n_stop,
+       CAST(n_stop * 10000 // GREATEST(n_tokens, 1) AS BIGINT) AS stop_ratio_bp,
+       CAST(sum_len * 10000 // GREATEST(n_tokens, 1) AS BIGINT) AS mean_tok_len_bp,
+       CAST(n_punct AS BIGINT) AS n_punct,
+       (n_tokens BETWEEN 10 AND 1000)
+         AND (n_stop * 10000 // GREATEST(n_tokens, 1) >= 100)
+         AND (sum_len * 10000 // GREATEST(n_tokens, 1) <= 120000) AS quality_ok
+FROM m ORDER BY doc_id
+""",
+        "tokenize_bpe": r"""
+WITH c AS (
+  SELECT doc_id,
+         CAST(length(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_alpha_runs,
+         CAST(length(regexp_extract_all(lower(text), '[0-9]+')) AS BIGINT) AS n_num_runs,
+         CAST(length(regexp_extract_all(lower(text), '[^a-z0-9\s]')) AS BIGINT) AS n_marks
+  FROM documents
+)
+SELECT doc_id, n_alpha_runs, n_num_runs, n_marks,
+       n_alpha_runs + n_num_runs + n_marks AS n_bpe_tokens
+FROM c ORDER BY doc_id
+""",
         "cdc_apply": CHANGELOG_CTE + _FINAL_STATE.format(extra_cols=""),
         # duplicates deliver identical rows: the oracle is the dup-free state
         "cdc_apply_dups": CHANGELOG_CTE + _FINAL_STATE.format(extra_cols=""),

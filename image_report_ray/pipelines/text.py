@@ -12,6 +12,7 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -100,6 +101,236 @@ def dedup_exact(sf_dir: str) -> pa.Table:
         .map_groups(keep_first, batch_format="pandas")
     )
     return finalize(ds_to_table(out), [("doc_id", "ascending")])
+
+
+# Broadcast stopword table — engine config in the reference's
+# dimension-table style (/root/reference/papersize.py:37-65); tokens are
+# common in the synthetic corpus so ratios are non-trivial.
+STOPWORDS = ("the", "a", "and", "of", "to", "table", "row", "value", "key", "fast")
+
+# BPE-ish pre-tokenizer classes over lowercased text: letter runs, digit
+# runs, single non-alphanumeric marks (the regex stand-in for a learned
+# BPE vocab; the counts are what a token-budget pipeline needs).
+_BPE_ALPHA = r"[a-z]+"
+_BPE_NUM = r"[0-9]+"
+_BPE_OTHER = r"[^a-z0-9\s]"
+
+
+def quality_score(sf_dir: str) -> pa.Table:
+    """Per-document quality signals: token count, stopword ratio, mean
+    token length, punctuation count and a pass/fail flag — all integer
+    arithmetic (basis points) so the distributed result is bit-equal to
+    the SQL oracle. The heuristic family is standard training-data
+    filtering (Gopher-style length/stopword rules)."""
+    rd = _rd()
+    stop = pa.array(STOPWORDS)
+
+    def score(t: pa.Table) -> pa.Table:
+        text = t.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        low = pc.utf8_lower(text)
+        toks = pc.split_pattern_regex(low, r"\s+")
+        flat = toks.flatten()
+        valid = pc.not_equal(flat, "")
+        # per-doc token counts from list offsets (empty-string artifacts
+        # of split-vs-extract removed by masking)
+        off = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        vnp = valid.to_numpy(zero_copy_only=False)
+        cum = np.r_[0, np.cumsum(vnp)]
+        n_tok = cum[off[1:]] - cum[off[:-1]]
+        is_stop = pc.and_(valid, pc.is_in(flat, value_set=stop)).to_numpy(
+            zero_copy_only=False
+        )
+        cum_s = np.r_[0, np.cumsum(is_stop)]
+        n_stop = cum_s[off[1:]] - cum_s[off[:-1]]
+        tok_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False) * vnp
+        cum_l = np.r_[0, np.cumsum(tok_len)]
+        sum_len = cum_l[off[1:]] - cum_l[off[:-1]]
+        n_punct = pc.count_substring_regex(t.column("text"), _PUNCT).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        nt = np.maximum(n_tok, 1)
+        stop_bp = n_stop * 10_000 // nt
+        len_bp = sum_len * 10_000 // nt
+        ok = (n_tok >= 10) & (n_tok <= 1_000) & (stop_bp >= 100) & (len_bp <= 120_000)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "n_stop": pa.array(n_stop, pa.int64()),
+                "stop_ratio_bp": pa.array(stop_bp, pa.int64()),
+                "mean_tok_len_bp": pa.array(len_bp, pa.int64()),
+                "n_punct": pa.array(n_punct, pa.int64()),
+                "quality_ok": pa.array(ok),
+            }
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return finalize(ds_to_table(ds.map_batches(score, batch_format="pyarrow")),
+                    [("doc_id", "ascending")])
+
+
+def tokenize_bpe(sf_dir: str) -> pa.Table:
+    """BPE-ish pre-tokenization counts per document (letter runs, digit
+    runs, single marks) — pure ``pyarrow.compute`` regex kernels."""
+    rd = _rd()
+
+    def counts(t: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(t.column("text"))
+        n_a = pc.count_substring_regex(low, _BPE_ALPHA).cast(pa.int64())
+        n_n = pc.count_substring_regex(low, _BPE_NUM).cast(pa.int64())
+        n_o = pc.count_substring_regex(low, _BPE_OTHER).cast(pa.int64())
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_alpha_runs": n_a,
+                "n_num_runs": n_n,
+                "n_marks": n_o,
+                "n_bpe_tokens": pc.add(pc.add(n_a, n_n), n_o),
+            }
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return finalize(ds_to_table(ds.map_batches(counts, batch_format="pyarrow")),
+                    [("doc_id", "ascending")])
+
+
+def fit_lang_profiles(
+    texts: "list[str]", labels: "list[str]", top_k: int = 30
+) -> dict[str, frozenset]:
+    """Pure kernel: per-language top-k token profiles (the 'model')."""
+    df = pd.DataFrame({"text": texts, "lang": labels})
+    profiles: dict[str, frozenset] = {}
+    for lang, g in df.groupby("lang"):
+        toks = pd.Series(
+            np.concatenate([t.lower().split() for t in g.text])
+            if len(g)
+            else [], dtype=object
+        )
+        profiles[str(lang)] = frozenset(toks.value_counts().head(top_k).index)
+    return profiles
+
+
+def predict_langs(texts: "list[str]", profiles: dict[str, frozenset]) -> list[str]:
+    """Pure kernel: best profile-overlap language per text (ties ->
+    lexicographically smallest language — deterministic)."""
+    langs = sorted(profiles)
+    sets = [profiles[l] for l in langs]
+    out = []
+    for t in texts:
+        s = set(t.lower().split())
+        scores = [len(s & ls) for ls in sets]
+        out.append(langs[int(np.argmax(scores))])
+    return out
+
+
+def lang_id(sf_dir: str, top_k: int = 30) -> pa.Table:
+    """Heuristic language identification: fit per-language top-k token
+    profiles on the deterministic 10% labeled sample (``doc_id % 10 ==
+    0``), broadcast them (``ray.put`` — the reference's dimension-table
+    join shape), predict every document by best profile overlap. Returns
+    per-doc prediction plus agreement with the table's label.
+
+    NOTE: the driver's synthetic corpus draws text from a shared
+    vocabulary regardless of the ``lang`` label, so no classifier can
+    beat chance *on this table*; the kernels
+    (:func:`fit_lang_profiles` / :func:`predict_langs`) are unit-tested
+    on a corpus with real per-language vocabularies instead. Model fit +
+    argmax predict is not SQL-expressible -> rows-only oracle."""
+    import pyarrow.parquet as pq
+    import ray
+
+    rd = _rd()
+    sample = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    ).to_pandas()
+    sample = sample[sample.doc_id % 10 == 0]
+    profiles = fit_lang_profiles(
+        sample.text.tolist(), sample.lang.tolist(), top_k=top_k
+    )
+    prof_ref = ray.put(profiles)
+
+    def predict(t: pa.Table) -> pa.Table:
+        prof = ray.get(prof_ref)
+        preds = predict_langs(t.column("text").to_pylist(), prof)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "lang_pred": pa.array(preds),
+                "lang_true": t.column("lang"),
+                "correct": pc.equal(pa.array(preds), t.column("lang")),
+            }
+        )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    return finalize(ds_to_table(ds.map_batches(predict, batch_format="pyarrow")),
+                    [("doc_id", "ascending")])
+
+
+# Winnowing fingerprint parameters (Schleimer et al., SIGMOD 2003 —
+# public local-fingerprinting algorithm): k-char grams, window w.
+_FP_K = 8
+_FP_W = 4
+_FP_BASE = np.uint64(1_000_003)
+
+
+def winnow_fingerprints_kernel(texts: list[str]) -> list[np.ndarray]:
+    """Pure kernel: per-text sorted unique winnowed fingerprint sets.
+
+    Rolling polynomial hash over byte k-grams via a sliding-window matmul,
+    then the winnowing minimum per w-window (rightmost min wins, the
+    paper's robust variant) — all numpy, no per-char Python loops."""
+    powers = _FP_BASE ** np.arange(_FP_K - 1, -1, -1, dtype=np.uint64)
+    out = []
+    for s in texts:
+        b = np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
+        if len(b) < _FP_K:
+            out.append(np.array([], dtype=np.uint64))
+            continue
+        grams = np.lib.stride_tricks.sliding_window_view(b, _FP_K).astype(np.uint64)
+        h = (grams * powers[None, :]).sum(axis=1)  # uint64 wraparound hash
+        if len(h) <= _FP_W:
+            out.append(np.unique(h.min(keepdims=True)))
+            continue
+        wins = np.lib.stride_tricks.sliding_window_view(h, _FP_W)
+        # rightmost minimum per window: reverse, argmin, map back
+        rev = wins[:, ::-1]
+        pick = (_FP_W - 1) - rev.argmin(axis=1)
+        out.append(np.unique(wins[np.arange(len(wins)), pick]))
+    return out
+
+
+def fingerprint_docs(sf_dir: str) -> pa.Table:
+    """Per-document winnowing fingerprint summary: count, min, and an
+    order-independent XOR digest of the fingerprint set (the same
+    combining scheme as the engine's state merkle digest)."""
+    rd = _rd()
+
+    def fp(t: pa.Table) -> pa.Table:
+        sets = winnow_fingerprints_kernel(t.column("text").to_pylist())
+        n = np.array([len(s) for s in sets], dtype=np.int64)
+        mn = np.array(
+            [int(s[0]) if len(s) else 0 for s in sets], dtype=np.uint64
+        )
+        xr = np.array(
+            [int(np.bitwise_xor.reduce(s)) if len(s) else 0 for s in sets],
+            dtype=np.uint64,
+        )
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_fingerprints": pa.array(n),
+                "fp_min": pa.array(mn),
+                "fp_xor": pa.array(xr),
+            }
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return finalize(ds_to_table(ds.map_batches(fp, batch_format="pyarrow")),
+                    [("doc_id", "ascending")])
 
 
 def lang_stats(sf_dir: str) -> pa.Table:

@@ -1,0 +1,117 @@
+"""Near-dup operator tests: kernel-vs-naive equivalence (the reference's
+randomized-equivalence discipline, /root/reference/tests/test_hashing_config.py:12-39)
+plus end-to-end agreement between the LSH scale path and the exact query."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from image_report_ray.pipelines.dedup import (
+    _MH_PERMS,
+    doc_shingles,
+    minhash_signatures,
+    simhash64,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _naive_shingles(text: str, n: int = 3) -> set[str]:
+    ws = [w for w in text.lower().split() if w]
+    return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+
+
+def test_doc_shingles_matches_naive():
+    texts = [
+        "a b c d e",
+        "one two",            # < 3 tokens -> no shingles
+        "x x x x",            # repeated shingle -> distinct once
+        "p q r",
+    ]
+    batch = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                      "text": pa.array(texts)})
+    df = doc_shingles(batch)
+    got = df.groupby("doc_id")["shingle"].apply(set).to_dict()
+    for i, t in enumerate(texts):
+        assert got.get(i, set()) == _naive_shingles(t), i
+
+
+def test_doc_shingles_no_cross_doc_bleed():
+    batch = pa.table(
+        {"doc_id": pa.array([0, 1], pa.int64()),
+         "text": pa.array(["a b", "c d e"])}
+    )
+    df = doc_shingles(batch)
+    # no shingle may mix doc 0's and doc 1's tokens ("a b c" / "b c d")
+    assert set(df.shingle) == {"c d e"}
+
+
+def test_minhash_estimates_jaccard():
+    # two docs with known shingle overlap; signature agreement ~ Jaccard
+    base = [f"w{i}" for i in range(60)]
+    a = " ".join(base)
+    b = " ".join(base[:40] + [f"z{i}" for i in range(20)])
+    sa = _naive_shingles(a)
+    sb = _naive_shingles(b)
+    true_j = len(sa & sb) / len(sa | sb)
+    batch = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                      "text": pa.array([a, b])})
+    sig = minhash_signatures(batch)
+    m = np.stack(sig.column("sig").to_numpy(zero_copy_only=False))
+    est = float((m[0] == m[1]).sum()) / _MH_PERMS
+    assert abs(est - true_j) < 0.12, (est, true_j)
+
+
+def _naive_simhash(text: str) -> int:
+    toks = [w for w in text.lower().split() if w]
+    if not toks:
+        return 0
+    hs = pd.util.hash_array(np.array(toks, dtype=object)).astype(np.uint64)
+    acc = [0] * 64
+    for h in hs:
+        for b in range(64):
+            acc[b] += 1 if (int(h) >> b) & 1 else -1
+    out = 0
+    for b in range(64):
+        if acc[b] > 0:
+            out |= 1 << b
+    return out
+
+
+def test_simhash_matches_naive():
+    texts = ["alpha beta gamma delta", "alpha beta gamma epsilon", "", "solo"]
+    batch = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                      "text": pa.array(texts)})
+    got = simhash64(batch)
+    for i, t in enumerate(texts):
+        assert int(got.column("simhash")[i].as_py()) == _naive_simhash(t), i
+
+
+def test_minhash_lsh_agrees_with_exact(ray_session):
+    from image_report_ray.pipelines.dedup import dedup_minhash_lsh, dedup_ngram_jaccard
+
+    exact = dedup_ngram_jaccard(SF).to_pandas()
+    exact5 = exact[exact.jaccard >= 0.5]
+    lsh = dedup_minhash_lsh(SF, tau=0.5).to_pandas()
+    assert set(zip(exact5.doc_id_a, exact5.doc_id_b)) == set(
+        zip(lsh.doc_id_a, lsh.doc_id_b)
+    )
+    # verified pairs carry the exact intersection size
+    merged = exact5.merge(lsh, on=["doc_id_a", "doc_id_b"], suffixes=("_e", "_l"))
+    assert (merged.n_common_e == merged.n_common_l).all()
+
+
+def test_simhash_pipeline_finds_near_dups(ray_session):
+    from image_report_ray.pipelines.dedup import dedup_ngram_jaccard, dedup_simhash
+
+    exact = dedup_ngram_jaccard(SF).to_pandas()
+    high = exact[exact.jaccard >= 0.9]
+    sh = dedup_simhash(SF).to_pandas()
+    found = set(zip(sh.doc_id_a, sh.doc_id_b))
+    hit = sum((a, b) in found for a, b in zip(high.doc_id_a, high.doc_id_b))
+    # simhash at hamming<=3 must recover most >=0.9-Jaccard pairs
+    assert len(high) == 0 or hit / len(high) >= 0.6, (hit, len(high))
+    assert (sh.hamming <= 3).all()

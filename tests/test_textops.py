@@ -1,0 +1,98 @@
+"""Text-analysis operator tests: winnowing fingerprints vs a naive
+reference implementation, language-ID kernels on a corpus with real
+per-language signal, and ANN recall floors."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from image_report_ray.pipelines.text import (
+    _FP_BASE,
+    _FP_K,
+    _FP_W,
+    fit_lang_profiles,
+    predict_langs,
+    winnow_fingerprints_kernel,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _naive_winnow(s: str) -> set[int]:
+    b = s.encode("utf-8")
+    if len(b) < _FP_K:
+        return set()
+    hs = []
+    for i in range(len(b) - _FP_K + 1):
+        h = np.uint64(0)
+        for c in b[i : i + _FP_K]:
+            h = h * _FP_BASE + np.uint64(c)
+        hs.append(int(h))
+    if len(hs) <= _FP_W:
+        return {min(hs)}
+    out = set()
+    for i in range(len(hs) - _FP_W + 1):
+        win = hs[i : i + _FP_W]
+        m = min(win)
+        # rightmost minimum (robust winnowing)
+        j = max(k for k, v in enumerate(win) if v == m)
+        out.add(win[j])
+    return out
+
+
+def test_winnow_matches_naive():
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "short",
+        "aaaaaaaaaaaaaaaa",  # degenerate: identical grams
+        "",
+        "exactly8",          # == K bytes -> single gram
+    ]
+    got = winnow_fingerprints_kernel(texts)
+    for t, g in zip(texts, got):
+        assert set(int(x) for x in g) == _naive_winnow(t), t
+
+
+def test_winnow_shared_substring_shares_fingerprints():
+    a = "prefix COMMON SHARED WINDOW OF TEXT suffix-a-very-different-tail"
+    b = "other COMMON SHARED WINDOW OF TEXT completely-unrelated-ending"
+    fa, fb = winnow_fingerprints_kernel([a, b])
+    assert len(np.intersect1d(fa, fb)) > 0
+
+
+def test_lang_kernels_separate_real_signal():
+    # constructed corpus with disjoint per-language vocabularies
+    rng = np.random.default_rng(7)
+    vocab = {
+        "en": [f"en{i}" for i in range(40)],
+        "fr": [f"fr{i}" for i in range(40)],
+        "de": [f"de{i}" for i in range(40)],
+    }
+    texts, labels = [], []
+    for lang, words in vocab.items():
+        for _ in range(30):
+            texts.append(" ".join(rng.choice(words, size=20)))
+            labels.append(lang)
+    profiles = fit_lang_profiles(texts[::3], labels[::3], top_k=25)
+    preds = predict_langs(texts, profiles)
+    acc = float(np.mean([p == l for p, l in zip(preds, labels)]))
+    assert acc == 1.0, acc
+
+
+def test_lang_id_pipeline_shape(ray_session):
+    from image_report_ray.pipelines.text import lang_id
+
+    t = lang_id(SF)
+    assert t.column_names == ["doc_id", "lang_pred", "lang_true", "correct"]
+    assert t.num_rows == 500
+    # deterministic: second run identical
+    assert t.equals(lang_id(SF))
+
+
+def test_knn_lsh_recall_floor(ray_session):
+    from image_report_ray.pipelines.similarity import knn_cosine, knn_cosine_lsh
+
+    exact = set(knn_cosine(SF).column("vec_id").to_pylist())
+    approx = set(knn_cosine_lsh(SF).column("vec_id").to_pylist())
+    assert len(exact & approx) / len(exact) >= 0.5
