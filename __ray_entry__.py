@@ -92,9 +92,20 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from image_report_ray.pipelines import cdcq, dedup, relational, similarity, text
+    from image_report_ray.pipelines import (
+        cdcq,
+        dedup,
+        multimodal,
+        relational,
+        similarity,
+        text,
+    )
 
     return {
+        # multimodal binary-column plumbing (actor-pool decode stages)
+        "media_meta": multimodal.media_meta,
+        "media_features": multimodal.media_features,
+        "media_frames": multimodal.media_frames,
         # near-duplicate detection (training-data ops)
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
@@ -132,6 +143,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # synthetic FMED headers are pure integer arithmetic on doc_id
+        # (see image_report_ray/pipelines/multimodal.py)
+        "media_meta": """
+SELECT doc_id AS media_id,
+       ['image','audio','video'][(doc_id % 3) + 1] AS kind,
+       CAST(16 + (doc_id * 7919)   % 240 AS INTEGER) AS width,
+       CAST(16 + (doc_id * 104729) % 240 AS INTEGER) AS height,
+       CAST(CASE WHEN doc_id % 3 = 2 THEN 8 + (doc_id * 31) % 25 ELSE 1 END
+            AS INTEGER) AS n_frames,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_body_bytes
+FROM documents ORDER BY media_id
+""",
+        "media_frames": """
+WITH m AS (
+  SELECT doc_id,
+         doc_id % 3 AS kc,
+         CASE WHEN doc_id % 3 = 2 THEN 8 + (doc_id * 31) % 25 ELSE 1 END AS nf
+  FROM documents
+)
+SELECT doc_id AS media_id,
+       CAST(unnest(range(0, nf, CASE WHEN kc = 2 THEN 4 ELSE 1 END))
+            AS INTEGER) AS frame_idx,
+       ['image','audio','video'][kc + 1] AS kind
+FROM m ORDER BY media_id, frame_idx
+""",
         # exact word-3-gram Jaccard near-dup pairs (tau = 0.2); the SQL
         # mirrors the engine's inverted-index join shape
         "dedup_ngram_jaccard": r"""

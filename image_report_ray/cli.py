@@ -1,0 +1,187 @@
+"""CLI entry point: ``python -m image_report_ray.cli <command>``.
+
+The flag discipline mirrors the reference's argparse surface
+(/root/reference/utils.py:91-207) re-targeted at CDC: validated numeric
+ranges, a selection mini-DSL, ``--continue-on-error``, and exit code 1 on
+any failure (/root/reference/ir:596-619).
+
+Commands::
+
+    gen       write a deterministic synthetic WAL (epoch-partitioned parquet)
+    run       tail a WAL directory into a lake (resumable, exactly-once)
+    export    write the lake's canonical live state as parquet
+    validate  re-check every committed partition: ledger invariants,
+              lineage/manifest agreement, state digest
+
+Only this module (and bench.py / the test fixture) owns a Ray session —
+the library never calls ``ray.init``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from .config import EngineConfig, float_0_1, positive_int
+
+
+def _init_ray(num_cpus: int | None) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"include_dashboard": False, "logging_level": "ERROR"}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(address="local", **kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_gen(args: argparse.Namespace) -> int:
+    from .sources.synth import write_wal
+
+    paths = write_wal(
+        args.wal_dir,
+        n_epochs=args.epochs,
+        epoch_size=args.epoch_size,
+        n_parts=args.parts,
+        seed=args.seed,
+        n_convs=args.conversations,
+        max_turns=args.max_turns,
+        dup_rate=args.dup_rate,
+        hot_frac=args.hot_frac,
+    )
+    print(json.dumps({"files": len(paths), "wal_dir": args.wal_dir}))
+    return 0
+
+
+def cmd_run(args: argparse.Namespace) -> int:
+    _init_ray(args.num_cpus)
+    from .pipelines.cdc import run_job
+
+    cfg = EngineConfig(
+        num_partitions=args.partitions,
+        epoch_lookahead=args.lookahead,
+        map_task_rows=args.map_task_rows,
+        continue_on_error=args.continue_on_error,
+        salt_factor=args.salt_factor,
+    )
+    summary = run_job(
+        args.lake_dir,
+        args.wal_dir,
+        cfg,
+        salt_keys=frozenset(args.salt_key or []),
+    )
+    print(json.dumps(summary))
+    import ray
+
+    ray.shutdown()
+    return 0
+
+
+def cmd_export(args: argparse.Namespace) -> int:
+    _init_ray(args.num_cpus)
+    from .pipelines.cdc import canonical_state_dataset
+    from .state.manifest import Lake
+
+    lake = Lake(args.lake_dir)
+    ds = canonical_state_dataset(lake)
+    ds.write_parquet(args.out_dir)
+    print(json.dumps({"rows": ds.count(), "out_dir": args.out_dir}))
+    import ray
+
+    ray.shutdown()
+    return 0
+
+
+def cmd_validate(args: argparse.Namespace) -> int:
+    """Offline audit: for every committed partition, re-read state, re-check
+    the digest and row counts against the manifest and the lineage XML —
+    the v2 validation-checklist graft
+    (/root/reference/docs/report-schema-v2.md:352-367)."""
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from .state.manifest import Lake
+    from .state.merge import table_digest
+    from .xmlreport import read_report
+
+    lake = Lake(args.lake_dir)
+    problems: list[str] = []
+    checked = 0
+    entries = lake.current_entries()
+    for pid, entry in sorted(entries.items()):
+        t = pq.read_table(os.path.join(lake.root, entry["file"]))
+        live = int(pc.sum(pc.cast(pc.invert(t.column("_deleted")), "int64")).as_py() or 0)
+        if live != entry["rows_live"]:
+            problems.append(f"pid {pid}: rows_live {live} != manifest {entry['rows_live']}")
+        if t.num_rows != entry["keys_total"]:
+            problems.append(f"pid {pid}: keys {t.num_rows} != manifest {entry['keys_total']}")
+        if table_digest(t) != entry["digest"]:
+            problems.append(f"pid {pid}: state digest mismatch vs manifest")
+        lx = lake.lineage_path(entry["epoch"], pid)
+        if os.path.exists(lx):
+            root = read_report(lx)
+            st = root.find("state")
+            if st is not None and st.get("digest") != entry["digest"]:
+                problems.append(f"pid {pid}: lineage digest != manifest digest")
+        else:
+            problems.append(f"pid {pid}: missing lineage report {lx}")
+        checked += 1
+    print(json.dumps({"partitions_checked": checked, "problems": problems}))
+    return 1 if problems else 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="image_report_ray")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    g = sub.add_parser("gen", help="write a deterministic synthetic WAL")
+    g.add_argument("wal_dir")
+    g.add_argument("--epochs", type=positive_int, default=4)
+    g.add_argument("--epoch-size", type=positive_int, default=100_000)
+    g.add_argument("--parts", type=positive_int, default=8)
+    g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--conversations", type=positive_int, default=10_000)
+    g.add_argument("--max-turns", type=positive_int, default=32)
+    g.add_argument("--dup-rate", type=float_0_1, default=0.0)
+    g.add_argument("--hot-frac", type=float_0_1, default=0.0)
+    g.set_defaults(fn=cmd_gen)
+
+    r = sub.add_parser("run", help="tail a WAL into a lake (exactly-once)")
+    r.add_argument("lake_dir")
+    r.add_argument("wal_dir")
+    r.add_argument("--partitions", type=positive_int, default=16)
+    r.add_argument("--lookahead", type=int, default=1)
+    r.add_argument("--map-task-rows", type=positive_int, default=131_072)
+    r.add_argument("--salt-factor", type=positive_int, default=4)
+    r.add_argument("--salt-key", action="append",
+                   help="conv_id to salt across sub-partitions (repeatable)")
+    r.add_argument("--continue-on-error", action="store_true")
+    r.add_argument("--num-cpus", type=int, default=None)
+    r.set_defaults(fn=cmd_run)
+
+    e = sub.add_parser("export", help="write canonical live state")
+    e.add_argument("lake_dir")
+    e.add_argument("out_dir")
+    e.add_argument("--num-cpus", type=int, default=None)
+    e.set_defaults(fn=cmd_export)
+
+    v = sub.add_parser("validate", help="audit committed state vs manifest+lineage")
+    v.add_argument("lake_dir")
+    v.set_defaults(fn=cmd_validate)
+
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

