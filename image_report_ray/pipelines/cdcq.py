@@ -98,16 +98,22 @@ def cdc_apply_evolve(sf_dir: str) -> pa.Table:
 
 
 def cdc_counts(sf_dir: str, epoch_size: int = 2500) -> pa.Table:
-    """Per-(epoch, op) event counts — the lineage op-profile aggregate,
-    computed as per-batch partials + a tiny grouped sum."""
-    from ray.data.aggregate import Count
+    """Per-(epoch, op) event counts — the lineage op-profile aggregate.
 
-    def bucket(t: pa.Table) -> pa.Table:
+    Per-batch Arrow hash-group-by folds each batch to one row per
+    (epoch, op) BEFORE the exchange (the combiner discipline), so the
+    shuffle moves O(groups x batches) rows, then a tiny grouped sum."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
         ep = pc.divide(t.column("lsn"), epoch_size)
-        return pa.table({"epoch": ep, "op": t.column("op")})
+        g = pa.table({"epoch": ep, "op": t.column("op")}).group_by(
+            ["epoch", "op"]
+        ).aggregate([([], "count_all")])
+        return g.rename_columns(["epoch", "op", "n_part"])
 
-    ds = changelog_dataset(sf_dir).map_batches(bucket, batch_format="pyarrow")
-    out = ds.groupby(["epoch", "op"]).aggregate(Count(alias_name="n"))
+    ds = changelog_dataset(sf_dir).map_batches(partial, batch_format="pyarrow")
+    out = ds.groupby(["epoch", "op"]).aggregate(Sum("n_part", alias_name="n"))
     t = ds_to_table(out)
     t = t.set_column(t.column_names.index("n"), "n", t.column("n").cast(pa.int64()))
     return finalize(t, [("epoch", "ascending"), ("op", "ascending")])

@@ -69,13 +69,23 @@ def q1_pricing_summary(sf_dir: str) -> pa.Table:
         tax_c = _cents(t.column("l_tax"))
         disc_price_u = price_c * (100 - disc_c)          # 1e-4 dollars
         charge_u = disc_price_u * (100 + tax_c)          # 1e-6 dollars
-        return pa.table(
+        full = pa.table(
             {
                 "l_returnflag": t.column("l_returnflag"),
                 "l_linestatus": t.column("l_linestatus"),
                 "qty_c": qty_c, "price_c": price_c, "disc_c": disc_c,
                 "disc_price_u": disc_price_u, "charge_u": charge_u,
             }
+        )
+        # map-side combine: ~4 groups exist, so each batch folds to a
+        # handful of partial rows and the exchange is O(groups x batches)
+        g = full.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty_c", "sum"), ("price_c", "sum"), ("disc_price_u", "sum"),
+             ("charge_u", "sum"), ("disc_c", "sum"), ([], "count_all")]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "qty_c", "price_c",
+             "disc_price_u", "charge_u", "disc_c", "n_rows"]
         )
 
     ds = rd.read_parquet(
@@ -94,7 +104,7 @@ def q1_pricing_summary(sf_dir: str) -> pa.Table:
             Sum("disc_price_u", alias_name="s_dp_u"),
             Sum("charge_u", alias_name="s_ch_u"),
             Sum("disc_c", alias_name="s_disc_c"),
-            Count(alias_name="count_order"),
+            Sum("n_rows", alias_name="count_order"),
         )
     )
     t = ds_to_table(out)
@@ -167,7 +177,10 @@ def q3_top_orders(sf_dir: str) -> pa.Table:
         )
         t = t.filter(m)
         rev_u = _cents(t.column("l_extendedprice")) * (100 - _cents(t.column("l_discount")))
-        return t.select(["l_orderkey"]).append_column("rev_u", pa.array(rev_u))
+        part = t.select(["l_orderkey"]).append_column("rev_u", pa.array(rev_u))
+        # map-side combine per order before the exchange
+        g = part.group_by(["l_orderkey"]).aggregate([("rev_u", "sum")])
+        return g.rename_columns(["l_orderkey", "rev_u"])
 
     ds = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
@@ -197,9 +210,17 @@ def q3_top_orders(sf_dir: str) -> pa.Table:
 def q5_region_revenue(sf_dir: str) -> pa.Table:
     """TPC-H Q5 shape: revenue by nation inside one region.
 
-    Dimension chain region->nation->customer/supplier is broadcast;
-    orders ⋈ lineitem is a genuine hash-partitioned ``Dataset.join``.
-    """
+    Every non-lineitem side collapses to a broadcast: the date-windowed
+    orders (already joined to customer nation on the driver) become one
+    ``o_orderkey -> customer_nation`` int array shipped via ``ray.put``,
+    so lineitem — the only large table — streams through a single
+    vectorized ``map_batches`` + grouped sum with NO shuffle join. A
+    genuine hash-partitioned ``Dataset.join`` (for when both sides are
+    large) is exercised by the dedup pipelines (`pipelines/dedup.py`);
+    here the windowed side is orders-of-magnitude smaller, and
+    broadcasting it is the scale-correct plan (Bloom filter / hash map of
+    window keys at 100 TB)."""
+    import ray
     import pyarrow.parquet as pq
     from ray.data.aggregate import Sum
 
@@ -220,56 +241,53 @@ def q5_region_revenue(sf_dir: str) -> pa.Table:
     cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
     c_nk = dict(zip(cust.column("c_custkey").to_pylist(), cust.column("c_nationkey").to_pylist()))
     supp = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
-    s_nk = dict(zip(supp.column("s_suppkey").to_pylist(), supp.column("s_nationkey").to_pylist()))
+    s_keys = supp.column("s_suppkey").to_numpy()
+    s_nations = supp.column("s_nationkey").to_numpy()
+    s_lut = np.full(int(s_keys.max()) + 2, -2, dtype=np.int32)
+    s_lut[s_keys] = s_nations
 
-    def orders_prep(t: pa.Table) -> pa.Table:
-        m = pc.and_(
-            pc.greater_equal(t.column("o_orderdate"), lo), pc.less(t.column("o_orderdate"), hi)
-        )
-        t = t.filter(m)
-        nk = pa.array([c_nk.get(k, -1) for k in t.column("o_custkey").to_pylist()], pa.int32())
-        t = t.append_column("c_nation", nk)
-        return t.select(["o_orderkey", "c_nation"]).filter(
-            pc.is_in(t.column("c_nation"), value_set=pa.array(list(nk_to_name), pa.int32()))
-        )
-
-    orders_ds = rd.read_parquet(
+    orders = pq.read_table(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
-    ).map_batches(orders_prep, batch_format="pyarrow")
-
-    def li_prep(t: pa.Table) -> pa.Table:
-        nk = pa.array([s_nk.get(k, -2) for k in t.column("l_suppkey").to_pylist()], pa.int32())
-        rev_u = _cents(t.column("l_extendedprice")) * (100 - _cents(t.column("l_discount")))
-        return (
-            t.select(["l_orderkey"])
-            .append_column("s_nation", nk)
-            .append_column("rev_u", pa.array(rev_u))
-        )
-
-    li_ds = rd.read_parquet(
-        f"{sf_dir}/lineitem.parquet",
-        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
-    ).map_batches(li_prep, batch_format="pyarrow")
-
-    joined = li_ds.join(
-        orders_ds,
-        "inner",
-        num_partitions=_JOIN_PARTS,
-        on=("l_orderkey",),
-        right_on=("o_orderkey",),
     )
+    orders = orders.filter(
+        pc.and_(
+            pc.greater_equal(orders.column("o_orderdate"), lo),
+            pc.less(orders.column("o_orderdate"), hi),
+        )
+    )
+    okeys = orders.column("o_orderkey").to_numpy()
+    onation = np.array(
+        [c_nk.get(k, -1) for k in orders.column("o_custkey").to_pylist()],
+        dtype=np.int32,
+    )
+    in_asia = np.isin(onation, np.fromiter(nk_to_name, dtype=np.int32))
+    o_lut = np.full(int(okeys.max()) + 2, -1, dtype=np.int32)
+    o_lut[okeys[in_asia]] = onation[in_asia]
+    lut_ref = ray.put((o_lut, s_lut))
 
-    def same_nation(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.equal(t.column("s_nation"), t.column("c_nation")))
-        names = pa.array([nk_to_name[k] for k in t.column("s_nation").to_pylist()])
-        return t.select(["rev_u"]).append_column("n_name", names)
+    def li_rev(t: pa.Table) -> pa.Table:
+        olut, slut = ray.get(lut_ref)
+        ok = t.column("l_orderkey").to_numpy()
+        sk = t.column("l_suppkey").to_numpy()
+        cn = np.where(ok < len(olut), olut[np.minimum(ok, len(olut) - 1)], -1)
+        sn = np.where(sk < len(slut), slut[np.minimum(sk, len(slut) - 1)], -2)
+        keep = (cn >= 0) & (cn == sn)
+        t = t.filter(pa.array(keep))
+        rev_u = _cents(t.column("l_extendedprice")) * (100 - _cents(t.column("l_discount")))
+        return pa.table({"nk": pa.array(cn[keep], pa.int32()), "rev_u": pa.array(rev_u)})
 
     out = (
-        joined.map_batches(same_nation, batch_format="pyarrow")
-        .groupby("n_name")
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(li_rev, batch_format="pyarrow")
+        .groupby("nk")
         .aggregate(Sum("rev_u", alias_name="rev_u_sum"))
     )
     t = ds_to_table(out)
+    names = pa.array([nk_to_name[int(k)] for k in t.column("nk").to_pylist()])
+    t = t.drop_columns(["nk"]).append_column("n_name", names)
     rev = (t.column("rev_u_sum").to_numpy().astype(np.int64) // 100) / 100.0
     t = pa.table({"n_name": t.column("n_name"), "revenue": rev})
     return finalize(t, [("n_name", "ascending")])
@@ -304,19 +322,24 @@ def user_hour_activity(sf_dir: str) -> pa.Table:
     def bucket(t: pa.Table) -> pa.Table:
         us = t.column("ts").cast(pa.int64())
         hb = pc.divide(us, _US_PER_HOUR)
-        return pa.table(
+        full = pa.table(
             {
                 "user_id": t.column("user_id"),
                 "hour_bucket": hb,
                 "value_c": pa.array(_cents(t.column("value"))),
             }
         )
+        # map-side combine per (user, hour) window before the exchange
+        g = full.group_by(["user_id", "hour_bucket"]).aggregate(
+            [([], "count_all"), ("value_c", "sum")]
+        )
+        return g.rename_columns(["user_id", "hour_bucket", "n_part", "value_c"])
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
     out = (
         ds.map_batches(bucket, batch_format="pyarrow")
         .groupby(["user_id", "hour_bucket"])
-        .aggregate(Count(alias_name="n_events"), Sum("value_c", alias_name="s_value_c"))
+        .aggregate(Sum("n_part", alias_name="n_events"), Sum("value_c", alias_name="s_value_c"))
     )
     t = ds_to_table(out)
     sum_value = t.column("s_value_c").to_numpy().astype(np.int64) / 100.0

@@ -77,29 +77,41 @@ def top_tokens(sf_dir: str, k: int = 20) -> pa.Table:
 
 def dedup_exact(sf_dir: str) -> pa.Table:
     """Exact dedup: content-hash each text, keep the smallest doc_id per
-    hash. The shuffle key is the 64-hex digest, not the text itself, so the
-    exchange moves fixed-width keys (what 100 TB needs); grouping by the
-    raw text would ship every document body through the shuffle."""
-    import pandas as pd
+    hash. Two passes, neither shipping document bodies: pass 1 shuffles
+    only (hash, doc_id) pairs — with a per-batch min combiner — to elect
+    the winner id per digest; pass 2 re-reads and keeps winner rows via a
+    broadcast id set (at 100 TB: a Bloom filter / sorted-id broadcast).
+    sha256 collisions are cryptographically negligible."""
+    import ray
+    from ray.data.aggregate import Min
 
     rd = _rd()
 
-    def add_hash(df: "pd.DataFrame") -> "pd.DataFrame":
-        df["h"] = [
-            hashlib.sha256(s.encode("utf-8")).hexdigest() for s in df["text"].to_numpy()
+    def hash_ids(t: pa.Table) -> pa.Table:
+        h = [
+            hashlib.sha256(s.encode("utf-8")).digest()[:16]
+            for s in t.column("text").to_pylist()
         ]
-        return df
-
-    def keep_first(g: "pd.DataFrame") -> "pd.DataFrame":
-        g = g.sort_values("doc_id")
-        return g.head(1)[["doc_id", "text"]]
+        part = pa.table(
+            {"h": pa.array(h, pa.binary(16)), "doc_id": t.column("doc_id")}
+        )
+        g = part.group_by(["h"]).aggregate([("doc_id", "min")])
+        return g.rename_columns(["h", "doc_id"])
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    out = (
-        ds.map_batches(add_hash, batch_format="pandas")
+    winners_t = ds_to_table(
+        ds.map_batches(hash_ids, batch_format="pyarrow")
         .groupby("h")
-        .map_groups(keep_first, batch_format="pandas")
+        .aggregate(Min("doc_id", alias_name="doc_id"))
     )
+    winner_ids = pa.array(sorted(winners_t.column("doc_id").to_pylist()), pa.int64())
+    ids_ref = ray.put(winner_ids)
+
+    def keep_winners(t: pa.Table) -> pa.Table:
+        ids = ray.get(ids_ref)
+        return t.filter(pc.is_in(t.column("doc_id"), value_set=ids))
+
+    out = ds.map_batches(keep_winners, batch_format="pyarrow")
     return finalize(ds_to_table(out), [("doc_id", "ascending")])
 
 
