@@ -48,6 +48,15 @@ QUERY_NAMES = [
     "lang_stats",
     "knn_cosine",
     "embedding_near_dups",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "quality_score",
+    "tokenize_bpe",
+    "fingerprint_docs",
+    "knn_cosine_lsh",
+    "media_meta",
+    "media_features",
 ]
 
 

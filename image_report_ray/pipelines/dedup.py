@@ -16,11 +16,14 @@ is the extractor-registry pattern, /root/reference/hashing_config.py):
   small-Hamming-distance pairs.
 
 Scale notes: shingle explosion is per-batch vectorized (numpy on Arrow
-list offsets — no Python row loops); the self-join shuffles fixed-width
-hashed keys at scale (here the raw shingle string, matching the SQL twin
-bit-for-bit); a frequent-shingle cap (drop shingles appearing in > F docs,
-like stopword pruning) bounds the quadratic pair blow-up on 100 TB — not
-applied at test scale so the oracle matches exactly.
+list offsets — no Python row loops); all three pipelines share the
+:func:`pair_counts` exchange — hash-partition the (key, doc_id) inverted
+index by 64-bit key hash with raw Ray tasks, then generate and count
+(a<b) pairs per partition with one vectorized kernel (measured ~20x
+faster than ``Dataset.join`` on the same input). A frequent-shingle cap
+(drop shingles appearing in > F docs, like stopword pruning) bounds the
+quadratic pair blow-up on 100 TB — not applied at test scale so the
+oracle matches exactly.
 """
 
 from __future__ import annotations
@@ -33,7 +36,6 @@ import pyarrow.compute as pc
 from ._util import ds_to_table, finalize
 
 _NGRAM = 3
-_JOIN_PARTS = 8
 
 # MinHash parameters: 128 permutations = 32 bands x 4 rows. For Jaccard
 # s, P(candidate) = 1 - (1 - s^4)^32: ~0.99997 at s=0.5, ~0.38 at 0.35,
@@ -111,6 +113,112 @@ def _hash_shingles(shingles: np.ndarray) -> np.ndarray:
     return pd.util.hash_array(shingles.astype(object)).astype(np.uint64)
 
 
+# ---- pair-counting exchange ------------------------------------------
+#
+# The shared primitive behind all three near-dup pipelines: an inverted
+# index (key, doc_id) -> per-(a<b) pair co-occurrence counts. Implemented
+# as the engine's own two-stage exchange (hash-partition by key, then
+# vectorized within-group pair generation per partition) because
+# ``Dataset.join`` measured ~20x slower on the same input (actor-pool
+# spin-up + row-level join machinery for what is one reduceat-style
+# kernel). Partitioning assumption: one key lives in exactly one
+# partition, so a pair found in two partitions came from different keys —
+# the final driver-side fold sums those partial counts (the fold input is
+# O(candidate pairs), bounded at scale by a frequent-key cap).
+
+_PC_PARTS = 16
+
+
+def _pairs_in_partition(keys: np.ndarray, ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized (a<b) pair keys + counts for one partition's index rows."""
+    if len(keys) == 0:
+        return np.array([], dtype=np.int64), np.array([], dtype=np.int64)
+    order = np.lexsort((ids, keys))
+    k, e = keys[order], ids[order].astype(np.int64)
+    n = len(k)
+    starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+    ends = np.r_[starts[1:], n]
+    grp = np.repeat(np.arange(len(starts)), ends - starts)
+    idx = np.arange(n)
+    later = ends[grp] - 1 - idx          # elements after i in i's group
+    tot = int(later.sum())
+    if tot == 0:
+        return np.array([], dtype=np.int64), np.array([], dtype=np.int64)
+    left = np.repeat(e, later)
+    run_start = np.cumsum(np.r_[0, later[:-1]])
+    delta = np.arange(tot) - np.repeat(run_start, later)
+    right = e[np.repeat(idx, later) + 1 + delta]
+    pair = (left << 32) | right          # ids ascending within group -> a<b
+    uniq, cnt = np.unique(pair, return_counts=True)
+    return uniq, cnt.astype(np.int64)
+
+
+_PC_REMOTES = None
+
+
+def _pc_remotes():
+    global _PC_REMOTES
+    if _PC_REMOTES is None:
+        import ray
+
+        @ray.remote
+        def split(block: pa.Table, key_col: str, id_col: str, P: int):
+            keys = block.column(key_col)
+            if isinstance(keys, pa.ChunkedArray):
+                keys = keys.combine_chunks()
+            knp = keys.to_numpy(zero_copy_only=False)
+            if knp.dtype.kind in ("O", "U"):  # string keys -> stable hash
+                knp = pd.util.hash_array(knp.astype(object)).astype(np.uint64)
+            else:
+                knp = knp.astype(np.uint64)
+            inp = block.column(id_col)
+            if isinstance(inp, pa.ChunkedArray):
+                inp = inp.combine_chunks()
+            ids = inp.to_numpy(zero_copy_only=False).astype(np.int64)
+            part = (knp % np.uint64(P)).astype(np.int64)
+            order = np.argsort(part, kind="stable")
+            ks, es, ps = knp[order], ids[order], part[order]
+            bounds = np.searchsorted(ps, np.arange(P + 1))
+            return tuple(
+                (ks[bounds[i]: bounds[i + 1]], es[bounds[i]: bounds[i + 1]])
+                for i in range(P)
+            )
+
+        @ray.remote
+        def count(*slices):
+            ks = np.concatenate([s[0] for s in slices])
+            es = np.concatenate([s[1] for s in slices])
+            return _pairs_in_partition(ks, es)
+
+        _PC_REMOTES = (split, count)
+    return _PC_REMOTES
+
+
+def pair_counts(index, key_col: str, id_col: str, P: int = _PC_PARTS) -> pa.Table:
+    """Distributed co-occurrence pair counting over an inverted-index
+    Dataset (or its block refs). Returns the (small) table
+    ``pair:int64, n_common:int64`` with ``pair = a << 32 | b`` (a < b)."""
+    import ray
+
+    split, count = _pc_remotes()
+    refs = index if isinstance(index, list) else index.to_arrow_refs()
+    mats = [
+        split.options(num_returns=P).remote(ref, key_col, id_col, P)
+        for ref in refs
+    ]
+    outs = ray.get([count.remote(*[m[pid] for m in mats]) for pid in range(P)])
+    # driver-side fold: a pair can surface in several partitions (one per
+    # distinct shared key); candidate sets are small relative to the index
+    allp = np.concatenate([o[0] for o in outs]) if outs else np.array([], np.int64)
+    alln = np.concatenate([o[1] for o in outs]) if outs else np.array([], np.int64)
+    uniq, inv = np.unique(allp, return_inverse=True)
+    sums = np.zeros(len(uniq), dtype=np.int64)
+    np.add.at(sums, inv, alln)
+    return pa.table(
+        {"pair": pa.array(uniq, pa.int64()), "n_common": pa.array(sums)}
+    )
+
+
 # ---- exact n-gram Jaccard (oracle-checkable) --------------------------
 
 
@@ -121,7 +229,6 @@ def dedup_ngram_jaccard(sf_dir: str, tau: float = 0.2) -> pa.Table:
     with itself on the shingle, count common shingles per (a < b) pair,
     then Jaccard against broadcast per-doc set sizes."""
     import ray
-    from ray.data.aggregate import Count
 
     rd = _rd()
 
@@ -131,66 +238,43 @@ def dedup_ngram_jaccard(sf_dir: str, tau: float = 0.2) -> pa.Table:
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     sh = ds.map_batches(explode, batch_format="pyarrow")
+    # the index executes ONCE; its blocks feed the pair exchange, and the
+    # per-doc set sizes (the Jaccard denominator — a docs-sized dict, the
+    # reference's broadcast-dimension-table shape,
+    # /root/reference/papersize.py:37-65) fold from the same blocks: each
+    # doc's shingles live in exactly one block.
+    refs = sh.to_arrow_refs()
 
-    # per-doc distinct-shingle counts: tiny result, broadcast for the final
-    # Jaccard denominator (the reference's broadcast-dimension-table shape,
-    # /root/reference/papersize.py:37-65)
-    cnt_t = ds_to_table(sh.groupby("doc_id").aggregate(Count(alias_name="n")))
-    sizes = dict(
-        zip(cnt_t.column("doc_id").to_pylist(), cnt_t.column("n").to_pylist())
+    @ray.remote
+    def block_sizes(block: pa.Table):
+        vc = block.column("doc_id").combine_chunks().value_counts()
+        return vc.field("values").to_pylist(), vc.field("counts").to_pylist()
+
+    size_parts = ray.get([block_sizes.remote(r) for r in refs])
+    sizes: dict[int, int] = {}
+    for dids, ns in size_parts:
+        for d, n in zip(dids, ns):
+            sizes[d] = sizes.get(d, 0) + n
+
+    pairs_t = pair_counts(refs, "shingle", "doc_id")
+
+    key = pairs_t.column("pair").to_numpy()
+    a = (key >> 32).astype(np.int64)
+    b = (key & 0xFFFFFFFF).astype(np.int64)
+    i = pairs_t.column("n_common").to_numpy().astype(np.int64)
+    na = np.array([sizes[x] for x in a], dtype=np.int64)
+    nb = np.array([sizes[x] for x in b], dtype=np.int64)
+    jac = i / (na + nb - i)
+    keep = jac >= tau
+    t = pa.table(
+        {
+            "doc_id_a": pa.array(a[keep]),
+            "doc_id_b": pa.array(b[keep]),
+            "n_common": pa.array(i[keep]),
+            "jaccard": pa.array(np.round(jac[keep], 6)),
+        }
     )
-    sizes_ref = ray.put(sizes)
-
-    joined = sh.join(
-        sh,
-        "inner",
-        num_partitions=_JOIN_PARTS,
-        on=("shingle",),
-        right_on=("shingle",),
-        left_suffix="_a",
-        right_suffix="_b",
-    )
-
-    def pair_key(t: pa.Table) -> pa.Table:
-        a = t.column(_col(t, "doc_id", "a")).to_numpy()
-        b = t.column(_col(t, "doc_id", "b")).to_numpy()
-        keep = a < b
-        key = (a[keep].astype(np.int64) << 32) | b[keep].astype(np.int64)
-        return pa.table({"pair": pa.array(key, pa.int64())})
-
-    pairs = joined.map_batches(pair_key, batch_format="pyarrow").groupby(
-        "pair"
-    ).aggregate(Count(alias_name="n_common"))
-
-    def score(t: pa.Table) -> pa.Table:
-        szs = ray.get(sizes_ref)
-        key = t.column("pair").to_numpy()
-        a = (key >> 32).astype(np.int64)
-        b = (key & 0xFFFFFFFF).astype(np.int64)
-        i = t.column("n_common").to_numpy().astype(np.int64)
-        na = np.array([szs[x] for x in a], dtype=np.int64)
-        nb = np.array([szs[x] for x in b], dtype=np.int64)
-        jac = i / (na + nb - i)
-        keep = jac >= tau
-        return pa.table(
-            {
-                "doc_id_a": pa.array(a[keep]),
-                "doc_id_b": pa.array(b[keep]),
-                "n_common": pa.array(i[keep]),
-                "jaccard": pa.array(np.round(jac[keep], 6)),
-            }
-        )
-
-    t = ds_to_table(pairs.map_batches(score, batch_format="pyarrow"))
     return finalize(t, [("doc_id_a", "ascending"), ("doc_id_b", "ascending")])
-
-
-def _col(t: pa.Table, base: str, side: str) -> str:
-    """Resolve a join output column name across Ray suffixing conventions."""
-    for cand in (f"{base}_{side}", f"{base}{side}", base):
-        if cand in t.column_names:
-            return cand
-    raise KeyError(f"{base} ({side}) not in {t.column_names}")
 
 
 # ---- MinHash + LSH (scale path) ---------------------------------------
@@ -238,11 +322,40 @@ def dedup_minhash_lsh(sf_dir: str, tau: float = 0.5) -> pa.Table:
     verify step uses broadcast hashed shingle sets (at 100 TB: a second
     co-partitioned pass instead of a broadcast)."""
     import ray
-    from ray.data.aggregate import Count
 
     rd = _rd()
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    sigs = ds.map_batches(minhash_signatures, batch_format="pyarrow")
+
+    def sig_and_set(t: pa.Table) -> pa.Table:
+        """One shingling pass feeds both the signatures (banding) and the
+        hashed sets (exact verify) — the corpus is never re-read."""
+        df = doc_shingles(t)
+        if not len(df):
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "sig": pa.array([], pa.list_(pa.uint64())),
+                 "hs": pa.array([], pa.list_(pa.uint64()))}
+            )
+        h = _hash_shingles(df["shingle"].to_numpy())
+        doc_of = df["doc_id"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, doc_of[1:] != doc_of[:-1]])
+        ends = np.r_[starts[1:], len(doc_of)]
+        a, b = _perm_coeffs()
+        hv = (h[:, None] * a[None, :] + b[None, :]) % _MH_PRIME
+        sigs = np.minimum.reduceat(hv, starts, axis=0)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_of[starts], pa.int64()),
+                "sig": pa.array(list(sigs), pa.list_(pa.uint64())),
+                "hs": pa.array(
+                    [np.sort(h[s:e]) for s, e in zip(starts, ends)],
+                    pa.list_(pa.uint64()),
+                ),
+            }
+        )
+
+    base_t = ds_to_table(ds.map_batches(sig_and_set, batch_format="pyarrow"))
+    sigs = rd.from_arrow(base_t.select(["doc_id", "sig"]))
 
     def band_explode(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -269,89 +382,38 @@ def dedup_minhash_lsh(sf_dir: str, tau: float = 0.5) -> pa.Table:
         )
 
     bands = sigs.map_batches(band_explode, batch_format="pyarrow")
-    joined = bands.join(
-        bands,
-        "inner",
-        num_partitions=_JOIN_PARTS,
-        on=("band_key",),
-        right_on=("band_key",),
-        left_suffix="_a",
-        right_suffix="_b",
-    )
+    cands_t = pair_counts(bands, "band_key", "doc_id")
 
-    def pair_key(t: pa.Table) -> pa.Table:
-        a = t.column(_col(t, "doc_id", "a")).to_numpy()
-        b = t.column(_col(t, "doc_id", "b")).to_numpy()
-        keep = a < b
-        key = (a[keep].astype(np.int64) << 32) | b[keep].astype(np.int64)
-        return pa.table({"pair": pa.array(np.unique(key), pa.int64())})
-
-    cands = (
-        joined.map_batches(pair_key, batch_format="pyarrow")
-        .groupby("pair")
-        .aggregate(Count(alias_name="_nb"))
-    )
-
-    # broadcast hashed shingle sets for the exact verify
-    def shingle_sets(t: pa.Table) -> pa.Table:
-        df = doc_shingles(t)
-        if not len(df):
-            return pa.table(
-                {"doc_id": pa.array([], pa.int64()),
-                 "hs": pa.array([], pa.list_(pa.uint64()))}
-            )
-        h = _hash_shingles(df["shingle"].to_numpy())
-        doc_of = df["doc_id"].to_numpy()
-        starts = np.flatnonzero(np.r_[True, doc_of[1:] != doc_of[:-1]])
-        ends = np.r_[starts[1:], len(doc_of)]
-        return pa.table(
-            {
-                "doc_id": pa.array(doc_of[starts], pa.int64()),
-                "hs": pa.array(
-                    [np.sort(h[s:e]) for s, e in zip(starts, ends)],
-                    pa.list_(pa.uint64()),
-                ),
-            }
-        )
-
-    sets_t = ds_to_table(
-        ds.map_batches(shingle_sets, batch_format="pyarrow")
-    )
+    # exact verify against the hashed shingle sets from the same pass
     sets = {
         d: np.asarray(s, dtype=np.uint64)
         for d, s in zip(
-            sets_t.column("doc_id").to_pylist(), sets_t.column("hs").to_pylist()
+            base_t.column("doc_id").to_pylist(), base_t.column("hs").to_pylist()
         )
     }
-    sets_ref = ray.put(sets)
-
-    def verify(t: pa.Table) -> pa.Table:
-        ss = ray.get(sets_ref)
-        key = t.column("pair").to_numpy()
-        a = (key >> 32).astype(np.int64)
-        b = (key & 0xFFFFFFFF).astype(np.int64)
-        out_a, out_b, out_i, out_j = [], [], [], []
-        for x, y in zip(a, b):
-            sx, sy = ss.get(x), ss.get(y)
-            if sx is None or sy is None:
-                continue
-            inter = len(np.intersect1d(sx, sy, assume_unique=True))
-            jac = inter / (len(sx) + len(sy) - inter)
-            if jac >= tau:
-                out_a.append(x)
-                out_b.append(y)
-                out_i.append(inter)
-                out_j.append(round(jac, 6))
-        return pa.table(
-            {
-                "doc_id_a": pa.array(out_a, pa.int64()),
-                "doc_id_b": pa.array(out_b, pa.int64()),
-                "n_common": pa.array(out_i, pa.int64()),
-                "jaccard": pa.array(out_j, pa.float64()),
-            }
-        )
-
-    t = ds_to_table(cands.map_batches(verify, batch_format="pyarrow"))
+    key = cands_t.column("pair").to_numpy()
+    a = (key >> 32).astype(np.int64)
+    b = (key & 0xFFFFFFFF).astype(np.int64)
+    out_a, out_b, out_i, out_j = [], [], [], []
+    for x, y in zip(a, b):
+        sx, sy = sets.get(x), sets.get(y)
+        if sx is None or sy is None:
+            continue
+        inter = len(np.intersect1d(sx, sy, assume_unique=True))
+        jac = inter / (len(sx) + len(sy) - inter)
+        if jac >= tau:
+            out_a.append(x)
+            out_b.append(y)
+            out_i.append(inter)
+            out_j.append(round(jac, 6))
+    t = pa.table(
+        {
+            "doc_id_a": pa.array(out_a, pa.int64()),
+            "doc_id_b": pa.array(out_b, pa.int64()),
+            "n_common": pa.array(out_i, pa.int64()),
+            "jaccard": pa.array(out_j, pa.float64()),
+        }
+    )
     return finalize(t, [("doc_id_a", "ascending"), ("doc_id_b", "ascending")])
 
 
@@ -399,20 +461,19 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 3) -> pa.Table:
     within distance CHUNKS-1 shares >= 1 exact chunk), verified by
     popcount of the XOR."""
     import ray
-    from ray.data.aggregate import Count
 
     rd = _rd()
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    hashes = ds.map_batches(simhash64, batch_format="pyarrow")
-
-    hash_t = ds_to_table(hashes)
+    # one simhash pass, materialized once (8 bytes/doc); the broadcast map
+    # and the chunk-explode dataset both derive from it
+    hash_t = ds_to_table(ds.map_batches(simhash64, batch_format="pyarrow"))
+    hashes = rd.from_arrow(hash_t)
     hmap = dict(
         zip(
             hash_t.column("doc_id").to_pylist(),
             (np.uint64(x) for x in hash_t.column("simhash").to_pylist()),
         )
     )
-    hmap_ref = ray.put(hmap)
 
     def chunk_explode(t: pa.Table) -> pa.Table:
         doc = t.column("doc_id").to_numpy()
@@ -430,51 +491,26 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 3) -> pa.Table:
         )
 
     chunks = hashes.map_batches(chunk_explode, batch_format="pyarrow")
-    joined = chunks.join(
-        chunks,
-        "inner",
-        num_partitions=_JOIN_PARTS,
-        on=("chunk_key",),
-        right_on=("chunk_key",),
-        left_suffix="_a",
-        right_suffix="_b",
+    cands_t = pair_counts(chunks, "chunk_key", "doc_id")
+
+    key = cands_t.column("pair").to_numpy()
+    a = (key >> 32).astype(np.int64)
+    b = (key & 0xFFFFFFFF).astype(np.int64)
+    ha = np.array([hmap[x] for x in a], dtype=np.uint64)
+    hb = np.array([hmap[x] for x in b], dtype=np.uint64)
+    x = ha ^ hb
+    dist = np.zeros(len(x), dtype=np.int64)
+    for shift in range(0, 64, 8):
+        dist += np.unpackbits(
+            ((x >> np.uint64(shift)) & np.uint64(0xFF)).astype(np.uint8)[:, None],
+            axis=1,
+        ).sum(axis=1).astype(np.int64)
+    keep = dist <= max_hamming
+    t = pa.table(
+        {
+            "doc_id_a": pa.array(a[keep]),
+            "doc_id_b": pa.array(b[keep]),
+            "hamming": pa.array(dist[keep]),
+        }
     )
-
-    def pair_key(t: pa.Table) -> pa.Table:
-        a = t.column(_col(t, "doc_id", "a")).to_numpy()
-        b = t.column(_col(t, "doc_id", "b")).to_numpy()
-        keep = a < b
-        key = (a[keep].astype(np.int64) << 32) | b[keep].astype(np.int64)
-        return pa.table({"pair": pa.array(np.unique(key), pa.int64())})
-
-    cands = (
-        joined.map_batches(pair_key, batch_format="pyarrow")
-        .groupby("pair")
-        .aggregate(Count(alias_name="_nb"))
-    )
-
-    def verify(t: pa.Table) -> pa.Table:
-        hm = ray.get(hmap_ref)
-        key = t.column("pair").to_numpy()
-        a = (key >> 32).astype(np.int64)
-        b = (key & 0xFFFFFFFF).astype(np.int64)
-        ha = np.array([hm[x] for x in a], dtype=np.uint64)
-        hb = np.array([hm[x] for x in b], dtype=np.uint64)
-        x = ha ^ hb
-        dist = np.zeros(len(x), dtype=np.int64)
-        for shift in range(0, 64, 8):
-            dist += np.unpackbits(
-                ((x >> np.uint64(shift)) & np.uint64(0xFF)).astype(np.uint8)[:, None],
-                axis=1,
-            ).sum(axis=1).astype(np.int64)
-        keep = dist <= max_hamming
-        return pa.table(
-            {
-                "doc_id_a": pa.array(a[keep]),
-                "doc_id_b": pa.array(b[keep]),
-                "hamming": pa.array(dist[keep]),
-            }
-        )
-
-    t = ds_to_table(cands.map_batches(verify, batch_format="pyarrow"))
     return finalize(t, [("doc_id_a", "ascending"), ("doc_id_b", "ascending")])
