@@ -96,6 +96,20 @@ def cmd_export(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_compact(args: argparse.Namespace) -> int:
+    _init_ray(args.num_cpus)
+    from .pipelines.cdc import gc_tombstones
+    from .state.manifest import Lake
+
+    lake = Lake(args.lake_dir)
+    res = gc_tombstones(lake, before_lsn=args.before_lsn)
+    print(json.dumps(res))
+    import ray
+
+    ray.shutdown()
+    return 0
+
+
 def cmd_validate(args: argparse.Namespace) -> int:
     """Offline audit: for every committed partition, re-read state, re-check
     the digest and row counts against the manifest and the lineage XML —
@@ -123,14 +137,15 @@ def cmd_validate(args: argparse.Namespace) -> int:
             problems.append(f"pid {pid}: keys {t.num_rows} != manifest {entry['keys_total']}")
         if table_digest(t) != entry["digest"]:
             problems.append(f"pid {pid}: state digest mismatch vs manifest")
-        lx = lake.lineage_path(entry["epoch"], pid)
-        if os.path.exists(lx):
-            root = read_report(lx)
-            st = root.find("state")
-            if st is not None and st.get("digest") != entry["digest"]:
-                problems.append(f"pid {pid}: lineage digest != manifest digest")
-        else:
-            problems.append(f"pid {pid}: missing lineage report {lx}")
+        if "gc_seq" not in entry:  # GC rewrites carry no per-epoch lineage
+            lx = lake.lineage_path(entry["epoch"], pid)
+            if os.path.exists(lx):
+                root = read_report(lx)
+                st = root.find("state")
+                if st is not None and st.get("digest") != entry["digest"]:
+                    problems.append(f"pid {pid}: lineage digest != manifest digest")
+            else:
+                problems.append(f"pid {pid}: missing lineage report {lx}")
         checked += 1
     print(json.dumps({"partitions_checked": checked, "problems": problems}))
     return 1 if problems else 0
@@ -174,6 +189,16 @@ def build_parser() -> argparse.ArgumentParser:
     v = sub.add_parser("validate", help="audit committed state vs manifest+lineage")
     v.add_argument("lake_dir")
     v.set_defaults(fn=cmd_validate)
+
+    c = sub.add_parser(
+        "compact",
+        help="GC tombstones below a retention watermark (caller guarantees "
+             "no event with lsn < watermark will ever be delivered again)",
+    )
+    c.add_argument("lake_dir")
+    c.add_argument("--before-lsn", type=int, required=True)
+    c.add_argument("--num-cpus", type=int, default=None)
+    c.set_defaults(fn=cmd_compact)
 
     return p
 

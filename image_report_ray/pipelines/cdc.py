@@ -340,6 +340,7 @@ def run_job(
     skipped_epochs = len(epochs) - len(pending)
 
     inflight: dict[int, list] = {}
+    hot_totals: dict[str, int] = {}
     for e in pending[: cfg.epoch_lookahead + 1]:
         inflight[e] = submit_map_stage(lake, epochs[e], cfg)
     for i, e in enumerate(pending):
@@ -352,14 +353,108 @@ def run_job(
         else:
             applied_epochs += 1
             events += sum(s.received for s in res.values())
+            for s in res.values():
+                for conv, n in s.hot_keys:
+                    hot_totals[conv] = max(hot_totals.get(conv, 0), n)
     dt = time.perf_counter() - t0
+    # Skew advisory: conversations whose single-epoch event count crossed
+    # the salt threshold. The salt set is immutable per lake (routing must
+    # stay stable), so these are surfaced for the NEXT lake / a re-shard —
+    # the operational loop behind --salt-key.
+    salt_candidates = sorted(
+        c for c, n in hot_totals.items()
+        if n > cfg.salt_threshold and c not in lake.salt_keys
+    )
     return {
         "epochs_applied": applied_epochs,
         "epochs_skipped": skipped_epochs,
         "events_received": events,
         "duration_sec": dt,
         "events_per_sec": events / dt if dt > 0 else 0.0,
+        "salt_candidates": salt_candidates,
     }
+
+
+# ---- tombstone GC -----------------------------------------------------
+
+
+def gc_tombstones(lake: Lake, *, before_lsn: int) -> dict:
+    """Drop tombstones with ``_lsn < before_lsn`` from every partition's
+    current state (the Delta-VACUUM analogue for CDC deletes).
+
+    CONTRACT: the caller guarantees no event with ``lsn < before_lsn``
+    will ever be delivered again (the retention watermark). A late
+    delivery below the watermark for a GC'd key would re-apply instead of
+    being suppressed by its tombstone — that is the retention trade-off,
+    the same one every CDC lake makes.
+
+    Publishes as a ``gc=N`` commit record that folds after the epochs it
+    compacted and before any later WAL epoch (see
+    ``Lake.current_entries``); crash before the record lands leaves only
+    invisible staging files. Rewrites run as one Ray task per partition.
+    """
+    import ray
+
+    R = _gc_remote()
+    entries_now = lake.current_entries()
+    if not entries_now:
+        return {"partitions": 0, "tombstones_dropped": 0}
+    after_epoch = max(e["epoch"] for e in entries_now.values())
+    seq = (lake.gc_seqs()[-1] + 1) if lake.gc_seqs() else 0
+    refs = {
+        pid: R.remote(
+            pid, os.path.join(lake.root, e["file"]), lake.root, seq,
+            before_lsn, e,
+        )
+        for pid, e in sorted(entries_now.items())
+    }
+    results = {pid: ray.get(r) for pid, r in refs.items()}
+    new_entries = {pid: res[0] for pid, res in results.items()}
+    dropped = sum(res[1] for res in results.values())
+    lake.commit_gc(seq, after_epoch, new_entries)
+    return {
+        "partitions": len(new_entries),
+        "tombstones_dropped": dropped,
+        "gc_seq": seq,
+        "before_lsn": before_lsn,
+    }
+
+
+_GC_REMOTE = None
+
+
+def _gc_remote():
+    global _GC_REMOTE
+    if _GC_REMOTE is None:
+        import ray
+
+        @ray.remote
+        def gc_partition(pid, path, lake_root, seq, before_lsn, old_entry):
+            from ..schema import DELETED_COL, LSN_COL
+
+            t = pq.read_table(path)
+            drop = pc.and_(
+                t.column(DELETED_COL),
+                pc.less(t.column(LSN_COL), before_lsn),
+            )
+            kept = t.filter(pc.invert(drop))
+            n_dropped = t.num_rows - kept.num_rows
+            rel = os.path.join("data", f"gc={seq:05d}", f"pid={pid:05d}.parquet")
+            Lake.write_state_file(kept, os.path.join(lake_root, rel))
+            deleted = kept.column(DELETED_COL)
+            tomb = int(pc.sum(pc.cast(deleted, pa.int64())).as_py() or 0)
+            entry = {
+                **{k: old_entry[k] for k in ("last_lsn", "received", "applied")},
+                "file": rel,
+                "rows_live": kept.num_rows - tomb,
+                "tombstoned": tomb,
+                "keys_total": kept.num_rows,
+                "digest": table_digest(kept),
+            }
+            return entry, n_dropped
+
+        _GC_REMOTE = gc_partition
+    return _GC_REMOTE
 
 
 # ---- canonical state export ------------------------------------------

@@ -35,6 +35,7 @@ import pyarrow.parquet as pq
 from .. import STATE_FORMAT_VERSION, VERSION
 
 _COMMIT_RE = re.compile(r"^epoch=(\d+)\.json$")
+_GC_RE = re.compile(r"^gc=(\d+)\.json$")
 
 # Fixed writer options so re-runs are byte-identical (north-rule replay
 # determinism; the v2 doc's byte-identical re-run requirement,
@@ -136,14 +137,62 @@ class Lake:
     def is_committed(self, epoch: int) -> bool:
         return os.path.exists(self.commit_path(epoch))
 
+    # ---- tombstone-GC commits ---------------------------------------
+    def gc_path(self, seq: int) -> str:
+        return os.path.join(self.root, "_commits", f"gc={seq:05d}.json")
+
+    def gc_seqs(self) -> list[int]:
+        d = os.path.join(self.root, "_commits")
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            int(m.group(1)) for m in (_GC_RE.match(n) for n in os.listdir(d)) if m
+        )
+
+    def commit_gc(self, seq: int, after_epoch: int, partitions: dict[int, dict]) -> None:
+        """Publish a tombstone-GC rewrite. Folds AFTER ``after_epoch`` and
+        BEFORE any later WAL epoch (see :meth:`current_entries`)."""
+        record = {
+            "gc_seq": seq,
+            "after_epoch": after_epoch,
+            "engine_version": VERSION,
+            "state_format_version": STATE_FORMAT_VERSION,
+            "partitions": {str(pid): e for pid, e in sorted(partitions.items())},
+        }
+        path = self.gc_path(seq)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(record, f, indent=2, sort_keys=True)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+
     # ---- current state resolution -----------------------------------
     def current_entries(self) -> dict[int, dict]:
-        """pid -> latest committed entry (last committed epoch wins)."""
-        out: dict[int, dict] = {}
+        """pid -> latest committed entry.
+
+        Fold order: WAL-epoch commits and GC commits interleave by
+        ``(epoch, kind)`` where a GC record sorts just after the epoch it
+        compacted (``after_epoch``) — so a GC rewrite supersedes the
+        epochs it saw, and any later WAL epoch supersedes the GC."""
+        records: list[tuple[tuple, dict, dict]] = []
         for epoch in self.committed_epochs():
             rec = self.read_commit(epoch)
+            records.append(((epoch, 0, 0), rec, {"epoch": epoch}))
+        for seq in self.gc_seqs():
+            with open(self.gc_path(seq)) as f:
+                rec = json.load(f)
+            records.append(
+                (
+                    (rec["after_epoch"], 1, rec["gc_seq"]),
+                    rec,
+                    {"epoch": rec["after_epoch"], "gc_seq": rec["gc_seq"]},
+                )
+            )
+        out: dict[int, dict] = {}
+        for _, rec, extra in sorted(records, key=lambda r: r[0]):
             for pid_s, entry in rec["partitions"].items():
-                out[int(pid_s)] = {**entry, "epoch": epoch}
+                out[int(pid_s)] = {**entry, **extra}
         return out
 
     def current_files(self) -> dict[int, str]:

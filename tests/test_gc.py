@@ -1,0 +1,96 @@
+"""Tombstone-GC tests: watermark semantics, manifest fold order (GC
+supersedes the epochs it saw; later WAL epochs supersede the GC), audit
+and canonical-state invariance."""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+import pytest
+
+from image_report_ray.config import EngineConfig
+from image_report_ray.pipelines.cdc import (
+    apply_epoch,
+    canonical_state_table,
+    gc_tombstones,
+    run_job,
+)
+from image_report_ray.sources.synth import gen_epoch, write_wal
+from image_report_ray.state.manifest import Lake
+
+CFG = dict(seed=21, n_convs=30, max_turns=6, op_mix=(0.4, 0.3, 0.3))
+
+
+@pytest.fixture()
+def lake_with_tombstones(ray_session, tmp_path):
+    wal = str(tmp_path / "wal")
+    write_wal(wal, n_epochs=3, epoch_size=400, **CFG)
+    lake_dir = str(tmp_path / "lake")
+    run_job(lake_dir, wal, EngineConfig(num_partitions=4))
+    return Lake(lake_dir), wal
+
+
+def _tombstones(lake: Lake) -> dict[int, list[int]]:
+    out = {}
+    for pid, path in lake.current_files().items():
+        t = pq.read_table(path)
+        out[pid] = t.filter(t.column("_deleted")).column("_lsn").to_pylist()
+    return out
+
+
+def test_gc_drops_only_old_tombstones(lake_with_tombstones):
+    lake, _ = lake_with_tombstones
+    before = _tombstones(lake)
+    n_old = sum(sum(1 for l in ls if l < 800) for ls in before.values())
+    assert n_old > 0, "fixture must produce tombstones below the watermark"
+    canon_before = canonical_state_table(lake)
+
+    res = gc_tombstones(lake, before_lsn=800)
+    assert res["tombstones_dropped"] == n_old
+
+    after = _tombstones(lake)
+    assert all(l >= 800 for ls in after.values() for l in ls)
+    # live rows untouched: the canonical table is identical
+    assert canonical_state_table(lake).equals(canon_before)
+
+
+def test_gc_manifest_fold_and_later_epoch_supersedes(lake_with_tombstones):
+    lake, _ = lake_with_tombstones
+    gc_tombstones(lake, before_lsn=10_000)  # drop ALL tombstones
+    assert all(len(ls) == 0 for ls in _tombstones(lake).values())
+    # apply a NEW epoch after the GC: its merges read the GC'd files and
+    # its commit supersedes the GC record for the touched partitions
+    extra = gen_epoch(3, 400, **CFG)
+    import pyarrow.parquet as pqw
+    import os
+    d = lake.root + "-extra"
+    os.makedirs(d, exist_ok=True)
+    p = os.path.join(d, "e3.parquet")
+    pqw.write_table(extra, p)
+    stats = apply_epoch(lake, 3, [p], EngineConfig(num_partitions=4))
+    assert stats and sum(s.received for s in stats.values()) == 400
+    # oracle equality over the full (GC-invariant) live state
+    from image_report_ray.schema import concat_evolving
+    from image_report_ray.sources.synth import gen_epoch as ge
+    from image_report_ray.state.oracle import apply_naive
+
+    full = concat_evolving([ge(e, 400, **CFG) for e in range(4)])
+    assert canonical_state_table(lake).equals(apply_naive(full))
+
+
+def test_gc_validate_clean_and_resume_noop(lake_with_tombstones, tmp_path):
+    lake, wal = lake_with_tombstones
+    gc_tombstones(lake, before_lsn=500)
+    from image_report_ray.cli import main
+
+    assert main(["validate", lake.root]) == 0
+    # resume over the same WAL after GC: everything already committed
+    summary = run_job(lake.root, wal, EngineConfig(num_partitions=4))
+    assert summary["epochs_applied"] == 0 and summary["epochs_skipped"] == 3
+
+
+def test_gc_idempotent_sequence(lake_with_tombstones):
+    lake, _ = lake_with_tombstones
+    r1 = gc_tombstones(lake, before_lsn=800)
+    r2 = gc_tombstones(lake, before_lsn=800)
+    assert r2["tombstones_dropped"] == 0
+    assert r2["gc_seq"] == r1["gc_seq"] + 1
