@@ -109,13 +109,13 @@ class EngineConfig:
     batch_size: int = 65_536          # rows per map_batches batch
     map_task_rows: int = 131_072      # target WAL rows per exchange map task
     epoch_lookahead: int = 1          # map stages pre-submitted beyond current epoch
-    concurrency: int | None = None    # merge parallelism hint (None -> Ray decides)
     continue_on_error: bool = False   # fail-fast vs keep-going (/root/reference/ir:500-506)
-    salt_threshold: int = 50_000      # events/epoch for one conv_id before salting
+    salt_threshold: int = 50_000      # events/epoch for one conv_id before salt advisory
     salt_factor: int = 4              # hot conversations split into this many sub-routes
     metrics: str = "none"             # selection spec for per-row enrichment metrics
     validations: str = "all"          # selection spec for lineage validators
-    tombstone_retention_epochs: int = 2**62  # keep tombstones (late-data safety)
+    # tombstone retention is an explicit watermark, not a config knob:
+    # see pipelines.cdc.gc_tombstones / `cli compact --before-lsn`
 
     def __post_init__(self) -> None:
         self.num_partitions = positive_int(self.num_partitions)
