@@ -67,6 +67,7 @@ def cmd_run(args: argparse.Namespace) -> int:
         map_task_rows=args.map_task_rows,
         continue_on_error=args.continue_on_error,
         salt_factor=args.salt_factor,
+        metrics=args.metrics,
     )
     summary = run_job(
         args.lake_dir,
@@ -177,6 +178,12 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--salt-key", action="append",
                    help="conv_id to salt across sub-partitions (repeatable)")
     r.add_argument("--continue-on-error", action="store_true")
+    r.add_argument(
+        "--metrics", default="basic",
+        help="lineage-metric selection spec, e.g. 'all,-digests' or "
+             "'basic,text_len_hist' (same grammar as the reference's "
+             "--hashes flag)",
+    )
     r.add_argument("--num-cpus", type=int, default=None)
     r.set_defaults(fn=cmd_run)
 

@@ -112,7 +112,7 @@ class EngineConfig:
     continue_on_error: bool = False   # fail-fast vs keep-going (/root/reference/ir:500-506)
     salt_threshold: int = 50_000      # events/epoch for one conv_id before salt advisory
     salt_factor: int = 4              # hot conversations split into this many sub-routes
-    metrics: str = "none"             # selection spec for per-row enrichment metrics
+    metrics: str = "basic"            # lineage-metric selection (functions/metrics.py DSL)
     validations: str = "all"          # selection spec for lineage validators
     # tombstone retention is an explicit watermark, not a config knob:
     # see pipelines.cdc.gc_tombstones / `cli compact --before-lsn`

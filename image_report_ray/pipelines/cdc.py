@@ -128,13 +128,17 @@ def merge_partition_kernel(
     lake_root: str,
     epoch: int,
     track_hot_keys: int,
+    metric_names: tuple[str, ...] = ("turn_profile", "lsn_span", "live_ratio"),
 ) -> dict | None:
     """The reduce side: apply one partition's change slices to its state.
 
     Writes the new state file under its deterministic staged name and
     returns a JSON-able stats row. Idempotent: a Ray retry overwrites the
     same path via tmp+rename, and visibility waits for the driver's commit
-    (two-phase, manifest.py)."""
+    (two-phase, manifest.py). Selected lineage metrics (the extractor
+    registry, functions/metrics.py) run here over the post-merge state."""
+    from ..functions.metrics import compute_metrics
+
     t0 = time.perf_counter()
     parts = [p for p in parts if p.num_rows]
     if not parts:
@@ -148,21 +152,19 @@ def merge_partition_kernel(
     rel = os.path.join("data", f"epoch={epoch:05d}", f"pid={pid:05d}.parquet")
     Lake.write_state_file(new_state, os.path.join(lake_root, rel))
 
-    # Turn-index occupancy profile over live rows — the engine's
-    # projection profile (/root/reference/analysis.py:107-108),
-    # RLE-encoded into lineage by the driver.
-    live_turns = new_state.filter(pc.invert(new_state.column(DELETED_COL))).column(
-        "turn_idx"
-    )
-    tnp = live_turns.combine_chunks().to_numpy(zero_copy_only=False)
-    profile = np.bincount(tnp, minlength=0).tolist() if len(tnp) else []
+    m0 = time.perf_counter()
+    results, computed, failed = compute_metrics(new_state, set(metric_names))
+    metrics = {name: (r.text, r.attrs) for name, r in results.items()}
 
     return {
         "pid": pid,
         "file": rel,
         "duration_sec": time.perf_counter() - t0,
         "digest": digest,
-        "turn_profile": profile,
+        "metrics": metrics,
+        "metrics_computed": computed,
+        "metrics_failed": failed,
+        "metrics_duration_sec": time.perf_counter() - m0,
         "hot_keys": stats.hot_keys,
         **{k: getattr(stats, k) for k in _STATS_FIELDS},
     }
@@ -192,10 +194,11 @@ def _remotes() -> dict:
             )
 
         @ray.remote
-        def merge_part(pid, prior_path, prior_lsn, lake_root, epoch, hot_k, *parts):
+        def merge_part(pid, prior_path, prior_lsn, lake_root, epoch, hot_k, mnames, *parts):
             prior = pq.read_table(prior_path) if prior_path else None
             return merge_partition_kernel(
-                pid, list(parts), prior, prior_lsn, lake_root, epoch, hot_k
+                pid, list(parts), prior, prior_lsn, lake_root, epoch, hot_k,
+                metric_names=mnames,
             )
 
         _REMOTES = {"map_files": map_files, "map_block": map_block, "merge": merge_part}
@@ -263,12 +266,15 @@ def apply_epoch(
     R = _remotes()
     mats = map_refs if map_refs is not None else submit_map_stage(lake, wal, cfg)
 
+    from ..functions.metrics import select_metrics
+
+    mnames = tuple(sorted(select_metrics(cfg.metrics)))
     current = lake.current_entries()
     files = {pid: os.path.join(lake.root, e["file"]) for pid, e in current.items()}
     lsns = {pid: e["last_lsn"] for pid, e in current.items()}
     stat_refs = [
         R["merge"].remote(
-            pid, files.get(pid), lsns.get(pid, -1), lake.root, epoch, 3,
+            pid, files.get(pid), lsns.get(pid, -1), lake.root, epoch, 3, mnames,
             *[m[pid] for m in mats],
         )
         for pid in range(lake.num_partitions)
@@ -290,7 +296,10 @@ def apply_epoch(
             stats=stats,
             digest=row["digest"],
             duration_sec=float(row["duration_sec"]),
-            turn_profile=row["turn_profile"],
+            metrics=row["metrics"],
+            metrics_computed=int(row["metrics_computed"]),
+            metrics_failed=int(row["metrics_failed"]),
+            metrics_duration_sec=float(row["metrics_duration_sec"]),
             params={
                 "num_partitions": lake.num_partitions,
                 "salt_factor": lake.salt_factor,

@@ -20,7 +20,6 @@ import os
 import xml.etree.ElementTree as ET
 
 from . import VERSION
-from .codec import rle_encode
 from .state.merge import MergeStats
 
 
@@ -43,7 +42,10 @@ def build_partition_report(
     stats: MergeStats,
     digest: str,
     duration_sec: float,
-    turn_profile: list[int] | None = None,
+    metrics: dict | None = None,
+    metrics_computed: int = 0,
+    metrics_failed: int = 0,
+    metrics_duration_sec: float = 0.0,
     params: dict | None = None,
 ) -> ET.Element:
     """One partition-epoch lineage document. Asserts the conservation
@@ -78,15 +80,20 @@ def build_partition_report(
         last_lsn=stats.last_lsn,
         digest=digest,
     )
-    profiles = create_element(root, "profiles")
-    if turn_profile is not None:
-        create_element(
-            profiles,
-            "turn_profile",
-            text=rle_encode(turn_profile),
-            encoding="rle",
-            count=len(turn_profile),
+    if metrics is not None:
+        # The reference's hash-section discipline: computed/failed counts
+        # + section wall-clock as attributes (/root/reference/ir:218-221),
+        # per-item status entries for failures (/root/reference/ir:180-216).
+        msec = create_element(
+            root,
+            "metrics",
+            computed_count=metrics_computed,
+            failed_count=metrics_failed,
+            duration_sec=f"{metrics_duration_sec:.6f}",
         )
+        for name in sorted(metrics):
+            text, attrs = metrics[name]
+            create_element(msec, "metric", text=text, name=name, **attrs)
     if stats.hot_keys:
         hot = create_element(root, "hot_conversations", count=len(stats.hot_keys))
         for rank, (conv, n) in enumerate(stats.hot_keys, start=1):
