@@ -212,6 +212,59 @@ def run_synth_replay(num_cpus: int) -> dict:
     }
 
 
+SKEW_WAL = "/tmp/irr-skew-wal/v1"
+SKEW_WAL_PARAMS = dict(
+    n_epochs=2, epoch_size=1_000_000, n_parts=16, seed=23,
+    n_convs=50_000, max_turns=64, hot_frac=0.5, n_hot=1,
+)
+
+
+def run_skew(num_cpus: int) -> dict:
+    """Skew evidence: a WAL where ONE conversation receives 50% of all
+    events, replayed (a) unsalted — the hot partition's merge is the
+    straggler — and (b) with the hot key salted across sub-partitions.
+    The unsalted run's summary itself surfaces the key to salt
+    (salt_candidates), closing the operational loop."""
+    marker = os.path.join(SKEW_WAL, "_complete.json")
+    if not os.path.exists(marker):
+        shutil.rmtree(SKEW_WAL, ignore_errors=True)
+        from image_report_ray.sources.synth import write_wal
+
+        write_wal(SKEW_WAL, **SKEW_WAL_PARAMS)
+        with open(marker, "w") as f:
+            json.dump(SKEW_WAL_PARAMS, f)
+
+    _init_ray(num_cpus)
+    from image_report_ray.config import EngineConfig
+    from image_report_ray.pipelines.cdc import run_job
+
+    cfg = EngineConfig(num_partitions=32, salt_threshold=100_000, salt_factor=8)
+    d1 = tempfile.mkdtemp(prefix="irr-skew-plain-")
+    d2 = tempfile.mkdtemp(prefix="irr-skew-salted-")
+    try:
+        plain = run_job(d1, SKEW_WAL, cfg)
+        hot = plain["salt_candidates"]
+        salted = run_job(d2, SKEW_WAL, cfg, salt_keys=frozenset(hot))
+    finally:
+        shutil.rmtree(d1, ignore_errors=True)
+        shutil.rmtree(d2, ignore_errors=True)
+    import ray
+
+    ray.shutdown()
+    return {
+        "metric": "skew_salting_speedup",
+        "value": round(salted["events_per_sec"] / plain["events_per_sec"], 3),
+        "unit": "ratio",
+        "sf": SKEW_WAL,
+        "num_cpus": num_cpus,
+        "events": plain["events_received"],
+        "detected_hot_keys": hot,
+        "events_per_sec_plain": round(plain["events_per_sec"], 1),
+        "events_per_sec_salted": round(salted["events_per_sec"], 1),
+        "queries": {},
+    }
+
+
 def run_scaling(low: int, high: int) -> dict:
     """North-rule scaling evidence, sandbox form (BASELINE.md protocol):
     the identical 10M-event replay in two FRESH processes at num_cpus=low
@@ -254,6 +307,8 @@ def main() -> None:
     ap.add_argument("--synth-replay", action="store_true",
                     help="one fresh-session synthetic-WAL replay (scaling leg)")
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--skew", action="store_true",
+                    help="hot-key WAL replay, unsalted vs salted")
     ap.add_argument("--scaling-cpus", default="2,8",
                     help="N,4N num_cpus for --scaling (both must fit in "
                          "physical cores for an honest ratio; this box has 16)")
@@ -262,6 +317,8 @@ def main() -> None:
     if args.scaling:
         low, high = (int(x) for x in args.scaling_cpus.split(","))
         out = run_scaling(low, high)
+    elif args.skew:
+        out = run_skew(args.cpus)
     elif args.synth_replay:
         out = run_synth_replay(args.cpus)
     else:
