@@ -354,25 +354,44 @@ def user_hour_activity(sf_dir: str) -> pa.Table:
     return finalize(t, [("user_id", "ascending"), ("hour_bucket", "ascending")])
 
 
+# Coarse user-partition count for windowed/as-of group work: the group key
+# is pid = user_id % P, so one map_groups call processes a whole
+# partition VECTORIZED across its users (one Python call per partition,
+# not per user — with millions of users the per-group-call overhead is
+# the difference between a kernel and a loop). Ordering assumption: all
+# of a user's events co-locate in one partition.
+_USER_PARTS = 16
+
+
+def _with_upid(ds):
+    def add(t: pa.Table) -> pa.Table:
+        u = t.column("user_id")
+        if isinstance(u, pa.ChunkedArray):
+            u = u.combine_chunks()
+        upid = (u.to_numpy(zero_copy_only=False) % _USER_PARTS).astype(np.int32)
+        return t.append_column("_upid", pa.array(upid))
+
+    return ds.map_batches(add, batch_format="pyarrow")
+
+
 def sessionize_users(sf_dir: str) -> pa.Table:
     """Session windows (30-minute inactivity gap) per user.
 
     Ray Data has no event-time windows; the engine's contract is
-    partition-by-key + sort-by-time inside ``map_groups`` (ordering
-    assumption: per-user event streams fit a group — true by construction
-    of the key)."""
+    partition-by-user-hash + one vectorized pass per partition
+    (sort by (user, ts), groupby-shift for the gap test)."""
     rd = _rd()
     gap = pd.Timedelta(minutes=30)
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        new_session = g["ts"].diff().isna() | (g["ts"].diff() > gap)
-        return pd.DataFrame(
-            {"user_id": [g["user_id"].iloc[0]], "n_sessions": [int(new_session.sum())]}
-        )
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        prev = g.groupby("user_id")["ts"].shift()
+        new_session = prev.isna() | ((g["ts"] - prev) > gap)
+        out = new_session.groupby(g["user_id"]).sum().astype("int64")
+        return pd.DataFrame({"user_id": out.index, "n_sessions": out.to_numpy()})
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
-    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    out = _with_upid(ds).groupby("_upid").map_groups(sessions, batch_format="pandas")
     t = ds_to_table(out)
     t = t.set_column(
         t.column_names.index("n_sessions"),
@@ -384,11 +403,11 @@ def sessionize_users(sf_dir: str) -> pa.Table:
 
 def asof_click_before_purchase(sf_dir: str) -> pa.Table:
     """As-of join: for every purchase, the user's latest strictly-earlier
-    click. Sorted ``merge_asof`` per user-group (SURVEY-guide as-of shape).
-    """
+    click. One vectorized ``merge_asof(by="user_id")`` per user-hash
+    partition — the by-key as-of shape, ~#users/P users per call."""
     rd = _rd()
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
         p = g[g["event_type"] == "purchase"].sort_values(["ts", "event_id"])
         c = g[g["event_type"] == "click"].sort_values(["ts", "event_id"])
         if p.empty:
@@ -397,9 +416,10 @@ def asof_click_before_purchase(sf_dir: str) -> pa.Table:
         if c.empty:
             return pd.DataFrame({"event_id": p["event_id"], "click_ts": pd.NaT})
         m = pd.merge_asof(
-            p[["event_id", "ts"]],
-            c[["ts"]].assign(click_ts=c["ts"]),
+            p[["event_id", "user_id", "ts"]],
+            c[["user_id", "ts"]].assign(click_ts=c["ts"]),
             on="ts",
+            by="user_id",
             direction="backward",
             allow_exact_matches=False,
         )
@@ -408,5 +428,5 @@ def asof_click_before_purchase(sf_dir: str) -> pa.Table:
     ds = rd.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type", "ts"]
     )
-    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    out = _with_upid(ds).groupby("_upid").map_groups(per_part, batch_format="pandas")
     return finalize(ds_to_table(out), [("event_id", "ascending")])
