@@ -182,7 +182,25 @@ def _remotes() -> dict:
 
         @ray.remote
         def map_files(files: list[str], P: int, salt_keys, salt_factor, cont: bool):
-            t = concat_evolving([pq.read_table(f) for f in files])
+            # Malformed-file policy mirrors the reference's unreadable-image
+            # handling (/root/reference/ir:384-388 None-check + counted
+            # failure): keep-going skips and logs the bad file; fail-fast
+            # propagates and the epoch never commits.
+            tables = []
+            for f in files:
+                try:
+                    tables.append(pq.read_table(f))
+                except pa.ArrowInvalid as exc:
+                    if not cont:
+                        raise
+                    import logging
+
+                    logging.getLogger("image_report_ray").warning(
+                        "skipping unreadable WAL file %s: %s", f, exc
+                    )
+            if not tables:
+                return tuple(pa.table({}) for _ in range(P))
+            t = concat_evolving(tables)
             return prepare_and_split(
                 t, P, salt_keys, salt_factor, continue_on_error=cont
             )
@@ -212,7 +230,10 @@ def _group_files(files: list[str], target_rows: int) -> list[list[str]]:
     cur: list[str] = []
     cur_rows = 0
     for f in files:
-        n = pq.read_metadata(f).num_rows
+        try:
+            n = pq.read_metadata(f).num_rows
+        except pa.ArrowInvalid:
+            n = 0  # unreadable: still forwarded; the map task applies policy
         if cur and cur_rows + n > target_rows:
             groups.append(cur)
             cur, cur_rows = [], 0
