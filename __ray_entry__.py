@@ -122,6 +122,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_apply_dups": cdcq.cdc_apply_dups,
         "cdc_apply_evolve": cdcq.cdc_apply_evolve,
         "cdc_counts": cdcq.cdc_counts,
+        "cdc_conv_summary": cdcq.cdc_conv_summary,
+        "sample_split": text.sample_split,
         # relational / windowed (SURVEY §2.5 J1-J2, §2.6, §2.7, §2.10)
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_top_orders": relational.q3_top_orders,
@@ -259,6 +261,31 @@ WITH ch AS (
         + """
 SELECT lsn // 2500 AS epoch, op, CAST(COUNT(*) AS BIGINT) AS n
 FROM ch GROUP BY 1, 2 ORDER BY epoch, op
+""",
+        "cdc_conv_summary": CHANGELOG_CTE
+        + """
+, final AS (
+    SELECT conv_id, turn_idx, ts
+    FROM (
+        SELECT ch.*, ROW_NUMBER() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+        FROM ch
+    )
+    WHERE rn = 1 AND op <> 'D'
+)
+SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns, MAX(ts) AS last_ts
+FROM final GROUP BY conv_id ORDER BY conv_id
+""",
+        "sample_split": """
+WITH h AS (
+  SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS h FROM documents
+)
+SELECT doc_id,
+       CASE WHEN h < 3435973836 THEN 'train'
+            WHEN h < 3865470566 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(h AS BIGINT) AS h
+FROM h ORDER BY doc_id
 """,
         # money is summed as exact integer cents on both sides so the
         # distributed sum is order-independent and bit-equal to DuckDB's

@@ -97,6 +97,36 @@ def cdc_apply_evolve(sf_dir: str) -> pa.Table:
     return _run_lake(go)
 
 
+def cdc_conv_summary(sf_dir: str) -> pa.Table:
+    """Per-conversation summary of the REPLAYED state: live turn count,
+    last timestamp, distinct roles — the derived-view query a transcript
+    lake serves. Runs the real engine, then aggregates the canonical
+    state with per-batch partials + a small grouped fold."""
+    from ray.data.aggregate import Max, Sum
+
+    import ray.data as rd
+
+    state = cdc_apply(sf_dir)  # materialized canonical state (small here)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["conv_id"]).aggregate(
+            [([], "count_all"), ("ts", "max")]
+        )
+        return g.rename_columns(["conv_id", "n_part", "ts_max"])
+
+    ds = rd.from_arrow(state)
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("conv_id")
+        .aggregate(Sum("n_part", alias_name="n_turns"), Max("ts_max", alias_name="last_ts"))
+    )
+    t = ds_to_table(out)
+    t = t.set_column(
+        t.column_names.index("n_turns"), "n_turns", t.column("n_turns").cast(pa.int64())
+    )
+    return finalize(t, [("conv_id", "ascending")])
+
+
 def cdc_counts(sf_dir: str, epoch_size: int = 2500) -> pa.Table:
     """Per-(epoch, op) event counts — the lineage op-profile aggregate.
 

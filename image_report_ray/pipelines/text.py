@@ -345,6 +345,39 @@ def fingerprint_docs(sf_dir: str) -> pa.Table:
                     [("doc_id", "ascending")])
 
 
+# Deterministic split: Knuth multiplicative hash on doc_id, thresholds in
+# 2^32 space — pure integer arithmetic, so the SQL twin is bit-identical
+# and a document's split NEVER changes as the corpus grows (the property
+# a training pipeline needs; random_shuffle-based splits lose it).
+_SPLIT_MULT = 2654435761  # 2^32 / golden ratio
+_SPLIT_MOD = 1 << 32
+_TRAIN_LT = int(0.8 * _SPLIT_MOD)
+_VAL_LT = int(0.9 * _SPLIT_MOD)
+
+
+def sample_split(sf_dir: str) -> pa.Table:
+    """Assign every document to train/val/test (80/10/10) by a
+    deterministic multiplicative hash of doc_id; returns per-doc
+    assignments (the oracle checks every row, not just the counts)."""
+    rd = _rd()
+
+    def assign(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id").to_numpy().astype(np.int64)
+        h = (did * _SPLIT_MULT) % _SPLIT_MOD
+        split = np.where(h < _TRAIN_LT, "train", np.where(h < _VAL_LT, "val", "test"))
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "split": pa.array(split),
+                "h": pa.array(h.astype(np.int64)),
+            }
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return finalize(ds_to_table(ds.map_batches(assign, batch_format="pyarrow")),
+                    [("doc_id", "ascending")])
+
+
 def lang_stats(sf_dir: str) -> pa.Table:
     """Documents per language with average length (floor at 1e-4 — integer
     derivation keeps the value bit-equal to the SQL oracle)."""
