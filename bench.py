@@ -57,6 +57,8 @@ QUERY_NAMES = [
     "knn_cosine_lsh",
     "media_meta",
     "media_features",
+    "sample_split",
+    "cdc_conv_summary",
 ]
 
 
@@ -194,7 +196,12 @@ def run_synth_replay(num_cpus: int) -> dict:
 
     lake_dir = tempfile.mkdtemp(prefix="irr-scale-")
     try:
-        res = run_job(lake_dir, wal, EngineConfig(num_partitions=32))
+        # merge-on-read is the engine's at-scale mode: per-epoch cost is
+        # O(delta) with periodic compaction, vs COW's O(state) rewrite
+        res = run_job(
+            lake_dir, wal,
+            EngineConfig(num_partitions=32, merge_mode="mor", compact_every=4),
+        )
     finally:
         shutil.rmtree(lake_dir, ignore_errors=True)
     import ray

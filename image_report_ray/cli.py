@@ -68,6 +68,8 @@ def cmd_run(args: argparse.Namespace) -> int:
         continue_on_error=args.continue_on_error,
         salt_factor=args.salt_factor,
         metrics=args.metrics,
+        merge_mode=args.merge_mode,
+        compact_every=args.compact_every,
     )
     summary = run_job(
         args.lake_dir,
@@ -177,6 +179,10 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--salt-factor", type=positive_int, default=4)
     r.add_argument("--salt-key", action="append",
                    help="conv_id to salt across sub-partitions (repeatable)")
+    r.add_argument("--merge-mode", choices=("cow", "mor"), default="cow",
+                   help="cow: rewrite partition state every epoch; "
+                        "mor: per-epoch deltas + periodic compaction")
+    r.add_argument("--compact-every", type=positive_int, default=8)
     r.add_argument("--continue-on-error", action="store_true")
     r.add_argument(
         "--metrics", default="basic",

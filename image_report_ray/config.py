@@ -109,6 +109,11 @@ class EngineConfig:
     batch_size: int = 65_536          # rows per map_batches batch
     map_task_rows: int = 131_072      # target WAL rows per exchange map task
     epoch_lookahead: int = 1          # map stages pre-submitted beyond current epoch
+    merge_mode: str = "cow"           # "cow": rewrite full partition state per epoch
+                                      # "mor": write per-epoch deltas, compact every
+                                      #        compact_every epochs (10^10-event path:
+                                      #        epoch cost ~ O(delta), not O(state))
+    compact_every: int = 8            # mor: deltas accumulated before a compaction
     continue_on_error: bool = False   # fail-fast vs keep-going (/root/reference/ir:500-506)
     salt_threshold: int = 50_000      # events/epoch for one conv_id before salt advisory
     salt_factor: int = 4              # hot conversations split into this many sub-routes
@@ -122,6 +127,9 @@ class EngineConfig:
         self.epoch_size = positive_int(self.epoch_size)
         self.batch_size = positive_int(self.batch_size)
         self.salt_factor = positive_int(self.salt_factor)
+        self.compact_every = positive_int(self.compact_every)
+        if self.merge_mode not in ("cow", "mor"):
+            raise ValueError(f"merge_mode must be cow|mor, got {self.merge_mode!r}")
         if self.salt_threshold <= 0:
             raise ValueError("salt_threshold must be positive")
 

@@ -212,14 +212,40 @@ def _remotes() -> dict:
             )
 
         @ray.remote
-        def merge_part(pid, prior_path, prior_lsn, lake_root, epoch, hot_k, mnames, *parts):
-            prior = pq.read_table(prior_path) if prior_path else None
+        def merge_part(pid, prior_paths, prior_lsn, lake_root, epoch, hot_k, mnames, *parts):
+            """COW / MOR-compaction leg: fold the prior composition
+            (base + deltas) and apply the epoch on top, writing a full
+            state file. ``prior_paths`` empty/None -> fresh partition."""
+            from ..state.merge import fold_state_tables
+
+            prior = (
+                fold_state_tables([pq.read_table(p) for p in prior_paths])
+                if prior_paths
+                else None
+            )
             return merge_partition_kernel(
                 pid, list(parts), prior, prior_lsn, lake_root, epoch, hot_k,
                 metric_names=mnames,
             )
 
-        _REMOTES = {"map_files": map_files, "map_block": map_block, "merge": merge_part}
+        @ray.remote
+        def delta_part(pid, prior_lsn, lake_root, epoch, hot_k, mnames, *parts):
+            """MOR delta leg: NO prior read — the epoch's compacted
+            winners become a sorted delta file; cross-epoch resolution
+            happens at fold time (read/compaction). Epoch cost is
+            O(delta), the property that makes a 10^10-event changelog
+            tractable (Hudi/Iceberg merge-on-read, public design)."""
+            return merge_partition_kernel(
+                pid, list(parts), None, prior_lsn, lake_root, epoch, hot_k,
+                metric_names=mnames,
+            )
+
+        _REMOTES = {
+            "map_files": map_files,
+            "map_block": map_block,
+            "merge": merge_part,
+            "delta": delta_part,
+        }
     return _REMOTES
 
 
@@ -291,15 +317,37 @@ def apply_epoch(
 
     mnames = tuple(sorted(select_metrics(cfg.metrics)))
     current = lake.current_entries()
-    files = {pid: os.path.join(lake.root, e["file"]) for pid, e in current.items()}
+    file_sets = {
+        pid: [os.path.join(lake.root, r) for r in (e.get("files") or [e["file"]])]
+        for pid, e in current.items()
+    }
+    rel_sets = {
+        pid: list(e.get("files") or [e["file"]]) for pid, e in current.items()
+    }
     lsns = {pid: e["last_lsn"] for pid, e in current.items()}
-    stat_refs = [
-        R["merge"].remote(
-            pid, files.get(pid), lsns.get(pid, -1), lake.root, epoch, 3, mnames,
-            *[m[pid] for m in mats],
-        )
-        for pid in range(lake.num_partitions)
-    ]
+
+    stat_refs = []
+    compacted: dict[int, bool] = {}
+    for pid in range(lake.num_partitions):
+        prior = file_sets.get(pid, [])
+        # MOR writes a delta unless the composition is due for compaction;
+        # COW always folds-and-rewrites (compaction every epoch).
+        compact = cfg.merge_mode == "cow" or len(prior) + 1 >= cfg.compact_every
+        compacted[pid] = compact
+        if compact:
+            stat_refs.append(
+                R["merge"].remote(
+                    pid, prior, lsns.get(pid, -1), lake.root, epoch, 3, mnames,
+                    *[m[pid] for m in mats],
+                )
+            )
+        else:
+            stat_refs.append(
+                R["delta"].remote(
+                    pid, lsns.get(pid, -1), lake.root, epoch, 3, mnames,
+                    *[m[pid] for m in mats],
+                )
+            )
     rows = [r for r in ray.get(stat_refs) if r is not None]
 
     entries: dict[int, dict] = {}
@@ -330,6 +378,13 @@ def apply_epoch(
         write_report(report, lake.lineage_path(epoch, pid))
         entries[pid] = {
             "file": row["file"],
+            # composition that folds to current state: a compacted entry
+            # replaces everything; a delta entry appends to the chain
+            "files": (
+                [row["file"]]
+                if compacted[pid]
+                else rel_sets.get(pid, []) + [row["file"]]
+            ),
             "last_lsn": int(row["last_lsn"]),
             "rows_live": int(row["rows_live"]),
             "tombstoned": int(row["tombstoned"]),
@@ -433,8 +488,9 @@ def gc_tombstones(lake: Lake, *, before_lsn: int) -> dict:
     seq = (lake.gc_seqs()[-1] + 1) if lake.gc_seqs() else 0
     refs = {
         pid: R.remote(
-            pid, os.path.join(lake.root, e["file"]), lake.root, seq,
-            before_lsn, e,
+            pid,
+            [os.path.join(lake.root, r) for r in (e.get("files") or [e["file"]])],
+            lake.root, seq, before_lsn, e,
         )
         for pid, e in sorted(entries_now.items())
     }
@@ -459,10 +515,12 @@ def _gc_remote():
         import ray
 
         @ray.remote
-        def gc_partition(pid, path, lake_root, seq, before_lsn, old_entry):
+        def gc_partition(pid, paths, lake_root, seq, before_lsn, old_entry):
             from ..schema import DELETED_COL, LSN_COL
+            from ..state.merge import fold_state_tables
 
-            t = pq.read_table(path)
+            # GC implies compaction: fold the composition, then drop
+            t = fold_state_tables([pq.read_table(p) for p in paths])
             drop = pc.and_(
                 t.column(DELETED_COL),
                 pc.less(t.column(LSN_COL), before_lsn),
@@ -476,6 +534,7 @@ def _gc_remote():
             entry = {
                 **{k: old_entry[k] for k in ("last_lsn", "received", "applied")},
                 "file": rel,
+                "files": [rel],
                 "rows_live": kept.num_rows - tomb,
                 "tombstoned": tomb,
                 "keys_total": kept.num_rows,
@@ -490,32 +549,57 @@ def _gc_remote():
 # ---- canonical state export ------------------------------------------
 
 
+_FOLD_REMOTE = None
+
+
+def _fold_remote():
+    global _FOLD_REMOTE
+    if _FOLD_REMOTE is None:
+        import ray
+
+        @ray.remote
+        def fold_canonical(paths: list[str]) -> pa.Table:
+            from ..state.merge import fold_state_tables
+
+            folded = fold_state_tables([pq.read_table(p) for p in paths])
+            return export_canonical(folded) if folded is not None else pa.table({})
+
+        _FOLD_REMOTE = fold_canonical
+    return _FOLD_REMOTE
+
+
 def canonical_state_dataset(lake: Lake):
     """Streaming canonical view: live rows, payload columns only.
 
-    No global sort — ordering is per-conversation and achieved at read
-    time by the within-partition sort the merge wrote (O3's stable
-    reading-order contract)."""
+    One fold task per partition (base + deltas LWW-folded there); the
+    refs become Dataset blocks. No global sort — ordering is
+    per-conversation within a partition (O3's stable reading-order
+    contract)."""
     import ray.data as rd
 
-    files = sorted(lake.current_files().values())
-    if not files:
+    sets = lake.current_file_sets()
+    if not sets:
         raise ValueError("lake has no committed state")
-    ds = rd.read_parquet(files)
-
-    def to_canonical(t: pa.Table) -> pa.Table:
-        return export_canonical(t)
-
-    return ds.map_batches(to_canonical, batch_format="pyarrow")
+    fold = _fold_remote()
+    refs = [fold.remote(paths) for _, paths in sorted(sets.items())]
+    return rd.from_arrow_refs(refs)
 
 
 def canonical_state_table(lake: Lake) -> pa.Table:
     """Globally sorted canonical table — small-scale testing/export only
     (the oracle-equality comparison surface)."""
-    files = sorted(lake.current_files().values())
-    if not files:
+    from ..state.merge import fold_state_tables
+
+    sets = lake.current_file_sets()
+    if not sets:
         return pa.table({})
-    tables = [export_canonical(pq.read_table(f)) for f in files]
+    tables = []
+    for _, paths in sorted(sets.items()):
+        folded = fold_state_tables([pq.read_table(p) for p in paths])
+        if folded is not None:
+            tables.append(export_canonical(folded))
+    if not tables:
+        return pa.table({})
     t = concat_evolving(tables)
     return t.take(
         pc.sort_indices(t, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")])

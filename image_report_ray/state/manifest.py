@@ -196,9 +196,21 @@ class Lake:
         return out
 
     def current_files(self) -> dict[int, str]:
+        """pid -> the latest entry's OWN file (the full state under COW /
+        after compaction; the newest delta under merge-on-read)."""
         return {
             pid: os.path.join(self.root, e["file"]) for pid, e in self.current_entries().items()
         }
+
+    def current_file_sets(self) -> dict[int, list[str]]:
+        """pid -> ordered composition list (base first, then deltas) that
+        LWW-folds to the partition's current state. COW entries and GC
+        rewrites have a single element."""
+        out: dict[int, list[str]] = {}
+        for pid, e in self.current_entries().items():
+            rels = e.get("files") or [e["file"]]
+            out[pid] = [os.path.join(self.root, r) for r in rels]
+        return out
 
     def checkpoint(self, pid: int) -> dict | None:
         """Latest (last_lsn, row counts, digest) for a partition."""
@@ -206,10 +218,13 @@ class Lake:
 
     # ---- state IO ----------------------------------------------------
     def read_partition_state(self, pid: int) -> pa.Table | None:
-        path = self.current_files().get(pid)
-        if path is None:
+        """Current folded state of a partition (reads base + deltas)."""
+        paths = self.current_file_sets().get(pid)
+        if not paths:
             return None
-        return pq.read_table(path)
+        from .merge import fold_state_tables
+
+        return fold_state_tables([pq.read_table(p) for p in paths])
 
     @staticmethod
     def write_state_file(table: pa.Table, path: str) -> None:

@@ -272,6 +272,39 @@ def merge_state_with_changes(
     return new_state, stats
 
 
+def fold_state_tables(tables: "list[pa.Table | None]") -> pa.Table | None:
+    """LWW-fold state-layout tables (base + deltas, oldest first) into one.
+
+    The read-side half of merge-on-read: each table already holds at most
+    one row per key with its ``_lsn``/``_deleted`` metadata; the fold
+    keeps, per key, the row with the greatest ``_lsn`` (ties — identical
+    re-delivered content — resolve to the latest table). Schemas may
+    differ additively."""
+    tables = [t for t in tables if t is not None and t.num_rows]
+    if not tables:
+        return None
+    if len(tables) == 1:
+        return tables[0]
+    target = unify_additive(*[t.schema for t in tables])
+    conformed = [conform(t, target) for t in tables]
+    src = np.concatenate(
+        [np.full(t.num_rows, i, dtype=np.int32) for i, t in enumerate(conformed)]
+    )
+    merged = pa.concat_tables(conformed).append_column(SRC_COL, pa.array(src))
+    idx = pc.sort_indices(
+        merged,
+        sort_keys=[
+            ("conv_id", "ascending"),
+            ("turn_idx", "ascending"),
+            (LSN_COL, "ascending"),
+            (SRC_COL, "ascending"),
+        ],
+    )
+    t = merged.take(idx)
+    _, winners = _group_layout(t)
+    return t.take(pa.array(winners)).drop_columns([SRC_COL])
+
+
 def export_canonical(state: pa.Table) -> pa.Table:
     """Canonical materialized table: live rows, payload columns only,
     sorted by ``(conv_id, turn_idx)`` — the stable-turn-ordering half of
