@@ -26,11 +26,16 @@ accepted directly (its blocks feed the same split tasks).
 
 Scale notes (100 TB design): the exchange moves O(distinct keys/epoch)
 rows because the combiner folds each map task's input to one surviving
-event per key before the split; partition state lives in committed Parquet
-(merge-on-write per partition per epoch), not actor memory, so state is
-bounded by disk, resume is free, and any worker can merge any partition.
-``run_job`` keeps a bounded lookahead of map stages in flight so epoch K+1
-reads/compacts while epoch K merges — the WAL never materializes fully.
+event per key before the split; partition state lives in committed Parquet,
+not actor memory, so state is bounded by disk, resume is free, and any
+worker can merge any partition. Two merge modes (``EngineConfig.merge_mode``):
+``cow`` rewrites the partition's full state each epoch (rich per-epoch
+ledger; cost O(state)); ``mor`` writes only the epoch's sorted delta and
+folds the base+delta chain at read time, compacting every
+``compact_every`` epochs (cost O(delta) — the 10^10-event path; measured
+1.7x faster on a 40M-event / 12.8M-key replay). ``run_job`` keeps a
+bounded lookahead of map stages in flight so epoch K+1 reads/compacts
+while epoch K merges — the WAL never materializes fully.
 """
 
 from __future__ import annotations

@@ -100,6 +100,21 @@ def test_mor_resume_skips_and_preserves(ray_session, tmp_path, wal):
     assert canonical_state_table(Lake(lake_dir)).equals(before)
 
 
+def test_mode_switch_mid_lake(ray_session, tmp_path, wal):
+    """A lake written by COW epochs can continue under MOR and vice versa
+    — the manifest composition is the contract, not the mode."""
+    from image_report_ray.pipelines.cdc import apply_epoch, discover_epochs
+
+    lake_dir = str(tmp_path / "lake")
+    lake = Lake(lake_dir, num_partitions=4)
+    epochs = discover_epochs(wal)
+    cow = EngineConfig(num_partitions=4, merge_mode="cow")
+    mor = EngineConfig(num_partitions=4, merge_mode="mor", compact_every=100)
+    for e, files in epochs.items():
+        apply_epoch(lake, e, files, cow if e < 3 else mor)
+    assert canonical_state_table(lake).equals(_oracle())
+
+
 def test_mor_gc_folds_chain_then_drops(ray_session, tmp_path, wal):
     cfg = EngineConfig(num_partitions=4, merge_mode="mor", compact_every=100)
     lake_dir = str(tmp_path / "lake")
