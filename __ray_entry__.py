@@ -130,6 +130,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q5_region_revenue": relational.q5_region_revenue,
         "customers_without_orders": relational.customers_without_orders,
         "user_hour_activity": relational.user_hour_activity,
+        "user_sliding_activity": relational.user_sliding_activity,
+        "distinct_event_types": relational.distinct_event_types,
         "sessionize_users": relational.sessionize_users,
         "asof_click_before_purchase": relational.asof_click_before_purchase,
         # text analysis / dedup (training-data ops)
@@ -358,6 +360,20 @@ SELECT user_id,
 FROM events
 GROUP BY user_id, hour_bucket
 ORDER BY user_id, hour_bucket
+""",
+        "user_sliding_activity": """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) // 3600000000 AS hb FROM events
+),
+x AS (
+  SELECT user_id, unnest([hb, hb - 1]) AS window_start_hour FROM e
+)
+SELECT user_id, window_start_hour, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM x GROUP BY user_id, window_start_hour
+ORDER BY user_id, window_start_hour
+""",
+        "distinct_event_types": """
+SELECT DISTINCT event_type FROM events ORDER BY event_type
 """,
         "sessionize_users": """
 WITH o AS (

@@ -374,6 +374,67 @@ def _with_upid(ds):
     return ds.map_batches(add, batch_format="pyarrow")
 
 
+def user_sliding_activity(sf_dir: str) -> pa.Table:
+    """Sliding (hopping) window: 2-hour windows hopping 1 hour, per user.
+
+    Each event explodes into the two windows that cover it (window id =
+    start hour), then the same partial-plus-grouped-sum shape as the
+    tumbling window — the hop explode IS the sliding-window operator."""
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+
+    def explode_hops(t: pa.Table) -> pa.Table:
+        us = t.column("ts").cast(pa.int64())
+        hb = pc.divide(us, _US_PER_HOUR)
+        hbn = hb.combine_chunks().to_numpy(zero_copy_only=False) if isinstance(
+            hb, pa.ChunkedArray
+        ) else hb.to_numpy(zero_copy_only=False)
+        uid = t.column("user_id").to_numpy()
+        win = np.concatenate([hbn, hbn - 1])          # covering window starts
+        users = np.concatenate([uid, uid])
+        full = pa.table(
+            {"user_id": pa.array(users), "window_start_hour": pa.array(win)}
+        )
+        g = full.group_by(["user_id", "window_start_hour"]).aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns(["user_id", "window_start_hour", "n_part"])
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    out = (
+        ds.map_batches(explode_hops, batch_format="pyarrow")
+        .groupby(["user_id", "window_start_hour"])
+        .aggregate(Sum("n_part", alias_name="n_events"))
+    )
+    t = ds_to_table(out)
+    t = t.set_column(
+        t.column_names.index("n_events"), "n_events", t.column("n_events").cast(pa.int64())
+    )
+    return finalize(t, [("user_id", "ascending"), ("window_start_hour", "ascending")])
+
+
+def distinct_event_types(sf_dir: str) -> pa.Table:
+    """Distinct values of a column (the `unique` operator): per-batch
+    dedup partials, then a grouped fold — never ships duplicate values."""
+    from ray.data.aggregate import Count
+
+    rd = _rd()
+
+    def uniq(t: pa.Table) -> pa.Table:
+        col = t.column("event_type")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return pa.table({"event_type": col.unique()})
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])
+    out = ds.map_batches(uniq, batch_format="pyarrow").groupby("event_type").aggregate(
+        Count(alias_name="_n")
+    )
+    t = ds_to_table(out).select(["event_type"])
+    return finalize(t, [("event_type", "ascending")])
+
+
 def sessionize_users(sf_dir: str) -> pa.Table:
     """Session windows (30-minute inactivity gap) per user.
 
