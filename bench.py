@@ -59,6 +59,8 @@ QUERY_NAMES = [
     "media_features",
     "sample_split",
     "cdc_conv_summary",
+    "user_sliding_activity",
+    "distinct_event_types",
 ]
 
 
