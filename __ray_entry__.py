@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": relational.customers_without_orders,
         "user_hour_activity": relational.user_hour_activity,
         "user_sliding_activity": relational.user_sliding_activity,
+        "user_persona_match": relational.user_persona_match,
         "distinct_event_types": relational.distinct_event_types,
         "sessionize_users": relational.sessionize_users,
         "asof_click_before_purchase": relational.asof_click_before_purchase,
@@ -374,6 +375,51 @@ ORDER BY user_id, window_start_hour
 """,
         "distinct_event_types": """
 SELECT DISTINCT event_type FROM events ORDER BY event_type
+""",
+        # scored lookup against the broadcast persona dimension table
+        # (see relational.PERSONAS; the papersize-guess graft)
+        "user_persona_match": """
+WITH c AS (
+  SELECT user_id,
+    SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS n_click,
+    SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS n_error,
+    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+    SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS n_signup,
+    SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS n_view,
+    COUNT(*) AS total
+  FROM events GROUP BY user_id
+),
+r AS (
+  SELECT user_id,
+    n_click    * 10000 // GREATEST(total, 1) AS bp_click,
+    n_error    * 10000 // GREATEST(total, 1) AS bp_error,
+    n_purchase * 10000 // GREATEST(total, 1) AS bp_purchase,
+    n_signup   * 10000 // GREATEST(total, 1) AS bp_signup,
+    n_view     * 10000 // GREATEST(total, 1) AS bp_view
+  FROM c
+),
+p AS (SELECT * FROM (VALUES
+  ('browser', 3000, 200, 300, 500, 6000),
+  ('buyer',   3500, 200, 2500, 800, 3000),
+  ('monitor', 1000, 4000, 0, 0, 5000),
+  ('newcomer', 2000, 500, 500, 4000, 3000)
+) AS t(persona, e_click, e_error, e_purchase, e_signup, e_view)),
+s AS (
+  SELECT r.user_id, p.persona,
+    ABS(bp_click - e_click) + ABS(bp_error - e_error)
+      + ABS(bp_purchase - e_purchase) + ABS(bp_signup - e_signup)
+      + ABS(bp_view - e_view) AS diff_bp
+  FROM r CROSS JOIN p
+),
+ranked AS (
+  SELECT user_id, persona, diff_bp,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY diff_bp, persona)
+         AS BIGINT) AS rnk
+  FROM s
+)
+SELECT user_id, rnk, persona, CAST(diff_bp AS BIGINT) AS diff_bp,
+       CAST(GREATEST(10000 - diff_bp, 0) AS BIGINT) AS confidence_bp
+FROM ranked WHERE rnk <= 3 ORDER BY user_id, rnk
 """,
         "sessionize_users": """
 WITH o AS (

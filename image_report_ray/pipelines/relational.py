@@ -374,6 +374,89 @@ def _with_upid(ds):
     return ds.map_batches(add, batch_format="pyarrow")
 
 
+# Static persona dimension table — the engine's STANDARD_SIZES_MM
+# (/root/reference/papersize.py:37-65): expected event-type mix in basis
+# points, broadcast to every scoring task, never shuffled.
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+PERSONAS: dict[str, tuple[int, ...]] = {
+    # name -> expected bp per EVENT_TYPES entry (sums ~10000)
+    "browser": (3000, 200, 300, 500, 6000),
+    "buyer": (3500, 200, 2500, 800, 3000),
+    "monitor": (1000, 4000, 0, 0, 5000),
+    "newcomer": (2000, 500, 500, 4000, 3000),
+}
+
+
+def user_persona_match(sf_dir: str, top_k: int = 3) -> pa.Table:
+    """Score every user's event-type mix against the broadcast persona
+    table; emit the top-3 candidates with rank and confidence — the graft
+    of the reference's paper-size guess (min-L1 over candidates,
+    /root/reference/papersize.py:70-126), ranked top-3 with rank attrs
+    (/root/reference/ir:86-97) and the clamped linear confidence
+    (/root/reference/papersize.py:129-149). All integer arithmetic, so
+    the SQL twin is bit-identical."""
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+
+    def partial(t: pa.Table) -> pa.Table:
+        full = pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "event_type": t.column("event_type"),
+            }
+        )
+        g = full.group_by(["user_id", "event_type"]).aggregate([([], "count_all")])
+        return g.rename_columns(["user_id", "event_type", "n_part"])
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+    counts = ds_to_table(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["user_id", "event_type"])
+        .aggregate(Sum("n_part", alias_name="n"))
+    )
+    # pivot to a dense (users x types) matrix — small (one row per user)
+    df = counts.to_pandas().pivot_table(
+        index="user_id", columns="event_type", values="n", aggfunc="sum", fill_value=0
+    )
+    # totals over ALL event types (unknown types count toward the mix);
+    # bp columns only for the persona-profiled types
+    totals = np.maximum(df.to_numpy(dtype=np.int64).sum(axis=1), 1)
+    for et in EVENT_TYPES:
+        if et not in df.columns:
+            df[et] = 0
+    mat = df[list(EVENT_TYPES)].to_numpy(dtype=np.int64)
+    ratios_bp = mat * 10_000 // totals[:, None]
+    personas = sorted(PERSONAS)
+    exp = np.array([PERSONAS[p] for p in personas], dtype=np.int64)
+    # L1 distance user x persona (min-reduce over candidates, A6)
+    diff = np.abs(ratios_bp[:, None, :] - exp[None, :, :]).sum(axis=2)
+    order = np.lexsort((np.tile(np.arange(len(personas)), (len(df), 1)), diff), axis=1)
+    users = df.index.to_numpy()
+    rows = {"user_id": [], "rnk": [], "persona": [], "diff_bp": [], "confidence_bp": []}
+    k = min(top_k, len(personas))
+    for r in range(k):
+        sel = order[:, r]
+        d = diff[np.arange(len(df)), sel]
+        rows["user_id"].append(users)
+        rows["rnk"].append(np.full(len(df), r + 1, dtype=np.int64))
+        rows["persona"].append(np.array(personas, dtype=object)[sel])
+        rows["diff_bp"].append(d)
+        rows["confidence_bp"].append(np.maximum(10_000 - d, 0))
+    t = pa.table(
+        {
+            "user_id": pa.array(np.concatenate(rows["user_id"])),
+            "rnk": pa.array(np.concatenate(rows["rnk"])),
+            "persona": pa.array(np.concatenate(rows["persona"]).astype(str)),
+            "diff_bp": pa.array(np.concatenate(rows["diff_bp"]).astype(np.int64)),
+            "confidence_bp": pa.array(
+                np.concatenate(rows["confidence_bp"]).astype(np.int64)
+            ),
+        }
+    )
+    return finalize(t, [("user_id", "ascending"), ("rnk", "ascending")])
+
+
 def user_sliding_activity(sf_dir: str) -> pa.Table:
     """Sliding (hopping) window: 2-hour windows hopping 1 hour, per user.
 
