@@ -61,6 +61,7 @@ QUERY_NAMES = [
     "cdc_conv_summary",
     "user_sliding_activity",
     "distinct_event_types",
+    "user_persona_match",
 ]
 
 
