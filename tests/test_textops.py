@@ -61,6 +61,28 @@ def test_winnow_shared_substring_shares_fingerprints():
     assert len(np.intersect1d(fa, fb)) > 0
 
 
+def test_winnow_unicode_multibyte():
+    """Multibyte UTF-8 (CJK, emoji) hashes over BYTES — must round-trip
+    against the naive reference and never crash on non-ASCII."""
+    texts = ["你好世界这是一个测试文本哈哈", "emoji 🎉🎊 party 🎉🎊 again", "héllo wörld ünïcode tëxt"]
+    got = winnow_fingerprints_kernel(texts)
+    for t, g in zip(texts, got):
+        assert set(int(x) for x in g) == _naive_winnow(t), t
+
+
+def test_dedup_kernels_unicode():
+    import pyarrow as pa
+
+    from image_report_ray.pipelines.dedup import doc_shingles, simhash64
+
+    texts = ["你好 世界 这是 测试 文本", "héllo wörld ünïcode tëxt is größer", "🎉 a b c 🎊"]
+    batch = pa.table({"doc_id": pa.array(range(3), pa.int64()), "text": pa.array(texts)})
+    df = doc_shingles(batch)
+    assert set(df[df.doc_id == 0].shingle) == {"你好 世界 这是", "世界 这是 测试", "这是 测试 文本"}
+    sh = simhash64(batch)
+    assert len(set(sh.column("simhash").to_pylist())) == 3  # distinct, no crash
+
+
 def test_lang_kernels_separate_real_signal():
     # constructed corpus with disjoint per-language vocabularies
     rng = np.random.default_rng(7)
