@@ -67,7 +67,9 @@ def _tokenize(text_col: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, np.ndar
     toks = pa.array(
         [[t for t in row if t != ""] for row in toks.to_pylist()]
     ) if _has_empty(toks) else toks
-    flat = np.asarray(toks.flatten().to_pylist(), dtype=object)
+    flat = toks.flatten().to_numpy(zero_copy_only=False)
+    if flat.dtype != object:
+        flat = flat.astype(object)
     offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
     return flat, offsets
 
