@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_docs": text.fingerprint_docs,
         # approximate similarity search
         "knn_cosine_lsh": similarity.knn_cosine_lsh,
+        "knn_cosine_ivf": similarity.knn_cosine_ivf,
         # CDC core (SURVEY §2.4 T3, §2.5 J3, §2.7 O4, §2.8 D1)
         "cdc_apply": cdcq.cdc_apply,
         "cdc_apply_dups": cdcq.cdc_apply_dups,

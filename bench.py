@@ -55,6 +55,7 @@ QUERY_NAMES = [
     "tokenize_bpe",
     "fingerprint_docs",
     "knn_cosine_lsh",
+    "knn_cosine_ivf",
     "media_meta",
     "media_features",
     "sample_split",

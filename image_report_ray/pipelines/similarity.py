@@ -148,6 +148,80 @@ def knn_cosine_lsh(
     return t.select(["vec_id"]).append_column("rnk", rnk).select(["rnk", "vec_id"])
 
 
+_IVF_SEED = 0xCE11
+_IVF_CELLS = 16
+_IVF_PROBE = 6
+_IVF_ITERS = 8
+
+
+def _ivf_centroids(m: np.ndarray, n_cells: int) -> np.ndarray:
+    """Seeded Lloyd's k-means (few iterations, numpy) on normalized
+    vectors — the coarse quantizer. At 100 TB this trains on a sample and
+    the assignment pass becomes the bucketing shuffle key."""
+    rng = np.random.default_rng(_IVF_SEED)
+    c = m[rng.choice(len(m), size=min(n_cells, len(m)), replace=False)].copy()
+    for _ in range(_IVF_ITERS):
+        sims = m @ c.T
+        assign = sims.argmax(axis=1)
+        for j in range(len(c)):
+            members = m[assign == j]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    c[j] = v / n
+    return c
+
+
+def knn_cosine_ivf(sf_dir: str, query_vec_id: int = 0, k: int = 10) -> pa.Table:
+    """Approximate top-k cosine via an IVF coarse quantizer: vectors are
+    bucketed by nearest centroid; only buckets among the query's
+    ``_IVF_PROBE`` closest centroids get the exact dot product. The
+    centroids come from a seeded driver-side k-means (on a sample at
+    scale) and broadcast once. Approximate -> rows-only oracle; recall
+    floor vs the exact query asserted in pytest."""
+    import pyarrow.parquet as pq
+    import ray
+
+    rd = _rd()
+    all_t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    all_m = _stack(all_t.column("embedding"))
+    norms = np.linalg.norm(all_m, axis=1)
+    norms[norms == 0] = 1.0
+    cents = _ivf_centroids(all_m / norms[:, None], _IVF_CELLS)
+
+    q = _query_vector(sf_dir, query_vec_id)
+    qn = q / np.linalg.norm(q)
+    probe_cells = np.argsort(-(cents @ qn))[:_IVF_PROBE]
+    ref = ray.put((qn, cents, set(int(x) for x in probe_cells)))
+
+    def batch_topk(t: pa.Table) -> pa.Table:
+        qv, c, probes = ray.get(ref)
+        m = _stack(t.column("embedding"))
+        nrm = np.linalg.norm(m, axis=1)
+        nrm[nrm == 0] = 1.0
+        mn = m / nrm[:, None]
+        cell = (mn @ c.T).argmax(axis=1)
+        ids = t.column("vec_id").to_numpy()
+        cand = np.isin(cell, list(probes)) & (ids != query_vec_id)
+        mn, ids = mn[cand], ids[cand]
+        if not len(ids):
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()), "sim": pa.array([], pa.float64())}
+            )
+        sims = mn @ qv
+        if len(ids) > k:
+            part = np.argpartition(-sims, k)[:k]
+            sims, ids = sims[part], ids[part]
+        return pa.table({"vec_id": pa.array(ids, pa.int64()), "sim": pa.array(sims)})
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    t = ds_to_table(ds.map_batches(batch_topk, batch_format="pyarrow"))
+    t = finalize(t, [("sim", "descending"), ("vec_id", "ascending")]).slice(0, k)
+    rnk = pa.array(np.arange(1, t.num_rows + 1), pa.int64())
+    return t.select(["vec_id"]).append_column("rnk", rnk).select(["rnk", "vec_id"])
+
+
 def embedding_near_dups(sf_dir: str, threshold: float = 0.95) -> pa.Table:
     """Embedding-cosine near-duplicate pairs (vec_id_a < vec_id_b).
 

@@ -118,3 +118,13 @@ def test_knn_lsh_recall_floor(ray_session):
     exact = set(knn_cosine(SF).column("vec_id").to_pylist())
     approx = set(knn_cosine_lsh(SF).column("vec_id").to_pylist())
     assert len(exact & approx) / len(exact) >= 0.5
+
+
+def test_knn_ivf_recall_floor_and_determinism(ray_session):
+    from image_report_ray.pipelines.similarity import knn_cosine, knn_cosine_ivf
+
+    exact = set(knn_cosine(SF).column("vec_id").to_pylist())
+    ivf = knn_cosine_ivf(SF)
+    approx = set(ivf.column("vec_id").to_pylist())
+    assert len(exact & approx) / len(exact) >= 0.5
+    assert ivf.equals(knn_cosine_ivf(SF))  # seeded k-means -> deterministic
