@@ -100,6 +100,36 @@ def test_mor_resume_skips_and_preserves(ray_session, tmp_path, wal):
     assert canonical_state_table(Lake(lake_dir)).equals(before)
 
 
+def test_mor_crash_at_compaction_boundary_resumes_clean(ray_session, tmp_path, wal):
+    """Crash after a COMPACTION epoch's staged base is written but before
+    its commit: the orphan base must stay invisible (the delta chain is
+    still the truth) and the resumed run re-runs the compaction."""
+    import os
+
+    from image_report_ray.pipelines.cdc import apply_epoch, discover_epochs
+
+    cfg = EngineConfig(num_partitions=4, merge_mode="mor", compact_every=3)
+    lake_dir = str(tmp_path / "lake")
+    lake = Lake(lake_dir, num_partitions=4)
+    epochs = discover_epochs(wal)
+    # epochs 0,1 write deltas; epoch 2 is the compaction (chain reaches 3)
+    apply_epoch(lake, 0, epochs[0], cfg)
+    apply_epoch(lake, 1, epochs[1], cfg)
+    apply_epoch(lake, 2, epochs[2], cfg)
+    assert all(len(fs) == 1 for fs in lake.current_file_sets().values())
+    os.remove(lake.commit_path(2))  # crash before the compaction commit
+
+    crashed = Lake(lake_dir)
+    # the delta chain (epochs 0-1) is still the visible truth
+    assert any(len(fs) == 2 for fs in crashed.current_file_sets().values())
+    golden_01 = apply_naive(full_changelog(2, EPOCH_SIZE, **GEN))
+    assert canonical_state_table(crashed).equals(golden_01)
+
+    summary = run_job(lake_dir, wal, cfg)
+    assert summary["epochs_applied"] == N_EPOCHS - 2
+    assert canonical_state_table(Lake(lake_dir)).equals(_oracle())
+
+
 def test_mode_switch_mid_lake(ray_session, tmp_path, wal):
     """A lake written by COW epochs can continue under MOR and vice versa
     — the manifest composition is the contract, not the mode."""
