@@ -21,9 +21,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import logging
 import sys
 
 from .config import EngineConfig, float_0_1, positive_int
+from .logging_setup import setup_logging
+
+_LOG_LEVELS = ("DEBUG", "INFO", "WARNING", "ERROR", "CRITICAL")
 
 
 def _init_ray(num_cpus: int | None) -> None:
@@ -81,6 +85,15 @@ def cmd_run(args: argparse.Namespace) -> int:
     import ray
 
     ray.shutdown()
+    # Honest exit-code policy (/root/reference/ir:606-619): even under
+    # keep-going, a run that skipped unreadable WAL files is a FAILED run
+    # at the exit-code level — the summary carries the count, the code
+    # carries the verdict.
+    if summary.get("files_skipped", 0) > 0:
+        logging.getLogger("image_report_ray").warning(
+            "run skipped %d unreadable WAL file(s)", summary["files_skipped"]
+        )
+        return 1
     return 0
 
 
@@ -154,11 +167,62 @@ def cmd_validate(args: argparse.Namespace) -> int:
     return 1 if problems else 0
 
 
+def _logging_parent() -> argparse.ArgumentParser:
+    """Shared logging flags — the graft of the reference's Logging
+    Options group (/root/reference/utils.py:149-178): console + file
+    levels, ``--quiet`` raising the console threshold to WARNING, and an
+    optional log file."""
+    lp = argparse.ArgumentParser(add_help=False)
+    g = lp.add_argument_group("Logging Options")
+    g.add_argument(
+        "--log-file", default=None,
+        help="optional log file; `run` infers <lake_dir>.ir.log when unset",
+    )
+    g.add_argument(
+        "--log-level-file", type=str.upper, default="DEBUG", choices=_LOG_LEVELS,
+        help="logging level for the file",
+    )
+    g.add_argument(
+        "--log-level-console", type=str.upper, default="INFO", choices=_LOG_LEVELS,
+        help="logging level for the console",
+    )
+    g.add_argument(
+        "-q", "--quiet", action="store_true",
+        help="suppress console output (sets console level to WARNING)",
+    )
+    g.add_argument(
+        "-v", "--verbose", action="store_true",
+        help="debug console output (sets console level to DEBUG)",
+    )
+    return lp
+
+
+def apply_logging_args(args: argparse.Namespace) -> argparse.Namespace:
+    """Resolve the parsed logging flags exactly like the reference's
+    post-parse fixup (/root/reference/utils.py:194-207): quiet wins over
+    the explicit console level, the ``run`` command infers a log-file
+    name from its primary input, and the int levels land on the
+    namespace for ``setup_logging``."""
+    if getattr(args, "command", None) == "run" and args.log_file is None:
+        args.log_file = args.lake_dir.rstrip("/") + ".ir.log"
+    if args.quiet:
+        args.log_level_console = "WARNING"
+    elif args.verbose:
+        args.log_level_console = "DEBUG"
+    args.log_level_file_int = getattr(logging, args.log_level_file, logging.DEBUG)
+    args.log_level_console_int = getattr(
+        logging, args.log_level_console, logging.INFO
+    )
+    return args
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="image_report_ray")
     sub = p.add_subparsers(dest="command", required=True)
+    lp = _logging_parent()
 
-    g = sub.add_parser("gen", help="write a deterministic synthetic WAL")
+    g = sub.add_parser("gen", help="write a deterministic synthetic WAL",
+                       parents=[lp])
     g.add_argument("wal_dir")
     g.add_argument("--epochs", type=positive_int, default=4)
     g.add_argument("--epoch-size", type=positive_int, default=100_000)
@@ -170,7 +234,8 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--hot-frac", type=float_0_1, default=0.0)
     g.set_defaults(fn=cmd_gen)
 
-    r = sub.add_parser("run", help="tail a WAL into a lake (exactly-once)")
+    r = sub.add_parser("run", help="tail a WAL into a lake (exactly-once)",
+                       parents=[lp])
     r.add_argument("lake_dir")
     r.add_argument("wal_dir")
     r.add_argument("--partitions", type=positive_int, default=16)
@@ -193,18 +258,21 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--num-cpus", type=int, default=None)
     r.set_defaults(fn=cmd_run)
 
-    e = sub.add_parser("export", help="write canonical live state")
+    e = sub.add_parser("export", help="write canonical live state",
+                       parents=[lp])
     e.add_argument("lake_dir")
     e.add_argument("out_dir")
     e.add_argument("--num-cpus", type=int, default=None)
     e.set_defaults(fn=cmd_export)
 
-    v = sub.add_parser("validate", help="audit committed state vs manifest+lineage")
+    v = sub.add_parser("validate", help="audit committed state vs manifest+lineage",
+                       parents=[lp])
     v.add_argument("lake_dir")
     v.set_defaults(fn=cmd_validate)
 
     c = sub.add_parser(
         "compact",
+        parents=[lp],
         help="GC tombstones below a retention watermark (caller guarantees "
              "no event with lsn < watermark will ever be delivered again)",
     )
@@ -217,7 +285,12 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: list[str] | None = None) -> int:
-    args = build_parser().parse_args(argv)
+    args = apply_logging_args(build_parser().parse_args(argv))
+    setup_logging(
+        stream_level=args.log_level_console_int,
+        file_level=args.log_level_file_int,
+        log_file=args.log_file,
+    )
     return args.fn(args)
 
 

@@ -128,6 +128,11 @@ class EngineConfig:
         self.batch_size = positive_int(self.batch_size)
         self.salt_factor = positive_int(self.salt_factor)
         self.compact_every = positive_int(self.compact_every)
+        self.epoch_lookahead = int(self.epoch_lookahead)
+        if self.epoch_lookahead < 0:
+            raise ValueError(
+                f"epoch_lookahead must be >= 0, got {self.epoch_lookahead}"
+            )
         if self.merge_mode not in ("cow", "mor"):
             raise ValueError(f"merge_mode must be cow|mor, got {self.merge_mode!r}")
         if self.salt_threshold <= 0:

@@ -5,7 +5,7 @@ Engine lifecycle (SURVEY.md §3), one epoch::
     WAL files / changelog Dataset                  # source (S1/S3: epoch order)
       -> map stage (Ray tasks, one per ~map_task_rows of input):
            validate -> compact (combiner) -> route -> split into P sub-tables
-           (returned as P separate objects, num_returns=P)
+           (returned as P+1 separate objects: P slices + a skip count)
       -> reduce stage (P Ray tasks): per-partition LWW merge against the
            committed prior state, staged Parquet write, stats row
       -> per-partition lineage XML                 # the reference's report graft
@@ -190,31 +190,38 @@ def _remotes() -> dict:
             # Malformed-file policy mirrors the reference's unreadable-image
             # handling (/root/reference/ir:384-388 None-check + counted
             # failure): keep-going skips and logs the bad file; fail-fast
-            # propagates and the epoch never commits.
+            # propagates and the epoch never commits. OSError covers files
+            # that vanished or are unreadable at the filesystem level —
+            # the skip policy is about *unreadable inputs*, not just
+            # malformed Parquet. The final return slot carries the skip
+            # count so the run summary (and exit code) can report it
+            # honestly (/root/reference/ir:606-619 failed-count policy).
             tables = []
+            skipped = 0
             for f in files:
                 try:
                     tables.append(pq.read_table(f))
-                except pa.ArrowInvalid as exc:
+                except (pa.ArrowInvalid, OSError) as exc:
                     if not cont:
                         raise
+                    skipped += 1
                     import logging
 
                     logging.getLogger("image_report_ray").warning(
                         "skipping unreadable WAL file %s: %s", f, exc
                     )
             if not tables:
-                return tuple(pa.table({}) for _ in range(P))
+                return tuple(pa.table({}) for _ in range(P)) + (skipped,)
             t = concat_evolving(tables)
             return prepare_and_split(
                 t, P, salt_keys, salt_factor, continue_on_error=cont
-            )
+            ) + (skipped,)
 
         @ray.remote
         def map_block(block: pa.Table, P: int, salt_keys, salt_factor, cont: bool):
             return prepare_and_split(
                 block, P, salt_keys, salt_factor, continue_on_error=cont
-            )
+            ) + (0,)
 
         @ray.remote
         def merge_part(pid, prior_paths, prior_lsn, lake_root, epoch, hot_k, mnames, *parts):
@@ -263,7 +270,7 @@ def _group_files(files: list[str], target_rows: int) -> list[list[str]]:
     for f in files:
         try:
             n = pq.read_metadata(f).num_rows
-        except pa.ArrowInvalid:
+        except (pa.ArrowInvalid, OSError):
             n = 0  # unreadable: still forwarded; the map task applies policy
         if cur and cur_rows + n > target_rows:
             groups.append(cur)
@@ -279,7 +286,9 @@ def submit_map_stage(
     lake: Lake, wal: "str | list[str] | object", cfg: EngineConfig
 ) -> list:
     """Launch the epoch's map tasks; returns the list of per-task ref
-    tuples (each tuple has P object refs, one per partition)."""
+    tuples (each has P+1 object refs: one per partition, plus the task's
+    skipped-file count in the last slot). ``num_returns`` is always
+    >= 2, so Ray returns a real list even at ``num_partitions=1``."""
     R = _remotes()
     P = lake.num_partitions
     args = (P, lake.salt_keys, lake.salt_factor, cfg.continue_on_error)
@@ -288,11 +297,12 @@ def submit_map_stage(
     if isinstance(wal, list):
         groups = _group_files(wal, cfg.map_task_rows)
         return [
-            R["map_files"].options(num_returns=P).remote(g, *args) for g in groups
+            R["map_files"].options(num_returns=P + 1).remote(g, *args)
+            for g in groups
         ]
     # a ray.data.Dataset: execute its (lazy) plan; blocks feed split tasks.
     refs = wal.to_arrow_refs()
-    return [R["map_block"].options(num_returns=P).remote(r, *args) for r in refs]
+    return [R["map_block"].options(num_returns=P + 1).remote(r, *args) for r in refs]
 
 
 def apply_epoch(
@@ -416,6 +426,8 @@ def run_job(
     overlap that keeps workers busy across the per-epoch commit barrier.
     Returns the run summary (events/s, counts) — the engine's version of
     the reference's end-of-run summary (/root/reference/ir:606-617)."""
+    import ray
+
     cfg = cfg or EngineConfig()
     lake = Lake(
         lake_dir,
@@ -423,10 +435,11 @@ def run_job(
         salt_keys=salt_keys,
         salt_factor=cfg.salt_factor,
     )
+    P = lake.num_partitions
     epochs = discover_epochs(wal_dir)
     pending = [e for e in epochs if not lake.is_committed(e)]
     t0 = time.perf_counter()
-    applied_epochs, skipped_epochs, events = 0, 0, 0
+    applied_epochs, skipped_epochs, events, files_skipped = 0, 0, 0, 0
     skipped_epochs = len(epochs) - len(pending)
 
     inflight: dict[int, list] = {}
@@ -437,7 +450,11 @@ def run_job(
         nxt = i + cfg.epoch_lookahead + 1
         if nxt < len(pending) and pending[nxt] not in inflight:
             inflight[pending[nxt]] = submit_map_stage(lake, epochs[pending[nxt]], cfg)
-        res = apply_epoch(lake, e, epochs[e], cfg, map_refs=inflight.pop(e))
+        refs = inflight.pop(e)
+        res = apply_epoch(lake, e, epochs[e], cfg, map_refs=refs)
+        # last return slot of every map task = its unreadable-file skip
+        # count (keep-going policy); surfaced in the summary + exit code
+        files_skipped += sum(ray.get([m[P] for m in refs]))
         if res is None:
             skipped_epochs += 1
         else:
@@ -459,6 +476,7 @@ def run_job(
         "epochs_applied": applied_epochs,
         "epochs_skipped": skipped_epochs,
         "events_received": events,
+        "files_skipped": files_skipped,
         "duration_sec": dt,
         "events_per_sec": events / dt if dt > 0 else 0.0,
         "salt_candidates": salt_candidates,

@@ -53,3 +53,95 @@ def test_validate_detects_corruption(ray_session, tmp_path, capsys):
     assert main(["validate", lake]) == 1
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["problems"]
+
+
+def test_logging_flags_parse_and_resolve(tmp_path):
+    """Graft of /root/reference/tests/test_parse_args.py: quiet forces the
+    console to WARNING, verbose to DEBUG, `run` infers <lake_dir>.ir.log,
+    an explicit --log-file wins over inference."""
+    import logging
+
+    from image_report_ray.cli import apply_logging_args
+
+    p = build_parser()
+    a = apply_logging_args(p.parse_args(["run", "/tmp/lk", "/tmp/wal", "-q"]))
+    assert a.log_level_console == "WARNING"
+    assert a.log_level_console_int == logging.WARNING
+    assert a.log_file == "/tmp/lk.ir.log"
+
+    a = apply_logging_args(p.parse_args(["run", "/tmp/lk", "/tmp/wal", "-v"]))
+    assert a.log_level_console_int == logging.DEBUG
+
+    a = apply_logging_args(
+        p.parse_args(["run", "/tmp/lk", "/tmp/wal", "--log-file", "x.log",
+                      "--log-level-file", "warning"])
+    )
+    assert a.log_file == "x.log"
+    assert a.log_level_file_int == logging.WARNING
+
+    # non-run commands never infer a log file
+    a = apply_logging_args(p.parse_args(["validate", "/tmp/lk"]))
+    assert a.log_file is None
+
+    with pytest.raises(SystemExit):
+        p.parse_args(["run", "lk", "wal", "--log-level-console", "NOPE"])
+
+
+def test_run_exit_1_on_skipped_files(ray_session, tmp_path, capsys):
+    """Keep-going run that dropped unreadable WAL files exits 1 and
+    reports the skip count (/root/reference/ir:606-619 policy)."""
+    wal = str(tmp_path / "wal")
+    lake = str(tmp_path / "lake")
+    main(["gen", wal, "--epochs", "1", "--epoch-size", "200",
+          "--conversations", "20", "--parts", "2"])
+    # corrupt one WAL file at the data level (valid path, bad bytes)
+    ep = os.path.join(wal, "epoch=00000")
+    victim = sorted(os.listdir(ep))[0]
+    with open(os.path.join(ep, victim), "wb") as f:
+        f.write(b"not a parquet file")
+    capsys.readouterr()
+    rc = main(["run", lake, wal, "--partitions", "2", "--continue-on-error",
+               "--log-file", str(tmp_path / "run.log")])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 1
+    assert out["files_skipped"] == 1
+    assert out["epochs_applied"] == 1
+
+
+def test_run_single_partition(ray_session, tmp_path):
+    """num_partitions=1 must work, not crash on a bare ObjectRef."""
+    wal = str(tmp_path / "wal")
+    lake = str(tmp_path / "lake")
+    assert main(["gen", wal, "--epochs", "1", "--epoch-size", "100",
+                 "--conversations", "10", "--parts", "1"]) == 0
+    assert main(["run", lake, wal, "--partitions", "1"]) == 0
+    assert main(["validate", lake]) == 0
+
+
+def test_engine_config_rejects_negative_lookahead():
+    from image_report_ray.config import EngineConfig
+
+    with pytest.raises(ValueError, match="epoch_lookahead"):
+        EngineConfig(epoch_lookahead=-1)
+
+
+def test_missing_wal_file_skipped_in_keep_going(ray_session, tmp_path):
+    """A file that disappears between discovery and read is an OSError,
+    not ArrowInvalid — keep-going must still skip-and-count it."""
+    from image_report_ray.config import EngineConfig
+    from image_report_ray.pipelines.cdc import run_job
+    from image_report_ray.sources.synth import write_wal
+
+    wal = str(tmp_path / "wal")
+    write_wal(wal, n_epochs=1, epoch_size=100, n_parts=2, seed=3, n_convs=10)
+    ep = os.path.join(wal, "epoch=00000")
+    victim = os.path.join(ep, sorted(os.listdir(ep))[0])
+    # keep the file discoverable but gone at the OS level (dangling link)
+    os.unlink(victim)
+    os.symlink(victim + ".gone", victim)
+    summary = run_job(
+        str(tmp_path / "lake"), wal,
+        EngineConfig(num_partitions=2, continue_on_error=True),
+    )
+    assert summary["files_skipped"] == 1
+    assert summary["epochs_applied"] == 1
