@@ -137,7 +137,7 @@ def cmd_validate(args: argparse.Namespace) -> int:
     import pyarrow.parquet as pq
 
     from .state.manifest import Lake
-    from .state.merge import table_digest
+    from .state.merge import DIGEST_ALGO, table_digest
     from .xmlreport import read_report
 
     lake = Lake(args.lake_dir)
@@ -151,7 +151,15 @@ def cmd_validate(args: argparse.Namespace) -> int:
             problems.append(f"pid {pid}: rows_live {live} != manifest {entry['rows_live']}")
         if t.num_rows != entry["keys_total"]:
             problems.append(f"pid {pid}: keys {t.num_rows} != manifest {entry['keys_total']}")
-        if table_digest(t) != entry["digest"]:
+        algo = entry.get("digest_algo")
+        if algo is not None and algo != DIGEST_ALGO:
+            # an algorithm change is NOT corruption — report it as such
+            # instead of a misleading per-partition digest mismatch
+            problems.append(
+                f"pid {pid}: digest algorithm mismatch "
+                f"(manifest {algo!r} vs engine {DIGEST_ALGO!r}); cannot verify"
+            )
+        elif table_digest(t) != entry["digest"]:
             problems.append(f"pid {pid}: state digest mismatch vs manifest")
         if "gc_seq" not in entry:  # GC rewrites carry no per-epoch lineage
             lx = lake.lineage_path(entry["epoch"], pid)

@@ -120,10 +120,13 @@ class Lake:
     def commit(self, epoch: int, partitions: dict[int, dict]) -> None:
         """Atomically publish an epoch. ``partitions`` maps pid -> entry
         (file path relative to root + checkpoint counters)."""
+        from .merge import DIGEST_ALGO
+
         record = {
             "epoch": epoch,
             "engine_version": VERSION,
             "state_format_version": STATE_FORMAT_VERSION,
+            "digest_algo": DIGEST_ALGO,
             "partitions": {str(pid): entry for pid, entry in sorted(partitions.items())},
         }
         path = self.commit_path(epoch)
@@ -152,11 +155,14 @@ class Lake:
     def commit_gc(self, seq: int, after_epoch: int, partitions: dict[int, dict]) -> None:
         """Publish a tombstone-GC rewrite. Folds AFTER ``after_epoch`` and
         BEFORE any later WAL epoch (see :meth:`current_entries`)."""
+        from .merge import DIGEST_ALGO
+
         record = {
             "gc_seq": seq,
             "after_epoch": after_epoch,
             "engine_version": VERSION,
             "state_format_version": STATE_FORMAT_VERSION,
+            "digest_algo": DIGEST_ALGO,
             "partitions": {str(pid): e for pid, e in sorted(partitions.items())},
         }
         path = self.gc_path(seq)
@@ -178,7 +184,10 @@ class Lake:
         records: list[tuple[tuple, dict, dict]] = []
         for epoch in self.committed_epochs():
             rec = self.read_commit(epoch)
-            records.append(((epoch, 0, 0), rec, {"epoch": epoch}))
+            records.append(
+                ((epoch, 0, 0), rec,
+                 {"epoch": epoch, "digest_algo": rec.get("digest_algo")})
+            )
         for seq in self.gc_seqs():
             with open(self.gc_path(seq)) as f:
                 rec = json.load(f)
@@ -186,7 +195,8 @@ class Lake:
                 (
                     (rec["after_epoch"], 1, rec["gc_seq"]),
                     rec,
-                    {"epoch": rec["after_epoch"], "gc_seq": rec["gc_seq"]},
+                    {"epoch": rec["after_epoch"], "gc_seq": rec["gc_seq"],
+                     "digest_algo": rec.get("digest_algo")},
                 )
             )
         out: dict[int, dict] = {}

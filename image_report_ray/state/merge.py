@@ -320,31 +320,167 @@ def export_canonical(state: pa.Table) -> pa.Table:
     return live.take(idx)
 
 
+# ---- version-stable content digest ------------------------------------
+#
+# The digest is checkpointed in commit manifests and re-verified by
+# `cli validate`, so it must be reproducible across library versions and
+# environments forever. Library hash functions (polars ``hash_rows``,
+# pandas ``hash_pandas_object``) explicitly do NOT promise cross-version
+# stability, so the row hash here is the engine's own: a 64-bit
+# polynomial hash over each value's canonical bytes, implemented with
+# plain numpy uint64 wraparound arithmetic (C semantics — stable). The
+# per-byte power weights use the modular inverse of the base so the
+# whole column hashes in O(bytes) vectorized work: with prefix sums
+# S_i = Σ b_j·B^(-j), a row's hash Σ b_j·B^(e-1-j) is
+# (S_e − S_s)·B^(e-1) — two gathers and a multiply per row.
+
+DIGEST_ALGO = "irr-poly64-v1"
+
+_POLY_B = np.uint64(0x100000001B3)  # FNV-1a prime (odd => invertible mod 2^64)
+_POLY_BINV = np.uint64(pow(0x100000001B3, -1, 1 << 64))
+_LEN_MIX = np.uint64(0xD6E8FEB86659FD93)
+_NULL_SENTINEL = np.uint64(0x9E3779B97F4A7C15)
+_ROW_SEED = np.uint64(0x243F6A8885A308D3)
+_COL_MULT = np.uint64(0x9E3779B97F4A7C15)
+_BYTE_BUDGET = 1 << 21  # per-slab value bytes (bounds temp arrays ~32x)
+
+
+def _mix64(x: np.ndarray | np.uint64) -> np.ndarray | np.uint64:
+    """splitmix64 finalizer, vectorized (wrapping uint64 arithmetic)."""
+    x = np.uint64(x) if np.isscalar(x) or isinstance(x, int) else x
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+_POW_CACHE: dict[int, np.ndarray] = {}
+
+
+def _powers(base: int, m: int) -> np.ndarray:
+    """[base^0 .. base^(m-1)] mod 2^64, cached (index-only, data-free)."""
+    cur = _POW_CACHE.get(base)
+    if cur is None or len(cur) < m:
+        size = max(m, _BYTE_BUDGET + 1)
+        cur = np.empty(size, np.uint64)
+        cur[0] = 1
+        np.cumprod(np.full(size - 1, np.uint64(base), np.uint64), out=cur[1:])
+        _POW_CACHE[base] = cur
+    return cur
+
+
+def _poly_rowhash(data: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
+    """Per-row polynomial hash of byte ranges [start, end) of ``data``."""
+    n = len(starts)
+    out = np.zeros(n, dtype=np.uint64)
+    lens = (ends - starts).astype(np.uint64)
+    if n:
+        lo, hi = int(starts.min()), int(ends.max())
+        m = hi - lo
+        if m:
+            seg = data[lo:hi].astype(np.uint64) + np.uint64(1)  # count zero bytes
+            pow_b = _powers(int(_POLY_B), m)
+            pow_binv = _powers(int(_POLY_BINV), m)
+            prefix = np.zeros(m + 1, np.uint64)
+            np.cumsum(seg * pow_binv[:m], out=prefix[1:])
+            s = (starts - lo).astype(np.int64)
+            e = (ends - lo).astype(np.int64)
+            nz = e > s
+            out[nz] = (prefix[e[nz]] - prefix[s[nz]]) * pow_b[e[nz] - 1]
+    return _mix64(out ^ (lens * _LEN_MIX))
+
+
+def _bytes_column_hash(arr: pa.Array) -> np.ndarray:
+    """Row hashes for a string/binary array (slabbed to bound memory)."""
+    off_dtype = np.int64 if pa.types.is_large_string(arr.type) or pa.types.is_large_binary(
+        arr.type
+    ) else np.int32
+    n = len(arr)
+    offsets = np.frombuffer(arr.buffers()[1], off_dtype)[
+        arr.offset : arr.offset + n + 1
+    ].astype(np.int64)
+    buf = arr.buffers()[2]
+    data = np.frombuffer(buf, np.uint8) if buf is not None else np.empty(0, np.uint8)
+    out = np.empty(n, np.uint64)
+    i = 0
+    while i < n:
+        j = int(np.searchsorted(offsets, offsets[i] + _BYTE_BUDGET, side="left"))
+        j = min(max(j, i + 1), n)
+        out[i:j] = _poly_rowhash(data, offsets[i:j], offsets[i + 1 : j + 1])
+        i = j
+    return out
+
+
+def _column_rowhash(col: "pa.ChunkedArray | pa.Array") -> np.ndarray:
+    """Canonical per-row 64-bit hash of one column. Value semantics, not
+    physical encoding: ints/timestamps/dates hash via int64, bools via
+    0/1, floats via their IEEE bits, strings/binary via utf-8/raw bytes;
+    nulls hash to a fixed sentinel."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    t = col.type
+    if pa.types.is_dictionary(t):
+        col = col.cast(t.value_type)
+        t = col.type
+    null_mask = pc.is_null(col).to_numpy(zero_copy_only=False)
+    if pa.types.is_string(t) or pa.types.is_binary(t) or pa.types.is_large_string(
+        t
+    ) or pa.types.is_large_binary(t):
+        h = _bytes_column_hash(col)
+    else:
+        if pa.types.is_boolean(t):
+            vals_arr = col.cast(pa.uint8())
+        elif (
+            pa.types.is_temporal(t)
+            or pa.types.is_integer(t)
+        ):
+            vals_arr = col.cast(pa.int64(), safe=False)
+        elif pa.types.is_floating(t):
+            vals_arr = col.cast(pa.float64())
+        elif pa.types.is_decimal(t):
+            vals_arr = col.cast(pa.string())
+            return np.where(null_mask, _NULL_SENTINEL, _bytes_column_hash(vals_arr))
+        else:  # unknown logical type: canonical string rendering
+            vals_arr = col.cast(pa.string())
+            return np.where(null_mask, _NULL_SENTINEL, _bytes_column_hash(vals_arr))
+        vals = vals_arr.fill_null(0).to_numpy(zero_copy_only=False)
+        if vals.dtype == np.float64:
+            vals = vals.view(np.uint64)
+        else:
+            vals = vals.astype(np.int64).view(np.uint64)
+        h = _mix64(vals)
+    return np.where(null_mask, _NULL_SENTINEL, h)
+
+
+def _name_hash(name: str) -> np.uint64:
+    b = np.frombuffer(name.encode("utf-8"), np.uint8)
+    return _poly_rowhash(b, np.array([0]), np.array([len(b)]))[0]
+
+
+def table_rowhash(table: pa.Table) -> np.ndarray:
+    """Per-row 64-bit content hashes (column name + value, all columns)."""
+    row = np.full(table.num_rows, _ROW_SEED, dtype=np.uint64)
+    for name in table.column_names:
+        ch = _column_rowhash(table.column(name)) ^ _name_hash(name)
+        row = _mix64(row * _COL_MULT ^ ch)
+    return row
+
+
 def table_digest(table: pa.Table, columns: list[str] | None = None) -> str:
     """Order-independent content digest of a table (merkle-style sketch).
 
-    Per-row 64-bit hashes combined by (sum mod 2^64, xor, count) —
-    commutative, so two partitions' digests can be compared without a
-    global sort, and incremental maintenance (digest(A ∪ B) from digest
-    components) is possible. Row hashing is polars ``hash_rows``
-    (vectorized, C speed); the pandas object-hash fallback is ~20x slower
-    on string columns. This is the distributed-equality sketch
-    checkpointed per partition; bit-for-bit equality in tests still
-    compares real bytes.
+    Per-row 64-bit hashes (``table_rowhash`` — the engine's own
+    version-stable poly hash, see above) combined by (sum mod 2^64, xor,
+    count) — commutative, so two partitions' digests can be compared
+    without a global sort, and incremental maintenance (digest(A ∪ B)
+    from digest components) is possible. The algorithm id
+    (:data:`DIGEST_ALGO`) is recorded in every commit manifest so
+    ``cli validate`` can distinguish corruption from an algorithm change.
     """
     if columns is not None:
         table = table.select(columns)
     if table.num_rows == 0:
         return "0:0:0"
-    try:
-        import polars as pl
-
-        h = pl.from_arrow(table).hash_rows(seed=0).to_numpy().astype(np.uint64)
-    except ImportError:  # pragma: no cover - polars is in the base image
-        import pandas as pd
-
-        df = table.to_pandas(types_mapper=None)
-        h = pd.util.hash_pandas_object(df, index=False).to_numpy(dtype=np.uint64)
+    h = table_rowhash(table)
     s = int(np.sum(h, dtype=np.uint64))
     x = int(np.bitwise_xor.reduce(h))
     return f"{s:016x}:{x:016x}:{len(h)}"

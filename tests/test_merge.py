@@ -174,3 +174,68 @@ def test_digest_order_independent():
     s2 = table_digest(t.take(pa.array([1, 0])))
     assert s1 == s2
     assert table_digest(t.slice(0, 1)) != s1
+
+
+def test_digest_version_stable_golden():
+    """The digest is checkpointed in manifests, so its value is pinned
+    forever: any change to the algorithm must bump DIGEST_ALGO and this
+    golden together."""
+    from image_report_ray.state.merge import DIGEST_ALGO
+
+    g = pa.table(
+        {"k": pa.array(["alpha", "beta", None]), "n": pa.array([1, 2, 3], pa.int64())}
+    )
+    assert DIGEST_ALGO == "irr-poly64-v1"
+    assert table_digest(g) == "1e0dd8b777869789:d1162b34447169bf:3"
+
+
+def test_digest_canonical_semantics():
+    t = pa.table(
+        {
+            "conv_id": pa.array(["a", "b", None, "d"]),
+            "ts": pa.array([1, None, 3, 4], pa.timestamp("us")),
+            "flag": pa.array([True, False, None, True]),
+            "val": pa.array([1.5, float("nan"), None, -2.0]),
+        }
+    )
+    d = table_digest(t)
+    # chunk layout must not matter
+    assert table_digest(pa.concat_tables([t.slice(0, 2), t.slice(2)])) == d
+    # sliced arrays (non-zero buffer offsets) must not matter
+    assert table_digest(
+        pa.concat_tables([t.slice(0, 1), t.slice(1, 3)])
+    ) == d
+    # column names are part of the content
+    assert table_digest(t.rename_columns(["c", "ts", "flag", "val"])) != d
+    # empty string and null are distinct values
+    from image_report_ray.state.merge import table_rowhash
+
+    h = table_rowhash(pa.table({"x": pa.array(["", None])}))
+    assert h[0] != h[1]
+
+
+def test_validate_reports_digest_algo_mismatch(ray_session, tmp_path, capsys):
+    """An old lake whose manifests carry a different digest algorithm is
+    reported as an algorithm mismatch, not as per-partition corruption."""
+    import json as _json
+
+    from image_report_ray.cli import main
+    from image_report_ray.sources.synth import write_wal
+
+    wal = str(tmp_path / "wal")
+    lake_dir = str(tmp_path / "lake")
+    write_wal(wal, n_epochs=1, epoch_size=100, n_parts=1, seed=5, n_convs=10)
+    assert main(["run", lake_dir, wal, "--partitions", "2"]) == 0
+    # simulate a lake written by a different digest algorithm
+    import glob
+    import os
+
+    commit = sorted(glob.glob(os.path.join(lake_dir, "_commits", "epoch=*.json")))[0]
+    rec = _json.load(open(commit))
+    rec["digest_algo"] = "someother-v9"
+    _json.dump(rec, open(commit, "w"))
+    capsys.readouterr()
+    assert main(["validate", lake_dir]) == 1
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert all("algorithm mismatch" in p for p in out["problems"])
+    assert out["problems"]
