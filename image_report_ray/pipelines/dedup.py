@@ -20,10 +20,11 @@ list offsets — no Python row loops); all three pipelines share the
 :func:`pair_counts` exchange — hash-partition the (key, doc_id) inverted
 index by 64-bit key hash with raw Ray tasks, then generate and count
 (a<b) pairs per partition with one vectorized kernel (measured ~20x
-faster than ``Dataset.join`` on the same input). A frequent-shingle cap
-(drop shingles appearing in > F docs, like stopword pruning) bounds the
-quadratic pair blow-up on 100 TB — not applied at test scale so the
-oracle matches exactly.
+faster than ``Dataset.join`` on the same input). A frequent-key cap
+(``pair_counts(max_key_freq=F)`` — drop keys appearing in > F docs, like
+stopword pruning) bounds the quadratic pair blow-up of hot keys at
+100 TB, with the drop counts surfaced, never silent; it is left off at
+test scale so the oracle matches exactly.
 """
 
 from __future__ import annotations
@@ -60,25 +61,25 @@ def _tokenize(text_col: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, np.ndar
     """Lowercase whitespace tokens per doc -> (flat_tokens, list_offsets).
 
     Token semantics match the SQL twin's ``regexp_extract_all(lower(text),
-    '\\S+')`` exactly: maximal non-space runs."""
+    '\\S+')`` exactly: maximal non-space runs. Split-vs-extract produces
+    empty-string artifacts at leading/trailing whitespace; they are
+    removed by pure offsets arithmetic (mask + cumsum re-base, the same
+    segment math as quality_score) — one vectorized code path, no
+    re-tokenization cliff."""
     if isinstance(text_col, pa.ChunkedArray):
         text_col = text_col.combine_chunks()
     toks = pc.split_pattern_regex(pc.utf8_lower(text_col), r"\s+")
-    toks = pa.array(
-        [[t for t in row if t != ""] for row in toks.to_pylist()]
-    ) if _has_empty(toks) else toks
     flat = toks.flatten().to_numpy(zero_copy_only=False)
     if flat.dtype != object:
         flat = flat.astype(object)
     offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    offsets = offsets - offsets[0]
+    valid = flat != ""
+    if not valid.all():
+        cum = np.r_[0, np.cumsum(valid)]
+        offsets = cum[offsets]
+        flat = flat[valid]
     return flat, offsets
-
-
-def _has_empty(list_arr: pa.Array) -> bool:
-    flat = list_arr.flatten()
-    if len(flat) == 0:
-        return False
-    return bool(pc.any(pc.equal(flat, "")).as_py())
 
 
 def doc_shingles(batch: pa.Table) -> pd.DataFrame:
@@ -125,34 +126,73 @@ def _hash_shingles(shingles: np.ndarray) -> np.ndarray:
 # spin-up + row-level join machinery for what is one reduceat-style
 # kernel). Partitioning assumption: one key lives in exactly one
 # partition, so a pair found in two partitions came from different keys —
-# the final driver-side fold sums those partial counts (the fold input is
-# O(candidate pairs), bounded at scale by a frequent-key cap).
+# a tree of reduce tasks sums those partial counts (the fold input is
+# O(candidate pairs), bounded at scale by the max_key_freq hot-key cap).
 
 _PC_PARTS = 16
+_PC_FAN = 8  # tree-reduce fan-in for the pair-partial fold
 
 
-def _pairs_in_partition(keys: np.ndarray, ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Vectorized (a<b) pair keys + counts for one partition's index rows."""
+def _pairs_in_partition(
+    keys: np.ndarray,
+    ids: np.ndarray,
+    max_key_freq: int | None = None,
+) -> tuple[np.ndarray, np.ndarray, int, int]:
+    """Vectorized (a<b) pair keys + counts for one partition's index rows.
+
+    ``max_key_freq`` drops keys whose posting list exceeds the cap (the
+    stopword-pruning guard that bounds the O(F^2) pair blow-up of a hot
+    key at scale). Hash partitioning puts ALL of a key's postings in one
+    partition, so the per-partition frequency IS the global frequency.
+    Returns (pairs, counts, n_dropped_keys, n_dropped_postings) — drops
+    are counted, never silent."""
+    empty = np.array([], dtype=np.int64)
     if len(keys) == 0:
-        return np.array([], dtype=np.int64), np.array([], dtype=np.int64)
+        return empty, empty, 0, 0
     order = np.lexsort((ids, keys))
     k, e = keys[order], ids[order].astype(np.int64)
     n = len(k)
     starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
     ends = np.r_[starts[1:], n]
+    dropped_keys = dropped_postings = 0
+    if max_key_freq is not None:
+        sizes = ends - starts
+        hot = sizes > max_key_freq
+        if hot.any():
+            dropped_keys = int(hot.sum())
+            dropped_postings = int(sizes[hot].sum())
+            keep = ~np.repeat(hot, sizes)
+            k, e = k[keep], e[keep]
+            n = len(k)
+            if n == 0:
+                return empty, empty, dropped_keys, dropped_postings
+            starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+            ends = np.r_[starts[1:], n]
     grp = np.repeat(np.arange(len(starts)), ends - starts)
     idx = np.arange(n)
     later = ends[grp] - 1 - idx          # elements after i in i's group
     tot = int(later.sum())
     if tot == 0:
-        return np.array([], dtype=np.int64), np.array([], dtype=np.int64)
+        return empty, empty, dropped_keys, dropped_postings
     left = np.repeat(e, later)
     run_start = np.cumsum(np.r_[0, later[:-1]])
     delta = np.arange(tot) - np.repeat(run_start, later)
     right = e[np.repeat(idx, later) + 1 + delta]
     pair = (left << 32) | right          # ids ascending within group -> a<b
     uniq, cnt = np.unique(pair, return_counts=True)
-    return uniq, cnt.astype(np.int64)
+    return uniq, cnt.astype(np.int64), dropped_keys, dropped_postings
+
+
+def _merge_pair_partials(outs):
+    """Sum pair partial counts across partition outputs (pure kernel)."""
+    allp = np.concatenate([o[0] for o in outs]) if outs else np.array([], np.int64)
+    alln = np.concatenate([o[1] for o in outs]) if outs else np.array([], np.int64)
+    dk = sum(o[2] for o in outs)
+    dp = sum(o[3] for o in outs)
+    uniq, inv = np.unique(allp, return_inverse=True)
+    sums = np.zeros(len(uniq), dtype=np.int64)
+    np.add.at(sums, inv, alln)
+    return uniq, sums, dk, dp
 
 
 _PC_REMOTES = None
@@ -177,6 +217,14 @@ def _pc_remotes():
             if isinstance(inp, pa.ChunkedArray):
                 inp = inp.combine_chunks()
             ids = inp.to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(ids) and (ids.min() < 0 or ids.max() >= (1 << 31)):
+                # pair identity is bit-packed (a << 32 | b) on int64; an
+                # id outside [0, 2^31) would silently merge unrelated
+                # pairs — fail loudly at index-build time instead
+                raise ValueError(
+                    f"{id_col} out of bit-packable range [0, 2^31): "
+                    f"[{ids.min()}, {ids.max()}]"
+                )
             part = (knp % np.uint64(P)).astype(np.int64)
             order = np.argsort(part, kind="stable")
             ks, es, ps = knp[order], ids[order], part[order]
@@ -187,38 +235,64 @@ def _pc_remotes():
             )
 
         @ray.remote
-        def count(*slices):
+        def count(key_freq_cap, *slices):
             ks = np.concatenate([s[0] for s in slices])
             es = np.concatenate([s[1] for s in slices])
-            return _pairs_in_partition(ks, es)
+            return _pairs_in_partition(ks, es, max_key_freq=key_freq_cap)
 
-        _PC_REMOTES = (split, count)
+        @ray.remote
+        def merge_partials(*outs):
+            return _merge_pair_partials(list(outs))
+
+        _PC_REMOTES = (split, count, merge_partials)
     return _PC_REMOTES
 
 
-def pair_counts(index, key_col: str, id_col: str, P: int = _PC_PARTS) -> pa.Table:
+def pair_counts(
+    index,
+    key_col: str,
+    id_col: str,
+    P: int = _PC_PARTS,
+    *,
+    max_key_freq: int | None = None,
+) -> tuple[pa.Table, dict]:
     """Distributed co-occurrence pair counting over an inverted-index
     Dataset (or its block refs). Returns the (small) table
-    ``pair:int64, n_common:int64`` with ``pair = a << 32 | b`` (a < b)."""
+    ``pair:int64, n_common:int64`` with ``pair = a << 32 | b`` (a < b),
+    plus a stats dict ``{"dropped_keys", "dropped_postings"}`` from the
+    ``max_key_freq`` hot-key cap (0s when uncapped).
+
+    The per-partition pair partials fold through a tree of reduce tasks
+    (fan-in ``_PC_FAN``) — the driver only ever receives the final
+    merged table, never P concatenated partials."""
     import ray
 
-    split, count = _pc_remotes()
+    split, count, merge_partials = _pc_remotes()
     refs = index if isinstance(index, list) else index.to_arrow_refs()
+    if P < 2:
+        # num_returns=1 makes Ray hand back a bare ObjectRef instead of a
+        # list; a 2-way exchange is the degenerate-but-correct floor
+        P = 2
     mats = [
         split.options(num_returns=P).remote(ref, key_col, id_col, P)
         for ref in refs
     ]
-    outs = ray.get([count.remote(*[m[pid] for m in mats]) for pid in range(P)])
-    # driver-side fold: a pair can surface in several partitions (one per
-    # distinct shared key); candidate sets are small relative to the index
-    allp = np.concatenate([o[0] for o in outs]) if outs else np.array([], np.int64)
-    alln = np.concatenate([o[1] for o in outs]) if outs else np.array([], np.int64)
-    uniq, inv = np.unique(allp, return_inverse=True)
-    sums = np.zeros(len(uniq), dtype=np.int64)
-    np.add.at(sums, inv, alln)
-    return pa.table(
-        {"pair": pa.array(uniq, pa.int64()), "n_common": pa.array(sums)}
-    )
+    outs = [count.remote(max_key_freq, *[m[pid] for m in mats]) for pid in range(P)]
+    while len(outs) > 1:
+        outs = [
+            merge_partials.remote(*outs[i : i + _PC_FAN])
+            for i in range(0, len(outs), _PC_FAN)
+        ]
+    uniq, sums, dk, dp = ray.get(outs[0])
+    if dk:
+        import logging
+
+        logging.getLogger("image_report_ray").warning(
+            "pair_counts: hot-key cap (max_key_freq=%s) dropped %d key(s) "
+            "/ %d posting(s)", max_key_freq, dk, dp,
+        )
+    t = pa.table({"pair": pa.array(uniq, pa.int64()), "n_common": pa.array(sums)})
+    return t, {"dropped_keys": dk, "dropped_postings": dp}
 
 
 # ---- exact n-gram Jaccard (oracle-checkable) --------------------------
@@ -258,7 +332,7 @@ def dedup_ngram_jaccard(sf_dir: str, tau: float = 0.2) -> pa.Table:
         for d, n in zip(dids, ns):
             sizes[d] = sizes.get(d, 0) + n
 
-    pairs_t = pair_counts(refs, "shingle", "doc_id")
+    pairs_t, _ = pair_counts(refs, "shingle", "doc_id")
 
     key = pairs_t.column("pair").to_numpy()
     a = (key >> 32).astype(np.int64)
@@ -384,7 +458,7 @@ def dedup_minhash_lsh(sf_dir: str, tau: float = 0.5) -> pa.Table:
         )
 
     bands = sigs.map_batches(band_explode, batch_format="pyarrow")
-    cands_t = pair_counts(bands, "band_key", "doc_id")
+    cands_t, _ = pair_counts(bands, "band_key", "doc_id")
 
     # exact verify against the hashed shingle sets from the same pass
     sets = {
@@ -493,7 +567,7 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 3) -> pa.Table:
         )
 
     chunks = hashes.map_batches(chunk_explode, batch_format="pyarrow")
-    cands_t = pair_counts(chunks, "chunk_key", "doc_id")
+    cands_t, _ = pair_counts(chunks, "chunk_key", "doc_id")
 
     key = cands_t.column("pair").to_numpy()
     a = (key >> 32).astype(np.int64)

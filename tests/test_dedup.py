@@ -115,3 +115,91 @@ def test_simhash_pipeline_finds_near_dups(ray_session):
     # simhash at hamming<=3 must recover most >=0.9-Jaccard pairs
     assert len(high) == 0 or hit / len(high) >= 0.6, (hit, len(high))
     assert (sh.hamming <= 3).all()
+
+
+def test_tokenize_strips_split_artifacts_vectorized():
+    """Leading/trailing/multiple whitespace produces empty split tokens;
+    they must vanish via the offsets-arithmetic path (no re-tokenize)."""
+    from image_report_ray.pipelines.dedup import _tokenize
+
+    col = pa.array(["  a b  ", "c", "", "  ", "d  e"])
+    flat, off = _tokenize(col)
+    assert list(flat) == ["a", "b", "c", "d", "e"]
+    assert list(off) == [0, 2, 3, 3, 3, 5]
+
+
+def test_pair_counts_hot_key_cap_counts_drops(ray_session):
+    """A key above max_key_freq contributes NO pairs, and the drop is
+    counted (no-silent-caps rule)."""
+    import ray
+
+    from image_report_ray.pipelines.dedup import pair_counts
+
+    # key 7 is hot (5 postings -> would contribute C(5,2)=10 pairs);
+    # key 8 is cool (2 postings -> 1 pair)
+    t = pa.table(
+        {
+            "k": pa.array([7] * 5 + [8] * 2, pa.int64()),
+            "doc_id": pa.array([0, 1, 2, 3, 4, 1, 2], pa.int64()),
+        }
+    )
+    ref = ray.put(t)
+    full, st0 = pair_counts([ref], "k", "doc_id", P=4)
+    # 10 distinct pairs from key 7, pair (1,2) shared with key 8 (count 2)
+    assert full.num_rows == 10
+    assert st0 == {"dropped_keys": 0, "dropped_postings": 0}
+    capped, st = pair_counts([ref], "k", "doc_id", P=4, max_key_freq=3)
+    assert capped.num_rows == 1
+    assert capped.column("pair").to_pylist() == [(1 << 32) | 2]
+    assert st == {"dropped_keys": 1, "dropped_postings": 5}
+
+
+def test_pair_counts_tree_reduce_matches_naive(ray_session):
+    """Random index: distributed tree-reduced counts == naive pandas."""
+    import itertools
+
+    import ray
+
+    from image_report_ray.pipelines.dedup import pair_counts
+
+    rng = np.random.default_rng(11)
+    keys = rng.integers(0, 40, size=600)
+    ids = rng.integers(0, 25, size=600)
+    df = pd.DataFrame({"k": keys, "d": ids}).drop_duplicates()
+    naive: dict[tuple[int, int], int] = {}
+    for _, g in df.groupby("k"):
+        for a, b in itertools.combinations(sorted(g.d), 2):
+            naive[(a, b)] = naive.get((a, b), 0) + 1
+    t = pa.table({"k": pa.array(df.k.to_numpy(), pa.int64()),
+                  "doc_id": pa.array(df.d.to_numpy(), pa.int64())})
+    # several blocks so the tree has real fan-in
+    refs = [ray.put(t.slice(i, 100)) for i in range(0, 600, 100)]
+    got, _ = pair_counts(refs, "k", "doc_id", P=5)
+    gp = {
+        (int(p) >> 32, int(p) & 0xFFFFFFFF): int(n)
+        for p, n in zip(got.column("pair").to_pylist(),
+                        got.column("n_common").to_pylist())
+    }
+    assert gp == naive
+
+
+def test_pair_counts_rejects_unpackable_ids(ray_session):
+    import ray
+
+    from image_report_ray.pipelines.dedup import pair_counts
+
+    t = pa.table({"k": pa.array([1, 1], pa.int64()),
+                  "doc_id": pa.array([1, 1 << 31], pa.int64())})
+    with pytest.raises(ray.exceptions.RayTaskError, match="bit-packable"):
+        pair_counts([ray.put(t)], "k", "doc_id", P=2)
+
+
+def test_pair_counts_single_partition_floor(ray_session):
+    import ray
+
+    from image_report_ray.pipelines.dedup import pair_counts
+
+    t = pa.table({"k": pa.array([1, 1, 2], pa.int64()),
+                  "doc_id": pa.array([3, 4, 3], pa.int64())})
+    got, _ = pair_counts([ray.put(t)], "k", "doc_id", P=1)
+    assert got.column("pair").to_pylist() == [(3 << 32) | 4]
