@@ -389,14 +389,124 @@ def minhash_signatures(batch: pa.Table) -> pa.Table:
     )
 
 
+_VERIFY_REMOTES = None
+
+
+def _verify_remotes():
+    global _VERIFY_REMOTES
+    if _VERIFY_REMOTES is None:
+        import ray
+
+        @ray.remote(num_returns=2)
+        def explode_cand_shingles(block: pa.Table, cand_docs: np.ndarray):
+            """(doc_id, sig, hs) block -> restricted shingle inverted
+            index for candidate docs only, plus their set sizes."""
+            doc = block.column("doc_id").to_numpy()
+            keep = np.isin(doc, cand_docs)
+            idx = np.flatnonzero(keep)
+            hs = block.column("hs")
+            if isinstance(hs, pa.ChunkedArray):
+                hs = hs.combine_chunks()
+            sub = hs.take(pa.array(idx))
+            off = sub.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            off = off - off[0]
+            flat = sub.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
+            lens = np.diff(off)
+            index = pa.table(
+                {
+                    "sh": pa.array(flat.view(np.int64), pa.int64()),
+                    "doc_id": pa.array(
+                        np.repeat(doc[idx], lens), pa.int64()
+                    ),
+                }
+            )
+            sizes = pa.table(
+                {"doc_id": pa.array(doc[idx], pa.int64()),
+                 "n_sh": pa.array(lens, pa.int64())}
+            )
+            return index, sizes
+
+        _VERIFY_REMOTES = explode_cand_shingles
+    return _VERIFY_REMOTES
+
+
+def _verify_candidates(
+    base_refs: list, cands_t: pa.Table, tau: float
+) -> pa.Table:
+    """Distributed exact-Jaccard verify of LSH candidate pairs.
+
+    Partition-local: the candidate doc-id set (small — O(candidates))
+    broadcasts to per-block filter tasks that explode ONLY candidate
+    docs' hashed shingle sets into a restricted inverted index; the
+    intersection counts then ride the same :func:`pair_counts` exchange
+    (each shingle's postings meet in exactly one partition). Driver-side
+    state is O(candidate pairs) throughout — never a whole-corpus
+    structure."""
+    import ray
+
+    empty = pa.table(
+        {
+            "doc_id_a": pa.array([], pa.int64()),
+            "doc_id_b": pa.array([], pa.int64()),
+            "n_common": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        }
+    )
+    if cands_t.num_rows == 0:
+        return empty
+    key = cands_t.column("pair").to_numpy()
+    a = (key >> 32).astype(np.int64)
+    b = (key & 0xFFFFFFFF).astype(np.int64)
+    cand_docs = np.unique(np.concatenate([a, b]))
+    docs_ref = ray.put(cand_docs)
+
+    explode = _verify_remotes()
+    outs = [explode.remote(r, docs_ref) for r in base_refs]
+    index_refs = [o[0] for o in outs]
+    inter_t, _ = pair_counts(index_refs, "sh", "doc_id")
+
+    # sizes: each doc lives in exactly one block; the per-block size
+    # tables are O(candidate docs) total
+    sizes_t = pa.concat_tables(ray.get([o[1] for o in outs]))
+    sdoc = sizes_t.column("doc_id").to_numpy()
+    ssz = sizes_t.column("n_sh").to_numpy()
+    order = np.argsort(sdoc)
+    sdoc, ssz = sdoc[order], ssz[order]
+
+    # intersection counts for the candidate pairs (a pair absent from the
+    # restricted exchange shares no shingles -> jaccard 0)
+    ikey = inter_t.column("pair").to_numpy()
+    icnt = inter_t.column("n_common").to_numpy()
+    iorder = np.argsort(ikey)
+    ikey, icnt = ikey[iorder], icnt[iorder]
+    pos = np.searchsorted(ikey, key)
+    found = (pos < len(ikey)) & (ikey[np.minimum(pos, len(ikey) - 1)] == key)
+    inter = np.where(found, icnt[np.minimum(pos, len(icnt) - 1)], 0).astype(np.int64)
+
+    na = ssz[np.searchsorted(sdoc, a)]
+    nb = ssz[np.searchsorted(sdoc, b)]
+    union = na + nb - inter
+    jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+    keep = jac >= tau
+    return pa.table(
+        {
+            "doc_id_a": pa.array(a[keep]),
+            "doc_id_b": pa.array(b[keep]),
+            "n_common": pa.array(inter[keep]),
+            "jaccard": pa.array(np.round(jac[keep], 6)),
+        }
+    )
+
+
 def dedup_minhash_lsh(sf_dir: str, tau: float = 0.5) -> pa.Table:
     """Near-dup pairs via MinHash banding, verified with exact Jaccard.
 
     Output contract matches :func:`dedup_ngram_jaccard` (for pairs the
     banding recalls — essentially all at Jaccard >= ``tau`` = 0.5 with
     32x4 banding). Candidate generation touches O(colliding pairs); the
-    verify step uses broadcast hashed shingle sets (at 100 TB: a second
-    co-partitioned pass instead of a broadcast)."""
+    exact verify is a second co-partitioned pass over candidate docs'
+    hashed shingle sets (:func:`_verify_candidates`) — the corpus never
+    materializes on the driver."""
     import ray
 
     rd = _rd()
@@ -430,8 +540,9 @@ def dedup_minhash_lsh(sf_dir: str, tau: float = 0.5) -> pa.Table:
             }
         )
 
-    base_t = ds_to_table(ds.map_batches(sig_and_set, batch_format="pyarrow"))
-    sigs = rd.from_arrow(base_t.select(["doc_id", "sig"]))
+    # blocks stay in the object store; the driver only ever holds refs
+    base_refs = ds.map_batches(sig_and_set, batch_format="pyarrow").to_arrow_refs()
+    sigs = rd.from_arrow_refs(base_refs)
 
     def band_explode(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -460,36 +571,8 @@ def dedup_minhash_lsh(sf_dir: str, tau: float = 0.5) -> pa.Table:
     bands = sigs.map_batches(band_explode, batch_format="pyarrow")
     cands_t, _ = pair_counts(bands, "band_key", "doc_id")
 
-    # exact verify against the hashed shingle sets from the same pass
-    sets = {
-        d: np.asarray(s, dtype=np.uint64)
-        for d, s in zip(
-            base_t.column("doc_id").to_pylist(), base_t.column("hs").to_pylist()
-        )
-    }
-    key = cands_t.column("pair").to_numpy()
-    a = (key >> 32).astype(np.int64)
-    b = (key & 0xFFFFFFFF).astype(np.int64)
-    out_a, out_b, out_i, out_j = [], [], [], []
-    for x, y in zip(a, b):
-        sx, sy = sets.get(x), sets.get(y)
-        if sx is None or sy is None:
-            continue
-        inter = len(np.intersect1d(sx, sy, assume_unique=True))
-        jac = inter / (len(sx) + len(sy) - inter)
-        if jac >= tau:
-            out_a.append(x)
-            out_b.append(y)
-            out_i.append(inter)
-            out_j.append(round(jac, 6))
-    t = pa.table(
-        {
-            "doc_id_a": pa.array(out_a, pa.int64()),
-            "doc_id_b": pa.array(out_b, pa.int64()),
-            "n_common": pa.array(out_i, pa.int64()),
-            "jaccard": pa.array(out_j, pa.float64()),
-        }
-    )
+    # exact verify: co-partitioned restricted pass, O(candidates) driver
+    t = _verify_candidates(base_refs, cands_t, tau)
     return finalize(t, [("doc_id_a", "ascending"), ("doc_id_b", "ascending")])
 
 

@@ -203,3 +203,55 @@ def test_pair_counts_single_partition_floor(ray_session):
                   "doc_id": pa.array([3, 4, 3], pa.int64())})
     got, _ = pair_counts([ray.put(t)], "k", "doc_id", P=1)
     assert got.column("pair").to_pylist() == [(3 << 32) | 4]
+
+
+def test_verify_candidates_partition_local(ray_session):
+    """_verify_candidates computes exact Jaccard for exactly the given
+    candidate pairs through the exchange — including a candidate pair
+    with zero overlap — touching only candidate docs' sets."""
+    import ray
+
+    from image_report_ray.pipelines.dedup import (
+        _hash_shingles,
+        _verify_candidates,
+        doc_shingles,
+    )
+
+    texts = {
+        0: "a b c d e f",
+        1: "a b c d x y",   # J(0,1) = 4 shingles? compute below
+        2: "p q r s t u",   # no overlap with 0
+        3: "m n o m n o",   # not a candidate: must not appear
+    }
+    rows = sorted(texts)
+    batch = pa.table({"doc_id": pa.array(rows, pa.int64()),
+                      "text": pa.array([texts[i] for i in rows])})
+    df = doc_shingles(batch)
+    h = _hash_shingles(df["shingle"].to_numpy())
+    doc_of = df["doc_id"].to_numpy()
+    starts = np.flatnonzero(np.r_[True, doc_of[1:] != doc_of[:-1]])
+    ends = np.r_[starts[1:], len(doc_of)]
+    base = pa.table(
+        {
+            "doc_id": pa.array(doc_of[starts], pa.int64()),
+            "sig": pa.array([[0]] * len(starts), pa.list_(pa.uint64())),
+            "hs": pa.array([np.sort(h[s:e]) for s, e in zip(starts, ends)],
+                            pa.list_(pa.uint64())),
+        }
+    )
+    refs = [ray.put(base.slice(0, 2)), ray.put(base.slice(2))]
+    cands = pa.table({"pair": pa.array([(0 << 32) | 1, (0 << 32) | 2], pa.int64()),
+                      "n_common": pa.array([1, 1], pa.int64())})
+    out = _verify_candidates(refs, cands, tau=0.0)
+    got = {
+        (a, b): (n, j)
+        for a, b, n, j in zip(
+            out.column("doc_id_a").to_pylist(), out.column("doc_id_b").to_pylist(),
+            out.column("n_common").to_pylist(), out.column("jaccard").to_pylist())
+    }
+    sh = {i: _naive_shingles(t) for i, t in texts.items()}
+    exp01 = len(sh[0] & sh[1]) / len(sh[0] | sh[1])
+    assert got[(0, 1)][0] == len(sh[0] & sh[1])
+    assert abs(got[(0, 1)][1] - exp01) < 1e-6
+    assert got[(0, 2)] == (0, 0.0)       # zero-overlap candidate surfaces
+    assert set(got) == {(0, 1), (0, 2)}  # doc 3 untouched
