@@ -10,6 +10,9 @@ scale path for 100 TB.
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -152,12 +155,13 @@ _IVF_SEED = 0xCE11
 _IVF_CELLS = 16
 _IVF_PROBE = 6
 _IVF_ITERS = 8
+_IVF_TRAIN_SAMPLE = 4096  # centroid-training sample size (driver-bounded)
 
 
 def _ivf_centroids(m: np.ndarray, n_cells: int) -> np.ndarray:
     """Seeded Lloyd's k-means (few iterations, numpy) on normalized
-    vectors — the coarse quantizer. At 100 TB this trains on a sample and
-    the assignment pass becomes the bucketing shuffle key."""
+    vectors — the coarse quantizer. Trains on a bounded sample; the
+    assignment pass is the bucketing shuffle key."""
     rng = np.random.default_rng(_IVF_SEED)
     c = m[rng.choice(len(m), size=min(n_cells, len(m)), replace=False)].copy()
     for _ in range(_IVF_ITERS):
@@ -173,49 +177,136 @@ def _ivf_centroids(m: np.ndarray, n_cells: int) -> np.ndarray:
     return c
 
 
-def knn_cosine_ivf(sf_dir: str, query_vec_id: int = 0, k: int = 10) -> pa.Table:
-    """Approximate top-k cosine via an IVF coarse quantizer: vectors are
-    bucketed by nearest centroid; only buckets among the query's
-    ``_IVF_PROBE`` closest centroids get the exact dot product. The
-    centroids come from a seeded driver-side k-means (on a sample at
-    scale) and broadcast once. Approximate -> rows-only oracle; recall
-    floor vs the exact query asserted in pytest."""
-    import pyarrow.parquet as pq
+def _train_ivf_centroids(sf_dir: str, n_cells: int = _IVF_CELLS) -> np.ndarray:
+    """Train the coarse quantizer on a bounded sample of the embeddings
+    table — the driver holds ``_IVF_TRAIN_SAMPLE`` vectors, never the
+    full table. ``limit`` pushes down into the streamed read, so only the
+    leading blocks are materialized (deterministic: parquet row order)."""
+    rd = _rd()
+    sample = (
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+        .limit(_IVF_TRAIN_SAMPLE)
+        .to_arrow_refs()
+    )
+    import ray
+
+    m = _stack(
+        pa.concat_tables([t for t in ray.get(sample) if t.num_rows]).column(
+            "embedding"
+        )
+    )
+    norms = np.linalg.norm(m, axis=1)
+    norms[norms == 0] = 1.0
+    return _ivf_centroids(m / norms[:, None], n_cells)
+
+
+def build_ivf_index(
+    sf_dir: str, index_dir: str, n_cells: int = _IVF_CELLS
+) -> np.ndarray:
+    """Build a cell-partitioned IVF layout: one streamed pass assigns
+    every vector to its nearest centroid and writes
+    ``index_dir/cell=K/*.parquet``. Queries then READ ONLY the probed
+    cells' files — the bucketing is physical partition pruning, not a
+    per-batch filter. Returns the centroids (also persisted alongside).
+
+    The same layout is the LSH scale path (signature prefix as the
+    partition key); IVF is the built exemplar."""
     import ray
 
     rd = _rd()
-    all_t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    all_m = _stack(all_t.column("embedding"))
-    norms = np.linalg.norm(all_m, axis=1)
-    norms[norms == 0] = 1.0
-    cents = _ivf_centroids(all_m / norms[:, None], _IVF_CELLS)
+    cents = _train_ivf_centroids(sf_dir, n_cells)
+    c_ref = ray.put(cents)
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = ray.get(c_ref)
+        m = _stack(t.column("embedding"))
+        nrm = np.linalg.norm(m, axis=1)
+        nrm[nrm == 0] = 1.0
+        cell = ((m / nrm[:, None]) @ c.T).argmax(axis=1).astype(np.int32)
+        return t.append_column("cell", pa.array(cell))
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+        index_dir, partition_cols=["cell"]
+    )
+    np.save(os.path.join(index_dir, "centroids.npy"), cents)
+    return cents
+
+
+def _ivf_index_dir(sf_dir: str) -> str:
+    """Deterministic per-corpus index location under /tmp (built once,
+    reused across queries — the ANN build/query split)."""
+    import hashlib
+
+    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"irr-ivf-{tag}")
+
+
+def knn_cosine_ivf(sf_dir: str, query_vec_id: int = 0, k: int = 10) -> pa.Table:
+    """Approximate top-k cosine via an IVF coarse quantizer with a
+    PHYSICAL cell-partitioned index: the first call builds
+    ``cell=K/`` parquet partitions (:func:`build_ivf_index`, centroids
+    trained on a bounded sample); each query reads ONLY its
+    ``_IVF_PROBE`` closest cells' files and reranks exactly within them.
+    Approximate -> rows-only oracle; recall floor vs the exact query
+    asserted in pytest."""
+    import ray
+
+    rd = _rd()
+    index_dir = _ivf_index_dir(sf_dir)
+    cents_path = os.path.join(index_dir, "centroids.npy")
+    if os.path.exists(cents_path):
+        cents = np.load(cents_path)
+    else:
+        # build into a scratch dir, publish by atomic rename (concurrent
+        # builders: first rename wins, losers discard)
+        scratch = f"{index_dir}.building-{os.getpid()}"
+        cents = build_ivf_index(sf_dir, scratch)
+        try:
+            os.rename(scratch, index_dir)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(scratch, ignore_errors=True)
+            cents = np.load(cents_path)
 
     q = _query_vector(sf_dir, query_vec_id)
     qn = q / np.linalg.norm(q)
     probe_cells = np.argsort(-(cents @ qn))[:_IVF_PROBE]
-    ref = ray.put((qn, cents, set(int(x) for x in probe_cells)))
+    import glob
+
+    probe_dirs = [
+        f
+        for c in probe_cells
+        for f in sorted(
+            glob.glob(os.path.join(index_dir, f"cell={int(c)}", "*.parquet"))
+        )
+    ]
+    if not probe_dirs:
+        return pa.table({"rnk": pa.array([], pa.int64()),
+                         "vec_id": pa.array([], pa.int64())})
+    q_ref = ray.put(qn)
 
     def batch_topk(t: pa.Table) -> pa.Table:
-        qv, c, probes = ray.get(ref)
+        qv = ray.get(q_ref)
         m = _stack(t.column("embedding"))
         nrm = np.linalg.norm(m, axis=1)
         nrm[nrm == 0] = 1.0
-        mn = m / nrm[:, None]
-        cell = (mn @ c.T).argmax(axis=1)
         ids = t.column("vec_id").to_numpy()
-        cand = np.isin(cell, list(probes)) & (ids != query_vec_id)
-        mn, ids = mn[cand], ids[cand]
+        keep = ids != query_vec_id
+        m, ids = m[keep], ids[keep]
         if not len(ids):
             return pa.table(
                 {"vec_id": pa.array([], pa.int64()), "sim": pa.array([], pa.float64())}
             )
-        sims = mn @ qv
+        sims = (m @ qv) / nrm[keep]
         if len(ids) > k:
             part = np.argpartition(-sims, k)[:k]
             sims, ids = sims[part], ids[part]
         return pa.table({"vec_id": pa.array(ids, pa.int64()), "sim": pa.array(sims)})
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    # pruned read: only the probed cells' files leave storage
+    ds = rd.read_parquet(probe_dirs, columns=["vec_id", "embedding"])
     t = ds_to_table(ds.map_batches(batch_topk, batch_format="pyarrow"))
     t = finalize(t, [("sim", "descending"), ("vec_id", "ascending")]).slice(0, k)
     rnk = pa.array(np.arange(1, t.num_rows + 1), pa.int64())

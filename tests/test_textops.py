@@ -128,3 +128,35 @@ def test_knn_ivf_recall_floor_and_determinism(ray_session):
     approx = set(ivf.column("vec_id").to_pylist())
     assert len(exact & approx) / len(exact) >= 0.5
     assert ivf.equals(knn_cosine_ivf(SF))  # seeded k-means -> deterministic
+
+
+def test_ivf_index_layout_and_reuse(ray_session, tmp_path):
+    """build_ivf_index writes a physical cell-partitioned layout; the
+    query path prunes to probe cells and reuses the published index."""
+    import glob
+    import os
+
+    from image_report_ray.pipelines.similarity import (
+        _IVF_CELLS,
+        _ivf_index_dir,
+        knn_cosine_ivf,
+    )
+
+    knn_cosine_ivf(SF)  # builds (or reuses) the index
+    idx = _ivf_index_dir(SF)
+    assert os.path.exists(os.path.join(idx, "centroids.npy"))
+    cells = glob.glob(os.path.join(idx, "cell=*"))
+    assert 1 < len(cells) <= _IVF_CELLS
+    # every vector landed in exactly one cell
+    import pyarrow.parquet as pq
+
+    n = sum(
+        pq.read_metadata(f).num_rows
+        for f in glob.glob(os.path.join(idx, "cell=*", "*.parquet"))
+    )
+    assert n == pq.read_metadata(f"{SF}/embeddings.parquet").num_rows
+    mtimes = {f: os.path.getmtime(f) for f in glob.glob(os.path.join(idx, "**"))}
+    knn_cosine_ivf(SF, query_vec_id=1)
+    assert mtimes == {
+        f: os.path.getmtime(f) for f in glob.glob(os.path.join(idx, "**"))
+    }  # second query did not rebuild
