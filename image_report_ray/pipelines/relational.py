@@ -387,35 +387,21 @@ PERSONAS: dict[str, tuple[int, ...]] = {
 }
 
 
-def user_persona_match(sf_dir: str, top_k: int = 3) -> pa.Table:
-    """Score every user's event-type mix against the broadcast persona
-    table; emit the top-3 candidates with rank and confidence — the graft
-    of the reference's paper-size guess (min-L1 over candidates,
-    /root/reference/papersize.py:70-126), ranked top-3 with rank attrs
-    (/root/reference/ir:86-97) and the clamped linear confidence
-    (/root/reference/papersize.py:129-149). All integer arithmetic, so
-    the SQL twin is bit-identical."""
-    from ray.data.aggregate import Sum
-
-    rd = _rd()
-
-    def partial(t: pa.Table) -> pa.Table:
-        full = pa.table(
+def _persona_score_partition(pid: int, counts: pa.Table, top_k: int = 3) -> pa.Table:
+    """Vectorized persona scoring for one user-hash partition's grouped
+    (user_id, event_type, n) counts. Pure kernel: pivot, integer
+    basis-point ratios, L1 vs the broadcast persona table, top-k by
+    (diff, persona) — exactly the SQL twin's semantics."""
+    if counts.num_rows == 0:
+        return pa.table(
             {
-                "user_id": t.column("user_id"),
-                "event_type": t.column("event_type"),
+                "user_id": pa.array([], pa.int64()),
+                "rnk": pa.array([], pa.int64()),
+                "persona": pa.array([], pa.string()),
+                "diff_bp": pa.array([], pa.int64()),
+                "confidence_bp": pa.array([], pa.int64()),
             }
         )
-        g = full.group_by(["user_id", "event_type"]).aggregate([([], "count_all")])
-        return g.rename_columns(["user_id", "event_type", "n_part"])
-
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
-    counts = ds_to_table(
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["user_id", "event_type"])
-        .aggregate(Sum("n_part", alias_name="n"))
-    )
-    # pivot to a dense (users x types) matrix — small (one row per user)
     df = counts.to_pandas().pivot_table(
         index="user_id", columns="event_type", values="n", aggfunc="sum", fill_value=0
     )
@@ -443,7 +429,7 @@ def user_persona_match(sf_dir: str, top_k: int = 3) -> pa.Table:
         rows["persona"].append(np.array(personas, dtype=object)[sel])
         rows["diff_bp"].append(d)
         rows["confidence_bp"].append(np.maximum(10_000 - d, 0))
-    t = pa.table(
+    return pa.table(
         {
             "user_id": pa.array(np.concatenate(rows["user_id"])),
             "rnk": pa.array(np.concatenate(rows["rnk"])),
@@ -454,7 +440,50 @@ def user_persona_match(sf_dir: str, top_k: int = 3) -> pa.Table:
             ),
         }
     )
-    return finalize(t, [("user_id", "ascending"), ("rnk", "ascending")])
+
+
+def user_persona_match(sf_dir: str, top_k: int = 3) -> pa.Table:
+    """Score every user's event-type mix against the broadcast persona
+    table; emit the top-3 candidates with rank and confidence — the graft
+    of the reference's paper-size guess (min-L1 over candidates,
+    /root/reference/papersize.py:70-126), ranked top-3 with rank attrs
+    (/root/reference/ir:86-97) and the clamped linear confidence
+    (/root/reference/papersize.py:129-149). All integer arithmetic, so
+    the SQL twin is bit-identical.
+
+    Scale shape: per-batch partial counts -> grouped sum -> the scoring
+    runs per user-hash partition through the keyed exchange
+    (:mod:`.exchange`) — only the top-3 rows per user ever reach the
+    driver, never a users-wide pivot."""
+    from functools import partial as fpartial
+
+    from ray.data.aggregate import Sum
+
+    from .exchange import exchange_reduce, gather_concat
+
+    rd = _rd()
+
+    def partial(t: pa.Table) -> pa.Table:
+        full = pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "event_type": t.column("event_type"),
+            }
+        )
+        g = full.group_by(["user_id", "event_type"]).aggregate([([], "count_all")])
+        return g.rename_columns(["user_id", "event_type", "n_part"])
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["user_id", "event_type"])
+        .aggregate(Sum("n_part", alias_name="n"))
+    )
+    refs = exchange_reduce(
+        [counts], ["user_id"], fpartial(_persona_score_partition, top_k=top_k)
+    )
+    return finalize(gather_concat(refs),
+                    [("user_id", "ascending"), ("rnk", "ascending")])
 
 
 def user_sliding_activity(sf_dir: str) -> pa.Table:
