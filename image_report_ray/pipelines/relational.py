@@ -133,96 +133,176 @@ def q1_pricing_summary(sf_dir: str) -> pa.Table:
                     [("l_returnflag", "ascending"), ("l_linestatus", "ascending")])
 
 
+def _q3_reduce(pid: int, li: pa.Table, orders: pa.Table) -> pa.Table:
+    """Per-partition Q3 kernel: complete per-order revenue (the exchange
+    co-located every lineitem partial with its order row), inner-join to
+    the qualifying orders, keep only this partition's top-10 — O(10)
+    rows leave each partition."""
+    empty = pa.table(
+        {
+            "l_orderkey": pa.array([], pa.int64()),
+            "revenue": pa.array([], pa.float64()),
+            "o_orderdate": pa.array([], pa.timestamp("us")),
+        }
+    )
+    if li.num_rows == 0 or orders.num_rows == 0:
+        return empty
+    g = li.group_by(["l_orderkey"]).aggregate([("rev_u", "sum")])
+    lk = g.column("l_orderkey").to_numpy()
+    rev_u = g.column("rev_u_sum").to_numpy().astype(np.int64)
+    ok = orders.column("o_orderkey").to_numpy()
+    od = orders.column("o_orderdate")
+    oorder = np.argsort(ok)
+    ok_s = ok[oorder]
+    pos = np.searchsorted(ok_s, lk)
+    hit = (pos < len(ok_s)) & (ok_s[np.minimum(pos, len(ok_s) - 1)] == lk)
+    lk, rev_u, pos = lk[hit], rev_u[hit], pos[hit]
+    rev = (rev_u // 100) / 100.0
+    top = np.lexsort((lk, -rev))[:10]
+    dates = od.take(pa.array(oorder[pos[top]]))
+    return pa.table(
+        {
+            "l_orderkey": pa.array(lk[top], pa.int64()),
+            "revenue": pa.array(rev[top]),
+            "o_orderdate": dates.cast(pa.timestamp("us")),
+        }
+    )
+
+
 def q3_top_orders(sf_dir: str) -> pa.Table:
     """TPC-H Q3 shape: top-10 open-order revenue for one market segment.
 
-    customer (filtered) and the filtered orders are broadcast small sides;
-    lineitem streams through a vectorized filter + grouped sum.
-    """
-    import ray
-    from ray.data.aggregate import Sum
+    The filtered-customer key set is a genuinely small dimension side and
+    broadcasts (Bloom filter at 100x). The date-filtered orders side is
+    NOT small (most of the table) — it streams into the keyed exchange
+    co-partitioned with lineitem's per-batch revenue partials on
+    orderkey; each partition joins, totals, and emits only its top-10.
+    The driver folds P×10 rows."""
+    from .exchange import exchange_reduce, gather_concat
 
     rd = _rd()
     cutoff = pa.scalar(np.datetime64("1998-01-01", "us"), type=pa.timestamp("us"))
 
     import pyarrow.parquet as pq
 
-    # Small side 1: BUILDING customers' keys.
+    # small filtered dimension side: BUILDING customers' keys
     cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
-    cust_keys = set(
-        cust.filter(pc.equal(cust.column("c_mktsegment"), "BUILDING"))
-        .column("c_custkey")
-        .to_pylist()
-    )
-
-    # Small side 2: qualifying orders -> orderdate lookup.
-    orders = pq.read_table(
-        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
-    )
-    omask = pc.and_(
-        pc.less(orders.column("o_orderdate"), cutoff),
-        pc.is_in(orders.column("o_custkey"), value_set=pa.array(sorted(cust_keys))),
-    )
-    orders = orders.filter(omask)
-    odate = dict(
-        zip(orders.column("o_orderkey").to_pylist(), orders.column("o_orderdate").to_pylist())
-    )
-    odate_ref = ray.put(odate)
-    okeys = pa.array(sorted(odate))
-
-    def li_filter(t: pa.Table) -> pa.Table:
-        m = pc.and_(
-            pc.greater(t.column("l_shipdate"), cutoff),
-            pc.is_in(t.column("l_orderkey"), value_set=okeys),
+    cust_keys = pa.array(
+        sorted(
+            cust.filter(pc.equal(cust.column("c_mktsegment"), "BUILDING"))
+            .column("c_custkey")
+            .to_pylist()
         )
-        t = t.filter(m)
+    )
+
+    def ofilter(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.less(t.column("o_orderdate"), cutoff),
+            pc.is_in(t.column("o_custkey"), value_set=cust_keys),
+        )
+        return t.filter(m).select(["o_orderkey", "o_orderdate"])
+
+    orders_ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(ofilter, batch_format="pyarrow")
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t.column("l_shipdate"), cutoff))
         rev_u = _cents(t.column("l_extendedprice")) * (100 - _cents(t.column("l_discount")))
         part = t.select(["l_orderkey"]).append_column("rev_u", pa.array(rev_u))
         # map-side combine per order before the exchange
         g = part.group_by(["l_orderkey"]).aggregate([("rev_u", "sum")])
         return g.rename_columns(["l_orderkey", "rev_u"])
 
-    ds = rd.read_parquet(
+    li_ds = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
-    )
-    per_order = ds.map_batches(li_filter, batch_format="pyarrow").groupby("l_orderkey").aggregate(
-        Sum("rev_u", alias_name="rev_u_sum")
-    )
+    ).map_batches(li_partial, batch_format="pyarrow")
 
-    def attach_date(t: pa.Table) -> pa.Table:
-        lookup = ray.get(odate_ref)
-        dates = [lookup[k] for k in t.column("l_orderkey").to_pylist()]
-        rev = (t.column("rev_u_sum").to_numpy().astype(np.int64) // 100) / 100.0
-        return pa.table(
-            {
-                "l_orderkey": t.column("l_orderkey"),
-                "revenue": rev,
-                "o_orderdate": pa.array(dates, type=pa.timestamp("us")),
-            }
-        )
-
-    t = ds_to_table(per_order.map_batches(attach_date, batch_format="pyarrow"))
-    t = finalize(t, [("revenue", "descending"), ("l_orderkey", "ascending")])
+    refs = exchange_reduce(
+        [li_ds, orders_ds], ["l_orderkey", "o_orderkey"], _q3_reduce, P=8
+    )
+    t = finalize(gather_concat(refs),
+                 [("revenue", "descending"), ("l_orderkey", "ascending")])
     return t.slice(0, 10).select(["l_orderkey", "revenue", "o_orderdate"])
+
+
+def _q5_orders_cust_join(asia_keys: np.ndarray, pid: int, orders: pa.Table,
+                         cust: pa.Table) -> pa.Table:
+    """Stage-1 kernel: windowed orders ⋈ customer on custkey (both sides
+    co-partitioned), keeping only orders whose customer nation is in the
+    target region. Output is the (o_orderkey, cn) changelog for stage 2."""
+    empty = pa.table(
+        {"o_orderkey": pa.array([], pa.int64()), "cn": pa.array([], pa.int32())}
+    )
+    if orders.num_rows == 0 or cust.num_rows == 0:
+        return empty
+    ck = cust.column("c_custkey").to_numpy()
+    cn = cust.column("c_nationkey").to_numpy().astype(np.int32)
+    corder = np.argsort(ck)
+    ck_s, cn_s = ck[corder], cn[corder]
+    ock = orders.column("o_custkey").to_numpy()
+    pos = np.searchsorted(ck_s, ock)
+    hit = (pos < len(ck_s)) & (ck_s[np.minimum(pos, len(ck_s) - 1)] == ock)
+    onation = np.where(hit, cn_s[np.minimum(pos, len(cn_s) - 1)], -1)
+    keep = np.isin(onation, asia_keys)
+    return pa.table(
+        {
+            "o_orderkey": pa.array(
+                orders.column("o_orderkey").to_numpy()[keep], pa.int64()
+            ),
+            "cn": pa.array(onation[keep].astype(np.int32)),
+        }
+    )
+
+
+def _q5_li_join(pid: int, li: pa.Table, orders: pa.Table) -> pa.Table:
+    """Stage-2 kernel: lineitem partials ⋈ qualifying orders on orderkey;
+    keep supplier-nation == customer-nation rows, fold revenue per
+    nation — each partition emits at most |nations| rows."""
+    empty = pa.table(
+        {"nk": pa.array([], pa.int32()), "rev_u": pa.array([], pa.int64())}
+    )
+    if li.num_rows == 0 or orders.num_rows == 0:
+        return empty
+    ok = orders.column("o_orderkey").to_numpy()
+    cn = orders.column("cn").to_numpy()
+    oorder = np.argsort(ok)
+    ok_s, cn_s = ok[oorder], cn[oorder]
+    lk = li.column("l_orderkey").to_numpy()
+    pos = np.searchsorted(ok_s, lk)
+    hit = (pos < len(ok_s)) & (ok_s[np.minimum(pos, len(ok_s) - 1)] == lk)
+    c_nation = np.where(hit, cn_s[np.minimum(pos, len(cn_s) - 1)], -1)
+    sn = li.column("sn").to_numpy()
+    keep = (c_nation >= 0) & (c_nation == sn)
+    rev = li.column("rev_u").to_numpy()[keep]
+    nk = c_nation[keep]
+    uniq, inv = np.unique(nk, return_inverse=True)
+    sums = np.zeros(len(uniq), dtype=np.int64)
+    np.add.at(sums, inv, rev)
+    return pa.table(
+        {"nk": pa.array(uniq.astype(np.int32)), "rev_u": pa.array(sums)}
+    )
 
 
 def q5_region_revenue(sf_dir: str) -> pa.Table:
     """TPC-H Q5 shape: revenue by nation inside one region.
 
-    Every non-lineitem side collapses to a broadcast: the date-windowed
-    orders (already joined to customer nation on the driver) become one
-    ``o_orderkey -> customer_nation`` int array shipped via ``ray.put``,
-    so lineitem — the only large table — streams through a single
-    vectorized ``map_batches`` + grouped sum with NO shuffle join. A
-    genuine hash-partitioned ``Dataset.join`` (for when both sides are
-    large) is exercised by the dedup pipelines (`pipelines/dedup.py`);
-    here the windowed side is orders-of-magnitude smaller, and
-    broadcasting it is the scale-correct plan (Bloom filter / hash map of
-    window keys at 100 TB)."""
+    Two chained keyed exchanges, no driver-side fact materialization:
+    stage 1 co-partitions the date-windowed orders with the customer
+    table on custkey and emits (o_orderkey, customer_nation) for the
+    target region; stage 2 co-partitions lineitem's per-batch
+    (orderkey, supplier_nation, revenue) partials with stage 1's output
+    on orderkey, joins, filters cn == sn, and folds revenue per nation.
+    region/nation (constant-size) and supplier (the one genuinely small
+    dimension — broadcast, Bloom at 100x) are the only ``ray.put``
+    sides; customer and orders stream through the exchange."""
     import ray
     import pyarrow.parquet as pq
-    from ray.data.aggregate import Sum
+    from functools import partial as fpartial
+
+    from .exchange import exchange_reduce, gather_concat
 
     rd = _rd()
     lo = pa.scalar(np.datetime64("1996-01-01", "us"), type=pa.timestamp("us"))
@@ -238,58 +318,72 @@ def q5_region_revenue(sf_dir: str) -> pa.Table:
             asia_nations.column("n_name").to_pylist(),
         )
     )
-    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
-    c_nk = dict(zip(cust.column("c_custkey").to_pylist(), cust.column("c_nationkey").to_pylist()))
+    asia_keys = np.fromiter(nk_to_name, dtype=np.int32)
     supp = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
     s_keys = supp.column("s_suppkey").to_numpy()
     s_nations = supp.column("s_nationkey").to_numpy()
     s_lut = np.full(int(s_keys.max()) + 2, -2, dtype=np.int32)
     s_lut[s_keys] = s_nations
+    s_ref = ray.put(s_lut)
 
-    orders = pq.read_table(
-        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
-    )
-    orders = orders.filter(
-        pc.and_(
-            pc.greater_equal(orders.column("o_orderdate"), lo),
-            pc.less(orders.column("o_orderdate"), hi),
+    def owindow(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(t.column("o_orderdate"), lo),
+            pc.less(t.column("o_orderdate"), hi),
         )
-    )
-    okeys = orders.column("o_orderkey").to_numpy()
-    onation = np.array(
-        [c_nk.get(k, -1) for k in orders.column("o_custkey").to_pylist()],
-        dtype=np.int32,
-    )
-    in_asia = np.isin(onation, np.fromiter(nk_to_name, dtype=np.int32))
-    o_lut = np.full(int(okeys.max()) + 2, -1, dtype=np.int32)
-    o_lut[okeys[in_asia]] = onation[in_asia]
-    lut_ref = ray.put((o_lut, s_lut))
+        return t.filter(m).select(["o_orderkey", "o_custkey"])
 
-    def li_rev(t: pa.Table) -> pa.Table:
-        olut, slut = ray.get(lut_ref)
-        ok = t.column("l_orderkey").to_numpy()
+    orders_ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(owindow, batch_format="pyarrow")
+    cust_ds = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    stage1 = exchange_reduce(
+        [orders_ds, cust_ds],
+        ["o_custkey", "c_custkey"],
+        fpartial(_q5_orders_cust_join, asia_keys),
+        P=8,
+    )
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        slut = ray.get(s_ref)
         sk = t.column("l_suppkey").to_numpy()
-        cn = np.where(ok < len(olut), olut[np.minimum(ok, len(olut) - 1)], -1)
         sn = np.where(sk < len(slut), slut[np.minimum(sk, len(slut) - 1)], -2)
-        keep = (cn >= 0) & (cn == sn)
+        keep = np.isin(sn, asia_keys)  # supplier-side prune before shuffle
         t = t.filter(pa.array(keep))
         rev_u = _cents(t.column("l_extendedprice")) * (100 - _cents(t.column("l_discount")))
-        return pa.table({"nk": pa.array(cn[keep], pa.int32()), "rev_u": pa.array(rev_u)})
-
-    out = (
-        rd.read_parquet(
-            f"{sf_dir}/lineitem.parquet",
-            columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+        part = pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "sn": pa.array(sn[keep].astype(np.int32)),
+                "rev_u": pa.array(rev_u),
+            }
         )
-        .map_batches(li_rev, batch_format="pyarrow")
-        .groupby("nk")
-        .aggregate(Sum("rev_u", alias_name="rev_u_sum"))
+        # map-side combine per (order, supplier-nation) before the exchange
+        g = part.group_by(["l_orderkey", "sn"]).aggregate([("rev_u", "sum")])
+        return g.rename_columns(["l_orderkey", "sn", "rev_u"])
+
+    li_ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(li_partial, batch_format="pyarrow")
+    stage2 = exchange_reduce(
+        [li_ds, stage1], ["l_orderkey", "o_orderkey"], _q5_li_join, P=8
     )
-    t = ds_to_table(out)
-    names = pa.array([nk_to_name[int(k)] for k in t.column("nk").to_pylist()])
-    t = t.drop_columns(["nk"]).append_column("n_name", names)
-    rev = (t.column("rev_u_sum").to_numpy().astype(np.int64) // 100) / 100.0
-    t = pa.table({"n_name": t.column("n_name"), "revenue": rev})
+    partials = gather_concat(stage2)
+    nk = partials.column("nk").to_numpy()
+    rev = partials.column("rev_u").to_numpy()
+    uniq, inv = np.unique(nk, return_inverse=True)
+    sums = np.zeros(len(uniq), dtype=np.int64)
+    np.add.at(sums, inv, rev)
+    t = pa.table(
+        {
+            "n_name": pa.array([nk_to_name[int(k)] for k in uniq]),
+            "revenue": pa.array((sums // 100) / 100.0),
+        }
+    )
     return finalize(t, [("n_name", "ascending")])
 
 
