@@ -46,6 +46,10 @@ def _remotes():
 
         @ray.remote
         def split_by_key(block: pa.Table, key_col: str, P: int):
+            if block.num_rows == 0:
+                # Ray Data may emit empty schema-less blocks; they carry
+                # no rows for any partition
+                return tuple(block for _ in range(P))
             h = hash_key(block.column(key_col))
             part = (h % np.uint64(P)).astype(np.int64)
             order = np.argsort(part, kind="stable")

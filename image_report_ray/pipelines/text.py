@@ -208,25 +208,45 @@ def tokenize_bpe(sf_dir: str) -> pa.Table:
                     [("doc_id", "ascending")])
 
 
+def _topk_profiles(vocab: pd.DataFrame, top_k: int) -> dict[str, frozenset]:
+    """(lang, token, n) counts -> per-language top-k token sets.
+    Deterministic tie-break: count desc, then token asc."""
+    vocab = vocab.sort_values(
+        ["lang", "n", "token"], ascending=[True, False, True], kind="stable"
+    )
+    head = vocab.groupby("lang", sort=True).head(top_k)
+    return {
+        str(lang): frozenset(g.token)
+        for lang, g in head.groupby("lang", sort=True)
+    }
+
+
 def fit_lang_profiles(
     texts: "list[str]", labels: "list[str]", top_k: int = 30
 ) -> dict[str, frozenset]:
-    """Pure kernel: per-language top-k token profiles (the 'model')."""
+    """Pure kernel: per-language top-k token profiles (the 'model').
+    Token-count ties break deterministically (count desc, token asc) —
+    the same rule the distributed fit uses, so both produce identical
+    profiles on identical input."""
     df = pd.DataFrame({"text": texts, "lang": labels})
-    profiles: dict[str, frozenset] = {}
-    for lang, g in df.groupby("lang"):
-        toks = pd.Series(
-            np.concatenate([t.lower().split() for t in g.text])
-            if len(g)
-            else [], dtype=object
-        )
-        profiles[str(lang)] = frozenset(toks.value_counts().head(top_k).index)
-    return profiles
+    toks = df.text.str.lower().str.split()
+    flat = pd.DataFrame(
+        {
+            "lang": df.lang.repeat(toks.str.len()),
+            "token": np.concatenate(toks.to_numpy()) if len(df) else [],
+        }
+    )
+    vocab = (
+        flat.groupby(["lang", "token"], sort=False).size().rename("n").reset_index()
+    )
+    return _topk_profiles(vocab, top_k)
 
 
 def predict_langs(texts: "list[str]", profiles: dict[str, frozenset]) -> list[str]:
-    """Pure kernel: best profile-overlap language per text (ties ->
-    lexicographically smallest language — deterministic)."""
+    """Reference kernel (per-text loop): best profile-overlap language per
+    text, ties -> lexicographically smallest language. The pipeline uses
+    the vectorized twin :func:`predict_langs_vectorized`; equality of the
+    two is pinned in pytest."""
     langs = sorted(profiles)
     sets = [profiles[l] for l in langs]
     out = []
@@ -237,6 +257,43 @@ def predict_langs(texts: "list[str]", profiles: dict[str, frozenset]) -> list[st
     return out
 
 
+def predict_langs_vectorized(
+    text_col: "pa.ChunkedArray | pa.Array", profiles: dict[str, frozenset]
+) -> np.ndarray:
+    """Vectorized profile-overlap prediction for a batch: tokenize via
+    Arrow, factorize tokens, dedupe (doc, token) pairs (set semantics),
+    score every language with a token->lang bitmask lookup, argmax (ties
+    -> first = lexicographically smallest language)."""
+    from .dedup import _tokenize
+
+    langs = sorted(profiles)
+    n_langs = len(langs)
+    flat, off = _tokenize(text_col)
+    n_docs = len(off) - 1
+    if len(flat) == 0:
+        return np.array([langs[0]] * n_docs, dtype=object)
+    codes, uniq_tokens = pd.factorize(flat)
+    doc_idx = np.repeat(np.arange(n_docs), np.diff(off))
+    # set semantics: each (doc, token) counts once
+    pair = doc_idx.astype(np.int64) * len(uniq_tokens) + codes
+    upair = np.unique(pair)
+    udoc = upair // len(uniq_tokens)
+    utok = (upair % len(uniq_tokens)).astype(np.int64)
+    # token -> language membership bitmask (profiles are tiny)
+    mask = np.zeros(len(uniq_tokens), dtype=np.int64)
+    tok_pos = pd.Index(uniq_tokens)
+    for li, lang in enumerate(langs):
+        hit = tok_pos.get_indexer(list(profiles[lang]))
+        hit = hit[hit >= 0]
+        mask[hit] |= 1 << li
+    pmask = mask[utok]
+    scores = np.zeros((n_docs, n_langs), dtype=np.int64)
+    for li in range(n_langs):
+        ind = (pmask >> li) & 1
+        scores[:, li] = np.bincount(udoc, weights=ind, minlength=n_docs)
+    return np.array(langs, dtype=object)[scores.argmax(axis=1)]
+
+
 def lang_id(sf_dir: str, top_k: int = 30) -> pa.Table:
     """Heuristic language identification: fit per-language top-k token
     profiles on the deterministic 10% labeled sample (``doc_id % 10 ==
@@ -244,34 +301,65 @@ def lang_id(sf_dir: str, top_k: int = 30) -> pa.Table:
     join shape), predict every document by best profile overlap. Returns
     per-doc prediction plus agreement with the table's label.
 
+    Scale shape: the fit is distributed — the sample filter applies in
+    the FIRST map stage (only sample rows survive the read), per-batch
+    partial (lang, token) counts combine before one small grouped sum,
+    and the driver receives only the vocabulary counts (vocab-bounded,
+    not corpus-bounded) to cut top-k profiles. Prediction is the
+    vectorized bitmask kernel, no per-text Python loop.
+
     NOTE: the driver's synthetic corpus draws text from a shared
     vocabulary regardless of the ``lang`` label, so no classifier can
-    beat chance *on this table*; the kernels
-    (:func:`fit_lang_profiles` / :func:`predict_langs`) are unit-tested
-    on a corpus with real per-language vocabularies instead. Model fit +
-    argmax predict is not SQL-expressible -> rows-only oracle."""
-    import pyarrow.parquet as pq
+    beat chance *on this table*; the kernels are unit-tested on a corpus
+    with real per-language vocabularies instead. Model fit + argmax
+    predict is not SQL-expressible -> rows-only oracle."""
     import ray
+    from ray.data.aggregate import Sum
+
+    from .dedup import _tokenize
 
     rd = _rd()
-    sample = pq.read_table(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
-    ).to_pandas()
-    sample = sample[sample.doc_id % 10 == 0]
-    profiles = fit_lang_profiles(
-        sample.text.tolist(), sample.lang.tolist(), top_k=top_k
+
+    def sample_counts(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id").to_numpy()
+        t = t.filter(pa.array(did % 10 == 0))
+        if t.num_rows == 0:
+            return pa.table(
+                {"lang": pa.array([], pa.string()),
+                 "token": pa.array([], pa.string()),
+                 "n_part": pa.array([], pa.int64())}
+            )
+        flat, off = _tokenize(t.column("text"))
+        lang = t.column("lang").to_numpy(zero_copy_only=False)
+        part = pa.table(
+            {
+                "lang": pa.array(np.repeat(lang, np.diff(off)).astype(object)),
+                "token": pa.array(flat.astype(object)),
+            }
+        )
+        g = part.group_by(["lang", "token"]).aggregate([([], "count_all")])
+        return g.rename_columns(["lang", "token", "n_part"])
+
+    vocab_t = ds_to_table(
+        rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+        )
+        .map_batches(sample_counts, batch_format="pyarrow")
+        .groupby(["lang", "token"])
+        .aggregate(Sum("n_part", alias_name="n"))
     )
+    profiles = _topk_profiles(vocab_t.to_pandas(), top_k)
     prof_ref = ray.put(profiles)
 
     def predict(t: pa.Table) -> pa.Table:
         prof = ray.get(prof_ref)
-        preds = predict_langs(t.column("text").to_pylist(), prof)
+        preds = predict_langs_vectorized(t.column("text"), prof)
         return pa.table(
             {
                 "doc_id": t.column("doc_id"),
-                "lang_pred": pa.array(preds),
+                "lang_pred": pa.array(preds.astype(str)),
                 "lang_true": t.column("lang"),
-                "correct": pc.equal(pa.array(preds), t.column("lang")),
+                "correct": pc.equal(pa.array(preds.astype(str)), t.column("lang")),
             }
         )
 

@@ -160,3 +160,50 @@ def test_ivf_index_layout_and_reuse(ray_session, tmp_path):
     assert mtimes == {
         f: os.path.getmtime(f) for f in glob.glob(os.path.join(idx, "**"))
     }  # second query did not rebuild
+
+
+def test_predict_langs_vectorized_equals_loop_kernel():
+    import pyarrow as pa
+
+    from image_report_ray.pipelines.text import (
+        fit_lang_profiles,
+        predict_langs,
+        predict_langs_vectorized,
+    )
+
+    rng = np.random.default_rng(3)
+    vocab = {"aa": [f"a{i}" for i in range(30)],
+             "bb": [f"b{i}" for i in range(30)],
+             "cc": [f"c{i}" for i in range(30)]}
+    texts, labels = [], []
+    for lang, words in vocab.items():
+        for _ in range(20):
+            # overlap some shared words so ties/ambiguity exercise paths
+            texts.append(" ".join(list(rng.choice(words, 12)) + ["the", "x"]))
+            labels.append(lang)
+    texts += ["", "   ", "the x the x"]  # empty + tie cases
+    profiles = fit_lang_profiles(texts[:60:2], labels[:60:2], top_k=10)
+    loop = predict_langs(texts, profiles)
+    vec = predict_langs_vectorized(pa.array(texts), profiles)
+    assert list(vec) == loop
+
+
+def test_distributed_lang_fit_matches_kernel(ray_session):
+    """The pipeline's distributed sample fit must equal fit_lang_profiles
+    on the same 10% sample."""
+    import pyarrow.parquet as pq
+
+    from image_report_ray.pipelines.text import fit_lang_profiles, lang_id
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text", "lang"])
+    df = t.to_pandas()
+    s = df[df.doc_id % 10 == 0]
+    kernel_prof = fit_lang_profiles(s.text.tolist(), s.lang.tolist(), top_k=30)
+    out = lang_id(SF)
+    # rebuild what the pipeline predicted using the kernel profiles: the
+    # pipeline is deterministic, so loop-kernel predictions on kernel
+    # profiles must reproduce its lang_pred column exactly
+    from image_report_ray.pipelines.text import predict_langs
+
+    exp = predict_langs(df.sort_values("doc_id").text.tolist(), kernel_prof)
+    assert out.column("lang_pred").to_pylist() == exp
