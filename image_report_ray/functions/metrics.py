@@ -163,6 +163,14 @@ METRIC_CATEGORIES: dict[str, set[str]] = {
 }
 
 
+# The wider text-analysis extractor set (simhash/minhash/fingerprint
+# digests, token totals) registers itself here — the reference's
+# 22-extractor registry shape, /root/reference/hashing_config.py:446-528.
+from .textmetrics import register as _register_textmetrics  # noqa: E402
+
+_register_textmetrics(METRIC_REGISTRY, METRIC_CATEGORIES)
+
+
 def select_metrics(spec: str) -> set[str]:
     """Parse a selection spec against the metric registry (M7 grammar)."""
     return get_selected(spec, set(METRIC_REGISTRY), METRIC_CATEGORIES)

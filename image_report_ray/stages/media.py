@@ -118,22 +118,34 @@ class ByteHistogramFeatures:
         col = batch.column("payload")
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        feats = []
-        for payload in col.to_pylist():
-            body = np.frombuffer(payload, dtype=np.uint8, offset=HEADER_LEN)
-            hist = np.bincount(body >> 3, minlength=self.N_BINS).astype(np.float32)
-            n = max(len(body), 1)
-            feats.append(hist / n)
+        n = len(col)
+        # zero-copy body extraction straight from the Arrow binary
+        # buffers: per-row [offset+HEADER, next_offset) byte ranges
+        offs = np.frombuffer(col.buffers()[1], np.int32)[
+            col.offset : col.offset + n + 1
+        ].astype(np.int64)
+        buf = col.buffers()[2]
+        data = np.frombuffer(buf, np.uint8) if buf is not None else np.empty(0, np.uint8)
+        starts = np.minimum(offs[:-1] + HEADER_LEN, offs[1:])
+        lens = offs[1:] - starts
+        cum = np.r_[0, np.cumsum(lens)]
+        pos = np.arange(cum[-1]) - np.repeat(cum[:-1], lens) + np.repeat(starts, lens)
+        body = data[pos]
+        rows = np.repeat(np.arange(n), lens)
+        # ONE bincount over the batch: flat (row, bin) index space
+        hist = np.bincount(
+            rows * self.N_BINS + (body >> 3), minlength=n * self.N_BINS
+        ).reshape(n, self.N_BINS).astype(np.float32)
+        hist /= np.maximum(lens, 1).astype(np.float32)[:, None]
+        feature = pa.ListArray.from_arrays(
+            pa.array(np.arange(0, (n + 1) * self.N_BINS, self.N_BINS), pa.int32()),
+            pa.array(hist.ravel(), pa.float32()),
+        )
         return pa.table(
             {
                 "media_id": batch.column("media_id"),
-                "feature": pa.array(
-                    [f.tolist() for f in feats], pa.list_(pa.float32())
-                ),
-                "n_body_bytes": pa.array(
-                    [max(len(p) - HEADER_LEN, 0) for p in col.to_pylist()],
-                    pa.int64(),
-                ),
+                "feature": feature,
+                "n_body_bytes": pa.array(lens, pa.int64()),
             }
         )
 

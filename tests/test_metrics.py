@@ -99,8 +99,70 @@ def test_metrics_flow_into_lineage_xml(ray_session, tmp_path):
     msec = root.find("metrics")
     assert msec is not None
     names = {m.get("name") for m in msec.findall("metric")}
-    assert names == set(METRIC_REGISTRY) - {"text_digest_xor"}
+    assert names == set(METRIC_REGISTRY) - METRIC_CATEGORIES["digests"]
     assert int(msec.get("computed_count")) + int(msec.get("failed_count")) == len(names)
     tp = [m for m in msec.findall("metric") if m.get("name") == "turn_profile"][0]
     assert tp.get("encoding") == "rle"
     assert rle_decode(tp.text)  # decodable, non-empty
+
+
+def test_textmetrics_registered_and_selectable():
+    from image_report_ray.functions.metrics import (
+        METRIC_CATEGORIES,
+        METRIC_REGISTRY,
+        select_metrics,
+    )
+
+    assert {"simhash_digest", "minhash_digest", "fingerprint_digest",
+            "token_totals"} <= set(METRIC_REGISTRY)
+    assert select_metrics("textmetrics") == METRIC_CATEGORIES["textmetrics"]
+    # not part of the default basic selection (commit-time cost is opt-in)
+    assert not (select_metrics("basic") & METRIC_CATEGORIES["textmetrics"])
+    assert "simhash_digest" in select_metrics("all,-profiles")
+
+
+def test_textmetrics_deterministic_and_order_independent():
+    import pyarrow as pa
+
+    from image_report_ray.functions.metrics import compute_metrics
+
+    state = pa.table(
+        {
+            "conv_id": pa.array(["a", "b", "c"]),
+            "turn_idx": pa.array([0, 0, 0], pa.int32()),
+            "text": pa.array(["the quick brown fox jumps over it",
+                              "pack my box with five dozen jugs",
+                              "sphinx of black quartz judge my vow"]),
+            "_lsn": pa.array([1, 2, 3], pa.int64()),
+            "_deleted": pa.array([False, False, True]),
+        }
+    )
+    sel = {"simhash_digest", "minhash_digest", "fingerprint_digest", "token_totals"}
+    res, computed, failed = compute_metrics(state, sel)
+    assert computed == 4 and failed == 0
+    perm = state.take(pa.array([1, 0, 2]))
+    res2, _, _ = compute_metrics(perm, sel)
+    for name in sel:
+        assert res[name].text == res2[name].text, name
+        assert res[name].attrs == res2[name].attrs, name
+    # tombstoned row excluded: token totals cover live rows only
+    assert res["token_totals"].attrs["tokens"] == 14
+
+
+def test_textmetrics_empty_state_fails_softly():
+    import pyarrow as pa
+
+    from image_report_ray.functions.metrics import compute_metrics
+
+    state = pa.table(
+        {"conv_id": pa.array([], pa.string()),
+         "turn_idx": pa.array([], pa.int32()),
+         "text": pa.array([], pa.string()),
+         "_lsn": pa.array([], pa.int64()),
+         "_deleted": pa.array([], pa.bool_())}
+    )
+    res, computed, failed = compute_metrics(
+        state, {"simhash_digest", "minhash_digest", "fingerprint_digest"}
+    )
+    assert failed == 3
+    assert all("empty_input" in r.attrs.get("status", "") for r in res.values())
