@@ -35,6 +35,43 @@ WITH ch AS (
 )
 """
 
+# Winnowing twin (image_report_ray.pipelines.text:winnow_fingerprints_kernel):
+# k=8 byte grams, base 1000003, window 4. The nested-Horner expression
+# keeps every intermediate < 2^64 * base, inside HUGEINT range.
+_FP_B = 1000003
+_FP_M = 1 << 64
+_FP_HASH = "CAST(ascii(text[i]) AS HUGEINT)"
+for _j in range(1, 8):
+    _FP_HASH = f"(({_FP_HASH} * {_FP_B} + ascii(text[i+{_j}])) % {_FP_M})"
+_FP_SQL = f"""
+WITH g AS (
+  SELECT doc_id,
+         CASE WHEN length(text) >= 8
+              THEN list_transform(range(1, length(text) - 6), i -> {_FP_HASH})
+              ELSE [] END AS h
+  FROM documents
+),
+w AS (
+  SELECT doc_id,
+         CASE WHEN len(h) = 0 THEN []
+              WHEN len(h) <= 4 THEN [list_min(h)]
+              ELSE list_distinct(list_transform(range(1, len(h) - 2),
+                   j -> least(h[j], h[j+1], h[j+2], h[j+3])))
+         END AS fps
+  FROM g
+),
+x AS (SELECT doc_id, CAST(unnest(fps) AS UBIGINT) AS fp FROM w),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_fp, MIN(fp) AS fp_min, bit_xor(fp) AS fp_xor
+  FROM x GROUP BY doc_id
+)
+SELECT w.doc_id,
+       CAST(COALESCE(agg.n_fp, 0) AS BIGINT) AS n_fingerprints,
+       COALESCE(agg.fp_min, 0)::UBIGINT AS fp_min,
+       COALESCE(agg.fp_xor, 0)::UBIGINT AS fp_xor
+FROM w LEFT JOIN agg USING (doc_id) ORDER BY doc_id
+"""
+
 _FINAL_STATE = """
 SELECT conv_id, turn_idx, role, text, tool, ts{extra_cols}
 FROM (
@@ -174,6 +211,37 @@ SELECT doc_id AS media_id,
        ['image','audio','video'][kc + 1] AS kind
 FROM m ORDER BY media_id, frame_idx
 """,
+        # byte-histogram feature summary: the FMED body is the utf-8 text
+        # (pure ASCII in this corpus, so ascii(char) == byte); bins are
+        # byte >> 3, dominant bin ties resolve to the smallest index —
+        # integer-exact on both sides
+        "media_features": r"""
+WITH b AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, length(text) + 1),
+                               i -> ascii(text[i]) // 8)) AS bin
+  FROM documents
+),
+c AS (SELECT doc_id, bin, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+r AS (
+  SELECT doc_id, bin, cnt,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n_bins,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, bin ASC) AS rn
+  FROM c
+)
+SELECT doc_id AS media_id,
+       CAST(32 AS BIGINT) AS feat_dim,
+       CAST(n_bins AS BIGINT) AS feat_nonzero,
+       CAST(bin AS BIGINT) AS top_bin,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_body_bytes
+FROM r JOIN documents USING (doc_id)
+WHERE rn = 1 ORDER BY media_id
+""",
+        # winnowing fingerprints (Schleimer et al. 2003): 8-byte-gram
+        # rolling hash mod 2^64 (nested Horner in HUGEINT — bit-identical
+        # to the kernel's uint64 wraparound), sliding min over 4-gram
+        # windows, distinct; char == byte on this ASCII corpus
+        "fingerprint_docs": _FP_SQL,
         # exact word-3-gram Jaccard near-dup pairs (tau = 0.2); the SQL
         # mirrors the engine's inverted-index join shape
         "dedup_ngram_jaccard": r"""

@@ -83,8 +83,10 @@ def media_meta(sf_dir: str) -> pa.Table:
 
 def media_features(sf_dir: str) -> pa.Table:
     """Byte-histogram 'embedding' per media item (the model-inference
-    stage shape). Rows-only oracle: the vector itself is checked by
-    pytest (determinism + unit-norm-ish invariants)."""
+    stage shape), summarized to integer-exact signals so the query has a
+    full DuckDB oracle: feature dimension, occupied-bin count, and the
+    dominant bin (ties -> smallest bin index). The float feature vector
+    itself is additionally pinned by pytest (determinism)."""
     ds = _media_dataset(sf_dir).map_batches(
         ByteHistogramFeatures,
         batch_format="pyarrow",
@@ -93,17 +95,22 @@ def media_features(sf_dir: str) -> pa.Table:
     )
 
     def summarize(t: pa.Table) -> pa.Table:
-        feats = t.column("feature").to_pylist()
-        l1 = np.array([float(np.sum(f)) for f in feats])
-        nz = np.array([int(np.count_nonzero(f)) for f in feats], dtype=np.int64)
+        col = t.column("feature")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(col)
+        dim = ByteHistogramFeatures.N_BINS
+        mat = col.flatten().to_numpy(zero_copy_only=False).reshape(n, dim) if n else (
+            np.empty((0, dim), np.float32)
+        )
+        nz = np.count_nonzero(mat, axis=1).astype(np.int64)
+        top = mat.argmax(axis=1).astype(np.int64)  # first max = smallest bin
         return pa.table(
             {
                 "media_id": t.column("media_id"),
-                "feat_dim": pa.array(
-                    [len(f) for f in feats], pa.int64()
-                ),
+                "feat_dim": pa.array(np.full(n, dim, np.int64)),
                 "feat_nonzero": pa.array(nz),
-                "feat_l1": pa.array(np.round(l1, 6)),
+                "top_bin": pa.array(top),
                 "n_body_bytes": t.column("n_body_bytes"),
             }
         )
