@@ -314,23 +314,11 @@ def dedup_ngram_jaccard(sf_dir: str, tau: float = 0.2) -> pa.Table:
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     sh = ds.map_batches(explode, batch_format="pyarrow")
-    # the index executes ONCE; its blocks feed the pair exchange, and the
-    # per-doc set sizes (the Jaccard denominator — a docs-sized dict, the
-    # reference's broadcast-dimension-table shape,
-    # /root/reference/papersize.py:37-65) fold from the same blocks: each
-    # doc's shingles live in exactly one block.
+    # the index executes ONCE; its blocks feed the pair exchange first,
+    # then the per-doc set sizes (the Jaccard denominator) fold from the
+    # same blocks RESTRICTED to docs that actually appear in a pair —
+    # the driver never holds a corpus-wide dict, only O(pair docs).
     refs = sh.to_arrow_refs()
-
-    @ray.remote
-    def block_sizes(block: pa.Table):
-        vc = block.column("doc_id").combine_chunks().value_counts()
-        return vc.field("values").to_pylist(), vc.field("counts").to_pylist()
-
-    size_parts = ray.get([block_sizes.remote(r) for r in refs])
-    sizes: dict[int, int] = {}
-    for dids, ns in size_parts:
-        for d, n in zip(dids, ns):
-            sizes[d] = sizes.get(d, 0) + n
 
     pairs_t, _ = pair_counts(refs, "shingle", "doc_id")
 
@@ -338,8 +326,27 @@ def dedup_ngram_jaccard(sf_dir: str, tau: float = 0.2) -> pa.Table:
     a = (key >> 32).astype(np.int64)
     b = (key & 0xFFFFFFFF).astype(np.int64)
     i = pairs_t.column("n_common").to_numpy().astype(np.int64)
-    na = np.array([sizes[x] for x in a], dtype=np.int64)
-    nb = np.array([sizes[x] for x in b], dtype=np.int64)
+    needed = np.unique(np.concatenate([a, b])) if len(a) else np.array([], np.int64)
+    needed_ref = ray.put(needed)
+
+    @ray.remote
+    def block_sizes(block: pa.Table, need):
+        col = block.column("doc_id").combine_chunks()
+        vc = col.filter(
+            pc.is_in(col, value_set=pa.array(need, pa.int64()))
+        ).value_counts()
+        return (
+            vc.field("values").to_numpy(zero_copy_only=False),
+            vc.field("counts").to_numpy(zero_copy_only=False),
+        )
+
+    size_parts = ray.get([block_sizes.remote(r, needed_ref) for r in refs])
+    sizes = np.zeros(len(needed), dtype=np.int64)
+    for dids, ns in size_parts:
+        # each doc's shingles live in exactly one block, but += is safe
+        sizes[np.searchsorted(needed, dids)] += ns
+    na = sizes[np.searchsorted(needed, a)]
+    nb = sizes[np.searchsorted(needed, b)]
     jac = i / (na + nb - i)
     keep = jac >= tau
     t = pa.table(

@@ -313,17 +313,137 @@ def knn_cosine_ivf(sf_dir: str, query_vec_id: int = 0, k: int = 10) -> pa.Table:
     return t.select(["vec_id"]).append_column("rnk", rnk).select(["rnk", "vec_id"])
 
 
-def embedding_near_dups(sf_dir: str, threshold: float = 0.95) -> pa.Table:
+# Banded sign-LSH for the near-dup scale path: 32 bands x 16 bits.
+# P(band match) = (1 - acos(s)/pi)^16: ~0.18 per band at s=0.95 ->
+# ~0.998 recall over 32 bands; random pairs collide at ~1.5e-5 per band,
+# and the pair_counts hot-bucket cap bounds degenerate buckets.
+_ND_BANDS = 32
+_ND_BAND_BITS = 16
+_ND_SEED = 0xD0B
+
+
+def _nd_planes(dim: int) -> np.ndarray:
+    rng = np.random.default_rng(_ND_SEED)
+    return rng.standard_normal((dim, _ND_BANDS * _ND_BAND_BITS))
+
+
+def embedding_near_dups_lsh(
+    sf_dir: str, threshold: float = 0.95
+) -> pa.Table:
+    """Near-dup pairs via banded random-hyperplane LSH — the 100 TB path
+    behind :func:`embedding_near_dups`. Candidate pairs come from the
+    shared :func:`pair_counts` exchange over band-bucket keys; the exact
+    cosine verify gathers ONLY candidate vectors (per-block filter
+    against the broadcast candidate-id set), so driver state is
+    O(candidates x dim), never the corpus. Approximate -> pytest recall
+    gate, no SQL oracle."""
+    import ray
+
+    from .dedup import pair_counts
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    refs = ds.to_arrow_refs()
+
+    def band_explode(t: pa.Table) -> pa.Table:
+        m = _stack(t.column("embedding"))
+        nrm = np.linalg.norm(m, axis=1)
+        nrm[nrm == 0] = 1.0
+        mn = m / nrm[:, None]
+        pl = _nd_planes(mn.shape[1])
+        bits = (mn @ pl) > 0  # (n, bands*band_bits)
+        n = len(mn)
+        weights = (1 << np.arange(_ND_BAND_BITS, dtype=np.int64))
+        keys, ids = [], []
+        vid = t.column("vec_id").to_numpy()
+        for b in range(_ND_BANDS):
+            chunk = bits[:, b * _ND_BAND_BITS : (b + 1) * _ND_BAND_BITS]
+            val = chunk.astype(np.int64) @ weights
+            keys.append(b * (1 << _ND_BAND_BITS) + val)
+            ids.append(vid)
+        return pa.table(
+            {
+                "band_key": pa.array(np.concatenate(keys), pa.int64()),
+                "vec_id": pa.array(np.concatenate(ids), pa.int64()),
+            }
+        )
+
+    bands = rd.from_arrow_refs(refs).map_batches(band_explode, batch_format="pyarrow")
+    cands_t, _ = pair_counts(bands, "band_key", "vec_id")
+
+    empty = pa.table(
+        {
+            "vec_id_a": pa.array([], pa.int64()),
+            "vec_id_b": pa.array([], pa.int64()),
+            "sim": pa.array([], pa.float64()),
+        }
+    )
+    if cands_t.num_rows == 0:
+        return empty
+    key = cands_t.column("pair").to_numpy()
+    a = (key >> 32).astype(np.int64)
+    b = (key & 0xFFFFFFFF).astype(np.int64)
+    cand_ids = np.unique(np.concatenate([a, b]))
+    ids_ref = ray.put(cand_ids)
+
+    @ray.remote
+    def gather_vecs(block: pa.Table, need):
+        keep = np.isin(block.column("vec_id").to_numpy(), need)
+        return block.filter(pa.array(keep))
+
+    got = pa.concat_tables(
+        ray.get([gather_vecs.remote(r, ids_ref) for r in refs]),
+        promote_options="default",
+    )
+    gid = got.column("vec_id").to_numpy()
+    gm = _stack(got.column("embedding"))
+    nrm = np.linalg.norm(gm, axis=1)
+    nrm[nrm == 0] = 1.0
+    gm = gm / nrm[:, None]
+    order = np.argsort(gid)
+    gid_s = gid[order]
+    gm_s = gm[order]
+    va = gm_s[np.searchsorted(gid_s, a)]
+    vb = gm_s[np.searchsorted(gid_s, b)]
+    sims = np.einsum("ij,ij->i", va, vb)
+    keep = sims >= threshold
+    t = pa.table(
+        {
+            "vec_id_a": pa.array(a[keep], pa.int64()),
+            "vec_id_b": pa.array(b[keep], pa.int64()),
+            "sim": pa.array(sims[keep]),
+        }
+    )
+    t = round_col(t, "sim", 4)
+    return finalize(t, [("vec_id_a", "ascending"), ("vec_id_b", "ascending")])
+
+
+# Above this row count the O(n^2)-block exact plan stops being sane and
+# the query routes to the banded-LSH scale path automatically.
+_ND_MAX_BROADCAST_ROWS = 200_000
+
+
+def embedding_near_dups(
+    sf_dir: str,
+    threshold: float = 0.95,
+    max_broadcast_rows: int = _ND_MAX_BROADCAST_ROWS,
+) -> pa.Table:
     """Embedding-cosine near-duplicate pairs (vec_id_a < vec_id_b).
 
-    The full (small) matrix is broadcast once; each batch computes its
-    block-row of the similarity matrix and emits only pairs over the
-    threshold. At 100 TB the broadcast side becomes IVF centroids /
-    LSH buckets instead of the full matrix."""
+    Exact plan (the oracle anchor): the full normalized matrix is
+    broadcast once; each batch computes its block-row of the similarity
+    matrix and emits only pairs over the threshold — O(n^2) work,
+    correct and fastest while the matrix fits a broadcast. Beyond
+    ``max_broadcast_rows`` the query automatically switches to
+    :func:`embedding_near_dups_lsh` (banded LSH buckets + exact verify
+    of candidates), the same-output approximate scale path."""
     import pyarrow.parquet as pq
     import ray
 
     rd = _rd()
+    n_rows = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+    if n_rows > max_broadcast_rows:
+        return embedding_near_dups_lsh(sf_dir, threshold)
     all_t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     all_m = _stack(all_t.column("embedding"))
     all_norm = np.linalg.norm(all_m, axis=1)

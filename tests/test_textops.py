@@ -207,3 +207,45 @@ def test_distributed_lang_fit_matches_kernel(ray_session):
 
     exp = predict_langs(df.sort_values("doc_id").text.tolist(), kernel_prof)
     assert out.column("lang_pred").to_pylist() == exp
+
+
+def test_embedding_near_dups_lsh_recall(ray_session, tmp_path):
+    """Banded-LSH scale path: planted near-dup pairs (cos >= 0.97) are
+    recovered vs the exact pipeline; sims agree to 4 decimals."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from image_report_ray.pipelines.similarity import (
+        embedding_near_dups,
+        embedding_near_dups_lsh,
+    )
+
+    rng = np.random.default_rng(21)
+    dim = 32
+    base = rng.standard_normal((60, dim))
+    jit = base[:20] + 0.05 * rng.standard_normal((20, dim))  # near-dups of 0..19
+    mat = np.concatenate([base, jit])
+    d = tmp_path / "emb"
+    os.makedirs(d)
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array(np.arange(len(mat)), pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in mat],
+                                   pa.list_(pa.float32())),
+        }),
+        str(d / "embeddings.parquet"),
+    )
+    exact = embedding_near_dups(str(d), threshold=0.95)
+    approx = embedding_near_dups_lsh(str(d), threshold=0.95)
+    ep = set(zip(exact.column("vec_id_a").to_pylist(),
+                 exact.column("vec_id_b").to_pylist()))
+    ap = set(zip(approx.column("vec_id_a").to_pylist(),
+                 approx.column("vec_id_b").to_pylist()))
+    assert len(ep) >= 15          # the planted pairs exist
+    assert len(ep & ap) / len(ep) >= 0.9
+    assert ap <= ep               # exact verify: no false positives
+    # the gate: force the size cutoff and confirm the routed result
+    routed = embedding_near_dups(str(d), threshold=0.95, max_broadcast_rows=10)
+    assert routed.num_rows == approx.num_rows
