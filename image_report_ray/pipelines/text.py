@@ -9,8 +9,6 @@ registry (simhash, minhash, fingerprints) is in ``functions/textmetrics``.
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -81,19 +79,33 @@ def dedup_exact(sf_dir: str) -> pa.Table:
     only (hash, doc_id) pairs — with a per-batch min combiner — to elect
     the winner id per digest; pass 2 re-reads and keeps winner rows via a
     broadcast id set (at 100 TB: a Bloom filter / sorted-id broadcast).
-    sha256 collisions are cryptographically negligible."""
+    The digest is two independently-keyed vectorized 64-bit text hashes
+    (128 bits total — collision probability negligible at corpus scale),
+    computed batch-at-a-time in C instead of a per-row crypto loop."""
     import ray
     from ray.data.aggregate import Min
 
     rd = _rd()
 
     def hash_ids(t: pa.Table) -> pa.Table:
-        h = [
-            hashlib.sha256(s.encode("utf-8")).digest()[:16]
-            for s in t.column("text").to_pylist()
-        ]
+        txt = t.column("text")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        arr = txt.to_numpy(zero_copy_only=False).astype(object)
+        h1 = pd.util.hash_array(arr, hash_key="irrdedupexactkey")
+        h2 = pd.util.hash_array(arr, hash_key="irrdedupexactTWO")
+        h = (
+            h1.astype(np.uint64).byteswap().view(np.uint8).reshape(-1, 8),
+            h2.astype(np.uint64).byteswap().view(np.uint8).reshape(-1, 8),
+        )
+        digest = np.concatenate(h, axis=1).tobytes()
         part = pa.table(
-            {"h": pa.array(h, pa.binary(16)), "doc_id": t.column("doc_id")}
+            {
+                "h": pa.FixedSizeBinaryArray.from_buffers(
+                    pa.binary(16), len(arr), [None, pa.py_buffer(digest)]
+                ),
+                "doc_id": t.column("doc_id"),
+            }
         )
         g = part.group_by(["h"]).aggregate([("doc_id", "min")])
         return g.rename_columns(["h", "doc_id"])
