@@ -4,7 +4,8 @@
 Prints ONE JSON line::
 
     {"metric": "...", "value": <headline sec>, "unit": "sec",
-     "queries": {...}, "sf": ..., "num_cpus": N, "events_per_sec": ...}
+     "queries": {...}, "sf": ..., "num_cpus": N, "events_per_sec": ...,
+     "scaling": {sustained 10M-event replay at N and 4N cpus + efficiency}}
 
 ``--scaling`` runs the headline CDC replay twice in FRESH processes at two
 parallelism levels (num_cpus=8 and num_cpus=32 by default) on the same
@@ -150,14 +151,16 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
     return out
 
 
-def run_once(sf_dir: str, num_cpus: int, headline_only: bool) -> dict:
+def run_once(
+    sf_dir: str, num_cpus: int, headline_only: bool, with_scaling: bool = True
+) -> dict:
     _init_ray(num_cpus)
     head = bench_headline(sf_dir, num_cpus)
     queries = {} if headline_only else bench_queries(sf_dir)
     import ray
 
     ray.shutdown()
-    return {
+    out = {
         "metric": "cdc_replay_wall_sec",
         "value": round(head["sec"], 3),
         "unit": "sec",
@@ -167,6 +170,16 @@ def run_once(sf_dir: str, num_cpus: int, headline_only: bool) -> dict:
         "events": head["events"],
         "events_per_sec": round(head["events_per_sec"], 1),
     }
+    if with_scaling:
+        # the sustained 10M-event replay + N-vs-4N scaling evidence rides
+        # along in the default artifact (fresh subprocesses, cached WAL)
+        try:
+            out["scaling"] = {
+                k: v for k, v in run_scaling(2, 8).items() if k != "queries"
+            }
+        except Exception as exc:  # bench must still emit its one line
+            out["scaling"] = {"error": str(exc)[-500:]}
+    return out
 
 
 # Deterministic synthetic WAL for the scaling protocol: 8 epochs x 1.25M
@@ -315,6 +328,9 @@ def main() -> None:
     ap.add_argument("--sf", default=DEFAULT_SF)
     ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
     ap.add_argument("--headline-only", action="store_true")
+    ap.add_argument("--no-scaling", action="store_true",
+                    help="skip the 10M-event N-vs-4N scaling section of the "
+                         "default run")
     ap.add_argument("--synth-replay", action="store_true",
                     help="one fresh-session synthetic-WAL replay (scaling leg)")
     ap.add_argument("--scaling", action="store_true")
@@ -333,7 +349,8 @@ def main() -> None:
     elif args.synth_replay:
         out = run_synth_replay(args.cpus)
     else:
-        out = run_once(args.sf, args.cpus, args.headline_only)
+        out = run_once(args.sf, args.cpus, args.headline_only,
+                       with_scaling=not args.no_scaling)
     print(json.dumps(out))
 
 

@@ -545,13 +545,12 @@ def user_persona_match(sf_dir: str, top_k: int = 3) -> pa.Table:
     (/root/reference/papersize.py:129-149). All integer arithmetic, so
     the SQL twin is bit-identical.
 
-    Scale shape: per-batch partial counts -> grouped sum -> the scoring
-    runs per user-hash partition through the keyed exchange
-    (:mod:`.exchange`) — only the top-3 rows per user ever reach the
-    driver, never a users-wide pivot."""
+    Scale shape: per-batch partial counts (the combiner — each batch
+    folds to <= users x types rows), then the keyed exchange co-locates
+    every user's partials and the partition kernel's pivot completes the
+    sum and scores — NO separate hash-groupby shuffle, and only the
+    top-3 rows per user ever reach the driver."""
     from functools import partial as fpartial
-
-    from ray.data.aggregate import Sum
 
     from .exchange import exchange_reduce, gather_concat
 
@@ -565,14 +564,11 @@ def user_persona_match(sf_dir: str, top_k: int = 3) -> pa.Table:
             }
         )
         g = full.group_by(["user_id", "event_type"]).aggregate([([], "count_all")])
-        return g.rename_columns(["user_id", "event_type", "n_part"])
+        return g.rename_columns(["user_id", "event_type", "n"])
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
-    counts = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["user_id", "event_type"])
-        .aggregate(Sum("n_part", alias_name="n"))
-    )
+    counts = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    ).map_batches(partial, batch_format="pyarrow")
     refs = exchange_reduce(
         [counts], ["user_id"], fpartial(_persona_score_partition, top_k=top_k)
     )

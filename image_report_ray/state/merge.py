@@ -334,7 +334,7 @@ def export_canonical(state: pa.Table) -> pa.Table:
 # S_i = Σ b_j·B^(-j), a row's hash Σ b_j·B^(e-1-j) is
 # (S_e − S_s)·B^(e-1) — two gathers and a multiply per row.
 
-DIGEST_ALGO = "irr-poly64-v1"
+DIGEST_ALGO = "irr-sha256-v1"
 
 _POLY_B = np.uint64(0x100000001B3)  # FNV-1a prime (odd => invertible mod 2^64)
 _POLY_BINV = np.uint64(pow(0x100000001B3, -1, 1 << 64))
@@ -465,17 +465,13 @@ def table_rowhash(table: pa.Table) -> np.ndarray:
     return row
 
 
-def table_digest(table: pa.Table, columns: list[str] | None = None) -> str:
-    """Order-independent content digest of a table (merkle-style sketch).
-
-    Per-row 64-bit hashes (``table_rowhash`` — the engine's own
-    version-stable poly hash, see above) combined by (sum mod 2^64, xor,
-    count) — commutative, so two partitions' digests can be compared
-    without a global sort, and incremental maintenance (digest(A ∪ B)
-    from digest components) is possible. The algorithm id
-    (:data:`DIGEST_ALGO`) is recorded in every commit manifest so
-    ``cli validate`` can distinguish corruption from an algorithm change.
-    """
+def table_sketch(table: pa.Table, columns: list[str] | None = None) -> str:
+    """Order-INDEPENDENT content sketch: per-row 64-bit hashes
+    (``table_rowhash``) combined by (sum mod 2^64, xor, count) —
+    commutative, so two partitions' sketches compare without a sort and
+    incremental maintenance (sketch(A ∪ B) from components) works. Use
+    this when row order is not canonical; the checkpoint digest below is
+    the cheaper order-sensitive form."""
     if columns is not None:
         table = table.select(columns)
     if table.num_rows == 0:
@@ -484,3 +480,79 @@ def table_digest(table: pa.Table, columns: list[str] | None = None) -> str:
     s = int(np.sum(h, dtype=np.uint64))
     x = int(np.bitwise_xor.reduce(h))
     return f"{s:016x}:{x:016x}:{len(h)}"
+
+
+def _digest_column(h, col: "pa.ChunkedArray | pa.Array") -> None:
+    """Feed one column's canonical value bytes into a hash object:
+    validity mask, then value-semantic bytes (ints/temporals as int64,
+    bools as 0/1, floats as IEEE doubles, strings/binary as
+    lengths + concatenated data) — independent of chunking, slicing,
+    offsets and physical encoding."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    t = col.type
+    if pa.types.is_dictionary(t):
+        col = col.cast(t.value_type)
+        t = col.type
+    h.update(pc.is_null(col).to_numpy(zero_copy_only=False).tobytes())
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        col = pc.fill_null(col, "")
+        off_dtype = np.int64 if pa.types.is_large_string(t) else np.int32
+        offs = np.frombuffer(col.buffers()[1], off_dtype)[
+            col.offset : col.offset + len(col) + 1
+        ]
+        h.update(np.diff(offs).astype(np.int64).tobytes())
+        h.update(memoryview(col.buffers()[2])[int(offs[0]) : int(offs[-1])])
+    elif pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        col = pc.fill_null(col, b"")
+        off_dtype = np.int64 if pa.types.is_large_binary(t) else np.int32
+        offs = np.frombuffer(col.buffers()[1], off_dtype)[
+            col.offset : col.offset + len(col) + 1
+        ]
+        h.update(np.diff(offs).astype(np.int64).tobytes())
+        h.update(memoryview(col.buffers()[2])[int(offs[0]) : int(offs[-1])])
+    elif pa.types.is_boolean(t):
+        h.update(
+            col.fill_null(False).cast(pa.uint8()).to_numpy(zero_copy_only=False).tobytes()
+        )
+    elif pa.types.is_floating(t):
+        h.update(
+            col.fill_null(0).cast(pa.float64()).to_numpy(zero_copy_only=False).tobytes()
+        )
+    elif pa.types.is_temporal(t) or pa.types.is_integer(t):
+        h.update(
+            col.fill_null(0)
+            .cast(pa.int64(), safe=False)
+            .to_numpy(zero_copy_only=False)
+            .tobytes()
+        )
+    else:  # unknown logical type: canonical string rendering
+        _digest_column(h, col.cast(pa.string()))
+
+
+def table_digest(table: pa.Table, columns: list[str] | None = None) -> str:
+    """Checkpoint content digest: sha256 over the table's canonical
+    serialization in its GIVEN row order.
+
+    State tables are canonically sorted by ``(conv_id, turn_idx)`` by
+    construction (every merge/fold/GC path ends in the same sort — the
+    repo's replay-determinism invariant), so equal content implies equal
+    order and the digest needs no per-row combining; sha256 is
+    version-stable forever and runs at C speed. Chunk layout, array
+    slicing and physical encoding do not affect the value. For
+    non-canonical inputs use :func:`table_sketch` (order-independent).
+    The algorithm id (:data:`DIGEST_ALGO`) is recorded in every commit
+    manifest so ``cli validate`` can distinguish corruption from an
+    algorithm change."""
+    import hashlib
+    import struct
+
+    if columns is not None:
+        table = table.select(columns)
+    if table.num_rows == 0:
+        return "0:0:0"
+    h = hashlib.sha256(struct.pack("<Q", table.num_rows))
+    for name in table.column_names:
+        h.update(name.encode("utf-8"))
+        _digest_column(h, table.column(name))
+    return f"{h.hexdigest()[:32]}:{table.num_rows}"

@@ -168,25 +168,33 @@ def test_randomized_equivalence_with_evolution():
     assert got.equals(golden)
 
 
-def test_digest_order_independent():
+def test_digest_and_sketch_semantics():
+    from image_report_ray.state.merge import table_sketch
+
     t = mk_changes([(1, "I", "a", 0, "x"), (2, "I", "b", 0, "y")])
-    s1 = table_digest(t)
-    s2 = table_digest(t.take(pa.array([1, 0])))
-    assert s1 == s2
-    assert table_digest(t.slice(0, 1)) != s1
+    perm = t.take(pa.array([1, 0]))
+    # the checkpoint digest is defined over the canonical row order
+    # (state is always sorted by construction): reorder -> different
+    assert table_digest(t) != table_digest(perm)
+    assert table_digest(t.slice(0, 1)) != table_digest(t)
+    # the order-independent sketch ignores row order
+    assert table_sketch(t) == table_sketch(perm)
+    assert table_sketch(t.slice(0, 1)) != table_sketch(t)
 
 
 def test_digest_version_stable_golden():
     """The digest is checkpointed in manifests, so its value is pinned
     forever: any change to the algorithm must bump DIGEST_ALGO and this
     golden together."""
-    from image_report_ray.state.merge import DIGEST_ALGO
+    from image_report_ray.state.merge import DIGEST_ALGO, table_sketch
 
     g = pa.table(
         {"k": pa.array(["alpha", "beta", None]), "n": pa.array([1, 2, 3], pa.int64())}
     )
-    assert DIGEST_ALGO == "irr-poly64-v1"
-    assert table_digest(g) == "1e0dd8b777869789:d1162b34447169bf:3"
+    assert DIGEST_ALGO == "irr-sha256-v1"
+    assert table_digest(g) == "d00ed986312e9d7e798472bd30689b7f:3"
+    # the sketch is its own pinned algorithm (order-independent poly64)
+    assert table_sketch(g) == "1e0dd8b777869789:d1162b34447169bf:3"
 
 
 def test_digest_canonical_semantics():
