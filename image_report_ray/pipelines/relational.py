@@ -407,9 +407,38 @@ def customers_without_orders(sf_dir: str) -> pa.Table:
     return finalize(t, [("c_custkey", "ascending")])
 
 
+def _hour_sum_partition(pid: int, t: pa.Table) -> pa.Table:
+    """Final per-partition fold of the tumbling-window partials (all of a
+    user's partials are co-partitioned, so the sums are complete)."""
+    if t.num_rows == 0:
+        return pa.table(
+            {"user_id": pa.array([], pa.int64()),
+             "hour_bucket": pa.array([], pa.int64()),
+             "n_events": pa.array([], pa.int64()),
+             "sum_value": pa.array([], pa.float64())}
+        )
+    g = t.group_by(["user_id", "hour_bucket"]).aggregate(
+        [("n_part", "sum"), ("value_c", "sum")]
+    )
+    sum_value = g.column("value_c_sum").to_numpy().astype(np.int64) / 100.0
+    return pa.table(
+        {
+            "user_id": g.column("user_id"),
+            "hour_bucket": g.column("hour_bucket"),
+            "n_events": g.column("n_part_sum").cast(pa.int64()),
+            "sum_value": pa.array(sum_value),
+        }
+    )
+
+
 def user_hour_activity(sf_dir: str) -> pa.Table:
-    """Tumbling 1-hour window per user: event count + value sum."""
-    from ray.data.aggregate import Count, Sum
+    """Tumbling 1-hour window per user: event count + value sum.
+
+    Per-batch combine (one partial row per (user, hour, batch)), then
+    the keyed exchange co-partitions by user and each partition folds its
+    windows — the same shuffle the sessionize/as-of family uses, without
+    a Dataset-groupby barrier."""
+    from .exchange import exchange_reduce, gather_concat
 
     rd = _rd()
 
@@ -430,22 +459,13 @@ def user_hour_activity(sf_dir: str) -> pa.Table:
         return g.rename_columns(["user_id", "hour_bucket", "n_part", "value_c"])
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
-    out = (
-        ds.map_batches(bucket, batch_format="pyarrow")
-        .groupby(["user_id", "hour_bucket"])
-        .aggregate(Sum("n_part", alias_name="n_events"), Sum("value_c", alias_name="s_value_c"))
+    refs = exchange_reduce(
+        [ds.map_batches(bucket, batch_format="pyarrow")],
+        ["user_id"],
+        _hour_sum_partition,
     )
-    t = ds_to_table(out)
-    sum_value = t.column("s_value_c").to_numpy().astype(np.int64) / 100.0
-    t = pa.table(
-        {
-            "user_id": t.column("user_id"),
-            "hour_bucket": t.column("hour_bucket"),
-            "n_events": t.column("n_events").cast(pa.int64()),
-            "sum_value": sum_value,
-        }
-    )
-    return finalize(t, [("user_id", "ascending"), ("hour_bucket", "ascending")])
+    return finalize(gather_concat(refs),
+                    [("user_id", "ascending"), ("hour_bucket", "ascending")])
 
 
 # Coarse user-partition count for windowed/as-of group work: the group key
@@ -576,13 +596,32 @@ def user_persona_match(sf_dir: str, top_k: int = 3) -> pa.Table:
                     [("user_id", "ascending"), ("rnk", "ascending")])
 
 
+def _sliding_sum_partition(pid: int, t: pa.Table) -> pa.Table:
+    """Final per-partition fold of the hop-exploded window partials."""
+    if t.num_rows == 0:
+        return pa.table(
+            {"user_id": pa.array([], pa.int64()),
+             "window_start_hour": pa.array([], pa.int64()),
+             "n_events": pa.array([], pa.int64())}
+        )
+    g = t.group_by(["user_id", "window_start_hour"]).aggregate([("n_part", "sum")])
+    return pa.table(
+        {
+            "user_id": g.column("user_id"),
+            "window_start_hour": g.column("window_start_hour"),
+            "n_events": g.column("n_part_sum").cast(pa.int64()),
+        }
+    )
+
+
 def user_sliding_activity(sf_dir: str) -> pa.Table:
     """Sliding (hopping) window: 2-hour windows hopping 1 hour, per user.
 
     Each event explodes into the two windows that cover it (window id =
-    start hour), then the same partial-plus-grouped-sum shape as the
-    tumbling window — the hop explode IS the sliding-window operator."""
-    from ray.data.aggregate import Sum
+    start hour), per-batch combine, then the keyed exchange co-partitions
+    by user and each partition folds its windows — the hop explode IS the
+    sliding-window operator."""
+    from .exchange import exchange_reduce, gather_concat
 
     rd = _rd()
 
@@ -604,16 +643,13 @@ def user_sliding_activity(sf_dir: str) -> pa.Table:
         return g.rename_columns(["user_id", "window_start_hour", "n_part"])
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
-    out = (
-        ds.map_batches(explode_hops, batch_format="pyarrow")
-        .groupby(["user_id", "window_start_hour"])
-        .aggregate(Sum("n_part", alias_name="n_events"))
+    refs = exchange_reduce(
+        [ds.map_batches(explode_hops, batch_format="pyarrow")],
+        ["user_id"],
+        _sliding_sum_partition,
     )
-    t = ds_to_table(out)
-    t = t.set_column(
-        t.column_names.index("n_events"), "n_events", t.column("n_events").cast(pa.int64())
-    )
-    return finalize(t, [("user_id", "ascending"), ("window_start_hour", "ascending")])
+    return finalize(gather_concat(refs),
+                    [("user_id", "ascending"), ("window_start_hour", "ascending")])
 
 
 def distinct_event_types(sf_dir: str) -> pa.Table:
