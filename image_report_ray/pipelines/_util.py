@@ -41,3 +41,16 @@ def round_col(table: pa.Table, name: str, ndigits: int) -> pa.Table:
     return table.set_column(
         i, name, pc.round(table.column(name), ndigits=ndigits)
     )
+
+
+def fold_partials(ds, keys: list[str], aggs: list, rename: list[str] | None = None):
+    """Driver fold for FIXED tiny group cardinalities (return flags,
+    ops, languages, ...): every block contributes O(groups) partial rows,
+    so gathering them costs O(groups x blocks) — strictly less than any
+    shuffle would move — and one Arrow C ``group_by`` finishes the fold.
+    Never use for keys whose cardinality grows with the data (users,
+    tokens, conversations): those go through the keyed exchange
+    (:mod:`.exchange`)."""
+    t = ds_to_table(ds)
+    g = t.group_by(keys).aggregate(aggs)
+    return g.rename_columns(rename) if rename else g

@@ -102,27 +102,17 @@ def cdc_conv_summary(sf_dir: str) -> pa.Table:
     last timestamp, distinct roles — the derived-view query a transcript
     lake serves. Runs the real engine, then aggregates the canonical
     state with per-batch partials + a small grouped fold."""
-    from ray.data.aggregate import Max, Sum
-
-    import ray.data as rd
-
     state = cdc_apply(sf_dir)  # materialized canonical state (small here)
-
-    def partial(t: pa.Table) -> pa.Table:
-        g = t.group_by(["conv_id"]).aggregate(
-            [([], "count_all"), ("ts", "max")]
-        )
-        return g.rename_columns(["conv_id", "n_part", "ts_max"])
-
-    ds = rd.from_arrow(state)
-    out = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("conv_id")
-        .aggregate(Sum("n_part", alias_name="n_turns"), Max("ts_max", alias_name="last_ts"))
-    )
-    t = ds_to_table(out)
-    t = t.set_column(
-        t.column_names.index("n_turns"), "n_turns", t.column("n_turns").cast(pa.int64())
+    # one Arrow C fold over the already-materialized state; at scale this
+    # is an exchange_reduce over canonical_state_dataset's per-partition
+    # refs (a conversation never spans partitions, so each fold is local)
+    g = state.group_by(["conv_id"]).aggregate([([], "count_all"), ("ts", "max")])
+    t = pa.table(
+        {
+            "conv_id": g.column("conv_id"),
+            "n_turns": g.column("count_all").cast(pa.int64()),
+            "last_ts": g.column("ts_max"),
+        }
     )
     return finalize(t, [("conv_id", "ascending")])
 
@@ -131,9 +121,9 @@ def cdc_counts(sf_dir: str, epoch_size: int = 2500) -> pa.Table:
     """Per-(epoch, op) event counts — the lineage op-profile aggregate.
 
     Per-batch Arrow hash-group-by folds each batch to one row per
-    (epoch, op) BEFORE the exchange (the combiner discipline), so the
-    shuffle moves O(groups x batches) rows, then a tiny grouped sum."""
-    from ray.data.aggregate import Sum
+    (epoch, op) (the combiner discipline); the fixed tiny cardinality
+    (epochs x 3 ops) folds on the driver — no shuffle."""
+    from ._util import fold_partials
 
     def partial(t: pa.Table) -> pa.Table:
         ep = pc.divide(t.column("lsn"), epoch_size)
@@ -143,7 +133,7 @@ def cdc_counts(sf_dir: str, epoch_size: int = 2500) -> pa.Table:
         return g.rename_columns(["epoch", "op", "n_part"])
 
     ds = changelog_dataset(sf_dir).map_batches(partial, batch_format="pyarrow")
-    out = ds.groupby(["epoch", "op"]).aggregate(Sum("n_part", alias_name="n"))
-    t = ds_to_table(out)
+    t = fold_partials(ds, ["epoch", "op"], [("n_part", "sum")],
+                      ["epoch", "op", "n"])
     t = t.set_column(t.column_names.index("n"), "n", t.column("n").cast(pa.int64()))
     return finalize(t, [("epoch", "ascending"), ("op", "ascending")])

@@ -10,10 +10,13 @@ sorted ``pyarrow.Table`` whose column names match the DuckDB oracle SQL in
   ``ray.put`` and looked up per batch — the engine analogue of the
   reference's static paper-size dimension-table join
   (/root/reference/papersize.py:37-65, SURVEY.md J1): never a shuffle;
-* large-large joins use ``Dataset.join`` (hash-partitioned) with an
-  explicit ``num_partitions``;
-* aggregates go through ``groupby().aggregate(...)`` which combines
-  map-side per block before the exchange.
+* large-large joins and grouped work whose key cardinality grows with
+  the data (users, orders) ride the engine's keyed exchange
+  (:mod:`.exchange`): per-batch combine, hash-partition by key, one
+  vectorized kernel per partition;
+* fixed tiny-cardinality aggregates (return flags, event types) use
+  per-batch combine + a driver fold (``fold_partials``) — no shuffle at
+  all.
 """
 
 from __future__ import annotations
@@ -23,7 +26,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ._util import ds_to_table, finalize
+from ._util import ds_to_table, finalize, fold_partials
 
 _US_PER_HOUR = 3_600_000_000
 
@@ -53,11 +56,10 @@ def q1_pricing_summary(sf_dir: str) -> pa.Table:
     """TPC-H Q1 shape: grouped pricing summary of shipped lineitems.
 
     Aggregation is exact integer arithmetic (cents / 1e-4 / 1e-6 dollar
-    units); the grouped Sum combines map-side per block before the
-    exchange, so the shuffle carries one partial row per (group, block).
+    units); each block combines map-side to ~4 partial rows and the tiny
+    fixed-cardinality fold happens on the driver (fold_partials) — no
+    shuffle at all for a 4-group aggregate.
     """
-    from ray.data.aggregate import Count, Sum
-
     rd = _rd()
     cutoff = pa.scalar(np.datetime64("1998-09-02", "us"), type=pa.timestamp("us"))
 
@@ -95,19 +97,14 @@ def q1_pricing_summary(sf_dir: str) -> pa.Table:
             "l_discount", "l_tax", "l_shipdate",
         ],
     )
-    out = (
-        ds.map_batches(prep, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("qty_c", alias_name="s_qty_c"),
-            Sum("price_c", alias_name="s_price_c"),
-            Sum("disc_price_u", alias_name="s_dp_u"),
-            Sum("charge_u", alias_name="s_ch_u"),
-            Sum("disc_c", alias_name="s_disc_c"),
-            Sum("n_rows", alias_name="count_order"),
-        )
+    t = fold_partials(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        [("qty_c", "sum"), ("price_c", "sum"), ("disc_price_u", "sum"),
+         ("charge_u", "sum"), ("disc_c", "sum"), ("n_rows", "sum")],
+        ["l_returnflag", "l_linestatus", "s_qty_c", "s_price_c", "s_dp_u",
+         "s_ch_u", "s_disc_c", "count_order"],
     )
-    t = ds_to_table(out)
     # All decimals derive from int64 by floor-division then ONE exact float
     # division — no float re-rounding, so the value is bit-identical to the
     # SQL oracle no matter the block order (tie-free by construction).
@@ -468,26 +465,6 @@ def user_hour_activity(sf_dir: str) -> pa.Table:
                     [("user_id", "ascending"), ("hour_bucket", "ascending")])
 
 
-# Coarse user-partition count for windowed/as-of group work: the group key
-# is pid = user_id % P, so one map_groups call processes a whole
-# partition VECTORIZED across its users (one Python call per partition,
-# not per user — with millions of users the per-group-call overhead is
-# the difference between a kernel and a loop). Ordering assumption: all
-# of a user's events co-locate in one partition.
-_USER_PARTS = 16
-
-
-def _with_upid(ds):
-    def add(t: pa.Table) -> pa.Table:
-        u = t.column("user_id")
-        if isinstance(u, pa.ChunkedArray):
-            u = u.combine_chunks()
-        upid = (u.to_numpy(zero_copy_only=False) % _USER_PARTS).astype(np.int32)
-        return t.append_column("_upid", pa.array(upid))
-
-    return ds.map_batches(add, batch_format="pyarrow")
-
-
 # Static persona dimension table — the engine's STANDARD_SIZES_MM
 # (/root/reference/papersize.py:37-65): expected event-type mix in basis
 # points, broadcast to every scoring task, never shuffled.
@@ -654,9 +631,8 @@ def user_sliding_activity(sf_dir: str) -> pa.Table:
 
 def distinct_event_types(sf_dir: str) -> pa.Table:
     """Distinct values of a column (the `unique` operator): per-batch
-    dedup partials, then a grouped fold — never ships duplicate values."""
-    from ray.data.aggregate import Count
-
+    dedup partials, then a tiny driver fold — duplicate values are never
+    shipped and a fixed-cardinality key needs no shuffle."""
     rd = _rd()
 
     def uniq(t: pa.Table) -> pa.Table:
@@ -666,54 +642,57 @@ def distinct_event_types(sf_dir: str) -> pa.Table:
         return pa.table({"event_type": col.unique()})
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])
-    out = ds.map_batches(uniq, batch_format="pyarrow").groupby("event_type").aggregate(
-        Count(alias_name="_n")
-    )
-    t = ds_to_table(out).select(["event_type"])
+    t = fold_partials(
+        ds.map_batches(uniq, batch_format="pyarrow"),
+        ["event_type"], [([], "count_all")], ["event_type", "_n"],
+    ).select(["event_type"])
     return finalize(t, [("event_type", "ascending")])
+
+
+def _sessions_partition(pid: int, t: pa.Table) -> pa.Table:
+    """Vectorized session counting for one user-hash partition (sort by
+    (user, ts), groupby-shift gap test) — one Python call per PARTITION,
+    not per user."""
+    if t.num_rows == 0:
+        return pa.table({"user_id": pa.array([], pa.int64()),
+                         "n_sessions": pa.array([], pa.int64())})
+    g = t.to_pandas().sort_values(["user_id", "ts", "event_id"])
+    prev = g.groupby("user_id")["ts"].shift()
+    new_session = prev.isna() | ((g["ts"] - prev) > pd.Timedelta(minutes=30))
+    out = new_session.groupby(g["user_id"]).sum().astype("int64")
+    return pa.table({"user_id": pa.array(out.index.to_numpy(), pa.int64()),
+                     "n_sessions": pa.array(out.to_numpy(), pa.int64())})
 
 
 def sessionize_users(sf_dir: str) -> pa.Table:
     """Session windows (30-minute inactivity gap) per user.
 
-    Ray Data has no event-time windows; the engine's contract is
-    partition-by-user-hash + one vectorized pass per partition
-    (sort by (user, ts), groupby-shift for the gap test)."""
+    Ray Data has no event-time windows; the engine's contract is the
+    keyed exchange (partition by user hash) + one vectorized pass per
+    partition (sort by (user, ts), groupby-shift for the gap test)."""
+    from .exchange import exchange_reduce, gather_concat
+
     rd = _rd()
-    gap = pd.Timedelta(minutes=30)
-
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["user_id", "ts", "event_id"])
-        prev = g.groupby("user_id")["ts"].shift()
-        new_session = prev.isna() | ((g["ts"] - prev) > gap)
-        out = new_session.groupby(g["user_id"]).sum().astype("int64")
-        return pd.DataFrame({"user_id": out.index, "n_sessions": out.to_numpy()})
-
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
-    out = _with_upid(ds).groupby("_upid").map_groups(sessions, batch_format="pandas")
-    t = ds_to_table(out)
-    t = t.set_column(
-        t.column_names.index("n_sessions"),
-        "n_sessions",
-        t.column("n_sessions").cast(pa.int64()),
-    )
-    return finalize(t, [("user_id", "ascending")])
+    refs = exchange_reduce([ds], ["user_id"], _sessions_partition)
+    return finalize(gather_concat(refs), [("user_id", "ascending")])
 
 
-def asof_click_before_purchase(sf_dir: str) -> pa.Table:
-    """As-of join: for every purchase, the user's latest strictly-earlier
-    click. One vectorized ``merge_asof(by="user_id")`` per user-hash
-    partition — the by-key as-of shape, ~#users/P users per call."""
-    rd = _rd()
-
-    def per_part(g: pd.DataFrame) -> pd.DataFrame:
-        p = g[g["event_type"] == "purchase"].sort_values(["ts", "event_id"])
-        c = g[g["event_type"] == "click"].sort_values(["ts", "event_id"])
-        if p.empty:
-            return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
-                                 "click_ts": pd.Series([], dtype="datetime64[us]")})
-        if c.empty:
-            return pd.DataFrame({"event_id": p["event_id"], "click_ts": pd.NaT})
+def _asof_partition(pid: int, t: pa.Table) -> pa.Table:
+    """Vectorized by-user as-of join for one user-hash partition: ONE
+    ``merge_asof(by="user_id")`` over all this partition's users."""
+    empty = pa.table({"event_id": pa.array([], pa.int64()),
+                      "click_ts": pa.array([], pa.timestamp("us"))})
+    if t.num_rows == 0:
+        return empty
+    g = t.to_pandas()
+    p = g[g["event_type"] == "purchase"].sort_values(["ts", "event_id"])
+    c = g[g["event_type"] == "click"].sort_values(["ts", "event_id"])
+    if p.empty:
+        return empty
+    if c.empty:
+        m = pd.DataFrame({"event_id": p["event_id"], "click_ts": pd.NaT})
+    else:
         m = pd.merge_asof(
             p[["event_id", "user_id", "ts"]],
             c[["user_id", "ts"]].assign(click_ts=c["ts"]),
@@ -722,10 +701,21 @@ def asof_click_before_purchase(sf_dir: str) -> pa.Table:
             direction="backward",
             allow_exact_matches=False,
         )
-        return m[["event_id", "click_ts"]]
+    return pa.Table.from_pandas(
+        m[["event_id", "click_ts"]], preserve_index=False
+    ).cast(empty.schema)
 
+
+def asof_click_before_purchase(sf_dir: str) -> pa.Table:
+    """As-of join: for every purchase, the user's latest strictly-earlier
+    click. The keyed exchange co-partitions by user hash; one vectorized
+    ``merge_asof(by="user_id")`` per partition — ~#users/P users per
+    call."""
+    from .exchange import exchange_reduce, gather_concat
+
+    rd = _rd()
     ds = rd.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type", "ts"]
     )
-    out = _with_upid(ds).groupby("_upid").map_groups(per_part, batch_format="pandas")
-    return finalize(ds_to_table(out), [("event_id", "ascending")])
+    refs = exchange_reduce([ds], ["user_id"], _asof_partition)
+    return finalize(gather_concat(refs), [("event_id", "ascending")])

@@ -47,10 +47,31 @@ def text_stats(sf_dir: str) -> pa.Table:
                     [("doc_id", "ascending")])
 
 
+def _token_topk_partition(pid: int, t: pa.Table, k: int = 20) -> pa.Table:
+    """Per-partition token-count fold + top-k: a token's partials all
+    meet in one partition, so its global count completes here and only
+    k rows leave the partition."""
+    if t.num_rows == 0:
+        return pa.table({"token": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
+    g = t.group_by(["token"]).aggregate([("n_part", "sum")])
+    out = pa.table(
+        {"token": g.column("token"), "n": g.column("n_part_sum").cast(pa.int64())}
+    )
+    idx = pc.sort_indices(
+        out, sort_keys=[("n", "descending"), ("token", "ascending")]
+    )
+    return out.take(idx.slice(0, k))
+
+
 def top_tokens(sf_dir: str, k: int = 20) -> pa.Table:
-    """Global token frequency top-k: per-batch partial counts (combiner)
-    then a small grouped sum — the pre-aggregate-before-shuffle pattern."""
-    from ray.data.aggregate import Sum
+    """Global token frequency top-k: per-batch partial counts (combiner),
+    then the keyed exchange completes each token's count in exactly one
+    partition and keeps only that partition's top-k — the driver folds
+    P x k rows, never the vocabulary."""
+    from functools import partial as fpartial
+
+    from .exchange import exchange_reduce, gather_concat
 
     rd = _rd()
 
@@ -62,15 +83,22 @@ def top_tokens(sf_dir: str, k: int = 20) -> pa.Table:
         return pa.table({"token": vc.field("values"), "n_part": vc.field("counts")})
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
-    out = (
-        ds.map_batches(partial_counts, batch_format="pyarrow")
-        .groupby("token")
-        .aggregate(Sum("n_part", alias_name="n"))
+    refs = exchange_reduce(
+        [ds.map_batches(partial_counts, batch_format="pyarrow")],
+        ["token"],
+        fpartial(_token_topk_partition, k=k),
     )
-    t = ds_to_table(out)
-    t = t.set_column(t.column_names.index("n"), "n", t.column("n").cast(pa.int64()))
-    t = finalize(t, [("n", "descending"), ("token", "ascending")])
+    t = finalize(gather_concat(refs), [("n", "descending"), ("token", "ascending")])
     return t.slice(0, k).select(["token", "n"])
+
+
+def _dedup_winner_partition(pid: int, t: pa.Table) -> pa.Table:
+    """Per-partition winner election: all postings of a digest meet in
+    one partition, so min(doc_id) per digest is final here."""
+    if t.num_rows == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64())})
+    g = t.group_by(["h"]).aggregate([("doc_id", "min")])
+    return pa.table({"doc_id": g.column("doc_id_min").cast(pa.int64())})
 
 
 def dedup_exact(sf_dir: str) -> pa.Table:
@@ -83,7 +111,6 @@ def dedup_exact(sf_dir: str) -> pa.Table:
     (128 bits total — collision probability negligible at corpus scale),
     computed batch-at-a-time in C instead of a per-row crypto loop."""
     import ray
-    from ray.data.aggregate import Min
 
     rd = _rd()
 
@@ -111,10 +138,14 @@ def dedup_exact(sf_dir: str) -> pa.Table:
         return g.rename_columns(["h", "doc_id"])
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    winners_t = ds_to_table(
-        ds.map_batches(hash_ids, batch_format="pyarrow")
-        .groupby("h")
-        .aggregate(Min("doc_id", alias_name="doc_id"))
+    from .exchange import exchange_reduce, gather_concat
+
+    winners_t = gather_concat(
+        exchange_reduce(
+            [ds.map_batches(hash_ids, batch_format="pyarrow")],
+            ["h"],
+            _dedup_winner_partition,
+        )
     )
     winner_ids = pa.array(sorted(winners_t.column("doc_id").to_pylist()), pa.int64())
     ids_ref = ray.put(winner_ids)
@@ -480,15 +511,22 @@ def sample_split(sf_dir: str) -> pa.Table:
 
 def lang_stats(sf_dir: str) -> pa.Table:
     """Documents per language with average length (floor at 1e-4 — integer
-    derivation keeps the value bit-equal to the SQL oracle)."""
-    from ray.data.aggregate import Count, Sum
+    derivation keeps the value bit-equal to the SQL oracle). Per-batch
+    combine + driver fold: languages are a fixed tiny cardinality."""
+    from ._util import fold_partials
 
     rd = _rd()
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["lang"]).aggregate([([], "count_all"), ("n_chars", "sum")])
+        return g.rename_columns(["lang", "n_part", "c_part"])
+
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"])
-    out = ds.groupby("lang").aggregate(
-        Count(alias_name="n_docs"), Sum("n_chars", alias_name="s_chars")
+    t = fold_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["lang"], [("n_part", "sum"), ("c_part", "sum")],
+        ["lang", "n_docs", "s_chars"],
     )
-    t = ds_to_table(out)
     n = t.column("n_docs").to_numpy().astype(np.int64)
     s = t.column("s_chars").to_numpy().astype(np.int64)
     t = pa.table(
