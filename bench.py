@@ -236,6 +236,54 @@ def run_synth_replay(num_cpus: int) -> dict:
     }
 
 
+TEXTBENCH_DIR = "/tmp/irr-textbench/v1"
+TEXTBENCH_DOCS = 200_000
+
+
+def run_textbench(num_cpus: int) -> dict:
+    """Dedup/text-analysis throughput at 400x the driver corpus: a 200k-doc
+    synthetic documents table (2% planted exact dups, 5% near-dups at 90%
+    token overlap) through the headline training-data pipelines. The
+    near-dup pair counts double as a scale-level sanity check on the
+    pair exchange (planted near-dups must dominate the found pairs)."""
+    from image_report_ray.sources.synth import write_documents_corpus
+
+    write_documents_corpus(TEXTBENCH_DIR, TEXTBENCH_DOCS)  # cached, untimed
+    _init_ray(num_cpus)
+    from image_report_ray.pipelines import dedup, text
+
+    out: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name, fn in (
+        ("dedup_exact", text.dedup_exact),
+        ("dedup_simhash", dedup.dedup_simhash),
+        ("dedup_minhash_lsh", dedup.dedup_minhash_lsh),
+        ("dedup_ngram_jaccard", dedup.dedup_ngram_jaccard),
+        ("quality_score", text.quality_score),
+        ("tokenize_bpe", text.tokenize_bpe),
+        ("top_tokens", text.top_tokens),
+        ("fingerprint_docs", text.fingerprint_docs),
+    ):
+        t0 = time.perf_counter()
+        r = fn(TEXTBENCH_DIR)
+        out[name] = round(time.perf_counter() - t0, 3)
+        rows[name] = r.num_rows
+    import ray
+
+    ray.shutdown()
+    total = sum(out.values())
+    return {
+        "metric": "textbench_docs_per_sec",
+        "value": round(TEXTBENCH_DOCS * len(out) / total, 1),
+        "unit": "docs/s",
+        "sf": TEXTBENCH_DIR,
+        "num_cpus": num_cpus,
+        "n_docs": TEXTBENCH_DOCS,
+        "queries": out,
+        "result_rows": rows,
+    }
+
+
 SKEW_WAL = "/tmp/irr-skew-wal/v1"
 SKEW_WAL_PARAMS = dict(
     n_epochs=2, epoch_size=1_000_000, n_parts=16, seed=23,
@@ -350,6 +398,8 @@ def main() -> None:
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--skew", action="store_true",
                     help="hot-key WAL replay, unsalted vs salted")
+    ap.add_argument("--textbench", action="store_true",
+                    help="dedup/text pipelines over a 200k-doc corpus")
     ap.add_argument("--scaling-cpus", default="2,8",
                     help="N,4N num_cpus for --scaling (both must fit in "
                          "physical cores for an honest ratio; this box has 16)")
@@ -360,6 +410,8 @@ def main() -> None:
         out = run_scaling(low, high)
     elif args.skew:
         out = run_skew(args.cpus)
+    elif args.textbench:
+        out = run_textbench(args.cpus)
     elif args.synth_replay:
         out = run_synth_replay(args.cpus)
     else:

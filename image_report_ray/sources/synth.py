@@ -144,3 +144,62 @@ def full_changelog(
     from ..schema import concat_evolving
 
     return concat_evolving([gen_epoch(e, epoch_size, **gen_kwargs) for e in range(n_epochs)])
+
+
+def write_documents_corpus(
+    out_dir: str,
+    n_docs: int = 200_000,
+    *,
+    seed: int = 31,
+    vocab_size: int = 4_000,
+    doc_len: int = 60,
+    near_dup_rate: float = 0.05,
+    exact_dup_rate: float = 0.02,
+    rows_per_file: int = 50_000,
+) -> str:
+    """Deterministic large synthetic ``documents`` corpus for dedup/text
+    benchmarks (same schema as the driver's table: doc_id, text, lang,
+    n_chars). Plants exact duplicates and near-duplicates (90% token
+    overlap with a base doc) at the configured rates so dedup pipelines
+    have real work. Vectorized generation, multiple parquet files so the
+    readers parallelize."""
+    rng = np.random.default_rng(seed)
+    os.makedirs(out_dir, exist_ok=True)
+    vocab = np.array([f"w{i:05d}" for i in range(vocab_size)], dtype=object)
+    langs = np.array(["en", "de", "fr", "es", "ja", "zh"], dtype=object)
+    path = os.path.join(out_dir, "documents.parquet")
+    if os.path.exists(path):
+        return out_dir
+
+    texts = np.empty(n_docs, dtype=object)
+    mat = rng.integers(0, vocab_size, size=(n_docs, doc_len))
+    # exact dups: copy a random earlier doc's tokens
+    n_ex = int(n_docs * exact_dup_rate)
+    ex_idx = rng.choice(np.arange(1, n_docs), size=n_ex, replace=False)
+    mat[ex_idx] = mat[rng.integers(0, n_docs, size=n_ex)]
+    # near dups: copy then perturb 10% of token positions
+    n_nd = int(n_docs * near_dup_rate)
+    nd_idx = rng.choice(
+        np.setdiff1d(np.arange(1, n_docs), ex_idx), size=n_nd, replace=False
+    )
+    mat[nd_idx] = mat[rng.integers(0, n_docs, size=n_nd)]
+    flip = rng.random((n_nd, doc_len)) < 0.10
+    mat[nd_idx] = np.where(
+        flip, rng.integers(0, vocab_size, size=(n_nd, doc_len)), mat[nd_idx]
+    )
+    toks = vocab[mat]
+    for i in range(n_docs):
+        texts[i] = " ".join(toks[i])
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n_docs), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs[rng.integers(0, len(langs), n_docs)]),
+            "n_chars": pa.array(
+                np.array([len(x) for x in texts], np.int64)
+            ),
+        }
+    )
+    # one logical table, many row groups: readers split on row groups
+    pq.write_table(t, path, row_group_size=rows_per_file)
+    return out_dir

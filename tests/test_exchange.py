@@ -77,3 +77,60 @@ def test_empty_and_tiny_batches():
     empty = t.slice(0, 0)
     parts = prepare_and_split(empty, 4)
     assert all(p.num_rows == 0 for p in parts)
+
+
+def test_exchange_reduce_matches_pandas_join(ray_session):
+    """Property: cogrouped exchange join == pandas merge on random data,
+    across partition counts (hypothesis-style randomized cases)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from image_report_ray.pipelines.exchange import exchange_reduce, gather_concat
+
+    def join_fn(pid, left, right):
+        if left.num_rows == 0 or right.num_rows == 0:
+            return pa.table({"k": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.int64()),
+                             "w": pa.array([], pa.int64())})
+        m = left.to_pandas().merge(right.to_pandas(), on="k")
+        return pa.Table.from_pandas(m[["k", "v", "w"]], preserve_index=False)
+
+    rng = np.random.default_rng(5)
+    for case in range(3):
+        nl, nr = rng.integers(50, 400, 2)
+        left = pd.DataFrame({"k": rng.integers(0, 40, nl), "v": rng.integers(0, 100, nl)})
+        right = pd.DataFrame({"k": rng.integers(0, 40, nr), "w": rng.integers(0, 100, nr)})
+        expected = left.merge(right, on="k").sort_values(["k", "v", "w"]).reset_index(drop=True)
+        lrefs = [ray.put(pa.Table.from_pandas(left.iloc[i::3], preserve_index=False))
+                 for i in range(3)]
+        rrefs = [ray.put(pa.Table.from_pandas(right.iloc[i::2], preserve_index=False))
+                 for i in range(2)]
+        for P in (2, 5, 16):
+            got = gather_concat(
+                exchange_reduce([lrefs, rrefs], ["k", "k"], join_fn, P=P)
+            ).to_pandas().sort_values(["k", "v", "w"]).reset_index(drop=True)
+            pd.testing.assert_frame_equal(got, expected, check_dtype=False)
+
+
+def test_exchange_string_keys_colocate(ray_session):
+    """Every occurrence of a string key lands in exactly one partition."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from image_report_ray.pipelines.exchange import exchange_reduce
+
+    keys = [f"conv-{i%37}" for i in range(500)]
+    t = pa.table({"user_id": pa.array(keys), "x": pa.array(np.arange(500))})
+    refs = [ray.put(t.slice(i, 100)) for i in range(0, 500, 100)]
+
+    def keys_seen(pid, part):
+        return pa.table({"pid": pa.array([pid] * part.num_rows, pa.int64()),
+                         "user_id": part.column("user_id")})
+
+    out = pa.concat_tables(ray.get(exchange_reduce([refs], ["user_id"], keys_seen, P=7)))
+    df = out.to_pandas().drop_duplicates()
+    assert df.groupby("user_id").pid.nunique().max() == 1
+    assert len(df.user_id.unique()) == 37

@@ -249,3 +249,17 @@ def test_embedding_near_dups_lsh_recall(ray_session, tmp_path):
     # the gate: force the size cutoff and confirm the routed result
     routed = embedding_near_dups(str(d), threshold=0.95, max_broadcast_rows=10)
     assert routed.num_rows == approx.num_rows
+
+
+def test_documents_corpus_deterministic(tmp_path):
+    from image_report_ray.sources.synth import write_documents_corpus
+    import pyarrow.parquet as pq
+
+    d1 = write_documents_corpus(str(tmp_path / "a"), 2_000, seed=9)
+    d2 = write_documents_corpus(str(tmp_path / "b"), 2_000, seed=9)
+    t1 = pq.read_table(f"{d1}/documents.parquet")
+    t2 = pq.read_table(f"{d2}/documents.parquet")
+    assert t1.equals(t2)
+    # planted exact duplicates exist
+    n_uniq = len(set(t1.column("text").to_pylist()))
+    assert n_uniq < t1.num_rows
