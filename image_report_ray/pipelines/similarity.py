@@ -105,11 +105,15 @@ def knn_cosine_lsh(
     Each batch computes 16-bit sign signatures against broadcast
     hyperplanes and only vectors within Hamming distance
     ``_LSH_MAX_HAMMING`` of the query's signature get an exact cosine
-    (then per-batch top-k as in :func:`knn_cosine`). The scale path: the
-    signature becomes the shuffle/bucket key so candidate generation is a
-    bucket join, and the exact rerank touches O(candidates) — here the
-    prefilter shape is shown per batch. Approximate -> no SQL oracle;
-    recall vs the exact query is asserted in pytest."""
+    (then per-batch top-k as in :func:`knn_cosine`). A PHYSICAL
+    signature-bucketed layout (read only buckets within the radius) does
+    NOT pay off for this workload: weak top-k sims (~0.3) put the
+    expected Hamming distance near 16 * acos(s)/pi ~ 6.6, so a radius-8
+    probe covers most of the 2^16 buckets — the per-batch prefilter is
+    the honest plan here, and :func:`knn_cosine_ivf`'s cell-partitioned
+    index (`build_ivf_index`) is the physical-pruning exemplar for
+    workloads where the probe set IS selective. Approximate -> no SQL
+    oracle; recall vs the exact query is asserted in pytest."""
     import ray
 
     rd = _rd()
@@ -313,20 +317,33 @@ def knn_cosine_ivf(sf_dir: str, query_vec_id: int = 0, k: int = 10) -> pa.Table:
     return t.select(["vec_id"]).append_column("rnk", rnk).select(["rnk", "vec_id"])
 
 
-# Banded sign-LSH for the near-dup scale path: 64 bands x 24 bits.
-# P(band match) = (1 - acos(s)/pi)^24: ~0.078 per band at s=0.95 ->
-# ~0.99 recall over 64 bands, while random (s~0) pairs collide at
-# ~2^-24 per band — ~n^2 * 64/2^24 / 2 spurious candidates (measured
-# ~170k at n=300k, each killed by the exact verify). 16-bit bands
-# measured 130x more spurious candidates at that scale.
+# Banded sign-LSH for the near-dup scale path. Band WIDTH must scale
+# with corpus size: a random (s~0) pair collides in one band with
+# probability 2^-bits, so expected spurious candidates are
+# ~ n^2 * bands / 2^bits / 2; choosing bits ~= log2(n * bands) keeps
+# that ~O(n) (each spurious candidate is killed by the exact verify,
+# but generating them is the cost). Measured at n=300k: 16-bit bands ->
+# ~22M spurious candidates / 351 s; 24-bit (the formula's value) ->
+# ~170k / 15 s, recall 1.000 on planted near-dups. Recall at the
+# target similarity s: 1 - (1 - (1 - acos(s)/pi)^bits)^bands — with 64
+# bands and 24 bits that is ~0.99 at s = 0.95.
 _ND_BANDS = 64
-_ND_BAND_BITS = 24
+_ND_MIN_BITS = 16
+_ND_MAX_BITS = 40  # int64 band-value packing headroom
 _ND_SEED = 0xD0B
 
 
-def _nd_planes(dim: int) -> np.ndarray:
+def _nd_band_bits(n_rows: int, bands: int = _ND_BANDS) -> int:
+    """bits ~= log2(n * bands), clipped — the O(n)-spurious rule above."""
+    import math
+
+    return int(min(_ND_MAX_BITS, max(_ND_MIN_BITS,
+                                     math.ceil(math.log2(max(n_rows, 2) * bands)))))
+
+
+def _nd_planes(dim: int, bits: int) -> np.ndarray:
     rng = np.random.default_rng(_ND_SEED)
-    return rng.standard_normal((dim, _ND_BANDS * _ND_BAND_BITS))
+    return rng.standard_normal((dim, _ND_BANDS * bits))
 
 
 def embedding_near_dups_lsh(
@@ -343,7 +360,11 @@ def embedding_near_dups_lsh(
 
     from .dedup import pair_counts
 
+    import pyarrow.parquet as pq
+
     rd = _rd()
+    n_rows = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+    band_bits = _nd_band_bits(n_rows)
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     refs = ds.to_arrow_refs()
 
@@ -352,16 +373,16 @@ def embedding_near_dups_lsh(
         nrm = np.linalg.norm(m, axis=1)
         nrm[nrm == 0] = 1.0
         mn = m / nrm[:, None]
-        pl = _nd_planes(mn.shape[1])
+        pl = _nd_planes(mn.shape[1], band_bits)
         bits = (mn @ pl) > 0  # (n, bands*band_bits)
         n = len(mn)
-        weights = (1 << np.arange(_ND_BAND_BITS, dtype=np.int64))
+        weights = (1 << np.arange(band_bits, dtype=np.int64))
         keys, ids = [], []
         vid = t.column("vec_id").to_numpy()
         for b in range(_ND_BANDS):
-            chunk = bits[:, b * _ND_BAND_BITS : (b + 1) * _ND_BAND_BITS]
+            chunk = bits[:, b * band_bits : (b + 1) * band_bits]
             val = chunk.astype(np.int64) @ weights
-            keys.append(b * (1 << _ND_BAND_BITS) + val)
+            keys.append(b * (1 << band_bits) + val)
             ids.append(vid)
         return pa.table(
             {
