@@ -145,3 +145,28 @@ def test_missing_wal_file_skipped_in_keep_going(ray_session, tmp_path):
     )
     assert summary["files_skipped"] == 1
     assert summary["epochs_applied"] == 1
+
+
+def test_run_all_metrics_validate_roundtrip(ray_session, tmp_path, capsys):
+    """Full integration with the complete metric registry (including the
+    textmetrics digests) computed inside merge tasks, then an offline
+    validate of manifests + lineage + sha-canonical digests."""
+    wal = str(tmp_path / "wal")
+    lake = str(tmp_path / "lake")
+    assert main(["gen", wal, "--epochs", "2", "--epoch-size", "400",
+                 "--conversations", "30", "--parts", "2"]) == 0
+    assert main(["run", lake, wal, "--partitions", "4", "--merge-mode", "mor",
+                 "--compact-every", "2", "--metrics", "all"]) == 0
+    assert main(["validate", lake]) == 0
+    # lineage XML carries the text digests
+    import glob
+    import xml.etree.ElementTree as ET
+
+    xmls = glob.glob(os.path.join(lake, "_lineage", "**", "*.xml"), recursive=True)
+    assert xmls
+    names = set()
+    for x in xmls:
+        for m in ET.parse(x).getroot().iter("metric"):
+            names.add(m.get("name"))
+    assert {"simhash_digest", "minhash_digest", "fingerprint_digest",
+            "token_totals"} <= names
