@@ -16,7 +16,7 @@ from ..config import EngineConfig
 from ..pipelines.cdc import apply_epoch, canonical_state_table
 from ..sources.wal import changelog_dataset, events_to_changelog, max_event_id
 from ..state.manifest import Lake
-from ._util import ds_to_table, finalize
+from ._util import finalize
 
 _P = 8  # partitions for the query-scale lakes
 

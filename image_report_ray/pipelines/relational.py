@@ -30,9 +30,6 @@ from ._util import ds_to_table, finalize, fold_partials
 
 _US_PER_HOUR = 3_600_000_000
 
-# Hash-join partition count for large-large joins at test scale.
-_JOIN_PARTS = 8
-
 
 def _rd():
     import ray.data as rd
