@@ -134,3 +134,87 @@ def test_exchange_string_keys_colocate(ray_session):
     df = out.to_pandas().drop_duplicates()
     assert df.groupby("user_id").pid.nunique().max() == 1
     assert len(df.user_id.unique()) == 37
+
+
+def test_q3_reduce_kernel_edges():
+    """Pure-kernel edges: empty sides, unmatched orders, exact int-cent
+    revenue, top-10 tie-break by orderkey."""
+    import numpy as np
+    import pyarrow as pa
+
+    from image_report_ray.pipelines.relational import _q3_reduce
+
+    empty_li = pa.table({"l_orderkey": pa.array([], pa.int64()),
+                         "rev_u": pa.array([], pa.int64())})
+    orders = pa.table({
+        "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "o_orderdate": pa.array([10, 20, 30], pa.timestamp("us")),
+    })
+    assert _q3_reduce(0, empty_li, orders).num_rows == 0
+    li = pa.table({
+        "l_orderkey": pa.array([1, 1, 2, 9], pa.int64()),   # 9 unmatched
+        "rev_u": pa.array([10_000_000, 5_000_000, 15_000_000, 7], pa.int64()),
+    })
+    out = _q3_reduce(0, li, orders)
+    got = {k: (r, d) for k, r, d in zip(out.column("l_orderkey").to_pylist(),
+                                        out.column("revenue").to_pylist(),
+                                        out.column("o_orderdate").to_pylist())}
+    assert set(got) == {1, 2}
+    assert got[1][0] == 1500.0 and got[2][0] == 1500.0
+    # equal revenue -> ascending orderkey order
+    assert out.column("l_orderkey").to_pylist() == [1, 2]
+
+
+def test_q5_kernels_edges():
+    import numpy as np
+    import pyarrow as pa
+
+    from image_report_ray.pipelines.relational import (
+        _q5_li_join,
+        _q5_orders_cust_join,
+    )
+
+    asia = np.array([7, 8], dtype=np.int32)
+    orders = pa.table({"o_orderkey": pa.array([1, 2, 3], pa.int64()),
+                       "o_custkey": pa.array([10, 11, 99], pa.int64())})
+    cust = pa.table({"c_custkey": pa.array([10, 11], pa.int64()),
+                     "c_nationkey": pa.array([7, 5], pa.int32())})
+    s1 = _q5_orders_cust_join(asia, 0, orders, cust)
+    # order 1 -> nation 7 (asia); order 2 -> nation 5 (not); order 3 -> no cust
+    assert s1.column("o_orderkey").to_pylist() == [1]
+    assert s1.column("cn").to_pylist() == [7]
+
+    li = pa.table({"l_orderkey": pa.array([1, 1, 2], pa.int64()),
+                   "sn": pa.array([7, 8, 7], pa.int32()),
+                   "rev_u": pa.array([100, 200, 300], pa.int64())})
+    s2 = _q5_li_join(0, li, s1)
+    # only (order 1, sn=7) matches cn==sn; sn=8 row filtered; order 2 unmatched
+    assert s2.column("nk").to_pylist() == [7]
+    assert s2.column("rev_u").to_pylist() == [100]
+
+
+def test_persona_kernel_matches_naive():
+    import numpy as np
+    import pyarrow as pa
+
+    from image_report_ray.pipelines.relational import (
+        EVENT_TYPES,
+        PERSONAS,
+        _persona_score_partition,
+    )
+
+    counts = pa.table({
+        "user_id": pa.array([1, 1, 2], pa.int64()),
+        "event_type": pa.array(["click", "weird_type", "error"]),
+        "n": pa.array([9, 1, 5], pa.int64()),
+    })
+    out = _persona_score_partition(0, counts, top_k=3)
+    df = out.to_pandas()
+    # unknown event types count toward the total mix denominator
+    u1 = df[df.user_id == 1].iloc[0]
+    bp = {et: (9000 if et == "click" else 0) for et in EVENT_TYPES}
+    exp = {p: sum(abs(bp[et] - v) for et, v in zip(EVENT_TYPES, PERSONAS[p]))
+           for p in PERSONAS}
+    best = min(sorted(exp), key=lambda p: (exp[p], p))
+    assert u1.persona == best and u1.diff_bp == exp[best]
+    assert set(df[df.user_id == 1].rnk) == {1, 2, 3}
