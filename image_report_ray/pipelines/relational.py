@@ -61,7 +61,6 @@ def q1_pricing_summary(sf_dir: str) -> pa.Table:
     cutoff = pa.scalar(np.datetime64("1998-09-02", "us"), type=pa.timestamp("us"))
 
     def prep(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.less_equal(t.column("l_shipdate"), cutoff))
         qty_c = _cents(t.column("l_quantity"))
         price_c = _cents(t.column("l_extendedprice"))
         disc_c = _cents(t.column("l_discount"))
@@ -87,12 +86,15 @@ def q1_pricing_summary(sf_dir: str) -> pa.Table:
              "disc_price_u", "charge_u", "disc_c", "n_rows"]
         )
 
+    # predicate pushdown: the scanner drops non-qualifying row groups
+    # and rows before they ever reach a batch
     ds = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=[
             "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
-            "l_discount", "l_tax", "l_shipdate",
+            "l_discount", "l_tax",
         ],
+        filter=pc.field("l_shipdate") <= cutoff,
     )
     t = fold_partials(
         ds.map_batches(prep, batch_format="pyarrow"),
@@ -190,19 +192,16 @@ def q3_top_orders(sf_dir: str) -> pa.Table:
     )
 
     def ofilter(t: pa.Table) -> pa.Table:
-        m = pc.and_(
-            pc.less(t.column("o_orderdate"), cutoff),
-            pc.is_in(t.column("o_custkey"), value_set=cust_keys),
-        )
+        m = pc.is_in(t.column("o_custkey"), value_set=cust_keys)
         return t.filter(m).select(["o_orderkey", "o_orderdate"])
 
     orders_ds = rd.read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=pc.field("o_orderdate") < cutoff,  # pushdown at the scan
     ).map_batches(ofilter, batch_format="pyarrow")
 
     def li_partial(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.greater(t.column("l_shipdate"), cutoff))
         rev_u = _cents(t.column("l_extendedprice")) * (100 - _cents(t.column("l_discount")))
         part = t.select(["l_orderkey"]).append_column("rev_u", pa.array(rev_u))
         # map-side combine per order before the exchange
@@ -211,7 +210,8 @@ def q3_top_orders(sf_dir: str) -> pa.Table:
 
     li_ds = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
-        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pc.field("l_shipdate") > cutoff,  # pushdown at the scan
     ).map_batches(li_partial, batch_format="pyarrow")
 
     refs = exchange_reduce(
@@ -320,17 +320,12 @@ def q5_region_revenue(sf_dir: str) -> pa.Table:
     s_lut[s_keys] = s_nations
     s_ref = ray.put(s_lut)
 
-    def owindow(t: pa.Table) -> pa.Table:
-        m = pc.and_(
-            pc.greater_equal(t.column("o_orderdate"), lo),
-            pc.less(t.column("o_orderdate"), hi),
-        )
-        return t.filter(m).select(["o_orderkey", "o_custkey"])
-
     orders_ds = rd.read_parquet(
         f"{sf_dir}/orders.parquet",
-        columns=["o_orderkey", "o_custkey", "o_orderdate"],
-    ).map_batches(owindow, batch_format="pyarrow")
+        columns=["o_orderkey", "o_custkey"],
+        # window pushdown: only qualifying rows leave the scan
+        filter=(pc.field("o_orderdate") >= lo) & (pc.field("o_orderdate") < hi),
+    )
     cust_ds = rd.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
     )
