@@ -101,12 +101,35 @@ def _dedup_winner_partition(pid: int, t: pa.Table) -> pa.Table:
     return pa.table({"doc_id": g.column("doc_id_min").cast(pa.int64())})
 
 
-def dedup_exact(sf_dir: str) -> pa.Table:
+def _winner_semijoin_partition(pid: int, docs: pa.Table, winners: pa.Table) -> pa.Table:
+    """Exact co-partitioned semi-join: keep this partition's document
+    rows whose doc_id is among its winner ids (both sides hashed here by
+    doc_id, so membership is complete and exact — no Bloom false
+    positives to launder)."""
+    if docs.num_rows == 0 or winners.num_rows == 0:
+        return docs.slice(0, 0)
+    wid = winners.column("doc_id")
+    if isinstance(wid, pa.ChunkedArray):
+        wid = wid.combine_chunks()
+    return docs.filter(pc.is_in(docs.column("doc_id"), value_set=wid))
+
+
+# Above this winner count the broadcast id-set stops being a sane
+# `ray.put` side and the keep pass routes through the keyed exchange.
+_DEDUP_MAX_BROADCAST_IDS = 5_000_000
+
+
+def dedup_exact(
+    sf_dir: str, max_broadcast_ids: int = _DEDUP_MAX_BROADCAST_IDS
+) -> pa.Table:
     """Exact dedup: content-hash each text, keep the smallest doc_id per
     hash. Two passes, neither shipping document bodies: pass 1 shuffles
-    only (hash, doc_id) pairs — with a per-batch min combiner — to elect
-    the winner id per digest; pass 2 re-reads and keeps winner rows via a
-    broadcast id set (at 100 TB: a Bloom filter / sorted-id broadcast).
+    only (hash, doc_id) pairs — with a per-batch min combiner — through
+    the keyed exchange to elect the winner id per digest; pass 2
+    re-reads and keeps winner rows, via a broadcast id set while it fits
+    (O(winners) driver memory) and via an exact co-partitioned semi-join
+    on doc_id (:func:`_winner_semijoin_partition`) beyond
+    ``max_broadcast_ids`` — same output, no corpus-sized broadcast.
     The digest is two independently-keyed vectorized 64-bit text hashes
     (128 bits total — collision probability negligible at corpus scale),
     computed batch-at-a-time in C instead of a per-row crypto loop."""
@@ -147,6 +170,17 @@ def dedup_exact(sf_dir: str) -> pa.Table:
             _dedup_winner_partition,
         )
     )
+    if winners_t.num_rows > max_broadcast_ids:
+        # scale path: exact semi-join through the exchange, keyed on
+        # doc_id — winner ids never concentrate on the driver or in a
+        # broadcast object
+        refs = exchange_reduce(
+            [ds, rd.from_arrow(winners_t)],
+            ["doc_id", "doc_id"],
+            _winner_semijoin_partition,
+        )
+        return finalize(gather_concat(refs), [("doc_id", "ascending")])
+
     winner_ids = pa.array(sorted(winners_t.column("doc_id").to_pylist()), pa.int64())
     ids_ref = ray.put(winner_ids)
 

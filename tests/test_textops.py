@@ -263,3 +263,13 @@ def test_documents_corpus_deterministic(tmp_path):
     # planted exact duplicates exist
     n_uniq = len(set(t1.column("text").to_pylist()))
     assert n_uniq < t1.num_rows
+
+
+def test_dedup_exact_semijoin_path_matches_broadcast(ray_session):
+    """Forcing the winner count over the broadcast bound must produce the
+    identical result through the co-partitioned semi-join."""
+    from image_report_ray.pipelines.text import dedup_exact
+
+    base = dedup_exact(SF)
+    routed = dedup_exact(SF, max_broadcast_ids=10)
+    assert base.equals(routed)
