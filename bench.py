@@ -284,6 +284,50 @@ def run_textbench(num_cpus: int) -> dict:
     }
 
 
+EVENTBENCH_DIR = "/tmp/irr-eventbench/v1"
+EVENTBENCH_EVENTS = 10_000_000
+
+
+def run_eventbench(num_cpus: int) -> dict:
+    """Exchange-backed relational/window operators at 100x driver scale:
+    10M events / 100k users through sessionize, as-of join, tumbling and
+    hopping windows, persona scoring and distinct."""
+    from image_report_ray.sources.synth import write_events_corpus
+
+    write_events_corpus(EVENTBENCH_DIR, EVENTBENCH_EVENTS)  # cached, untimed
+    _init_ray(num_cpus)
+    from image_report_ray.pipelines import relational as R
+
+    out: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name, fn in (
+        ("user_hour_activity", R.user_hour_activity),
+        ("user_sliding_activity", R.user_sliding_activity),
+        ("sessionize_users", R.sessionize_users),
+        ("asof_click_before_purchase", R.asof_click_before_purchase),
+        ("user_persona_match", R.user_persona_match),
+        ("distinct_event_types", R.distinct_event_types),
+    ):
+        t0 = time.perf_counter()
+        r = fn(EVENTBENCH_DIR)
+        out[name] = round(time.perf_counter() - t0, 3)
+        rows[name] = r.num_rows
+    import ray
+
+    ray.shutdown()
+    total = sum(out.values())
+    return {
+        "metric": "eventbench_events_per_sec",
+        "value": round(EVENTBENCH_EVENTS * len(out) / total, 1),
+        "unit": "events/s",
+        "sf": EVENTBENCH_DIR,
+        "num_cpus": num_cpus,
+        "n_events": EVENTBENCH_EVENTS,
+        "queries": out,
+        "result_rows": rows,
+    }
+
+
 SIMBENCH_DIR = "/tmp/irr-simbench/v1"
 SIMBENCH_VECS = 300_000
 
@@ -448,6 +492,8 @@ def main() -> None:
                     help="dedup/text pipelines over a 200k-doc corpus")
     ap.add_argument("--simbench", action="store_true",
                     help="similarity pipelines over a 300k-vector corpus")
+    ap.add_argument("--eventbench", action="store_true",
+                    help="relational/window operators over 10M events")
     ap.add_argument("--scaling-cpus", default="2,8",
                     help="N,4N num_cpus for --scaling (both must fit in "
                          "physical cores for an honest ratio; this box has 16)")
@@ -462,6 +508,8 @@ def main() -> None:
         out = run_textbench(args.cpus)
     elif args.simbench:
         out = run_simbench(args.cpus)
+    elif args.eventbench:
+        out = run_eventbench(args.cpus)
     elif args.synth_replay:
         out = run_synth_replay(args.cpus)
     else:

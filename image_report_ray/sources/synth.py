@@ -247,3 +247,39 @@ def write_embeddings_corpus(
         os.path.join(out_dir, "planted_pairs.parquet"),
     )
     return out_dir
+
+
+def write_events_corpus(
+    out_dir: str,
+    n_events: int = 10_000_000,
+    *,
+    n_users: int = 100_000,
+    seed: int = 59,
+    span_days: int = 14,
+) -> str:
+    """Deterministic large synthetic ``events`` table (driver schema
+    subset: event_id, user_id, event_type, ts, value) for stressing the
+    exchange-backed relational/window operators at 100x driver scale."""
+    rng = np.random.default_rng(seed)
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "events.parquet")
+    if os.path.exists(path):
+        return out_dir
+    etypes = np.array(["click", "view", "purchase", "signup", "error"], dtype=object)
+    probs = np.array([0.40, 0.35, 0.13, 0.05, 0.07])
+    uid = rng.integers(0, n_users, n_events)
+    ts = _TS_BASE_US + rng.integers(0, span_days * 86_400_000_000, n_events)
+    ts.sort()
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(n_events), pa.int64()),
+            "user_id": pa.array(uid, pa.int64()),
+            "event_type": pa.array(etypes[rng.choice(5, n_events, p=probs)]),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "value": pa.array(
+                np.round(rng.uniform(0, 500, n_events), 2)
+            ),
+        }
+    )
+    pq.write_table(t, path, row_group_size=500_000)
+    return out_dir
