@@ -170,3 +170,33 @@ def test_run_all_metrics_validate_roundtrip(ray_session, tmp_path, capsys):
             names.add(m.get("name"))
     assert {"simhash_digest", "minhash_digest", "fingerprint_digest",
             "token_totals"} <= names
+
+
+def test_export_and_compact_cli_roundtrip(ray_session, tmp_path, capsys):
+    """cli export writes the canonical live state (streaming per-partition
+    fold) equal to the in-process canonical table; cli compact GCs
+    tombstones below the watermark and the lake still validates."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from image_report_ray.pipelines.cdc import canonical_state_table
+    from image_report_ray.state.manifest import Lake
+
+    wal = str(tmp_path / "wal")
+    lake = str(tmp_path / "lake")
+    out = str(tmp_path / "state")
+    main(["gen", wal, "--epochs", "2", "--epoch-size", "400",
+          "--conversations", "30", "--parts", "2"])
+    assert main(["run", lake, wal, "--partitions", "4"]) == 0
+    assert main(["export", lake, out]) == 0
+    exported = pq.read_table(out)
+    expected = canonical_state_table(Lake(lake))
+    idx = pc.sort_indices(
+        exported, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]
+    )
+    assert exported.take(idx).select(expected.column_names).equals(expected)
+    capsys.readouterr()
+    assert main(["compact", lake, "--before-lsn", "800"]) == 0
+    assert main(["validate", lake]) == 0
+    # canonical view unchanged by GC (only tombstones dropped)
+    assert canonical_state_table(Lake(lake)).equals(expected)
