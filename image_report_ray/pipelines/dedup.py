@@ -208,11 +208,9 @@ def _pc_remotes():
             keys = block.column(key_col)
             if isinstance(keys, pa.ChunkedArray):
                 keys = keys.combine_chunks()
-            knp = keys.to_numpy(zero_copy_only=False)
-            if knp.dtype.kind in ("O", "U"):  # string keys -> stable hash
-                knp = pd.util.hash_array(knp.astype(object)).astype(np.uint64)
-            else:
-                knp = knp.astype(np.uint64)
+            from .exchange import hash_key as _hk
+
+            knp = _hk(keys)
             inp = block.column(id_col)
             if isinstance(inp, pa.ChunkedArray):
                 inp = inp.combine_chunks()

@@ -28,15 +28,24 @@ _EX_REMOTES = None
 _DEFAULT_PARTS = 16
 
 
+def _mix_int_keys(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — raw ``key % P`` would hotspot strided key
+    patterns (every P-th id on one partition); mixing makes routing
+    uniform for any integer distribution."""
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
 def hash_key(col: "pa.ChunkedArray | pa.Array") -> np.ndarray:
     """Stable 64-bit key hash (strings via pandas' stable utf8 hash,
-    integers pass through) — the routing function of the exchange."""
+    integers via splitmix64) — the routing function of the exchange."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     knp = col.to_numpy(zero_copy_only=False)
     if knp.dtype.kind in ("O", "U"):
         return pd.util.hash_array(knp.astype(object)).astype(np.uint64)
-    return knp.astype(np.uint64)
+    return _mix_int_keys(knp.astype(np.uint64))
 
 
 def _remotes():
