@@ -72,6 +72,42 @@ SELECT w.doc_id,
 FROM w LEFT JOIN agg USING (doc_id) ORDER BY doc_id
 """
 
+# Deterministic-shuffle twin (image_report_ray.pipelines.text:shuffle_docs):
+# splitmix64 of (doc_id + seed) with mod-2^64 multiplication expressed via
+# 32-bit-split HUGEINT arithmetic (a*c mod 2^64 without INT128 overflow).
+_SM_C1 = 0xBF58476D1CE4E5B9
+_SM_C2 = 0x94D049BB133111EB
+_SM_M = 1 << 64
+_SM_B32 = 1 << 32
+_SM_SEED = 0x5EED
+
+
+def _sm_mul64(a: str, c: int) -> str:
+    return (
+        f"((({a} % {_SM_B32}) * {c} + "
+        f"((( ({a} // {_SM_B32}) * {c}) % {_SM_B32}) * {_SM_B32})) % {_SM_M})"
+    )
+
+
+def _sm_step(h: str, shift: int, c: int) -> str:
+    x = f"CAST(xor({h}, {h} >> {shift}) AS HUGEINT)"
+    return f"CAST({_sm_mul64(x, c)} AS UBIGINT)"
+
+
+_SHUFFLE_SQL = f"""
+WITH s0 AS (
+  SELECT doc_id, CAST((doc_id + {_SM_SEED}) % {_SM_M} AS UBIGINT) AS h
+  FROM documents
+),
+s1 AS (SELECT doc_id, {_sm_step('h', 30, _SM_C1)} AS h FROM s0),
+s2 AS (SELECT doc_id, {_sm_step('h', 27, _SM_C2)} AS h FROM s1),
+s3 AS (SELECT doc_id, xor(h, h >> 31) AS h FROM s2)
+SELECT doc_id,
+       h AS shuffle_key,
+       CAST(ROW_NUMBER() OVER (ORDER BY h) AS BIGINT) AS shuffle_rank
+FROM s3 ORDER BY doc_id
+"""
+
 _FINAL_STATE = """
 SELECT conv_id, turn_idx, role, text, tool, ts{extra_cols}
 FROM (
@@ -162,6 +198,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_counts": cdcq.cdc_counts,
         "cdc_conv_summary": cdcq.cdc_conv_summary,
         "sample_split": text.sample_split,
+        "shuffle_docs": text.shuffle_docs,
         # relational / windowed (SURVEY §2.5 J1-J2, §2.6, §2.7, §2.10)
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_top_orders": relational.q3_top_orders,
@@ -242,6 +279,8 @@ WHERE rn = 1 ORDER BY media_id
         # to the kernel's uint64 wraparound), sliding min over 4-gram
         # windows, distinct; char == byte on this ASCII corpus
         "fingerprint_docs": _FP_SQL,
+        # deterministic seeded global shuffle (random_shuffle analogue)
+        "shuffle_docs": _SHUFFLE_SQL,
         # exact word-3-gram Jaccard near-dup pairs (tau = 0.2); the SQL
         # mirrors the engine's inverted-index join shape
         "dedup_ngram_jaccard": r"""

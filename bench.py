@@ -60,6 +60,7 @@ QUERY_NAMES = [
     "media_meta",
     "media_features",
     "sample_split",
+    "shuffle_docs",
     "cdc_conv_summary",
     "user_sliding_activity",
     "distinct_event_types",

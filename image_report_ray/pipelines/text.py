@@ -571,3 +571,46 @@ def lang_stats(sf_dir: str) -> pa.Table:
         }
     )
     return finalize(t, [("lang", "ascending")])
+
+
+# Deterministic seeded shuffle: splitmix64 of (doc_id + seed) is a
+# BIJECTION on 64-bit ints, so ranks are tie-free and a document's
+# position is reproducible for any corpus snapshot — the training-data
+# alternative to random_shuffle (whose order changes run to run).
+_SM_C1 = np.uint64(0xBF58476D1CE4E5B9)
+_SM_C2 = np.uint64(0x94D049BB133111EB)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    x = (x ^ (x >> np.uint64(30))) * _SM_C1
+    x = (x ^ (x >> np.uint64(27))) * _SM_C2
+    return x ^ (x >> np.uint64(31))
+
+
+def shuffle_docs(sf_dir: str, seed: int = 0x5EED) -> pa.Table:
+    """Deterministic seeded global shuffle: every document gets a
+    pseudo-random but reproducible shuffle key (splitmix64 of
+    doc_id + seed, bijective => tie-free) and its global rank under that
+    key. Per-batch key computation streams; the rank is ONE global sort
+    on the 16-byte (key, doc_id) projection — the single all-to-all this
+    operator is allowed, never touching document bodies. Changing the
+    seed reshuffles; re-running never does."""
+    rd = _rd()
+    sd = np.uint64(seed)
+
+    def keyed(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id").to_numpy().astype(np.uint64)
+        h = _splitmix64(did + sd)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "shuffle_key": pa.array(h, pa.uint64()),
+            }
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    t = ds_to_table(ds.map_batches(keyed, batch_format="pyarrow"))
+    t = finalize(t, [("shuffle_key", "ascending")])
+    rank = pa.array(np.arange(1, t.num_rows + 1), pa.int64())
+    t = t.append_column("shuffle_rank", rank)
+    return finalize(t, [("doc_id", "ascending")])
