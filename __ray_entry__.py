@@ -210,6 +210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_event_types": relational.distinct_event_types,
         "sessionize_users": relational.sessionize_users,
         "asof_click_before_purchase": relational.asof_click_before_purchase,
+        "clicks_before_purchase_count": relational.clicks_before_purchase_count,
         # text analysis / dedup (training-data ops)
         "text_stats": text.text_stats,
         "top_tokens": text.top_tokens,
@@ -539,6 +540,16 @@ SELECT user_id,
        CAST(SUM(CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
 FROM o GROUP BY user_id ORDER BY user_id
+""",
+        # RANGE join (interval, multi-match) vs the as-of single match
+        "clicks_before_purchase_count": """
+SELECT p.event_id,
+       CAST(COUNT(c.event_id) AS BIGINT) AS n_clicks_1h
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+GROUP BY p.event_id ORDER BY p.event_id
 """,
         "asof_click_before_purchase": """
 SELECT p.event_id, c.ts AS click_ts

@@ -43,6 +43,7 @@ QUERY_NAMES = [
     "user_hour_activity",
     "sessionize_users",
     "asof_click_before_purchase",
+    "clicks_before_purchase_count",
     "text_stats",
     "top_tokens",
     "dedup_exact",

@@ -711,3 +711,68 @@ def asof_click_before_purchase(sf_dir: str) -> pa.Table:
     )
     refs = exchange_reduce([ds], ["user_id"], _asof_partition)
     return finalize(gather_concat(refs), [("event_id", "ascending")])
+
+
+def _range_join_partition(pid: int, t: pa.Table) -> pa.Table:
+    """Per-partition range-join kernel: for each purchase, count the SAME
+    user's clicks with ts in [purchase_ts - 1h, purchase_ts). Vectorized:
+    sort clicks by (user, ts) once, then two searchsorted probes per
+    purchase give the interval's click count — O((C+P) log C) per
+    partition, no per-row loops."""
+    empty = pa.table({"event_id": pa.array([], pa.int64()),
+                      "n_clicks_1h": pa.array([], pa.int64())})
+    if t.num_rows == 0:
+        return empty
+    et = t.column("event_type")
+    if isinstance(et, pa.ChunkedArray):
+        et = et.combine_chunks()
+    ts = t.column("ts").cast(pa.int64()).to_numpy()
+    uid = t.column("user_id").to_numpy()
+    eid = t.column("event_id").to_numpy()
+    etn = et.to_numpy(zero_copy_only=False)
+    is_p = etn == "purchase"
+    is_c = etn == "click"
+    if not is_p.any():
+        return empty
+    cu, ct = uid[is_c], ts[is_c]
+    pu, pt, pe = uid[is_p], ts[is_p], eid[is_p]
+
+    def rank_probes(bound_ts: np.ndarray) -> np.ndarray:
+        """#clicks lexicographically before (pu, bound_ts), per probe —
+        merge-rank: sort clicks and probes together (probes first on
+        exact ties = searchsorted 'left'); a probe's click-count is its
+        sorted position minus the probes ahead of it. Fully vectorized."""
+        n_c, n_p = len(cu), len(pu)
+        flag = np.r_[np.ones(n_c, np.int8), np.zeros(n_p, np.int8)]
+        all_u = np.r_[cu, pu]
+        all_t = np.r_[ct, bound_ts]
+        order = np.lexsort((flag, all_t, all_u))
+        probe_sorted_pos = np.flatnonzero(flag[order] == 0)
+        clicks_before = probe_sorted_pos - np.arange(n_p)
+        out = np.empty(n_p, np.int64)
+        out[order[probe_sorted_pos] - n_c] = clicks_before
+        return out
+
+    # [pt - 1h, pt): cross-user prefixes cancel in the difference because
+    # both probes carry the same user
+    n = rank_probes(pt) - rank_probes(pt - _US_PER_HOUR)
+    return pa.table(
+        {"event_id": pa.array(pe, pa.int64()),
+         "n_clicks_1h": pa.array(n)}
+    )
+
+
+def clicks_before_purchase_count(sf_dir: str) -> pa.Table:
+    """RANGE join: for every purchase, the count of that user's clicks in
+    the preceding hour — the interval-join operator (vs the single-match
+    as-of join). Keyed exchange by user hash co-locates each user's
+    events; the kernel answers every purchase with two binary searches
+    over the partition's sorted clicks."""
+    from .exchange import exchange_reduce, gather_concat
+
+    rd = _rd()
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type", "ts"]
+    )
+    refs = exchange_reduce([ds], ["user_id"], _range_join_partition)
+    return finalize(gather_concat(refs), [("event_id", "ascending")])

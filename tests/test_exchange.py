@@ -218,3 +218,45 @@ def test_persona_kernel_matches_naive():
     best = min(sorted(exp), key=lambda p: (exp[p], p))
     assert u1.persona == best and u1.diff_bp == exp[best]
     assert set(df[df.user_id == 1].rnk) == {1, 2, 3}
+
+
+def test_range_join_kernel_matches_naive():
+    """Merge-rank interval-count kernel == brute-force per-purchase count
+    on random data (ties at window bounds included)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from image_report_ray.pipelines.relational import (
+        _US_PER_HOUR,
+        _range_join_partition,
+    )
+
+    rng = np.random.default_rng(17)
+    n = 800
+    uid = rng.integers(0, 12, n)
+    ts = np.sort(rng.integers(0, 5 * _US_PER_HOUR, n))
+    et = np.where(rng.random(n) < 0.3, "purchase", "click").astype(object)
+    t = pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "user_id": pa.array(uid, pa.int64()),
+        "event_type": pa.array(et, pa.string()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+    })
+    out = _range_join_partition(0, t)
+    got = dict(zip(out.column("event_id").to_pylist(),
+                   out.column("n_clicks_1h").to_pylist()))
+    for i in range(n):
+        if et[i] != "purchase":
+            continue
+        lo, hi = ts[i] - _US_PER_HOUR, ts[i]
+        exp = int(np.sum((uid == uid[i]) & (et == "click") & (ts >= lo) & (ts < hi)))
+        assert got[i] == exp, i
+    # exact boundary: a click at exactly pt-1h counts, at pt doesn't
+    tb = pa.table({
+        "event_id": pa.array([0, 1, 2], pa.int64()),
+        "user_id": pa.array([5, 5, 5], pa.int64()),
+        "event_type": pa.array(["click", "click", "purchase"]),
+        "ts": pa.array([0, _US_PER_HOUR, _US_PER_HOUR], pa.timestamp("us")),
+    })
+    ob = _range_join_partition(0, tb)
+    assert ob.column("n_clicks_1h").to_pylist() == [1]  # t=0 in, t=1h out
