@@ -108,6 +108,27 @@ SELECT doc_id,
 FROM s3 ORDER BY doc_id
 """
 
+# HLL-register twin (image_report_ray.pipelines.relational:hll_user_sketch):
+# same seeded splitmix64, bucket = top 12 hash bits, rank from the exact
+# integer bit length (length(bin(x))) — the register table is pure
+# integer arithmetic on both sides.
+_HLL_SQL = f"""
+WITH u AS (SELECT DISTINCT user_id FROM events),
+h0 AS (
+  SELECT CAST((user_id + {_SM_SEED}) % {_SM_M} AS UBIGINT) AS h FROM u
+),
+h1 AS (SELECT {_sm_step('h', 30, _SM_C1)} AS h FROM h0),
+h2 AS (SELECT {_sm_step('h', 27, _SM_C2)} AS h FROM h1),
+h3 AS (SELECT xor(h, h >> 31) AS h FROM h2),
+r AS (
+  SELECT h >> 52 AS bucket, h & 4503599627370495 AS rem FROM h3
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(MAX(CASE WHEN rem = 0 THEN 53
+                     ELSE 52 - length(bin(rem)) + 1 END) AS BIGINT) AS max_rank
+FROM r GROUP BY bucket ORDER BY bucket
+"""
+
 _FINAL_STATE = """
 SELECT conv_id, turn_idx, role, text, tool, ts{extra_cols}
 FROM (
@@ -211,6 +232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_users": relational.sessionize_users,
         "asof_click_before_purchase": relational.asof_click_before_purchase,
         "clicks_before_purchase_count": relational.clicks_before_purchase_count,
+        "hll_user_sketch": relational.hll_user_sketch,
         # text analysis / dedup (training-data ops)
         "text_stats": text.text_stats,
         "top_tokens": text.top_tokens,
@@ -541,6 +563,8 @@ SELECT user_id,
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
 FROM o GROUP BY user_id ORDER BY user_id
 """,
+        # HyperLogLog register table (deterministic sketch, exact twin)
+        "hll_user_sketch": _HLL_SQL,
         # RANGE join (interval, multi-match) vs the as-of single match
         "clicks_before_purchase_count": """
 SELECT p.event_id,

@@ -44,6 +44,7 @@ QUERY_NAMES = [
     "sessionize_users",
     "asof_click_before_purchase",
     "clicks_before_purchase_count",
+    "hll_user_sketch",
     "text_stats",
     "top_tokens",
     "dedup_exact",

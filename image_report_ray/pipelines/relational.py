@@ -776,3 +776,78 @@ def clicks_before_purchase_count(sf_dir: str) -> pa.Table:
     )
     refs = exchange_reduce([ds], ["user_id"], _range_join_partition)
     return finalize(gather_concat(refs), [("event_id", "ascending")])
+
+
+# HyperLogLog sketch (Flajolet et al. 2007, public algorithm): p=12 ->
+# 4096 registers, standard error ~1.04/sqrt(4096) = 1.6%. The sketch is
+# DETERMINISTIC (seeded splitmix64 hash), and the register table is pure
+# integer arithmetic — so unlike most "approximate" operators it has an
+# exact SQL oracle; only the float cardinality ESTIMATE derived from the
+# registers is approximate (pytest-gated against the true count).
+_HLL_P = 12
+_HLL_M = 1 << _HLL_P
+_HLL_SEED = np.uint64(0x5EED)
+
+
+def _hll_registers(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(bucket, rank) per input id — bucket = top p hash bits, rank =
+    leading-zeros-plus-one of the remaining 52 bits. The bit length of
+    the remainder comes from the float64 exponent field (ints < 2^53 are
+    exact in a double), not log2 — bit-exact, no rounding hazard."""
+    from .text import _splitmix64
+
+    h = _splitmix64(ids.astype(np.uint64) + _HLL_SEED)
+    bucket = (h >> np.uint64(64 - _HLL_P)).astype(np.int64)
+    rem = h & np.uint64((1 << (64 - _HLL_P)) - 1)
+    nz = rem > 0
+    bitlen = np.zeros(len(rem), dtype=np.int64)
+    f = rem[nz].astype(np.float64)
+    bitlen[nz] = ((f.view(np.uint64) >> np.uint64(52)) - np.uint64(1023)).astype(
+        np.int64
+    ) + 1
+    rank = np.where(nz, (64 - _HLL_P) - bitlen + 1, (64 - _HLL_P) + 1)
+    return bucket, rank.astype(np.int64)
+
+
+def hll_estimate(buckets: np.ndarray, ranks: np.ndarray) -> float:
+    """Standard HLL estimator with the small-range (linear counting)
+    correction, from the merged non-empty registers."""
+    m = _HLL_M
+    regs = np.zeros(m, dtype=np.int64)
+    regs[buckets] = ranks
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = m - np.count_nonzero(regs)
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    return float(est)
+
+
+def hll_user_sketch(sf_dir: str) -> pa.Table:
+    """Distributed HyperLogLog over ``events.user_id``: per-batch partial
+    registers (max rank per bucket — a 4 KB combiner regardless of batch
+    size), folded by MAX (commutative/idempotent, so block order and
+    retries never change the sketch). Returns the non-empty registers —
+    integer-exact, full SQL oracle; :func:`hll_estimate` turns them into
+    the cardinality estimate (pytest: within 5% of the true count)."""
+    from ._util import fold_partials
+
+    rd = _rd()
+
+    def partial(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy()
+        b, r = _hll_registers(uid)
+        regs = np.zeros(_HLL_M, dtype=np.int64)
+        np.maximum.at(regs, b, r)
+        nz = np.flatnonzero(regs)
+        return pa.table(
+            {"bucket": pa.array(nz, pa.int64()),
+             "max_rank": pa.array(regs[nz], pa.int64())}
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    t = fold_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["bucket"], [("max_rank", "max")], ["bucket", "max_rank"],
+    )
+    return finalize(t, [("bucket", "ascending")])

@@ -260,3 +260,35 @@ def test_range_join_kernel_matches_naive():
     })
     ob = _range_join_partition(0, tb)
     assert ob.column("n_clicks_1h").to_pylist() == [1]  # t=0 in, t=1h out
+
+
+def test_hll_sketch_accuracy_and_merge_invariance(ray_session):
+    """HLL estimate within 5% at 200k ids; the register fold is
+    max-merge, so block order / duplicate deliveries never change it."""
+    import numpy as np
+
+    from image_report_ray.pipelines.relational import (
+        _HLL_M,
+        _hll_registers,
+        hll_estimate,
+        hll_user_sketch,
+    )
+
+    rng = np.random.default_rng(23)
+    ids = rng.integers(0, 10**12, 200_000)
+    true = len(np.unique(ids))
+    b, r = _hll_registers(ids)
+    regs = np.zeros(_HLL_M, np.int64)
+    np.maximum.at(regs, b, r)
+    nz = np.flatnonzero(regs)
+    est = hll_estimate(nz, regs[nz])
+    assert abs(est - true) / true < 0.05
+    # merge invariance: two halves merged == whole
+    regs2 = np.zeros(_HLL_M, np.int64)
+    for half in (ids[::2], ids[1::2], ids[:100]):  # incl. duplicates
+        hb, hr = _hll_registers(half)
+        np.maximum.at(regs2, hb, hr)
+    assert (regs == regs2).all()
+    # pipeline runs over the driver table
+    t = hll_user_sketch("/root/testdata/sf0.001")
+    assert t.num_rows > 0
