@@ -220,6 +220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_conv_summary": cdcq.cdc_conv_summary,
         "sample_split": text.sample_split,
         "shuffle_docs": text.shuffle_docs,
+        "pack_docs": text.pack_docs,
         # relational / windowed (SURVEY §2.5 J1-J2, §2.6, §2.7, §2.10)
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_top_orders": relational.q3_top_orders,
@@ -304,6 +305,19 @@ WHERE rn = 1 ORDER BY media_id
         "fingerprint_docs": _FP_SQL,
         # deterministic seeded global shuffle (random_shuffle analogue)
         "shuffle_docs": _SHUFFLE_SQL,
+        # sequence packing via running token totals (distributed scan)
+        "pack_docs": r"""
+WITH n AS (
+  SELECT doc_id,
+         CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       CAST(SUM(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS cum_tokens,
+       CAST((SUM(n_tokens) OVER (ORDER BY doc_id) - n_tokens) // 2048
+            AS BIGINT) AS pack_id
+FROM n ORDER BY doc_id
+""",
         # exact word-3-gram Jaccard near-dup pairs (tau = 0.2); the SQL
         # mirrors the engine's inverted-index join shape
         "dedup_ngram_jaccard": r"""

@@ -63,6 +63,7 @@ QUERY_NAMES = [
     "media_features",
     "sample_split",
     "shuffle_docs",
+    "pack_docs",
     "cdc_conv_summary",
     "user_sliding_activity",
     "distinct_event_types",

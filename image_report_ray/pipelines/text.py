@@ -614,3 +614,46 @@ def shuffle_docs(sf_dir: str, seed: int = 0x5EED) -> pa.Table:
     rank = pa.array(np.arange(1, t.num_rows + 1), pa.int64())
     t = t.append_column("shuffle_rank", rank)
     return finalize(t, [("doc_id", "ascending")])
+
+
+def pack_docs(sf_dir: str, budget: int = 2048) -> pa.Table:
+    """Sequence packing for training: concatenate documents in doc_id
+    order and cut at ``budget``-token boundaries; each doc reports the
+    pack its first token lands in. The engine primitive is a DISTRIBUTED
+    PREFIX SUM (scan): pass 1 computes per-block token totals (one tiny
+    row per block), the driver folds their exclusive prefix, pass 2
+    finishes each block's per-doc cumulative locally with its offset —
+    two streamed passes, driver state O(blocks)."""
+    import ray
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    refs = ds.to_arrow_refs()  # ordered blocks = doc_id order (file order)
+
+    @ray.remote
+    def block_tokens(block: pa.Table):
+        n = pc.count_substring_regex(block.column("text"), r"\S+").cast(pa.int64())
+        return int(pc.sum(n).as_py() or 0)
+
+    @ray.remote
+    def block_packs(block: pa.Table, offset: int, budget: int) -> pa.Table:
+        n = pc.count_substring_regex(block.column("text"), r"\S+").cast(
+            pa.int64()
+        ).to_numpy()
+        cum = offset + np.cumsum(n)
+        return pa.table(
+            {
+                "doc_id": block.column("doc_id"),
+                "n_tokens": pa.array(n, pa.int64()),
+                "cum_tokens": pa.array(cum, pa.int64()),
+                "pack_id": pa.array((cum - n) // budget, pa.int64()),
+            }
+        )
+
+    totals = ray.get([block_tokens.remote(r) for r in refs])
+    offsets = np.r_[0, np.cumsum(totals)[:-1]]  # exclusive prefix, O(blocks)
+    parts = ray.get(
+        [block_packs.remote(r, int(o), budget) for r, o in zip(refs, offsets)]
+    )
+    t = pa.concat_tables([p for p in parts if p.num_rows])
+    return finalize(t, [("doc_id", "ascending")])

@@ -273,3 +273,24 @@ def test_dedup_exact_semijoin_path_matches_broadcast(ray_session):
     base = dedup_exact(SF)
     routed = dedup_exact(SF, max_broadcast_ids=10)
     assert base.equals(routed)
+
+
+def test_pack_docs_distributed_scan_multiblock(ray_session, tmp_path):
+    """The two-pass prefix-sum must preserve doc order across many
+    blocks: per-block totals + exclusive prefix == a single global
+    cumulative sum."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from image_report_ray.pipelines.text import pack_docs
+    from image_report_ray.sources.synth import write_documents_corpus
+
+    d = write_documents_corpus(str(tmp_path / "c"), 8_000, seed=4,
+                               rows_per_file=1_000)  # 8 row groups
+    t = pack_docs(d, budget=512)
+    n = np.array(t.column("n_tokens").to_pylist())
+    cum = np.array(t.column("cum_tokens").to_pylist())
+    pid = np.array(t.column("pack_id").to_pylist())
+    assert (cum == np.cumsum(n)).all()
+    assert (pid == (cum - n) // 512).all()
+    assert t.column("doc_id").to_pylist() == sorted(t.column("doc_id").to_pylist())
