@@ -35,6 +35,8 @@ DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # --scaling subprocesses don't pay the import.
 QUERY_NAMES = [
     "cdc_apply",
+    "cdc_apply_dups",
+    "cdc_apply_evolve",
     "cdc_counts",
     "q1_pricing_summary",
     "q3_top_orders",
@@ -49,6 +51,7 @@ QUERY_NAMES = [
     "top_tokens",
     "dedup_exact",
     "lang_stats",
+    "lang_id",
     "knn_cosine",
     "embedding_near_dups",
     "dedup_ngram_jaccard",
@@ -61,6 +64,7 @@ QUERY_NAMES = [
     "knn_cosine_ivf",
     "media_meta",
     "media_features",
+    "media_frames",
     "sample_split",
     "shuffle_docs",
     "pack_docs",
