@@ -294,3 +294,17 @@ def test_pack_docs_distributed_scan_multiblock(ray_session, tmp_path):
     assert (cum == np.cumsum(n)).all()
     assert (pid == (cum - n) // 512).all()
     assert t.column("doc_id").to_pylist() == sorted(t.column("doc_id").to_pylist())
+
+
+def test_shuffle_docs_seeded_determinism(ray_session):
+    from image_report_ray.pipelines.text import shuffle_docs
+
+    a = shuffle_docs(SF, seed=1)
+    b = shuffle_docs(SF, seed=1)
+    c = shuffle_docs(SF, seed=2)
+    assert a.equals(b)                       # reproducible
+    ra = a.column("shuffle_rank").to_pylist()
+    rc = c.column("shuffle_rank").to_pylist()
+    assert ra != rc                          # seed actually reshuffles
+    # ranks are a permutation of 1..n (bijective key -> tie-free)
+    assert sorted(ra) == list(range(1, a.num_rows + 1))
