@@ -632,11 +632,15 @@ def pack_docs(sf_dir: str, budget: int = 2048) -> pa.Table:
 
     @ray.remote
     def block_tokens(block: pa.Table):
+        if block.num_rows == 0:
+            return 0
         n = pc.count_substring_regex(block.column("text"), r"\S+").cast(pa.int64())
         return int(pc.sum(n).as_py() or 0)
 
     @ray.remote
     def block_packs(block: pa.Table, offset: int, budget: int) -> pa.Table:
+        if block.num_rows == 0:
+            return block
         n = pc.count_substring_regex(block.column("text"), r"\S+").cast(
             pa.int64()
         ).to_numpy()
@@ -652,8 +656,18 @@ def pack_docs(sf_dir: str, budget: int = 2048) -> pa.Table:
 
     totals = ray.get([block_tokens.remote(r) for r in refs])
     offsets = np.r_[0, np.cumsum(totals)[:-1]]  # exclusive prefix, O(blocks)
-    parts = ray.get(
-        [block_packs.remote(r, int(o), budget) for r, o in zip(refs, offsets)]
-    )
-    t = pa.concat_tables([p for p in parts if p.num_rows])
-    return finalize(t, [("doc_id", "ascending")])
+    parts = [
+        p
+        for p in ray.get(
+            [block_packs.remote(r, int(o), budget) for r, o in zip(refs, offsets)]
+        )
+        if p.num_rows
+    ]
+    if not parts:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "n_tokens": pa.array([], pa.int64()),
+             "cum_tokens": pa.array([], pa.int64()),
+             "pack_id": pa.array([], pa.int64())}
+        )
+    return finalize(pa.concat_tables(parts), [("doc_id", "ascending")])
