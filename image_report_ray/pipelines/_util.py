@@ -31,7 +31,9 @@ def finalize(table: pa.Table, sort_keys: list[tuple[str, str]]) -> pa.Table:
             table = table.set_column(
                 i, f.name, table.column(f.name).cast(pa.timestamp("us"))
             )
-    if sort_keys:
+    # an entirely-empty pipeline can surface Ray's schema-less empty
+    # block; there is nothing to sort (or sort by) — pass it through
+    if sort_keys and all(k in table.column_names for k, _ in sort_keys):
         table = table.take(pc.sort_indices(table, sort_keys=sort_keys))
     return table.combine_chunks()
 
@@ -52,5 +54,7 @@ def fold_partials(ds, keys: list[str], aggs: list, rename: list[str] | None = No
     tokens, conversations): those go through the keyed exchange
     (:mod:`.exchange`)."""
     t = ds_to_table(ds)
+    if t.num_columns == 0:  # fully-empty input: schema-less empty block
+        return t
     g = t.group_by(keys).aggregate(aggs)
     return g.rename_columns(rename) if rename else g

@@ -637,7 +637,9 @@ def distinct_event_types(sf_dir: str) -> pa.Table:
     t = fold_partials(
         ds.map_batches(uniq, batch_format="pyarrow"),
         ["event_type"], [([], "count_all")], ["event_type", "_n"],
-    ).select(["event_type"])
+    )
+    t = (t.select(["event_type"]) if t.num_columns
+         else pa.table({"event_type": pa.array([], pa.string())}))
     return finalize(t, [("event_type", "ascending")])
 
 
@@ -850,4 +852,7 @@ def hll_user_sketch(sf_dir: str) -> pa.Table:
         ds.map_batches(partial, batch_format="pyarrow"),
         ["bucket"], [("max_rank", "max")], ["bucket", "max_rank"],
     )
+    if t.num_columns == 0:  # empty events table: zero registers
+        t = pa.table({"bucket": pa.array([], pa.int64()),
+                      "max_rank": pa.array([], pa.int64())})
     return finalize(t, [("bucket", "ascending")])

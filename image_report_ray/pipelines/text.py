@@ -561,6 +561,10 @@ def lang_stats(sf_dir: str) -> pa.Table:
         ["lang"], [("n_part", "sum"), ("c_part", "sum")],
         ["lang", "n_docs", "s_chars"],
     )
+    if t.num_columns == 0:  # empty corpus
+        return pa.table({"lang": pa.array([], pa.string()),
+                         "n_docs": pa.array([], pa.int64()),
+                         "avg_chars": pa.array([], pa.float64())})
     n = t.column("n_docs").to_numpy().astype(np.int64)
     s = t.column("s_chars").to_numpy().astype(np.int64)
     t = pa.table(

@@ -308,3 +308,33 @@ def test_shuffle_docs_seeded_determinism(ray_session):
     assert ra != rc                          # seed actually reshuffles
     # ranks are a permutation of 1..n (bijective key -> tie-free)
     assert sorted(ra) == list(range(1, a.num_rows + 1))
+
+
+def test_operators_tolerate_empty_corpus(ray_session, tmp_path):
+    """No query operator may crash on an empty table (Ray emits
+    schema-less empty blocks for empty inputs)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from image_report_ray.pipelines import relational as R
+    from image_report_ray.pipelines import text as T
+
+    d = str(tmp_path)
+    pq.write_table(
+        pa.table({"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string()),
+                  "lang": pa.array([], pa.string()), "n_chars": pa.array([], pa.int64())}),
+        os.path.join(d, "documents.parquet"))
+    pq.write_table(
+        pa.table({"event_id": pa.array([], pa.int64()), "user_id": pa.array([], pa.int64()),
+                  "event_type": pa.array([], pa.string()),
+                  "ts": pa.array([], pa.timestamp("us")),
+                  "value": pa.array([], pa.float64())}),
+        os.path.join(d, "events.parquet"))
+    for fn in (T.shuffle_docs, T.lang_stats, T.dedup_exact, T.top_tokens,
+               T.quality_score, T.text_stats, T.pack_docs,
+               R.hll_user_sketch, R.clicks_before_purchase_count,
+               R.user_hour_activity, R.distinct_event_types,
+               R.sessionize_users):
+        assert fn(d).num_rows == 0, fn.__name__
