@@ -34,7 +34,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ._util import ds_to_table, finalize
+from ._util import finalize
 
 _NGRAM = 3
 
@@ -133,6 +133,50 @@ _PC_PARTS = 16
 _PC_FAN = 8  # tree-reduce fan-in for the pair-partial fold
 
 
+def _drop_hot_keys(
+    k: np.ndarray, max_key_freq: int | None, *cols: np.ndarray
+) -> tuple[tuple[np.ndarray, ...], int, int]:
+    """Drop rows of keys whose group exceeds ``max_key_freq`` (``k`` is
+    sorted). Returns ((k, *cols) filtered, n_dropped_keys,
+    n_dropped_postings)."""
+    if max_key_freq is None or len(k) == 0:
+        return (k, *cols), 0, 0
+    n = len(k)
+    starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+    sizes = np.r_[starts[1:], n] - starts
+    hot = sizes > max_key_freq
+    if not hot.any():
+        return (k, *cols), 0, 0
+    keep = ~np.repeat(hot, sizes)
+    return (
+        (k[keep], *(c[keep] for c in cols)),
+        int(hot.sum()),
+        int(sizes[hot].sum()),
+    )
+
+
+def _pair_pos(k: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """All within-group ordered (i<j) position pairs over SORTED keys
+    ``k`` — pure index arithmetic, one allocation per output column."""
+    n = len(k)
+    empty = np.array([], dtype=np.int64)
+    if n == 0:
+        return empty, empty
+    starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+    ends = np.r_[starts[1:], n]
+    grp = np.repeat(np.arange(len(starts)), ends - starts)
+    idx = np.arange(n)
+    later = ends[grp] - 1 - idx          # elements after i in i's group
+    tot = int(later.sum())
+    if tot == 0:
+        return empty, empty
+    li = np.repeat(idx, later)
+    run_start = np.cumsum(np.r_[0, later[:-1]])
+    delta = np.arange(tot) - np.repeat(run_start, later)
+    ri = li + 1 + delta
+    return li, ri
+
+
 def _pairs_in_partition(
     keys: np.ndarray,
     ids: np.ndarray,
@@ -151,36 +195,54 @@ def _pairs_in_partition(
         return empty, empty, 0, 0
     order = np.lexsort((ids, keys))
     k, e = keys[order], ids[order].astype(np.int64)
-    n = len(k)
-    starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
-    ends = np.r_[starts[1:], n]
-    dropped_keys = dropped_postings = 0
-    if max_key_freq is not None:
-        sizes = ends - starts
-        hot = sizes > max_key_freq
-        if hot.any():
-            dropped_keys = int(hot.sum())
-            dropped_postings = int(sizes[hot].sum())
-            keep = ~np.repeat(hot, sizes)
-            k, e = k[keep], e[keep]
-            n = len(k)
-            if n == 0:
-                return empty, empty, dropped_keys, dropped_postings
-            starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
-            ends = np.r_[starts[1:], n]
-    grp = np.repeat(np.arange(len(starts)), ends - starts)
-    idx = np.arange(n)
-    later = ends[grp] - 1 - idx          # elements after i in i's group
-    tot = int(later.sum())
-    if tot == 0:
+    (k, e), dropped_keys, dropped_postings = _drop_hot_keys(k, max_key_freq, e)
+    li, ri = _pair_pos(k)
+    if len(li) == 0:
         return empty, empty, dropped_keys, dropped_postings
-    left = np.repeat(e, later)
-    run_start = np.cumsum(np.r_[0, later[:-1]])
-    delta = np.arange(tot) - np.repeat(run_start, later)
-    right = e[np.repeat(idx, later) + 1 + delta]
-    pair = (left << 32) | right          # ids ascending within group -> a<b
+    pair = (e[li] << 32) | e[ri]         # ids ascending within group -> a<b
     uniq, cnt = np.unique(pair, return_counts=True)
     return uniq, cnt.astype(np.int64), dropped_keys, dropped_postings
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized population count of a uint64 array (numpy<2 has no
+    ``bitwise_count``; byte-unpack is one C pass per byte lane)."""
+    dist = np.zeros(len(x), dtype=np.int64)
+    for shift in range(0, 64, 8):
+        dist += np.unpackbits(
+            ((x >> np.uint64(shift)) & np.uint64(0xFF)).astype(np.uint8)[:, None],
+            axis=1,
+        ).sum(axis=1).astype(np.int64)
+    return dist
+
+
+def _hamming_pairs_in_partition(
+    keys: np.ndarray,
+    ids: np.ndarray,
+    vals: np.ndarray,
+    max_hamming: int,
+    max_key_freq: int | None = None,
+) -> tuple[np.ndarray, np.ndarray, int, int]:
+    """Value-carrying variant of :func:`_pairs_in_partition`: each posting
+    carries its doc's 64-bit hash, so candidate pairs are popcount-VERIFIED
+    inside the partition — only (pair, hamming) survivors leave. The same
+    pair found under several keys verifies identically, so the partition
+    dedupes locally and the fold is a plain union."""
+    empty = np.array([], dtype=np.int64)
+    if len(keys) == 0:
+        return empty, empty, 0, 0
+    order = np.lexsort((ids, keys))
+    k, e, v = keys[order], ids[order].astype(np.int64), vals[order]
+    (k, e, v), dk, dp = _drop_hot_keys(k, max_key_freq, e, v)
+    li, ri = _pair_pos(k)
+    if len(li) == 0:
+        return empty, empty, dk, dp
+    dist = _popcount64(v[li].astype(np.uint64) ^ v[ri].astype(np.uint64))
+    keep = dist <= max_hamming
+    pair = ((e[li] << 32) | e[ri])[keep]
+    dist = dist[keep]
+    uniq, first = np.unique(pair, return_index=True)
+    return uniq, dist[first], dk, dp
 
 
 def _merge_pair_partials(outs):
@@ -290,6 +352,119 @@ def pair_counts(
             "/ %d posting(s)", max_key_freq, dk, dp,
         )
     t = pa.table({"pair": pa.array(uniq, pa.int64()), "n_common": pa.array(sums)})
+    return t, {"dropped_keys": dk, "dropped_postings": dp}
+
+
+_HP_REMOTES = None
+
+
+def _hp_remotes():
+    """Remotes of the value-carrying Hamming-verify exchange (lazy, once)."""
+    global _HP_REMOTES
+    if _HP_REMOTES is None:
+        import ray
+
+        @ray.remote
+        def split_v(block: pa.Table, key_col: str, id_col: str, val_col: str, P: int):
+            from .exchange import hash_key as _hk
+
+            keys = block.column(key_col)
+            if isinstance(keys, pa.ChunkedArray):
+                keys = keys.combine_chunks()
+            knp = _hk(keys)
+            ids = block.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            vals = block.column(val_col).to_numpy(zero_copy_only=False).astype(
+                np.uint64
+            )
+            if len(ids) and (ids.min() < 0 or ids.max() >= (1 << 31)):
+                raise ValueError(
+                    f"{id_col} out of bit-packable range [0, 2^31): "
+                    f"[{ids.min()}, {ids.max()}]"
+                )
+            part = (knp % np.uint64(P)).astype(np.int64)
+            order = np.argsort(part, kind="stable")
+            ks, es, vs, ps = knp[order], ids[order], vals[order], part[order]
+            bounds = np.searchsorted(ps, np.arange(P + 1))
+            return tuple(
+                (
+                    ks[bounds[i]: bounds[i + 1]],
+                    es[bounds[i]: bounds[i + 1]],
+                    vs[bounds[i]: bounds[i + 1]],
+                )
+                for i in range(P)
+            )
+
+        @ray.remote
+        def count_h(max_hamming, key_freq_cap, *slices):
+            ks = np.concatenate([s[0] for s in slices])
+            es = np.concatenate([s[1] for s in slices])
+            vs = np.concatenate([s[2] for s in slices])
+            return _hamming_pairs_in_partition(
+                ks, es, vs, max_hamming, max_key_freq=key_freq_cap
+            )
+
+        @ray.remote
+        def merge_h(*outs):
+            allp = np.concatenate([o[0] for o in outs])
+            alld = np.concatenate([o[1] for o in outs])
+            uniq, first = np.unique(allp, return_index=True)
+            return (
+                uniq,
+                alld[first],
+                sum(o[2] for o in outs),
+                sum(o[3] for o in outs),
+            )
+
+        _HP_REMOTES = (split_v, count_h, merge_h)
+    return _HP_REMOTES
+
+
+def hamming_pairs(
+    index,
+    key_col: str,
+    id_col: str,
+    val_col: str,
+    max_hamming: int,
+    P: int = _PC_PARTS,
+    *,
+    max_key_freq: int | None = None,
+) -> tuple[pa.Table, dict]:
+    """Distributed bucket-candidate generation + in-partition Hamming
+    verify: hash-partition the (key, doc_id, hash64) inverted index by
+    key, generate within-key (a<b) pairs per partition, popcount-verify
+    them there, and tree-fold only the survivors. The driver receives the
+    final matches — never a corpus-wide hash map (the scale fix for
+    SimHash-family verifies)."""
+    import ray
+
+    split_v, count_h, merge_h = _hp_remotes()
+    refs = index if isinstance(index, list) else index.to_arrow_refs()
+    if P < 2:
+        P = 2
+    mats = [
+        split_v.options(num_returns=P).remote(ref, key_col, id_col, val_col, P)
+        for ref in refs
+    ]
+    outs = [
+        count_h.remote(max_hamming, max_key_freq, *[m[pid] for m in mats])
+        for pid in range(P)
+    ]
+    while len(outs) > 1:
+        outs = [
+            merge_h.remote(*outs[i : i + _PC_FAN])
+            for i in range(0, len(outs), _PC_FAN)
+        ]
+    uniq, dists, dk, dp = ray.get(outs[0])
+    if dk:
+        import logging
+
+        logging.getLogger("image_report_ray").warning(
+            "hamming_pairs: hot-key cap (max_key_freq=%s) dropped %d key(s) "
+            "/ %d posting(s)", max_key_freq, dk, dp,
+        )
+    t = pa.table(
+        {"pair": pa.array(uniq, pa.int64()), "hamming": pa.array(dists, pa.int64())}
+    )
     return t, {"dropped_keys": dk, "dropped_postings": dp}
 
 
@@ -622,59 +797,42 @@ def simhash64(batch: pa.Table) -> pa.Table:
 def dedup_simhash(sf_dir: str, max_hamming: int = 3) -> pa.Table:
     """Document pairs whose 64-bit SimHashes differ by <= ``max_hamming``
     bits. Candidates via 16-bit-chunk pigeonhole bucketing (any pair
-    within distance CHUNKS-1 shares >= 1 exact chunk), verified by
-    popcount of the XOR."""
-    import ray
-
+    within distance CHUNKS-1 shares >= 1 exact chunk); each chunk posting
+    CARRIES its doc's simhash, so the XOR-popcount verify happens inside
+    the exchange partitions (:func:`hamming_pairs`) — the driver holds
+    only the final matching pairs, never a corpus-wide hash map."""
     rd = _rd()
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    # one simhash pass, materialized once (8 bytes/doc); the broadcast map
-    # and the chunk-explode dataset both derive from it
-    hash_t = ds_to_table(ds.map_batches(simhash64, batch_format="pyarrow"))
-    hashes = rd.from_arrow(hash_t)
-    hmap = dict(
-        zip(
-            hash_t.column("doc_id").to_pylist(),
-            (np.uint64(x) for x in hash_t.column("simhash").to_pylist()),
-        )
-    )
+    hashes = ds.map_batches(simhash64, batch_format="pyarrow")
 
     def chunk_explode(t: pa.Table) -> pa.Table:
         doc = t.column("doc_id").to_numpy()
         sh = t.column("simhash").to_numpy().astype(np.uint64)
-        keys, docs = [], []
+        keys, docs, vals = [], [], []
         for ci in range(_SH_CHUNKS):
             chunk = (sh >> np.uint64(16 * ci)) & np.uint64(0xFFFF)
             keys.append(chunk.astype(np.int64) * _SH_CHUNKS + ci)
             docs.append(doc)
+            vals.append(sh)
         return pa.table(
             {
                 "chunk_key": pa.array(np.concatenate(keys), pa.int64()),
                 "doc_id": pa.array(np.concatenate(docs), pa.int64()),
+                "simhash": pa.array(np.concatenate(vals), pa.uint64()),
             }
         )
 
     chunks = hashes.map_batches(chunk_explode, batch_format="pyarrow")
-    cands_t, _ = pair_counts(chunks, "chunk_key", "doc_id")
+    pairs_t, _ = hamming_pairs(
+        chunks, "chunk_key", "doc_id", "simhash", max_hamming
+    )
 
-    key = cands_t.column("pair").to_numpy()
-    a = (key >> 32).astype(np.int64)
-    b = (key & 0xFFFFFFFF).astype(np.int64)
-    ha = np.array([hmap[x] for x in a], dtype=np.uint64)
-    hb = np.array([hmap[x] for x in b], dtype=np.uint64)
-    x = ha ^ hb
-    dist = np.zeros(len(x), dtype=np.int64)
-    for shift in range(0, 64, 8):
-        dist += np.unpackbits(
-            ((x >> np.uint64(shift)) & np.uint64(0xFF)).astype(np.uint8)[:, None],
-            axis=1,
-        ).sum(axis=1).astype(np.int64)
-    keep = dist <= max_hamming
+    key = pairs_t.column("pair").to_numpy()
     t = pa.table(
         {
-            "doc_id_a": pa.array(a[keep]),
-            "doc_id_b": pa.array(b[keep]),
-            "hamming": pa.array(dist[keep]),
+            "doc_id_a": pa.array((key >> 32).astype(np.int64)),
+            "doc_id_b": pa.array((key & 0xFFFFFFFF).astype(np.int64)),
+            "hamming": pairs_t.column("hamming"),
         }
     )
     return finalize(t, [("doc_id_a", "ascending"), ("doc_id_b", "ascending")])

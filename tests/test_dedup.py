@@ -255,3 +255,69 @@ def test_verify_candidates_partition_local(ray_session):
     assert abs(got[(0, 1)][1] - exp01) < 1e-6
     assert got[(0, 2)] == (0, 0.0)       # zero-overlap candidate surfaces
     assert set(got) == {(0, 1), (0, 2)}  # doc 3 untouched
+
+
+def test_hamming_pairs_exchange_matches_naive(ray_session):
+    """hamming_pairs verifies candidates INSIDE partitions (postings carry
+    the 64-bit hash) and its union equals a naive all-pairs popcount over
+    the bucketed candidates — no driver-side hash map anywhere."""
+    import itertools
+
+    import ray
+
+    from image_report_ray.pipelines.dedup import _SH_CHUNKS, hamming_pairs
+
+    rng = np.random.default_rng(5)
+    n = 80
+    hashes = rng.integers(0, 1 << 63, size=n, dtype=np.int64).astype(np.uint64)
+    # plant near-dups: doc i+1 = doc i with 2 bits flipped, for a few i
+    for i in (3, 17, 40):
+        hashes[i + 1] = hashes[i] ^ np.uint64(0b101)
+    ids = np.arange(n, dtype=np.int64)
+    keys, docs, vals = [], [], []
+    for ci in range(_SH_CHUNKS):
+        chunk = (hashes >> np.uint64(16 * ci)) & np.uint64(0xFFFF)
+        keys.append(chunk.astype(np.int64) * _SH_CHUNKS + ci)
+        docs.append(ids)
+        vals.append(hashes)
+    t = pa.table({"k": pa.array(np.concatenate(keys), pa.int64()),
+                  "doc_id": pa.array(np.concatenate(docs), pa.int64()),
+                  "h": pa.array(np.concatenate(vals), pa.uint64())})
+    refs = [ray.put(t.slice(i, 100)) for i in range(0, t.num_rows, 100)]
+    got, st = hamming_pairs(refs, "k", "doc_id", "h", max_hamming=3, P=5)
+    assert st == {"dropped_keys": 0, "dropped_postings": 0}
+
+    # naive: candidates = pairs sharing >= 1 chunk; keep popcount <= 3
+    naive = {}
+    for a, b in itertools.combinations(range(n), 2):
+        shares = any(
+            ((hashes[a] >> np.uint64(16 * c)) & np.uint64(0xFFFF))
+            == ((hashes[b] >> np.uint64(16 * c)) & np.uint64(0xFFFF))
+            for c in range(_SH_CHUNKS)
+        )
+        d = bin(int(hashes[a] ^ hashes[b])).count("1")
+        if shares and d <= 3:
+            naive[(a, b)] = d
+    gp = {
+        (int(p) >> 32, int(p) & 0xFFFFFFFF): int(h)
+        for p, h in zip(got.column("pair").to_pylist(),
+                        got.column("hamming").to_pylist())
+    }
+    assert gp == naive
+    assert {(3, 4), (17, 18), (40, 41)} <= set(gp)
+
+
+def test_hamming_pairs_hot_key_cap(ray_session):
+    import ray
+
+    from image_report_ray.pipelines.dedup import hamming_pairs
+
+    # one hot bucket with 5 identical hashes, one cool with 2
+    t = pa.table({"k": pa.array([7] * 5 + [8] * 2, pa.int64()),
+                  "doc_id": pa.array([0, 1, 2, 3, 4, 5, 6], pa.int64()),
+                  "h": pa.array([np.uint64(9)] * 7, pa.uint64())})
+    capped, st = hamming_pairs(
+        [ray.put(t)], "k", "doc_id", "h", max_hamming=0, P=3, max_key_freq=3
+    )
+    assert capped.column("pair").to_pylist() == [(5 << 32) | 6]
+    assert st == {"dropped_keys": 1, "dropped_postings": 5}
