@@ -591,16 +591,27 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
     return x ^ (x >> np.uint64(31))
 
 
-def shuffle_docs(sf_dir: str, seed: int = 0x5EED) -> pa.Table:
+_SHUF_PARTS = 16  # 2^4 key-range buckets (keys are uniform on uint64)
+
+
+def shuffle_docs(sf_dir: str, seed: int = 0x5EED, P: int = _SHUF_PARTS) -> pa.Table:
     """Deterministic seeded global shuffle: every document gets a
     pseudo-random but reproducible shuffle key (splitmix64 of
     doc_id + seed, bijective => tie-free) and its global rank under that
-    key. Per-batch key computation streams; the rank is ONE global sort
-    on the 16-byte (key, doc_id) projection — the single all-to-all this
-    operator is allowed, never touching document bodies. Changing the
-    seed reshuffles; re-running never does."""
+    key. The rank is a DISTRIBUTED sort on the 16-byte (key, doc_id)
+    projection: splitmix64 output is uniform on uint64, so the top bits
+    are an ordered, balanced range partitioning — each bucket sorts
+    locally, the driver folds only the O(P) bucket counts into exclusive
+    prefix offsets (the pack_docs scan shape), and per-bucket tasks add
+    ``offset + local_rank``. No driver-side whole-table sort; document
+    bodies never move. Changing the seed reshuffles; re-running never
+    does."""
+    import ray
+
     rd = _rd()
     sd = np.uint64(seed)
+    shift = np.uint64(64 - int(np.log2(P)))
+    assert 1 << int(64 - int(shift)) == P, "P must be a power of two"
 
     def keyed(t: pa.Table) -> pa.Table:
         did = t.column("doc_id").to_numpy().astype(np.uint64)
@@ -612,12 +623,50 @@ def shuffle_docs(sf_dir: str, seed: int = 0x5EED) -> pa.Table:
             }
         )
 
+    @ray.remote
+    def split_ranges(block: pa.Table, P: int):
+        key = block.column("shuffle_key").to_numpy()
+        bucket = (key >> shift).astype(np.int64)
+        order = np.argsort(bucket, kind="stable")
+        b = block.take(pa.array(order))
+        bounds = np.searchsorted(bucket[order], np.arange(P + 1))
+        return tuple(b.slice(bounds[i], bounds[i + 1] - bounds[i]) for i in range(P))
+
+    @ray.remote(num_returns=2)
+    def bucket_sort(*slices: pa.Table):
+        t = pa.concat_tables([s for s in slices if s.num_rows])
+        if t.num_rows == 0:
+            return 0, slices[0]
+        t = t.take(pc.sort_indices(t, sort_keys=[("shuffle_key", "ascending")]))
+        return t.num_rows, t
+
+    @ray.remote
+    def add_rank(t: pa.Table, offset: int) -> pa.Table:
+        return t.append_column(
+            "shuffle_rank",
+            pa.array(np.arange(offset + 1, offset + 1 + t.num_rows), pa.int64()),
+        )
+
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
-    t = ds_to_table(ds.map_batches(keyed, batch_format="pyarrow"))
-    t = finalize(t, [("shuffle_key", "ascending")])
-    rank = pa.array(np.arange(1, t.num_rows + 1), pa.int64())
-    t = t.append_column("shuffle_rank", rank)
-    return finalize(t, [("doc_id", "ascending")])
+    refs = ds.map_batches(keyed, batch_format="pyarrow").to_arrow_refs()
+    mats = [split_ranges.options(num_returns=P).remote(r, P) for r in refs]
+    counts_sorted = [bucket_sort.remote(*[m[b] for m in mats]) for b in range(P)]
+    counts = ray.get([c for c, _ in counts_sorted])
+    offsets = np.r_[0, np.cumsum(counts)[:-1]]  # exclusive prefix, O(P)
+    ranked = ray.get(
+        [
+            add_rank.remote(tref, int(off))
+            for (n, (_, tref)), off in zip(zip(counts, counts_sorted), offsets)
+            if n
+        ]
+    )
+    if not ranked:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "shuffle_key": pa.array([], pa.uint64()),
+             "shuffle_rank": pa.array([], pa.int64())}
+        )
+    return finalize(pa.concat_tables(ranked), [("doc_id", "ascending")])
 
 
 def pack_docs(sf_dir: str, budget: int = 2048) -> pa.Table:
