@@ -346,25 +346,108 @@ def _nd_planes(dim: int, bits: int) -> np.ndarray:
     return rng.standard_normal((dim, _ND_BANDS * bits))
 
 
+# Band-bucket hot-key cap: a bucket with F members generates O(F^2)
+# candidate pairs, and near-dup corpora are exactly the ones with huge
+# identical clusters. Buckets above the cap are dropped WITH COUNTS
+# (pair_counts surfaces them); genuine near-dup clusters far smaller
+# than the cap are unaffected.
+_ND_MAX_BAND_FREQ = 4096
+
+
+def _vecs_to_list_col(m: np.ndarray) -> pa.Array:
+    if m.ndim != 2 or m.shape[0] == 0 or m.shape[1] == 0:
+        return pa.array([], pa.list_(pa.float64()))
+    n, dim = m.shape
+    return pa.ListArray.from_arrays(
+        pa.array(np.arange(0, (n + 1) * dim, dim, dtype=np.int64), pa.int32()),
+        pa.array(m.ravel(), pa.float64()),
+    )
+
+
+def _join_vecs(ids: np.ndarray, vec_t: pa.Table) -> np.ndarray:
+    """Look up normalized vectors for ``ids`` in a partition's vector
+    slice (sorted-searchsorted join; every id is present by routing)."""
+    vid = vec_t.column("vec_id").to_numpy()
+    m = _stack(vec_t.column("embedding_n"))
+    order = np.argsort(vid)
+    return m[order][np.searchsorted(vid[order], ids)]
+
+
+def _nd_attach_va(pid: int, pairs: pa.Table, vecs: pa.Table) -> pa.Table:
+    """Stage-1 verify kernel: pairs co-partitioned with vectors on
+    vec_id_a — attach the normalized a-vector to each pair."""
+    if pairs.num_rows == 0 or vecs.num_rows == 0:
+        return pa.table(
+            {"vec_id_a": pa.array([], pa.int64()),
+             "vec_id_b": pa.array([], pa.int64()),
+             "va": pa.array([], pa.list_(pa.float64()))}
+        )
+    a = pairs.column("vec_id_a").to_numpy()
+    va = _join_vecs(a, vecs)
+    return pa.table(
+        {
+            "vec_id_a": pairs.column("vec_id_a"),
+            "vec_id_b": pairs.column("vec_id_b"),
+            "va": _vecs_to_list_col(va),
+        }
+    )
+
+
+def _nd_verify(threshold: float, pid: int, pairs: pa.Table, vecs: pa.Table) -> pa.Table:
+    """Stage-2 verify kernel: (pair, va) co-partitioned with vectors on
+    vec_id_b — one einsum per partition, only >= threshold survivors
+    leave."""
+    empty = pa.table(
+        {"vec_id_a": pa.array([], pa.int64()),
+         "vec_id_b": pa.array([], pa.int64()),
+         "sim": pa.array([], pa.float64())}
+    )
+    if pairs.num_rows == 0 or vecs.num_rows == 0:
+        return empty
+    b = pairs.column("vec_id_b").to_numpy()
+    vb = _join_vecs(b, vecs)
+    va = _stack(pairs.column("va"))
+    sims = np.einsum("ij,ij->i", va, vb)
+    keep = sims >= threshold
+    return pa.table(
+        {
+            "vec_id_a": pairs.column("vec_id_a").filter(pa.array(keep)),
+            "vec_id_b": pairs.column("vec_id_b").filter(pa.array(keep)),
+            "sim": pa.array(sims[keep]),
+        }
+    )
+
+
 def embedding_near_dups_lsh(
-    sf_dir: str, threshold: float = 0.95
+    sf_dir: str,
+    threshold: float = 0.95,
+    max_band_freq: int = _ND_MAX_BAND_FREQ,
 ) -> pa.Table:
     """Near-dup pairs via banded random-hyperplane LSH — the 100 TB path
     behind :func:`embedding_near_dups`. Candidate pairs come from the
-    shared :func:`pair_counts` exchange over band-bucket keys; the exact
-    cosine verify gathers ONLY candidate vectors (per-block filter
-    against the broadcast candidate-id set), so driver state is
-    O(candidates x dim), never the corpus. Approximate -> pytest recall
-    gate, no SQL oracle."""
+    shared :func:`pair_counts` exchange over band-bucket keys (hot
+    buckets capped at ``max_band_freq`` with counted drops); the exact
+    cosine verify is CO-PARTITIONED — two chained keyed exchanges attach
+    the a-vector then the b-vector to each candidate pair and compute the
+    dot product inside the partitions, so the driver holds only the
+    candidate-pair list and the final survivors, never a vector gather.
+    Approximate -> pytest recall gate, no SQL oracle."""
     import ray
+    from functools import partial as fpartial
 
     from .dedup import pair_counts
+    from .exchange import exchange_reduce, gather_concat
 
     import pyarrow.parquet as pq
 
     rd = _rd()
-    n_rows = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    n_rows = pf.metadata.num_rows
     band_bits = _nd_band_bits(n_rows)
+    first = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
+    dim = len(first.column(0)[0])
+    # hyperplanes generated ONCE and broadcast — not rebuilt per batch
+    pl_ref = ray.put(_nd_planes(dim, band_bits))
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     refs = ds.to_arrow_refs()
 
@@ -373,9 +456,8 @@ def embedding_near_dups_lsh(
         nrm = np.linalg.norm(m, axis=1)
         nrm[nrm == 0] = 1.0
         mn = m / nrm[:, None]
-        pl = _nd_planes(mn.shape[1], band_bits)
+        pl = ray.get(pl_ref)
         bits = (mn @ pl) > 0  # (n, bands*band_bits)
-        n = len(mn)
         weights = (1 << np.arange(band_bits, dtype=np.int64))
         keys, ids = [], []
         vid = t.column("vec_id").to_numpy()
@@ -392,7 +474,7 @@ def embedding_near_dups_lsh(
         )
 
     bands = rd.from_arrow_refs(refs).map_batches(band_explode, batch_format="pyarrow")
-    cands_t, _ = pair_counts(bands, "band_key", "vec_id")
+    cands_t, _ = pair_counts(bands, "band_key", "vec_id", max_key_freq=max_band_freq)
 
     empty = pa.table(
         {
@@ -404,39 +486,46 @@ def embedding_near_dups_lsh(
     if cands_t.num_rows == 0:
         return empty
     key = cands_t.column("pair").to_numpy()
-    a = (key >> 32).astype(np.int64)
-    b = (key & 0xFFFFFFFF).astype(np.int64)
-    cand_ids = np.unique(np.concatenate([a, b]))
+    pairs_t = pa.table(
+        {
+            "vec_id_a": pa.array((key >> 32).astype(np.int64), pa.int64()),
+            "vec_id_b": pa.array((key & 0xFFFFFFFF).astype(np.int64), pa.int64()),
+        }
+    )
+    cand_ids = np.unique(
+        np.concatenate(
+            [pairs_t.column("vec_id_a").to_numpy(), pairs_t.column("vec_id_b").to_numpy()]
+        )
+    )
     ids_ref = ray.put(cand_ids)
 
     @ray.remote
-    def gather_vecs(block: pa.Table, need):
+    def norm_cand_vecs(block: pa.Table, need):
+        """Per-block filter to candidate vectors, normalized once — the
+        vector side of both verify exchanges (stays in the object store)."""
         keep = np.isin(block.column("vec_id").to_numpy(), need)
-        return block.filter(pa.array(keep))
+        sub = block.filter(pa.array(keep))
+        m = _stack(sub.column("embedding"))
+        nrm = np.linalg.norm(m, axis=1) if m.size else np.array([])
+        if m.size:
+            nrm[nrm == 0] = 1.0
+            m = m / nrm[:, None]
+        return pa.table(
+            {"vec_id": sub.column("vec_id"), "embedding_n": _vecs_to_list_col(m)}
+        )
 
-    got = pa.concat_tables(
-        ray.get([gather_vecs.remote(r, ids_ref) for r in refs]),
-        promote_options="default",
+    vec_refs = [norm_cand_vecs.remote(r, ids_ref) for r in refs]
+    pair_refs = [ray.put(pairs_t)]
+    stage1 = exchange_reduce(
+        [pair_refs, vec_refs], ["vec_id_a", "vec_id"], _nd_attach_va
     )
-    gid = got.column("vec_id").to_numpy()
-    gm = _stack(got.column("embedding"))
-    nrm = np.linalg.norm(gm, axis=1)
-    nrm[nrm == 0] = 1.0
-    gm = gm / nrm[:, None]
-    order = np.argsort(gid)
-    gid_s = gid[order]
-    gm_s = gm[order]
-    va = gm_s[np.searchsorted(gid_s, a)]
-    vb = gm_s[np.searchsorted(gid_s, b)]
-    sims = np.einsum("ij,ij->i", va, vb)
-    keep = sims >= threshold
-    t = pa.table(
-        {
-            "vec_id_a": pa.array(a[keep], pa.int64()),
-            "vec_id_b": pa.array(b[keep], pa.int64()),
-            "sim": pa.array(sims[keep]),
-        }
+    stage2 = exchange_reduce(
+        [stage1, vec_refs], ["vec_id_b", "vec_id"],
+        fpartial(_nd_verify, threshold),
     )
+    t = gather_concat(stage2)
+    if t.num_rows == 0:
+        return empty
     t = round_col(t, "sim", 4)
     return finalize(t, [("vec_id_a", "ascending"), ("vec_id_b", "ascending")])
 
