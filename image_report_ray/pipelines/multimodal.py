@@ -20,7 +20,6 @@ from ..stages.media import (
     ByteHistogramFeatures,
     FrameSampler,
     MediaDecoder,
-    pack_media,
 )
 from ._util import ds_to_table, finalize
 
@@ -37,22 +36,55 @@ def _rd():
 def synth_media_batch(t: pa.Table) -> pa.Table:
     """documents batch -> media table (media_id, payload). All header
     fields are integer arithmetic on doc_id (SQL-twin-able); the body is
-    the utf-8 text standing in for pixel/sample data."""
-    out_id, out_payload = [], []
-    ids = t.column("doc_id").to_pylist()
-    texts = t.column("text").to_pylist()
-    for did, text in zip(ids, texts):
-        kind = did % 3
-        width = 16 + (did * 7919) % 240
-        height = 16 + (did * 104729) % 240
-        n_frames = 8 + (did * 31) % 25 if kind == 2 else 1
-        out_id.append(did)
-        out_payload.append(
-            pack_media(kind, width, height, n_frames, text.encode("utf-8"))
-        )
+    the utf-8 text standing in for pixel/sample data. Fully vectorized:
+    headers are one (n, 16) uint8 matrix, bodies gather straight from the
+    Arrow string buffers, and the payload column is built from one
+    packed buffer — no per-row ``pack_media`` calls."""
+    from ..stages.media import HEADER_LEN, MAGIC
+
+    did = t.column("doc_id").to_numpy().astype(np.int64)
+    n = len(did)
+    txt = t.column("text")
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    off_dtype = np.int64 if pa.types.is_large_string(txt.type) else np.int32
+    toffs = np.frombuffer(txt.buffers()[1], off_dtype)[
+        txt.offset : txt.offset + n + 1
+    ].astype(np.int64)
+    tbuf = txt.buffers()[2]
+    tdata = np.frombuffer(tbuf, np.uint8) if tbuf is not None else np.empty(0, np.uint8)
+    body_lens = toffs[1:] - toffs[:-1]
+
+    kind = did % 3
+    width = 16 + (did * 7919) % 240
+    height = 16 + (did * 104729) % 240
+    n_frames = np.where(kind == 2, 8 + (did * 31) % 25, 1)
+    hdr = np.empty((n, HEADER_LEN), np.uint8)
+    hdr[:, 0:4] = np.frombuffer(MAGIC, np.uint8)
+    hdr[:, 4] = kind.astype(np.uint8)
+    for k in range(4):
+        hdr[:, 5 + k] = (width >> (8 * k)).astype(np.uint8)
+        hdr[:, 9 + k] = (height >> (8 * k)).astype(np.uint8)
+    for k in range(3):
+        hdr[:, 13 + k] = (n_frames >> (8 * k)).astype(np.uint8)
+
+    out_offs = np.zeros(n + 1, np.int64)
+    np.cumsum(HEADER_LEN + body_lens, out=out_offs[1:])
+    out = np.empty(int(out_offs[-1]), np.uint8)
+    out[(out_offs[:-1][:, None] + np.arange(HEADER_LEN)).ravel()] = hdr.ravel()
+    pos = np.arange(int(body_lens.sum())) - np.repeat(
+        np.cumsum(body_lens) - body_lens, body_lens
+    )
+    out[np.repeat(out_offs[:-1] + HEADER_LEN, body_lens) + pos] = tdata[
+        np.repeat(toffs[:-1], body_lens) + pos
+    ]
+    payload = pa.Array.from_buffers(
+        pa.binary(),
+        n,
+        [None, pa.py_buffer(out_offs.astype(np.int32)), pa.py_buffer(out)],
+    )
     return pa.table(
-        {"media_id": pa.array(out_id, pa.int64()),
-         "payload": pa.array(out_payload, pa.binary())}
+        {"media_id": pa.array(did, pa.int64()), "payload": payload}
     )
 
 

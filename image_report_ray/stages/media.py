@@ -52,6 +52,59 @@ def unpack_header(payload: bytes) -> tuple[int, int, int, int]:
     return kind, width, height, n_frames
 
 
+def _binary_offsets(col: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(offsets[int64, n+1], data[uint8]) views straight off an Arrow
+    binary array's buffers — the zero-copy path every batch-wide media
+    kernel starts from."""
+    n = len(col)
+    offs = np.frombuffer(col.buffers()[1], np.int32)[
+        col.offset : col.offset + n + 1
+    ].astype(np.int64)
+    buf = col.buffers()[2]
+    data = np.frombuffer(buf, np.uint8) if buf is not None else np.empty(0, np.uint8)
+    return offs, data
+
+
+def _le_field(data: np.ndarray, starts: np.ndarray, n_bytes: int) -> np.ndarray:
+    """Little-endian unsigned ints gathered batch-wide: one lane gather
+    per byte, no per-row struct.unpack."""
+    out = np.zeros(len(starts), dtype=np.int64)
+    for k in range(n_bytes):
+        out |= data[starts + k].astype(np.int64) << (8 * k)
+    return out
+
+
+def parse_headers(col: pa.Array | pa.ChunkedArray) -> dict[str, np.ndarray]:
+    """Vectorized FMED header parse over a whole batch's payload column.
+
+    Returns kind/width/height/n_frames/body_len numpy arrays plus the
+    (offsets, data) buffer views for kernels that also need the body.
+    Raises on any non-FMED payload (same contract as
+    :func:`unpack_header`)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    offs, data = _binary_offsets(col)
+    starts = offs[:-1]
+    if len(starts):
+        if ((offs[1:] - starts) < HEADER_LEN).any():
+            raise ValueError("not a FMED payload")
+        magic = np.frombuffer(MAGIC, np.uint8)
+        ok = np.ones(len(starts), dtype=bool)
+        for k in range(4):
+            ok &= data[starts + k] == magic[k]
+        if not ok.all():
+            raise ValueError("not a FMED payload")
+    return {
+        "kind": data[starts + 4].astype(np.int64) if len(starts) else np.array([], np.int64),
+        "width": _le_field(data, starts + 5, 4),
+        "height": _le_field(data, starts + 9, 4),
+        "n_frames": _le_field(data, starts + 13, 3),
+        "body_len": offs[1:] - starts - HEADER_LEN,
+        "offsets": offs,
+        "data": data,
+    }
+
+
 class MediaDecoder:
     """Actor-pool stage: payload binary -> decoded metadata + pixel view.
 
@@ -79,21 +132,23 @@ class MediaDecoder:
         return kind, w, h, n_frames, np.frombuffer(body, dtype=np.uint8)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        metas = []
-        for payload in batch.column("payload").to_pylist():
-            kind, w, h, n_frames, arr = self._decode(payload)
-            metas.append((kind, w, h, n_frames, len(arr)))
-        kinds, ws, hs, nf, nb = (np.array(x) for x in zip(*metas)) if metas else (
-            np.array([], dtype=np.int64),
-        ) * 5
+        if self._backend != "fake":  # pragma: no cover
+            # a real codec decodes per item (inherent); only the fake
+            # header-parse path is fully batch-vectorizable
+            raise NotImplementedError(
+                "real decode backend present but intentionally stubbed in "
+                "this environment (no image libs baked in)"
+            )
+        hdr = parse_headers(batch.column("payload"))
+        kinds = hdr["kind"]
         return pa.table(
             {
                 "media_id": batch.column("media_id"),
-                "kind": pa.array([KINDS[k] for k in kinds]),
-                "width": pa.array(ws, pa.int32()),
-                "height": pa.array(hs, pa.int32()),
-                "n_frames": pa.array(nf, pa.int32()),
-                "n_body_bytes": pa.array(nb, pa.int64()),
+                "kind": pa.array(np.array(KINDS, dtype=object)[kinds], pa.string()),
+                "width": pa.array(hdr["width"], pa.int32()),
+                "height": pa.array(hdr["height"], pa.int32()),
+                "n_frames": pa.array(hdr["n_frames"], pa.int32()),
+                "n_body_bytes": pa.array(hdr["body_len"], pa.int64()),
                 "payload": batch.column("payload"),
             }
         )
@@ -161,24 +216,24 @@ class FrameSampler:
         self.stride = stride
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, frame_idx, kinds = [], [], []
-        for mid, payload in zip(
-            batch.column("media_id").to_pylist(), batch.column("payload").to_pylist()
-        ):
-            kind, _, _, n_frames = unpack_header(payload)
-            if KINDS[kind] == "video":
-                for fi in range(0, max(n_frames, 1), self.stride):
-                    ids.append(mid)
-                    frame_idx.append(fi)
-                    kinds.append(KINDS[kind])
-            else:
-                ids.append(mid)
-                frame_idx.append(0)
-                kinds.append(KINDS[kind])
+        hdr = parse_headers(batch.column("payload"))
+        kinds = hdr["kind"]
+        is_video = kinds == KINDS.index("video")
+        # rows out per item: ceil(n_frames/stride) for video, 1 otherwise
+        n_out = np.where(
+            is_video,
+            -(-np.maximum(hdr["n_frames"], 1) // self.stride),
+            1,
+        ).astype(np.int64)
+        mids = np.repeat(batch.column("media_id").to_numpy(), n_out)
+        row_of = np.repeat(np.arange(len(n_out)), n_out)
+        seg_start = np.repeat(np.cumsum(n_out) - n_out, n_out)
+        frame_idx = (np.arange(len(row_of)) - seg_start) * self.stride
+        kind_str = np.repeat(np.array(KINDS, dtype=object)[kinds], n_out)
         return pa.table(
             {
-                "media_id": pa.array(ids, pa.int64()),
+                "media_id": pa.array(mids, pa.int64()),
                 "frame_idx": pa.array(frame_idx, pa.int32()),
-                "kind": pa.array(kinds),
+                "kind": pa.array(kind_str, pa.string()),
             }
         )

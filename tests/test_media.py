@@ -88,3 +88,51 @@ def test_media_pipeline_actor_pool(ray_session):
     assert feats.num_rows == 500
     # determinism across runs (fresh actor pools)
     assert feats.equals(media_features(SF))
+
+
+def test_parse_headers_matches_unpack_header():
+    import numpy as np
+
+    from image_report_ray.stages.media import parse_headers
+
+    payloads = [
+        pack_media(0, 64, 32, 1, b"image-bytes"),
+        pack_media(1, 16, 8000, 1, b""),
+        pack_media(2, 320, 240, 17, b"video!" * 100),
+    ]
+    col = pa.array(payloads, pa.binary())
+    hdr = parse_headers(col)
+    for i, p in enumerate(payloads):
+        k, w, h, nf = unpack_header(p)
+        assert (hdr["kind"][i], hdr["width"][i], hdr["height"][i],
+                hdr["n_frames"][i]) == (k, w, h, nf)
+        assert hdr["body_len"][i] == len(p) - 16
+    # sliced column: buffer offsets must be honored
+    hdr2 = parse_headers(col.slice(1))
+    assert list(hdr2["kind"]) == [1, 2]
+    with pytest.raises(ValueError, match="FMED"):
+        parse_headers(pa.array([b"XXXX" + b"\0" * 12], pa.binary()))
+    with pytest.raises(ValueError, match="FMED"):
+        parse_headers(pa.array([b"FM"], pa.binary()))
+    empty = parse_headers(pa.array([], pa.binary()))
+    assert len(empty["kind"]) == 0
+
+
+def test_synth_media_batch_matches_per_row_pack():
+    from image_report_ray.pipelines.multimodal import synth_media_batch
+
+    ids = [0, 1, 2, 5, 17, 100]
+    texts = ["hello world", "", "a", "répété", "x" * 500, "tail"]
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(texts)})
+    got = synth_media_batch(t)
+    for i, (did, text) in enumerate(zip(ids, texts)):
+        kind = did % 3
+        expected = pack_media(
+            kind,
+            16 + (did * 7919) % 240,
+            16 + (did * 104729) % 240,
+            8 + (did * 31) % 25 if kind == 2 else 1,
+            text.encode("utf-8"),
+        )
+        assert got.column("payload")[i].as_py() == expected, i
