@@ -368,6 +368,50 @@ SELECT doc_id,
          AND (sum_len * 10000 // GREATEST(n_tokens, 1) <= 120000) AS quality_ok
 FROM m ORDER BY doc_id
 """,
+        # language-ID is fully relational: fit = top-30 (lang, token)
+        # window rank on the doc_id % 10 = 0 sample; predict = argmax of
+        # distinct-token profile overlap, ties -> lexicographically
+        # smallest language (the kernel's argmax-first semantics)
+        "lang_id": r"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest(regexp_extract_all(lower(text), '\S+')) AS token
+  FROM documents
+),
+vocab AS (
+  SELECT lang, token, COUNT(*) AS n
+  FROM toks WHERE doc_id % 10 = 0 GROUP BY lang, token
+),
+prof AS (
+  SELECT lang, token FROM (
+    SELECT lang, token,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, token ASC) AS rn
+    FROM vocab
+  ) WHERE rn <= 30
+),
+langs AS (SELECT DISTINCT lang FROM vocab),
+dt AS (SELECT DISTINCT doc_id, token FROM toks),
+sc AS (
+  SELECT dt.doc_id, prof.lang, COUNT(*) AS s
+  FROM dt JOIN prof USING (token)
+  GROUP BY 1, 2
+),
+allsc AS (
+  SELECT d.doc_id, l.lang, COALESCE(sc.s, 0) AS s
+  FROM documents d CROSS JOIN langs l
+  LEFT JOIN sc ON sc.doc_id = d.doc_id AND sc.lang = l.lang
+),
+pred AS (
+  SELECT doc_id, lang AS lang_pred FROM (
+    SELECT doc_id, lang, s,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s DESC, lang ASC) AS rn
+    FROM allsc
+  ) WHERE rn = 1
+)
+SELECT d.doc_id, p.lang_pred, d.lang AS lang_true,
+       p.lang_pred = d.lang AS correct
+FROM documents d JOIN pred p USING (doc_id)
+ORDER BY d.doc_id
+""",
         "tokenize_bpe": r"""
 WITH c AS (
   SELECT doc_id,

@@ -137,9 +137,7 @@ def text_digest_xor(state: pa.Table) -> MetricResult:
     txt = live.column("text").combine_chunks().drop_null()
     if len(txt) == 0:
         return MetricResult("text_digest_xor_empty_input")
-    h = pd.util.hash_array(np.asarray(txt.to_pylist(), dtype=object)).astype(
-        np.uint64
-    )
+    h = pd.util.hash_array(txt.to_numpy(zero_copy_only=False)).astype(np.uint64)
     return MetricResult(f"{int(np.bitwise_xor.reduce(h)):016x}")
 
 

@@ -388,8 +388,11 @@ def lang_id(sf_dir: str, top_k: int = 30) -> pa.Table:
     NOTE: the driver's synthetic corpus draws text from a shared
     vocabulary regardless of the ``lang`` label, so no classifier can
     beat chance *on this table*; the kernels are unit-tested on a corpus
-    with real per-language vocabularies instead. Model fit + argmax
-    predict is not SQL-expressible -> rows-only oracle."""
+    with real per-language vocabularies instead. The whole pipeline is
+    relational (window-rank fit + distinct-overlap argmax predict), so
+    it carries a full SQL twin in ``oracle_sql()`` — tie semantics
+    (profile cut: count desc/token asc; predict: score desc/lang asc)
+    are pinned identically on both sides."""
     import ray
     from ray.data.aggregate import Sum
 
@@ -625,6 +628,12 @@ def shuffle_docs(sf_dir: str, seed: int = 0x5EED, P: int = _SHUF_PARTS) -> pa.Ta
 
     @ray.remote
     def split_ranges(block: pa.Table, P: int):
+        if block.num_rows == 0:  # Ray emits schema-less empty blocks
+            empty = pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "shuffle_key": pa.array([], pa.uint64())}
+            )
+            return tuple(empty for _ in range(P))
         key = block.column("shuffle_key").to_numpy()
         bucket = (key >> shift).astype(np.int64)
         order = np.argsort(bucket, kind="stable")
@@ -634,9 +643,10 @@ def shuffle_docs(sf_dir: str, seed: int = 0x5EED, P: int = _SHUF_PARTS) -> pa.Ta
 
     @ray.remote(num_returns=2)
     def bucket_sort(*slices: pa.Table):
-        t = pa.concat_tables([s for s in slices if s.num_rows])
-        if t.num_rows == 0:
+        live = [s for s in slices if s.num_rows]
+        if not live:
             return 0, slices[0]
+        t = pa.concat_tables(live)
         t = t.take(pc.sort_indices(t, sort_keys=[("shuffle_key", "ascending")]))
         return t.num_rows, t
 
