@@ -165,41 +165,106 @@ def _q3_reduce(pid: int, li: pa.Table, orders: pa.Table) -> pa.Table:
     )
 
 
-def q3_top_orders(sf_dir: str) -> pa.Table:
+def _order_cust_semijoin(pid: int, orders: pa.Table, cust: pa.Table) -> pa.Table:
+    """Exact co-partitioned confirm behind the Bloom prefilter: keep this
+    partition's order rows whose custkey is among its customer keys (both
+    sides hashed here on custkey — membership is complete, Bloom false
+    positives die here)."""
+    empty = pa.table(
+        {"o_orderkey": pa.array([], pa.int64()),
+         "o_orderdate": pa.array([], pa.timestamp("us"))}
+    )
+    if orders.num_rows == 0 or cust.num_rows == 0:
+        return empty
+    keys = cust.column("c_custkey")
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    m = pc.is_in(orders.column("o_custkey"), value_set=keys)
+    return orders.filter(m).select(["o_orderkey", "o_orderdate"])
+
+
+# Above this key count a broadcast exact key set stops being a sane
+# `ray.put` side and the pipelines switch to Bloom + exact confirm.
+_MAX_BROADCAST_KEYS = 5_000_000
+
+
+def q3_top_orders(
+    sf_dir: str, max_broadcast_keys: int = _MAX_BROADCAST_KEYS
+) -> pa.Table:
     """TPC-H Q3 shape: top-10 open-order revenue for one market segment.
 
-    The filtered-customer key set is a genuinely small dimension side and
-    broadcasts (Bloom filter at 100x). The date-filtered orders side is
-    NOT small (most of the table) — it streams into the keyed exchange
-    co-partitioned with lineitem's per-batch revenue partials on
-    orderkey; each partition joins, totals, and emits only its top-10.
-    The driver folds P×10 rows."""
+    The filtered-customer key side GROWS with the data, so the membership
+    filter is gated: while the key count fits ``max_broadcast_keys`` the
+    exact sorted key set broadcasts (`ray.put`, is_in per batch); above
+    the gate it becomes a distributed-built Bloom bitmap broadcast
+    (`bloom.build_bloom_distributed` — O(bits) driver state) whose
+    survivors are confirmed EXACTLY by a co-partitioned exchange on
+    custkey (:func:`_order_cust_semijoin` — false positives cannot reach
+    the result). The date-filtered orders side is NOT small (most of the
+    table) — it streams into the keyed exchange co-partitioned with
+    lineitem's per-batch revenue partials on orderkey; each partition
+    joins, totals, and emits only its top-10. The driver folds P×10
+    rows."""
+    import ray
+
+    from .bloom import bloom_contains, build_bloom_distributed
     from .exchange import exchange_reduce, gather_concat
 
     rd = _rd()
     cutoff = pa.scalar(np.datetime64("1998-01-01", "us"), type=pa.timestamp("us"))
 
-    import pyarrow.parquet as pq
+    # segment-filtered customer keys, read distributed (never a driver
+    # full-table read); the filter pushes into the scan
+    cust_refs = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey"],
+        filter=pc.equal(pc.field("c_mktsegment"), "BUILDING"),
+    ).to_arrow_refs()
 
-    # small filtered dimension side: BUILDING customers' keys
-    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
-    cust_keys = pa.array(
-        sorted(
-            cust.filter(pc.equal(cust.column("c_mktsegment"), "BUILDING"))
-            .column("c_custkey")
-            .to_pylist()
-        )
-    )
+    @ray.remote
+    def nrows(t: pa.Table) -> int:
+        return t.num_rows
 
-    def ofilter(t: pa.Table) -> pa.Table:
-        m = pc.is_in(t.column("o_custkey"), value_set=cust_keys)
-        return t.filter(m).select(["o_orderkey", "o_orderdate"])
+    n_keys = sum(ray.get([nrows.remote(r) for r in cust_refs]))
 
-    orders_ds = rd.read_parquet(
+    orders_read = rd.read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
         filter=pc.field("o_orderdate") < cutoff,  # pushdown at the scan
-    ).map_batches(ofilter, batch_format="pyarrow")
+    )
+
+    if n_keys <= max_broadcast_keys:
+        key_tabs = [t for t in ray.get(list(cust_refs)) if t.num_rows]
+        cust_keys = pa.array(
+            np.sort(
+                np.concatenate(
+                    [t.column("c_custkey").to_numpy() for t in key_tabs]
+                )
+            )
+            if key_tabs
+            else [],
+            pa.int64(),
+        )
+        keys_ref = ray.put(cust_keys)
+
+        def ofilter(t: pa.Table) -> pa.Table:
+            m = pc.is_in(t.column("o_custkey"), value_set=ray.get(keys_ref))
+            return t.filter(m).select(["o_orderkey", "o_orderdate"])
+
+        orders_side = orders_read.map_batches(ofilter, batch_format="pyarrow")
+    else:
+        words, n_bits, k = build_bloom_distributed(cust_refs, "c_custkey", n_keys)
+        words_ref = ray.put(words)
+
+        def oprefilter(t: pa.Table) -> pa.Table:
+            m = bloom_contains(ray.get(words_ref), t.column("o_custkey"), n_bits, k)
+            return t.filter(pa.array(m))
+
+        orders_side = exchange_reduce(
+            [orders_read.map_batches(oprefilter, batch_format="pyarrow"), cust_refs],
+            ["o_custkey", "c_custkey"],
+            _order_cust_semijoin,
+        )
 
     def li_partial(t: pa.Table) -> pa.Table:
         rev_u = _cents(t.column("l_extendedprice")) * (100 - _cents(t.column("l_discount")))
@@ -215,7 +280,7 @@ def q3_top_orders(sf_dir: str) -> pa.Table:
     ).map_batches(li_partial, batch_format="pyarrow")
 
     refs = exchange_reduce(
-        [li_ds, orders_ds], ["l_orderkey", "o_orderkey"], _q3_reduce, P=8
+        [li_ds, orders_side], ["l_orderkey", "o_orderkey"], _q3_reduce, P=8
     )
     t = finalize(gather_concat(refs),
                  [("revenue", "descending"), ("l_orderkey", "ascending")])
@@ -376,24 +441,130 @@ def q5_region_revenue(sf_dir: str) -> pa.Table:
     return finalize(t, [("n_name", "ascending")])
 
 
-def customers_without_orders(sf_dir: str) -> pa.Table:
-    """Broadcast anti-join: customers that never placed an order.
-
-    The order-key set is collected once and shipped to every filter task
-    (at real scale: a Bloom filter of the keys, same shape).
-    """
-    rd = _rd()
-    okeys = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"]).unique(
-        "o_custkey"
+def _cust_anti_partition(pid: int, cust: pa.Table, orders: pa.Table) -> pa.Table:
+    """Exact co-partitioned anti-join confirm: drop this partition's
+    candidate customers whose custkey has any order row here (both sides
+    hashed on custkey, so absence is definitive)."""
+    if cust.num_rows == 0:
+        return pa.table(
+            {"c_custkey": pa.array([], pa.int64()),
+             "c_name": pa.array([], pa.string())}
+        )
+    if orders.num_rows == 0 or "o_custkey" not in orders.column_names:
+        return cust
+    keys = orders.column("o_custkey")
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    return cust.filter(
+        pc.invert(pc.is_in(cust.column("c_custkey"), value_set=keys))
     )
-    keyset = pa.array(sorted(okeys))
 
-    def anti(t: pa.Table) -> pa.Table:
-        return t.filter(pc.invert(pc.is_in(t.column("c_custkey"), value_set=keyset)))
 
-    ds = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
-    t = ds_to_table(ds.map_batches(anti, batch_format="pyarrow"))
-    return finalize(t, [("c_custkey", "ascending")])
+def customers_without_orders(
+    sf_dir: str, max_broadcast_keys: int = _MAX_BROADCAST_KEYS
+) -> pa.Table:
+    """Anti-join: customers that never placed an order.
+
+    The distinct order-custkey set GROWS with the data, so the path is
+    gated on its cardinality (estimated by this repo's own HLL combiner
+    over per-block registers — O(4 KB) per block, no distinct
+    materialization). Small: collect the exact distinct key set once and
+    broadcast (is_in per batch). Large: build a Bloom bitmap over
+    o_custkey distributed and split each customer batch — Bloom MISSES
+    are definitively orderless (no false negatives) and stream straight
+    to the result; Bloom HITS are candidates confirmed by an exact
+    co-partitioned exchange anti-join on custkey
+    (:func:`_cust_anti_partition`), so false positives cannot drop or
+    add rows. Neither path ever holds the key set on the driver in the
+    gated regime."""
+    import ray
+
+    from .bloom import bloom_contains, build_bloom_distributed
+    from .exchange import exchange_reduce, gather_concat
+
+    rd = _rd()
+    # per-block distinct combiner: the exchange/bloom sides ship distinct
+    # (block-local) keys, not raw order rows
+    okey_refs = (
+        rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+        .map_batches(
+            lambda t: t.group_by(["o_custkey"]).aggregate([]),
+            batch_format="pyarrow",
+        )
+        .to_arrow_refs()
+    )
+
+    @ray.remote
+    def block_registers(t: pa.Table) -> tuple:
+        regs = np.zeros(_HLL_M, dtype=np.int64)
+        if t.num_rows and "o_custkey" in t.column_names:
+            b, r = _hll_registers(t.column("o_custkey").to_numpy())
+            np.maximum.at(regs, b, r)
+        return regs
+
+    regs = np.maximum.reduce(ray.get([block_registers.remote(r) for r in okey_refs]))
+    est_keys = hll_estimate(np.arange(_HLL_M), regs)
+
+    cust_ds = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+
+    if est_keys <= max_broadcast_keys:
+        tabs = [t for t in ray.get(list(okey_refs)) if t.num_rows]
+        keyset = pa.array(
+            np.unique(
+                np.concatenate([t.column("o_custkey").to_numpy() for t in tabs])
+            )
+            if tabs
+            else [],
+            pa.int64(),
+        )
+        keys_ref = ray.put(keyset)
+
+        def anti(t: pa.Table) -> pa.Table:
+            return t.filter(
+                pc.invert(
+                    pc.is_in(t.column("c_custkey"), value_set=ray.get(keys_ref))
+                )
+            )
+
+        t = ds_to_table(cust_ds.map_batches(anti, batch_format="pyarrow"))
+        return finalize(t, [("c_custkey", "ascending")])
+
+    words, n_bits, k = build_bloom_distributed(
+        okey_refs, "o_custkey", int(est_keys)
+    )
+    words_ref = ray.put(words)
+
+    @ray.remote(num_returns=2)
+    def bloom_split(block: pa.Table, words: np.ndarray):
+        if block.num_rows == 0 or "c_custkey" not in block.column_names:
+            empty = pa.table(
+                {"c_custkey": pa.array([], pa.int64()),
+                 "c_name": pa.array([], pa.string())}
+            )
+            return empty, empty
+        m = bloom_contains(words, block.column("c_custkey"), n_bits, k)
+        return block.filter(pa.array(~m)), block.filter(pa.array(m))
+
+    pairs = [bloom_split.remote(r, words_ref) for r in cust_ds.to_arrow_refs()]
+    miss_refs = [p[0] for p in pairs]  # definitively orderless
+    hit_refs = [p[1] for p in pairs]  # candidates -> exact confirm
+    anti_refs = exchange_reduce(
+        [hit_refs, okey_refs], ["c_custkey", "o_custkey"], _cust_anti_partition
+    )
+    confirmed = gather_concat(anti_refs)
+    misses = [t for t in ray.get(miss_refs) if t.num_rows]
+    parts = ([confirmed] if confirmed.num_rows else []) + misses
+    if not parts:
+        return pa.table(
+            {"c_custkey": pa.array([], pa.int64()),
+             "c_name": pa.array([], pa.string())}
+        )
+    return finalize(
+        pa.concat_tables(parts, promote_options="default"),
+        [("c_custkey", "ascending")],
+    )
 
 
 def _hour_sum_partition(pid: int, t: pa.Table) -> pa.Table:

@@ -1,0 +1,110 @@
+"""Bloom-broadcast path tests: the pure bitmap kernel (no Ray) and the
+gated Bloom + exact co-partitioned confirm paths of q3 and the customer
+anti-join, forced via a zero key gate and compared bit-for-bit to the
+broadcast path / a known synthetic answer."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from image_report_ray.pipelines.bloom import (
+    bloom_contains,
+    bloom_insert,
+    bloom_params,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_bloom_kernel_no_false_negatives_and_low_fp():
+    rng = np.random.default_rng(7)
+    keys = np.unique(rng.integers(0, 1 << 40, size=20_000))
+    others = np.setdiff1d(
+        np.unique(rng.integers(0, 1 << 40, size=20_000)), keys
+    )
+    n_bits, k = bloom_params(len(keys))
+    words = np.zeros(n_bits >> 6, dtype=np.uint64)
+    bloom_insert(words, pa.array(keys, pa.int64()), n_bits, k)
+    # every inserted key must hit
+    assert bloom_contains(words, pa.array(keys, pa.int64()), n_bits, k).all()
+    # false-positive rate near the designed ~1%
+    fp = bloom_contains(words, pa.array(others, pa.int64()), n_bits, k).mean()
+    assert fp < 0.03
+    # empty probe
+    assert len(bloom_contains(words, pa.array([], pa.int64()), n_bits, k)) == 0
+
+
+def test_bloom_kernel_string_keys():
+    keys = pa.array([f"conv-{i}" for i in range(5000)])
+    n_bits, k = bloom_params(len(keys))
+    words = np.zeros(n_bits >> 6, dtype=np.uint64)
+    bloom_insert(words, keys, n_bits, k)
+    assert bloom_contains(words, keys, n_bits, k).all()
+    misses = pa.array([f"other-{i}" for i in range(5000)])
+    assert bloom_contains(words, misses, n_bits, k).mean() < 0.03
+
+
+def test_q3_bloom_path_matches_broadcast(ray_session):
+    from image_report_ray.pipelines.relational import q3_top_orders
+
+    small = q3_top_orders(SF)
+    gated = q3_top_orders(SF, max_broadcast_keys=0)
+    assert small.equals(gated)
+    assert small.num_rows > 0  # the comparison is not vacuous
+
+
+def test_anti_join_bloom_path_exact(ray_session, tmp_path):
+    """Synthetic corpus where the orderless set is known: customers
+    0..199, orders only for even custkeys — both paths must return
+    exactly the odd customers."""
+    from image_report_ray.pipelines.relational import customers_without_orders
+
+    sf = str(tmp_path)
+    cust = pa.table(
+        {
+            "c_custkey": pa.array(range(200), pa.int64()),
+            "c_name": pa.array([f"Customer#{i:09d}" for i in range(200)]),
+        }
+    )
+    orders = pa.table(
+        {
+            "o_custkey": pa.array(
+                [2 * (i % 100) for i in range(1000)], pa.int64()
+            )
+        }
+    )
+    pq.write_table(cust, os.path.join(sf, "customer.parquet"))
+    pq.write_table(orders, os.path.join(sf, "orders.parquet"))
+
+    expect = pa.array(range(1, 200, 2), pa.int64())
+    small = customers_without_orders(sf)
+    gated = customers_without_orders(sf, max_broadcast_keys=0)
+    assert small.equals(gated)
+    assert small.column("c_custkey").combine_chunks().equals(expect)
+
+
+def test_anti_join_empty_orders(ray_session, tmp_path):
+    """No orders at all: every customer comes back, on both paths."""
+    from image_report_ray.pipelines.relational import customers_without_orders
+
+    sf = str(tmp_path)
+    cust = pa.table(
+        {
+            "c_custkey": pa.array(range(10), pa.int64()),
+            "c_name": pa.array([f"c{i}" for i in range(10)]),
+        }
+    )
+    pq.write_table(cust, os.path.join(sf, "customer.parquet"))
+    pq.write_table(
+        pa.table({"o_custkey": pa.array([], pa.int64())}),
+        os.path.join(sf, "orders.parquet"),
+    )
+    small = customers_without_orders(sf)
+    gated = customers_without_orders(sf, max_broadcast_keys=0)
+    assert small.equals(gated)
+    assert small.num_rows == 10
