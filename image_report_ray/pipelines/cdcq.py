@@ -99,21 +99,61 @@ def cdc_apply_evolve(sf_dir: str) -> pa.Table:
 
 def cdc_conv_summary(sf_dir: str) -> pa.Table:
     """Per-conversation summary of the REPLAYED state: live turn count,
-    last timestamp, distinct roles — the derived-view query a transcript
-    lake serves. Runs the real engine, then aggregates the canonical
-    state with per-batch partials + a small grouped fold."""
-    state = cdc_apply(sf_dir)  # materialized canonical state (small here)
-    # one Arrow C fold over the already-materialized state; at scale this
-    # is an exchange_reduce over canonical_state_dataset's per-partition
-    # refs (a conversation never spans partitions, so each fold is local)
-    g = state.group_by(["conv_id"]).aggregate([([], "count_all"), ("ts", "max")])
-    t = pa.table(
-        {
-            "conv_id": g.column("conv_id"),
-            "n_turns": g.column("count_all").cast(pa.int64()),
-            "last_ts": g.column("ts_max"),
-        }
-    )
+    last timestamp — the derived-view query a transcript lake serves.
+
+    Runs the real engine, then aggregates PER LAKE PARTITION: one remote
+    task per partition LWW-folds its own base+delta files and computes
+    its conversations' summaries locally (the pid routing guarantees a
+    conversation never spans partitions, so each fold is complete). The
+    driver concatenates only the per-partition summary rows — the
+    canonical state itself is never materialized in one process."""
+    import ray
+
+    def summarize(lake, cfg):
+        apply_epoch(lake, 0, changelog_dataset(sf_dir), cfg)
+
+        @ray.remote
+        def part_summary(paths: list) -> pa.Table:
+            import pyarrow.parquet as pq
+
+            from image_report_ray.state.merge import (
+                export_canonical,
+                fold_state_tables,
+            )
+
+            folded = fold_state_tables([pq.read_table(p) for p in paths])
+            if folded is None:
+                return pa.table({})
+            t = export_canonical(folded)
+            g = t.group_by(["conv_id"]).aggregate(
+                [([], "count_all"), ("ts", "max")]
+            )
+            return pa.table(
+                {
+                    "conv_id": g.column("conv_id"),
+                    "n_turns": g.column("count_all").cast(pa.int64()),
+                    "last_ts": g.column("ts_max"),
+                }
+            )
+
+        sets = lake.current_file_sets()
+        refs = [part_summary.remote(paths) for _, paths in sorted(sets.items())]
+        tabs = [t for t in ray.get(refs) if t.num_rows]
+        if not tabs:
+            return pa.table(
+                {"conv_id": pa.array([], pa.string()),
+                 "n_turns": pa.array([], pa.int64()),
+                 "last_ts": pa.array([], pa.timestamp("us"))}
+            )
+        return pa.concat_tables(tabs, promote_options="default")
+
+    d = tempfile.mkdtemp(prefix="irr-cdcq-")
+    try:
+        lake = Lake(d, num_partitions=_P)
+        cfg = EngineConfig(num_partitions=_P)
+        t = summarize(lake, cfg)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
     return finalize(t, [("conv_id", "ascending")])
 
 
