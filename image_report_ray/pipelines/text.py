@@ -483,6 +483,76 @@ def winnow_fingerprints_kernel(texts: list[str]) -> list[np.ndarray]:
     return out
 
 
+def winnow_fingerprints_batch(
+    text_col: "pa.ChunkedArray | pa.Array",
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Batch-wide winnowing over the Arrow string buffers: ONE sliding
+    k-gram hash pass over the batch's concatenated utf-8 bytes, with
+    grams and winnow windows that would cross a document boundary
+    excluded by pure offsets arithmetic (the ``doc_shingles`` boundary
+    trick) — no per-text Python loop. Returns per-doc
+    (n_fingerprints, fp_min, fp_xor) over the distinct winnowed set,
+    identical to :func:`winnow_fingerprints_kernel` (pinned in pytest).
+    """
+    if isinstance(text_col, pa.ChunkedArray):
+        text_col = text_col.combine_chunks()
+    n_docs = len(text_col)
+    n_out = np.zeros(n_docs, dtype=np.int64)
+    mn_out = np.zeros(n_docs, dtype=np.uint64)
+    xr_out = np.zeros(n_docs, dtype=np.uint64)
+    if n_docs == 0:
+        return n_out, mn_out, xr_out
+    off_dtype = np.int64 if pa.types.is_large_string(text_col.type) else np.int32
+    off = np.frombuffer(text_col.buffers()[1], off_dtype)[
+        text_col.offset : text_col.offset + n_docs + 1
+    ].astype(np.int64)
+    buf = text_col.buffers()[2]
+    data = np.frombuffer(buf, np.uint8) if buf is not None else np.empty(0, np.uint8)
+
+    g = np.diff(off) - _FP_K + 1  # grams per doc (<=0: too short)
+    if len(data) < _FP_K or not (g > 0).any():
+        return n_out, mn_out, xr_out
+    powers = _FP_BASE ** np.arange(_FP_K - 1, -1, -1, dtype=np.uint64)
+    grams = np.lib.stride_tricks.sliding_window_view(data, _FP_K).astype(np.uint64)
+    h = (grams * powers[None, :]).sum(axis=1)  # uint64 wraparound hash
+
+    doc_idx_parts, fp_parts = [], []
+    # short docs (0 < g <= W): the single fingerprint is the gram min
+    a = np.flatnonzero((g > 0) & (g <= _FP_W))
+    if len(a):
+        # pairwise reduceat over a sentinel-padded copy so end == len(h)
+        # stays in bounds; odd slots (end_i..start_{i+1}) are discarded
+        hp = np.r_[h, np.uint64(0)]
+        pairs = np.c_[off[a], off[a] + g[a]].ravel()
+        mins = np.minimum.reduceat(hp, pairs)[::2]
+        doc_idx_parts.append(a)
+        fp_parts.append(mins)
+    # long docs (g > W): rightmost-min per w-window over the global hash
+    b = np.flatnonzero(g > _FP_W)
+    if len(b):
+        wins = np.lib.stride_tricks.sliding_window_view(h, _FP_W)
+        pick = (_FP_W - 1) - wins[:, ::-1].argmin(axis=1)
+        fp_at = wins[np.arange(len(wins)), pick]
+        m = g[b] - _FP_W + 1  # winnow windows per doc
+        base = np.repeat(off[b], m)
+        local = np.arange(int(m.sum())) - np.repeat(np.cumsum(m) - m, m)
+        doc_idx_parts.append(np.repeat(b, m))
+        fp_parts.append(fp_at[base + local])
+
+    d = np.concatenate(doc_idx_parts)
+    f = np.concatenate(fp_parts)
+    order = np.lexsort((f, d))
+    d, f = d[order], f[order]
+    keep = np.r_[True, (d[1:] != d[:-1]) | (f[1:] != f[:-1])]  # distinct
+    d, f = d[keep], f[keep]
+    seg = np.r_[0, np.flatnonzero(d[1:] != d[:-1]) + 1]
+    docs = d[seg]
+    n_out[docs] = np.diff(np.r_[seg, len(d)])
+    mn_out[docs] = f[seg]  # ascending within doc: first is min
+    xr_out[docs] = np.bitwise_xor.reduceat(f, seg)
+    return n_out, mn_out, xr_out
+
+
 def fingerprint_docs(sf_dir: str) -> pa.Table:
     """Per-document winnowing fingerprint summary: count, min, and an
     order-independent XOR digest of the fingerprint set (the same
@@ -490,15 +560,7 @@ def fingerprint_docs(sf_dir: str) -> pa.Table:
     rd = _rd()
 
     def fp(t: pa.Table) -> pa.Table:
-        sets = winnow_fingerprints_kernel(t.column("text").to_pylist())
-        n = np.array([len(s) for s in sets], dtype=np.int64)
-        mn = np.array(
-            [int(s[0]) if len(s) else 0 for s in sets], dtype=np.uint64
-        )
-        xr = np.array(
-            [int(np.bitwise_xor.reduce(s)) if len(s) else 0 for s in sets],
-            dtype=np.uint64,
-        )
+        n, mn, xr = winnow_fingerprints_batch(t.column("text"))
         return pa.table(
             {
                 "doc_id": t.column("doc_id"),

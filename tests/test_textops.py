@@ -54,6 +54,32 @@ def test_winnow_matches_naive():
         assert set(int(x) for x in g) == _naive_winnow(t), t
 
 
+def test_winnow_batch_matches_kernel():
+    """The batch-wide offsets kernel must agree with the per-text
+    reference kernel on every doc — including empties, exact-K texts,
+    degenerate repeats, multibyte UTF-8, and a sliced (non-zero offset)
+    Arrow array."""
+    import pyarrow as pa
+
+    from image_report_ray.pipelines.text import winnow_fingerprints_batch
+
+    rng = np.random.default_rng(11)
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "short", "", "exactly8", "aaaaaaaaaaaaaaaa",
+        "你好世界这是一个测试文本哈哈", "emoji 🎉🎊 party 🎉🎊 again",
+    ] + ["".join(rng.choice(list("abcd e"), size=int(n))) for n in
+         rng.integers(0, 60, size=40)]
+    sets = winnow_fingerprints_kernel(texts)
+    for col in (pa.array(texts), pa.array(["pad"] + texts).slice(1),
+                pa.chunked_array([texts[:10], texts[10:]])):
+        n, mn, xr = winnow_fingerprints_batch(col)
+        for i, s in enumerate(sets):
+            assert n[i] == len(s), texts[i]
+            assert mn[i] == (int(s[0]) if len(s) else 0), texts[i]
+            assert xr[i] == (int(np.bitwise_xor.reduce(s)) if len(s) else 0)
+
+
 def test_winnow_shared_substring_shares_fingerprints():
     a = "prefix COMMON SHARED WINDOW OF TEXT suffix-a-very-different-tail"
     b = "other COMMON SHARED WINDOW OF TEXT completely-unrelated-ending"
