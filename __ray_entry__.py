@@ -290,13 +290,13 @@ r AS (
          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, bin ASC) AS rn
   FROM c
 )
-SELECT doc_id AS media_id,
+SELECT d.doc_id AS media_id,
        CAST(32 AS BIGINT) AS feat_dim,
-       CAST(n_bins AS BIGINT) AS feat_nonzero,
-       CAST(bin AS BIGINT) AS top_bin,
-       CAST(octet_length(encode(text)) AS BIGINT) AS n_body_bytes
-FROM r JOIN documents USING (doc_id)
-WHERE rn = 1 ORDER BY media_id
+       CAST(COALESCE(r.n_bins, 0) AS BIGINT) AS feat_nonzero,
+       CAST(COALESCE(r.bin, 0) AS BIGINT) AS top_bin,
+       CAST(octet_length(encode(d.text)) AS BIGINT) AS n_body_bytes
+FROM documents d LEFT JOIN r ON r.doc_id = d.doc_id AND r.rn = 1
+ORDER BY media_id
 """,
         # winnowing fingerprints (Schleimer et al. 2003): 8-byte-gram
         # rolling hash mod 2^64 (nested Horner in HUGEINT — bit-identical

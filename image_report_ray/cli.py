@@ -152,13 +152,18 @@ def cmd_validate(args: argparse.Namespace) -> int:
         if t.num_rows != entry["keys_total"]:
             problems.append(f"pid {pid}: keys {t.num_rows} != manifest {entry['keys_total']}")
         algo = entry.get("digest_algo")
-        if algo is not None and algo != DIGEST_ALGO:
+        if algo != DIGEST_ALGO:
             # an algorithm change is NOT corruption — report it as such
-            # instead of a misleading per-partition digest mismatch
-            problems.append(
-                f"pid {pid}: digest algorithm mismatch "
+            # instead of a misleading per-partition digest mismatch; a
+            # manifest with NO digest_algo predates versioned digests and
+            # is equally unverifiable, not corrupt
+            what = (
+                "cannot verify (pre-versioned manifest, no digest_algo)"
+                if algo is None
+                else f"digest algorithm mismatch "
                 f"(manifest {algo!r} vs engine {DIGEST_ALGO!r}); cannot verify"
             )
+            problems.append(f"pid {pid}: {what}")
         elif table_digest(t) != entry["digest"]:
             problems.append(f"pid {pid}: state digest mismatch vs manifest")
         if "gc_seq" not in entry:  # GC rewrites carry no per-epoch lineage

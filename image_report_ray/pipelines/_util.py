@@ -32,8 +32,10 @@ def finalize(table: pa.Table, sort_keys: list[tuple[str, str]]) -> pa.Table:
                 i, f.name, table.column(f.name).cast(pa.timestamp("us"))
             )
     # an entirely-empty pipeline can surface Ray's schema-less empty
-    # block; there is nothing to sort (or sort by) — pass it through
-    if sort_keys and all(k in table.column_names for k, _ in sort_keys):
+    # block (zero columns); ONLY that case bypasses the sort — a table
+    # that has a schema but lacks a sort key is a kernel bug and must
+    # raise, not silently break the deterministic-output contract
+    if sort_keys and table.num_columns > 0:
         table = table.take(pc.sort_indices(table, sort_keys=sort_keys))
     return table.combine_chunks()
 

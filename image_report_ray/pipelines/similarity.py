@@ -239,11 +239,22 @@ def build_ivf_index(
 
 def _ivf_index_dir(sf_dir: str) -> str:
     """Deterministic per-corpus index location under /tmp (built once,
-    reused across queries — the ANN build/query split)."""
+    reused across queries — the ANN build/query split). The tag mixes a
+    CONTENT fingerprint (size + mtime of every embeddings file) with the
+    path, so regenerating embeddings.parquet in place invalidates the
+    cache instead of silently serving a stale index."""
+    import glob
     import hashlib
 
-    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    return os.path.join(tempfile.gettempdir(), f"irr-ivf-{tag}")
+    h = hashlib.sha1(os.path.abspath(sf_dir).encode())
+    pat = os.path.join(sf_dir, "embeddings.parquet")
+    paths = sorted(glob.glob(pat)) or sorted(
+        glob.glob(os.path.join(pat, "*.parquet"))
+    )
+    for p in paths:
+        st = os.stat(p)
+        h.update(f"|{os.path.basename(p)}:{st.st_size}:{st.st_mtime_ns}".encode())
+    return os.path.join(tempfile.gettempdir(), f"irr-ivf-{h.hexdigest()[:12]}")
 
 
 def knn_cosine_ivf(sf_dir: str, query_vec_id: int = 0, k: int = 10) -> pa.Table:

@@ -247,3 +247,29 @@ def test_validate_reports_digest_algo_mismatch(ray_session, tmp_path, capsys):
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert all("algorithm mismatch" in p for p in out["problems"])
     assert out["problems"]
+
+
+def test_validate_reports_pre_versioned_manifest(ray_session, tmp_path, capsys):
+    """A lake committed before digests were versioned (no digest_algo
+    field at all) is 'cannot verify', never 'state digest mismatch'."""
+    import glob
+    import json as _json
+    import os
+
+    from image_report_ray.cli import main
+    from image_report_ray.sources.synth import write_wal
+
+    wal = str(tmp_path / "wal")
+    lake_dir = str(tmp_path / "lake")
+    write_wal(wal, n_epochs=1, epoch_size=100, n_parts=1, seed=5, n_convs=10)
+    assert main(["run", lake_dir, wal, "--partitions", "2"]) == 0
+    commit = sorted(glob.glob(os.path.join(lake_dir, "_commits", "epoch=*.json")))[0]
+    rec = _json.load(open(commit))
+    rec.pop("digest_algo", None)  # the field lives at the record level
+    _json.dump(rec, open(commit, "w"))
+    capsys.readouterr()
+    assert main(["validate", lake_dir]) == 1
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["problems"]
+    assert all("pre-versioned manifest" in p for p in out["problems"])
+    assert not any("state digest mismatch" in p for p in out["problems"])

@@ -188,6 +188,26 @@ def test_ivf_index_layout_and_reuse(ray_session, tmp_path):
     }  # second query did not rebuild
 
 
+def test_ivf_cache_invalidates_on_content_change(tmp_path):
+    """The index cache tag is a content fingerprint: rewriting
+    embeddings.parquet in place must yield a different index dir (no
+    silently-stale neighbors)."""
+    import os
+    import shutil
+
+    from image_report_ray.pipelines.similarity import _ivf_index_dir
+
+    sf = str(tmp_path)
+    shutil.copy(f"{SF}/embeddings.parquet", os.path.join(sf, "embeddings.parquet"))
+    tag1 = _ivf_index_dir(sf)
+    assert tag1 == _ivf_index_dir(sf)  # stable while content is unchanged
+    # regenerate in place: same path, different bytes/mtime
+    with open(os.path.join(sf, "embeddings.parquet"), "ab") as f:
+        f.write(b"\0")
+    os.utime(os.path.join(sf, "embeddings.parquet"))
+    assert _ivf_index_dir(sf) != tag1
+
+
 def test_predict_langs_vectorized_equals_loop_kernel():
     import pyarrow as pa
 
