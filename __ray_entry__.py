@@ -94,6 +94,137 @@ def _sm_step(h: str, shift: int, c: int) -> str:
     return f"CAST({_sm_mul64(x, c)} AS UBIGINT)"
 
 
+# SQL-reproducible string hash (image_report_ray.pipelines.dedup:
+# hash_utf8_64): Horner polynomial over codepoints (== bytes on this
+# ASCII corpus, the fingerprint twin's documented equivalence) base
+# 1000003 mod 2^64, then the same splitmix64 steps as the shuffle twin.
+# This is the token/shingle hash under SimHash and MinHash, which is
+# what makes both near-dup pipelines fully SQL-oracled.
+def _poly_hash_sql(col: str) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, length({col}) + 1), "
+        f"i -> CAST(ascii({col}[i]) AS HUGEINT)), "
+        f"(a, c) -> (a * 1000003 + c) % {_SM_M})"
+    )
+
+
+# SimHash twin (image_report_ray.pipelines.dedup:simhash64 /
+# dedup_simhash): per-token hash -> signed bit sums -> sign bits ->
+# 64-bit simhash; the engine's chunk-pigeonhole candidates + in-exchange
+# popcount verify are EXACT for hamming <= 3 (any such pair shares a
+# 16-bit chunk), so the twin is the plain quadratic form: every (a < b)
+# pair with bit_count(xor) <= 3.
+_SIMHASH_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS tok
+  FROM documents
+),
+p0 AS (SELECT doc_id, CAST({{poly}} AS UBIGINT) AS h FROM tok),
+p1 AS (SELECT doc_id, {_sm_step('h', 30, _SM_C1)} AS h FROM p0),
+p2 AS (SELECT doc_id, {_sm_step('h', 27, _SM_C2)} AS h FROM p1),
+p3 AS (SELECT doc_id, xor(h, h >> 31) AS h FROM p2),
+bits AS (
+  SELECT doc_id, bb,
+         SUM(CASE WHEN (h >> bb) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM p3 CROSS JOIN (SELECT unnest(range(64)) AS bb)
+  GROUP BY doc_id, bb
+),
+shx AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS UBIGINT) << bb ELSE 0 END)
+              AS UBIGINT) AS simhash
+  FROM bits GROUP BY doc_id
+),
+alldocs AS (
+  SELECT d.doc_id, COALESCE(shx.simhash, 0) AS simhash
+  FROM documents d LEFT JOIN shx USING (doc_id)
+)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM alldocs a JOIN alldocs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+ORDER BY doc_id_a, doc_id_b
+"""
+
+
+def _simhash_sql() -> str:
+    return _SIMHASH_SQL.format(poly=_poly_hash_sql("tok"))
+
+
+def _minhash_sql() -> str:
+    """MinHash+LSH twin (image_report_ray.pipelines.dedup:
+    dedup_minhash_lsh), candidate generation INCLUDED: the 128 seeded
+    permutation coefficients are inlined as a VALUES table, band keys
+    fold signature rows with the same mul-mix/xor Horner
+    (dedup._BAND_MIX), and candidates are pairs sharing any (band, key)
+    — then the exact-Jaccard verify over distinct shingle hashes, all in
+    lockstep with the kernel's mod-2^64 arithmetic."""
+    from image_report_ray.pipelines.dedup import (
+        _BAND_MIX,
+        _MH_PRIME,
+        _MH_ROWS,
+        _perm_coeffs,
+    )
+
+    pa_, pb_ = _perm_coeffs()
+    perm_rows = ", ".join(
+        f"({j}, {int(a)}, {int(b)})" for j, (a, b) in enumerate(zip(pa_, pb_))
+    )
+    band_fold = (
+        f"list_reduce(list(s ORDER BY j), (acc, x) -> "
+        f"xor(CAST({_sm_mul64('CAST(acc AS HUGEINT)', int(_BAND_MIX))} "
+        f"AS UBIGINT), x))"
+    )
+    return f"""
+WITH arr AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS ws FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+  )) AS shingle
+  FROM arr WHERE len(ws) >= 3
+),
+h0 AS (SELECT doc_id, CAST({_poly_hash_sql('shingle')} AS UBIGINT) AS h FROM sh),
+h1 AS (SELECT doc_id, {_sm_step('h', 30, _SM_C1)} AS h FROM h0),
+h2 AS (SELECT doc_id, {_sm_step('h', 27, _SM_C2)} AS h FROM h1),
+hs AS (SELECT DISTINCT doc_id, xor(h, h >> 31) AS h FROM h2),
+perms(j, a, b) AS (VALUES {perm_rows}),
+hv AS (
+  SELECT doc_id, j,
+         CAST(((CAST(h AS HUGEINT) * a) % {_SM_M} + b) % {_SM_M} % {int(_MH_PRIME)}
+              AS UBIGINT) AS hv
+  FROM hs CROSS JOIN perms
+),
+sig AS (SELECT doc_id, j, MIN(hv) AS s FROM hv GROUP BY doc_id, j),
+bands AS (
+  SELECT doc_id, j // {_MH_ROWS} AS bi, {band_fold} AS bh
+  FROM sig GROUP BY doc_id, j // {_MH_ROWS}
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+  FROM bands x JOIN bands y ON x.bi = y.bi AND x.bh = y.bh AND x.doc_id < y.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM hs GROUP BY doc_id),
+inter AS (
+  SELECT c.da, c.db, COUNT(*) AS i
+  FROM cand c JOIN hs a ON a.doc_id = c.da JOIN hs b ON b.doc_id = c.db AND a.h = b.h
+  GROUP BY c.da, c.db
+),
+scored AS (
+  SELECT c.da, c.db, COALESCE(i.i, 0) AS i, sa.n AS na, sb.n AS nb
+  FROM cand c
+  LEFT JOIN inter i ON i.da = c.da AND i.db = c.db
+  JOIN sizes sa ON sa.doc_id = c.da JOIN sizes sb ON sb.doc_id = c.db
+)
+SELECT da AS doc_id_a, db AS doc_id_b, CAST(i AS BIGINT) AS n_common,
+       ROUND(i * 1.0 / (na + nb - i), 6) AS jaccard
+FROM scored
+WHERE i * 1.0 / (na + nb - i) >= 0.5
+ORDER BY doc_id_a, doc_id_b
+"""
+
+
 _SHUFFLE_SQL = f"""
 WITH s0 AS (
   SELECT doc_id, CAST((doc_id + {_SM_SEED}) % {_SM_M} AS UBIGINT) AS h
@@ -342,6 +473,14 @@ FROM inter JOIN cnt ca ON inter.da = ca.doc_id JOIN cnt cb ON inter.db = cb.doc_
 WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.2
 ORDER BY doc_id_a, doc_id_b
 """,
+        # MinHash+LSH near-dup with banding candidates reproduced in SQL
+        # (perm coefficients inlined; band keys folded with the same
+        # mul-mix/xor Horner); exact-Jaccard verify over distinct
+        # shingle hashes
+        "dedup_minhash_lsh": _minhash_sql(),
+        # SimHash near-dup: the pigeonhole candidates + popcount verify
+        # are exact for hamming <= 3, so the twin is the quadratic form
+        "dedup_simhash": _simhash_sql(),
         "quality_score": r"""
 WITH q AS (
   SELECT doc_id, text, regexp_extract_all(lower(text), '\S+') AS ws

@@ -15,6 +15,13 @@ is the extractor-registry pattern, /root/reference/hashing_config.py):
 * :func:`dedup_simhash` — 64-bit SimHash + pigeonhole chunk bucketing for
   small-Hamming-distance pairs.
 
+ALL THREE carry full SQL oracles: the token/shingle hash is
+:func:`hash_utf8_64` (Horner poly + splitmix64, mod-2^64), which DuckDB
+reproduces bit-exactly — the MinHash twin even rebuilds the banding
+candidates with the inlined permutation coefficients, and the SimHash
+pigeonhole is exact for hamming <= CHUNKS-1 so its twin is the plain
+quadratic form.
+
 Scale notes: shingle explosion is per-batch vectorized (numpy on Arrow
 list offsets — no Python row loops); all three pipelines share the
 :func:`pair_counts` exchange — hash-partition the (key, doc_id) inverted
@@ -46,6 +53,9 @@ _MH_BANDS = 32
 _MH_ROWS = 4
 _MH_PRIME = np.uint64((1 << 61) - 1)
 _MH_SEED = 0x5EED
+# Horner-mix constant for folding a band's signature rows into one key;
+# referenced by the SQL twin in __ray_entry__ — keep in lockstep.
+_BAND_MIX = np.uint64(0x9E3779B97F4A7C15)
 
 
 def _rd():
@@ -111,9 +121,52 @@ def doc_shingles(batch: pa.Table) -> pd.DataFrame:
     return df.drop_duplicates(ignore_index=True)
 
 
+_TH_BASE = np.uint64(1_000_003)
+
+
+def hash_utf8_64(strs: "np.ndarray | pa.Array | pa.ChunkedArray") -> np.ndarray:
+    """SQL-reproducible stable 64-bit string hash: Horner polynomial over
+    the utf-8 bytes (base 1000003, mod 2^64 wraparound) finished with
+    splitmix64 for bit diffusion. Vectorized column-wise over the Arrow
+    string buffers — the Horner loop runs max-string-LENGTH times over
+    whole arrays, never per string.
+
+    The DuckDB twin is ``list_reduce`` over codepoints + the HUGEINT
+    splitmix steps (codepoint == byte on this ASCII corpus — the same
+    equivalence the fingerprint twin documents). This is what lets the
+    SimHash and MinHash pipelines carry full SQL oracles."""
+    from .text import _splitmix64
+
+    if isinstance(strs, pa.ChunkedArray):
+        arr = strs.combine_chunks()
+    elif isinstance(strs, pa.Array):
+        arr = strs
+    else:
+        arr = pa.array(strs, pa.string())
+    n = len(arr)
+    if n == 0:
+        return np.zeros(0, np.uint64)
+    off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    off = np.frombuffer(arr.buffers()[1], off_dtype)[
+        arr.offset : arr.offset + n + 1
+    ].astype(np.int64)
+    buf = arr.buffers()[2]
+    data = np.frombuffer(buf, np.uint8) if buf is not None else np.empty(0, np.uint8)
+    lens = np.diff(off)
+    starts = off[:-1]
+    h = np.zeros(n, np.uint64)
+    for p in range(int(lens.max()) if n else 0):
+        active = lens > p
+        h[active] = h[active] * _TH_BASE + data[starts[active] + p].astype(
+            np.uint64
+        )
+    return _splitmix64(h)
+
+
 def _hash_shingles(shingles: np.ndarray) -> np.ndarray:
-    """Stable 64-bit shingle hashes (vectorized utf8 hashing via pandas)."""
-    return pd.util.hash_array(shingles.astype(object)).astype(np.uint64)
+    """Stable 64-bit shingle hashes — the SQL-reproducible kernel, so the
+    MinHash twin can rebuild identical signatures in DuckDB."""
+    return hash_utf8_64(shingles)
 
 
 # ---- pair-counting exchange ------------------------------------------
@@ -733,7 +786,7 @@ def dedup_minhash_lsh(sf_dir: str, tau: float = 0.5) -> pa.Table:
         sig = np.stack(t.column("sig").to_numpy(zero_copy_only=False))
         doc = t.column("doc_id").to_numpy()
         keys, docs = [], []
-        mix = np.uint64(0x9E3779B97F4A7C15)
+        mix = _BAND_MIX
         for bi in range(_MH_BANDS):
             rowslice = sig[:, bi * _MH_ROWS : (bi + 1) * _MH_ROWS]
             bh = rowslice[:, 0].copy()
@@ -773,7 +826,7 @@ def simhash64(batch: pa.Table) -> pa.Table:
             {"doc_id": pa.array(doc_ids, pa.int64()),
              "simhash": pa.array(np.zeros(n_docs, np.uint64))}
         )
-    h = pd.util.hash_array(flat.astype(object)).astype(np.uint64)
+    h = hash_utf8_64(flat)
     bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
         np.int32
     ) * 2 - 1

@@ -65,11 +65,36 @@ def test_minhash_estimates_jaccard():
     assert abs(est - true_j) < 0.12, (est, true_j)
 
 
+def _naive_hash64(s: str) -> int:
+    """Independent pure-Python reference of the SQL-reproducible string
+    hash: byte Horner base 1000003 mod 2^64, then splitmix64."""
+    h = 0
+    for byte in s.encode("utf-8"):
+        h = (h * 1_000_003 + byte) % 2**64
+    h ^= h >> 30
+    h = (h * 0xBF58476D1CE4E5B9) % 2**64
+    h ^= h >> 27
+    h = (h * 0x94D049BB133111EB) % 2**64
+    return h ^ (h >> 31)
+
+
+def test_hash_utf8_64_matches_naive():
+    from image_report_ray.pipelines.dedup import hash_utf8_64
+
+    strs = ["", "a", "hello world", "x" * 100, "héllo", "你好", "a b c"]
+    got = hash_utf8_64(np.array(strs, dtype=object))
+    for s, g in zip(strs, got):
+        assert int(g) == _naive_hash64(s), s
+    # sliced arrow input hits the non-zero-offset buffer path
+    got2 = hash_utf8_64(pa.array(["pad"] + strs).slice(1))
+    assert (got2 == got).all()
+
+
 def _naive_simhash(text: str) -> int:
     toks = [w for w in text.lower().split() if w]
     if not toks:
         return 0
-    hs = pd.util.hash_array(np.array(toks, dtype=object)).astype(np.uint64)
+    hs = np.array([_naive_hash64(t) for t in toks], dtype=np.uint64)
     acc = [0] * 64
     for h in hs:
         for b in range(64):
