@@ -394,9 +394,9 @@ def lang_id(sf_dir: str, top_k: int = 30) -> pa.Table:
     (profile cut: count desc/token asc; predict: score desc/lang asc)
     are pinned identically on both sides."""
     import ray
-    from ray.data.aggregate import Sum
 
     from .dedup import _tokenize
+    from .exchange import exchange_reduce, gather_concat
 
     rd = _rd()
 
@@ -420,13 +420,30 @@ def lang_id(sf_dir: str, top_k: int = 30) -> pa.Table:
         g = part.group_by(["lang", "token"]).aggregate([([], "count_all")])
         return g.rename_columns(["lang", "token", "n_part"])
 
-    vocab_t = ds_to_table(
-        rd.read_parquet(
-            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    def vocab_fold(pid: int, t: pa.Table) -> pa.Table:
+        """Per-partition (lang, token) count fold — partitioned on token,
+        so every partial for a token lands here (the repo's own exchange
+        instead of the fragile Dataset.groupby shuffle)."""
+        if t.num_rows == 0 or "token" not in t.column_names:
+            return pa.table(
+                {"lang": pa.array([], pa.string()),
+                 "token": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64())}
+            )
+        g = t.group_by(["lang", "token"]).aggregate([("n_part", "sum")])
+        return g.rename_columns(["lang", "token", "n"])
+
+    vocab_t = gather_concat(
+        exchange_reduce(
+            [
+                rd.read_parquet(
+                    f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "text", "lang"],
+                ).map_batches(sample_counts, batch_format="pyarrow")
+            ],
+            ["token"],
+            vocab_fold,
         )
-        .map_batches(sample_counts, batch_format="pyarrow")
-        .groupby(["lang", "token"])
-        .aggregate(Sum("n_part", alias_name="n"))
     )
     profiles = _topk_profiles(vocab_t.to_pandas(), top_k)
     prof_ref = ray.put(profiles)
