@@ -94,6 +94,26 @@ def _sm_step(h: str, shift: int, c: int) -> str:
     return f"CAST({_sm_mul64(x, c)} AS UBIGINT)"
 
 
+# Shared inverted-index CTE prefix of the exact n-gram Jaccard twins
+# (dedup_ngram_jaccard and the cluster closure over the same pair graph).
+_NGRAM_CTE = r"""arr AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ws FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+  )) AS shingle
+  FROM arr WHERE len(ws) >= 3
+),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+)
+"""
+
+
 # SQL-reproducible string hash (image_report_ray.pipelines.dedup:
 # hash_utf8_64): Horner polynomial over codepoints (== bytes on this
 # ASCII corpus, the fingerprint twin's documented equivalence) base
@@ -335,6 +355,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
         "dedup_simhash": dedup.dedup_simhash,
+        "dedup_clusters": dedup.dedup_clusters,
         # text quality / tokenization / language-ID / fingerprints
         "quality_score": text.quality_score,
         "tokenize_bpe": text.tokenize_bpe,
@@ -451,27 +472,34 @@ FROM n ORDER BY doc_id
 """,
         # exact word-3-gram Jaccard near-dup pairs (tau = 0.2); the SQL
         # mirrors the engine's inverted-index join shape
-        "dedup_ngram_jaccard": r"""
-WITH arr AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ws FROM documents
-),
-sh AS (
-  SELECT doc_id, unnest(list_distinct(
-    list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
-  )) AS shingle
-  FROM arr WHERE len(ws) >= 3
-),
-cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-inter AS (
-  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
-  FROM sh a JOIN sh b USING (shingle)
-  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
-)
+        "dedup_ngram_jaccard": "WITH " + _NGRAM_CTE + r"""
 SELECT da AS doc_id_a, db AS doc_id_b, CAST(i AS BIGINT) AS n_common,
        ROUND(i * 1.0 / (ca.n + cb.n - i), 6) AS jaccard
 FROM inter JOIN cnt ca ON inter.da = ca.doc_id JOIN cnt cb ON inter.db = cb.doc_id
 WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.2
 ORDER BY doc_id_a, doc_id_b
+""",
+        # near-dup clusters: connected components over the same exact
+        # pair graph via a recursive label-reach CTE; min label per
+        # component = cluster_id, keep = canonical representative
+        "dedup_clusters": "WITH RECURSIVE " + _NGRAM_CTE + r""",
+pairs AS (
+  SELECT da, db
+  FROM inter JOIN cnt ca ON inter.da = ca.doc_id JOIN cnt cb ON inter.db = cb.doc_id
+  WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.2
+),
+edges AS (SELECT da AS a, db AS b FROM pairs UNION ALL SELECT db, da FROM pairs),
+reach(node, label) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node
+),
+labels AS (SELECT node, MIN(label) AS label FROM reach GROUP BY node)
+SELECT d.doc_id,
+       CAST(COALESCE(l.label, d.doc_id) AS BIGINT) AS cluster_id,
+       COALESCE(l.label, d.doc_id) = d.doc_id AS keep
+FROM documents d LEFT JOIN labels l ON l.node = d.doc_id
+ORDER BY d.doc_id
 """,
         # MinHash+LSH near-dup with banding candidates reproduced in SQL
         # (perm coefficients inlined; band keys folded with the same

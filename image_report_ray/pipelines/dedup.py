@@ -320,6 +320,11 @@ def _pc_remotes():
 
         @ray.remote
         def split(block: pa.Table, key_col: str, id_col: str, P: int):
+            if block.num_rows == 0 or key_col not in block.column_names:
+                # Ray may pass empty (or input-schema) blocks through a
+                # map stage untouched; they carry no postings
+                empty = (np.array([], np.uint64), np.array([], np.int64))
+                return tuple(empty for _ in range(P))
             keys = block.column(key_col)
             if isinstance(keys, pa.ChunkedArray):
                 keys = keys.combine_chunks()
@@ -557,6 +562,8 @@ def dedup_ngram_jaccard(sf_dir: str, tau: float = 0.2) -> pa.Table:
 
     @ray.remote
     def block_sizes(block: pa.Table, need):
+        if block.num_rows == 0 or "doc_id" not in block.column_names:
+            return (np.array([], np.int64), np.array([], np.int64))
         col = block.column("doc_id").combine_chunks()
         vc = col.filter(
             pc.is_in(col, value_set=pa.array(need, pa.int64()))
@@ -889,3 +896,147 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 3) -> pa.Table:
         }
     )
     return finalize(t, [("doc_id_a", "ascending"), ("doc_id_b", "ascending")])
+
+
+# ---- near-dup clustering (transitive closure -> keep-list) -------------
+
+
+def _cc_propagate(pid: int, edges: pa.Table, labels: pa.Table) -> pa.Table:
+    """One label-propagation half-step: for this partition's edges
+    (partitioned on src) joined to its labels (partitioned on node, same
+    hash), emit the min source label per destination node."""
+    empty = pa.table(
+        {"dst": pa.array([], pa.int64()), "cand": pa.array([], pa.int64())}
+    )
+    if edges.num_rows == 0 or labels.num_rows == 0:
+        return empty
+    ln = labels.column("node").to_numpy()
+    lv = labels.column("label").to_numpy()
+    o = np.argsort(ln)
+    ln, lv = ln[o], lv[o]
+    src = edges.column("src").to_numpy()
+    dst = edges.column("dst").to_numpy()
+    cand = lv[np.searchsorted(ln, src)]  # every edge node is seeded
+    o = np.argsort(dst, kind="stable")
+    d, c = dst[o], cand[o]
+    starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+    return pa.table(
+        {"dst": pa.array(d[starts], pa.int64()),
+         "cand": pa.array(np.minimum.reduceat(c, starts), pa.int64())}
+    )
+
+
+def _cc_update(pid: int, cands: pa.Table, labels: pa.Table) -> pa.Table:
+    """Fold candidate labels into this partition's labels (min)."""
+    if labels.num_rows == 0:
+        return pa.table(
+            {"node": pa.array([], pa.int64()), "label": pa.array([], pa.int64())}
+        )
+    ln = labels.column("node").to_numpy().copy()
+    lv = labels.column("label").to_numpy().copy()
+    if cands.num_rows and "dst" in cands.column_names:
+        o = np.argsort(ln)
+        ln, lv = ln[o], lv[o]
+        pos = np.searchsorted(ln, cands.column("dst").to_numpy())
+        np.minimum.at(lv, pos, cands.column("cand").to_numpy())
+    return pa.table(
+        {"node": pa.array(ln, pa.int64()), "label": pa.array(lv, pa.int64())}
+    )
+
+
+def dedup_clusters(sf_dir: str, tau: float = 0.2, max_iters: int = 64) -> pa.Table:
+    """Near-dup CLUSTERS and the canonical keep-list: connected
+    components over the exact n-gram-Jaccard pair graph
+    (:func:`dedup_ngram_jaccard` at the same ``tau``), each document
+    labeled with its component's minimum doc_id (``cluster_id``) and
+    ``keep`` = is-the-canonical-representative — the operator a training
+    pipeline runs between "find near-dup pairs" and "drop the copies"
+    (pairs alone under-delete: transitivity A~B~C must drop B AND C).
+
+    The closure is DISTRIBUTED min-label propagation — per iteration,
+    two keyed exchanges (propagate min label along edges partitioned on
+    src; fold into labels partitioned on node); labels live as partition
+    refs between iterations and the driver folds only O(P) label SUMS,
+    whose strict monotone decrease is the fixpoint test (labels only
+    ever shrink). Iterations = component diameter — near-dup clusters
+    are shallow, so 2-3 in practice. The final per-doc assignment
+    broadcasts the O(pair-docs) label table (Bloom + semi-join beyond
+    the broadcast gate, the dedup_exact shape)."""
+    import ray
+
+    from .exchange import exchange_reduce, gather_concat
+
+    rd = _rd()
+    pairs = dedup_ngram_jaccard(sf_dir, tau)
+    a = pairs.column("doc_id_a").to_numpy()
+    b = pairs.column("doc_id_b").to_numpy()
+
+    labels_t = None
+    if len(a):
+        # undirected edges, labels seeded with each node's own id
+        src = np.concatenate([a, b])
+        dst = np.concatenate([b, a])
+        edges_ref = ray.put(
+            pa.table({"src": pa.array(src, pa.int64()),
+                      "dst": pa.array(dst, pa.int64())})
+        )
+        nodes = np.unique(src)
+        label_refs = [
+            ray.put(pa.table({"node": pa.array(nodes, pa.int64()),
+                              "label": pa.array(nodes, pa.int64())}))
+        ]
+
+        @ray.remote
+        def label_sum(t: pa.Table) -> int:
+            return int(pc.sum(t.column("label")).as_py() or 0)
+
+        prev = None
+        for _ in range(max_iters):
+            cand_refs = exchange_reduce(
+                [[edges_ref], label_refs], ["src", "node"], _cc_propagate
+            )
+            label_refs = exchange_reduce(
+                [cand_refs, label_refs], ["dst", "node"], _cc_update
+            )
+            total = sum(ray.get([label_sum.remote(r) for r in label_refs]))
+            if total == prev:
+                break
+            prev = total
+        else:
+            raise RuntimeError(
+                f"label propagation did not converge in {max_iters} iterations"
+            )
+        labels_t = gather_concat(label_refs)
+
+    if labels_t is None or labels_t.num_rows == 0:
+        lbl_ref = ray.put(pa.table(
+            {"node": pa.array([], pa.int64()), "label": pa.array([], pa.int64())}
+        ))
+    else:
+        lbl_ref = ray.put(labels_t)
+
+    def assign(t: pa.Table) -> pa.Table:
+        lab = ray.get(lbl_ref)
+        did = t.column("doc_id").to_numpy()
+        cluster = did.astype(np.int64).copy()
+        if lab.num_rows:
+            ln = lab.column("node").to_numpy()
+            lv = lab.column("label").to_numpy()
+            o = np.argsort(ln)
+            ln, lv = ln[o], lv[o]
+            pos = np.searchsorted(ln, did)
+            hit = (pos < len(ln)) & (ln[np.minimum(pos, len(ln) - 1)] == did)
+            cluster[hit] = lv[np.minimum(pos, len(lv) - 1)][hit]
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "cluster_id": pa.array(cluster, pa.int64()),
+                "keep": pa.array(cluster == did),
+            }
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    from ._util import ds_to_table
+
+    return finalize(ds_to_table(ds.map_batches(assign, batch_format="pyarrow")),
+                    [("doc_id", "ascending")])

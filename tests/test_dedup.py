@@ -346,3 +346,34 @@ def test_hamming_pairs_hot_key_cap(ray_session):
     )
     assert capped.column("pair").to_pylist() == [(5 << 32) | 6]
     assert st == {"dropped_keys": 1, "dropped_postings": 5}
+
+
+def test_dedup_clusters_transitive_closure(ray_session, tmp_path):
+    """A~B and B~C (but A!~C) must land in ONE cluster labeled min-id —
+    pairs alone under-delete; the closure is the point of the operator."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from image_report_ray.pipelines.dedup import dedup_clusters, dedup_ngram_jaccard
+
+    w = [f"w{i}" for i in range(40)]
+    docs = [
+        " ".join(w[0:20]),    # 0: pairs with 1 only
+        " ".join(w[5:25]),    # 1: pairs with 0 and 2
+        " ".join(w[15:35]),   # 2: pairs with 1 only
+        " ".join(f"z{i}" for i in range(20)),  # 3: singleton
+    ]
+    t = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                  "text": pa.array(docs)})
+    pq.write_table(t, os.path.join(str(tmp_path), "documents.parquet"))
+
+    pairs = dedup_ngram_jaccard(str(tmp_path))
+    got_pairs = set(zip(pairs.column("doc_id_a").to_pylist(),
+                        pairs.column("doc_id_b").to_pylist()))
+    assert got_pairs == {(0, 1), (1, 2)}  # the transitive shape, no (0,2)
+
+    c = dedup_clusters(str(tmp_path)).to_pandas()
+    assert list(c.doc_id) == [0, 1, 2, 3]
+    assert list(c.cluster_id) == [0, 0, 0, 3]
+    assert list(c.keep) == [True, False, False, True]
