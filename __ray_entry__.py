@@ -360,6 +360,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": text.quality_score,
         "tokenize_bpe": text.tokenize_bpe,
         "lang_id": text.lang_id,
+        "tfidf_top_terms": text.tfidf_top_terms,
         "fingerprint_docs": text.fingerprint_docs,
         # approximate similarity search
         "knn_cosine_lsh": similarity.knn_cosine_lsh,
@@ -578,6 +579,33 @@ SELECT d.doc_id, p.lang_pred, d.lang AS lang_true,
        p.lang_pred = d.lang AS correct
 FROM documents d JOIN pred p USING (doc_id)
 ORDER BY d.doc_id
+""",
+        # integer-exact tf-idf (idf_scaled = 1e6 * N // df) — floats would
+        # make DuckDB ln() vs numpy log() a cross-engine hazard; linear
+        # idf keeps the ranking and the values bit-equal
+        "tfidf_top_terms": r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS token
+  FROM documents
+),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (
+  SELECT token, COUNT(*) AS df
+  FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY 1
+),
+n AS (SELECT COUNT(*) AS n FROM documents),
+s AS (
+  SELECT doc_id, token, tf, df, tf * (1000000 * n.n // df) AS score
+  FROM tf JOIN df USING (token) CROSS JOIN n
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, token ASC) AS rnk
+  FROM s
+)
+SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       CAST(score AS BIGINT) AS score, CAST(rnk AS BIGINT) AS rank
+FROM r WHERE rnk <= 5 ORDER BY doc_id, rank
 """,
         "tokenize_bpe": r"""
 WITH c AS (

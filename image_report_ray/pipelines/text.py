@@ -813,3 +813,120 @@ def pack_docs(sf_dir: str, budget: int = 2048) -> pa.Table:
              "pack_id": pa.array([], pa.int64())}
         )
     return finalize(pa.concat_tables(parts), [("doc_id", "ascending")])
+
+
+# tf-idf scoring with INTEGER-EXACT arithmetic (idf_scaled = 1e6 * N // df,
+# score = tf * idf_scaled) so the distributed result is bit-equal to the
+# SQL twin — the same money-math discipline as q1 (floats would make
+# DuckDB's ln() vs numpy's log() a cross-engine hazard).
+_TFIDF_SCALE = 1_000_000
+
+
+def tfidf_top_terms(sf_dir: str, k: int = 5) -> pa.Table:
+    """Per-document top-``k`` tokens by (linear-idf) tf-idf.
+
+    Scale shape: two chained keyed exchanges, no vocabulary broadcast.
+    Stage 1 partitions per-batch (token, doc_id, tf) partials on TOKEN —
+    each partition holds every posting for its tokens, so df is a local
+    group size and scores are computed where the postings live. Stage 2
+    re-partitions the scored postings on DOC and each partition emits
+    only its docs' top-k (score desc, token asc — deterministic ties).
+    The driver folds O(docs x k) result rows; N comes from parquet
+    metadata (no scan)."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    from .dedup import _tokenize
+    from .exchange import exchange_reduce, gather_concat
+
+    rd = _rd()
+    paths = sorted(_glob.glob(f"{sf_dir}/documents.parquet")) or sorted(
+        _glob.glob(f"{sf_dir}/documents.parquet/*.parquet")
+    )
+    n_docs = sum(pq.read_metadata(p).num_rows for p in paths)
+
+    def tf_partial(t: pa.Table) -> pa.Table:
+        flat, off = _tokenize(t.column("text"))
+        if len(flat) == 0:
+            return pa.table(
+                {"token": pa.array([], pa.string()),
+                 "doc_id": pa.array([], pa.int64()),
+                 "tf": pa.array([], pa.int64())}
+            )
+        did = t.column("doc_id").to_numpy()
+        doc_of = np.repeat(did, np.diff(off))
+        codes, uniq = pd.factorize(flat)
+        pair = doc_of.astype(np.int64) * len(uniq) + codes
+        upair, tf = np.unique(pair, return_counts=True)
+        return pa.table(
+            {
+                "token": pa.array(uniq[(upair % len(uniq)).astype(np.int64)]),
+                "doc_id": pa.array(upair // len(uniq), pa.int64()),
+                "tf": pa.array(tf.astype(np.int64)),
+            }
+        )
+
+    def score_partition(pid: int, t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "token": pa.array([], pa.string()),
+             "tf": pa.array([], pa.int64()),
+             "df": pa.array([], pa.int64()),
+             "score": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0 or "token" not in t.column_names:
+            return empty
+        tok = t.column("token").to_numpy(zero_copy_only=False)
+        order = np.argsort(tok, kind="stable")
+        tok = tok[order]
+        did = t.column("doc_id").to_numpy()[order]
+        tf = t.column("tf").to_numpy()[order]
+        starts = np.flatnonzero(np.r_[True, tok[1:] != tok[:-1]])
+        sizes = np.diff(np.r_[starts, len(tok)])
+        df = np.repeat(sizes, sizes)  # postings per token == df (all here)
+        idf = _TFIDF_SCALE * np.int64(n_docs) // df
+        return pa.table(
+            {
+                "doc_id": pa.array(did, pa.int64()),
+                "token": pa.array(tok),
+                "tf": pa.array(tf, pa.int64()),
+                "df": pa.array(df, pa.int64()),
+                "score": pa.array(tf * idf, pa.int64()),
+            }
+        )
+
+    def topk_partition(pid: int, t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "token": pa.array([], pa.string()),
+             "tf": pa.array([], pa.int64()),
+             "df": pa.array([], pa.int64()),
+             "score": pa.array([], pa.int64()),
+             "rank": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return empty
+        did = t.column("doc_id").to_numpy()
+        score = t.column("score").to_numpy()
+        tok = t.column("token").to_numpy(zero_copy_only=False)
+        order = np.lexsort((tok, -score, did))  # doc, score desc, token asc
+        d = did[order]
+        starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+        rank = np.arange(len(d)) - np.repeat(starts, np.diff(np.r_[starts, len(d)]))
+        keep = rank < k
+        sel = t.take(pa.array(order[keep]))
+        return sel.append_column("rank", pa.array(rank[keep] + 1, pa.int64()))
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    scored = exchange_reduce(
+        [ds.map_batches(tf_partial, batch_format="pyarrow")],
+        ["token"],
+        score_partition,
+    )
+    out = gather_concat(
+        exchange_reduce([scored], ["doc_id"], topk_partition)
+    )
+    if out.num_columns == 0:
+        return topk_partition(0, pa.table({}))
+    return finalize(out, [("doc_id", "ascending"), ("rank", "ascending")])

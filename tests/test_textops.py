@@ -384,3 +384,27 @@ def test_operators_tolerate_empty_corpus(ray_session, tmp_path):
                R.user_hour_activity, R.distinct_event_types,
                R.sessionize_users):
         assert fn(d).num_rows == 0, fn.__name__
+
+
+def test_tfidf_top_terms_known_corpus(ray_session, tmp_path):
+    """3-doc corpus with hand-computable tf-idf: 'rare' appears only in
+    doc 0 (df=1, idf=3e6); 'common' in all (idf=1e6)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from image_report_ray.pipelines.text import tfidf_top_terms
+
+    docs = ["rare rare common", "common common other", "common other other"]
+    t = pa.table({"doc_id": pa.array(range(3), pa.int64()),
+                  "text": pa.array(docs)})
+    pq.write_table(t, os.path.join(str(tmp_path), "documents.parquet"))
+    out = tfidf_top_terms(str(tmp_path), k=2).to_pandas()
+    d0 = out[out.doc_id == 0]
+    assert list(d0.token) == ["rare", "common"]
+    assert list(d0.score) == [2 * 3_000_000, 1 * 1_000_000]
+    assert list(d0["rank"]) == [1, 2]
+    d1 = out[out.doc_id == 1]  # common tf=2 score 2e6 > other tf=1 score 1.5e6
+    assert list(d1.token) == ["common", "other"]
+    assert list(d1.score) == [2_000_000, 1_500_000]
