@@ -361,6 +361,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokenize_bpe": text.tokenize_bpe,
         "lang_id": text.lang_id,
         "tfidf_top_terms": text.tfidf_top_terms,
+        "stratified_sample": text.stratified_sample,
         "fingerprint_docs": text.fingerprint_docs,
         # approximate similarity search
         "knn_cosine_lsh": similarity.knn_cosine_lsh,
@@ -662,6 +663,23 @@ FROM ch GROUP BY 1, 2 ORDER BY epoch, op
 )
 SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns, MAX(ts) AS last_ts
 FROM final GROUP BY conv_id ORDER BY conv_id
+""",
+        # stratified per-language sampling: seeded splitmix64 top-32-bit
+        # bucket vs the stratum's integer threshold (en keeps 1/4)
+        "stratified_sample": f"""
+WITH s0 AS (
+  SELECT doc_id, lang,
+         CAST((doc_id + {0x57A7}) % {_SM_M} AS UBIGINT) AS h
+  FROM documents
+),
+s1 AS (SELECT doc_id, lang, {_sm_step('h', 30, _SM_C1)} AS h FROM s0),
+s2 AS (SELECT doc_id, lang, {_sm_step('h', 27, _SM_C2)} AS h FROM s1),
+s3 AS (SELECT doc_id, lang, xor(h, h >> 31) AS h FROM s2)
+SELECT doc_id, lang,
+       CAST(h >> 32 AS BIGINT) AS h_bucket,
+       (h >> 32) < (CASE WHEN lang = 'en' THEN {1 << 30}
+                         ELSE {1 << 32} END) AS sampled
+FROM s3 ORDER BY doc_id
 """,
         "sample_split": """
 WITH h AS (

@@ -930,3 +930,47 @@ def tfidf_top_terms(sf_dir: str, k: int = 5) -> pa.Table:
     if out.num_columns == 0:
         return topk_partition(0, pa.table({}))
     return finalize(out, [("doc_id", "ascending"), ("rank", "ascending")])
+
+
+# Stratified sampling: per-language keep rates for rebalancing a corpus
+# (downsample the over-represented stratum). Thresholds live in 2^32
+# space on the top 32 bits of the seeded splitmix64 — pure integer
+# arithmetic, so membership is reproducible forever and SQL-exact.
+_STRAT_RATES = {"en": 0.25}  # default: quarter the majority language
+_STRAT_SEED = 0x57A7
+
+
+def stratified_sample(
+    sf_dir: str, rates: "dict[str, float] | None" = None, seed: int = _STRAT_SEED
+) -> pa.Table:
+    """Per-stratum deterministic sampling: every document keeps/drops by
+    ``splitmix64(doc_id + seed) >> 32 < rate[lang] * 2^32`` — a
+    reproducible coin per doc whose bias varies by language. Returns the
+    full per-doc assignment (the oracle checks every row; a pipeline
+    would filter on ``sampled``). The rate table is fixed-cardinality
+    engine config (the reference's broadcast dimension-table shape) —
+    never data-sized."""
+    rd = _rd()
+    rates = _STRAT_RATES if rates is None else rates
+    thresholds = {k: min(int(v * (1 << 32)), 1 << 32) for k, v in rates.items()}
+    sd = np.uint64(seed)
+
+    def assign(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id").to_numpy().astype(np.uint64)
+        lang = t.column("lang").to_numpy(zero_copy_only=False)
+        bucket = (_splitmix64(did + sd) >> np.uint64(32)).astype(np.int64)
+        thr = np.full(len(did), 1 << 32, dtype=np.int64)
+        for lg, th in thresholds.items():
+            thr[lang == lg] = th
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "lang": t.column("lang"),
+                "h_bucket": pa.array(bucket),
+                "sampled": pa.array(bucket < thr),
+            }
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    return finalize(ds_to_table(ds.map_batches(assign, batch_format="pyarrow")),
+                    [("doc_id", "ascending")])

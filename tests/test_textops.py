@@ -408,3 +408,19 @@ def test_tfidf_top_terms_known_corpus(ray_session, tmp_path):
     d1 = out[out.doc_id == 1]  # common tf=2 score 2e6 > other tf=1 score 1.5e6
     assert list(d1.token) == ["common", "other"]
     assert list(d1.score) == [2_000_000, 1_500_000]
+
+
+def test_stratified_sample_rates_and_determinism(ray_session):
+    from image_report_ray.pipelines.text import stratified_sample
+
+    t = stratified_sample(SF).to_pandas()
+    assert list(t.columns) == ["doc_id", "lang", "h_bucket", "sampled"]
+    non_en = t[t.lang != "en"]
+    assert non_en.sampled.all()  # rate 1.0 strata keep everything
+    en = t[t.lang == "en"]
+    if len(en) >= 50:
+        assert 0.1 < en.sampled.mean() < 0.4  # ~0.25 by the seeded coin
+    t2 = stratified_sample(SF).to_pandas()
+    assert t.equals(t2)  # reproducible membership
+    t3 = stratified_sample(SF, seed=99).to_pandas()
+    assert not t.sampled.equals(t3.sampled)  # the seed actually matters
