@@ -351,6 +351,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_meta": multimodal.media_meta,
         "media_features": multimodal.media_features,
         "media_frames": multimodal.media_frames,
+        "media_resize": multimodal.media_resize,
         # near-duplicate detection (training-data ops)
         "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
@@ -411,6 +412,20 @@ SELECT doc_id AS media_id,
        CAST(CASE WHEN doc_id % 3 = 2 THEN 8 + (doc_id * 31) % 25 ELSE 1 END
             AS INTEGER) AS n_frames,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_body_bytes
+FROM documents ORDER BY media_id
+""",
+        # resize (1/2 thumbnail): floor-scaled dims (audio keeps rate),
+        # ceil-scaled body byte count — metadata of the re-decoded output
+        "media_resize": """
+SELECT doc_id AS media_id,
+       ['image','audio','video'][(doc_id % 3) + 1] AS kind,
+       CAST(CASE WHEN doc_id % 3 = 1 THEN 16 + (doc_id * 7919) % 240
+                 ELSE GREATEST((16 + (doc_id * 7919) % 240) // 2, 1)
+            END AS INTEGER) AS width,
+       CAST(GREATEST((16 + (doc_id * 104729) % 240) // 2, 1) AS INTEGER) AS height,
+       CAST(CASE WHEN doc_id % 3 = 2 THEN 8 + (doc_id * 31) % 25 ELSE 1 END
+            AS INTEGER) AS n_frames,
+       CAST((octet_length(encode(text)) + 1) // 2 AS BIGINT) AS n_body_bytes
 FROM documents ORDER BY media_id
 """,
         "media_frames": """

@@ -154,12 +154,29 @@ def hash_utf8_64(strs: "np.ndarray | pa.Array | pa.ChunkedArray") -> np.ndarray:
     data = np.frombuffer(buf, np.uint8) if buf is not None else np.empty(0, np.uint8)
     lens = np.diff(off)
     starts = off[:-1]
-    h = np.zeros(n, np.uint64)
-    for p in range(int(lens.max()) if n else 0):
-        active = lens > p
-        h[active] = h[active] * _TH_BASE + data[starts[active] + p].astype(
-            np.uint64
-        )
+    maxlen = int(lens.max()) if n else 0
+    if maxlen == 0:
+        return _splitmix64(np.zeros(n, np.uint64))
+    if maxlen <= 256:
+        # ONE padded gather: right-align each string's bytes in a
+        # (n, maxlen) matrix (leading zeros contribute 0 * B^k), then a
+        # single powers dot — no per-position masked passes
+        cols = np.arange(maxlen)
+        pad = (maxlen - lens)[:, None]
+        valid = cols[None, :] >= pad
+        padded = np.zeros((n, maxlen), np.uint64)
+        padded[valid] = data[
+            (starts[:, None] + (cols[None, :] - pad))[valid]
+        ]
+        powers = _TH_BASE ** np.arange(maxlen - 1, -1, -1, dtype=np.uint64)
+        h = (padded * powers[None, :]).sum(axis=1)
+    else:  # pathological long strings: positional Horner fallback
+        h = np.zeros(n, np.uint64)
+        for p in range(maxlen):
+            active = lens > p
+            h[active] = h[active] * _TH_BASE + data[
+                starts[active] + p
+            ].astype(np.uint64)
     return _splitmix64(h)
 
 

@@ -164,3 +164,37 @@ def media_frames(sf_dir: str, stride: int = 4) -> pa.Table:
     )
     t = ds_to_table(ds)
     return finalize(t, [("media_id", "ascending"), ("frame_idx", "ascending")])
+
+
+def media_resize(sf_dir: str, factor: int = 2) -> pa.Table:
+    """Resize every payload (1/``factor`` thumbnail / downsample), then
+    RE-DECODE the resized payloads through the decoder actor pool and
+    return their typed metadata — two chained actor-pool stages, and the
+    re-decode proves the resize stage emits well-formed payloads. The
+    synthetic headers stay integer arithmetic on doc_id, so the resized
+    metadata (floor-scaled dims, ceil-scaled body bytes) has an exact
+    DuckDB oracle."""
+    from ..stages.media import MediaResizer
+
+    ds = (
+        _media_dataset(sf_dir)
+        .map_batches(
+            MediaResizer,
+            batch_format="pyarrow",
+            batch_size=_MEDIA_BATCH,
+            concurrency=_DECODE_CONCURRENCY,
+            fn_constructor_kwargs={"factor": factor},
+        )
+        .map_batches(
+            MediaDecoder,
+            batch_format="pyarrow",
+            batch_size=_MEDIA_BATCH,
+            concurrency=_DECODE_CONCURRENCY,
+        )
+    )
+
+    def meta_only(t: pa.Table) -> pa.Table:
+        return t.drop_columns(["payload"])
+
+    t = ds_to_table(ds.map_batches(meta_only, batch_format="pyarrow"))
+    return finalize(t, [("media_id", "ascending")])

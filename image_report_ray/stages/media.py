@@ -237,3 +237,72 @@ class FrameSampler:
                 "kind": pa.array(kind_str, pa.string()),
             }
         )
+
+
+class MediaResizer:
+    """Actor-pool stage: FMED payload -> resized FMED payload (the
+    thumbnail / downsample stage of a media pipeline). Image and video
+    payloads scale width and height by ``1/factor`` (floor, min 1);
+    audio keeps its rate and scales the sample count. The body is
+    nearest-neighbor downsampled (every ``factor``-th byte of the 1-D
+    byte stand-in — a real backend would swap in cv2.resize / resampy
+    with the same binary-in/binary-out contract).
+
+    Fully batch-vectorized: headers are rebuilt as one (n, 16) uint8
+    matrix and bodies gather through one strided index — no per-row
+    codec calls on the fake path."""
+
+    def __init__(self, factor: int = 2) -> None:
+        if factor < 1:
+            raise ValueError("factor must be >= 1")
+        self.factor = factor
+        try:  # pragma: no cover - cv2 absent in this container
+            import cv2  # noqa: F401
+
+            self._backend = "cv2"
+        except ImportError:
+            self._backend = "fake"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._backend != "fake":  # pragma: no cover
+            raise NotImplementedError(
+                "real resize backend present but intentionally stubbed in "
+                "this environment (no image libs baked in)"
+            )
+        f = self.factor
+        hdr = parse_headers(batch.column("payload"))
+        n = len(hdr["kind"])
+        kind = hdr["kind"]
+        scale_w = kind != KINDS.index("audio")  # audio keeps its rate
+        new_w = np.where(scale_w, np.maximum(hdr["width"] // f, 1), hdr["width"])
+        new_h = np.maximum(hdr["height"] // f, 1)
+        body_len = hdr["body_len"]
+        m = -(-body_len // f)  # ceil: resized body byte count
+
+        heads = np.empty((n, HEADER_LEN), np.uint8)
+        heads[:, 0:4] = np.frombuffer(MAGIC, np.uint8)
+        heads[:, 4] = kind.astype(np.uint8)
+        for k in range(4):
+            heads[:, 5 + k] = (new_w >> (8 * k)).astype(np.uint8)
+            heads[:, 9 + k] = (new_h >> (8 * k)).astype(np.uint8)
+        for k in range(3):
+            heads[:, 13 + k] = (hdr["n_frames"] >> (8 * k)).astype(np.uint8)
+
+        out_offs = np.zeros(n + 1, np.int64)
+        np.cumsum(HEADER_LEN + m, out=out_offs[1:])
+        out = np.empty(int(out_offs[-1]), np.uint8)
+        out[(out_offs[:-1][:, None] + np.arange(HEADER_LEN)).ravel()] = heads.ravel()
+        if m.sum():
+            j = np.arange(int(m.sum())) - np.repeat(np.cumsum(m) - m, m)
+            body_starts = hdr["offsets"][:-1] + HEADER_LEN
+            out[np.repeat(out_offs[:-1] + HEADER_LEN, m) + j] = hdr["data"][
+                np.repeat(body_starts, m) + f * j
+            ]
+        payload = pa.Array.from_buffers(
+            pa.binary(),
+            n,
+            [None, pa.py_buffer(out_offs.astype(np.int32)), pa.py_buffer(out)],
+        )
+        return pa.table(
+            {"media_id": batch.column("media_id"), "payload": payload}
+        )

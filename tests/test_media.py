@@ -136,3 +136,31 @@ def test_synth_media_batch_matches_per_row_pack():
             text.encode("utf-8"),
         )
         assert got.column("payload")[i].as_py() == expected, i
+
+
+def test_media_resizer_semantics():
+    """Resized payloads: floor-scaled dims (audio keeps its rate), every
+    f-th body byte, headers still valid FMED — verified per row against
+    a hand-built expectation."""
+    from image_report_ray.stages.media import MediaResizer, unpack_header
+
+    rows = [
+        (0, 100, 60, 1, b"0123456789abc"),   # image
+        (1, 44, 8000, 1, b"samples-data"),   # audio: rate 44 preserved
+        (2, 33, 17, 12, b"videobodybytes!"), # video
+        (0, 1, 1, 1, b""),                   # degenerate: dims floor at 1
+    ]
+    payloads = [pack_media(*r) for r in rows]
+    batch = pa.table(
+        {"media_id": pa.array(range(len(rows)), pa.int64()),
+         "payload": pa.array(payloads, pa.binary())}
+    )
+    out = MediaResizer(factor=2)(batch)
+    for i, (kind, w, h, nf, body) in enumerate(rows):
+        p = out.column("payload")[i].as_py()
+        k2, w2, h2, nf2 = unpack_header(p)
+        assert k2 == kind
+        assert w2 == (w if kind == 1 else max(w // 2, 1))
+        assert h2 == max(h // 2, 1)
+        assert nf2 == nf
+        assert p[16:] == body[::2], i
