@@ -345,7 +345,42 @@ def _q5_li_join(pid: int, li: pa.Table, orders: pa.Table) -> pa.Table:
     )
 
 
-def q5_region_revenue(sf_dir: str) -> pa.Table:
+def _q5_li_supp_join(
+    asia_keys: np.ndarray, pid: int, li: pa.Table, supp: pa.Table
+) -> pa.Table:
+    """Gated-path kernel: lineitem revenue partials ⋈ supplier on
+    suppkey (both sides co-partitioned); attach the supplier nation,
+    prune to the target region, and re-combine per (order, nation)."""
+    empty = pa.table(
+        {"l_orderkey": pa.array([], pa.int64()),
+         "sn": pa.array([], pa.int32()),
+         "rev_u": pa.array([], pa.int64())}
+    )
+    if li.num_rows == 0 or supp.num_rows == 0 or "l_suppkey" not in li.column_names:
+        return empty
+    sk = supp.column("s_suppkey").to_numpy()
+    sn = supp.column("s_nationkey").to_numpy().astype(np.int32)
+    order = np.argsort(sk)
+    sk_s, sn_s = sk[order], sn[order]
+    lk = li.column("l_suppkey").to_numpy()
+    pos = np.searchsorted(sk_s, lk)
+    hit = (pos < len(sk_s)) & (sk_s[np.minimum(pos, len(sk_s) - 1)] == lk)
+    nation = np.where(hit, sn_s[np.minimum(pos, len(sn_s) - 1)], -2)
+    keep = np.isin(nation, asia_keys)
+    part = pa.table(
+        {
+            "l_orderkey": li.column("l_orderkey").filter(pa.array(keep)),
+            "sn": pa.array(nation[keep].astype(np.int32)),
+            "rev_u": li.column("rev_u").filter(pa.array(keep)).cast(pa.int64()),
+        }
+    )
+    g = part.group_by(["l_orderkey", "sn"]).aggregate([("rev_u", "sum")])
+    return g.rename_columns(["l_orderkey", "sn", "rev_u"])
+
+
+def q5_region_revenue(
+    sf_dir: str, max_broadcast_keys: int = _MAX_BROADCAST_KEYS
+) -> pa.Table:
     """TPC-H Q5 shape: revenue by nation inside one region.
 
     Two chained keyed exchanges, no driver-side fact materialization:
@@ -354,9 +389,13 @@ def q5_region_revenue(sf_dir: str) -> pa.Table:
     target region; stage 2 co-partitions lineitem's per-batch
     (orderkey, supplier_nation, revenue) partials with stage 1's output
     on orderkey, joins, filters cn == sn, and folds revenue per nation.
-    region/nation (constant-size) and supplier (the one genuinely small
-    dimension — broadcast, Bloom at 100x) are the only ``ray.put``
-    sides; customer and orders stream through the exchange."""
+    region/nation (constant-size) are the only unconditional ``ray.put``
+    sides; customer and orders stream through the exchange. The supplier
+    nation lookup GROWS with the data, so it is gated like q3's customer
+    keys: a dense broadcast LUT while the table fits
+    ``max_broadcast_keys``, and a third keyed exchange on suppkey
+    (:func:`_q5_li_supp_join`, co-partitioned lineitem partials ⋈
+    supplier) beyond it."""
     import ray
     import pyarrow.parquet as pq
     from functools import partial as fpartial
@@ -378,12 +417,22 @@ def q5_region_revenue(sf_dir: str) -> pa.Table:
         )
     )
     asia_keys = np.fromiter(nk_to_name, dtype=np.int32)
-    supp = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
-    s_keys = supp.column("s_suppkey").to_numpy()
-    s_nations = supp.column("s_nationkey").to_numpy()
-    s_lut = np.full(int(s_keys.max()) + 2, -2, dtype=np.int32)
-    s_lut[s_keys] = s_nations
-    s_ref = ray.put(s_lut)
+    import glob as _glob
+
+    supp_paths = sorted(_glob.glob(f"{sf_dir}/supplier.parquet")) or sorted(
+        _glob.glob(f"{sf_dir}/supplier.parquet/*.parquet")
+    )
+    n_supp = sum(pq.read_metadata(p).num_rows for p in supp_paths)
+    broadcast_supp = n_supp <= max_broadcast_keys
+    if broadcast_supp:
+        supp = pq.read_table(
+            f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+        )
+        s_keys = supp.column("s_suppkey").to_numpy()
+        s_nations = supp.column("s_nationkey").to_numpy()
+        s_lut = np.full(int(s_keys.max()) + 2, -2, dtype=np.int32)
+        s_lut[s_keys] = s_nations
+        s_ref = ray.put(s_lut)
 
     orders_ds = rd.read_parquet(
         f"{sf_dir}/orders.parquet",
@@ -401,30 +450,64 @@ def q5_region_revenue(sf_dir: str) -> pa.Table:
         P=8,
     )
 
-    def li_partial(t: pa.Table) -> pa.Table:
-        slut = ray.get(s_ref)
-        sk = t.column("l_suppkey").to_numpy()
-        sn = np.where(sk < len(slut), slut[np.minimum(sk, len(slut) - 1)], -2)
-        keep = np.isin(sn, asia_keys)  # supplier-side prune before shuffle
-        t = t.filter(pa.array(keep))
-        rev_u = _cents(t.column("l_extendedprice")) * (100 - _cents(t.column("l_discount")))
-        part = pa.table(
-            {
-                "l_orderkey": t.column("l_orderkey"),
-                "sn": pa.array(sn[keep].astype(np.int32)),
-                "rev_u": pa.array(rev_u),
-            }
-        )
-        # map-side combine per (order, supplier-nation) before the exchange
-        g = part.group_by(["l_orderkey", "sn"]).aggregate([("rev_u", "sum")])
-        return g.rename_columns(["l_orderkey", "sn", "rev_u"])
-
-    li_ds = rd.read_parquet(
+    li_read = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
-    ).map_batches(li_partial, batch_format="pyarrow")
+    )
+    if broadcast_supp:
+
+        def li_partial(t: pa.Table) -> pa.Table:
+            slut = ray.get(s_ref)
+            sk = t.column("l_suppkey").to_numpy()
+            sn = np.where(sk < len(slut), slut[np.minimum(sk, len(slut) - 1)], -2)
+            keep = np.isin(sn, asia_keys)  # supplier-side prune before shuffle
+            t = t.filter(pa.array(keep))
+            rev_u = _cents(t.column("l_extendedprice")) * (
+                100 - _cents(t.column("l_discount"))
+            )
+            part = pa.table(
+                {
+                    "l_orderkey": t.column("l_orderkey"),
+                    "sn": pa.array(sn[keep].astype(np.int32)),
+                    "rev_u": pa.array(rev_u),
+                }
+            )
+            # map-side combine per (order, supplier-nation) pre-exchange
+            g = part.group_by(["l_orderkey", "sn"]).aggregate([("rev_u", "sum")])
+            return g.rename_columns(["l_orderkey", "sn", "rev_u"])
+
+        li_side = li_read.map_batches(li_partial, batch_format="pyarrow")
+    else:
+        # scale path: the supplier table grows with the data, so the
+        # nation lookup rides a THIRD keyed exchange on suppkey instead
+        # of a data-sized broadcast LUT
+        def li_supp_partial(t: pa.Table) -> pa.Table:
+            rev_u = _cents(t.column("l_extendedprice")) * (
+                100 - _cents(t.column("l_discount"))
+            )
+            part = pa.table(
+                {
+                    "l_orderkey": t.column("l_orderkey"),
+                    "l_suppkey": t.column("l_suppkey"),
+                    "rev_u": pa.array(rev_u),
+                }
+            )
+            g = part.group_by(["l_orderkey", "l_suppkey"]).aggregate(
+                [("rev_u", "sum")]
+            )
+            return g.rename_columns(["l_orderkey", "l_suppkey", "rev_u"])
+
+        supp_ds = rd.read_parquet(
+            f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+        )
+        li_side = exchange_reduce(
+            [li_read.map_batches(li_supp_partial, batch_format="pyarrow"), supp_ds],
+            ["l_suppkey", "s_suppkey"],
+            fpartial(_q5_li_supp_join, asia_keys),
+            P=8,
+        )
     stage2 = exchange_reduce(
-        [li_ds, stage1], ["l_orderkey", "o_orderkey"], _q5_li_join, P=8
+        [li_side, stage1], ["l_orderkey", "o_orderkey"], _q5_li_join, P=8
     )
     partials = gather_concat(stage2)
     nk = partials.column("nk").to_numpy()

@@ -108,3 +108,12 @@ def test_anti_join_empty_orders(ray_session, tmp_path):
     gated = customers_without_orders(sf, max_broadcast_keys=0)
     assert small.equals(gated)
     assert small.num_rows == 10
+
+
+def test_q5_supplier_exchange_path_matches_broadcast(ray_session):
+    from image_report_ray.pipelines.relational import q5_region_revenue
+
+    small = q5_region_revenue(SF)
+    gated = q5_region_revenue(SF, max_broadcast_keys=0)
+    assert small.num_rows > 0
+    assert small.equals(gated)
