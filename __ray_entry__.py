@@ -337,67 +337,9 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from image_report_ray.pipelines import (
-        cdcq,
-        dedup,
-        multimodal,
-        relational,
-        similarity,
-        text,
-    )
+    from image_report_ray.pipelines.registry import query_registry
 
-    return {
-        # multimodal binary-column plumbing (actor-pool decode stages)
-        "media_meta": multimodal.media_meta,
-        "media_features": multimodal.media_features,
-        "media_frames": multimodal.media_frames,
-        "media_resize": multimodal.media_resize,
-        # near-duplicate detection (training-data ops)
-        "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
-        "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
-        "dedup_simhash": dedup.dedup_simhash,
-        "dedup_clusters": dedup.dedup_clusters,
-        # text quality / tokenization / language-ID / fingerprints
-        "quality_score": text.quality_score,
-        "tokenize_bpe": text.tokenize_bpe,
-        "lang_id": text.lang_id,
-        "tfidf_top_terms": text.tfidf_top_terms,
-        "stratified_sample": text.stratified_sample,
-        "fingerprint_docs": text.fingerprint_docs,
-        # approximate similarity search
-        "knn_cosine_lsh": similarity.knn_cosine_lsh,
-        "knn_cosine_ivf": similarity.knn_cosine_ivf,
-        # CDC core (SURVEY §2.4 T3, §2.5 J3, §2.7 O4, §2.8 D1)
-        "cdc_apply": cdcq.cdc_apply,
-        "cdc_apply_dups": cdcq.cdc_apply_dups,
-        "cdc_apply_evolve": cdcq.cdc_apply_evolve,
-        "cdc_counts": cdcq.cdc_counts,
-        "cdc_conv_summary": cdcq.cdc_conv_summary,
-        "sample_split": text.sample_split,
-        "shuffle_docs": text.shuffle_docs,
-        "pack_docs": text.pack_docs,
-        # relational / windowed (SURVEY §2.5 J1-J2, §2.6, §2.7, §2.10)
-        "q1_pricing_summary": relational.q1_pricing_summary,
-        "q3_top_orders": relational.q3_top_orders,
-        "q5_region_revenue": relational.q5_region_revenue,
-        "customers_without_orders": relational.customers_without_orders,
-        "user_hour_activity": relational.user_hour_activity,
-        "user_sliding_activity": relational.user_sliding_activity,
-        "user_persona_match": relational.user_persona_match,
-        "distinct_event_types": relational.distinct_event_types,
-        "sessionize_users": relational.sessionize_users,
-        "asof_click_before_purchase": relational.asof_click_before_purchase,
-        "clicks_before_purchase_count": relational.clicks_before_purchase_count,
-        "hll_user_sketch": relational.hll_user_sketch,
-        # text analysis / dedup (training-data ops)
-        "text_stats": text.text_stats,
-        "top_tokens": text.top_tokens,
-        "dedup_exact": text.dedup_exact,
-        "lang_stats": text.lang_stats,
-        # similarity search
-        "knn_cosine": similarity.knn_cosine,
-        "embedding_near_dups": lambda sf: similarity.embedding_near_dups(sf, 0.4),
-    }
+    return query_registry()
 
 
 def oracle_sql() -> dict[str, str]:

@@ -10,6 +10,7 @@ Commands::
     gen       write a deterministic synthetic WAL (epoch-partitioned parquet)
     run       tail a WAL directory into a lake (resumable, exactly-once)
     export    write the lake's canonical live state as parquet
+    query     run any named pipeline from the registry over a table dir
     validate  re-check every committed partition: ledger invariants,
               lineage/manifest agreement, state digest
 
@@ -120,6 +121,49 @@ def cmd_compact(args: argparse.Namespace) -> int:
     lake = Lake(args.lake_dir)
     res = gc_tombstones(lake, before_lsn=args.before_lsn)
     print(json.dumps(res))
+    import ray
+
+    ray.shutdown()
+    return 0
+
+
+def cmd_query(args: argparse.Namespace) -> int:
+    """Run any named pipeline from the engine's query registry over a
+    standard table directory — the user-facing surface of every operator
+    the driver contract exposes. ``--list`` enumerates; ``--out`` writes
+    the result parquet."""
+    from .pipelines.registry import query_registry
+
+    reg = query_registry()
+    if args.list:
+        print(json.dumps({"queries": sorted(reg)}))
+        return 0
+    if not args.name or not args.data_dir:
+        print(json.dumps({"error": "query NAME DATA_DIR required (or --list)"}))
+        return 1
+    if args.name not in reg:
+        print(json.dumps(
+            {"error": f"unknown query {args.name!r}", "queries": sorted(reg)}
+        ))
+        return 1
+    _init_ray(args.num_cpus)
+    import time
+
+    t0 = time.perf_counter()
+    table = reg[args.name](args.data_dir)
+    wall = time.perf_counter() - t0
+    out = {
+        "query": args.name,
+        "rows": table.num_rows,
+        "columns": table.column_names,
+        "wall_sec": round(wall, 3),
+    }
+    if args.out:
+        import pyarrow.parquet as pq
+
+        pq.write_table(table, args.out)
+        out["out"] = args.out
+    print(json.dumps(out))
     import ray
 
     ray.shutdown()
@@ -277,6 +321,19 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("out_dir")
     e.add_argument("--num-cpus", type=int, default=None)
     e.set_defaults(fn=cmd_export)
+
+    qy = sub.add_parser(
+        "query",
+        parents=[lp],
+        help="run a named pipeline over a table directory (see --list)",
+    )
+    qy.add_argument("name", nargs="?", help="query name (see --list)")
+    qy.add_argument("data_dir", nargs="?", help="directory of parquet tables")
+    qy.add_argument("--out", help="write the result parquet to this path")
+    qy.add_argument("--list", action="store_true",
+                    help="list available query names")
+    qy.add_argument("--num-cpus", type=int, default=None)
+    qy.set_defaults(fn=cmd_query)
 
     v = sub.add_parser("validate", help="audit committed state vs manifest+lineage",
                        parents=[lp])

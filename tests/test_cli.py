@@ -200,3 +200,27 @@ def test_export_and_compact_cli_roundtrip(ray_session, tmp_path, capsys):
     assert main(["validate", lake]) == 0
     # canonical view unchanged by GC (only tombstones dropped)
     assert canonical_state_table(Lake(lake)).equals(expected)
+
+
+def test_cli_query_list_run_and_unknown(ray_session, tmp_path, capsys):
+    """`cli query` surfaces the full registry, runs a pipeline end-to-end
+    to parquet, and exits 1 with the name list on an unknown query."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from image_report_ray.cli import main
+
+    assert main(["query", "--list"]) == 0
+    names = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["queries"]
+    assert {"dedup_exact", "q1_pricing_summary", "media_resize"} <= set(names)
+
+    out = os.path.join(str(tmp_path), "res.parquet")
+    assert main(["query", "text_stats", "/root/testdata/sf0.001",
+                 "--out", out]) == 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["rows"] == 500 and rec["out"] == out
+    assert pq.read_metadata(out).num_rows == 500
+
+    assert main(["query", "not_a_query", "/root/testdata/sf0.001"]) == 1
