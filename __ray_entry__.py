@@ -494,6 +494,15 @@ SELECT doc_id,
          AND (sum_len * 10000 // GREATEST(n_tokens, 1) <= 120000) AS quality_ok
 FROM m ORDER BY doc_id
 """,
+        # exact per-language length quantiles (bounded-domain histogram
+        # fold); discrete-quantile rule matches quantile_disc exactly
+        "lang_char_quantiles": """
+SELECT lang,
+       CAST(unnest([0.25, 0.5, 0.9, 0.99]) AS DOUBLE) AS q,
+       CAST(unnest(quantile_disc(n_chars, [0.25, 0.5, 0.9, 0.99])) AS BIGINT)
+           AS n_chars_q
+FROM documents GROUP BY lang ORDER BY lang, q
+""",
         # language-ID is fully relational: fit = top-30 (lang, token)
         # window rank on the doc_id % 10 = 0 sample; predict = argmax of
         # distinct-token profile overlap, ties -> lexicographically

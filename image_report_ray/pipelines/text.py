@@ -974,3 +974,62 @@ def stratified_sample(
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
     return finalize(ds_to_table(ds.map_batches(assign, batch_format="pyarrow")),
                     [("doc_id", "ascending")])
+
+
+def lang_char_quantiles(
+    sf_dir: str, qs: "tuple[float, ...]" = (0.25, 0.5, 0.9, 0.99)
+) -> pa.Table:
+    """Exact per-language quantiles of document length (``n_chars``) via
+    a BOUNDED-DOMAIN HISTOGRAM FOLD — the scalable exact-quantile shape:
+    each batch contributes one (lang, n_chars) count row per distinct
+    value (O(domain), not O(rows)), the partials fold like any other
+    fixed-cardinality aggregate, and the driver walks the tiny cumulative
+    histogram. Discrete quantile = smallest value whose cumulative count
+    reaches ``ceil(q*n)`` — DuckDB's ``quantile_disc`` rule, computed
+    with the same double multiply so the twin is bit-exact. No sort, no
+    sample, no approximation."""
+    import math
+
+    from ._util import fold_partials
+
+    rd = _rd()
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["lang", "n_chars"]).aggregate([([], "count_all")])
+        return g.rename_columns(["lang", "n_chars", "n_part"])
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"])
+    hist = fold_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["lang", "n_chars"], [("n_part", "sum")], ["lang", "n_chars", "n"],
+    )
+    empty = pa.table(
+        {"lang": pa.array([], pa.string()),
+         "q": pa.array([], pa.float64()),
+         "n_chars_q": pa.array([], pa.int64())}
+    )
+    if hist.num_columns == 0 or hist.num_rows == 0:
+        return empty
+    lang = hist.column("lang").to_numpy(zero_copy_only=False)
+    val = hist.column("n_chars").to_numpy().astype(np.int64)
+    cnt = hist.column("n").to_numpy().astype(np.int64)
+    order = np.lexsort((val, lang))
+    lang, val, cnt = lang[order], val[order], cnt[order]
+    starts = np.flatnonzero(np.r_[True, lang[1:] != lang[:-1]])
+    ends = np.r_[starts[1:], len(lang)]
+    out_l, out_q, out_v = [], [], []
+    for s, e in zip(starts, ends):
+        cum = np.cumsum(cnt[s:e])
+        n = int(cum[-1])
+        for q in qs:
+            target = math.ceil(q * n)  # same double multiply as DuckDB
+            idx = int(np.searchsorted(cum, max(target, 1)))
+            out_l.append(lang[s])
+            out_q.append(float(q))
+            out_v.append(int(val[s + idx]))
+    t = pa.table(
+        {"lang": pa.array(out_l, pa.string()),
+         "q": pa.array(out_q, pa.float64()),
+         "n_chars_q": pa.array(out_v, pa.int64())}
+    )
+    return finalize(t, [("lang", "ascending"), ("q", "ascending")])

@@ -424,3 +424,21 @@ def test_stratified_sample_rates_and_determinism(ray_session):
     assert t.equals(t2)  # reproducible membership
     t3 = stratified_sample(SF, seed=99).to_pandas()
     assert not t.sampled.equals(t3.sampled)  # the seed actually matters
+
+
+def test_lang_char_quantiles_matches_numpy_disc(ray_session):
+    """Histogram-fold quantiles == direct discrete quantiles of the raw
+    column (smallest value whose cumulative count reaches ceil(q*n))."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from image_report_ray.pipelines.text import lang_char_quantiles
+
+    got = lang_char_quantiles(SF).to_pandas()
+    raw = pq.read_table(f"{SF}/documents.parquet",
+                        columns=["lang", "n_chars"]).to_pandas()
+    for (lang, q), grp in got.groupby(["lang", "q"]):
+        vals = np.sort(raw[raw.lang == lang].n_chars.to_numpy())
+        idx = max(math.ceil(q * len(vals)), 1) - 1
+        assert grp.n_chars_q.iloc[0] == vals[idx], (lang, q)
