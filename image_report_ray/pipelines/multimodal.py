@@ -25,6 +25,14 @@ from ._util import ds_to_table, finalize
 
 _DECODE_CONCURRENCY = 2
 _MEDIA_BATCH = 256  # large binary payloads => small batches (memory-aware)
+# Fractional CPU per media actor: a chained pipeline (resize -> decode)
+# runs TWO pools at once, and at low cluster CPU counts (the 4-cpu test
+# session) four 1-CPU actors would reserve EVERY core and starve the
+# upstream read tasks — a timing-dependent Ray 2.49 deadlock (observed).
+# 0.5 CPU x 4 actors leaves half the cores for the task pools; the
+# stages are bandwidth-bound, not compute-bound, so throughput is
+# unaffected at real cluster sizes.
+_MEDIA_ACTOR_CPUS = 0.5
 
 
 def _rd():
@@ -104,6 +112,7 @@ def media_meta(sf_dir: str) -> pa.Table:
         batch_format="pyarrow",
         batch_size=_MEDIA_BATCH,
         concurrency=_DECODE_CONCURRENCY,
+        num_cpus=_MEDIA_ACTOR_CPUS,
     )
 
     def meta_only(t: pa.Table) -> pa.Table:
@@ -124,6 +133,7 @@ def media_features(sf_dir: str) -> pa.Table:
         batch_format="pyarrow",
         batch_size=_MEDIA_BATCH,
         concurrency=_DECODE_CONCURRENCY,
+        num_cpus=_MEDIA_ACTOR_CPUS,
     )
 
     def summarize(t: pa.Table) -> pa.Table:
@@ -160,6 +170,7 @@ def media_frames(sf_dir: str, stride: int = 4) -> pa.Table:
         batch_format="pyarrow",
         batch_size=_MEDIA_BATCH,
         concurrency=_DECODE_CONCURRENCY,
+        num_cpus=_MEDIA_ACTOR_CPUS,
         fn_constructor_kwargs={"stride": stride},
     )
     t = ds_to_table(ds)
@@ -183,6 +194,7 @@ def media_resize(sf_dir: str, factor: int = 2) -> pa.Table:
             batch_format="pyarrow",
             batch_size=_MEDIA_BATCH,
             concurrency=_DECODE_CONCURRENCY,
+        num_cpus=_MEDIA_ACTOR_CPUS,
             fn_constructor_kwargs={"factor": factor},
         )
         .map_batches(
@@ -190,6 +202,7 @@ def media_resize(sf_dir: str, factor: int = 2) -> pa.Table:
             batch_format="pyarrow",
             batch_size=_MEDIA_BATCH,
             concurrency=_DECODE_CONCURRENCY,
+        num_cpus=_MEDIA_ACTOR_CPUS,
         )
     )
 
