@@ -961,7 +961,46 @@ def _cc_update(pid: int, cands: pa.Table, labels: pa.Table) -> pa.Table:
     )
 
 
-def dedup_clusters(sf_dir: str, tau: float = 0.2, max_iters: int = 64) -> pa.Table:
+def _cluster_assign_partition(pid: int, docs: pa.Table, labels: pa.Table) -> pa.Table:
+    """Per-doc cluster assignment: label if the doc is in a component,
+    its own id otherwise. Used with the labels BROADCAST (small case) or
+    co-partitioned with the docs on doc_id/node (gated case) — the math
+    only needs the doc's own label either way."""
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()),
+         "cluster_id": pa.array([], pa.int64()),
+         "keep": pa.array([], pa.bool_())}
+    )
+    if docs.num_rows == 0 or "doc_id" not in docs.column_names:
+        return empty
+    did = docs.column("doc_id").to_numpy().astype(np.int64)
+    cluster = did.copy()
+    if labels.num_rows and "node" in labels.column_names:
+        ln = labels.column("node").to_numpy()
+        lv = labels.column("label").to_numpy()
+        o = np.argsort(ln)
+        ln, lv = ln[o], lv[o]
+        pos = np.searchsorted(ln, did)
+        hit = (pos < len(ln)) & (ln[np.minimum(pos, len(ln) - 1)] == did)
+        cluster[hit] = lv[np.minimum(pos, len(lv) - 1)][hit]
+    return pa.table(
+        {
+            "doc_id": pa.array(did, pa.int64()),
+            "cluster_id": pa.array(cluster, pa.int64()),
+            "keep": pa.array(cluster == did),
+        }
+    )
+
+
+_CLUSTER_MAX_BROADCAST_IDS = 5_000_000
+
+
+def dedup_clusters(
+    sf_dir: str,
+    tau: float = 0.2,
+    max_iters: int = 64,
+    max_broadcast_ids: int = _CLUSTER_MAX_BROADCAST_IDS,
+) -> pa.Table:
     """Near-dup CLUSTERS and the canonical keep-list: connected
     components over the exact n-gram-Jaccard pair graph
     (:func:`dedup_ngram_jaccard` at the same ``tau``), each document
@@ -977,8 +1016,11 @@ def dedup_clusters(sf_dir: str, tau: float = 0.2, max_iters: int = 64) -> pa.Tab
     whose strict monotone decrease is the fixpoint test (labels only
     ever shrink). Iterations = component diameter — near-dup clusters
     are shallow, so 2-3 in practice. The final per-doc assignment
-    broadcasts the O(pair-docs) label table (Bloom + semi-join beyond
-    the broadcast gate, the dedup_exact shape)."""
+    broadcasts the O(pair-docs) label table while it fits
+    ``max_broadcast_ids`` and switches to an exact co-partitioned
+    exchange on doc_id/node beyond it (the dedup_exact semi-join shape
+    — a dup-heavy corpus never concentrates its labels in a broadcast
+    object)."""
     import ray
 
     from .exchange import exchange_reduce, gather_concat
@@ -990,13 +1032,18 @@ def dedup_clusters(sf_dir: str, tau: float = 0.2, max_iters: int = 64) -> pa.Tab
 
     labels_t = None
     if len(a):
-        # undirected edges, labels seeded with each node's own id
+        # undirected edges, labels seeded with each node's own id; the
+        # edge table is CHUNKED into multiple refs so the exchange's
+        # split stage parallelizes instead of one serial split task
         src = np.concatenate([a, b])
         dst = np.concatenate([b, a])
-        edges_ref = ray.put(
-            pa.table({"src": pa.array(src, pa.int64()),
-                      "dst": pa.array(dst, pa.int64())})
-        )
+        edges = pa.table({"src": pa.array(src, pa.int64()),
+                          "dst": pa.array(dst, pa.int64())})
+        chunk = 262_144
+        edge_refs = [
+            ray.put(edges.slice(i, chunk))
+            for i in range(0, edges.num_rows, chunk)
+        ]
         nodes = np.unique(src)
         label_refs = [
             ray.put(pa.table({"node": pa.array(nodes, pa.int64()),
@@ -1010,7 +1057,7 @@ def dedup_clusters(sf_dir: str, tau: float = 0.2, max_iters: int = 64) -> pa.Tab
         prev = None
         for _ in range(max_iters):
             cand_refs = exchange_reduce(
-                [[edges_ref], label_refs], ["src", "node"], _cc_propagate
+                [edge_refs, label_refs], ["src", "node"], _cc_propagate
             )
             label_refs = exchange_reduce(
                 [cand_refs, label_refs], ["dst", "node"], _cc_update
@@ -1025,35 +1072,29 @@ def dedup_clusters(sf_dir: str, tau: float = 0.2, max_iters: int = 64) -> pa.Tab
             )
         labels_t = gather_concat(label_refs)
 
-    if labels_t is None or labels_t.num_rows == 0:
-        lbl_ref = ray.put(pa.table(
+    if labels_t is None:
+        labels_t = pa.table(
             {"node": pa.array([], pa.int64()), "label": pa.array([], pa.int64())}
-        ))
-    else:
-        lbl_ref = ray.put(labels_t)
-
-    def assign(t: pa.Table) -> pa.Table:
-        lab = ray.get(lbl_ref)
-        did = t.column("doc_id").to_numpy()
-        cluster = did.astype(np.int64).copy()
-        if lab.num_rows:
-            ln = lab.column("node").to_numpy()
-            lv = lab.column("label").to_numpy()
-            o = np.argsort(ln)
-            ln, lv = ln[o], lv[o]
-            pos = np.searchsorted(ln, did)
-            hit = (pos < len(ln)) & (ln[np.minimum(pos, len(ln) - 1)] == did)
-            cluster[hit] = lv[np.minimum(pos, len(lv) - 1)][hit]
-        return pa.table(
-            {
-                "doc_id": t.column("doc_id"),
-                "cluster_id": pa.array(cluster, pa.int64()),
-                "keep": pa.array(cluster == did),
-            }
         )
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
     from ._util import ds_to_table
+
+    if labels_t.num_rows > max_broadcast_ids:
+        # dup-heavy corpus: the label table itself outgrows a sane
+        # broadcast — assign through an exact co-partitioned exchange on
+        # doc_id/node instead (the dedup_exact semi-join shape)
+        refs = exchange_reduce(
+            [ds, rd.from_arrow(labels_t)],
+            ["doc_id", "node"],
+            _cluster_assign_partition,
+        )
+        return finalize(gather_concat(refs), [("doc_id", "ascending")])
+
+    lbl_ref = ray.put(labels_t)
+
+    def assign(t: pa.Table) -> pa.Table:
+        return _cluster_assign_partition(0, t, ray.get(lbl_ref))
 
     return finalize(ds_to_table(ds.map_batches(assign, batch_format="pyarrow")),
                     [("doc_id", "ascending")])

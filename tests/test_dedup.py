@@ -377,3 +377,6 @@ def test_dedup_clusters_transitive_closure(ray_session, tmp_path):
     assert list(c.doc_id) == [0, 1, 2, 3]
     assert list(c.cluster_id) == [0, 0, 0, 3]
     assert list(c.keep) == [True, False, False, True]
+    # gated path (labels through the exchange) must match exactly
+    g = dedup_clusters(str(tmp_path), max_broadcast_ids=0).to_pandas()
+    assert g.equals(c)
