@@ -630,6 +630,22 @@ FROM ch GROUP BY 1, 2 ORDER BY epoch, op
 SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns, MAX(ts) AS last_ts
 FROM final GROUP BY conv_id ORDER BY conv_id
 """,
+        # the ENGINE-MATERIALIZED view must equal the same recomputed
+        # answer — identical twin by design
+        "cdc_conv_summary_view": CHANGELOG_CTE
+        + """
+, final AS (
+    SELECT conv_id, turn_idx, ts
+    FROM (
+        SELECT ch.*, ROW_NUMBER() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+        FROM ch
+    )
+    WHERE rn = 1 AND op <> 'D'
+)
+SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns, MAX(ts) AS last_ts
+FROM final GROUP BY conv_id ORDER BY conv_id
+""",
         # stratified per-language sampling: seeded splitmix64 top-32-bit
         # bucket vs the stratum's integer threshold (en keeps 1/4)
         "stratified_sample": f"""

@@ -119,6 +119,10 @@ class EngineConfig:
     salt_factor: int = 4              # hot conversations split into this many sub-routes
     metrics: str = "basic"            # lineage-metric selection (functions/metrics.py DSL)
     validations: str = "all"          # selection spec for lineage validators
+    views: tuple = ()                 # materialized views maintained by the merge
+                                      # (state/views.py registry); committed atomically
+                                      # with the state, exact every epoch under cow,
+                                      # exact at compaction points under mor
     # tombstone retention is an explicit watermark, not a config knob:
     # see pipelines.cdc.gc_tombstones / `cli compact --before-lsn`
 
@@ -137,6 +141,16 @@ class EngineConfig:
             raise ValueError(f"merge_mode must be cow|mor, got {self.merge_mode!r}")
         if self.salt_threshold <= 0:
             raise ValueError("salt_threshold must be positive")
+        self.views = tuple(self.views)
+        if self.views:
+            from .state.views import VIEW_REGISTRY
+
+            unknown = [v for v in self.views if v not in VIEW_REGISTRY]
+            if unknown:
+                raise ValueError(
+                    f"unknown view(s) {unknown}; registered: "
+                    f"{sorted(VIEW_REGISTRY)}"
+                )
 
 
 # Default static broadcast tables — the engine analogue of the reference's

@@ -134,6 +134,7 @@ def merge_partition_kernel(
     epoch: int,
     track_hot_keys: int,
     metric_names: tuple[str, ...] = ("turn_profile", "lsn_span", "live_ratio"),
+    view_names: tuple[str, ...] = (),
 ) -> dict | None:
     """The reduce side: apply one partition's change slices to its state.
 
@@ -157,6 +158,21 @@ def merge_partition_kernel(
     rel = os.path.join("data", f"epoch={epoch:05d}", f"pid={pid:05d}.parquet")
     Lake.write_state_file(new_state, os.path.join(lake_root, rel))
 
+    # materialized views: computed over the SAME post-merge state, staged
+    # under deterministic names, published by the same commit — never
+    # observable inconsistent with the state (state/views.py)
+    view_files: dict[str, str] = {}
+    if view_names:
+        from ..state.views import VIEW_REGISTRY
+
+        for vname in view_names:
+            vt = VIEW_REGISTRY[vname](new_state)
+            vrel = os.path.join(
+                "views", vname, f"epoch={epoch:05d}", f"pid={pid:05d}.parquet"
+            )
+            Lake.write_state_file(vt, os.path.join(lake_root, vrel))
+            view_files[vname] = vrel
+
     m0 = time.perf_counter()
     results, computed, failed = compute_metrics(new_state, set(metric_names))
     metrics = {name: (r.text, r.attrs) for name, r in results.items()}
@@ -164,6 +180,7 @@ def merge_partition_kernel(
     return {
         "pid": pid,
         "file": rel,
+        "views": view_files,
         "duration_sec": time.perf_counter() - t0,
         "digest": digest,
         "metrics": metrics,
@@ -224,10 +241,13 @@ def _remotes() -> dict:
             ) + (0,)
 
         @ray.remote
-        def merge_part(pid, prior_paths, prior_lsn, lake_root, epoch, hot_k, mnames, *parts):
+        def merge_part(pid, prior_paths, prior_lsn, lake_root, epoch, hot_k,
+                       mnames, vnames, *parts):
             """COW / MOR-compaction leg: fold the prior composition
             (base + deltas) and apply the epoch on top, writing a full
-            state file. ``prior_paths`` empty/None -> fresh partition."""
+            state file (+ any registered materialized views — only this
+            leg has the full state to compute them from).
+            ``prior_paths`` empty/None -> fresh partition."""
             from ..state.merge import fold_state_tables
 
             prior = (
@@ -237,7 +257,7 @@ def _remotes() -> dict:
             )
             return merge_partition_kernel(
                 pid, list(parts), prior, prior_lsn, lake_root, epoch, hot_k,
-                metric_names=mnames,
+                metric_names=mnames, view_names=vnames,
             )
 
         @ray.remote
@@ -353,6 +373,7 @@ def apply_epoch(
             stat_refs.append(
                 R["merge"].remote(
                     pid, prior, lsns.get(pid, -1), lake.root, epoch, 3, mnames,
+                    tuple(cfg.views),
                     *[m[pid] for m in mats],
                 )
             )
@@ -407,6 +428,12 @@ def apply_epoch(
             "digest": row["digest"],
             "received": int(row["received"]),
             "applied": int(row["applied"]),
+            # view files written this epoch, else carried from the last
+            # commit (MOR delta epochs — the documented view lag)
+            "views": (
+                row.get("views")
+                or (current.get(pid, {}).get("views") or {})
+            ),
         }
 
     lake.commit(epoch, entries)

@@ -157,6 +157,37 @@ def cdc_conv_summary(sf_dir: str) -> pa.Table:
     return finalize(t, [("conv_id", "ascending")])
 
 
+def cdc_conv_summary_view(sf_dir: str) -> pa.Table:
+    """Same answer as :func:`cdc_conv_summary`, but MATERIALIZED BY THE
+    ENGINE: the replay registers the ``conv_summary`` view
+    (``EngineConfig.views``), so each partition's merge task computes
+    its summary over the post-merge state and the commit publishes state
+    + view atomically (state/views.py). The query then just reads the
+    committed view files — no post-hoc aggregation pass at all. Shares
+    the batch query's SQL oracle: the materialized view must equal the
+    recomputed answer."""
+    import pyarrow.parquet as pq
+
+    d = tempfile.mkdtemp(prefix="irr-cdcq-")
+    try:
+        lake = Lake(d, num_partitions=_P)
+        cfg = EngineConfig(num_partitions=_P, views=("conv_summary",))
+        apply_epoch(lake, 0, changelog_dataset(sf_dir), cfg)
+        files = lake.current_view_files("conv_summary")
+        tabs = [pq.read_table(p) for _, p in sorted(files.items())]
+        tabs = [t for t in tabs if t.num_rows]
+        if not tabs:
+            return pa.table(
+                {"conv_id": pa.array([], pa.string()),
+                 "n_turns": pa.array([], pa.int64()),
+                 "last_ts": pa.array([], pa.timestamp("us"))}
+            )
+        t = pa.concat_tables(tabs, promote_options="default")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return finalize(t, [("conv_id", "ascending")])
+
+
 def cdc_counts(sf_dir: str, epoch_size: int = 2500) -> pa.Table:
     """Per-(epoch, op) event counts — the lineage op-profile aggregate.
 

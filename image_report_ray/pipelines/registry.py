@@ -40,6 +40,7 @@ def query_registry() -> "dict[str, Callable[[str], Any]]":
         "cdc_apply_evolve": cdcq.cdc_apply_evolve,
         "cdc_counts": cdcq.cdc_counts,
         "cdc_conv_summary": cdcq.cdc_conv_summary,
+        "cdc_conv_summary_view": cdcq.cdc_conv_summary_view,
         "sample_split": text.sample_split,
         "shuffle_docs": text.shuffle_docs,
         "pack_docs": text.pack_docs,

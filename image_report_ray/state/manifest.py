@@ -226,6 +226,18 @@ class Lake:
         """Latest (last_lsn, row counts, digest) for a partition."""
         return self.current_entries().get(pid)
 
+    def current_view_files(self, name: str) -> dict[int, str]:
+        """pid -> absolute path of the partition's committed materialized
+        view file (state/views.py). Partitions whose latest entry carries
+        no view (never computed, or dropped by a GC rewrite) are absent —
+        the view there is pending the next epoch commit."""
+        out: dict[int, str] = {}
+        for pid, e in self.current_entries().items():
+            rel = (e.get("views") or {}).get(name)
+            if rel:
+                out[pid] = os.path.join(self.root, rel)
+        return out
+
     # ---- state IO ----------------------------------------------------
     def read_partition_state(self, pid: int) -> pa.Table | None:
         """Current folded state of a partition (reads base + deltas)."""

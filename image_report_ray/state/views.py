@@ -1,0 +1,48 @@
+"""Materialized views over the CDC lake.
+
+A registered view is a pure function ``state_partition -> summary table``
+maintained BY THE MERGE ITSELF: when a partition writes a full
+(compacted) state file, the same task computes the view over the
+post-merge state and stages it under a deterministic name; the commit
+record then publishes state and view files in ONE atomic rename — the
+view can never be observed inconsistent with the state it summarizes
+(and Ray task retries overwrite the same staged paths, so exactly-once
+carries over unchanged).
+
+Freshness contract: COW compacts every epoch, so views are exact after
+every commit. MOR delta epochs skip the view (a delta alone cannot
+produce it); the manifest carries the last written view files forward,
+so a view read between compactions reflects the last compaction point —
+the standard materialized-view lag of merge-on-read lakes. A GC rewrite
+drops view entries (they are recomputed at the next epoch commit).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from .merge import export_canonical
+
+
+def conv_summary_view(state: pa.Table) -> pa.Table:
+    """Per-conversation live turn count + last timestamp — the flagship
+    derived view (pid routing keeps a conversation in one partition, so
+    each partition's summary rows are globally final)."""
+    t = export_canonical(state)
+    if t.num_rows == 0:
+        return pa.table(
+            {"conv_id": pa.array([], pa.string()),
+             "n_turns": pa.array([], pa.int64()),
+             "last_ts": pa.array([], pa.timestamp("us"))}
+        )
+    g = t.group_by(["conv_id"]).aggregate([([], "count_all"), ("ts", "max")])
+    return pa.table(
+        {
+            "conv_id": g.column("conv_id"),
+            "n_turns": g.column("count_all").cast(pa.int64()),
+            "last_ts": g.column("ts_max").cast(pa.timestamp("us")),
+        }
+    )
+
+
+VIEW_REGISTRY = {"conv_summary": conv_summary_view}
