@@ -31,6 +31,13 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 DEFAULT_SF = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
+# numpy madvise(HUGEPAGE) triggers THP direct-compaction stalls on
+# fragmented hosts — measured 10x slower FIRST-TOUCH on fresh buffers
+# (1.8 s vs 0.16 s for a 256 MB arange on this box), and batch pipelines
+# allocate fresh Arrow/numpy buffers constantly. Set before ray.init so
+# raylet (and every worker it spawns) inherits it.
+os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+
 # Query-suite members (name -> callable(sf_dir)); resolved lazily so that
 # --scaling subprocesses don't pay the import.
 QUERY_NAMES = [
@@ -146,7 +153,10 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
 
     qs = entrymod.queries()
     out: dict[str, float] = {}
-    for name in QUERY_NAMES:
+    # stable order for diffing across rounds, then any newly-registered
+    # queries appended sorted — the suite always covers the FULL registry
+    names = QUERY_NAMES + sorted(set(qs) - set(QUERY_NAMES))
+    for name in names:
         fn = qs.get(name)
         if fn is None:
             continue

@@ -32,8 +32,13 @@ _LOG_LEVELS = ("DEBUG", "INFO", "WARNING", "ERROR", "CRITICAL")
 
 
 def _init_ray(num_cpus: int | None) -> None:
+    import os
+
     import ray
 
+    # see bench.py: numpy's hugepage madvise stalls on THP compaction
+    # under memory fragmentation; workers inherit this from raylet
+    os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
     if not ray.is_initialized():
         kwargs = {"include_dashboard": False, "logging_level": "ERROR"}
         if num_cpus:

@@ -7,8 +7,12 @@ import pytest
 
 @pytest.fixture(scope="session")
 def ray_session():
+    import os
+
     import ray
 
+    # see bench.py: numpy's hugepage madvise stalls on THP compaction
+    os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
     if not ray.is_initialized():
         ray.init(
             address="local",
