@@ -188,6 +188,19 @@ def _order_cust_semijoin(pid: int, orders: pa.Table, cust: pa.Table) -> pa.Table
 _MAX_BROADCAST_KEYS = 5_000_000
 
 
+def _meta_rows(sf_dir: str, table: str) -> int:
+    """Parquet-footer row count for a table dir/file — a free upper
+    bound for broadcast-gate decisions (no scan, no task wave)."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    paths = sorted(_glob.glob(f"{sf_dir}/{table}.parquet")) or sorted(
+        _glob.glob(f"{sf_dir}/{table}.parquet/*.parquet")
+    )
+    return sum(pq.read_metadata(p).num_rows for p in paths)
+
+
 def q3_top_orders(
     sf_dir: str, max_broadcast_keys: int = _MAX_BROADCAST_KEYS
 ) -> pa.Table:
@@ -221,11 +234,16 @@ def q3_top_orders(
         filter=pc.equal(pc.field("c_mktsegment"), "BUILDING"),
     ).to_arrow_refs()
 
-    @ray.remote
-    def nrows(t: pa.Table) -> int:
-        return t.num_rows
+    # gate cheaply first: the UNFILTERED metadata row count bounds the
+    # filtered key count, so small tables skip the extra count wave
+    n_keys = _meta_rows(sf_dir, "customer")
+    if n_keys > max_broadcast_keys:
 
-    n_keys = sum(ray.get([nrows.remote(r) for r in cust_refs]))
+        @ray.remote
+        def nrows(t: pa.Table) -> int:
+            return t.num_rows
+
+        n_keys = sum(ray.get([nrows.remote(r) for r in cust_refs]))
 
     orders_read = rd.read_parquet(
         f"{sf_dir}/orders.parquet",
@@ -577,16 +595,23 @@ def customers_without_orders(
         .to_arrow_refs()
     )
 
-    @ray.remote
-    def block_registers(t: pa.Table) -> tuple:
-        regs = np.zeros(_HLL_M, dtype=np.int64)
-        if t.num_rows and "o_custkey" in t.column_names:
-            b, r = _hll_registers(t.column("o_custkey").to_numpy())
-            np.maximum.at(regs, b, r)
-        return regs
+    # gate cheaply first: the orders metadata row count bounds the
+    # distinct key count; only a big table pays the HLL register wave
+    est_keys: float = float(_meta_rows(sf_dir, "orders"))
+    if est_keys > max_broadcast_keys:
 
-    regs = np.maximum.reduce(ray.get([block_registers.remote(r) for r in okey_refs]))
-    est_keys = hll_estimate(np.arange(_HLL_M), regs)
+        @ray.remote
+        def block_registers(t: pa.Table) -> tuple:
+            regs = np.zeros(_HLL_M, dtype=np.int64)
+            if t.num_rows and "o_custkey" in t.column_names:
+                b, r = _hll_registers(t.column("o_custkey").to_numpy())
+                np.maximum.at(regs, b, r)
+            return regs
+
+        regs = np.maximum.reduce(
+            ray.get([block_registers.remote(r) for r in okey_refs])
+        )
+        est_keys = hll_estimate(np.arange(_HLL_M), regs)
 
     cust_ds = rd.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
