@@ -80,6 +80,7 @@ def cmd_run(args: argparse.Namespace) -> int:
         metrics=args.metrics,
         merge_mode=args.merge_mode,
         compact_every=args.compact_every,
+        views=tuple(v for v in (args.views or "").split(",") if v),
     )
     summary = run_job(
         args.lake_dir,
@@ -105,10 +106,37 @@ def cmd_run(args: argparse.Namespace) -> int:
 
 def cmd_export(args: argparse.Namespace) -> int:
     _init_ray(args.num_cpus)
-    from .pipelines.cdc import canonical_state_dataset
     from .state.manifest import Lake
 
     lake = Lake(args.lake_dir)
+    if getattr(args, "view", None):
+        # export a committed materialized view (state/views.py): the
+        # files are already the answer — no aggregation pass
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        files = lake.current_view_files(args.view)
+        if not files:
+            print(json.dumps(
+                {"error": f"no committed view {args.view!r} in this lake"}
+            ))
+            return 1
+        tabs = [pq.read_table(p) for _, p in sorted(files.items())]
+        t = pa.concat_tables(
+            [x for x in tabs if x.num_rows], promote_options="default"
+        )
+        import os as _os
+
+        _os.makedirs(args.out_dir, exist_ok=True)
+        out = _os.path.join(args.out_dir, f"view={args.view}.parquet")
+        pq.write_table(t, out)
+        print(json.dumps({"rows": t.num_rows, "out_dir": out, "view": args.view}))
+        import ray
+
+        ray.shutdown()
+        return 0
+    from .pipelines.cdc import canonical_state_dataset
+
     ds = canonical_state_dataset(lake)
     ds.write_parquet(args.out_dir)
     print(json.dumps({"rows": ds.count(), "out_dir": args.out_dir}))
@@ -317,13 +345,23 @@ def build_parser() -> argparse.ArgumentParser:
              "'basic,text_len_hist' (same grammar as the reference's "
              "--hashes flag)",
     )
+    r.add_argument(
+        "--views", default="",
+        help="comma-separated materialized views to maintain during the "
+             "run (see state/views.py registry), committed atomically "
+             "with the state",
+    )
     r.add_argument("--num-cpus", type=int, default=None)
     r.set_defaults(fn=cmd_run)
 
-    e = sub.add_parser("export", help="write canonical live state",
+    e = sub.add_parser("export", help="write canonical live state (or a view)",
                        parents=[lp])
     e.add_argument("lake_dir")
     e.add_argument("out_dir")
+    e.add_argument(
+        "--view", default=None,
+        help="export this committed materialized view instead of the state",
+    )
     e.add_argument("--num-cpus", type=int, default=None)
     e.set_defaults(fn=cmd_export)
 

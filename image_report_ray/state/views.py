@@ -45,4 +45,27 @@ def conv_summary_view(state: pa.Table) -> pa.Table:
     )
 
 
-VIEW_REGISTRY = {"conv_summary": conv_summary_view}
+def role_counts_view(state: pa.Table) -> pa.Table:
+    """Live turn count per (conversation, role) — the per-speaker
+    activity view."""
+    t = export_canonical(state)
+    if t.num_rows == 0:
+        return pa.table(
+            {"conv_id": pa.array([], pa.string()),
+             "role": pa.array([], pa.string()),
+             "n_turns": pa.array([], pa.int64())}
+        )
+    g = t.group_by(["conv_id", "role"]).aggregate([([], "count_all")])
+    return pa.table(
+        {
+            "conv_id": g.column("conv_id"),
+            "role": g.column("role"),
+            "n_turns": g.column("count_all").cast(pa.int64()),
+        }
+    )
+
+
+VIEW_REGISTRY = {
+    "conv_summary": conv_summary_view,
+    "role_counts": role_counts_view,
+}

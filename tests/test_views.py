@@ -116,3 +116,36 @@ def test_gc_drops_views_until_next_commit(ray_session, tmp_path):
     assert not lake.current_view_files("conv_summary")
     apply_epoch(lake, 1, [paths[1]], cfg)
     assert _read_view(lake).equals(_expected_from_state(lake))
+
+
+def test_cli_run_with_views_and_export_view(ray_session, tmp_path, capsys):
+    """End-to-end user surface: `run --views ...` maintains the views,
+    `export --view NAME` writes exactly the committed view, and an
+    unknown view name exits 1."""
+    import json
+    import os
+
+    from image_report_ray.cli import main
+    from image_report_ray.sources.synth import write_wal
+
+    wal = str(tmp_path / "wal")
+    lake_dir = str(tmp_path / "lake")
+    out = str(tmp_path / "out")
+    write_wal(wal, n_epochs=2, epoch_size=300, n_parts=1, **GEN)
+    assert main(["run", lake_dir, wal, "--partitions", "4",
+                 "--views", "conv_summary,role_counts"]) == 0
+    capsys.readouterr()
+    assert main(["export", lake_dir, out, "--view", "conv_summary"]) == 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    exported = pq.read_table(rec["out_dir"])
+    lake = Lake(lake_dir)
+    expect = _read_view(lake)
+    got = exported.take(
+        pc.sort_indices(exported, sort_keys=[("conv_id", "ascending")])
+    )
+    assert got.equals(expect)
+    assert expect.equals(_expected_from_state(lake))
+    # the second view was maintained too
+    assert lake.current_view_files("role_counts")
+    # unknown view exits 1
+    assert main(["export", lake_dir, out, "--view", "nope"]) == 1
