@@ -620,24 +620,38 @@ def _perm_coeffs() -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+def _sig_kernel(
+    df: pd.DataFrame,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Shared MinHash math over a (doc-grouped) shingle frame: factorize
+    the shingles so the polynomial hash AND the 128 permutations run on
+    UNIQUE shingles only (near-dup corpora repeat shingles heavily),
+    then gather + min-reduce per doc segment. Returns
+    (doc_of, starts, h_per_row, sigs)."""
+    codes, uniq = pd.factorize(df["shingle"].to_numpy())
+    hu = _hash_shingles(uniq)
+    h = hu[codes]
+    doc_of = df["doc_id"].to_numpy()
+    starts = np.flatnonzero(np.r_[True, doc_of[1:] != doc_of[:-1]])
+    a, b = _perm_coeffs()
+    # universal hash into [0, PRIME); uint64 wraparound is fine for minhash
+    hv_u = (hu[:, None] * a[None, :] + b[None, :]) % _MH_PRIME
+    sigs = np.minimum.reduceat(hv_u[codes], starts, axis=0)
+    return doc_of, starts, h, sigs
+
+
 def minhash_signatures(batch: pa.Table) -> pa.Table:
     """Per-doc 128-slot MinHash signature over hashed word-3-grams.
 
-    Vectorized: (shingles x perms) universal-hash matrix min-reduced per
-    doc segment (``np.minimum.reduceat``)."""
+    Vectorized: unique-shingle universal-hash matrix, gathered and
+    min-reduced per doc segment (``np.minimum.reduceat``)."""
     df = doc_shingles(batch)
     if not len(df):
         return pa.table(
             {"doc_id": pa.array([], pa.int64()),
              "sig": pa.array([], pa.list_(pa.uint64()))}
         )
-    h = _hash_shingles(df["shingle"].to_numpy())
-    doc_of = df["doc_id"].to_numpy()
-    starts = np.flatnonzero(np.r_[True, doc_of[1:] != doc_of[:-1]])
-    a, b = _perm_coeffs()
-    # universal hash into [0, PRIME); uint64 wraparound is fine for minhash
-    hv = (h[:, None] * a[None, :] + b[None, :]) % _MH_PRIME
-    sigs = np.minimum.reduceat(hv, starts, axis=0)
+    doc_of, starts, _, sigs = _sig_kernel(df)
     return pa.table(
         {
             "doc_id": pa.array(doc_of[starts], pa.int64()),
@@ -779,21 +793,20 @@ def dedup_minhash_lsh(sf_dir: str, tau: float = 0.5) -> pa.Table:
                  "sig": pa.array([], pa.list_(pa.uint64())),
                  "hs": pa.array([], pa.list_(pa.uint64()))}
             )
-        h = _hash_shingles(df["shingle"].to_numpy())
-        doc_of = df["doc_id"].to_numpy()
-        starts = np.flatnonzero(np.r_[True, doc_of[1:] != doc_of[:-1]])
-        ends = np.r_[starts[1:], len(doc_of)]
-        a, b = _perm_coeffs()
-        hv = (h[:, None] * a[None, :] + b[None, :]) % _MH_PRIME
-        sigs = np.minimum.reduceat(hv, starts, axis=0)
+        doc_of, starts, h, sigs = _sig_kernel(df)
+        # per-doc sorted hash lists as ONE lexsort + ListArray — no
+        # per-doc Python loop
+        order = np.lexsort((h, doc_of))
+        offsets = np.r_[starts, len(h)]
+        hs = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()),
+            pa.array(h[order], pa.uint64()),
+        )
         return pa.table(
             {
                 "doc_id": pa.array(doc_of[starts], pa.int64()),
                 "sig": pa.array(list(sigs), pa.list_(pa.uint64())),
-                "hs": pa.array(
-                    [np.sort(h[s:e]) for s, e in zip(starts, ends)],
-                    pa.list_(pa.uint64()),
-                ),
+                "hs": hs,
             }
         )
 
