@@ -863,7 +863,8 @@ def simhash64(batch: pa.Table) -> pa.Table:
             {"doc_id": pa.array(doc_ids, pa.int64()),
              "simhash": pa.array(np.zeros(n_docs, np.uint64))}
         )
-    h = hash_utf8_64(flat)
+    codes, uniq = pd.factorize(flat)
+    h = hash_utf8_64(uniq)[codes]  # hash unique tokens, gather per row
     bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
         np.int32
     ) * 2 - 1
