@@ -676,6 +676,25 @@ FROM h ORDER BY doc_id
 """,
         # money is summed as exact integer cents on both sides so the
         # distributed sum is order-independent and bit-equal to DuckDB's
+        # Q14 shape: promo revenue share — integer-exact cents math, one
+        # final division; pct in exact basis points (1e-6 scale // )
+        "q14_promo_revenue": """
+WITH j AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+         * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_u,
+         p_type
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+s AS (
+  SELECT SUM(CASE WHEN p_type = 'PROMO' THEN rev_u ELSE 0 END) AS promo_u,
+         SUM(rev_u) AS total_u
+  FROM j
+)
+SELECT (promo_u // 100) / 100.0 AS promo_revenue,
+       (total_u // 100) / 100.0 AS total_revenue,
+       CAST(1000000 * promo_u // GREATEST(total_u, 1) AS BIGINT) AS promo_pct_bp
+FROM s
+""",
         "q1_pricing_summary": """
 WITH c AS (
     SELECT l_returnflag, l_linestatus,

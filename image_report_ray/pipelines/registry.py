@@ -48,6 +48,7 @@ def query_registry() -> "dict[str, Callable[[str], Any]]":
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_top_orders": relational.q3_top_orders,
         "q5_region_revenue": relational.q5_region_revenue,
+        "q14_promo_revenue": relational.q14_promo_revenue,
         "customers_without_orders": relational.customers_without_orders,
         "user_hour_activity": relational.user_hour_activity,
         "user_sliding_activity": relational.user_sliding_activity,

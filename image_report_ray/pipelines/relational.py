@@ -1135,3 +1135,129 @@ def hll_user_sketch(sf_dir: str) -> pa.Table:
         t = pa.table({"bucket": pa.array([], pa.int64()),
                       "max_rank": pa.array([], pa.int64())})
     return finalize(t, [("bucket", "ascending")])
+
+
+def _q14_part_join(pid: int, li: pa.Table, part: pa.Table) -> pa.Table:
+    """Gated-path kernel: lineitem revenue partials ⋈ part on partkey
+    (co-partitioned inner join); emits this partition's (promo_u,
+    total_u) pair — O(1) rows leave each partition."""
+    empty = pa.table(
+        {"promo_u": pa.array([], pa.int64()), "total_u": pa.array([], pa.int64())}
+    )
+    if li.num_rows == 0 or part.num_rows == 0 or "l_partkey" not in li.column_names:
+        return empty
+    pk = part.column("p_partkey").to_numpy()
+    promo = (
+        part.column("p_type").to_numpy(zero_copy_only=False) == "PROMO"
+    )
+    order = np.argsort(pk)
+    pk_s, promo_s = pk[order], promo[order]
+    lk = li.column("l_partkey").to_numpy()
+    pos = np.searchsorted(pk_s, lk)
+    hit = (pos < len(pk_s)) & (pk_s[np.minimum(pos, len(pk_s) - 1)] == lk)
+    rev = li.column("rev_u").to_numpy()
+    total = int(rev[hit].sum())
+    is_promo = promo_s[np.minimum(pos, len(promo_s) - 1)] & hit
+    return pa.table(
+        {
+            "promo_u": pa.array([int(rev[is_promo].sum())], pa.int64()),
+            "total_u": pa.array([total], pa.int64()),
+        }
+    )
+
+
+def q14_promo_revenue(
+    sf_dir: str, max_broadcast_keys: int = _MAX_BROADCAST_KEYS
+) -> pa.Table:
+    """TPC-H Q14 shape: share of revenue from promotional parts.
+
+    Integer-exact money math end to end (cents x (100-disc) as int64;
+    one final division), so the distributed sums are order-independent
+    and bit-equal to the SQL twin. The part side GROWS with the data and
+    is gated like q5's supplier: below ``max_broadcast_keys`` the
+    (sorted partkey, is_promo) arrays broadcast and each lineitem batch
+    folds to ONE (promo_u, total_u) row — no shuffle at all; above the
+    gate, per-batch (partkey, rev_u) partials ride a keyed exchange
+    co-partitioned with part (:func:`_q14_part_join`) and each partition
+    emits one pair. Inner-join semantics both ways (rows whose partkey
+    is absent from part count in neither sum)."""
+    import ray
+
+    from .exchange import exchange_reduce, gather_concat
+
+    rd = _rd()
+
+    def li_rev(t: pa.Table) -> pa.Table:
+        rev_u = _cents(t.column("l_extendedprice")) * (
+            100 - _cents(t.column("l_discount"))
+        )
+        return pa.table(
+            {"l_partkey": t.column("l_partkey"), "rev_u": pa.array(rev_u)}
+        )
+
+    li_read = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+    )
+
+    if _meta_rows(sf_dir, "part") <= max_broadcast_keys:
+        import pyarrow.parquet as pq
+
+        part = pq.read_table(
+            f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+        )
+        pk = part.column("p_partkey").to_numpy()
+        promo = part.column("p_type").to_numpy(zero_copy_only=False) == "PROMO"
+        order = np.argsort(pk)
+        side_ref = ray.put((pk[order], promo[order]))
+
+        def partial(t: pa.Table) -> pa.Table:
+            pk_s, promo_s = ray.get(side_ref)
+            b = li_rev(t)
+            lk = b.column("l_partkey").to_numpy()
+            pos = np.searchsorted(pk_s, lk)
+            hit = (pos < len(pk_s)) & (
+                pk_s[np.minimum(pos, len(pk_s) - 1)] == lk
+            )
+            rev = b.column("rev_u").to_numpy()
+            is_promo = promo_s[np.minimum(pos, len(promo_s) - 1)] & hit
+            return pa.table(
+                {
+                    "promo_u": pa.array([int(rev[is_promo].sum())], pa.int64()),
+                    "total_u": pa.array([int(rev[hit].sum())], pa.int64()),
+                }
+            )
+
+        parts_t = ds_to_table(li_read.map_batches(partial, batch_format="pyarrow"))
+    else:
+
+        def li_partial(t: pa.Table) -> pa.Table:
+            b = li_rev(t)
+            g = b.group_by(["l_partkey"]).aggregate([("rev_u", "sum")])
+            return g.rename_columns(["l_partkey", "rev_u"])
+
+        part_ds = rd.read_parquet(
+            f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+        )
+        parts_t = gather_concat(
+            exchange_reduce(
+                [li_read.map_batches(li_partial, batch_format="pyarrow"), part_ds],
+                ["l_partkey", "p_partkey"],
+                _q14_part_join,
+            )
+        )
+
+    if parts_t.num_columns == 0 or parts_t.num_rows == 0:
+        promo_u, total_u = 0, 0
+    else:
+        promo_u = int(pc.sum(parts_t.column("promo_u")).as_py() or 0)
+        total_u = int(pc.sum(parts_t.column("total_u")).as_py() or 0)
+    return pa.table(
+        {
+            "promo_revenue": pa.array([(promo_u // 100) / 100.0]),
+            "total_revenue": pa.array([(total_u // 100) / 100.0]),
+            "promo_pct_bp": pa.array(
+                [1_000_000 * promo_u // max(total_u, 1)], pa.int64()
+            ),
+        }
+    )

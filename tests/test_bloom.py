@@ -117,3 +117,12 @@ def test_q5_supplier_exchange_path_matches_broadcast(ray_session):
     gated = q5_region_revenue(SF, max_broadcast_keys=0)
     assert small.num_rows > 0
     assert small.equals(gated)
+
+
+def test_q14_gated_path_matches_broadcast(ray_session):
+    from image_report_ray.pipelines.relational import q14_promo_revenue
+
+    small = q14_promo_revenue(SF)
+    gated = q14_promo_revenue(SF, max_broadcast_keys=0)
+    assert small.equals(gated)
+    assert small.column("promo_pct_bp")[0].as_py() > 0
