@@ -243,6 +243,31 @@ def cmd_validate(args: argparse.Namespace) -> int:
             problems.append(f"pid {pid}: {what}")
         elif table_digest(t) != entry["digest"]:
             problems.append(f"pid {pid}: state digest mismatch vs manifest")
+        # materialized views: a view written AT this entry's epoch must
+        # equal its recompute from the committed state (a carried-forward
+        # MOR view is the documented lag, not corruption — skipped)
+        for vname, vrel in (entry.get("views") or {}).items():
+            if f"epoch={entry['epoch']:05d}" not in vrel:
+                continue  # carried forward from an older compaction
+            from .state.merge import fold_state_tables
+            from .state.views import VIEW_REGISTRY
+
+            if vname not in VIEW_REGISTRY:
+                problems.append(f"pid {pid}: unknown view {vname!r} in manifest")
+                continue
+            files = entry.get("files") or [entry["file"]]
+            folded = fold_state_tables(
+                [pq.read_table(os.path.join(lake.root, r)) for r in files]
+            )
+            expect = VIEW_REGISTRY[vname](folded)
+            got = pq.read_table(os.path.join(lake.root, vrel))
+            idx = pc.sort_indices(expect, sort_keys=[("conv_id", "ascending")])
+            if not expect.take(idx).equals(
+                got.take(pc.sort_indices(got, sort_keys=[("conv_id", "ascending")]))
+            ):
+                problems.append(
+                    f"pid {pid}: view {vname!r} != recompute from state"
+                )
         if "gc_seq" not in entry:  # GC rewrites carry no per-epoch lineage
             lx = lake.lineage_path(entry["epoch"], pid)
             if os.path.exists(lx):

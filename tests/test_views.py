@@ -149,3 +149,35 @@ def test_cli_run_with_views_and_export_view(ray_session, tmp_path, capsys):
     assert lake.current_view_files("role_counts")
     # unknown view exits 1
     assert main(["export", lake_dir, out, "--view", "nope"]) == 1
+
+
+def test_validate_audits_views(ray_session, tmp_path, capsys):
+    """`cli validate` recomputes fresh views from committed state; a
+    tampered view file is reported, an intact lake is clean."""
+    import json
+    import os
+
+    from image_report_ray.cli import main
+    from image_report_ray.sources.synth import write_wal
+
+    wal = str(tmp_path / "wal")
+    lake_dir = str(tmp_path / "lake")
+    write_wal(wal, n_epochs=1, epoch_size=300, n_parts=1, **GEN)
+    assert main(["run", lake_dir, wal, "--partitions", "4",
+                 "--views", "conv_summary"]) == 0
+    capsys.readouterr()
+    assert main(["validate", lake_dir]) == 0  # intact incl. views
+
+    # tamper with one committed view file
+    lake = Lake(lake_dir)
+    path = next(iter(lake.current_view_files("conv_summary").values()))
+    t = pq.read_table(path)
+    bad = t.set_column(
+        t.column_names.index("n_turns"), "n_turns",
+        pa.array([x + 1 for x in t.column("n_turns").to_pylist()], pa.int64()),
+    )
+    pq.write_table(bad, path)
+    capsys.readouterr()
+    assert main(["validate", lake_dir]) == 1
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert any("view 'conv_summary' != recompute" in p for p in out["problems"])
