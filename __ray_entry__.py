@@ -186,10 +186,8 @@ def _minhash_sql() -> str:
         _perm_coeffs,
     )
 
-    pa_, pb_ = _perm_coeffs()
-    perm_rows = ", ".join(
-        f"({j}, {int(a)}, {int(b)})" for j, (a, b) in enumerate(zip(pa_, pb_))
-    )
+    pa_, _pb = _perm_coeffs()
+    perm_rows = ", ".join(f"({j}, {int(a)})" for j, a in enumerate(pa_))
     band_fold = (
         f"list_reduce(list(s ORDER BY j), (acc, x) -> "
         f"xor(CAST({_sm_mul64('CAST(acc AS HUGEINT)', int(_BAND_MIX))} "
@@ -209,11 +207,10 @@ h0 AS (SELECT doc_id, CAST({_poly_hash_sql('shingle')} AS UBIGINT) AS h FROM sh)
 h1 AS (SELECT doc_id, {_sm_step('h', 30, _SM_C1)} AS h FROM h0),
 h2 AS (SELECT doc_id, {_sm_step('h', 27, _SM_C2)} AS h FROM h1),
 hs AS (SELECT DISTINCT doc_id, xor(h, h >> 31) AS h FROM h2),
-perms(j, a, b) AS (VALUES {perm_rows}),
+perms(j, a) AS (VALUES {perm_rows}),
 hv AS (
   SELECT doc_id, j,
-         CAST(((CAST(h AS HUGEINT) * a) % {_SM_M} + b) % {_SM_M} % {int(_MH_PRIME)}
-              AS UBIGINT) AS hv
+         CAST((CAST(h AS HUGEINT) * a) % {_SM_M} AS UBIGINT) AS hv
   FROM hs CROSS JOIN perms
 ),
 sig AS (SELECT doc_id, j, MIN(hv) AS s FROM hv GROUP BY doc_id, j),
