@@ -80,19 +80,14 @@ def minhash_digest(state: pa.Table) -> MetricResult:
 def fingerprint_digest(state: pa.Table) -> MetricResult:
     """XOR of per-row winnowing-fingerprint-set XORs of live text
     (pipelines/text.py:winnow_fingerprints_kernel — Schleimer et al.)."""
-    from ..pipelines.text import winnow_fingerprints_kernel
+    from ..pipelines.text import winnow_fingerprints_batch
 
     txt = _live_text(state)
     if txt is None:
         return MetricResult("fingerprint_digest_empty_input")
-    sets = winnow_fingerprints_kernel(txt.to_pylist())
-    acc = np.uint64(0)
-    n_fp = 0
-    for s in sets:
-        n_fp += len(s)
-        if len(s):
-            acc ^= np.bitwise_xor.reduce(s)
-    return MetricResult(f"{int(acc):016x}", {"fingerprints": n_fp})
+    n, _, xr = winnow_fingerprints_batch(txt)
+    acc = np.bitwise_xor.reduce(xr) if len(xr) else np.uint64(0)
+    return MetricResult(f"{int(acc):016x}", {"fingerprints": int(n.sum())})
 
 
 def token_totals(state: pa.Table) -> MetricResult:

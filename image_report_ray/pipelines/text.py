@@ -181,7 +181,9 @@ def dedup_exact(
         )
         return finalize(gather_concat(refs), [("doc_id", "ascending")])
 
-    winner_ids = pa.array(sorted(winners_t.column("doc_id").to_pylist()), pa.int64())
+    winner_ids = pa.array(
+        np.sort(winners_t.column("doc_id").to_numpy()), pa.int64()
+    )
     ids_ref = ray.put(winner_ids)
 
     def keep_winners(t: pa.Table) -> pa.Table:
