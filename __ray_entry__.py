@@ -889,4 +889,27 @@ FROM n a JOIN n b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.e, b.e) >= 0.4
 ORDER BY vec_id_a, vec_id_b
 """,
+        # embedding keep-list: recursive closure over the same exact
+        # cosine pair graph (min vec_id per component)
+        "embedding_dup_clusters": """
+WITH RECURSIVE
+n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.e, b.e) >= 0.4
+),
+edges AS (SELECT va AS a, vb AS b FROM pairs UNION ALL SELECT vb, va FROM pairs),
+reach(node, label) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node
+),
+labels AS (SELECT node, MIN(label) AS label FROM reach GROUP BY node)
+SELECT v.vec_id,
+       CAST(COALESCE(l.label, v.vec_id) AS BIGINT) AS cluster_id,
+       COALESCE(l.label, v.vec_id) = v.vec_id AS keep
+FROM embeddings v LEFT JOIN labels l ON l.node = v.vec_id
+ORDER BY v.vec_id
+""",
     }

@@ -1013,6 +1013,64 @@ def _cluster_assign_partition(pid: int, docs: pa.Table, labels: pa.Table) -> pa.
     )
 
 
+def connected_components(
+    a: np.ndarray, b: np.ndarray, max_iters: int = 64
+) -> pa.Table:
+    """Distributed connected components over an undirected edge list:
+    min-label propagation with two keyed exchanges per iteration
+    (propagate the min label along edges partitioned on src; fold into
+    labels partitioned on node). Labels live as partition refs between
+    iterations; the driver folds only O(P) label sums, whose monotone
+    decrease is the fixpoint test. Returns the (node, label) table —
+    label = the component's minimum node id. Generic over any pair
+    source (text near-dups, embedding near-dups, ...)."""
+    import ray
+
+    from .exchange import exchange_reduce, gather_concat
+
+    if len(a) == 0:
+        return pa.table(
+            {"node": pa.array([], pa.int64()), "label": pa.array([], pa.int64())}
+        )
+    # undirected edges, labels seeded with each node's own id; the edge
+    # table is CHUNKED into multiple refs so the exchange's split stage
+    # parallelizes instead of one serial split task
+    src = np.concatenate([a, b]).astype(np.int64)
+    dst = np.concatenate([b, a]).astype(np.int64)
+    edges = pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+    chunk = 262_144
+    edge_refs = [
+        ray.put(edges.slice(i, chunk)) for i in range(0, edges.num_rows, chunk)
+    ]
+    nodes = np.unique(src)
+    label_refs = [
+        ray.put(pa.table({"node": pa.array(nodes, pa.int64()),
+                          "label": pa.array(nodes, pa.int64())}))
+    ]
+
+    @ray.remote
+    def label_sum(t: pa.Table) -> int:
+        return int(pc.sum(t.column("label")).as_py() or 0)
+
+    prev = None
+    for _ in range(max_iters):
+        cand_refs = exchange_reduce(
+            [edge_refs, label_refs], ["src", "node"], _cc_propagate
+        )
+        label_refs = exchange_reduce(
+            [cand_refs, label_refs], ["dst", "node"], _cc_update
+        )
+        total = sum(ray.get([label_sum.remote(r) for r in label_refs]))
+        if total == prev:
+            break
+        prev = total
+    else:
+        raise RuntimeError(
+            f"label propagation did not converge in {max_iters} iterations"
+        )
+    return gather_concat(label_refs)
+
+
 _CLUSTER_MAX_BROADCAST_IDS = 5_000_000
 
 
@@ -1048,55 +1106,13 @@ def dedup_clusters(
 
     rd = _rd()
     pairs = dedup_ngram_jaccard(sf_dir, tau)
-    a = pairs.column("doc_id_a").to_numpy()
-    b = pairs.column("doc_id_b").to_numpy()
+    labels_t = connected_components(
+        pairs.column("doc_id_a").to_numpy(),
+        pairs.column("doc_id_b").to_numpy(),
+        max_iters=max_iters,
+    )
 
-    labels_t = None
-    if len(a):
-        # undirected edges, labels seeded with each node's own id; the
-        # edge table is CHUNKED into multiple refs so the exchange's
-        # split stage parallelizes instead of one serial split task
-        src = np.concatenate([a, b])
-        dst = np.concatenate([b, a])
-        edges = pa.table({"src": pa.array(src, pa.int64()),
-                          "dst": pa.array(dst, pa.int64())})
-        chunk = 262_144
-        edge_refs = [
-            ray.put(edges.slice(i, chunk))
-            for i in range(0, edges.num_rows, chunk)
-        ]
-        nodes = np.unique(src)
-        label_refs = [
-            ray.put(pa.table({"node": pa.array(nodes, pa.int64()),
-                              "label": pa.array(nodes, pa.int64())}))
-        ]
-
-        @ray.remote
-        def label_sum(t: pa.Table) -> int:
-            return int(pc.sum(t.column("label")).as_py() or 0)
-
-        prev = None
-        for _ in range(max_iters):
-            cand_refs = exchange_reduce(
-                [edge_refs, label_refs], ["src", "node"], _cc_propagate
-            )
-            label_refs = exchange_reduce(
-                [cand_refs, label_refs], ["dst", "node"], _cc_update
-            )
-            total = sum(ray.get([label_sum.remote(r) for r in label_refs]))
-            if total == prev:
-                break
-            prev = total
-        else:
-            raise RuntimeError(
-                f"label propagation did not converge in {max_iters} iterations"
-            )
-        labels_t = gather_concat(label_refs)
-
-    if labels_t is None:
-        labels_t = pa.table(
-            {"node": pa.array([], pa.int64()), "label": pa.array([], pa.int64())}
-        )
+    from .exchange import exchange_reduce, gather_concat
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
     from ._util import ds_to_table

@@ -67,4 +67,5 @@ def query_registry() -> "dict[str, Callable[[str], Any]]":
         # similarity search
         "knn_cosine": similarity.knn_cosine,
         "embedding_near_dups": lambda sf: similarity.embedding_near_dups(sf, 0.4),
+        "embedding_dup_clusters": similarity.embedding_dup_clusters,
     }

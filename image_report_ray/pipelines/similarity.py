@@ -598,3 +598,34 @@ def embedding_near_dups(
     t = ds_to_table(ds.map_batches(block_pairs, batch_format="pyarrow"))
     t = round_col(t, "sim", 4)
     return finalize(t, [("vec_id_a", "ascending"), ("vec_id_b", "ascending")])
+
+
+def embedding_dup_clusters(sf_dir: str, threshold: float = 0.4) -> pa.Table:
+    """Near-dup CLUSTERS over embeddings: connected components of the
+    exact cosine near-dup pair graph (:func:`embedding_near_dups` at the
+    same threshold) via the generic distributed min-label propagation
+    (:func:`..dedup.connected_components`), every vector labeled with
+    its component's minimum vec_id and a keep flag — the embedding-side
+    keep-list (transitivity: A~B~C drops B AND C even when A!~C)."""
+    import ray
+
+    from ._util import ds_to_table, finalize
+    from .dedup import _cluster_assign_partition, connected_components
+
+    rd = _rd()
+    pairs = embedding_near_dups(sf_dir, threshold)
+    labels_t = connected_components(
+        pairs.column("vec_id_a").to_numpy(),
+        pairs.column("vec_id_b").to_numpy(),
+    )
+    lbl_ref = ray.put(labels_t)  # O(pair vectors); gated shape in dedup_clusters
+
+    def assign(t: pa.Table) -> pa.Table:
+        out = _cluster_assign_partition(
+            0, t.rename_columns(["doc_id"]), ray.get(lbl_ref)
+        )
+        return out.rename_columns(["vec_id", "cluster_id", "keep"])
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
+    return finalize(ds_to_table(ds.map_batches(assign, batch_format="pyarrow")),
+                    [("vec_id", "ascending")])

@@ -380,3 +380,22 @@ def test_dedup_clusters_transitive_closure(ray_session, tmp_path):
     # gated path (labels through the exchange) must match exactly
     g = dedup_clusters(str(tmp_path), max_broadcast_ids=0).to_pandas()
     assert g.equals(c)
+
+
+def test_embedding_dup_clusters_transitive(ray_session):
+    """Embedding keep-list: labels are component minima of the exact
+    near-dup pair graph — every pair's two vectors share a cluster, the
+    cluster id is the component min, keeps are exactly the minima."""
+    from image_report_ray.pipelines.similarity import (
+        embedding_dup_clusters,
+        embedding_near_dups,
+    )
+
+    pairs = embedding_near_dups(SF, 0.4).to_pandas()
+    c = embedding_dup_clusters(SF).to_pandas().set_index("vec_id")
+    for a, b in zip(pairs.vec_id_a, pairs.vec_id_b):
+        assert c.cluster_id[a] == c.cluster_id[b], (a, b)
+    assert (c.keep == (c.cluster_id == c.index)).all()
+    # every cluster id is its own member's minimum
+    grp = c.groupby("cluster_id").apply(lambda g: g.index.min())
+    assert (grp.index == grp.values).all()
