@@ -399,3 +399,40 @@ def test_embedding_dup_clusters_transitive(ray_session):
     # every cluster id is its own member's minimum
     grp = c.groupby("cluster_id").apply(lambda g: g.index.min())
     assert (grp.index == grp.values).all()
+
+
+def test_connected_components_random_graphs_vs_union_find(ray_session):
+    """Distributed min-label propagation == naive union-find on seeded
+    random graphs (various densities, incl. singletons-only and one big
+    component)."""
+    from image_report_ray.pipelines.dedup import connected_components
+
+    def naive(a, b, nodes):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for x, y in zip(a, b):
+            rx, ry = find(x), find(y)
+            if rx != ry:
+                parent[max(rx, ry)] = min(rx, ry)
+        # fully compress, then label = component min (find goes to min
+        # because unions always point larger roots at smaller ones)
+        return {n: find(n) for n in nodes}
+
+    rng = np.random.default_rng(29)
+    for n_nodes, n_edges in [(30, 10), (50, 80), (200, 40), (8, 28)]:
+        a = rng.integers(0, n_nodes, size=n_edges).astype(np.int64)
+        b = rng.integers(0, n_nodes, size=n_edges).astype(np.int64)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        got = connected_components(a, b)
+        gm = dict(zip(got.column("node").to_pylist(),
+                      got.column("label").to_pylist()))
+        nodes = sorted(set(a) | set(b))
+        expect = naive(a, b, nodes)
+        assert gm == {int(k): int(v) for k, v in expect.items()}, (n_nodes, n_edges)
