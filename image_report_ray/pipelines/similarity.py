@@ -600,17 +600,23 @@ def embedding_near_dups(
     return finalize(t, [("vec_id_a", "ascending"), ("vec_id_b", "ascending")])
 
 
-def embedding_dup_clusters(sf_dir: str, threshold: float = 0.4) -> pa.Table:
+def embedding_dup_clusters(
+    sf_dir: str, threshold: float = 0.4, max_broadcast_ids: int = 5_000_000
+) -> pa.Table:
     """Near-dup CLUSTERS over embeddings: connected components of the
     exact cosine near-dup pair graph (:func:`embedding_near_dups` at the
     same threshold) via the generic distributed min-label propagation
     (:func:`..dedup.connected_components`), every vector labeled with
     its component's minimum vec_id and a keep flag — the embedding-side
-    keep-list (transitivity: A~B~C drops B AND C even when A!~C)."""
+    keep-list (transitivity: A~B~C drops B AND C even when A!~C). The
+    label table broadcasts while it fits ``max_broadcast_ids`` and rides
+    an exact co-partitioned exchange on vec_id beyond it (the
+    dedup_clusters gate)."""
     import ray
 
     from ._util import ds_to_table, finalize
     from .dedup import _cluster_assign_partition, connected_components
+    from .exchange import exchange_reduce, gather_concat
 
     rd = _rd()
     pairs = embedding_near_dups(sf_dir, threshold)
@@ -618,14 +624,33 @@ def embedding_dup_clusters(sf_dir: str, threshold: float = 0.4) -> pa.Table:
         pairs.column("vec_id_a").to_numpy(),
         pairs.column("vec_id_b").to_numpy(),
     )
-    lbl_ref = ray.put(labels_t)  # O(pair vectors); gated shape in dedup_clusters
 
-    def assign(t: pa.Table) -> pa.Table:
-        out = _cluster_assign_partition(
-            0, t.rename_columns(["doc_id"]), ray.get(lbl_ref)
-        )
+    def rename_out(out: pa.Table) -> pa.Table:
         return out.rename_columns(["vec_id", "cluster_id", "keep"])
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
+    if labels_t.num_rows > max_broadcast_ids:
+        refs = exchange_reduce(
+            [
+                ds.map_batches(
+                    lambda t: t.rename_columns(["doc_id"]),
+                    batch_format="pyarrow",
+                ),
+                rd.from_arrow(labels_t),
+            ],
+            ["doc_id", "node"],
+            lambda pid, docs, lab: rename_out(
+                _cluster_assign_partition(pid, docs, lab)
+            ),
+        )
+        return finalize(gather_concat(refs), [("vec_id", "ascending")])
+
+    lbl_ref = ray.put(labels_t)
+
+    def assign(t: pa.Table) -> pa.Table:
+        return rename_out(
+            _cluster_assign_partition(0, t.rename_columns(["doc_id"]), ray.get(lbl_ref))
+        )
+
     return finalize(ds_to_table(ds.map_batches(assign, batch_format="pyarrow")),
                     [("vec_id", "ascending")])

@@ -436,3 +436,11 @@ def test_connected_components_random_graphs_vs_union_find(ray_session):
         nodes = sorted(set(a) | set(b))
         expect = naive(a, b, nodes)
         assert gm == {int(k): int(v) for k, v in expect.items()}, (n_nodes, n_edges)
+
+
+def test_embedding_dup_clusters_gated_path(ray_session):
+    from image_report_ray.pipelines.similarity import embedding_dup_clusters
+
+    small = embedding_dup_clusters(SF)
+    gated = embedding_dup_clusters(SF, max_broadcast_ids=0)
+    assert small.equals(gated)
