@@ -491,6 +491,23 @@ SELECT doc_id,
          AND (sum_len * 10000 // GREATEST(n_tokens, 1) <= 120000) AS quality_ok
 FROM m ORDER BY doc_id
 """,
+        # content-filter rule pack (both engines run RE2, so the counts
+        # agree exactly); flag thresholds mirror text._CONTENT_RULES
+        "content_flags": r"""
+SELECT doc_id,
+       CAST(length(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT)
+           AS n_urls,
+       CAST(length(regexp_extract_all(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+           AS n_emails,
+       CAST(length(regexp_extract_all(text, '[0-9]{7,}')) AS BIGINT)
+           AS n_long_numbers,
+       length(regexp_extract_all(text, 'https?://[^\s]+')) <= 3
+         AND length(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) = 0
+           AS content_ok
+FROM documents ORDER BY doc_id
+""",
         # exact per-language length quantiles (bounded-domain histogram
         # fold); discrete-quantile rule matches quantile_disc exactly
         "lang_char_quantiles": """

@@ -64,6 +64,7 @@ def query_registry() -> "dict[str, Callable[[str], Any]]":
         "dedup_exact": text.dedup_exact,
         "lang_stats": text.lang_stats,
         "lang_char_quantiles": text.lang_char_quantiles,
+        "content_flags": text.content_flags,
         # similarity search
         "knn_cosine": similarity.knn_cosine,
         "embedding_near_dups": lambda sf: similarity.embedding_near_dups(sf, 0.4),

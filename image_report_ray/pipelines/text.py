@@ -1035,3 +1035,42 @@ def lang_char_quantiles(
          "n_chars_q": pa.array(out_v, pa.int64())}
     )
     return finalize(t, [("lang", "ascending"), ("q", "ascending")])
+
+
+# Content-filter rule pack: the rule-based cleaning stage every
+# training-data pipeline runs before tokenization. Patterns are engine
+# config (fixed cardinality, broadcast by closure capture); each rule is
+# one vectorized pyarrow count_substring_regex pass — no Python row
+# loops. RE2-style syntax keeps the kernels and the DuckDB twin in
+# lockstep.
+_CONTENT_RULES = (
+    ("n_urls", r"https?://[^\s]+"),
+    ("n_emails", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("n_long_numbers", r"[0-9]{7,}"),
+)
+_FLAG_MAX_URLS = 3  # docs above these thresholds get flagged out
+_FLAG_MAX_EMAILS = 0
+
+
+def content_flags(sf_dir: str) -> pa.Table:
+    """Per-document content-filter signals: counts for each rule in the
+    pack (URLs, emails, long digit runs) and the keep/flag verdict a
+    cleaning pipeline acts on. One vectorized regex pass per rule per
+    batch; the rule pack is fixed engine config, so the twin is exact."""
+    rd = _rd()
+
+    def flags(t: pa.Table) -> pa.Table:
+        text = t.column("text")
+        cols: dict = {"doc_id": t.column("doc_id")}
+        for name, pat in _CONTENT_RULES:
+            cols[name] = pc.count_substring_regex(text, pat).cast(pa.int64())
+        ok = pc.and_(
+            pc.less_equal(cols["n_urls"], _FLAG_MAX_URLS),
+            pc.equal(cols["n_emails"], _FLAG_MAX_EMAILS),
+        )
+        cols["content_ok"] = ok
+        return pa.table(cols)
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return finalize(ds_to_table(ds.map_batches(flags, batch_format="pyarrow")),
+                    [("doc_id", "ascending")])

@@ -442,3 +442,43 @@ def test_lang_char_quantiles_matches_numpy_disc(ray_session):
         vals = np.sort(raw[raw.lang == lang].n_chars.to_numpy())
         idx = max(math.ceil(q * len(vals)), 1) - 1
         assert grp.n_chars_q.iloc[0] == vals[idx], (lang, q)
+
+
+def test_content_flags_constructed_corpus(ray_session, tmp_path):
+    """The synthetic driver corpus has no URLs/emails, so pin the rule
+    pack on a constructed one — counts, flag verdicts, and DuckDB parity
+    (both engines run RE2)."""
+    import os
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from image_report_ray.pipelines.text import content_flags
+
+    docs = [
+        "plain text only",
+        "see https://a.example/x and http://b.example/y?z=1",
+        "mail me at a.b+c@ex-ample.co.uk thanks",
+        "tel 12345678 and card 99999999999",
+        " ".join(f"https://spam{i}.example" for i in range(5)),  # >3 urls
+        "",
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                  "text": pa.array(docs)})
+    pq.write_table(t, os.path.join(str(tmp_path), "documents.parquet"))
+    got = content_flags(str(tmp_path)).to_pandas()
+    assert list(got.n_urls) == [0, 2, 0, 0, 5, 0]
+    assert list(got.n_emails) == [0, 0, 1, 0, 0, 0]
+    assert list(got.n_long_numbers) == [0, 0, 0, 2, 0, 0]
+    assert list(got.content_ok) == [True, True, False, True, False, True]
+
+    import __ray_entry__ as e
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{tmp_path}/documents.parquet')"
+    )
+    oracle = con.execute(e.oracle_sql()["content_flags"]).arrow().to_pandas()
+    assert got.equals(oracle[got.columns.tolist()])
