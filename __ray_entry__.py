@@ -457,6 +457,35 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN labels l ON l.node = d.doc_id
 ORDER BY d.doc_id
 """,
+        # benchmark decontamination: distinct word-3-gram overlap between
+        # each corpus doc and the (doc_id % 50 = 7) eval set; ratio in
+        # integer basis points — bit-exact on both sides
+        "decontaminate": r"""
+WITH arr AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ws FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+  )) AS shingle
+  FROM arr WHERE len(ws) >= 3
+),
+ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 7),
+c AS (
+  SELECT s.doc_id, COUNT(*) AS n_sh, COUNT(e.shingle) AS n_hit
+  FROM sh s LEFT JOIN ev e USING (shingle)
+  WHERE s.doc_id % 50 <> 7 GROUP BY s.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(c.n_sh, 0) AS BIGINT) AS n_shingles,
+       CAST(COALESCE(c.n_hit, 0) AS BIGINT) AS n_contaminated,
+       CAST(COALESCE(c.n_hit, 0) * 10000 // GREATEST(COALESCE(c.n_sh, 0), 1)
+            AS BIGINT) AS contam_bp,
+       COALESCE(c.n_hit, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN c USING (doc_id)
+WHERE d.doc_id % 50 <> 7
+ORDER BY d.doc_id
+""",
         # MinHash+LSH near-dup with banding candidates reproduced in SQL
         # (perm coefficients inlined; band keys folded with the same
         # mul-mix/xor Horner); exact-Jaccard verify over distinct

@@ -1135,3 +1135,216 @@ def dedup_clusters(
 
     return finalize(ds_to_table(ds.map_batches(assign, batch_format="pyarrow")),
                     [("doc_id", "ascending")])
+
+
+# ---- benchmark decontamination ----------------------------------------
+#
+# Training-data hygiene: flag corpus documents that share word n-grams
+# with a held-out benchmark/eval set, so eval answers never leak into
+# training data. The eval membership rule is deterministic
+# (doc_id % _DECON_MOD == _DECON_REM — the synthetic stand-in for "the
+# benchmark suite"); contamination is measured over the same distinct
+# word-3-gram shingles as the near-dup family, hashed with the
+# SQL-reproducible hash_utf8_64 so the DuckDB twin matches bit-exactly
+# (64-bit hash collisions are the only divergence source: ~n^2 / 2^65,
+# negligible at any corpus size this engine targets).
+
+_DECON_MOD = 50
+_DECON_REM = 7
+# Above this many distinct eval shingles the broadcast hash set stops
+# being a sane `ray.put` side and the membership test routes through the
+# keyed exchange (benchmark sets are small by nature, so the broadcast
+# path is the common case — the gate is the 100 TB escape hatch).
+_DECON_MAX_BROADCAST = 50_000_000
+
+
+def _decon_result(doc_ids: np.ndarray, n_sh: np.ndarray, n_hit: np.ndarray) -> pa.Table:
+    """Final per-doc contamination columns — integer basis points so the
+    distributed result is bit-equal to the SQL oracle."""
+    bp = (n_hit * 10000) // np.maximum(n_sh, 1)
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids.astype(np.int64), pa.int64()),
+            "n_shingles": pa.array(n_sh.astype(np.int64), pa.int64()),
+            "n_contaminated": pa.array(n_hit.astype(np.int64), pa.int64()),
+            "contam_bp": pa.array(bp.astype(np.int64), pa.int64()),
+            "contaminated": pa.array(n_hit > 0),
+        }
+    )
+
+
+def _member_sorted(h: np.ndarray, sorted_set: np.ndarray) -> np.ndarray:
+    """Vectorized membership of ``h`` in a SORTED unique uint64 array."""
+    if len(sorted_set) == 0 or len(h) == 0:
+        return np.zeros(len(h), dtype=bool)
+    idx = np.minimum(np.searchsorted(sorted_set, h), len(sorted_set) - 1)
+    return sorted_set[idx] == h
+
+
+def _contam_partition(pid: int, postings: pa.Table, ev: pa.Table) -> pa.Table:
+    """Per-partition membership + per-doc partial counts (exchange keyed
+    by shingle hash: a shingle lives in exactly one partition, so the
+    per-doc partials sum exactly across partitions)."""
+    if postings.num_rows == 0 or "h" not in postings.column_names:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_sh": pa.array([], pa.int64()),
+                "n_hit": pa.array([], pa.int64()),
+            }
+        )
+    h = postings.column("h").to_numpy().astype(np.uint64)
+    dids = postings.column("doc_id").to_numpy().astype(np.int64)
+    if ev.num_rows and "h" in ev.column_names:
+        evh = np.unique(ev.column("h").to_numpy().astype(np.uint64))
+    else:
+        evh = np.zeros(0, np.uint64)
+    hit = _member_sorted(h, evh)
+    uniq, inv = np.unique(dids, return_inverse=True)
+    n_sh = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+    n_hit = np.bincount(inv, weights=hit, minlength=len(uniq)).astype(np.int64)
+    return pa.table(
+        {
+            "doc_id": pa.array(uniq, pa.int64()),
+            "n_sh": pa.array(n_sh, pa.int64()),
+            "n_hit": pa.array(n_hit, pa.int64()),
+        }
+    )
+
+
+def _contam_fold(pid: int, partials: pa.Table) -> pa.Table:
+    """Sum the per-partition per-doc partials (exchange keyed by doc_id)."""
+    if partials.num_rows == 0 or "doc_id" not in partials.column_names:
+        return partials
+    dids = partials.column("doc_id").to_numpy().astype(np.int64)
+    uniq, inv = np.unique(dids, return_inverse=True)
+    n_sh = np.zeros(len(uniq), np.int64)
+    n_hit = np.zeros(len(uniq), np.int64)
+    np.add.at(n_sh, inv, partials.column("n_sh").to_numpy().astype(np.int64))
+    np.add.at(n_hit, inv, partials.column("n_hit").to_numpy().astype(np.int64))
+    return pa.table(
+        {
+            "doc_id": pa.array(uniq, pa.int64()),
+            "n_sh": pa.array(n_sh, pa.int64()),
+            "n_hit": pa.array(n_hit, pa.int64()),
+        }
+    )
+
+
+def decontaminate(
+    sf_dir: str, max_broadcast_shingles: int = _DECON_MAX_BROADCAST
+) -> pa.Table:
+    """Benchmark decontamination: per CORPUS document (not in the eval
+    set), the count of its distinct word-3-gram shingles that appear in
+    ANY eval document, plus the contamination ratio in basis points and
+    a boolean flag. Docs with < 3 tokens surface with n_shingles = 0.
+
+    Two passes, neither shipping document bodies past the shingle map:
+
+    1. eval pass — explode + hash the (small) eval docs' shingles and
+       fold them to one distinct hash set. The set is materialized once
+       (it is the benchmark suite — bounded by construction, not by the
+       corpus) and counted before the route decision.
+    2. corpus pass — while the eval set fits ``max_broadcast_shingles``
+       it ships once via ``ray.put`` and every batch does one sorted
+       searchsorted membership + bincount (zero shuffle). Beyond the
+       gate, (hash, doc_id) postings and eval hashes co-partition by
+       shingle hash through the keyed exchange, partitions emit per-doc
+       partials, and a second exchange keyed on doc_id sums them —
+       driver state is O(P) reduce outputs either way.
+    """
+    import ray
+
+    rd = _rd()
+    from ._util import ds_to_table
+
+    def eval_hashes(t: pa.Table) -> pa.Table:
+        mask = (t.column("doc_id").to_numpy() % _DECON_MOD) == _DECON_REM
+        sub = t.filter(pa.array(mask))
+        df = doc_shingles(sub)
+        h = (
+            np.unique(_hash_shingles(df["shingle"].to_numpy()))
+            if len(df)
+            else np.zeros(0, np.uint64)
+        )
+        return pa.table({"h": pa.array(h, pa.uint64())})
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    # the eval side is small by construction; materialize so the gate can
+    # count it without re-executing the explode for the exchange route
+    ev_ds = ds.map_batches(eval_hashes, batch_format="pyarrow").materialize()
+    n_eval = ev_ds.count()
+
+    if n_eval > max_broadcast_shingles:
+        # 100 TB route: membership through the keyed exchange, then a
+        # per-doc fold — no corpus- or eval-sized driver structure
+        def corpus_postings(t: pa.Table) -> pa.Table:
+            mask = (t.column("doc_id").to_numpy() % _DECON_MOD) != _DECON_REM
+            df = doc_shingles(t.filter(pa.array(mask)))
+            h = (
+                _hash_shingles(df["shingle"].to_numpy())
+                if len(df)
+                else np.zeros(0, np.uint64)
+            )
+            return pa.table(
+                {
+                    "h": pa.array(h, pa.uint64()),
+                    "doc_id": pa.array(
+                        df["doc_id"].to_numpy().astype(np.int64)
+                        if len(df)
+                        else np.zeros(0, np.int64),
+                        pa.int64(),
+                    ),
+                }
+            )
+
+        from .exchange import exchange_reduce, gather_concat
+
+        postings = ds.map_batches(corpus_postings, batch_format="pyarrow")
+        partial_refs = exchange_reduce(
+            [postings, ev_ds], ["h", "h"], _contam_partition
+        )
+        totals = gather_concat(
+            exchange_reduce([partial_refs], ["doc_id"], _contam_fold)
+        )
+        got = totals.column("doc_id").to_numpy() if totals.num_rows else np.zeros(0, np.int64)
+        order = np.argsort(got)
+        ids_ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+        all_ids = ds_to_table(ids_ds).column("doc_id").to_numpy()
+        all_ids = all_ids[(all_ids % _DECON_MOD) != _DECON_REM]
+        n_sh = np.zeros(len(all_ids), np.int64)
+        n_hit = np.zeros(len(all_ids), np.int64)
+        if len(got):
+            pos = np.minimum(np.searchsorted(got[order], all_ids), len(got) - 1)
+            found = got[order][pos] == all_ids
+            n_sh[found] = totals.column("n_sh").to_numpy()[order][pos[found]]
+            n_hit[found] = totals.column("n_hit").to_numpy()[order][pos[found]]
+        return finalize(_decon_result(all_ids, n_sh, n_hit),
+                        [("doc_id", "ascending")])
+
+    ev_sorted = np.sort(
+        ds_to_table(ev_ds).column("h").to_numpy().astype(np.uint64)
+    ) if n_eval else np.zeros(0, np.uint64)
+    ev_ref = ray.put(ev_sorted)
+
+    def contam_counts(t: pa.Table) -> pa.Table:
+        evs = ray.get(ev_ref)
+        doc_ids = t.column("doc_id").to_numpy()
+        keep = (doc_ids % _DECON_MOD) != _DECON_REM
+        doc_ids = doc_ids[keep].astype(np.int64)
+        n_sh = np.zeros(len(doc_ids), np.int64)
+        n_hit = np.zeros(len(doc_ids), np.int64)
+        df = doc_shingles(t.filter(pa.array(keep)))
+        if len(df):
+            h = _hash_shingles(df["shingle"].to_numpy())
+            hit = _member_sorted(h, evs)
+            order = np.argsort(doc_ids, kind="stable")
+            pos = order[
+                np.searchsorted(doc_ids[order], df["doc_id"].to_numpy())
+            ]
+            np.add.at(n_sh, pos, 1)
+            np.add.at(n_hit, pos, hit.astype(np.int64))
+        return _decon_result(doc_ids, n_sh, n_hit)
+
+    out = ds.map_batches(contam_counts, batch_format="pyarrow")
+    return finalize(ds_to_table(out), [("doc_id", "ascending")])

@@ -24,6 +24,7 @@ def query_registry() -> "dict[str, Callable[[str], Any]]":
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
         "dedup_simhash": dedup.dedup_simhash,
         "dedup_clusters": dedup.dedup_clusters,
+        "decontaminate": dedup.decontaminate,
         # text quality / tokenization / language-ID / fingerprints
         "quality_score": text.quality_score,
         "tokenize_bpe": text.tokenize_bpe,

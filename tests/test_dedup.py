@@ -444,3 +444,65 @@ def test_embedding_dup_clusters_gated_path(ray_session):
     small = embedding_dup_clusters(SF)
     gated = embedding_dup_clusters(SF, max_broadcast_ids=0)
     assert small.equals(gated)
+
+
+def test_decontaminate_naive_and_gated_path(ray_session, tmp_path):
+    """Both routes (broadcast set / keyed-exchange membership) must equal
+    a naive per-doc set-intersection replay on a hand-built corpus."""
+    import pyarrow.parquet as pq
+
+    from image_report_ray.pipelines.dedup import (
+        _DECON_MOD,
+        _DECON_REM,
+        decontaminate,
+    )
+
+    texts = {
+        _DECON_REM: "alpha beta gamma delta epsilon",          # eval doc
+        _DECON_REM + _DECON_MOD: "zeta eta theta iota",        # eval doc
+        0: "alpha beta gamma something else entirely",         # partial hit
+        1: "zeta eta theta iota",                              # full hit
+        2: "no overlap with anything here at all",             # clean
+        3: "tiny doc",                                         # < 3 tokens
+    }
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    ids = sorted(texts)
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array([texts[i] for i in ids])}),
+        sf / "documents.parquet",
+    )
+
+    eval_sh = set().union(
+        *(_naive_shingles(texts[i]) for i in texts
+          if i % _DECON_MOD == _DECON_REM)
+    )
+    expect = {}
+    for i, t in texts.items():
+        if i % _DECON_MOD == _DECON_REM:
+            continue
+        sh = _naive_shingles(t)
+        expect[i] = (len(sh), len(sh & eval_sh))
+
+    for gate in (None, 0):  # broadcast route, then forced exchange route
+        kw = {} if gate is None else {"max_broadcast_shingles": gate}
+        out = decontaminate(str(sf), **kw)
+        got = {
+            r["doc_id"]: (r["n_shingles"], r["n_contaminated"])
+            for r in out.to_pylist()
+        }
+        assert got == expect, gate
+        for r in out.to_pylist():
+            n_sh, n_hit = expect[r["doc_id"]]
+            assert r["contaminated"] == (n_hit > 0)
+            assert r["contam_bp"] == n_hit * 10000 // max(n_sh, 1)
+
+
+def test_decontaminate_paths_agree_on_corpus(ray_session):
+    from image_report_ray.pipelines.dedup import decontaminate
+
+    a = decontaminate(SF)
+    b = decontaminate(SF, max_broadcast_shingles=0)
+    assert a.equals(b)
+    assert a.num_rows > 0
