@@ -339,6 +339,68 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return query_registry()
 
 
+# K-means twin (image_report_ray.pipelines.similarity:kmeans_embed):
+# the fixed Lloyd iterations unroll as CTE rounds. Determinism pins match
+# the kernel exactly — squared-L2 distances ROUND to 9 decimals before
+# the argmin (ties -> smallest cid via ROW_NUMBER), centroid means ROUND
+# to 6 decimals after every update, empty clusters keep their previous
+# centroid (rounded) — so the ~1e-13 summation-order drift between numpy
+# and DuckDB never survives a rounding boundary.
+def _kmeans_sql() -> str:
+    from image_report_ray.pipelines.similarity import (
+        _KM_CENT_ROUND,
+        _KM_DIST_ROUND,
+        _KM_K,
+    )
+
+    def assign(tag: int, cents: str) -> str:
+        return f"""
+d{tag} AS (
+  SELECT e.vec_id, {cents}.cid,
+         ROUND(list_sum(list_transform(range(1, len(e.v) + 1),
+               i -> (e.v[i] - {cents}.c[i]) * (e.v[i] - {cents}.c[i]))),
+               {_KM_DIST_ROUND}) AS d2
+  FROM e CROSS JOIN {cents}
+),
+a{tag} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM d{tag}
+  ) WHERE rn = 1
+)"""
+
+    def update(tag: int, prev: str, a: str) -> str:
+        return f"""
+m{tag} AS (
+  SELECT cid, i, ROUND(AVG(x), {_KM_CENT_ROUND}) AS mv FROM (
+    SELECT {a}.cid, unnest(range(1, len(e.v) + 1)) AS i, unnest(e.v) AS x
+    FROM {a} JOIN e USING (vec_id)
+  ) GROUP BY cid, i
+),
+c{tag} AS (
+  SELECT {prev}.cid,
+         CASE WHEN COUNT(m{tag}.mv) = 0
+              THEN list_transform({prev}.c, x -> ROUND(x, {_KM_CENT_ROUND}))
+              ELSE list(m{tag}.mv ORDER BY m{tag}.i) END AS c
+  FROM {prev} LEFT JOIN m{tag} USING (cid)
+  GROUP BY {prev}.cid, {prev}.c
+)"""
+
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+c0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+  FROM e ORDER BY vec_id LIMIT {_KM_K}
+),{assign(1, 'c0')},{update(1, 'c0', 'a1')},{assign(2, 'c1')},{update(2, 'c1', 'a2')},{assign(3, 'c2')}
+SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id
+FROM a3 ORDER BY vec_id
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         # synthetic FMED headers are pure integer arithmetic on doc_id
@@ -918,6 +980,8 @@ SELECT lang, COUNT(*) AS n_docs,
        (SUM(n_chars) * 10000 // COUNT(*)) / 10000.0 AS avg_chars
 FROM documents GROUP BY lang ORDER BY lang
 """,
+        # bounded-iteration k-means with pinned rounding (see _kmeans_sql)
+        "kmeans_embed": _kmeans_sql(),
         "knn_cosine": """
 WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
 s AS (SELECT e.vec_id,

@@ -68,6 +68,7 @@ def query_registry() -> "dict[str, Callable[[str], Any]]":
         "content_flags": text.content_flags,
         # similarity search
         "knn_cosine": similarity.knn_cosine,
+        "kmeans_embed": similarity.kmeans_embed,
         "embedding_near_dups": lambda sf: similarity.embedding_near_dups(sf, 0.4),
         "embedding_dup_clusters": similarity.embedding_dup_clusters,
     }

@@ -654,3 +654,124 @@ def embedding_dup_clusters(
 
     return finalize(ds_to_table(ds.map_batches(assign, batch_format="pyarrow")),
                     [("vec_id", "ascending")])
+
+
+# ---- distributed k-means over embeddings ------------------------------
+#
+# Bounded-iteration Lloyd with everything pinned for cross-engine
+# determinism: seeds = the K smallest vec_ids' vectors, squared-L2
+# distances ROUNDED to 9 decimals before the argmin (ties -> smallest
+# cluster id), and centroid means ROUNDED to 6 decimals after every
+# update. The roundings erase the ~1e-13 summation-order drift between
+# numpy and any other engine, which is what lets an iterative float
+# algorithm carry a full SQL oracle (the twin unrolls the fixed
+# iterations as CTE rounds with the same rounding rules).
+
+_KM_K = 8
+_KM_ITERS = 2
+_KM_CENT_ROUND = 6
+_KM_DIST_ROUND = 9
+
+
+def _km_assign(m: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """Rounded-distance argmin; ``np.argmin`` takes the FIRST minimum,
+    which is the smallest cluster id — the pinned tie rule."""
+    d2 = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    return np.argmin(np.round(d2, _KM_DIST_ROUND), axis=1)
+
+
+def kmeans_embed(
+    sf_dir: str, k: int = _KM_K, iters: int = _KM_ITERS
+) -> pa.Table:
+    """K-means cluster assignment for every embedding after ``iters``
+    Lloyd updates from deterministic seeds.
+
+    Scale shape: each iteration is ONE streaming pass — every batch
+    assigns against the broadcast (k, dim) centroid matrix and emits a
+    fixed-cardinality partial (k rows of dim-wide sums + counts), so the
+    driver folds O(k * dim * num_blocks) floats, never the vectors
+    (the ``fold_partials`` fixed-cardinality rule). Empty clusters keep
+    their previous centroid. The final pass emits (vec_id, cluster_id)
+    only — no float columns reach the result surface."""
+    import ray
+
+    rd = _rd()
+
+    def seed_partial(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id").to_numpy()
+        if len(ids) > k:
+            sel = np.argsort(ids, kind="stable")[:k]
+            return t.take(pa.array(sel))
+        return t
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    seeds_t = ds_to_table(ds.map_batches(seed_partial, batch_format="pyarrow"))
+    order = np.argsort(seeds_t.column("vec_id").to_numpy(), kind="stable")[:k]
+    seeds_t = seeds_t.take(pa.array(order))
+    cents = _stack(seeds_t.column("embedding"))
+    kk = cents.shape[0]  # corpus smaller than k: every vector seeds
+
+    for _ in range(iters):
+        cent_ref = ray.put(cents)
+
+        def sum_partial(t: pa.Table, _ref=cent_ref) -> pa.Table:
+            c = ray.get(_ref)
+            m = _stack(t.column("embedding"))
+            if m.shape[0] == 0:
+                return pa.table(
+                    {
+                        "cluster_id": pa.array([], pa.int64()),
+                        "vsum": pa.array([], pa.list_(pa.float64())),
+                        "n": pa.array([], pa.int64()),
+                    }
+                )
+            a = _km_assign(m, c)
+            sums = np.zeros_like(c)
+            np.add.at(sums, a, m)
+            counts = np.bincount(a, minlength=c.shape[0]).astype(np.int64)
+            return pa.table(
+                {
+                    "cluster_id": pa.array(np.arange(c.shape[0]), pa.int64()),
+                    "vsum": pa.array(list(sums), pa.list_(pa.float64())),
+                    "n": pa.array(counts, pa.int64()),
+                }
+            )
+
+        part = ds_to_table(
+            ds.map_batches(sum_partial, batch_format="pyarrow", batch_size=4096)
+        )
+        cid = part.column("cluster_id").to_numpy()
+        ns = part.column("n").to_numpy()
+        vs = _stack(part.column("vsum"))
+        sums = np.zeros_like(cents)
+        np.add.at(sums, cid, vs)
+        counts = np.zeros(kk, np.int64)
+        np.add.at(counts, cid, ns)
+        new = cents.copy()
+        nz = counts > 0
+        new[nz] = sums[nz] / counts[nz, None]
+        cents = np.round(new, _KM_CENT_ROUND)
+
+    final_ref = ray.put(cents)
+
+    def assign(t: pa.Table, _ref=final_ref) -> pa.Table:
+        c = ray.get(_ref)
+        m = _stack(t.column("embedding"))
+        a = (
+            _km_assign(m, c)
+            if m.shape[0]
+            else np.zeros(0, np.int64)
+        )
+        return pa.table(
+            {
+                "vec_id": t.column("vec_id"),
+                "cluster_id": pa.array(a.astype(np.int64), pa.int64()),
+            }
+        )
+
+    out = ds_to_table(
+        ds.map_batches(assign, batch_format="pyarrow", batch_size=4096)
+    )
+    return finalize(out, [("vec_id", "ascending")])

@@ -482,3 +482,49 @@ def test_content_flags_constructed_corpus(ray_session, tmp_path):
     )
     oracle = con.execute(e.oracle_sql()["content_flags"]).arrow().to_pandas()
     assert got.equals(oracle[got.columns.tolist()])
+
+
+def test_kmeans_embed_matches_naive_lloyd(ray_session):
+    """Distributed k-means == a single-process Lloyd replay with the same
+    pinned rounding rules (seeds, 9dp distance argmin, 6dp means)."""
+    import pyarrow.parquet as pq
+
+    from image_report_ray.pipelines.similarity import (
+        _KM_CENT_ROUND,
+        _KM_DIST_ROUND,
+        _KM_ITERS,
+        _KM_K,
+        _stack,
+        kmeans_embed,
+    )
+
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy()
+    m = _stack(t.column("embedding"))
+    order = np.argsort(ids, kind="stable")
+    cents = m[order[:_KM_K]]
+
+    def assign(c):
+        d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return np.argmin(np.round(d2, _KM_DIST_ROUND), axis=1)
+
+    for _ in range(_KM_ITERS):
+        a = assign(cents)
+        new = cents.copy()
+        for j in range(_KM_K):
+            if (a == j).any():
+                new[j] = m[a == j].mean(axis=0)
+        cents = np.round(new, _KM_CENT_ROUND)
+    expect = dict(zip(ids.tolist(), assign(cents).tolist()))
+
+    out = kmeans_embed(SF)
+    got = dict(
+        zip(
+            out.column("vec_id").to_pylist(),
+            out.column("cluster_id").to_pylist(),
+        )
+    )
+    assert got == expect
+    # every cluster id is in range and the clustering is non-trivial
+    vals = set(got.values())
+    assert vals <= set(range(_KM_K)) and len(vals) > 1
