@@ -599,6 +599,36 @@ SELECT doc_id,
            AS content_ok
 FROM documents ORDER BY doc_id
 """,
+        # PII redaction twin: the same rule pack applied SEQUENTIALLY
+        # (each stage counts matches in the already-masked text of the
+        # previous stage, exactly like the kernel's fold over
+        # _CONTENT_RULES); both engines run RE2, so the rewrites agree
+        # byte-for-byte
+        "redact_text": r"""
+WITH s1 AS (
+  SELECT doc_id,
+         length(regexp_extract_all(text, 'https?://[^\s]+')) AS c1,
+         regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g') AS t
+  FROM documents
+), s2 AS (
+  SELECT doc_id, c1,
+         length(regexp_extract_all(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS c2,
+         regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             '<EMAIL>', 'g') AS t
+  FROM s1
+), s3 AS (
+  SELECT doc_id, c1, c2,
+         length(regexp_extract_all(t, '[0-9]{7,}')) AS c3,
+         regexp_replace(t, '[0-9]{7,}', '<NUM>', 'g') AS t
+  FROM s2
+)
+SELECT doc_id, t AS text_redacted,
+       CAST(c1 + c2 + c3 AS BIGINT) AS n_redacted,
+       (c1 + c2 + c3) > 0 AS redacted
+FROM s3 ORDER BY doc_id
+""",
         # exact per-language length quantiles (bounded-domain histogram
         # fold); discrete-quantile rule matches quantile_disc exactly
         "lang_char_quantiles": """

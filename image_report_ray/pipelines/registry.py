@@ -66,6 +66,7 @@ def query_registry() -> "dict[str, Callable[[str], Any]]":
         "lang_stats": text.lang_stats,
         "lang_char_quantiles": text.lang_char_quantiles,
         "content_flags": text.content_flags,
+        "redact_text": text.redact_text,
         # similarity search
         "knn_cosine": similarity.knn_cosine,
         "kmeans_embed": similarity.kmeans_embed,

@@ -1074,3 +1074,42 @@ def content_flags(sf_dir: str) -> pa.Table:
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return finalize(ds_to_table(ds.map_batches(flags, batch_format="pyarrow")),
                     [("doc_id", "ascending")])
+
+
+# PII-redaction masks, applied in _CONTENT_RULES order — sequential, so
+# later rules run over already-masked text; the SQL twin nests its
+# regexp_replace calls in the same order. Both engines run RE2, so the
+# rewrites (and the per-stage match counts) agree byte-for-byte.
+_REDACT_MASKS = ("<URL>", "<EMAIL>", "<NUM>")
+
+
+def redact_text(sf_dir: str) -> pa.Table:
+    """PII redaction: the write-side sibling of :func:`content_flags` —
+    every rule-pack match (URLs, emails, long digit runs) is replaced by
+    its mask token, with the total replacement count and a changed flag.
+    One vectorized RE2 count + replace pass per rule per batch; document
+    bodies stream through, nothing but the result surface materializes."""
+    rd = _rd()
+
+    def redact(t: pa.Table) -> pa.Table:
+        cur = t.column("text")
+        if isinstance(cur, pa.ChunkedArray):
+            cur = cur.combine_chunks()
+        total = pa.array(np.zeros(len(cur), np.int64), pa.int64())
+        for (_, pat), mask in zip(_CONTENT_RULES, _REDACT_MASKS):
+            total = pc.add(
+                total, pc.count_substring_regex(cur, pat).cast(pa.int64())
+            )
+            cur = pc.replace_substring_regex(cur, pat, mask)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "text_redacted": cur,
+                "n_redacted": total,
+                "redacted": pc.greater(total, 0),
+            }
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return finalize(ds_to_table(ds.map_batches(redact, batch_format="pyarrow")),
+                    [("doc_id", "ascending")])
