@@ -528,3 +528,46 @@ def test_kmeans_embed_matches_naive_lloyd(ray_session):
     # every cluster id is in range and the clustering is non-trivial
     vals = set(got.values())
     assert vals <= set(range(_KM_K)) and len(vals) > 1
+
+
+def test_redact_text_sequential_masking(ray_session, tmp_path):
+    """Redaction is SEQUENTIAL over the rule pack: a URL containing
+    digits is masked as one <URL> (the later digit rule must not fire
+    inside it), and counts reflect each rule over already-masked text —
+    plus DuckDB parity for the nested regexp_replace twin."""
+    import os
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from image_report_ray.pipelines.text import redact_text
+
+    docs = [
+        "plain text only",
+        "go to https://a.example/12345678/x now",   # URL eats the digits
+        "mail a.b+c@ex-ample.co.uk or 99999999",    # email + number
+        "",
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                  "text": pa.array(docs)})
+    pq.write_table(t, os.path.join(str(tmp_path), "documents.parquet"))
+    got = redact_text(str(tmp_path)).to_pandas()
+    assert list(got.text_redacted) == [
+        "plain text only",
+        "go to <URL> now",
+        "mail <EMAIL> or <NUM>",
+        "",
+    ]
+    assert list(got.n_redacted) == [0, 1, 2, 0]
+    assert list(got.redacted) == [False, True, True, False]
+
+    import __ray_entry__ as e
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{tmp_path}/documents.parquet')"
+    )
+    oracle = con.execute(e.oracle_sql()["redact_text"]).arrow().to_pandas()
+    assert got.equals(oracle[got.columns.tolist()])
