@@ -765,6 +765,33 @@ FROM ch GROUP BY 1, 2 ORDER BY epoch, op
 SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns, MAX(ts) AS last_ts
 FROM final GROUP BY conv_id ORDER BY conv_id
 """,
+        # agent-loop detection: a live turn is "looped" when an earlier
+        # turn of the same conversation has identical text — first
+        # occurrence = smallest turn_idx, matching the kernel's
+        # duplicated() over the (conv_id, turn_idx)-sorted state
+        "cdc_loop_detect": CHANGELOG_CTE
+        + """
+, final AS (
+    SELECT conv_id, turn_idx, text
+    FROM (
+        SELECT ch.*, ROW_NUMBER() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+        FROM ch
+    )
+    WHERE rn = 1 AND op <> 'D'
+), occ AS (
+    SELECT conv_id, ROW_NUMBER() OVER (
+        PARTITION BY conv_id, text ORDER BY turn_idx) AS k
+    FROM final
+)
+SELECT conv_id,
+       CAST(COUNT(*) AS BIGINT) AS n_turns,
+       CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_looped,
+       CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) * 10000 // COUNT(*)
+            AS BIGINT) AS loop_bp,
+       SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) > 0 AS looped
+FROM occ GROUP BY conv_id ORDER BY conv_id
+""",
         # the ENGINE-MATERIALIZED view must equal the same recomputed
         # answer — identical twin by design
         "cdc_conv_summary_view": CHANGELOG_CTE

@@ -208,3 +208,84 @@ def cdc_counts(sf_dir: str, epoch_size: int = 2500) -> pa.Table:
                       ["epoch", "op", "n"])
     t = t.set_column(t.column_names.index("n"), "n", t.column("n").cast(pa.int64()))
     return finalize(t, [("epoch", "ascending"), ("op", "ascending")])
+
+
+def cdc_loop_detect(sf_dir: str) -> pa.Table:
+    """Agent-loop detection over the REPLAYED state: per conversation,
+    how many live turns repeat the exact text of an EARLIER turn in the
+    same conversation — the stuck-agent / retry-storm hygiene signal a
+    transcript lake serves before training on tool-use traces.
+
+    Same scale shape as :func:`cdc_conv_summary`: the real engine
+    replays the changelog, then one remote task per lake partition
+    LWW-folds its own files and detects loops locally (pid routing
+    keeps a conversation inside one partition, so first-occurrence
+    ranking per (conv_id, text) is complete per task). The kernel is
+    one vectorized pandas ``duplicated`` over the canonical
+    (conv_id, turn_idx)-sorted state — first occurrence = smallest
+    turn_idx, exactly the SQL twin's ROW_NUMBER rule — plus a
+    run-length fold on the already-sorted conv_id. Only per-conv
+    summary rows reach the driver."""
+    import ray
+
+    def detect(lake, cfg):
+        apply_epoch(lake, 0, changelog_dataset(sf_dir), cfg)
+
+        @ray.remote
+        def part_loops(paths: list) -> pa.Table:
+            import numpy as np
+            import pandas as pd
+            import pyarrow.parquet as pq
+
+            from image_report_ray.state.merge import (
+                export_canonical,
+                fold_state_tables,
+            )
+
+            folded = fold_state_tables([pq.read_table(p) for p in paths])
+            if folded is None:
+                return pa.table({})
+            t = export_canonical(folded)  # sorted by (conv_id, turn_idx)
+            conv = t.column("conv_id").to_numpy(zero_copy_only=False)
+            dup = pd.DataFrame(
+                {"c": conv,
+                 "t": t.column("text").to_numpy(zero_copy_only=False)}
+            ).duplicated(subset=["c", "t"]).to_numpy()
+            # conv_id is sorted: run-length boundaries give the groups
+            bounds = np.flatnonzero(
+                np.r_[True, conv[1:] != conv[:-1]]
+            )
+            n_turns = np.diff(np.r_[bounds, len(conv)]).astype(np.int64)
+            n_looped = np.add.reduceat(dup.astype(np.int64), bounds)
+            return pa.table(
+                {
+                    "conv_id": pa.array(conv[bounds]),
+                    "n_turns": pa.array(n_turns, pa.int64()),
+                    "n_looped": pa.array(n_looped, pa.int64()),
+                }
+            )
+
+        sets = lake.current_file_sets()
+        refs = [part_loops.remote(paths) for _, paths in sorted(sets.items())]
+        tabs = [t for t in ray.get(refs) if t.num_rows]
+        if not tabs:
+            return pa.table(
+                {"conv_id": pa.array([], pa.string()),
+                 "n_turns": pa.array([], pa.int64()),
+                 "n_looped": pa.array([], pa.int64())}
+            )
+        return pa.concat_tables(tabs, promote_options="default")
+
+    d = tempfile.mkdtemp(prefix="irr-cdcq-")
+    try:
+        lake = Lake(d, num_partitions=_P)
+        cfg = EngineConfig(num_partitions=_P)
+        t = detect(lake, cfg)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    n_turns = t.column("n_turns").to_numpy()
+    n_looped = t.column("n_looped").to_numpy()
+    t = t.append_column(
+        "loop_bp", pa.array((n_looped * 10000) // n_turns, pa.int64())
+    ).append_column("looped", pa.array(n_looped > 0))
+    return finalize(t, [("conv_id", "ascending")])

@@ -42,6 +42,7 @@ def query_registry() -> "dict[str, Callable[[str], Any]]":
         "cdc_counts": cdcq.cdc_counts,
         "cdc_conv_summary": cdcq.cdc_conv_summary,
         "cdc_conv_summary_view": cdcq.cdc_conv_summary_view,
+        "cdc_loop_detect": cdcq.cdc_loop_detect,
         "sample_split": text.sample_split,
         "shuffle_docs": text.shuffle_docs,
         "pack_docs": text.pack_docs,

@@ -167,3 +167,35 @@ def test_lineage_reports_written_and_conserve(ray_session, tmp_path, wal):
     live_rows = canonical_state_table(lake).num_rows
     latest = lake.current_entries()
     assert sum(e["rows_live"] for e in latest.values()) == live_rows
+
+
+def test_loop_detect_matches_naive_state_scan(ray_session):
+    """cdc_loop_detect (per-partition engine fold) == a per-conversation
+    seen-set scan over the naive-oracle final state."""
+    import pyarrow.parquet as pq
+
+    from image_report_ray.pipelines.cdcq import cdc_loop_detect
+    from image_report_ray.sources.wal import events_to_changelog
+    from image_report_ray.state.oracle import apply_naive
+
+    sf = "/root/testdata/sf0.001"
+    state = apply_naive(
+        events_to_changelog(pq.read_table(f"{sf}/events.parquet"))
+    )
+    expect: dict = {}
+    seen: dict = {}
+    for r in state.to_pylist():  # state is (conv_id, turn_idx)-sorted
+        c = r["conv_id"]
+        n, k = expect.get(c, (0, 0))
+        looped = r["text"] in seen.setdefault(c, set())
+        seen[c].add(r["text"])
+        expect[c] = (n + 1, k + looped)
+
+    got = cdc_loop_detect(sf)
+    assert got.num_rows == len(expect)
+    for r in got.to_pylist():
+        n, k = expect[r["conv_id"]]
+        assert (r["n_turns"], r["n_looped"]) == (n, k)
+        assert r["loop_bp"] == k * 10000 // n
+        assert r["looped"] == (k > 0)
+    assert sum(k for _, k in expect.values()) > 0  # signal is non-trivial
