@@ -629,6 +629,33 @@ SELECT doc_id, t AS text_redacted,
        (c1 + c2 + c3) > 0 AS redacted
 FROM s3 ORDER BY doc_id
 """,
+        # Gopher-style repetition filter: duplicate n-gram INSTANCE
+        # ratios in integer basis points; token rule and gram joins
+        # match the kernel's _tokenize exactly
+        "repetition_stats": r"""
+WITH arr AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ws FROM documents
+), m AS (
+  SELECT doc_id,
+         GREATEST(len(ws) - 1, 0) AS n2,
+         GREATEST(len(ws) - 2, 0) AS n3,
+         len(list_distinct(list_transform(range(1, len(ws)),
+             i -> ws[i] || ' ' || ws[i+1]))) AS d2,
+         len(list_distinct(list_transform(range(1, len(ws) - 1),
+             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS d3
+  FROM arr
+)
+SELECT doc_id,
+       CAST(n2 AS BIGINT) AS n_2grams,
+       CAST(n2 - d2 AS BIGINT) AS n_dup_2grams,
+       CAST((n2 - d2) * 10000 // GREATEST(n2, 1) AS BIGINT) AS dup2_bp,
+       CAST(n3 AS BIGINT) AS n_3grams,
+       CAST(n3 - d3 AS BIGINT) AS n_dup_3grams,
+       CAST((n3 - d3) * 10000 // GREATEST(n3, 1) AS BIGINT) AS dup3_bp,
+       (n2 - d2) * 10000 // GREATEST(n2, 1) <= 2000
+         AND (n3 - d3) * 10000 // GREATEST(n3, 1) <= 1800 AS rep_ok
+FROM m ORDER BY doc_id
+""",
         # exact per-language length quantiles (bounded-domain histogram
         # fold); discrete-quantile rule matches quantile_disc exactly
         "lang_char_quantiles": """

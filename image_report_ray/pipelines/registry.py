@@ -68,6 +68,7 @@ def query_registry() -> "dict[str, Callable[[str], Any]]":
         "lang_char_quantiles": text.lang_char_quantiles,
         "content_flags": text.content_flags,
         "redact_text": text.redact_text,
+        "repetition_stats": text.repetition_stats,
         # similarity search
         "knn_cosine": similarity.knn_cosine,
         "kmeans_embed": similarity.kmeans_embed,

@@ -1113,3 +1113,63 @@ def redact_text(sf_dir: str) -> pa.Table:
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return finalize(ds_to_table(ds.map_batches(redact, batch_format="pyarrow")),
                     [("doc_id", "ascending")])
+
+
+# Gopher-style repetition thresholds, in integer basis points of n-gram
+# INSTANCES that repeat an earlier identical n-gram within the doc
+# (instance-ratio variant of the published character-fraction rules —
+# exact in integer math, so the SQL twin is bit-equal).
+_REP_MAX_DUP2_BP = 2000
+_REP_MAX_DUP3_BP = 1800
+
+
+def repetition_stats(sf_dir: str) -> pa.Table:
+    """Per-document repetition signals: total vs distinct word 2-grams
+    and 3-grams, the duplicate-instance ratio of each in basis points,
+    and the keep verdict under the Gopher-style thresholds — the
+    repetition filter every training-data pipeline runs to drop looping
+    boilerplate. Pure per-doc segment math (one tokenize + two gram
+    concatenations per batch, distinct counts via one drop_duplicates);
+    embarrassingly parallel, zero shuffle."""
+    from .dedup import _tokenize
+
+    rd = _rd()
+
+    def stats(t: pa.Table) -> pa.Table:
+        flat, offsets = _tokenize(t.column("text"))
+        n_docs = len(offsets) - 1
+        n_toks = np.diff(offsets)
+        doc_idx_full = np.repeat(np.arange(n_docs), n_toks)
+        n = len(flat)
+        cols: dict = {"doc_id": t.column("doc_id")}
+        bps = {}
+        for k in (2, 3):
+            total = np.maximum(n_toks - (k - 1), 0).astype(np.int64)
+            if n >= k:
+                gram = flat[: n - k + 1].copy()
+                for j in range(1, k):
+                    gram = gram + " "
+                    gram = gram + flat[j : n - k + 1 + j]
+                valid = doc_idx_full[: n - k + 1] == doc_idx_full[k - 1 :]
+                dd = pd.DataFrame(
+                    {"d": doc_idx_full[: n - k + 1][valid], "g": gram[valid]}
+                ).drop_duplicates()
+                distinct = np.bincount(
+                    dd["d"].to_numpy(), minlength=n_docs
+                ).astype(np.int64)
+            else:
+                distinct = np.zeros(n_docs, np.int64)
+            dup = total - distinct
+            bp = (dup * 10000) // np.maximum(total, 1)
+            cols[f"n_{k}grams"] = pa.array(total, pa.int64())
+            cols[f"n_dup_{k}grams"] = pa.array(dup, pa.int64())
+            cols[f"dup{k}_bp"] = pa.array(bp, pa.int64())
+            bps[k] = bp
+        cols["rep_ok"] = pa.array(
+            (bps[2] <= _REP_MAX_DUP2_BP) & (bps[3] <= _REP_MAX_DUP3_BP)
+        )
+        return pa.table(cols)
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return finalize(ds_to_table(ds.map_batches(stats, batch_format="pyarrow")),
+                    [("doc_id", "ascending")])

@@ -571,3 +571,43 @@ def test_redact_text_sequential_masking(ray_session, tmp_path):
     )
     oracle = con.execute(e.oracle_sql()["redact_text"]).arrow().to_pandas()
     assert got.equals(oracle[got.columns.tolist()])
+
+
+def test_repetition_stats_constructed_corpus(ray_session, tmp_path):
+    """Pin the duplicate-instance semantics on hand-built docs: a
+    looping doc is flagged out, a clean doc keeps, sub-gram docs
+    surface with zero counts — plus DuckDB parity."""
+    import os
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from image_report_ray.pipelines.text import repetition_stats
+
+    docs = [
+        "a b " * 20,                      # pure loop: almost all dup grams
+        "the quick brown fox jumps over the lazy dog",  # clean
+        "one",                            # no 2-grams at all
+        "",
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                  "text": pa.array(docs)})
+    pq.write_table(t, os.path.join(str(tmp_path), "documents.parquet"))
+    got = repetition_stats(str(tmp_path)).to_pandas()
+    # doc 0: 40 tokens -> 39 2-grams, only 2 distinct ("a b", "b a")
+    assert got.n_2grams[0] == 39 and got.n_dup_2grams[0] == 37
+    assert not got.rep_ok[0]
+    assert got.rep_ok[1] and got.n_dup_2grams[1] == 0
+    assert got.n_2grams[2] == 0 and got.rep_ok[2]
+    assert got.n_3grams[3] == 0 and got.rep_ok[3]
+
+    import __ray_entry__ as e
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{tmp_path}/documents.parquet')"
+    )
+    oracle = con.execute(e.oracle_sql()["repetition_stats"]).arrow().to_pandas()
+    assert got.equals(oracle[got.columns.tolist()])
