@@ -819,6 +819,34 @@ SELECT conv_id,
        SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) > 0 AS looped
 FROM occ GROUP BY conv_id ORDER BY conv_id
 """,
+        # role-balance profile of the replayed state; tool-call count is
+        # non-null `tool`, total_chars is utf8 length (ASCII corpus:
+        # length == strlen on both engines)
+        "cdc_role_stats": CHANGELOG_CTE
+        + """
+, final AS (
+    SELECT conv_id, turn_idx, role, text, tool
+    FROM (
+        SELECT ch.*, ROW_NUMBER() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+        FROM ch
+    )
+    WHERE rn = 1 AND op <> 'D'
+)
+SELECT conv_id,
+       CAST(COUNT(*) AS BIGINT) AS n_turns,
+       CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_user,
+       CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_assistant,
+       CAST(SUM(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_tool_role,
+       CAST(SUM(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_tool_calls,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+       SUM(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) > 0 AS agentic
+FROM final GROUP BY conv_id ORDER BY conv_id
+""",
         # the ENGINE-MATERIALIZED view must equal the same recomputed
         # answer — identical twin by design
         "cdc_conv_summary_view": CHANGELOG_CTE

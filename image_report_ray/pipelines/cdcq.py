@@ -289,3 +289,79 @@ def cdc_loop_detect(sf_dir: str) -> pa.Table:
         "loop_bp", pa.array((n_looped * 10000) // n_turns, pa.int64())
     ).append_column("looped", pa.array(n_looped > 0))
     return finalize(t, [("conv_id", "ascending")])
+
+
+def cdc_role_stats(sf_dir: str) -> pa.Table:
+    """Per-conversation role balance over the REPLAYED state: user /
+    assistant / tool turn counts, tool-call count (``tool`` non-null),
+    and total transcript characters — the turn-mix profile a training
+    pipeline uses to weight agentic vs chat data. Same partition-local
+    fold as :func:`cdc_conv_summary`: each lake partition LWW-folds its
+    own files and computes its conversations' profiles with one Arrow
+    group_by; only per-conv rows reach the driver."""
+    import ray
+
+    def profile(lake, cfg):
+        apply_epoch(lake, 0, changelog_dataset(sf_dir), cfg)
+
+        @ray.remote
+        def part_profile(paths: list) -> pa.Table:
+            import pyarrow.compute as pc
+            import pyarrow.parquet as pq
+
+            from image_report_ray.state.merge import (
+                export_canonical,
+                fold_state_tables,
+            )
+
+            folded = fold_state_tables([pq.read_table(p) for p in paths])
+            if folded is None:
+                return pa.table({})
+            t = export_canonical(folded)
+            role = t.column("role")
+            aug = pa.table(
+                {
+                    "conv_id": t.column("conv_id"),
+                    "is_user": pc.equal(role, "user").cast(pa.int64()),
+                    "is_assistant": pc.equal(role, "assistant").cast(pa.int64()),
+                    "is_tool_role": pc.equal(role, "tool").cast(pa.int64()),
+                    "has_tool": t.column("tool").is_valid().cast(pa.int64()),
+                    "n_chars": pc.utf8_length(t.column("text")).cast(pa.int64()),
+                }
+            )
+            g = aug.group_by(["conv_id"]).aggregate(
+                [("is_user", "sum"), ("is_assistant", "sum"),
+                 ("is_tool_role", "sum"), ("has_tool", "sum"),
+                 ("n_chars", "sum"), ([], "count_all")]
+            )
+            return pa.table(
+                {
+                    "conv_id": g.column("conv_id"),
+                    "n_turns": g.column("count_all").cast(pa.int64()),
+                    "n_user": g.column("is_user_sum"),
+                    "n_assistant": g.column("is_assistant_sum"),
+                    "n_tool_role": g.column("is_tool_role_sum"),
+                    "n_tool_calls": g.column("has_tool_sum"),
+                    "total_chars": g.column("n_chars_sum"),
+                }
+            )
+
+        sets = lake.current_file_sets()
+        refs = [part_profile.remote(paths) for _, paths in sorted(sets.items())]
+        tabs = [t for t in ray.get(refs) if t.num_rows]
+        if not tabs:
+            return pa.table(
+                {"conv_id": pa.array([], pa.string())}
+            ).append_column("n_turns", pa.array([], pa.int64()))
+        return pa.concat_tables(tabs, promote_options="default")
+
+    d = tempfile.mkdtemp(prefix="irr-cdcq-")
+    try:
+        lake = Lake(d, num_partitions=_P)
+        cfg = EngineConfig(num_partitions=_P)
+        t = profile(lake, cfg)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    agentic = pc.greater(t.column("n_tool_calls"), 0)
+    t = t.append_column("agentic", agentic)
+    return finalize(t, [("conv_id", "ascending")])

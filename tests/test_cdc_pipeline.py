@@ -199,3 +199,36 @@ def test_loop_detect_matches_naive_state_scan(ray_session):
         assert r["loop_bp"] == k * 10000 // n
         assert r["looped"] == (k > 0)
     assert sum(k for _, k in expect.values()) > 0  # signal is non-trivial
+
+
+def test_role_stats_matches_naive_state_scan(ray_session):
+    """cdc_role_stats == per-conv counters over the naive-oracle state."""
+    import pyarrow.parquet as pq
+
+    from image_report_ray.pipelines.cdcq import cdc_role_stats
+    from image_report_ray.sources.wal import events_to_changelog
+    from image_report_ray.state.oracle import apply_naive
+
+    sf = "/root/testdata/sf0.001"
+    state = apply_naive(
+        events_to_changelog(pq.read_table(f"{sf}/events.parquet"))
+    )
+    expect: dict = {}
+    for r in state.to_pylist():
+        e = expect.setdefault(r["conv_id"], [0, 0, 0, 0, 0, 0])
+        e[0] += 1
+        e[1] += r["role"] == "user"
+        e[2] += r["role"] == "assistant"
+        e[3] += r["role"] == "tool"
+        e[4] += r["tool"] is not None
+        e[5] += len(r["text"])
+
+    got = cdc_role_stats(sf)
+    assert got.num_rows == len(expect)
+    for r in got.to_pylist():
+        n, u, a, tr, tc, ch = expect[r["conv_id"]]
+        assert (r["n_turns"], r["n_user"], r["n_assistant"],
+                r["n_tool_role"], r["n_tool_calls"],
+                r["total_chars"]) == (n, u, a, tr, tc, ch)
+        assert r["agentic"] == (tc > 0)
+    assert any(e[4] for e in expect.values())  # agentic signal present
