@@ -128,6 +128,43 @@ def _poly_hash_sql(col: str) -> str:
     )
 
 
+# Incremental-dedup twin (image_report_ray.pipelines.cdcq:
+# cdc_incremental_dedup): epoch-0 final state (lsn below the halfway
+# threshold) -> distinct hash_utf8_64(text) fingerprints; every
+# second-half I/U event carries the same hash and the verdict is set
+# membership. The CASE guard covers empty text (list_reduce rejects
+# empty lists; the kernel's Horner over zero bytes is 0).
+def _incdedup_sql() -> str:
+    poly = (
+        f"CASE WHEN length(text) = 0 THEN 0 "
+        f"ELSE {_poly_hash_sql('text')} END"
+    )
+    thr = "(SELECT (MAX(event_id) + 1) // 2 FROM events)"
+    return CHANGELOG_CTE + f"""
+, st AS (
+  SELECT text FROM (
+    SELECT ch.*, ROW_NUMBER() OVER (
+        PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+    FROM ch WHERE lsn < {thr}
+  ) WHERE rn = 1 AND op <> 'D'
+),
+s0 AS (SELECT DISTINCT CAST({poly} AS UBIGINT) AS h FROM st),
+s1 AS (SELECT {_sm_step('h', 30, _SM_C1)} AS h FROM s0),
+s2 AS (SELECT {_sm_step('h', 27, _SM_C2)} AS h FROM s1),
+s3 AS (SELECT xor(h, h >> 31) AS h FROM s2),
+i0 AS (
+  SELECT lsn, conv_id, turn_idx, CAST({poly} AS UBIGINT) AS h
+  FROM ch WHERE lsn >= {thr} AND op <> 'D'
+),
+i1 AS (SELECT lsn, conv_id, turn_idx, {_sm_step('h', 30, _SM_C1)} AS h FROM i0),
+i2 AS (SELECT lsn, conv_id, turn_idx, {_sm_step('h', 27, _SM_C2)} AS h FROM i1),
+i3 AS (SELECT lsn, conv_id, turn_idx, xor(h, h >> 31) AS h FROM i2)
+SELECT lsn, conv_id, turn_idx,
+       h IN (SELECT h FROM s3) AS dup_of_state
+FROM i3 ORDER BY lsn
+"""
+
+
 # SimHash twin (image_report_ray.pipelines.dedup:simhash64 /
 # dedup_simhash): per-token hash -> signed bit sums -> sign bits ->
 # 64-bit simhash; the engine's chunk-pigeonhole candidates + in-exchange
@@ -819,6 +856,7 @@ SELECT conv_id,
        SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) > 0 AS looped
 FROM occ GROUP BY conv_id ORDER BY conv_id
 """,
+        "cdc_incremental_dedup": _incdedup_sql(),
         # role-balance profile of the replayed state; tool-call count is
         # non-null `tool`, total_chars is utf8 length (ASCII corpus:
         # length == strlen on both engines)

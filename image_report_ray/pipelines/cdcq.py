@@ -365,3 +365,159 @@ def cdc_role_stats(sf_dir: str) -> pa.Table:
     agentic = pc.greater(t.column("n_tool_calls"), 0)
     t = t.append_column("agentic", agentic)
     return finalize(t, [("conv_id", "ascending")])
+
+
+# Above this many distinct state text-hashes the broadcast side stops
+# being sane and membership routes through the keyed exchange (state
+# fingerprints co-partitioned with incoming postings on the hash).
+_INCDEDUP_MAX_BROADCAST = 50_000_000
+
+
+def cdc_incremental_dedup(
+    sf_dir: str, max_broadcast_hashes: int = _INCDEDUP_MAX_BROADCAST
+) -> pa.Table:
+    """Incremental dedup against COMMITTED state: the first half of the
+    changelog replays through the real engine, then every second-half
+    insert/update is checked for exact-text membership in the epoch-0
+    final state — the "have we already ingested this turn's text"
+    hygiene gate a continuous-ingest pipeline runs before training-data
+    export. Texts compare via the SQL-reproducible ``hash_utf8_64`` so
+    the DuckDB twin is bit-exact.
+
+    Scale shape: state fingerprints are extracted PER LAKE PARTITION
+    (one remote fold per partition emits its distinct text hashes —
+    never the state itself); while the fingerprint set fits
+    ``max_broadcast_hashes`` it ships once via ``ray.put`` and each
+    incoming batch does one sorted-membership pass (zero shuffle).
+    Above the gate, incoming (hash, lsn) postings and fingerprint
+    hashes co-partition on the hash through the keyed exchange and each
+    partition emits its verdict rows — driver state is O(P) outputs."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from ..pipelines.dedup import _member_sorted, hash_utf8_64
+    from ..sources.wal import max_event_id
+
+    thr = (max_event_id(sf_dir) + 1) // 2
+
+    d = tempfile.mkdtemp(prefix="irr-cdcq-")
+    try:
+        lake = Lake(d, num_partitions=_P)
+        cfg = EngineConfig(num_partitions=_P)
+        early = rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "ts", "user_id", "event_type", "props"],
+        ).map_batches(
+            lambda t: events_to_changelog(
+                t.filter(pc.less(t.column("event_id"), thr))
+            ),
+            batch_format="pyarrow",
+        )
+        apply_epoch(lake, 0, early, cfg)
+
+        @ray.remote
+        def part_fingerprints(paths: list) -> pa.Table:
+            import numpy as np
+            import pyarrow.parquet as pq
+
+            from image_report_ray.pipelines.dedup import hash_utf8_64
+            from image_report_ray.state.merge import (
+                export_canonical,
+                fold_state_tables,
+            )
+
+            folded = fold_state_tables([pq.read_table(p) for p in paths])
+            if folded is None:
+                return pa.table({"h": pa.array([], pa.uint64())})
+            txt = export_canonical(folded).column("text")
+            h = np.unique(hash_utf8_64(txt))
+            return pa.table({"h": pa.array(h, pa.uint64())})
+
+        sets = lake.current_file_sets()
+        fp_refs = [
+            part_fingerprints.remote(paths) for _, paths in sorted(sets.items())
+        ]
+
+        def incoming(t: pa.Table) -> pa.Table:
+            ch = events_to_changelog(
+                t.filter(pc.greater_equal(t.column("event_id"), thr))
+            )
+            ch = ch.filter(pc.not_equal(ch.column("op"), "D"))
+            return pa.table(
+                {
+                    "lsn": ch.column("lsn"),
+                    "conv_id": ch.column("conv_id"),
+                    "turn_idx": ch.column("turn_idx"),
+                    "h": pa.array(hash_utf8_64(ch.column("text")), pa.uint64()),
+                }
+            )
+
+        inc = rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "ts", "user_id", "event_type", "props"],
+        ).map_batches(incoming, batch_format="pyarrow")
+
+        fp_tables = ray.get(fp_refs)
+        n_fp = sum(t.num_rows for t in fp_tables)
+
+        if n_fp > max_broadcast_hashes:
+            # 100 TB route: membership co-partitioned on the text hash
+            from .exchange import exchange_reduce, gather_concat
+
+            def member(pid: int, postings: pa.Table, fps: pa.Table) -> pa.Table:
+                if postings.num_rows == 0 or "lsn" not in postings.column_names:
+                    return pa.table(
+                        {"lsn": pa.array([], pa.int64()),
+                         "conv_id": pa.array([], pa.string()),
+                         "turn_idx": pa.array([], pa.int32()),
+                         "dup_of_state": pa.array([], pa.bool_())}
+                    )
+                h = postings.column("h").to_numpy().astype(np.uint64)
+                if fps.num_rows and "h" in fps.column_names:
+                    evh = np.unique(fps.column("h").to_numpy().astype(np.uint64))
+                else:
+                    evh = np.zeros(0, np.uint64)
+                return pa.table(
+                    {
+                        "lsn": postings.column("lsn"),
+                        "conv_id": postings.column("conv_id"),
+                        "turn_idx": postings.column("turn_idx"),
+                        "dup_of_state": pa.array(_member_sorted(h, evh)),
+                    }
+                )
+
+            t = gather_concat(
+                exchange_reduce([inc, rd.from_arrow(fp_tables)], ["h", "h"], member)
+            )
+        else:
+            fp_sorted = (
+                np.sort(
+                    np.concatenate(
+                        [t.column("h").to_numpy().astype(np.uint64)
+                         for t in fp_tables]
+                    )
+                )
+                if n_fp
+                else np.zeros(0, np.uint64)
+            )
+            fp_ref = ray.put(fp_sorted)
+
+            def verdict(t: pa.Table) -> pa.Table:
+                fps = ray.get(fp_ref)
+                h = t.column("h").to_numpy().astype(np.uint64)
+                return pa.table(
+                    {
+                        "lsn": t.column("lsn"),
+                        "conv_id": t.column("conv_id"),
+                        "turn_idx": t.column("turn_idx"),
+                        "dup_of_state": pa.array(_member_sorted(h, fps)),
+                    }
+                )
+
+            from ._util import ds_to_table
+
+            t = ds_to_table(inc.map_batches(verdict, batch_format="pyarrow"))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return finalize(t, [("lsn", "ascending")])

@@ -232,3 +232,19 @@ def test_role_stats_matches_naive_state_scan(ray_session):
                 r["total_chars"]) == (n, u, a, tr, tc, ch)
         assert r["agentic"] == (tc > 0)
     assert any(e[4] for e in expect.values())  # agentic signal present
+
+
+def test_incremental_dedup_paths_agree(ray_session):
+    """Broadcast and exchange membership routes are identical, and the
+    second-half events actually hit epoch-0 state texts (signal)."""
+    import pyarrow.compute as pc
+
+    from image_report_ray.pipelines.cdcq import cdc_incremental_dedup
+
+    sf = "/root/testdata/sf0.001"
+    a = cdc_incremental_dedup(sf)
+    b = cdc_incremental_dedup(sf, max_broadcast_hashes=0)
+    assert a.equals(b)
+    assert a.num_rows > 0
+    n_dup = pc.sum(pc.cast(a.column("dup_of_state"), "int64")).as_py()
+    assert 0 < n_dup < a.num_rows
