@@ -857,6 +857,44 @@ SELECT conv_id,
 FROM occ GROUP BY conv_id ORDER BY conv_id
 """,
         "cdc_incremental_dedup": _incdedup_sql(),
+        # snapshot diff: epoch-0 state (lsn below halfway) vs final
+        # state, FULL-JOINed on (conv_id, turn_idx); modified = text
+        # changed (an update rewriting identical text is unchanged —
+        # same rule as the kernel's vectorized outer merge)
+        "cdc_state_diff": CHANGELOG_CTE
+        + """
+, e0 AS (
+  SELECT conv_id, turn_idx, text FROM (
+    SELECT ch.*, ROW_NUMBER() OVER (
+        PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+    FROM ch WHERE lsn < (SELECT (MAX(event_id) + 1) // 2 FROM events)
+  ) WHERE rn = 1 AND op <> 'D'
+), fin AS (
+  SELECT conv_id, turn_idx, text FROM (
+    SELECT ch.*, ROW_NUMBER() OVER (
+        PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+    FROM ch
+  ) WHERE rn = 1 AND op <> 'D'
+), j AS (
+  SELECT COALESCE(e0.conv_id, fin.conv_id) AS conv_id,
+         e0.text AS t0, fin.text AS t1
+  FROM e0 FULL JOIN fin
+    ON e0.conv_id = fin.conv_id AND e0.turn_idx = fin.turn_idx
+)
+SELECT conv_id,
+       CAST(SUM(CASE WHEN t0 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_added,
+       CAST(SUM(CASE WHEN t1 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_removed,
+       CAST(SUM(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL
+                      AND t0 <> t1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_modified,
+       CAST(SUM(CASE WHEN t0 = t1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_unchanged,
+       SUM(CASE WHEN t0 IS NULL OR t1 IS NULL
+                 OR t0 <> t1 THEN 1 ELSE 0 END) > 0 AS changed
+FROM j GROUP BY conv_id ORDER BY conv_id
+""",
         # role-balance profile of the replayed state; tool-call count is
         # non-null `tool`, total_chars is utf8 length (ASCII corpus:
         # length == strlen on both engines)

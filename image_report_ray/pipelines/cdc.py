@@ -635,12 +635,13 @@ def canonical_state_dataset(lake: Lake):
     return rd.from_arrow_refs(refs)
 
 
-def canonical_state_table(lake: Lake) -> pa.Table:
+def canonical_state_table(lake: Lake, as_of: int | None = None) -> pa.Table:
     """Globally sorted canonical table — small-scale testing/export only
-    (the oracle-equality comparison surface)."""
+    (the oracle-equality comparison surface). ``as_of`` reads the
+    manifest's epoch snapshot (time travel) instead of the head."""
     from ..state.merge import fold_state_tables
 
-    sets = lake.current_file_sets()
+    sets = lake.current_file_sets(as_of)
     if not sets:
         return pa.table({})
     tables = []

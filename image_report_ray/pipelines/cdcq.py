@@ -521,3 +521,120 @@ def cdc_incremental_dedup(
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return finalize(t, [("lsn", "ascending")])
+
+
+def cdc_state_diff(sf_dir: str) -> pa.Table:
+    """Snapshot diff via TIME-TRAVEL reads: replay the changelog as two
+    committed epochs, then compare the epoch-0 snapshot (manifest
+    ``as_of=0``) against the current state — per conversation, how many
+    turns were added, removed, modified (text changed) or unchanged by
+    the second half of the log. Data files are immutable (GC/compaction
+    supersede via manifests, never delete), so the as-of file set always
+    resolves.
+
+    Partition-local like every state query here: pid routing is stable
+    across epochs, so one remote task per partition folds BOTH of its
+    snapshots and diffs them with a vectorized outer merge; only
+    per-conversation count rows reach the driver."""
+    import ray
+    import ray.data as rd
+
+    from ..sources.wal import max_event_id
+
+    thr = (max_event_id(sf_dir) + 1) // 2
+
+    d = tempfile.mkdtemp(prefix="irr-cdcq-")
+    try:
+        lake = Lake(d, num_partitions=_P)
+        cfg = EngineConfig(num_partitions=_P)
+        src = lambda: rd.read_parquet(  # noqa: E731
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "ts", "user_id", "event_type", "props"],
+        )
+        apply_epoch(lake, 0, src().map_batches(
+            lambda t: events_to_changelog(
+                t.filter(pc.less(t.column("event_id"), thr))
+            ),
+            batch_format="pyarrow",
+        ), cfg)
+        apply_epoch(lake, 1, src().map_batches(
+            lambda t: events_to_changelog(
+                t.filter(pc.greater_equal(t.column("event_id"), thr))
+            ),
+            batch_format="pyarrow",
+        ), cfg)
+
+        @ray.remote
+        def part_diff(paths0: list, paths1: list) -> pa.Table:
+            import numpy as np
+            import pandas as pd
+            import pyarrow.parquet as pq
+
+            from image_report_ray.state.merge import (
+                export_canonical,
+                fold_state_tables,
+            )
+
+            def snap(paths: list) -> pd.DataFrame:
+                folded = fold_state_tables([pq.read_table(p) for p in paths])
+                if folded is None:
+                    return pd.DataFrame(
+                        {"conv_id": pd.Series([], dtype="object"),
+                         "turn_idx": pd.Series([], dtype="int64"),
+                         "text": pd.Series([], dtype="object")}
+                    )
+                t = export_canonical(folded)
+                return pd.DataFrame(
+                    {"conv_id": t.column("conv_id").to_numpy(zero_copy_only=False),
+                     "turn_idx": t.column("turn_idx").to_numpy().astype("int64"),
+                     "text": t.column("text").to_numpy(zero_copy_only=False)}
+                )
+
+            m = snap(paths0).merge(
+                snap(paths1), on=["conv_id", "turn_idx"], how="outer",
+                suffixes=("_0", "_1"),
+            )
+            in0, in1 = m["text_0"].notna(), m["text_1"].notna()
+            m["added"] = (~in0 & in1).astype("int64")
+            m["removed"] = (in0 & ~in1).astype("int64")
+            m["modified"] = (in0 & in1 & (m["text_0"] != m["text_1"])).astype("int64")
+            m["unchanged"] = (in0 & in1 & (m["text_0"] == m["text_1"])).astype("int64")
+            g = m.groupby("conv_id", sort=False)[
+                ["added", "removed", "modified", "unchanged"]
+            ].sum().reset_index()
+            return pa.table(
+                {
+                    "conv_id": pa.array(g["conv_id"], pa.string()),
+                    "n_added": pa.array(g["added"], pa.int64()),
+                    "n_removed": pa.array(g["removed"], pa.int64()),
+                    "n_modified": pa.array(g["modified"], pa.int64()),
+                    "n_unchanged": pa.array(g["unchanged"], pa.int64()),
+                }
+            )
+
+        sets0 = lake.current_file_sets(as_of=0)
+        sets1 = lake.current_file_sets()
+        refs = [
+            part_diff.remote(sets0.get(pid, []), sets1.get(pid, []))
+            for pid in sorted(set(sets0) | set(sets1))
+        ]
+        tabs = [t for t in ray.get(refs) if t.num_rows]
+        if not tabs:
+            t = pa.table(
+                {"conv_id": pa.array([], pa.string()),
+                 "n_added": pa.array([], pa.int64()),
+                 "n_removed": pa.array([], pa.int64()),
+                 "n_modified": pa.array([], pa.int64()),
+                 "n_unchanged": pa.array([], pa.int64())}
+            )
+        else:
+            t = pa.concat_tables(tabs, promote_options="default")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    changed = pc.or_(
+        pc.or_(pc.greater(t.column("n_added"), 0),
+               pc.greater(t.column("n_removed"), 0)),
+        pc.greater(t.column("n_modified"), 0),
+    )
+    t = t.append_column("changed", changed)
+    return finalize(t, [("conv_id", "ascending")])

@@ -45,6 +45,7 @@ def query_registry() -> "dict[str, Callable[[str], Any]]":
         "cdc_loop_detect": cdcq.cdc_loop_detect,
         "cdc_role_stats": cdcq.cdc_role_stats,
         "cdc_incremental_dedup": cdcq.cdc_incremental_dedup,
+        "cdc_state_diff": cdcq.cdc_state_diff,
         "sample_split": text.sample_split,
         "shuffle_docs": text.shuffle_docs,
         "pack_docs": text.pack_docs,

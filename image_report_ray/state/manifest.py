@@ -174,15 +174,24 @@ class Lake:
         os.replace(tmp, path)
 
     # ---- current state resolution -----------------------------------
-    def current_entries(self) -> dict[int, dict]:
-        """pid -> latest committed entry.
+    def current_entries(self, as_of: int | None = None) -> dict[int, dict]:
+        """pid -> latest committed entry, optionally AS OF an epoch.
 
         Fold order: WAL-epoch commits and GC commits interleave by
         ``(epoch, kind)`` where a GC record sorts just after the epoch it
         compacted (``after_epoch``) — so a GC rewrite supersedes the
-        epochs it saw, and any later WAL epoch supersedes the GC."""
+        epochs it saw, and any later WAL epoch supersedes the GC.
+
+        ``as_of`` is the snapshot / time-travel read: fold only commits
+        with epoch <= as_of (and GC rewrites that saw only those epochs
+        — a GC's rewrite of data the snapshot covers is equivalent by
+        construction, its files LWW-fold to the same state). Commit
+        records are immutable once published, so an as-of read is
+        reproducible forever regardless of later epochs."""
         records: list[tuple[tuple, dict, dict]] = []
         for epoch in self.committed_epochs():
+            if as_of is not None and epoch > as_of:
+                continue
             rec = self.read_commit(epoch)
             records.append(
                 ((epoch, 0, 0), rec,
@@ -191,6 +200,8 @@ class Lake:
         for seq in self.gc_seqs():
             with open(self.gc_path(seq)) as f:
                 rec = json.load(f)
+            if as_of is not None and rec["after_epoch"] > as_of:
+                continue
             records.append(
                 (
                     (rec["after_epoch"], 1, rec["gc_seq"]),
@@ -212,12 +223,12 @@ class Lake:
             pid: os.path.join(self.root, e["file"]) for pid, e in self.current_entries().items()
         }
 
-    def current_file_sets(self) -> dict[int, list[str]]:
+    def current_file_sets(self, as_of: int | None = None) -> dict[int, list[str]]:
         """pid -> ordered composition list (base first, then deltas) that
-        LWW-folds to the partition's current state. COW entries and GC
-        rewrites have a single element."""
+        LWW-folds to the partition's current state (or the ``as_of``
+        snapshot). COW entries and GC rewrites have a single element."""
         out: dict[int, list[str]] = {}
-        for pid, e in self.current_entries().items():
+        for pid, e in self.current_entries(as_of).items():
             rels = e.get("files") or [e["file"]]
             out[pid] = [os.path.join(self.root, r) for r in rels]
         return out

@@ -248,3 +248,26 @@ def test_incremental_dedup_paths_agree(ray_session):
     assert a.num_rows > 0
     n_dup = pc.sum(pc.cast(a.column("dup_of_state"), "int64")).as_py()
     assert 0 < n_dup < a.num_rows
+
+
+def test_time_travel_snapshot_stable_after_later_epochs(ray_session, tmp_path):
+    """Manifest as-of reads: the epoch-0 snapshot read AFTER epoch 1
+    committed is bit-identical to the state captured before epoch 1 —
+    data files are immutable, so snapshots resolve forever."""
+    import ray.data as rd
+
+    from image_report_ray.config import EngineConfig
+    from image_report_ray.pipelines.cdc import apply_epoch, canonical_state_table
+    from image_report_ray.sources.synth import write_wal
+    from image_report_ray.state.manifest import Lake
+
+    wal_dir = str(tmp_path / "wal")
+    paths = write_wal(wal_dir, n_epochs=2, epoch_size=400, seed=11,
+                      n_convs=40, max_turns=8, dup_rate=0.0)
+    lake = Lake(str(tmp_path / "lake"), num_partitions=4)
+    cfg = EngineConfig(num_partitions=4)
+    apply_epoch(lake, 0, rd.read_parquet(paths[0]), cfg)
+    before = canonical_state_table(lake)
+    apply_epoch(lake, 1, rd.read_parquet(paths[1]), cfg)
+    assert canonical_state_table(lake, as_of=0).equals(before)
+    assert not canonical_state_table(lake).equals(before)
