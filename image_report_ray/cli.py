@@ -137,9 +137,12 @@ def cmd_export(args: argparse.Namespace) -> int:
         return 0
     from .pipelines.cdc import canonical_state_dataset
 
-    ds = canonical_state_dataset(lake)
+    as_of = getattr(args, "as_of", None)
+    ds = canonical_state_dataset(lake, as_of=as_of)
     ds.write_parquet(args.out_dir)
-    print(json.dumps({"rows": ds.count(), "out_dir": args.out_dir}))
+    print(json.dumps(
+        {"rows": ds.count(), "out_dir": args.out_dir, "as_of": as_of}
+    ))
     import ray
 
     ray.shutdown()
@@ -386,6 +389,10 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument(
         "--view", default=None,
         help="export this committed materialized view instead of the state",
+    )
+    e.add_argument(
+        "--as-of", type=int, default=None, dest="as_of",
+        help="time-travel: export the state snapshot as of this epoch",
     )
     e.add_argument("--num-cpus", type=int, default=None)
     e.set_defaults(fn=cmd_export)

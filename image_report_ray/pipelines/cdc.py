@@ -618,16 +618,17 @@ def _fold_remote():
     return _FOLD_REMOTE
 
 
-def canonical_state_dataset(lake: Lake):
+def canonical_state_dataset(lake: Lake, as_of: int | None = None):
     """Streaming canonical view: live rows, payload columns only.
 
     One fold task per partition (base + deltas LWW-folded there); the
     refs become Dataset blocks. No global sort — ordering is
     per-conversation within a partition (O3's stable reading-order
-    contract)."""
+    contract). ``as_of`` reads the manifest's epoch snapshot (time
+    travel) instead of the head."""
     import ray.data as rd
 
-    sets = lake.current_file_sets()
+    sets = lake.current_file_sets(as_of)
     if not sets:
         raise ValueError("lake has no committed state")
     fold = _fold_remote()

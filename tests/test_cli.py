@@ -224,3 +224,28 @@ def test_cli_query_list_run_and_unknown(ray_session, tmp_path, capsys):
     assert pq.read_metadata(out).num_rows == 500
 
     assert main(["query", "not_a_query", "/root/testdata/sf0.001"]) == 1
+
+
+def test_export_as_of_snapshot(ray_session, tmp_path, capsys):
+    """cli export --as-of writes the epoch-0 snapshot even after later
+    epochs committed (manifest time travel)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from image_report_ray.pipelines.cdc import canonical_state_table
+    from image_report_ray.state.manifest import Lake
+
+    wal = str(tmp_path / "wal")
+    lake = str(tmp_path / "lake")
+    out = str(tmp_path / "snap")
+    main(["gen", wal, "--epochs", "2", "--epoch-size", "400",
+          "--conversations", "30", "--parts", "2"])
+    assert main(["run", lake, wal, "--partitions", "4"]) == 0
+    assert main(["export", lake, out, "--as-of", "0"]) == 0
+    exported = pq.read_table(out)
+    expected = canonical_state_table(Lake(lake), as_of=0)
+    idx = pc.sort_indices(
+        exported, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]
+    )
+    assert exported.take(idx).select(expected.column_names).equals(expected)
+    assert not canonical_state_table(Lake(lake)).equals(expected)
