@@ -895,6 +895,29 @@ SELECT conv_id,
                  OR t0 <> t1 THEN 1 ELSE 0 END) > 0 AS changed
 FROM j GROUP BY conv_id ORDER BY conv_id
 """,
+        # tool-use Markov profile: adjacent pairs of the per-conversation
+        # tool-call subsequence (non-null tool, turn order)
+        "cdc_tool_transitions": CHANGELOG_CTE
+        + """
+, final AS (
+    SELECT conv_id, turn_idx, tool
+    FROM (
+        SELECT ch.*, ROW_NUMBER() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+        FROM ch
+    )
+    WHERE rn = 1 AND op <> 'D'
+), seq AS (
+    SELECT conv_id, tool,
+           LEAD(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+               AS next_tool
+    FROM final WHERE tool IS NOT NULL
+)
+SELECT tool AS tool_a, next_tool AS tool_b,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM seq WHERE next_tool IS NOT NULL
+GROUP BY tool, next_tool ORDER BY tool_a, tool_b
+""",
         # role-balance profile of the replayed state; tool-call count is
         # non-null `tool`, total_chars is utf8 length (ASCII corpus:
         # length == strlen on both engines)

@@ -638,3 +638,71 @@ def cdc_state_diff(sf_dir: str) -> pa.Table:
     )
     t = t.append_column("changed", changed)
     return finalize(t, [("conv_id", "ascending")])
+
+
+def cdc_tool_transitions(sf_dir: str) -> pa.Table:
+    """Tool-use transition profile over the REPLAYED state: for every
+    conversation, the tool-call subsequence (turns with non-null
+    ``tool``, in turn order) contributes its adjacent (tool_a ->
+    tool_b) pairs; output is the corpus-wide transition count table —
+    the Markov profile used to spot degenerate tool loops in agent
+    traces. Each partition computes its transition partials vectorized
+    (boolean masks over the already-sorted canonical state); the tool
+    vocabulary is fixed-cardinality, so the driver folds O(tools^2)
+    rows with one Arrow group_by."""
+    import ray
+
+    def mine(lake, cfg):
+        apply_epoch(lake, 0, changelog_dataset(sf_dir), cfg)
+
+        @ray.remote
+        def part_trans(paths: list) -> pa.Table:
+            import numpy as np
+            import pyarrow.parquet as pq
+
+            from image_report_ray.state.merge import (
+                export_canonical,
+                fold_state_tables,
+            )
+
+            folded = fold_state_tables([pq.read_table(p) for p in paths])
+            if folded is None:
+                return pa.table({})
+            t = export_canonical(folded)  # sorted (conv_id, turn_idx)
+            mask = t.column("tool").is_valid().to_numpy(zero_copy_only=False)
+            conv = t.column("conv_id").to_numpy(zero_copy_only=False)[mask]
+            tool = t.column("tool").to_numpy(zero_copy_only=False)[mask]
+            if len(tool) < 2:
+                return pa.table({})
+            adj = conv[:-1] == conv[1:]
+            pairs = pa.table(
+                {"tool_a": pa.array(tool[:-1][adj]),
+                 "tool_b": pa.array(tool[1:][adj])}
+            )
+            g = pairs.group_by(["tool_a", "tool_b"]).aggregate([([], "count_all")])
+            return g.rename_columns(["tool_a", "tool_b", "n_part"])
+
+        sets = lake.current_file_sets()
+        refs = [part_trans.remote(paths) for _, paths in sorted(sets.items())]
+        tabs = [t for t in ray.get(refs) if t.num_rows]
+        if not tabs:
+            return pa.table(
+                {"tool_a": pa.array([], pa.string()),
+                 "tool_b": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64())}
+            )
+        allp = pa.concat_tables(tabs, promote_options="default")
+        g = allp.group_by(["tool_a", "tool_b"]).aggregate([("n_part", "sum")])
+        return pa.table(
+            {"tool_a": g.column("tool_a"), "tool_b": g.column("tool_b"),
+             "n": g.column("n_part_sum").cast(pa.int64())}
+        )
+
+    d = tempfile.mkdtemp(prefix="irr-cdcq-")
+    try:
+        lake = Lake(d, num_partitions=_P)
+        cfg = EngineConfig(num_partitions=_P)
+        t = mine(lake, cfg)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return finalize(t, [("tool_a", "ascending"), ("tool_b", "ascending")])

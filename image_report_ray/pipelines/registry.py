@@ -46,6 +46,7 @@ def query_registry() -> "dict[str, Callable[[str], Any]]":
         "cdc_role_stats": cdcq.cdc_role_stats,
         "cdc_incremental_dedup": cdcq.cdc_incremental_dedup,
         "cdc_state_diff": cdcq.cdc_state_diff,
+        "cdc_tool_transitions": cdcq.cdc_tool_transitions,
         "sample_split": text.sample_split,
         "shuffle_docs": text.shuffle_docs,
         "pack_docs": text.pack_docs,

@@ -271,3 +271,34 @@ def test_time_travel_snapshot_stable_after_later_epochs(ray_session, tmp_path):
     apply_epoch(lake, 1, rd.read_parquet(paths[1]), cfg)
     assert canonical_state_table(lake, as_of=0).equals(before)
     assert not canonical_state_table(lake).equals(before)
+
+
+def test_tool_transitions_matches_naive_state_scan(ray_session):
+    """cdc_tool_transitions == per-conv adjacent-pair counting over the
+    naive-oracle state's tool subsequences."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from image_report_ray.pipelines.cdcq import cdc_tool_transitions
+    from image_report_ray.sources.wal import events_to_changelog
+    from image_report_ray.state.oracle import apply_naive
+
+    sf = "/root/testdata/sf0.001"
+    state = apply_naive(
+        events_to_changelog(pq.read_table(f"{sf}/events.parquet"))
+    )
+    seqs: dict = {}
+    for r in state.to_pylist():  # sorted (conv_id, turn_idx)
+        if r["tool"] is not None:
+            seqs.setdefault(r["conv_id"], []).append(r["tool"])
+    expect = Counter()
+    for s in seqs.values():
+        for a, b in zip(s, s[1:]):
+            expect[(a, b)] += 1
+
+    got = cdc_tool_transitions(sf)
+    assert {
+        (r["tool_a"], r["tool_b"]): r["n"] for r in got.to_pylist()
+    } == dict(expect)
+    assert sum(expect.values()) > 0
