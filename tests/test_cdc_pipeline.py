@@ -302,3 +302,31 @@ def test_tool_transitions_matches_naive_state_scan(ray_session):
         (r["tool_a"], r["tool_b"]): r["n"] for r in got.to_pylist()
     } == dict(expect)
     assert sum(expect.values()) > 0
+
+
+def test_shared_lake_cache_invalidates_on_regenerated_events(ray_session, tmp_path):
+    """The cdcq shared-lake cache keys on events.parquet content
+    (size+mtime): regenerating the table in place must rebuild, never
+    serve the stale replay (the IVF-cache staleness rule)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from image_report_ray.pipelines.cdcq import cdc_apply
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    src = pq.read_table("/root/testdata/sf0.001/events.parquet")
+    pq.write_table(src, sf / "events.parquet")
+    first = cdc_apply(str(sf))
+
+    # regenerate in place with half the events -> different state
+    half = src.slice(0, src.num_rows // 2)
+    pq.write_table(half, sf / "events.parquet")
+    second = cdc_apply(str(sf))
+    assert not second.equals(first)
+    # and the rebuilt replay matches a from-scratch naive oracle
+    from image_report_ray.sources.wal import events_to_changelog
+    from image_report_ray.state.oracle import apply_naive
+
+    expect = apply_naive(events_to_changelog(half))
+    assert second.select(expect.column_names).equals(expect)
