@@ -163,6 +163,30 @@ def cmd_compact(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_expire(args: argparse.Namespace) -> int:
+    """TTL retention: tombstone turns older than --before-ts through the
+    normal exactly-once epoch commit (audit trail in lineage; pre-expiry
+    snapshots stay readable via export --as-of until GC)."""
+    _init_ray(args.num_cpus)
+    from .pipelines.cdc import expire_turns
+    from .state.manifest import Lake
+
+    cutoff = args.before_ts
+    if not cutoff.lstrip("-").isdigit():
+        import pandas as pd
+
+        cutoff = pd.Timestamp(cutoff).value // 1000  # ns -> us
+    else:
+        cutoff = int(cutoff)
+    lake = Lake(args.lake_dir)
+    res = expire_turns(lake, cutoff)
+    print(json.dumps(res))
+    import ray
+
+    ray.shutdown()
+    return 0
+
+
 def cmd_query(args: argparse.Namespace) -> int:
     """Run any named pipeline from the engine's query registry over a
     standard table directory — the user-facing surface of every operator
@@ -425,6 +449,19 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--before-lsn", type=int, required=True)
     c.add_argument("--num-cpus", type=int, default=None)
     c.set_defaults(fn=cmd_compact)
+
+    x = sub.add_parser(
+        "expire",
+        parents=[lp],
+        help="TTL retention: tombstone turns with ts older than the "
+             "cutoff (epoch microseconds or an ISO timestamp) via a "
+             "normal exactly-once epoch commit",
+    )
+    x.add_argument("lake_dir")
+    x.add_argument("--before-ts", required=True,
+                   help="cutoff: integer epoch microseconds or ISO-8601")
+    x.add_argument("--num-cpus", type=int, default=None)
+    x.set_defaults(fn=cmd_expire)
 
     return p
 

@@ -656,3 +656,88 @@ def canonical_state_table(lake: Lake, as_of: int | None = None) -> pa.Table:
     return t.take(
         pc.sort_indices(t, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")])
     )
+
+
+def expire_turns(
+    lake: Lake, before_ts_us: int, cfg: EngineConfig | None = None
+) -> dict:
+    """TTL retention: tombstone every LIVE turn whose ``ts`` is older
+    than ``before_ts_us`` (epoch microseconds) — the data-retention /
+    PII-expiry maintenance pass a transcript lake runs on schedule.
+
+    The deletes are generated FROM the lake's own state (one remote
+    scan per partition emits D change-events for its expired turns,
+    lsn'd above every applied event so LWW always wins) and applied
+    through the NORMAL epoch commit: exactly-once manifest promotion,
+    lineage XML audit trail, materialized-view maintenance, and the
+    pre-expiry state remains readable via ``as_of`` time travel until a
+    GC rewrite drops the tombstones. Re-running with the same cutoff is
+    a no-op (nothing left to expire -> no epoch committed)."""
+    import ray
+    import ray.data as rd
+
+    cur = lake.current_entries()
+    if not cur:
+        return {"expired": 0, "epoch": None}
+    base_lsn = max(int(e["last_lsn"]) for e in cur.values()) + 1
+    epoch = max(lake.committed_epochs()) + 1
+
+    @ray.remote
+    def del_rows(paths: list, cutoff_us: int, base: int) -> pa.Table:
+        import numpy as np
+
+        from image_report_ray.state.merge import (
+            export_canonical,
+            fold_state_tables,
+        )
+
+        empty = pa.table(
+            {
+                "lsn": pa.array([], pa.int64()),
+                "op": pa.array([], pa.string()),
+                "conv_id": pa.array([], pa.string()),
+                "turn_idx": pa.array([], pa.int32()),
+                "role": pa.array([], pa.string()),
+                "text": pa.array([], pa.string()),
+                "tool": pa.array([], pa.string()),
+                "ts": pa.array([], pa.timestamp("us")),
+            }
+        )
+        folded = fold_state_tables([pq.read_table(p) for p in paths])
+        if folded is None:
+            return empty
+        t = export_canonical(folded)  # sorted (conv_id, turn_idx)
+        mask = pc.less(
+            t.column("ts"), pa.scalar(cutoff_us, pa.timestamp("us"))
+        )
+        sub = t.filter(pc.fill_null(mask, False))
+        n = sub.num_rows
+        if n == 0:
+            return empty
+        # deterministic per-partition lsns; cross-partition collisions
+        # are harmless (distinct keys, distinct partitions) and every
+        # lsn exceeds all applied events, so the tombstone LWW-wins
+        return pa.table(
+            {
+                "lsn": pa.array(base + np.arange(n, dtype=np.int64)),
+                "op": pa.array(np.full(n, "D")),
+                "conv_id": sub.column("conv_id"),
+                "turn_idx": sub.column("turn_idx"),
+                "role": pa.nulls(n, pa.string()),
+                "text": pa.nulls(n, pa.string()),
+                "tool": pa.nulls(n, pa.string()),
+                "ts": pa.nulls(n, pa.timestamp("us")),
+            }
+        )
+
+    sets = lake.current_file_sets()
+    refs = [
+        del_rows.remote(paths, before_ts_us, base_lsn)
+        for _, paths in sorted(sets.items())
+    ]
+    tabs = ray.get(refs)
+    n_expired = sum(t.num_rows for t in tabs)
+    if n_expired == 0:
+        return {"expired": 0, "epoch": None}
+    apply_epoch(lake, epoch, rd.from_arrow(tabs), cfg)
+    return {"expired": int(n_expired), "epoch": int(epoch)}

@@ -330,3 +330,39 @@ def test_shared_lake_cache_invalidates_on_regenerated_events(ray_session, tmp_pa
 
     expect = apply_naive(events_to_changelog(half))
     assert second.select(expect.column_names).equals(expect)
+
+
+def test_expire_turns_matches_filtered_oracle(ray_session, tmp_path):
+    """TTL expiry: tombstoning turns older than the cutoff through the
+    real commit path leaves exactly the oracle state with those rows
+    filtered; re-running is a no-op; pre-expiry state stays readable
+    via time travel; the lake still validates."""
+    import pyarrow.compute as pc
+
+    from image_report_ray.pipelines.cdc import expire_turns
+
+    cfg = EngineConfig(num_partitions=8, batch_size=256)
+    d = str(tmp_path / "wal")
+    write_wal(d, n_epochs=3, epoch_size=400, **GEN)
+    lake_dir = str(tmp_path / "lake")
+    run_job(lake_dir, d, cfg)
+    lake = Lake(lake_dir)
+
+    before = canonical_state_table(lake)
+    cutoff = int(
+        pc.approximate_median(before.column("ts").cast(pa.int64())).as_py()
+    )
+    res = expire_turns(lake, cutoff, cfg)
+    assert res["expired"] > 0 and res["epoch"] == 3
+
+    want = golden().filter(
+        pc.greater_equal(golden().column("ts").cast(pa.int64()), cutoff)
+    )
+    got = canonical_state_table(Lake(lake_dir))
+    assert got.equals(want)
+
+    # idempotent: nothing left to expire -> no new epoch
+    res2 = expire_turns(Lake(lake_dir), cutoff, cfg)
+    assert res2 == {"expired": 0, "epoch": None}
+    # pre-expiry snapshot still readable (time travel)
+    assert canonical_state_table(Lake(lake_dir), as_of=2).equals(before)
