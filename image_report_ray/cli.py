@@ -187,6 +187,22 @@ def cmd_expire(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_reshard(args: argparse.Namespace) -> int:
+    """Migrate the lake's current state to a new lake with a different
+    partition count (P is immutable per lake); the WAL stream resumes on
+    the new lake at the next epoch number."""
+    _init_ray(args.num_cpus)
+    from .pipelines.cdc import reshard_lake
+    from .state.manifest import Lake
+
+    res = reshard_lake(Lake(args.src_lake), args.dst_lake, args.partitions)
+    print(json.dumps(res))
+    import ray
+
+    ray.shutdown()
+    return 0
+
+
 def cmd_query(args: argparse.Namespace) -> int:
     """Run any named pipeline from the engine's query registry over a
     standard table directory — the user-facing surface of every operator
@@ -462,6 +478,18 @@ def build_parser() -> argparse.ArgumentParser:
                    help="cutoff: integer epoch microseconds or ISO-8601")
     x.add_argument("--num-cpus", type=int, default=None)
     x.set_defaults(fn=cmd_expire)
+
+    rs = sub.add_parser(
+        "reshard",
+        parents=[lp],
+        help="migrate current state to a new lake with a different "
+             "partition count (the WAL resumes on the new lake)",
+    )
+    rs.add_argument("src_lake")
+    rs.add_argument("dst_lake")
+    rs.add_argument("--partitions", type=positive_int, required=True)
+    rs.add_argument("--num-cpus", type=int, default=None)
+    rs.set_defaults(fn=cmd_reshard)
 
     return p
 

@@ -464,7 +464,15 @@ def run_job(
     )
     P = lake.num_partitions
     epochs = discover_epochs(wal_dir)
-    pending = [e for e in epochs if not lake.is_committed(e)]
+    # skip everything at or below the newest commit, not just exact
+    # members: commits are sequential so the set is a prefix in normal
+    # operation, but a resharded lake carries ONE migration commit at
+    # the source's max epoch that covers everything before it
+    committed = lake.committed_epochs()
+    high = max(committed) if committed else -1
+    pending = [
+        e for e in epochs if e > high and not lake.is_committed(e)
+    ]
     t0 = time.perf_counter()
     applied_epochs, skipped_epochs, events, files_skipped = 0, 0, 0, 0
     skipped_epochs = len(epochs) - len(pending)
@@ -741,3 +749,135 @@ def expire_turns(
         return {"expired": 0, "epoch": None}
     apply_epoch(lake, epoch, rd.from_arrow(tabs), cfg)
     return {"expired": int(n_expired), "epoch": int(epoch)}
+
+
+def reshard_lake(src: Lake, dst_root: str, new_partitions: int) -> dict:
+    """Migrate the lake's CURRENT state to a NEW lake with a different
+    partition count. P is immutable for a lake's lifetime (manifest.py
+    enforces it), so growing a deployment is a state MIGRATION — this is
+    that migration, expressed as the engine's own exchange shape.
+
+    One remote task per SOURCE partition folds its state chain and
+    splits it into ``new_partitions`` slices under the same crc32
+    routing (``num_returns`` object-store exchange); one task per DEST
+    partition concats its column of slices in src-pid order, re-sorts to
+    the canonical (conv_id, turn_idx) state order, writes its state file
+    and computes its commit entry. Per-row lsns and tombstones migrate
+    untouched and every dest checkpoint carries the GLOBAL max
+    ``last_lsn``, so LWW, staleness and exactly-once semantics hold for
+    anything delivered after the cutover. The migration commits at the
+    source's max committed epoch, so the WAL stream resumes at the next
+    epoch number with no renumbering."""
+    import ray
+
+    src_entries = src.current_entries()
+    if not src_entries:
+        raise ValueError("source lake has no committed state")
+    global_lsn = max(int(e["last_lsn"]) for e in src_entries.values())
+    epoch = max(src.committed_epochs())
+    dst = Lake(dst_root, num_partitions=new_partitions)
+
+    @ray.remote
+    def split_src(paths: list, P: int):
+        from ..stages.derive import make_add_pid
+        from ..state.merge import fold_state_tables
+
+        folded = fold_state_tables([pq.read_table(p) for p in paths])
+        if folded is None:
+            return tuple(pa.table({}) for _ in range(P))
+        t = make_add_pid(P)(folded)
+        pid = t.column(PID_COL)
+        if isinstance(pid, pa.ChunkedArray):
+            pid = pid.combine_chunks()
+        pid_np = pid.to_numpy(zero_copy_only=False)
+        order = np.argsort(pid_np, kind="stable")
+        t = t.take(pa.array(order)).drop_columns([PID_COL])
+        bounds = np.searchsorted(pid_np[order], np.arange(P + 1))
+        return tuple(
+            t.slice(bounds[i], bounds[i + 1] - bounds[i]) for i in range(P)
+        )
+
+    @ray.remote
+    def write_dst(pid: int, lsn: int, root: str, ep: int, *slices) -> dict:
+        t0 = time.perf_counter()
+        parts = [s for s in slices if s.num_rows]
+        if not parts:  # empty dest partition: absent from the manifest
+            return None
+        t = concat_evolving(parts)
+        t = t.take(
+            pc.sort_indices(
+                t,
+                sort_keys=[("conv_id", "ascending"),
+                           ("turn_idx", "ascending")],
+            )
+        )
+        rel = os.path.join("data", f"epoch={ep:05d}", f"pid={pid:05d}.parquet")
+        Lake.write_state_file(t, os.path.join(root, rel))
+        tomb = int(
+            pc.sum(pc.cast(t.column(DELETED_COL), pa.int64())).as_py() or 0
+        )
+        return {
+            "pid": pid,
+            "file": rel,
+            "rows_live": t.num_rows - tomb,
+            "tombstoned": tomb,
+            "keys_total": t.num_rows,
+            "last_lsn": lsn,
+            "digest": table_digest(t),
+            "duration_sec": time.perf_counter() - t0,
+        }
+
+    sets = src.current_file_sets()
+    cols = [
+        split_src.options(num_returns=new_partitions).remote(paths, new_partitions)
+        for _, paths in sorted(sets.items())
+    ]
+    if new_partitions == 1:  # num_returns=1 yields a bare ref
+        cols = [[c] for c in cols]
+    entry_refs = [
+        write_dst.remote(
+            pid, global_lsn, dst.root, epoch, *[col[pid] for col in cols]
+        )
+        for pid in range(new_partitions)
+    ]
+    entries: dict[int, dict] = {}
+    moved = 0
+    for row in ray.get(entry_refs):
+        if row is None:
+            continue
+        pid = int(row["pid"])
+        stats = MergeStats(
+            **{k: 0 for k in _STATS_FIELDS
+               if k not in ("rows_live", "tombstoned", "keys_total", "last_lsn")},
+            rows_live=int(row["rows_live"]),
+            tombstoned=int(row["tombstoned"]),
+            keys_total=int(row["keys_total"]),
+            last_lsn=int(row["last_lsn"]),
+            hot_keys=[],
+        )
+        report = build_partition_report(
+            pid=pid, epoch=epoch, stats=stats, digest=row["digest"],
+            duration_sec=float(row["duration_sec"]),
+            params={"num_partitions": new_partitions, "resharded_from":
+                    src.num_partitions},
+        )
+        write_report(report, dst.lineage_path(epoch, pid))
+        moved += int(row["keys_total"])
+        entries[pid] = {
+            "file": row["file"],
+            "files": [row["file"]],
+            "last_lsn": int(row["last_lsn"]),
+            "rows_live": int(row["rows_live"]),
+            "tombstoned": int(row["tombstoned"]),
+            "keys_total": int(row["keys_total"]),
+            "digest": row["digest"],
+            "received": 0,
+            "applied": 0,
+            "views": {},
+        }
+    dst.commit(epoch, entries)
+    return {
+        "epoch": int(epoch),
+        "partitions": int(new_partitions),
+        "keys_moved": int(moved),
+    }

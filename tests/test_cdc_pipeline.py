@@ -366,3 +366,38 @@ def test_expire_turns_matches_filtered_oracle(ray_session, tmp_path):
     assert res2 == {"expired": 0, "epoch": None}
     # pre-expiry snapshot still readable (time travel)
     assert canonical_state_table(Lake(lake_dir), as_of=2).equals(before)
+
+
+def test_reshard_preserves_state_and_stream(ray_session, tmp_path):
+    """Resharding mid-stream: migrate after 2 of 3 epochs to a different
+    P, continue the WAL on the new lake — final state equals the
+    uninterrupted oracle, the new lake validates, and tombstones/lsns
+    survived the move (a late redelivery of an old event is a no-op)."""
+    from image_report_ray.pipelines.cdc import discover_epochs, reshard_lake
+
+    cfg = EngineConfig(num_partitions=8, batch_size=256)
+    d = str(tmp_path / "wal")
+    write_wal(d, n_epochs=3, epoch_size=400, **GEN)
+    src_dir = str(tmp_path / "lake8")
+    epochs = discover_epochs(d)
+    src = Lake(src_dir, num_partitions=8)
+    apply_epoch(src, 0, epochs[0], cfg)
+    apply_epoch(src, 1, epochs[1], cfg)
+
+    dst_dir = str(tmp_path / "lake5")
+    res = reshard_lake(Lake(src_dir), dst_dir, 5)
+    assert res["partitions"] == 5 and res["epoch"] == 1
+    # migrated state == source state, under the new partitioning
+    assert canonical_state_table(Lake(dst_dir)).equals(
+        canonical_state_table(Lake(src_dir))
+    )
+
+    # stream continues on the new lake; epochs 0/1 are already covered
+    cfg5 = EngineConfig(num_partitions=5, batch_size=256)
+    summary = run_job(dst_dir, d, cfg5)
+    assert summary["epochs_applied"] == 1 and summary["epochs_skipped"] == 2
+    assert canonical_state_table(Lake(dst_dir)).equals(golden())
+
+    # exactly-once across the migration: redelivering epoch 1 is a no-op
+    assert apply_epoch(Lake(dst_dir), 1, epochs[1], cfg5) is None
+    assert canonical_state_table(Lake(dst_dir)).equals(golden())
