@@ -401,3 +401,36 @@ def test_reshard_preserves_state_and_stream(ray_session, tmp_path):
     # exactly-once across the migration: redelivering epoch 1 is a no-op
     assert apply_epoch(Lake(dst_dir), 1, epochs[1], cfg5) is None
     assert canonical_state_table(Lake(dst_dir)).equals(golden())
+
+
+def test_reshard_desalts_hot_conversation(ray_session, tmp_path):
+    """Resharding a SALTED lake re-co-locates each conversation under the
+    plain crc32 routing (state equality preserved) — the cooled-hot-key
+    migration path."""
+    from image_report_ray.pipelines.cdc import reshard_lake
+
+    d = str(tmp_path / "wal")
+    write_wal(d, n_epochs=2, epoch_size=800, seed=8, n_convs=50, max_turns=16,
+              hot_frac=0.5, n_hot=1)
+    hot = frozenset({"conv-00000000"})
+    cfg = EngineConfig(num_partitions=8, batch_size=256, salt_factor=4)
+    src_dir = str(tmp_path / "lake-salted")
+    run_job(src_dir, d, cfg, salt_keys=hot)
+
+    dst_dir = str(tmp_path / "lake-desalted")
+    reshard_lake(Lake(src_dir), dst_dir, 6)
+    want = apply_naive(
+        full_changelog(2, 800, seed=8, n_convs=50, max_turns=16,
+                       hot_frac=0.5, n_hot=1)
+    )
+    assert canonical_state_table(Lake(dst_dir)).equals(want)
+
+    # the hot conversation now lives in exactly ONE partition
+    import pyarrow.parquet as pq
+
+    pids_with_hot = set()
+    for pid, f in Lake(dst_dir).current_files().items():
+        t = pq.read_table(f, columns=["conv_id"])
+        if "conv-00000000" in set(t.column("conv_id").to_pylist()):
+            pids_with_hot.add(pid)
+    assert len(pids_with_hot) == 1
