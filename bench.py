@@ -281,6 +281,10 @@ def run_textbench(num_cpus: int) -> dict:
         ("tokenize_bpe", text.tokenize_bpe),
         ("top_tokens", text.top_tokens),
         ("fingerprint_docs", text.fingerprint_docs),
+        ("repetition_stats", text.repetition_stats),
+        ("redact_text", text.redact_text),
+        ("content_flags", text.content_flags),
+        ("decontaminate", dedup.decontaminate),
     ):
         t0 = time.perf_counter()
         r = fn(TEXTBENCH_DIR)
