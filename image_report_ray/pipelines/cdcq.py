@@ -503,8 +503,11 @@ def cdc_incremental_dedup(
         columns=["event_id", "ts", "user_id", "event_type", "props"],
     ).map_batches(incoming, batch_format="pyarrow")
 
-    fp_tables = ray.get(fp_refs)
-    n_fp = sum(t.num_rows for t in fp_tables)
+    # gate WITHOUT gathering the fingerprints: count remotely, fetch the
+    # tables only on the broadcast branch (the exchange branch consumes
+    # the refs in place — the driver never holds the fingerprint set)
+    nrows = ray.remote(lambda t: t.num_rows)
+    n_fp = sum(ray.get([nrows.remote(r) for r in fp_refs]))
 
     if n_fp > max_broadcast_hashes:
         # 100 TB route: membership co-partitioned on the text hash
@@ -533,9 +536,10 @@ def cdc_incremental_dedup(
             )
 
         t = gather_concat(
-            exchange_reduce([inc, rd.from_arrow(fp_tables)], ["h", "h"], member)
+            exchange_reduce([inc, fp_refs], ["h", "h"], member)
         )
     else:
+        fp_tables = ray.get(fp_refs)
         fp_sorted = (
             np.sort(
                 np.concatenate(
