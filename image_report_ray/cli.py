@@ -203,6 +203,22 @@ def cmd_reshard(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_bootstrap(args: argparse.Namespace) -> int:
+    """Bootstrap a lake from an existing plain transcripts Parquet table
+    (migration INTO the engine); start the WAL at epoch+1."""
+    _init_ray(args.num_cpus)
+    from .pipelines.cdc import bootstrap_lake
+
+    res = bootstrap_lake(
+        args.src_parquet, args.lake_dir, args.partitions, epoch=args.epoch
+    )
+    print(json.dumps(res))
+    import ray
+
+    ray.shutdown()
+    return 0
+
+
 def cmd_query(args: argparse.Namespace) -> int:
     """Run any named pipeline from the engine's query registry over a
     standard table directory — the user-facing surface of every operator
@@ -490,6 +506,19 @@ def build_parser() -> argparse.ArgumentParser:
     rs.add_argument("--partitions", type=positive_int, required=True)
     rs.add_argument("--num-cpus", type=int, default=None)
     rs.set_defaults(fn=cmd_reshard)
+
+    b = sub.add_parser(
+        "bootstrap",
+        parents=[lp],
+        help="load an existing plain transcripts parquet as committed "
+             "initial state (start the WAL at epoch+1)",
+    )
+    b.add_argument("src_parquet")
+    b.add_argument("lake_dir")
+    b.add_argument("--partitions", type=positive_int, required=True)
+    b.add_argument("--epoch", type=int, default=0)
+    b.add_argument("--num-cpus", type=int, default=None)
+    b.set_defaults(fn=cmd_bootstrap)
 
     return p
 

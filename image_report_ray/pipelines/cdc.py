@@ -51,7 +51,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..config import EngineConfig
-from ..schema import DELETED_COL, PID_COL, concat_evolving
+from ..schema import DELETED_COL, LSN_COL, PID_COL, concat_evolving
 from ..stages.derive import make_add_pid, validate_changes
 from ..state.manifest import Lake
 from ..state.merge import (
@@ -881,3 +881,120 @@ def reshard_lake(src: Lake, dst_root: str, new_partitions: int) -> dict:
         "partitions": int(new_partitions),
         "keys_moved": int(moved),
     }
+
+
+def bootstrap_lake(
+    src_parquet: str, lake_root: str, num_partitions: int, epoch: int = 0
+) -> dict:
+    """Bootstrap a lake FROM an existing plain transcripts Parquet table
+    (columns ``conv_id, turn_idx, role, text, tool, ts`` — the input
+    shape) — the migration INTO the engine: load the current corpus once
+    as committed initial state, then let the WAL stream apply on top.
+
+    Rows get ``_lsn = -1`` (no originating event): every real change
+    event (lsn >= 0) LWW-wins over the bootstrap row, and the -1
+    checkpoint watermark means nothing is ever mistaken for a duplicate
+    delivery. Commits at ``epoch`` (default 0); start the WAL at
+    ``epoch + 1``. Same exchange shape as :func:`reshard_lake`: split
+    tasks route rows, one writer per destination partition."""
+    import ray
+    import ray.data as rd
+
+    lake = Lake(lake_root, num_partitions=num_partitions)
+    if lake.committed_epochs():
+        raise ValueError("bootstrap target lake already has commits")
+
+    @ray.remote
+    def split_block(block: pa.Table, P: int):
+        from ..stages.derive import make_add_pid
+
+        t = block.append_column(
+            LSN_COL, pa.array(np.full(block.num_rows, -1, np.int64))
+        ).append_column(
+            DELETED_COL, pa.array(np.zeros(block.num_rows, bool))
+        )
+        t = make_add_pid(P)(t)
+        pid = t.column(PID_COL)
+        if isinstance(pid, pa.ChunkedArray):
+            pid = pid.combine_chunks()
+        pid_np = pid.to_numpy(zero_copy_only=False)
+        order = np.argsort(pid_np, kind="stable")
+        t = t.take(pa.array(order)).drop_columns([PID_COL])
+        bounds = np.searchsorted(pid_np[order], np.arange(P + 1))
+        return tuple(
+            t.slice(bounds[i], bounds[i + 1] - bounds[i]) for i in range(P)
+        )
+
+    @ray.remote
+    def write_boot(pid: int, root: str, ep: int, *slices) -> dict | None:
+        t0 = time.perf_counter()
+        parts = [s for s in slices if s.num_rows]
+        if not parts:
+            return None
+        t = concat_evolving(parts)
+        t = t.take(
+            pc.sort_indices(
+                t,
+                sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")],
+            )
+        )
+        rel = os.path.join("data", f"epoch={ep:05d}", f"pid={pid:05d}.parquet")
+        Lake.write_state_file(t, os.path.join(root, rel))
+        return {
+            "pid": pid,
+            "file": rel,
+            "rows_live": t.num_rows,
+            "tombstoned": 0,
+            "keys_total": t.num_rows,
+            "last_lsn": -1,
+            "digest": table_digest(t),
+            "duration_sec": time.perf_counter() - t0,
+        }
+
+    blocks = rd.read_parquet(src_parquet).to_arrow_refs()
+    cols = [
+        split_block.options(num_returns=num_partitions).remote(b, num_partitions)
+        for b in blocks
+    ]
+    if num_partitions == 1:
+        cols = [[c] for c in cols]
+    entry_refs = [
+        write_boot.remote(pid, lake.root, epoch, *[col[pid] for col in cols])
+        for pid in range(num_partitions)
+    ]
+    entries: dict[int, dict] = {}
+    loaded = 0
+    for row in ray.get(entry_refs):
+        if row is None:
+            continue
+        pid = int(row["pid"])
+        stats = MergeStats(
+            **{k: 0 for k in _STATS_FIELDS
+               if k not in ("rows_live", "tombstoned", "keys_total", "last_lsn")},
+            rows_live=int(row["rows_live"]),
+            tombstoned=0,
+            keys_total=int(row["keys_total"]),
+            last_lsn=-1,
+            hot_keys=[],
+        )
+        report = build_partition_report(
+            pid=pid, epoch=epoch, stats=stats, digest=row["digest"],
+            duration_sec=float(row["duration_sec"]),
+            params={"num_partitions": num_partitions, "bootstrap": True},
+        )
+        write_report(report, lake.lineage_path(epoch, pid))
+        loaded += int(row["keys_total"])
+        entries[pid] = {
+            "file": row["file"],
+            "files": [row["file"]],
+            "last_lsn": -1,
+            "rows_live": int(row["rows_live"]),
+            "tombstoned": 0,
+            "keys_total": int(row["keys_total"]),
+            "digest": row["digest"],
+            "received": 0,
+            "applied": 0,
+            "views": {},
+        }
+    lake.commit(epoch, entries)
+    return {"epoch": int(epoch), "rows_loaded": int(loaded)}

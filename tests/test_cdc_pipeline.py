@@ -434,3 +434,38 @@ def test_reshard_desalts_hot_conversation(ray_session, tmp_path):
         if "conv-00000000" in set(t.column("conv_id").to_pylist()):
             pids_with_hot.add(pid)
     assert len(pids_with_hot) == 1
+
+
+def test_bootstrap_then_wal_stream(ray_session, tmp_path):
+    """Bootstrap from a plain transcripts parquet == epoch-0 state; the
+    WAL stream applies on top with full LWW/delete semantics (bootstrap
+    rows at lsn -1 always lose to real events); lake validates."""
+    import pyarrow.parquet as pq
+
+    from image_report_ray.pipelines.cdc import bootstrap_lake
+
+    d = str(tmp_path / "wal")
+    write_wal(d, n_epochs=2, epoch_size=400, **GEN)
+    # the "existing corpus" = the epoch-0 replay state as a plain table
+    plain = apply_naive(full_changelog(1, 400, **GEN))
+    src = str(tmp_path / "corpus.parquet")
+    pq.write_table(plain, src)
+
+    lake_dir = str(tmp_path / "lake")
+    res = bootstrap_lake(src, lake_dir, 8, epoch=0)
+    assert res["rows_loaded"] == plain.num_rows
+    assert canonical_state_table(Lake(lake_dir)).equals(plain)
+
+    # WAL epoch 1 applies on top; final state == uninterrupted oracle
+    from image_report_ray.pipelines.cdc import discover_epochs
+
+    cfg = EngineConfig(num_partitions=8, batch_size=256)
+    epochs = discover_epochs(d)
+    apply_epoch(Lake(lake_dir), 1, epochs[1], cfg)
+    assert canonical_state_table(Lake(lake_dir)).equals(golden(n_epochs=2))
+
+    # double bootstrap refused
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bootstrap_lake(src, lake_dir, 8)
