@@ -219,6 +219,30 @@ def cmd_bootstrap(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_changefeed(args: argparse.Namespace) -> int:
+    """Emit the row-level change feed of a committed epoch (derived from
+    adjacent time-travel snapshots) as parquet or a JSON row count."""
+    _init_ray(args.num_cpus)
+    from .pipelines.cdc import changefeed
+    from .state.manifest import Lake
+
+    t = changefeed(Lake(args.lake_dir), args.epoch)
+    if args.out:
+        import pyarrow.parquet as pq
+
+        pq.write_table(t, args.out)
+    ops = t.column("op").to_pylist()
+    print(json.dumps(
+        {"epoch": args.epoch, "rows": t.num_rows,
+         "inserts": ops.count("I"), "updates": ops.count("U"),
+         "deletes": ops.count("D"), "out": args.out}
+    ))
+    import ray
+
+    ray.shutdown()
+    return 0
+
+
 def cmd_query(args: argparse.Namespace) -> int:
     """Run any named pipeline from the engine's query registry over a
     standard table directory — the user-facing surface of every operator
@@ -519,6 +543,19 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("--epoch", type=int, default=0)
     b.add_argument("--num-cpus", type=int, default=None)
     b.set_defaults(fn=cmd_bootstrap)
+
+    cf = sub.add_parser(
+        "changefeed",
+        parents=[lp],
+        help="emit the row-level change feed of a committed epoch "
+             "(derived from adjacent snapshots — CDC out)",
+    )
+    cf.add_argument("lake_dir")
+    cf.add_argument("--epoch", type=int, required=True)
+    cf.add_argument("--out", default=None,
+                    help="write the feed as parquet to this path")
+    cf.add_argument("--num-cpus", type=int, default=None)
+    cf.set_defaults(fn=cmd_changefeed)
 
     return p
 

@@ -469,3 +469,50 @@ def test_bootstrap_then_wal_stream(ray_session, tmp_path):
 
     with _pytest.raises(ValueError):
         bootstrap_lake(src, lake_dir, 8)
+
+
+def test_changefeed_matches_naive_snapshot_diff(ray_session, tmp_path):
+    """changefeed(epoch) == the I/U/D diff of naive replays up to the
+    adjacent epochs, with after-values on I/U rows and epoch 0 feeding
+    every initial row as I."""
+    cfg = EngineConfig(num_partitions=8, batch_size=256)
+    d = str(tmp_path / "wal")
+    write_wal(d, n_epochs=3, epoch_size=400, **GEN)
+    lake_dir = str(tmp_path / "lake")
+    run_job(lake_dir, d, cfg)
+    lake = Lake(lake_dir)
+
+    from image_report_ray.pipelines.cdc import changefeed
+
+    def naive_upto(k):
+        if k < 0:
+            return {}
+        t = apply_naive(full_changelog(k + 1, 400, **GEN))
+        return {
+            (r["conv_id"], r["turn_idx"]): (r["role"], r["text"], r["tool"], r["ts"])
+            for r in t.to_pylist()
+        }
+
+    for epoch in (0, 1, 2):
+        s0, s1 = naive_upto(epoch - 1), naive_upto(epoch)
+        expect = {}
+        for k in s1:
+            if k not in s0:
+                expect[k] = ("I", s1[k])
+            elif s1[k] != s0[k]:
+                expect[k] = ("U", s1[k])
+        for k in s0:
+            if k not in s1:
+                expect[k] = ("D", None)
+
+        feed = changefeed(lake, epoch)
+        got = {
+            (r["conv_id"], r["turn_idx"]): (
+                r["op"],
+                None if r["op"] == "D"
+                else (r["role"], r["text"], r["tool"], r["ts"]),
+            )
+            for r in feed.to_pylist()
+        }
+        assert got == expect, f"epoch {epoch}"
+        assert feed.num_rows > 0
