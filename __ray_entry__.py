@@ -877,22 +877,25 @@ FROM occ GROUP BY conv_id ORDER BY conv_id
   ) WHERE rn = 1 AND op <> 'D'
 ), j AS (
   SELECT COALESCE(e0.conv_id, fin.conv_id) AS conv_id,
+         e0.conv_id IS NOT NULL AS p0, fin.conv_id IS NOT NULL AS p1,
          e0.text AS t0, fin.text AS t1
   FROM e0 FULL JOIN fin
     ON e0.conv_id = fin.conv_id AND e0.turn_idx = fin.turn_idx
 )
 SELECT conv_id,
-       CAST(SUM(CASE WHEN t0 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       CAST(SUM(CASE WHEN NOT p0 THEN 1 ELSE 0 END) AS BIGINT)
            AS n_added,
-       CAST(SUM(CASE WHEN t1 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       CAST(SUM(CASE WHEN NOT p1 THEN 1 ELSE 0 END) AS BIGINT)
            AS n_removed,
-       CAST(SUM(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL
-                      AND t0 <> t1 THEN 1 ELSE 0 END) AS BIGINT)
-           AS n_modified,
-       CAST(SUM(CASE WHEN t0 = t1 THEN 1 ELSE 0 END) AS BIGINT)
-           AS n_unchanged,
-       SUM(CASE WHEN t0 IS NULL OR t1 IS NULL
-                 OR t0 <> t1 THEN 1 ELSE 0 END) > 0 AS changed
+       CAST(SUM(CASE WHEN p0 AND p1
+                      AND t0 IS DISTINCT FROM t1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_modified,
+       CAST(SUM(CASE WHEN p0 AND p1
+                      AND t0 IS NOT DISTINCT FROM t1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_unchanged,
+       SUM(CASE WHEN NOT p0 OR NOT p1
+                 OR t0 IS DISTINCT FROM t1 THEN 1 ELSE 0 END) > 0
+           AS changed
 FROM j GROUP BY conv_id ORDER BY conv_id
 """,
         # tool-use Markov profile: adjacent pairs of the per-conversation

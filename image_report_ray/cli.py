@@ -110,6 +110,14 @@ def cmd_export(args: argparse.Namespace) -> int:
 
     lake = Lake(args.lake_dir)
     if getattr(args, "view", None):
+        if getattr(args, "as_of", None) is not None:
+            # views have no as-of read path; refuse rather than silently
+            # serving the head view labeled as a snapshot
+            print(json.dumps(
+                {"error": "--as-of is not supported with --view "
+                          "(views are maintained at the head commit only)"}
+            ))
+            return 1
         # export a committed materialized view (state/views.py): the
         # files are already the answer — no aggregation pass
         import pyarrow as pa
@@ -164,9 +172,10 @@ def cmd_compact(args: argparse.Namespace) -> int:
 
 
 def cmd_expire(args: argparse.Namespace) -> int:
-    """TTL retention: tombstone turns older than --before-ts through the
-    normal exactly-once epoch commit (audit trail in lineage; pre-expiry
-    snapshots stay readable via export --as-of until GC)."""
+    """TTL retention: physically drop turns older than --before-ts via a
+    GC-style rewrite commit (consumes no lsns or WAL epochs, so future
+    events still win; snapshots at or after the fold point no longer
+    serve the expired rows)."""
     _init_ray(args.num_cpus)
     from .pipelines.cdc import expire_turns
     from .state.manifest import Lake
@@ -509,9 +518,9 @@ def build_parser() -> argparse.ArgumentParser:
     x = sub.add_parser(
         "expire",
         parents=[lp],
-        help="TTL retention: tombstone turns with ts older than the "
-             "cutoff (epoch microseconds or an ISO timestamp) via a "
-             "normal exactly-once epoch commit",
+        help="TTL retention: drop turns with ts older than the cutoff "
+             "(epoch microseconds or an ISO timestamp) via a GC-style "
+             "rewrite commit",
     )
     x.add_argument("lake_dir")
     x.add_argument("--before-ts", required=True,

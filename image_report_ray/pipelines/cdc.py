@@ -97,6 +97,28 @@ def discover_epochs(wal_dir: str) -> dict[int, list[str]]:
 # ---- pure kernels (importable & testable without Ray) -----------------
 
 
+def _split_by_pid(
+    t: pa.Table,
+    num_partitions: int,
+    salt_keys: frozenset[str] = frozenset(),
+    salt_factor: int = 4,
+) -> tuple[pa.Table, ...]:
+    """Route rows by the conv hash and slice into P sub-tables — THE
+    routing kernel, shared by the epoch map stage, reshard and
+    bootstrap so migrated lakes route identically to live ingest."""
+    t = make_add_pid(num_partitions, salt_keys, salt_factor)(t)
+    pid = t.column(PID_COL)
+    if isinstance(pid, pa.ChunkedArray):
+        pid = pid.combine_chunks()
+    pid_np = pid.to_numpy(zero_copy_only=False)
+    order = np.argsort(pid_np, kind="stable")
+    t = t.take(pa.array(order)).drop_columns([PID_COL])
+    bounds = np.searchsorted(pid_np[order], np.arange(num_partitions + 1))
+    return tuple(
+        t.slice(bounds[i], bounds[i + 1] - bounds[i]) for i in range(num_partitions)
+    )
+
+
 def prepare_and_split(
     changes: pa.Table,
     num_partitions: int,
@@ -112,17 +134,7 @@ def prepare_and_split(
     reducer knows its pid positionally)."""
     t = validate_changes(changes, continue_on_error=continue_on_error)
     t = compact_changes(t)
-    t = make_add_pid(num_partitions, salt_keys, salt_factor)(t)
-    pid = t.column(PID_COL)
-    if isinstance(pid, pa.ChunkedArray):
-        pid = pid.combine_chunks()
-    pid_np = pid.to_numpy(zero_copy_only=False)
-    order = np.argsort(pid_np, kind="stable")
-    t = t.take(pa.array(order)).drop_columns([PID_COL])
-    bounds = np.searchsorted(pid_np[order], np.arange(num_partitions + 1))
-    return tuple(
-        t.slice(bounds[i], bounds[i + 1] - bounds[i]) for i in range(num_partitions)
-    )
+    return _split_by_pid(t, num_partitions, salt_keys, salt_factor)
 
 
 def merge_partition_kernel(
@@ -669,86 +681,84 @@ def canonical_state_table(lake: Lake, as_of: int | None = None) -> pa.Table:
 def expire_turns(
     lake: Lake, before_ts_us: int, cfg: EngineConfig | None = None
 ) -> dict:
-    """TTL retention: tombstone every LIVE turn whose ``ts`` is older
-    than ``before_ts_us`` (epoch microseconds) — the data-retention /
-    PII-expiry maintenance pass a transcript lake runs on schedule.
+    """TTL retention: physically drop every LIVE turn whose ``ts`` is
+    older than ``before_ts_us`` (epoch microseconds) from the current
+    state — the data-retention / PII-expiry maintenance pass a
+    transcript lake runs on schedule.
 
-    The deletes are generated FROM the lake's own state (one remote
-    scan per partition emits D change-events for its expired turns,
-    lsn'd above every applied event so LWW always wins) and applied
-    through the NORMAL epoch commit: exactly-once manifest promotion,
-    lineage XML audit trail, materialized-view maintenance, and the
-    pre-expiry state remains readable via ``as_of`` time travel until a
-    GC rewrite drops the tombstones. Re-running with the same cutoff is
-    a no-op (nothing left to expire -> no epoch committed)."""
+    Shape: a GC-style rewrite (one Ray task per partition folds its
+    composition, filters the expired rows, writes a compacted file)
+    published as a ``gc=N`` commit — NOT a tombstone epoch. That keeps
+    the lsn space untouched: expiry consumes no event lsns and no WAL
+    epoch number, so a future change event can never lose LWW to an
+    expiry artifact — a later insert legitimately re-creates the key,
+    while redeliveries at or below the unchanged ``last_lsn`` watermark
+    still dedup. Existing delete tombstones are kept (late-duplicate
+    safety). Idempotent: nothing to expire -> no commit. Views are
+    dropped from the gc entries (recomputed at the next epoch commit),
+    never served stale. Compliance note: the rewrite removes expired
+    rows from the CURRENT state and from any snapshot at or after the
+    gc fold point; older epoch FILES are immutable and still hold the
+    bytes — physical destruction additionally needs a file vacuum.
+
+    ``cfg`` is accepted for interface symmetry; the rewrite derives
+    everything from the lake itself."""
     import ray
-    import ray.data as rd
 
-    cur = lake.current_entries()
-    if not cur:
-        return {"expired": 0, "epoch": None}
-    base_lsn = max(int(e["last_lsn"]) for e in cur.values()) + 1
-    epoch = max(lake.committed_epochs()) + 1
+    entries_now = lake.current_entries()
+    if not entries_now:
+        return {"expired": 0, "gc_seq": None}
+    after_epoch = max(e["epoch"] for e in entries_now.values())
+    seq = (lake.gc_seqs()[-1] + 1) if lake.gc_seqs() else 0
 
     @ray.remote
-    def del_rows(paths: list, cutoff_us: int, base: int) -> pa.Table:
-        import numpy as np
+    def expire_partition(pid, paths, lake_root, seq_, cutoff_us, old_entry):
+        from ..state.merge import fold_state_tables
 
-        from image_report_ray.state.merge import (
-            export_canonical,
-            fold_state_tables,
+        t = fold_state_tables([pq.read_table(p) for p in paths])
+        drop = pc.and_(
+            pc.invert(t.column(DELETED_COL)),
+            pc.fill_null(
+                pc.less(
+                    t.column("ts"), pa.scalar(cutoff_us, pa.timestamp("us"))
+                ),
+                False,
+            ),
         )
+        kept = t.filter(pc.invert(drop))
+        n_dropped = t.num_rows - kept.num_rows
+        rel = os.path.join("data", f"gc={seq_:05d}", f"pid={pid:05d}.parquet")
+        Lake.write_state_file(kept, os.path.join(lake_root, rel))
+        tomb = int(
+            pc.sum(pc.cast(kept.column(DELETED_COL), pa.int64())).as_py() or 0
+        )
+        entry = {
+            **{k: old_entry[k] for k in ("last_lsn", "received", "applied")},
+            "file": rel,
+            "files": [rel],
+            "rows_live": kept.num_rows - tomb,
+            "tombstoned": tomb,
+            "keys_total": kept.num_rows,
+            "digest": table_digest(kept),
+        }
+        return entry, n_dropped
 
-        empty = pa.table(
-            {
-                "lsn": pa.array([], pa.int64()),
-                "op": pa.array([], pa.string()),
-                "conv_id": pa.array([], pa.string()),
-                "turn_idx": pa.array([], pa.int32()),
-                "role": pa.array([], pa.string()),
-                "text": pa.array([], pa.string()),
-                "tool": pa.array([], pa.string()),
-                "ts": pa.array([], pa.timestamp("us")),
-            }
+    refs = {
+        pid: expire_partition.remote(
+            pid,
+            [os.path.join(lake.root, r) for r in (e.get("files") or [e["file"]])],
+            lake.root, seq, before_ts_us, e,
         )
-        folded = fold_state_tables([pq.read_table(p) for p in paths])
-        if folded is None:
-            return empty
-        t = export_canonical(folded)  # sorted (conv_id, turn_idx)
-        mask = pc.less(
-            t.column("ts"), pa.scalar(cutoff_us, pa.timestamp("us"))
-        )
-        sub = t.filter(pc.fill_null(mask, False))
-        n = sub.num_rows
-        if n == 0:
-            return empty
-        # deterministic per-partition lsns; cross-partition collisions
-        # are harmless (distinct keys, distinct partitions) and every
-        # lsn exceeds all applied events, so the tombstone LWW-wins
-        return pa.table(
-            {
-                "lsn": pa.array(base + np.arange(n, dtype=np.int64)),
-                "op": pa.array(np.full(n, "D")),
-                "conv_id": sub.column("conv_id"),
-                "turn_idx": sub.column("turn_idx"),
-                "role": pa.nulls(n, pa.string()),
-                "text": pa.nulls(n, pa.string()),
-                "tool": pa.nulls(n, pa.string()),
-                "ts": pa.nulls(n, pa.timestamp("us")),
-            }
-        )
-
-    sets = lake.current_file_sets()
-    refs = [
-        del_rows.remote(paths, before_ts_us, base_lsn)
-        for _, paths in sorted(sets.items())
-    ]
-    tabs = ray.get(refs)
-    n_expired = sum(t.num_rows for t in tabs)
+        for pid, e in sorted(entries_now.items())
+    }
+    results = {pid: ray.get(r) for pid, r in refs.items()}
+    n_expired = sum(res[1] for res in results.values())
     if n_expired == 0:
-        return {"expired": 0, "epoch": None}
-    apply_epoch(lake, epoch, rd.from_arrow(tabs), cfg)
-    return {"expired": int(n_expired), "epoch": int(epoch)}
+        # nothing expired anywhere: no commit (staged files of this
+        # no-op stay invisible, same as any crash-before-commit orphan)
+        return {"expired": 0, "gc_seq": None}
+    lake.commit_gc(seq, after_epoch, {p: r[0] for p, r in results.items()})
+    return {"expired": int(n_expired), "gc_seq": int(seq)}
 
 
 def reshard_lake(src: Lake, dst_root: str, new_partitions: int) -> dict:
@@ -779,23 +789,12 @@ def reshard_lake(src: Lake, dst_root: str, new_partitions: int) -> dict:
 
     @ray.remote
     def split_src(paths: list, P: int):
-        from ..stages.derive import make_add_pid
         from ..state.merge import fold_state_tables
 
         folded = fold_state_tables([pq.read_table(p) for p in paths])
         if folded is None:
             return tuple(pa.table({}) for _ in range(P))
-        t = make_add_pid(P)(folded)
-        pid = t.column(PID_COL)
-        if isinstance(pid, pa.ChunkedArray):
-            pid = pid.combine_chunks()
-        pid_np = pid.to_numpy(zero_copy_only=False)
-        order = np.argsort(pid_np, kind="stable")
-        t = t.take(pa.array(order)).drop_columns([PID_COL])
-        bounds = np.searchsorted(pid_np[order], np.arange(P + 1))
-        return tuple(
-            t.slice(bounds[i], bounds[i + 1] - bounds[i]) for i in range(P)
-        )
+        return _split_by_pid(folded, P)
 
     @ray.remote
     def write_dst(pid: int, lsn: int, root: str, ep: int, *slices) -> dict:
@@ -906,24 +905,19 @@ def bootstrap_lake(
 
     @ray.remote
     def split_block(block: pa.Table, P: int):
-        from ..stages.derive import make_add_pid
-
+        for key_col in ("conv_id", "turn_idx"):
+            col = block.column(key_col)
+            if col.null_count:
+                raise ValueError(
+                    f"bootstrap source has {col.null_count} null "
+                    f"{key_col} values — key columns must be non-null"
+                )
         t = block.append_column(
             LSN_COL, pa.array(np.full(block.num_rows, -1, np.int64))
         ).append_column(
             DELETED_COL, pa.array(np.zeros(block.num_rows, bool))
         )
-        t = make_add_pid(P)(t)
-        pid = t.column(PID_COL)
-        if isinstance(pid, pa.ChunkedArray):
-            pid = pid.combine_chunks()
-        pid_np = pid.to_numpy(zero_copy_only=False)
-        order = np.argsort(pid_np, kind="stable")
-        t = t.take(pa.array(order)).drop_columns([PID_COL])
-        bounds = np.searchsorted(pid_np[order], np.arange(P + 1))
-        return tuple(
-            t.slice(bounds[i], bounds[i + 1] - bounds[i]) for i in range(P)
-        )
+        return _split_by_pid(t, P)
 
     @ray.remote
     def write_boot(pid: int, root: str, ep: int, *slices) -> dict | None:
@@ -938,6 +932,18 @@ def bootstrap_lake(
                 sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")],
             )
         )
+        # the (conv_id, turn_idx) key must be unique: sorted, so any
+        # duplicate is adjacent (keys are partition-local — complete)
+        if t.num_rows > 1:
+            conv = t.column("conv_id").to_numpy(zero_copy_only=False)
+            turn = t.column("turn_idx").to_numpy()
+            dup = (conv[1:] == conv[:-1]) & (turn[1:] == turn[:-1])
+            if dup.any():
+                i = int(np.flatnonzero(dup)[0])
+                raise ValueError(
+                    "bootstrap source has duplicate (conv_id, turn_idx) "
+                    f"keys, e.g. ({conv[i]!r}, {int(turn[i])})"
+                )
         rel = os.path.join("data", f"epoch={ep:05d}", f"pid={pid:05d}.parquet")
         Lake.write_state_file(t, os.path.join(root, rel))
         return {

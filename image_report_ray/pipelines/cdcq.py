@@ -40,15 +40,19 @@ _LAKE_CACHE_ROOT = "/tmp/irr-cdcq-lakes"
 
 
 def _events_tag(sf_dir: str) -> str:
+    """``<path-hash>-<content-hash>``: the first component identifies
+    the source directory (so eviction only targets ITS superseded
+    builds, never another corpus's still-valid lakes), the second its
+    content fingerprint."""
     import hashlib
     import os
 
     st = os.stat(f"{sf_dir}/events.parquet")
-    key = (
-        f"{os.path.abspath(sf_dir)}:{st.st_size}:{st.st_mtime_ns}:"
-        f"{_P}:{_LAKE_CACHE_VER}"
-    )
-    return hashlib.sha1(key.encode()).hexdigest()[:16]
+    ph = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    ch = hashlib.sha1(
+        f"{st.st_size}:{st.st_mtime_ns}:{_P}:{_LAKE_CACHE_VER}".encode()
+    ).hexdigest()[:10]
+    return f"{ph}-{ch}"
 
 
 def _shared_lake(sf_dir: str, variant: str, build) -> Lake:
@@ -72,7 +76,37 @@ def _shared_lake(sf_dir: str, variant: str, build) -> Lake:
     except BaseException:
         shutil.rmtree(tmp, ignore_errors=True)
         raise
+    _sweep_cache(variant, sf_dir, keep=os.path.basename(final))
     return Lake(final, num_partitions=_P)
+
+
+def _sweep_cache(variant: str, sf_dir: str, keep: str) -> None:
+    """Evict superseded cache entries on publish: older builds of the
+    same (variant, source dir) — their fingerprint changed, they will
+    never be read again — and any ``.build-*`` dir stranded by a killed
+    process (stale after an hour; live builders are minutes old).
+    Other corpora's still-valid lakes are untouched. Keeps /tmp bounded
+    across corpus regenerations and hard kills."""
+    import hashlib
+    import os
+    import time
+
+    ph = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    prefix = f"{variant}-{ph}-"
+    try:
+        now = time.time()
+        for name in os.listdir(_LAKE_CACHE_ROOT):
+            path = os.path.join(_LAKE_CACHE_ROOT, name)
+            if name == keep:
+                continue
+            stale_build = (
+                name.startswith(".build-")
+                and now - os.path.getmtime(path) > 3600
+            )
+            if stale_build or name.startswith(prefix):
+                shutil.rmtree(path, ignore_errors=True)
+    except OSError:
+        pass  # best-effort housekeeping — never fail the query
 
 
 def _full_lake(sf_dir: str) -> Lake:
@@ -414,8 +448,14 @@ def cdc_role_stats(sf_dir: str) -> pa.Table:
         tabs = [t for t in ray.get(refs) if t.num_rows]
         if not tabs:
             return pa.table(
-                {"conv_id": pa.array([], pa.string())}
-            ).append_column("n_turns", pa.array([], pa.int64()))
+                {"conv_id": pa.array([], pa.string()),
+                 "n_turns": pa.array([], pa.int64()),
+                 "n_user": pa.array([], pa.int64()),
+                 "n_assistant": pa.array([], pa.int64()),
+                 "n_tool_role": pa.array([], pa.int64()),
+                 "n_tool_calls": pa.array([], pa.int64()),
+                 "total_chars": pa.array([], pa.int64())}
+            )
         return pa.concat_tables(tabs, promote_options="default")
 
     t = profile(_full_lake(sf_dir))
@@ -615,13 +655,20 @@ def cdc_state_diff(sf_dir: str) -> pa.Table:
 
         m = snap(paths0).merge(
             snap(paths1), on=["conv_id", "turn_idx"], how="outer",
-            suffixes=("_0", "_1"),
+            suffixes=("_0", "_1"), indicator=True,
         )
-        in0, in1 = m["text_0"].notna(), m["text_1"].notna()
+        # presence = key membership in the snapshot (merge indicator),
+        # NOT text-nullness — a live row with NULL text must still count
+        in0 = m["_merge"] != "right_only"
+        in1 = m["_merge"] != "left_only"
+        both = in0 & in1
+        same = (m["text_0"] == m["text_1"]) | (
+            m["text_0"].isna() & m["text_1"].isna()
+        )
         m["added"] = (~in0 & in1).astype("int64")
         m["removed"] = (in0 & ~in1).astype("int64")
-        m["modified"] = (in0 & in1 & (m["text_0"] != m["text_1"])).astype("int64")
-        m["unchanged"] = (in0 & in1 & (m["text_0"] == m["text_1"])).astype("int64")
+        m["modified"] = (both & ~same).astype("int64")
+        m["unchanged"] = (both & same).astype("int64")
         g = m.groupby("conv_id", sort=False)[
             ["added", "removed", "modified", "unchanged"]
         ].sum().reset_index()

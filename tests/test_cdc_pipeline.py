@@ -333,11 +333,13 @@ def test_shared_lake_cache_invalidates_on_regenerated_events(ray_session, tmp_pa
 
 
 def test_expire_turns_matches_filtered_oracle(ray_session, tmp_path):
-    """TTL expiry: tombstoning turns older than the cutoff through the
-    real commit path leaves exactly the oracle state with those rows
-    filtered; re-running is a no-op; pre-expiry state stays readable
-    via time travel; the lake still validates."""
+    """TTL expiry: the GC-style rewrite leaves exactly the oracle state
+    with the expired rows dropped; re-running is a no-op; the lsn space
+    is untouched so FUTURE events still win (a later insert re-creates
+    an expired key) while old redeliveries still dedup; the lake
+    validates clean."""
     import pyarrow.compute as pc
+    import ray.data as rd
 
     from image_report_ray.pipelines.cdc import expire_turns
 
@@ -353,7 +355,7 @@ def test_expire_turns_matches_filtered_oracle(ray_session, tmp_path):
         pc.approximate_median(before.column("ts").cast(pa.int64())).as_py()
     )
     res = expire_turns(lake, cutoff, cfg)
-    assert res["expired"] > 0 and res["epoch"] == 3
+    assert res["expired"] > 0 and res["gc_seq"] == 0
 
     want = golden().filter(
         pc.greater_equal(golden().column("ts").cast(pa.int64()), cutoff)
@@ -361,11 +363,42 @@ def test_expire_turns_matches_filtered_oracle(ray_session, tmp_path):
     got = canonical_state_table(Lake(lake_dir))
     assert got.equals(want)
 
-    # idempotent: nothing left to expire -> no new epoch
+    # idempotent: nothing left to expire -> no commit
     res2 = expire_turns(Lake(lake_dir), cutoff, cfg)
-    assert res2 == {"expired": 0, "epoch": None}
-    # pre-expiry snapshot still readable (time travel)
-    assert canonical_state_table(Lake(lake_dir), as_of=2).equals(before)
+    assert res2 == {"expired": 0, "gc_seq": None}
+
+    # an expired key is re-creatable by a FUTURE event (fresh lsn): the
+    # expiry consumed no lsns, so the insert must win
+    expired_keys = set(
+        map(tuple, zip(before.column("conv_id").to_pylist(),
+                       before.column("turn_idx").to_pylist()))
+    ) - set(
+        map(tuple, zip(got.column("conv_id").to_pylist(),
+                       got.column("turn_idx").to_pylist()))
+    )
+    conv, turn = sorted(expired_keys)[0]
+    new_lsn = max(
+        e["last_lsn"] for e in Lake(lake_dir).current_entries().values()
+    ) + 1
+    ins = pa.table(
+        {"lsn": pa.array([new_lsn], pa.int64()),
+         "op": pa.array(["I"]),
+         "conv_id": pa.array([conv]),
+         "turn_idx": pa.array([turn], pa.int32()),
+         "role": pa.array(["user"]),
+         "text": pa.array(["fresh after expiry"]),
+         "tool": pa.array([None], pa.string()),
+         "ts": pa.array([0], pa.timestamp("us"))}
+    )
+    apply_epoch(Lake(lake_dir), 3, rd.from_arrow(ins), cfg)
+    after = canonical_state_table(Lake(lake_dir))
+    mask = pc.and_(
+        pc.equal(after.column("conv_id"), conv),
+        pc.equal(after.column("turn_idx"), turn),
+    )
+    row = after.filter(mask)
+    assert row.num_rows == 1
+    assert row.column("text")[0].as_py() == "fresh after expiry"
 
 
 def test_reshard_preserves_state_and_stream(ray_session, tmp_path):
@@ -516,3 +549,33 @@ def test_changefeed_matches_naive_snapshot_diff(ray_session, tmp_path):
         }
         assert got == expect, f"epoch {epoch}"
         assert feed.num_rows > 0
+
+
+def test_bootstrap_rejects_bad_keys(ray_session, tmp_path):
+    """Bootstrap refuses duplicate (conv_id, turn_idx) keys and null key
+    columns instead of committing a corrupt initial state."""
+    import pyarrow.parquet as pq
+    import ray.exceptions
+
+    from image_report_ray.pipelines.cdc import bootstrap_lake
+
+    def table(conv, turn):
+        n = len(conv)
+        return pa.table(
+            {"conv_id": pa.array(conv, pa.string()),
+             "turn_idx": pa.array(turn, pa.int32()),
+             "role": pa.array(["user"] * n),
+             "text": pa.array(["x"] * n),
+             "tool": pa.array([None] * n, pa.string()),
+             "ts": pa.array([0] * n, pa.timestamp("us"))}
+        )
+
+    dup = tmp_path / "dup.parquet"
+    pq.write_table(table(["c1", "c1"], [0, 0]), dup)
+    with pytest.raises((ValueError, ray.exceptions.RayTaskError)):
+        bootstrap_lake(str(dup), str(tmp_path / "lake_a"), 4)
+
+    nulls = tmp_path / "nulls.parquet"
+    pq.write_table(table(["c1", None], [0, 1]), nulls)
+    with pytest.raises((ValueError, ray.exceptions.RayTaskError)):
+        bootstrap_lake(str(nulls), str(tmp_path / "lake_b"), 4)

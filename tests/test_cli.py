@@ -249,3 +249,19 @@ def test_export_as_of_snapshot(ray_session, tmp_path, capsys):
     )
     assert exported.take(idx).select(expected.column_names).equals(expected)
     assert not canonical_state_table(Lake(lake)).equals(expected)
+
+
+def test_export_view_with_as_of_rejected(ray_session, tmp_path, capsys):
+    """--as-of with --view is refused (views have no snapshot read path)
+    instead of silently serving the head view."""
+    wal = str(tmp_path / "wal")
+    lake = str(tmp_path / "lake")
+    main(["gen", wal, "--epochs", "1", "--epoch-size", "200",
+          "--conversations", "20", "--parts", "1"])
+    assert main(["run", lake, wal, "--partitions", "2",
+                 "--views", "conv_summary"]) == 0
+    capsys.readouterr()
+    rc = main(["export", lake, str(tmp_path / "out"),
+               "--view", "conv_summary", "--as-of", "0"])
+    assert rc == 1
+    assert "not supported with --view" in capsys.readouterr().out
