@@ -252,6 +252,18 @@ def cmd_changefeed(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_vacuum(args: argparse.Namespace) -> int:
+    """Physically delete data files no retained snapshot references
+    (completes PII destruction after expire; breaks time travel below
+    the horizon — that is the point)."""
+    from .pipelines.cdc import vacuum_lake
+    from .state.manifest import Lake
+
+    res = vacuum_lake(Lake(args.lake_dir), keep_epochs=args.keep_epochs)
+    print(json.dumps(res))
+    return 0
+
+
 def cmd_query(args: argparse.Namespace) -> int:
     """Run any named pipeline from the engine's query registry over a
     standard table directory — the user-facing surface of every operator
@@ -565,6 +577,19 @@ def build_parser() -> argparse.ArgumentParser:
                     help="write the feed as parquet to this path")
     cf.add_argument("--num-cpus", type=int, default=None)
     cf.set_defaults(fn=cmd_changefeed)
+
+    vc = sub.add_parser(
+        "vacuum",
+        parents=[lp],
+        help="physically delete data files outside the snapshot "
+             "retention horizon (completes PII destruction; breaks "
+             "time travel below the horizon)",
+    )
+    vc.add_argument("lake_dir")
+    vc.add_argument("--keep-epochs", type=int, default=1,
+                    help="retain as-of snapshots for this many epochs "
+                         "below the head (default 1)")
+    vc.set_defaults(fn=cmd_vacuum)
 
     return p
 

@@ -1092,3 +1092,46 @@ def changefeed(lake: Lake, epoch: int) -> pa.Table:
             t, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]
         )
     )
+
+
+def vacuum_lake(lake: Lake, keep_epochs: int = 1) -> dict:
+    """Physically delete data files that no retained snapshot references
+    (the Delta-VACUUM analogue, and the completion of ``expire_turns``'s
+    compliance note: expired rows vanish from the lake's BYTES, not just
+    its current state).
+
+    Retained snapshots: every ``as_of`` from ``max_epoch - keep_epochs``
+    up to the head (plus the head itself). Everything under ``data/``
+    not referenced by one of those compositions is removed. Time travel
+    below the horizon stops resolving — that is the point. Lineage XML
+    and commit records are audit metadata and are kept. Safe under
+    concurrent readers of retained snapshots (their files are never
+    candidates); a crash mid-delete just leaves fewer bytes to delete
+    next run."""
+    import glob
+
+    epochs = lake.committed_epochs()
+    if not epochs:
+        return {"files_deleted": 0, "bytes_deleted": 0}
+    horizon = max(epochs) - max(keep_epochs, 0)
+    keep: set[str] = set()
+    for e in [x for x in epochs if x >= horizon] or [max(epochs)]:
+        for paths in lake.current_file_sets(as_of=e).values():
+            keep.update(os.path.abspath(p) for p in paths)
+    # the head may fold GC rewrites newer than any epoch number
+    for paths in lake.current_file_sets().values():
+        keep.update(os.path.abspath(p) for p in paths)
+
+    n, freed = 0, 0
+    for p in glob.glob(os.path.join(lake.root, "data", "*", "*.parquet")):
+        ap = os.path.abspath(p)
+        if ap in keep:
+            continue
+        try:
+            freed += os.path.getsize(ap)
+            os.remove(ap)
+            n += 1
+        except OSError:
+            pass  # already gone / concurrent vacuum — next run finishes
+    return {"files_deleted": n, "bytes_deleted": int(freed),
+            "horizon_epoch": int(horizon)}

@@ -94,3 +94,59 @@ def test_gc_idempotent_sequence(lake_with_tombstones):
     r2 = gc_tombstones(lake, before_lsn=800)
     assert r2["tombstones_dropped"] == 0
     assert r2["gc_seq"] == r1["gc_seq"] + 1
+
+
+def test_vacuum_removes_only_unretained_files(ray_session, tmp_path):
+    """vacuum deletes exactly the data files outside the retention
+    horizon: head and retained snapshots still resolve bit-identically,
+    older as-of reads stop resolving, validate stays clean, and after an
+    expiry GC the expired bytes are really gone from disk."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from image_report_ray.config import EngineConfig
+    from image_report_ray.pipelines.cdc import (
+        apply_epoch,
+        canonical_state_table,
+        expire_turns,
+        vacuum_lake,
+    )
+    from image_report_ray.sources.synth import write_wal
+    from image_report_ray.state.manifest import Lake
+
+    d = str(tmp_path / "wal")
+    paths = write_wal(d, n_epochs=3, epoch_size=400, seed=13, n_convs=40,
+                      max_turns=8, dup_rate=0.0)
+    lake = Lake(str(tmp_path / "lake"), num_partitions=4)
+    cfg = EngineConfig(num_partitions=4)
+    for i, p in enumerate(paths):
+        apply_epoch(lake, i, rd.read_parquet(p), cfg)
+
+    head = canonical_state_table(lake)
+    snap1 = canonical_state_table(lake, as_of=1)
+    # expire some rows so superseded files contain rows the current
+    # state no longer has
+    cutoff = int(
+        pc.approximate_median(head.column("ts").cast(pa.int64())).as_py()
+    )
+    expire_turns(lake, cutoff, cfg)
+    after_expire = canonical_state_table(Lake(lake.root))
+
+    res = vacuum_lake(Lake(lake.root), keep_epochs=1)
+    assert res["files_deleted"] > 0
+
+    relake = Lake(lake.root)
+    assert canonical_state_table(relake).equals(after_expire)
+    # the retained as-of=1 snapshot still resolves bit-identically
+    assert canonical_state_table(relake, as_of=1).equals(snap1)
+    # the epoch-0 snapshot is below the horizon: its files are gone
+    gone = [
+        p for paths_ in relake.current_file_sets(as_of=0).values()
+        for p in paths_
+    ]
+    assert gone and any(not os.path.exists(p) for p in gone)
+    # second vacuum is a no-op
+    assert vacuum_lake(Lake(lake.root), keep_epochs=1)["files_deleted"] == 0
