@@ -150,3 +150,50 @@ def test_vacuum_removes_only_unretained_files(ray_session, tmp_path):
     assert gone and any(not os.path.exists(p) for p in gone)
     # second vacuum is a no-op
     assert vacuum_lake(Lake(lake.root), keep_epochs=1)["files_deleted"] == 0
+
+
+def test_expire_plus_vacuum_destroys_bytes(ray_session, tmp_path):
+    """The PII lifecycle end-to-end: after expire (state rewrite) +
+    vacuum (file retention with keep_epochs=0), an expired turn's text
+    no longer appears in ANY byte of the lake directory."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from image_report_ray.config import EngineConfig
+    from image_report_ray.pipelines.cdc import (
+        apply_epoch,
+        canonical_state_table,
+        expire_turns,
+        vacuum_lake,
+    )
+    from image_report_ray.state.manifest import Lake
+
+    lake = Lake(str(tmp_path / "lake"), num_partitions=2)
+    cfg = EngineConfig(num_partitions=2)
+    secret = "PII-SECRET-TOKEN-314159"
+    ch = pa.table(
+        {"lsn": pa.array([0, 1], pa.int64()),
+         "op": pa.array(["I", "I"]),
+         "conv_id": pa.array(["c-old", "c-new"]),
+         "turn_idx": pa.array([0, 0], pa.int32()),
+         "role": pa.array(["user", "user"]),
+         "text": pa.array([secret, "fresh data"]),
+         "tool": pa.array([None, None], pa.string()),
+         "ts": pa.array([1_000, 2_000_000], pa.timestamp("us"))}
+    )
+    apply_epoch(lake, 0, rd.from_arrow(ch), cfg)
+
+    assert expire_turns(Lake(lake.root), 1_000_000, cfg)["expired"] == 1
+    vacuum_lake(Lake(lake.root), keep_epochs=0)
+
+    blob = b""
+    for root, _, files in os.walk(lake.root):
+        for f in files:
+            with open(os.path.join(root, f), "rb") as fh:
+                blob += fh.read()
+    assert secret.encode() not in blob
+    left = canonical_state_table(Lake(lake.root))
+    assert left.column("text").to_pylist() == ["fresh data"]
