@@ -761,6 +761,47 @@ def expire_turns(
     return {"expired": int(n_expired), "gc_seq": int(seq)}
 
 
+def _commit_migration(lake: Lake, epoch: int, rows: list, params: dict) -> int:
+    """Shared tail of the state migrations (reshard / bootstrap): build
+    each partition's MergeStats + lineage report + commit entry from its
+    writer row, publish the commit; returns total keys written."""
+    entries: dict[int, dict] = {}
+    total = 0
+    for row in rows:
+        if row is None:
+            continue
+        pid = int(row["pid"])
+        stats = MergeStats(
+            **{k: 0 for k in _STATS_FIELDS
+               if k not in ("rows_live", "tombstoned", "keys_total", "last_lsn")},
+            rows_live=int(row["rows_live"]),
+            tombstoned=int(row["tombstoned"]),
+            keys_total=int(row["keys_total"]),
+            last_lsn=int(row["last_lsn"]),
+            hot_keys=[],
+        )
+        report = build_partition_report(
+            pid=pid, epoch=epoch, stats=stats, digest=row["digest"],
+            duration_sec=float(row["duration_sec"]), params=params,
+        )
+        write_report(report, lake.lineage_path(epoch, pid))
+        total += int(row["keys_total"])
+        entries[pid] = {
+            "file": row["file"],
+            "files": [row["file"]],
+            "last_lsn": int(row["last_lsn"]),
+            "rows_live": int(row["rows_live"]),
+            "tombstoned": int(row["tombstoned"]),
+            "keys_total": int(row["keys_total"]),
+            "digest": row["digest"],
+            "received": 0,
+            "applied": 0,
+            "views": {},
+        }
+    lake.commit(epoch, entries)
+    return total
+
+
 def reshard_lake(src: Lake, dst_root: str, new_partitions: int) -> dict:
     """Migrate the lake's CURRENT state to a NEW lake with a different
     partition count. P is immutable for a lake's lifetime (manifest.py
@@ -839,42 +880,11 @@ def reshard_lake(src: Lake, dst_root: str, new_partitions: int) -> dict:
         )
         for pid in range(new_partitions)
     ]
-    entries: dict[int, dict] = {}
-    moved = 0
-    for row in ray.get(entry_refs):
-        if row is None:
-            continue
-        pid = int(row["pid"])
-        stats = MergeStats(
-            **{k: 0 for k in _STATS_FIELDS
-               if k not in ("rows_live", "tombstoned", "keys_total", "last_lsn")},
-            rows_live=int(row["rows_live"]),
-            tombstoned=int(row["tombstoned"]),
-            keys_total=int(row["keys_total"]),
-            last_lsn=int(row["last_lsn"]),
-            hot_keys=[],
-        )
-        report = build_partition_report(
-            pid=pid, epoch=epoch, stats=stats, digest=row["digest"],
-            duration_sec=float(row["duration_sec"]),
-            params={"num_partitions": new_partitions, "resharded_from":
-                    src.num_partitions},
-        )
-        write_report(report, dst.lineage_path(epoch, pid))
-        moved += int(row["keys_total"])
-        entries[pid] = {
-            "file": row["file"],
-            "files": [row["file"]],
-            "last_lsn": int(row["last_lsn"]),
-            "rows_live": int(row["rows_live"]),
-            "tombstoned": int(row["tombstoned"]),
-            "keys_total": int(row["keys_total"]),
-            "digest": row["digest"],
-            "received": 0,
-            "applied": 0,
-            "views": {},
-        }
-    dst.commit(epoch, entries)
+    moved = _commit_migration(
+        dst, epoch, ray.get(entry_refs),
+        {"num_partitions": new_partitions,
+         "resharded_from": src.num_partitions},
+    )
     return {
         "epoch": int(epoch),
         "partitions": int(new_partitions),
@@ -968,41 +978,10 @@ def bootstrap_lake(
         write_boot.remote(pid, lake.root, epoch, *[col[pid] for col in cols])
         for pid in range(num_partitions)
     ]
-    entries: dict[int, dict] = {}
-    loaded = 0
-    for row in ray.get(entry_refs):
-        if row is None:
-            continue
-        pid = int(row["pid"])
-        stats = MergeStats(
-            **{k: 0 for k in _STATS_FIELDS
-               if k not in ("rows_live", "tombstoned", "keys_total", "last_lsn")},
-            rows_live=int(row["rows_live"]),
-            tombstoned=0,
-            keys_total=int(row["keys_total"]),
-            last_lsn=-1,
-            hot_keys=[],
-        )
-        report = build_partition_report(
-            pid=pid, epoch=epoch, stats=stats, digest=row["digest"],
-            duration_sec=float(row["duration_sec"]),
-            params={"num_partitions": num_partitions, "bootstrap": True},
-        )
-        write_report(report, lake.lineage_path(epoch, pid))
-        loaded += int(row["keys_total"])
-        entries[pid] = {
-            "file": row["file"],
-            "files": [row["file"]],
-            "last_lsn": -1,
-            "rows_live": int(row["rows_live"]),
-            "tombstoned": 0,
-            "keys_total": int(row["keys_total"]),
-            "digest": row["digest"],
-            "received": 0,
-            "applied": 0,
-            "views": {},
-        }
-    lake.commit(epoch, entries)
+    loaded = _commit_migration(
+        lake, epoch, ray.get(entry_refs),
+        {"num_partitions": num_partitions, "bootstrap": True},
+    )
     return {"epoch": int(epoch), "rows_loaded": int(loaded)}
 
 
