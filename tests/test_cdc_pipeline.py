@@ -579,3 +579,33 @@ def test_bootstrap_rejects_bad_keys(ray_session, tmp_path):
     pq.write_table(table(["c1", None], [0, 1]), nulls)
     with pytest.raises((ValueError, ray.exceptions.RayTaskError)):
         bootstrap_lake(str(nulls), str(tmp_path / "lake_b"), 4)
+
+
+def test_changefeed_reconstruction_invariant(ray_session, tmp_path):
+    """Applying every epoch's change feed, in order, to an empty dict
+    reproduces the final state exactly — the CDC-out correctness anchor
+    (a downstream consumer of the feed converges to the lake)."""
+    cfg = EngineConfig(num_partitions=8, batch_size=256)
+    d = str(tmp_path / "wal")
+    write_wal(d, n_epochs=3, epoch_size=500, **GEN)
+    lake_dir = str(tmp_path / "lake")
+    run_job(lake_dir, d, cfg)
+    lake = Lake(lake_dir)
+
+    from image_report_ray.pipelines.cdc import changefeed
+
+    state: dict = {}
+    for epoch in lake.committed_epochs():
+        for r in changefeed(lake, epoch).to_pylist():
+            k = (r["conv_id"], r["turn_idx"])
+            if r["op"] == "D":
+                state.pop(k, None)
+            else:
+                state[k] = (r["role"], r["text"], r["tool"], r["ts"])
+
+    final = canonical_state_table(lake)
+    got = {
+        (r["conv_id"], r["turn_idx"]): (r["role"], r["text"], r["tool"], r["ts"])
+        for r in final.to_pylist()
+    }
+    assert state == got
