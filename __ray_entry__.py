@@ -666,6 +666,75 @@ SELECT doc_id, t AS text_redacted,
        (c1 + c2 + c3) > 0 AS redacted
 FROM s3 ORDER BY doc_id
 """,
+        # the flagship export composition: every hygiene gate's boolean
+        # + the final keep conjunction, over non-eval docs; each CTE is
+        # the corresponding standalone twin's rule verbatim
+        "corpus_export": r"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id % 50 <> 7
+),
+w AS (SELECT doc_id, text, regexp_extract_all(lower(text), '\S+') AS ws
+      FROM base),
+q AS (
+  SELECT doc_id,
+         len(ws) AS nt,
+         len(list_filter(ws, w -> list_contains(
+             ['the','a','and','of','to','table','row','value','key','fast'], w)))
+             AS ns,
+         COALESCE(list_sum(list_transform(ws, w -> length(w))), 0) AS sl,
+         GREATEST(len(ws) - 1, 0) AS n2,
+         GREATEST(len(ws) - 2, 0) AS n3,
+         len(list_distinct(list_transform(range(1, len(ws)),
+             i -> ws[i] || ' ' || ws[i+1]))) AS d2,
+         len(list_distinct(list_transform(range(1, len(ws) - 1),
+             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS d3,
+         length(regexp_extract_all(text, 'https?://[^\s]+')) AS urls,
+         length(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS emails
+  FROM w
+),
+dd AS (
+  SELECT doc_id,
+         doc_id = MIN(doc_id) OVER (PARTITION BY text) AS dedup_keep
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(range(1, len(ws) - 1),
+        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+  )) AS shingle
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ws
+        FROM documents) WHERE len(ws) >= 3
+),
+ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 7),
+hits AS (
+  SELECT s.doc_id, COUNT(e.shingle) AS n_hit
+  FROM sh s LEFT JOIN ev e USING (shingle)
+  WHERE s.doc_id % 50 <> 7 GROUP BY s.doc_id
+)
+SELECT q.doc_id,
+       (nt BETWEEN 10 AND 1000)
+         AND (ns * 10000 // GREATEST(nt, 1) >= 100)
+         AND (sl * 10000 // GREATEST(nt, 1) <= 120000) AS quality_ok,
+       (n2 - d2) * 10000 // GREATEST(n2, 1) <= 2000
+         AND (n3 - d3) * 10000 // GREATEST(n3, 1) <= 1800 AS rep_ok,
+       urls <= 3 AND emails = 0 AS content_ok,
+       dd.dedup_keep AS dedup_keep,
+       COALESCE(hits.n_hit, 0) = 0 AS decontam_ok,
+       (nt BETWEEN 10 AND 1000)
+         AND (ns * 10000 // GREATEST(nt, 1) >= 100)
+         AND (sl * 10000 // GREATEST(nt, 1) <= 120000)
+         AND (n2 - d2) * 10000 // GREATEST(n2, 1) <= 2000
+         AND (n3 - d3) * 10000 // GREATEST(n3, 1) <= 1800
+         AND urls <= 3 AND emails = 0
+         AND dd.dedup_keep
+         AND COALESCE(hits.n_hit, 0) = 0 AS keep
+FROM q
+JOIN dd USING (doc_id)
+LEFT JOIN hits USING (doc_id)
+ORDER BY doc_id
+""",
         # Gopher-style repetition filter: duplicate n-gram INSTANCE
         # ratios in integer basis points; token rule and gram joins
         # match the kernel's _tokenize exactly

@@ -73,6 +73,7 @@ def query_registry() -> "dict[str, Callable[[str], Any]]":
         "content_flags": text.content_flags,
         "redact_text": text.redact_text,
         "repetition_stats": text.repetition_stats,
+        "corpus_export": text.corpus_export,
         # similarity search
         "knn_cosine": similarity.knn_cosine,
         "kmeans_embed": similarity.kmeans_embed,

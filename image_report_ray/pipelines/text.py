@@ -119,6 +119,33 @@ def _winner_semijoin_partition(pid: int, docs: pa.Table, winners: pa.Table) -> p
 _DEDUP_MAX_BROADCAST_IDS = 5_000_000
 
 
+def _dedup_hash_batch(t: pa.Table) -> pa.Table:
+    """(128-bit content hash, min doc_id) partials for one batch — the
+    map side of exact dedup's winner election (module-level so the
+    corpus-export composition reuses the exact same digest)."""
+    txt = t.column("text")
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    arr = txt.to_numpy(zero_copy_only=False).astype(object)
+    h1 = pd.util.hash_array(arr, hash_key="irrdedupexactkey")
+    h2 = pd.util.hash_array(arr, hash_key="irrdedupexactTWO")
+    h = (
+        h1.astype(np.uint64).byteswap().view(np.uint8).reshape(-1, 8),
+        h2.astype(np.uint64).byteswap().view(np.uint8).reshape(-1, 8),
+    )
+    digest = np.concatenate(h, axis=1).tobytes()
+    part = pa.table(
+        {
+            "h": pa.FixedSizeBinaryArray.from_buffers(
+                pa.binary(16), len(arr), [None, pa.py_buffer(digest)]
+            ),
+            "doc_id": t.column("doc_id"),
+        }
+    )
+    g = part.group_by(["h"]).aggregate([("doc_id", "min")])
+    return g.rename_columns(["h", "doc_id"])
+
+
 def dedup_exact(
     sf_dir: str, max_broadcast_ids: int = _DEDUP_MAX_BROADCAST_IDS
 ) -> pa.Table:
@@ -137,35 +164,12 @@ def dedup_exact(
 
     rd = _rd()
 
-    def hash_ids(t: pa.Table) -> pa.Table:
-        txt = t.column("text")
-        if isinstance(txt, pa.ChunkedArray):
-            txt = txt.combine_chunks()
-        arr = txt.to_numpy(zero_copy_only=False).astype(object)
-        h1 = pd.util.hash_array(arr, hash_key="irrdedupexactkey")
-        h2 = pd.util.hash_array(arr, hash_key="irrdedupexactTWO")
-        h = (
-            h1.astype(np.uint64).byteswap().view(np.uint8).reshape(-1, 8),
-            h2.astype(np.uint64).byteswap().view(np.uint8).reshape(-1, 8),
-        )
-        digest = np.concatenate(h, axis=1).tobytes()
-        part = pa.table(
-            {
-                "h": pa.FixedSizeBinaryArray.from_buffers(
-                    pa.binary(16), len(arr), [None, pa.py_buffer(digest)]
-                ),
-                "doc_id": t.column("doc_id"),
-            }
-        )
-        g = part.group_by(["h"]).aggregate([("doc_id", "min")])
-        return g.rename_columns(["h", "doc_id"])
-
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     from .exchange import exchange_reduce, gather_concat
 
     winners_t = gather_concat(
         exchange_reduce(
-            [ds.map_batches(hash_ids, batch_format="pyarrow")],
+            [ds.map_batches(_dedup_hash_batch, batch_format="pyarrow")],
             ["h"],
             _dedup_winner_partition,
         )
@@ -214,52 +218,63 @@ def quality_score(sf_dir: str) -> pa.Table:
     the SQL oracle. The heuristic family is standard training-data
     filtering (Gopher-style length/stopword rules)."""
     rd = _rd()
-    stop = pa.array(STOPWORDS)
-
-    def score(t: pa.Table) -> pa.Table:
-        text = t.column("text")
-        if isinstance(text, pa.ChunkedArray):
-            text = text.combine_chunks()
-        low = pc.utf8_lower(text)
-        toks = pc.split_pattern_regex(low, r"\s+")
-        flat = toks.flatten()
-        valid = pc.not_equal(flat, "")
-        # per-doc token counts from list offsets (empty-string artifacts
-        # of split-vs-extract removed by masking)
-        off = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        vnp = valid.to_numpy(zero_copy_only=False)
-        cum = np.r_[0, np.cumsum(vnp)]
-        n_tok = cum[off[1:]] - cum[off[:-1]]
-        is_stop = pc.and_(valid, pc.is_in(flat, value_set=stop)).to_numpy(
-            zero_copy_only=False
-        )
-        cum_s = np.r_[0, np.cumsum(is_stop)]
-        n_stop = cum_s[off[1:]] - cum_s[off[:-1]]
-        tok_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False) * vnp
-        cum_l = np.r_[0, np.cumsum(tok_len)]
-        sum_len = cum_l[off[1:]] - cum_l[off[:-1]]
-        n_punct = pc.count_substring_regex(t.column("text"), _PUNCT).to_numpy(
-            zero_copy_only=False
-        ).astype(np.int64)
-        nt = np.maximum(n_tok, 1)
-        stop_bp = n_stop * 10_000 // nt
-        len_bp = sum_len * 10_000 // nt
-        ok = (n_tok >= 10) & (n_tok <= 1_000) & (stop_bp >= 100) & (len_bp <= 120_000)
-        return pa.table(
-            {
-                "doc_id": t.column("doc_id"),
-                "n_tokens": pa.array(n_tok, pa.int64()),
-                "n_stop": pa.array(n_stop, pa.int64()),
-                "stop_ratio_bp": pa.array(stop_bp, pa.int64()),
-                "mean_tok_len_bp": pa.array(len_bp, pa.int64()),
-                "n_punct": pa.array(n_punct, pa.int64()),
-                "quality_ok": pa.array(ok),
-            }
-        )
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return finalize(ds_to_table(ds.map_batches(score, batch_format="pyarrow")),
-                    [("doc_id", "ascending")])
+    return finalize(
+        ds_to_table(ds.map_batches(_quality_batch, batch_format="pyarrow")),
+        [("doc_id", "ascending")],
+    )
+
+
+_STOP_ARR = None
+
+
+def _quality_batch(t: pa.Table) -> pa.Table:
+    """Per-doc quality signals for one batch (module-level so the
+    corpus-export composition reuses the exact same kernel)."""
+    global _STOP_ARR
+    if _STOP_ARR is None:
+        _STOP_ARR = pa.array(STOPWORDS)
+    stop = _STOP_ARR
+    text = t.column("text")
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    low = pc.utf8_lower(text)
+    toks = pc.split_pattern_regex(low, r"\s+")
+    flat = toks.flatten()
+    valid = pc.not_equal(flat, "")
+    # per-doc token counts from list offsets (empty-string artifacts
+    # of split-vs-extract removed by masking)
+    off = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    vnp = valid.to_numpy(zero_copy_only=False)
+    cum = np.r_[0, np.cumsum(vnp)]
+    n_tok = cum[off[1:]] - cum[off[:-1]]
+    is_stop = pc.and_(valid, pc.is_in(flat, value_set=stop)).to_numpy(
+        zero_copy_only=False
+    )
+    cum_s = np.r_[0, np.cumsum(is_stop)]
+    n_stop = cum_s[off[1:]] - cum_s[off[:-1]]
+    tok_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False) * vnp
+    cum_l = np.r_[0, np.cumsum(tok_len)]
+    sum_len = cum_l[off[1:]] - cum_l[off[:-1]]
+    n_punct = pc.count_substring_regex(t.column("text"), _PUNCT).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    nt = np.maximum(n_tok, 1)
+    stop_bp = n_stop * 10_000 // nt
+    len_bp = sum_len * 10_000 // nt
+    ok = (n_tok >= 10) & (n_tok <= 1_000) & (stop_bp >= 100) & (len_bp <= 120_000)
+    return pa.table(
+        {
+            "doc_id": t.column("doc_id"),
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "n_stop": pa.array(n_stop, pa.int64()),
+            "stop_ratio_bp": pa.array(stop_bp, pa.int64()),
+            "mean_tok_len_bp": pa.array(len_bp, pa.int64()),
+            "n_punct": pa.array(n_punct, pa.int64()),
+            "quality_ok": pa.array(ok),
+        }
+    )
 
 
 def tokenize_bpe(sf_dir: str) -> pa.Table:
@@ -1059,21 +1074,26 @@ def content_flags(sf_dir: str) -> pa.Table:
     batch; the rule pack is fixed engine config, so the twin is exact."""
     rd = _rd()
 
-    def flags(t: pa.Table) -> pa.Table:
-        text = t.column("text")
-        cols: dict = {"doc_id": t.column("doc_id")}
-        for name, pat in _CONTENT_RULES:
-            cols[name] = pc.count_substring_regex(text, pat).cast(pa.int64())
-        ok = pc.and_(
-            pc.less_equal(cols["n_urls"], _FLAG_MAX_URLS),
-            pc.equal(cols["n_emails"], _FLAG_MAX_EMAILS),
-        )
-        cols["content_ok"] = ok
-        return pa.table(cols)
-
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return finalize(ds_to_table(ds.map_batches(flags, batch_format="pyarrow")),
-                    [("doc_id", "ascending")])
+    return finalize(
+        ds_to_table(ds.map_batches(_content_batch, batch_format="pyarrow")),
+        [("doc_id", "ascending")],
+    )
+
+
+def _content_batch(t: pa.Table) -> pa.Table:
+    """Per-doc content-rule counts for one batch (module-level so the
+    corpus-export composition reuses the exact same kernel)."""
+    text = t.column("text")
+    cols: dict = {"doc_id": t.column("doc_id")}
+    for name, pat in _CONTENT_RULES:
+        cols[name] = pc.count_substring_regex(text, pat).cast(pa.int64())
+    ok = pc.and_(
+        pc.less_equal(cols["n_urls"], _FLAG_MAX_URLS),
+        pc.equal(cols["n_emails"], _FLAG_MAX_EMAILS),
+    )
+    cols["content_ok"] = ok
+    return pa.table(cols)
 
 
 # PII-redaction masks, applied in _CONTENT_RULES order — sequential, so
@@ -1131,45 +1151,186 @@ def repetition_stats(sf_dir: str) -> pa.Table:
     boilerplate. Pure per-doc segment math (one tokenize + two gram
     concatenations per batch, distinct counts via one drop_duplicates);
     embarrassingly parallel, zero shuffle."""
-    from .dedup import _tokenize
-
     rd = _rd()
 
-    def stats(t: pa.Table) -> pa.Table:
-        flat, offsets = _tokenize(t.column("text"))
-        n_docs = len(offsets) - 1
-        n_toks = np.diff(offsets)
-        doc_idx_full = np.repeat(np.arange(n_docs), n_toks)
-        n = len(flat)
-        cols: dict = {"doc_id": t.column("doc_id")}
-        bps = {}
-        for k in (2, 3):
-            total = np.maximum(n_toks - (k - 1), 0).astype(np.int64)
-            if n >= k:
-                gram = flat[: n - k + 1].copy()
-                for j in range(1, k):
-                    gram = gram + " "
-                    gram = gram + flat[j : n - k + 1 + j]
-                valid = doc_idx_full[: n - k + 1] == doc_idx_full[k - 1 :]
-                dd = pd.DataFrame(
-                    {"d": doc_idx_full[: n - k + 1][valid], "g": gram[valid]}
-                ).drop_duplicates()
-                distinct = np.bincount(
-                    dd["d"].to_numpy(), minlength=n_docs
-                ).astype(np.int64)
-            else:
-                distinct = np.zeros(n_docs, np.int64)
-            dup = total - distinct
-            bp = (dup * 10000) // np.maximum(total, 1)
-            cols[f"n_{k}grams"] = pa.array(total, pa.int64())
-            cols[f"n_dup_{k}grams"] = pa.array(dup, pa.int64())
-            cols[f"dup{k}_bp"] = pa.array(bp, pa.int64())
-            bps[k] = bp
-        cols["rep_ok"] = pa.array(
-            (bps[2] <= _REP_MAX_DUP2_BP) & (bps[3] <= _REP_MAX_DUP3_BP)
-        )
-        return pa.table(cols)
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return finalize(
+        ds_to_table(ds.map_batches(_repetition_batch, batch_format="pyarrow")),
+        [("doc_id", "ascending")],
+    )
+
+
+def _repetition_batch(t: pa.Table) -> pa.Table:
+    """Per-doc duplicate n-gram signals for one batch (module-level so
+    the corpus-export composition reuses the exact same kernel)."""
+    from .dedup import _tokenize
+
+    flat, offsets = _tokenize(t.column("text"))
+    n_docs = len(offsets) - 1
+    n_toks = np.diff(offsets)
+    doc_idx_full = np.repeat(np.arange(n_docs), n_toks)
+    n = len(flat)
+    cols: dict = {"doc_id": t.column("doc_id")}
+    bps = {}
+    for k in (2, 3):
+        total = np.maximum(n_toks - (k - 1), 0).astype(np.int64)
+        if n >= k:
+            gram = flat[: n - k + 1].copy()
+            for j in range(1, k):
+                gram = gram + " "
+                gram = gram + flat[j : n - k + 1 + j]
+            valid = doc_idx_full[: n - k + 1] == doc_idx_full[k - 1 :]
+            dd = pd.DataFrame(
+                {"d": doc_idx_full[: n - k + 1][valid], "g": gram[valid]}
+            ).drop_duplicates()
+            distinct = np.bincount(
+                dd["d"].to_numpy(), minlength=n_docs
+            ).astype(np.int64)
+        else:
+            distinct = np.zeros(n_docs, np.int64)
+        dup = total - distinct
+        bp = (dup * 10000) // np.maximum(total, 1)
+        cols[f"n_{k}grams"] = pa.array(total, pa.int64())
+        cols[f"n_dup_{k}grams"] = pa.array(dup, pa.int64())
+        cols[f"dup{k}_bp"] = pa.array(bp, pa.int64())
+        bps[k] = bp
+    cols["rep_ok"] = pa.array(
+        (bps[2] <= _REP_MAX_DUP2_BP) & (bps[3] <= _REP_MAX_DUP3_BP)
+    )
+    return pa.table(cols)
+
+
+# The corpus-export keep rule: a document survives every hygiene gate.
+# Contamination tolerance is zero hits (the strictest decontamination
+# posture — any eval-overlapping shingle drops the doc).
+
+
+def corpus_export(
+    sf_dir: str, max_broadcast_ids: int = _DEDUP_MAX_BROADCAST_IDS
+) -> pa.Table:
+    """The flagship composition: the final per-document keep verdict a
+    training-data export makes, combining every hygiene signal this
+    engine computes — quality (length/stopword rules), repetition
+    (duplicate n-gram ratios), content rules (URL/email/digit-run
+    caps), exact dedup (smallest doc_id per identical text wins) and
+    benchmark decontamination (zero eval-shingle overlap; eval docs
+    themselves are excluded from the export). Columns: one boolean per
+    gate plus the final ``keep`` conjunction.
+
+    Scale shape: ONE streaming signal pass computes the four local /
+    broadcast gates per batch (the winner-id set and the eval shingle
+    set ship once via ``ray.put``) — zero shuffle besides exact dedup's
+    own winner election. Above ``max_broadcast_ids`` winners, the
+    dedup flag instead rides a doc_id-keyed exchange join against the
+    winner rows (same gate and shape as :func:`dedup_exact`)."""
+    import ray
+
+    rd = _rd()
+    from .dedup import _DECON_MOD, _DECON_REM, _hash_shingles, _member_sorted
+    from .dedup import doc_shingles
+    from .exchange import exchange_reduce, gather_concat
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return finalize(ds_to_table(ds.map_batches(stats, batch_format="pyarrow")),
-                    [("doc_id", "ascending")])
+
+    # exact-dedup winner election (the one shuffle)
+    winners_t = gather_concat(
+        exchange_reduce(
+            [ds.map_batches(_dedup_hash_batch, batch_format="pyarrow")],
+            ["h"],
+            _dedup_winner_partition,
+        )
+    )
+
+    # eval shingle set (bounded by the benchmark suite, not the corpus)
+    def eval_hashes(t: pa.Table) -> pa.Table:
+        mask = (t.column("doc_id").to_numpy() % _DECON_MOD) == _DECON_REM
+        df = doc_shingles(t.filter(pa.array(mask)))
+        h = (
+            np.unique(_hash_shingles(df["shingle"].to_numpy()))
+            if len(df)
+            else np.zeros(0, np.uint64)
+        )
+        return pa.table({"h": pa.array(h, pa.uint64())})
+
+    ev = ds_to_table(ds.map_batches(eval_hashes, batch_format="pyarrow"))
+    ev_sorted = np.unique(ev.column("h").to_numpy().astype(np.uint64))
+    ev_ref = ray.put(ev_sorted)
+
+    broadcast_dedup = winners_t.num_rows <= max_broadcast_ids
+    win_ref = (
+        ray.put(np.sort(winners_t.column("doc_id").to_numpy().astype(np.int64)))
+        if broadcast_dedup
+        else None
+    )
+
+    def signals(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id").to_numpy().astype(np.int64)
+        keep_rows = (did % _DECON_MOD) != _DECON_REM
+        t = t.filter(pa.array(keep_rows))
+        did = did[keep_rows]
+        q = _quality_batch(t)
+        r = _repetition_batch(t)
+        c = _content_batch(t)
+        # contamination: zero eval-shingle hits allowed
+        evs = ray.get(ev_ref)
+        n_hit = np.zeros(len(did), np.int64)
+        df = doc_shingles(t)
+        if len(df):
+            h = _hash_shingles(df["shingle"].to_numpy())
+            hit = _member_sorted(h, evs)
+            order = np.argsort(did, kind="stable")
+            pos = order[np.searchsorted(did[order], df["doc_id"].to_numpy())]
+            np.add.at(n_hit, pos, hit.astype(np.int64))
+        cols = {
+            "doc_id": pa.array(did, pa.int64()),
+            "quality_ok": q.column("quality_ok"),
+            "rep_ok": r.column("rep_ok"),
+            "content_ok": c.column("content_ok"),
+            "decontam_ok": pa.array(n_hit == 0),
+        }
+        if win_ref is not None:
+            wins = ray.get(win_ref)
+            cols["dedup_keep"] = pa.array(_member_sorted(
+                did.astype(np.uint64), wins.astype(np.uint64)
+            ))
+        return pa.table(cols)
+
+    sig = ds.map_batches(signals, batch_format="pyarrow")
+
+    if broadcast_dedup:
+        t = ds_to_table(sig)
+    else:
+        # scale path: winner membership via a doc_id-keyed exchange join
+        def flag_join(pid: int, sigs: pa.Table, wins: pa.Table) -> pa.Table:
+            if sigs.num_rows == 0 or "doc_id" not in sigs.column_names:
+                return pa.table({})
+            did = sigs.column("doc_id").to_numpy().astype(np.uint64)
+            if wins.num_rows and "doc_id" in wins.column_names:
+                w = np.unique(wins.column("doc_id").to_numpy().astype(np.uint64))
+            else:
+                w = np.zeros(0, np.uint64)
+            return sigs.append_column(
+                "dedup_keep", pa.array(_member_sorted(did, w))
+            )
+
+        import ray.data as rd2
+
+        t = gather_concat(
+            exchange_reduce(
+                [sig, rd2.from_arrow(winners_t.select(["doc_id"]))],
+                ["doc_id", "doc_id"],
+                flag_join,
+            )
+        )
+
+    keep = pc.and_(
+        pc.and_(
+            pc.and_(t.column("quality_ok"), t.column("rep_ok")),
+            pc.and_(t.column("content_ok"), t.column("decontam_ok")),
+        ),
+        t.column("dedup_keep"),
+    )
+    t = t.append_column("keep", keep)
+    cols = ["doc_id", "quality_ok", "rep_ok", "content_ok",
+            "dedup_keep", "decontam_ok", "keep"]
+    return finalize(t.select(cols), [("doc_id", "ascending")])

@@ -611,3 +611,40 @@ def test_repetition_stats_constructed_corpus(ray_session, tmp_path):
     )
     oracle = con.execute(e.oracle_sql()["repetition_stats"]).arrow().to_pandas()
     assert got.equals(oracle[got.columns.tolist()])
+
+
+def test_corpus_export_consistent_with_standalone_gates(ray_session):
+    """corpus_export's per-gate booleans equal the standalone queries'
+    verdicts (same kernels by construction — this pins the composition
+    wiring), keep is their conjunction, and the forced exchange route
+    equals the broadcast route."""
+    from image_report_ray.pipelines.dedup import decontaminate
+    from image_report_ray.pipelines.text import (
+        content_flags,
+        corpus_export,
+        dedup_exact,
+        quality_score,
+        repetition_stats,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = corpus_export(sf).to_pandas().set_index("doc_id")
+    q = quality_score(sf).to_pandas().set_index("doc_id")
+    r = repetition_stats(sf).to_pandas().set_index("doc_id")
+    c = content_flags(sf).to_pandas().set_index("doc_id")
+    d = decontaminate(sf).to_pandas().set_index("doc_id")
+    winners = set(dedup_exact(sf).to_pandas().doc_id)
+
+    assert (out.quality_ok == q.quality_ok.loc[out.index]).all()
+    assert (out.rep_ok == r.rep_ok.loc[out.index]).all()
+    assert (out.content_ok == c.content_ok.loc[out.index]).all()
+    assert (out.decontam_ok == ~d.contaminated.loc[out.index]).all()
+    assert (out.dedup_keep == out.index.isin(winners)).all()
+    assert (
+        out.keep == (out.quality_ok & out.rep_ok & out.content_ok
+                     & out.dedup_keep & out.decontam_ok)
+    ).all()
+    assert out.keep.sum() > 0
+
+    forced = corpus_export(sf, max_broadcast_ids=0)
+    assert forced.equals(corpus_export(sf))
