@@ -285,6 +285,7 @@ def run_textbench(num_cpus: int) -> dict:
         ("redact_text", text.redact_text),
         ("content_flags", text.content_flags),
         ("decontaminate", dedup.decontaminate),
+        ("corpus_export", text.corpus_export),
     ):
         t0 = time.perf_counter()
         r = fn(TEXTBENCH_DIR)
