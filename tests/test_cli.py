@@ -265,3 +265,59 @@ def test_export_view_with_as_of_rejected(ray_session, tmp_path, capsys):
                "--view", "conv_summary", "--as-of", "0"])
     assert rc == 1
     assert "not supported with --view" in capsys.readouterr().out
+
+
+def test_cli_full_lifecycle(ray_session, tmp_path, capsys):
+    """Capstone: every lifecycle verb in one flow — gen -> run(+views)
+    -> changefeed -> expire -> vacuum -> validate -> reshard ->
+    export -> bootstrap a fresh lake from the exported state — with
+    state equality checks at each hand-off."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from image_report_ray.pipelines.cdc import canonical_state_table
+    from image_report_ray.state.manifest import Lake
+
+    def run_json(*a):
+        assert main(list(a)) == 0
+        return _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    wal = str(tmp_path / "wal")
+    lakeA = str(tmp_path / "lakeA")
+    run_json("gen", wal, "--epochs", "2", "--epoch-size", "400",
+             "--conversations", "30", "--parts", "2")
+    run_json("run", lakeA, wal, "--partitions", "8",
+             "--views", "conv_summary")
+
+    feed = run_json("changefeed", lakeA, "--epoch", "1",
+                    "--out", str(tmp_path / "feed.parquet"))
+    assert feed["rows"] > 0 and feed["rows"] == (
+        feed["inserts"] + feed["updates"] + feed["deletes"])
+
+    state = canonical_state_table(Lake(lakeA))
+    cutoff = int(pc.approximate_median(
+        state.column("ts").cast(pa.int64())).as_py())
+    exp = run_json("expire", lakeA, "--before-ts", str(cutoff))
+    assert exp["expired"] > 0
+    vac = run_json("vacuum", lakeA, "--keep-epochs", "0")
+    assert vac["files_deleted"] > 0
+    assert run_json("validate", lakeA) == {
+        "partitions_checked": 8, "problems": []}
+
+    lakeB = str(tmp_path / "lakeB")
+    rs = run_json("reshard", lakeA, lakeB, "--partitions", "3")
+    assert rs["partitions"] == 3
+    assert canonical_state_table(Lake(lakeB)).equals(
+        canonical_state_table(Lake(lakeA)))
+
+    out = str(tmp_path / "exported")
+    run_json("export", lakeB, out)
+    lakeC = str(tmp_path / "lakeC")
+    boot = run_json("bootstrap", out, lakeC, "--partitions", "5")
+    assert boot["rows_loaded"] == canonical_state_table(Lake(lakeB)).num_rows
+    assert canonical_state_table(Lake(lakeC)).equals(
+        canonical_state_table(Lake(lakeB)))
+    assert run_json("validate", lakeC) == {
+        "partitions_checked": 5, "problems": []}
