@@ -967,6 +967,31 @@ SELECT conv_id,
            AS changed
 FROM j GROUP BY conv_id ORDER BY conv_id
 """,
+        # lake -> tokenizer export: one training document per
+        # conversation, "role: text" lines joined by newlines in turn
+        # order (string_agg with ORDER BY == the kernel's sorted
+        # reduceat join)
+        "cdc_flatten_transcripts": CHANGELOG_CTE
+        + """
+, final AS (
+    SELECT conv_id, turn_idx, role, text
+    FROM (
+        SELECT ch.*, ROW_NUMBER() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+        FROM ch
+    )
+    WHERE rn = 1 AND op <> 'D'
+), agg AS (
+    SELECT conv_id,
+           string_agg(role || ': ' || text, chr(10)
+                      ORDER BY turn_idx) AS doc_text,
+           CAST(COUNT(*) AS BIGINT) AS n_turns
+    FROM final GROUP BY conv_id
+)
+SELECT conv_id, doc_text, n_turns,
+       CAST(length(doc_text) AS BIGINT) AS n_chars
+FROM agg ORDER BY conv_id
+""",
         # tool-use Markov profile: adjacent pairs of the per-conversation
         # tool-call subsequence (non-null tool, turn order)
         "cdc_tool_transitions": CHANGELOG_CTE

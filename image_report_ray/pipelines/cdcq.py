@@ -766,3 +766,67 @@ def cdc_tool_transitions(sf_dir: str) -> pa.Table:
 
     t = mine(_full_lake(sf_dir))
     return finalize(t, [("tool_a", "ascending"), ("tool_b", "ascending")])
+
+
+def cdc_flatten_transcripts(sf_dir: str) -> pa.Table:
+    """Render the REPLAYED state as training documents: one row per
+    conversation with its turns concatenated in order as
+    ``role: text`` lines — the export step between the transcript lake
+    and the tokenizer. Partition-local like the other state queries
+    (conversations never span partitions): each fold task builds its
+    conversations' documents with one prefix-concat + reduceat join
+    over the already-sorted canonical state; only the finished
+    documents reach the driver."""
+    import ray
+
+    def flatten(lake):
+        @ray.remote
+        def part_flatten(paths: list) -> pa.Table:
+            import numpy as np
+            import pyarrow.parquet as pq
+
+            from image_report_ray.state.merge import (
+                export_canonical,
+                fold_state_tables,
+            )
+
+            folded = fold_state_tables([pq.read_table(p) for p in paths])
+            if folded is None:
+                return pa.table({})
+            t = export_canonical(folded)  # sorted (conv_id, turn_idx)
+            conv = t.column("conv_id").to_numpy(zero_copy_only=False)
+            role = t.column("role").to_numpy(zero_copy_only=False)
+            text = t.column("text").to_numpy(zero_copy_only=False)
+            lines = (role.astype(object) + ": ") + text.astype(object)
+            bounds = np.flatnonzero(np.r_[True, conv[1:] != conv[:-1]])
+            n_turns = np.diff(np.r_[bounds, len(conv)]).astype(np.int64)
+            # join each conversation's lines with newlines: reduceat on
+            # the object array (groups are turn-bounded, so the concat
+            # stays linear in practice)
+            with_nl = lines + "\n"
+            docs = np.add.reduceat(with_nl, bounds)
+            docs = np.array([d[:-1] for d in docs], dtype=object)
+            return pa.table(
+                {
+                    "conv_id": pa.array(conv[bounds]),
+                    "doc_text": pa.array(docs, pa.string()),
+                    "n_turns": pa.array(n_turns, pa.int64()),
+                }
+            )
+
+        sets = lake.current_file_sets()
+        refs = [part_flatten.remote(paths) for _, paths in sorted(sets.items())]
+        tabs = [t for t in ray.get(refs) if t.num_rows]
+        if not tabs:
+            return pa.table(
+                {"conv_id": pa.array([], pa.string()),
+                 "doc_text": pa.array([], pa.string()),
+                 "n_turns": pa.array([], pa.int64())}
+            )
+        return pa.concat_tables(tabs, promote_options="default")
+
+    t = flatten(_full_lake(sf_dir))
+    t = t.append_column(
+        "n_chars", pc.utf8_length(t.column("doc_text")).cast(pa.int64())
+    )
+    return finalize(t, [("conv_id", "ascending")])

@@ -609,3 +609,29 @@ def test_changefeed_reconstruction_invariant(ray_session, tmp_path):
         for r in final.to_pylist()
     }
     assert state == got
+
+
+def test_flatten_transcripts_matches_naive_render(ray_session):
+    """cdc_flatten_transcripts == a per-conversation 'role: text' join
+    over the naive-oracle state."""
+    import pyarrow.parquet as pq
+
+    from image_report_ray.pipelines.cdcq import cdc_flatten_transcripts
+    from image_report_ray.sources.wal import events_to_changelog
+    from image_report_ray.state.oracle import apply_naive
+
+    sf = "/root/testdata/sf0.001"
+    state = apply_naive(
+        events_to_changelog(pq.read_table(f"{sf}/events.parquet"))
+    )
+    expect: dict = {}
+    for r in state.to_pylist():  # sorted (conv_id, turn_idx)
+        expect.setdefault(r["conv_id"], []).append(f"{r['role']}: {r['text']}")
+
+    got = cdc_flatten_transcripts(sf)
+    assert got.num_rows == len(expect)
+    for r in got.to_pylist():
+        doc = "\n".join(expect[r["conv_id"]])
+        assert r["doc_text"] == doc
+        assert r["n_turns"] == len(expect[r["conv_id"]])
+        assert r["n_chars"] == len(doc)
