@@ -967,6 +967,63 @@ SELECT conv_id,
            AS changed
 FROM j GROUP BY conv_id ORDER BY conv_id
 """,
+        # end-to-end transcript export: flattened per-conversation docs
+        # gated by the SAME quality/repetition rules as the document
+        # pipelines, plus the stuck-agent (repeated-turn ratio) gate
+        "cdc_export_conversations": CHANGELOG_CTE
+        + r"""
+, final AS (
+    SELECT conv_id, turn_idx, role, text
+    FROM (
+        SELECT ch.*, ROW_NUMBER() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+        FROM ch
+    )
+    WHERE rn = 1 AND op <> 'D'
+), agg AS (
+    SELECT conv_id,
+           string_agg(role || ': ' || text, chr(10)
+                      ORDER BY turn_idx) AS doc_text,
+           CAST(COUNT(*) AS BIGINT) AS n_turns
+    FROM final GROUP BY conv_id
+), occ AS (
+    SELECT conv_id, ROW_NUMBER() OVER (
+        PARTITION BY conv_id, text ORDER BY turn_idx) AS k
+    FROM final
+), lo AS (
+    SELECT conv_id,
+           SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS nl,
+           COUNT(*) AS nt
+    FROM occ GROUP BY conv_id
+), m AS (
+    SELECT conv_id, n_turns,
+           regexp_extract_all(lower(doc_text), '\S+') AS ws
+    FROM agg
+), g AS (
+    SELECT conv_id, n_turns,
+           len(ws) AS ntk,
+           COALESCE(list_sum(list_transform(ws, w -> length(w))), 0) AS sl,
+           GREATEST(len(ws) - 1, 0) AS n2,
+           GREATEST(len(ws) - 2, 0) AS n3,
+           len(list_distinct(list_transform(range(1, len(ws)),
+               i -> ws[i] || ' ' || ws[i+1]))) AS d2,
+           len(list_distinct(list_transform(range(1, len(ws) - 1),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS d3
+    FROM m
+)
+SELECT g.conv_id, g.n_turns,
+       (ntk BETWEEN 10 AND 1000)
+         AND (sl * 10000 // GREATEST(ntk, 1) <= 120000) AS quality_ok,
+       (n2 - d2) * 10000 // GREATEST(n2, 1) <= 2000
+         AND (n3 - d3) * 10000 // GREATEST(n3, 1) <= 1800 AS rep_ok,
+       lo.nl * 10000 // lo.nt <= 2000 AS loop_ok,
+       (ntk BETWEEN 10 AND 1000)
+         AND (sl * 10000 // GREATEST(ntk, 1) <= 120000)
+         AND (n2 - d2) * 10000 // GREATEST(n2, 1) <= 2000
+         AND (n3 - d3) * 10000 // GREATEST(n3, 1) <= 1800
+         AND lo.nl * 10000 // lo.nt <= 2000 AS keep
+FROM g JOIN lo USING (conv_id) ORDER BY conv_id
+""",
         # lake -> tokenizer export: one training document per
         # conversation, "role: text" lines joined by newlines in turn
         # order (string_agg with ORDER BY == the kernel's sorted

@@ -830,3 +830,98 @@ def cdc_flatten_transcripts(sf_dir: str) -> pa.Table:
         "n_chars", pc.utf8_length(t.column("doc_text")).cast(pa.int64())
     )
     return finalize(t, [("conv_id", "ascending")])
+
+
+# Conversation-level keep thresholds for the transcript export: a
+# conversation whose repeated-turn ratio exceeds this is a stuck agent.
+_EXPORT_MAX_LOOP_BP = 2000
+
+
+def cdc_export_conversations(sf_dir: str) -> pa.Table:
+    """The end-to-end transcript product: WAL -> replayed state ->
+    flattened training documents -> conversation-level hygiene verdict.
+    Each conversation renders as its ``role: text`` document and passes
+    the SAME quality and repetition kernels the document pipelines use
+    (shared module-level batch kernels) plus a stuck-agent gate (ratio
+    of turns repeating an earlier turn's text). One partition-local
+    pass: fold, flatten, gate — only (conv_id, flags) rows reach the
+    driver, never the documents."""
+    import ray
+
+    def export(lake):
+        @ray.remote
+        def part_export(paths: list) -> pa.Table:
+            import numpy as np
+            import pandas as pd
+            import pyarrow.parquet as pq
+
+            from image_report_ray.pipelines.text import (
+                _quality_batch,
+                _repetition_batch,
+            )
+            from image_report_ray.state.merge import (
+                export_canonical,
+                fold_state_tables,
+            )
+
+            folded = fold_state_tables([pq.read_table(p) for p in paths])
+            if folded is None:
+                return pa.table({})
+            t = export_canonical(folded)  # sorted (conv_id, turn_idx)
+            conv = t.column("conv_id").to_numpy(zero_copy_only=False)
+            role = t.column("role").to_numpy(zero_copy_only=False)
+            text = t.column("text").to_numpy(zero_copy_only=False)
+            bounds = np.flatnonzero(np.r_[True, conv[1:] != conv[:-1]])
+            n_turns = np.diff(np.r_[bounds, len(conv)]).astype(np.int64)
+            lines = (role.astype(object) + ": ") + text.astype(object) + "\n"
+            docs = np.add.reduceat(lines, bounds)
+            docs = np.array([d[:-1] for d in docs], dtype=object)
+            dup = pd.DataFrame({"c": conv, "t": text}).duplicated(
+                subset=["c", "t"]
+            ).to_numpy()
+            n_looped = np.add.reduceat(dup.astype(np.int64), bounds)
+
+            fake = pa.table(
+                {"doc_id": pa.array(conv[bounds]),
+                 "text": pa.array(docs, pa.string())}
+            )
+            q = _quality_batch(fake)
+            r = _repetition_batch(fake)
+            # transcript quality = length + token-shape rules only: the
+            # document pipelines' stopword prior does not transfer to
+            # role-prefixed agent logs (they are not prose), so that
+            # term is dropped from the conversation gate
+            ntk = q.column("n_tokens").to_numpy()
+            len_bp = q.column("mean_tok_len_bp").to_numpy()
+            quality_ok = (ntk >= 10) & (ntk <= 1000) & (len_bp <= 120_000)
+            loop_ok = (n_looped * 10000) // n_turns <= _EXPORT_MAX_LOOP_BP
+            return pa.table(
+                {
+                    "conv_id": pa.array(conv[bounds]),
+                    "n_turns": pa.array(n_turns, pa.int64()),
+                    "quality_ok": pa.array(quality_ok),
+                    "rep_ok": r.column("rep_ok"),
+                    "loop_ok": pa.array(loop_ok),
+                }
+            )
+
+        sets = lake.current_file_sets()
+        refs = [part_export.remote(paths) for _, paths in sorted(sets.items())]
+        tabs = [t for t in ray.get(refs) if t.num_rows]
+        if not tabs:
+            return pa.table(
+                {"conv_id": pa.array([], pa.string()),
+                 "n_turns": pa.array([], pa.int64()),
+                 "quality_ok": pa.array([], pa.bool_()),
+                 "rep_ok": pa.array([], pa.bool_()),
+                 "loop_ok": pa.array([], pa.bool_())}
+            )
+        return pa.concat_tables(tabs, promote_options="default")
+
+    t = export(_full_lake(sf_dir))
+    keep = pc.and_(
+        pc.and_(t.column("quality_ok"), t.column("rep_ok")),
+        t.column("loop_ok"),
+    )
+    t = t.append_column("keep", keep)
+    return finalize(t, [("conv_id", "ascending")])

@@ -635,3 +635,39 @@ def test_flatten_transcripts_matches_naive_render(ray_session):
         assert r["doc_text"] == doc
         assert r["n_turns"] == len(expect[r["conv_id"]])
         assert r["n_chars"] == len(doc)
+
+
+def test_export_conversations_gates_consistent(ray_session):
+    """cdc_export_conversations' gates equal re-running the shared text
+    kernels on the flattened documents plus the loop ratio — pins the
+    composition wiring; verdict mix is non-trivial."""
+    from image_report_ray.pipelines.cdcq import (
+        _EXPORT_MAX_LOOP_BP,
+        cdc_export_conversations,
+        cdc_flatten_transcripts,
+        cdc_loop_detect,
+    )
+    from image_report_ray.pipelines.text import (
+        _quality_batch,
+        _repetition_batch,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = cdc_export_conversations(sf).to_pandas().set_index("conv_id")
+    flat = cdc_flatten_transcripts(sf)
+    fake = pa.table(
+        {"doc_id": flat.column("conv_id"), "text": flat.column("doc_text")}
+    )
+    q = _quality_batch(fake).to_pandas().set_index("doc_id")
+    r = _repetition_batch(fake).to_pandas().set_index("doc_id")
+    lo = cdc_loop_detect(sf).to_pandas().set_index("conv_id")
+
+    # transcript quality gate = length + token-shape terms of the shared
+    # kernel (the stopword prior is dropped for role-prefixed logs)
+    expect_q = q.n_tokens.between(10, 1000) & (q.mean_tok_len_bp <= 120_000)
+    assert (out.quality_ok == expect_q.loc[out.index]).all()
+    assert (out.rep_ok == r.rep_ok.loc[out.index]).all()
+    assert (out.loop_ok == (lo.loop_bp.loc[out.index]
+                            <= _EXPORT_MAX_LOOP_BP)).all()
+    assert (out.keep == (out.quality_ok & out.rep_ok & out.loop_ok)).all()
+    assert 0 < out.keep.sum() < len(out)
