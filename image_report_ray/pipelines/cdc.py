@@ -87,7 +87,9 @@ def discover_epochs(wal_dir: str) -> dict[int, list[str]]:
         epoch = int(m.group(1))
         d = os.path.join(wal_dir, name)
         files = sorted(
-            os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+            os.path.join(d, f)
+            for f in os.listdir(d)
+            if f.endswith((".parquet", ".jsonl", ".json"))
         )
         if files:
             out[epoch] = files
@@ -206,6 +208,32 @@ def merge_partition_kernel(
 
 # ---- Ray remote wrappers (built lazily; the library never inits Ray) --
 
+def read_wal_file(path: str) -> pa.Table:
+    """Read one WAL file in either supported source format: Parquet or
+    JSONL (newline-delimited change events — the log-shipping format
+    most CDC relays emit). JSONL columns are cast to the change schema
+    (ints narrowed, ISO timestamps parsed); columns beyond the schema
+    (additive evolution) pass through untouched."""
+    if not path.endswith((".jsonl", ".json")):
+        return pq.read_table(path)
+    from pyarrow import json as pa_json
+
+    from ..schema import CHANGE_SCHEMA
+
+    t = pa_json.read_json(path)
+    cols = {}
+    for field in CHANGE_SCHEMA:
+        if field.name in t.column_names:
+            cols[field.name] = t.column(field.name).cast(field.type)
+        else:
+            cols[field.name] = pa.nulls(t.num_rows, field.type)
+    out = pa.table(cols)
+    for c in t.column_names:
+        if c not in CHANGE_SCHEMA.names:
+            out = out.append_column(c, t.column(c))
+    return out
+
+
 _REMOTES: dict | None = None
 
 
@@ -229,7 +257,7 @@ def _remotes() -> dict:
             skipped = 0
             for f in files:
                 try:
-                    tables.append(pq.read_table(f))
+                    tables.append(read_wal_file(f))
                 except (pa.ArrowInvalid, OSError) as exc:
                     if not cont:
                         raise

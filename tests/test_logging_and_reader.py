@@ -62,3 +62,46 @@ def test_malformed_wal_file_keep_going(ray_session, tmp_path):
     assert summary["events_received"] == 300  # good file fully applied
     want = apply_naive(full_changelog(1, 300, seed=17, n_convs=20, max_turns=6))
     assert canonical_state_table(Lake(str(tmp_path / "lake"))).equals(want)
+
+
+def test_jsonl_wal_replays_identically(ray_session, tmp_path):
+    """A JSONL WAL (newline-delimited change events, ISO timestamps)
+    replays to the exact same committed state as the equivalent Parquet
+    WAL — the second supported source format."""
+    import json as _json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from image_report_ray.config import EngineConfig
+    from image_report_ray.pipelines.cdc import canonical_state_table, run_job
+    from image_report_ray.sources.synth import write_wal
+    from image_report_ray.state.manifest import Lake
+
+    pq_wal = str(tmp_path / "wal_pq")
+    paths = write_wal(pq_wal, n_epochs=2, epoch_size=300, seed=17,
+                      n_convs=30, max_turns=6, dup_rate=0.05)
+
+    # rewrite the same epochs as JSONL
+    js_wal = str(tmp_path / "wal_js")
+    for p in paths:
+        epoch_dir = os.path.basename(os.path.dirname(p))
+        d = os.path.join(js_wal, epoch_dir)
+        os.makedirs(d, exist_ok=True)
+        t = pq.read_table(p)
+        out = os.path.join(
+            d, os.path.basename(p).replace(".parquet", ".jsonl")
+        )
+        with open(out, "w") as f:
+            for r in t.to_pylist():
+                if r["ts"] is not None:
+                    r["ts"] = r["ts"].isoformat()
+                f.write(_json.dumps(r) + "\n")
+
+    cfg = EngineConfig(num_partitions=4)
+    run_job(str(tmp_path / "lake_pq"), pq_wal, cfg)
+    run_job(str(tmp_path / "lake_js"), js_wal, cfg)
+    a = canonical_state_table(Lake(str(tmp_path / "lake_pq")))
+    b = canonical_state_table(Lake(str(tmp_path / "lake_js")))
+    assert a.equals(b)
+    assert a.num_rows > 0
