@@ -147,9 +147,16 @@ def cmd_export(args: argparse.Namespace) -> int:
 
     as_of = getattr(args, "as_of", None)
     ds = canonical_state_dataset(lake, as_of=as_of)
-    ds.write_parquet(args.out_dir)
+    fmt = getattr(args, "format", "parquet")
+    if fmt == "jsonl":
+        # JSONL shards for downstream tokenizer pipelines (streaming
+        # write, one file per state block — same resumable layout)
+        ds.write_json(args.out_dir)
+    else:
+        ds.write_parquet(args.out_dir)
     print(json.dumps(
-        {"rows": ds.count(), "out_dir": args.out_dir, "as_of": as_of}
+        {"rows": ds.count(), "out_dir": args.out_dir, "as_of": as_of,
+         "format": fmt}
     ))
     import ray
 
@@ -494,6 +501,11 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument(
         "--as-of", type=int, default=None, dest="as_of",
         help="time-travel: export the state snapshot as of this epoch",
+    )
+    e.add_argument(
+        "--format", choices=("parquet", "jsonl"), default="parquet",
+        help="output format (jsonl = newline-delimited shards for "
+             "tokenizer pipelines)",
     )
     e.add_argument("--num-cpus", type=int, default=None)
     e.set_defaults(fn=cmd_export)

@@ -321,3 +321,32 @@ def test_cli_full_lifecycle(ray_session, tmp_path, capsys):
         canonical_state_table(Lake(lakeB)))
     assert run_json("validate", lakeC) == {
         "partitions_checked": 5, "problems": []}
+
+
+def test_export_jsonl_roundtrip(ray_session, tmp_path, capsys):
+    """export --format jsonl writes newline-delimited shards whose rows
+    round-trip to the canonical state."""
+    import json as _json
+    import os
+
+    from image_report_ray.pipelines.cdc import canonical_state_table
+    from image_report_ray.state.manifest import Lake
+
+    wal = str(tmp_path / "wal")
+    lake = str(tmp_path / "lake")
+    out = str(tmp_path / "jsonl")
+    main(["gen", wal, "--epochs", "1", "--epoch-size", "300",
+          "--conversations", "25", "--parts", "2"])
+    assert main(["run", lake, wal, "--partitions", "4"]) == 0
+    assert main(["export", lake, out, "--format", "jsonl"]) == 0
+    rows = []
+    for f in sorted(os.listdir(out)):
+        with open(os.path.join(out, f)) as fh:
+            rows += [_json.loads(ln) for ln in fh if ln.strip()]
+    want = canonical_state_table(Lake(lake))
+    assert len(rows) == want.num_rows
+    got = {(r["conv_id"], r["turn_idx"]): r["text"] for r in rows}
+    expect = {
+        (r["conv_id"], r["turn_idx"]): r["text"] for r in want.to_pylist()
+    }
+    assert got == expect
