@@ -671,3 +671,77 @@ def test_export_conversations_gates_consistent(ray_session):
                             <= _EXPORT_MAX_LOOP_BP)).all()
     assert (out.keep == (out.quality_ok & out.rep_ok & out.loop_ok)).all()
     assert 0 < out.keep.sum() < len(out)
+
+
+def test_reshard_preserves_evolved_schema(ray_session, tmp_path):
+    """Resharding a lake whose later epochs carry the additive ``meta``
+    column keeps the evolved schema and the exact state."""
+    from image_report_ray.pipelines.cdc import reshard_lake
+
+    d = str(tmp_path / "wal")
+    write_wal(d, n_epochs=4, epoch_size=300, seed=5, n_convs=40, max_turns=8,
+              evolve_from_epoch=2)
+    cfg = EngineConfig(num_partitions=8, batch_size=256)
+    src = str(tmp_path / "lake8")
+    run_job(src, d, cfg)
+
+    dst = str(tmp_path / "lake3")
+    reshard_lake(Lake(src), dst, 3)
+    a = canonical_state_table(Lake(src))
+    b = canonical_state_table(Lake(dst))
+    assert "meta" in b.column_names
+    assert b.equals(a)
+
+
+def test_changefeed_after_gc_and_expire(ray_session, tmp_path):
+    """changefeed for pre-GC epochs still resolves after tombstone GC
+    (immutable files), and the reconstruction invariant holds when an
+    expiry GC interleaves (the expiry's row drops surface in the NEXT
+    epoch's feed via the fold order)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from image_report_ray.pipelines.cdc import (
+        changefeed,
+        expire_turns,
+        gc_tombstones,
+    )
+
+    cfg = EngineConfig(num_partitions=4, batch_size=256)
+    d = str(tmp_path / "wal")
+    paths = write_wal(d, n_epochs=3, epoch_size=400, **GEN)
+    lake_dir = str(tmp_path / "lake")
+    lake = Lake(lake_dir, num_partitions=4)
+    for i, p in enumerate(paths[:2]):
+        apply_epoch(lake, i, rd.read_parquet(p), cfg)
+    feed0_before = changefeed(Lake(lake_dir), 0)
+
+    # interleave maintenance: tombstone GC + TTL expiry between epochs
+    gc_tombstones(Lake(lake_dir), before_lsn=400)
+    state = canonical_state_table(Lake(lake_dir))
+    cutoff = int(
+        pc.approximate_median(state.column("ts").cast(pa.int64())).as_py()
+    )
+    expire_turns(Lake(lake_dir), cutoff, cfg)
+    apply_epoch(Lake(lake_dir), 2, rd.read_parquet(paths[2]), cfg)
+
+    # epochs strictly below the maintenance fold point (after_epoch=1)
+    # keep their feeds bit-identical (immutable files); epoch 1's own
+    # feed legitimately absorbs the GC/expiry folded at (1, gc)
+    assert changefeed(Lake(lake_dir), 0).equals(feed0_before)
+
+    # reconstruction across the maintenance boundary: replaying all
+    # feeds converges to the final state
+    state_map: dict = {}
+    for epoch in Lake(lake_dir).committed_epochs():
+        for r in changefeed(Lake(lake_dir), epoch).to_pylist():
+            k = (r["conv_id"], r["turn_idx"])
+            if r["op"] == "D":
+                state_map.pop(k, None)
+            else:
+                state_map[k] = r["text"]
+    final = canonical_state_table(Lake(lake_dir))
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["text"] for r in final.to_pylist()
+    }
+    assert state_map == got
