@@ -82,12 +82,24 @@ def cmd_run(args: argparse.Namespace) -> int:
         compact_every=args.compact_every,
         views=tuple(v for v in (args.views or "").split(",") if v),
     )
-    summary = run_job(
-        args.lake_dir,
-        args.wal_dir,
-        cfg,
-        salt_keys=frozenset(args.salt_key or []),
-    )
+    if getattr(args, "follow", False):
+        from .pipelines.cdc import tail_job
+
+        summary = tail_job(
+            args.lake_dir,
+            args.wal_dir,
+            cfg,
+            salt_keys=frozenset(args.salt_key or []),
+            poll_interval=args.poll_interval,
+            idle_timeout=args.idle_timeout,
+        )
+    else:
+        summary = run_job(
+            args.lake_dir,
+            args.wal_dir,
+            cfg,
+            salt_keys=frozenset(args.salt_key or []),
+        )
     print(json.dumps(summary))
     import ray
 
@@ -474,6 +486,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="cow: rewrite partition state every epoch; "
                         "mor: per-epoch deltas + periodic compaction")
     r.add_argument("--compact-every", type=positive_int, default=8)
+    r.add_argument("--follow", action="store_true",
+                   help="continuous tail: poll for new epochs until "
+                        "idle for --idle-timeout seconds")
+    r.add_argument("--poll-interval", type=float, default=0.5)
+    r.add_argument("--idle-timeout", type=float, default=10.0)
     r.add_argument("--continue-on-error", action="store_true")
     r.add_argument(
         "--metrics", default="basic",

@@ -1142,3 +1142,45 @@ def vacuum_lake(lake: Lake, keep_epochs: int = 1) -> dict:
             pass  # already gone / concurrent vacuum — next run finishes
     return {"files_deleted": n, "bytes_deleted": int(freed),
             "horizon_epoch": int(horizon)}
+
+
+def tail_job(
+    lake_dir: str,
+    wal_dir: str,
+    cfg: EngineConfig | None = None,
+    *,
+    salt_keys: frozenset[str] = frozenset(),
+    poll_interval: float = 0.5,
+    idle_timeout: float = 10.0,
+) -> dict:
+    """CONTINUOUS tail — the north star's deployment shape: poll the WAL
+    directory and apply new epochs as they appear (each through the
+    normal exactly-once commit), returning once no new epoch has landed
+    for ``idle_timeout`` seconds. Every pass is a plain :func:`run_job`
+    (discovery + skip of committed epochs), so crash/restart at any
+    point resumes identically. Producer contract: epoch directories
+    must land in ascending order and be published atomically (write
+    under a temp name, rename into place — the same discipline the
+    engine's own commits use); a half-visible epoch would otherwise
+    commit without its missing files."""
+    t0 = time.perf_counter()
+    totals = {"epochs_applied": 0, "events_received": 0, "files_skipped": 0,
+              "passes": 0}
+    last_new = time.monotonic()
+    while True:
+        summary = run_job(lake_dir, wal_dir, cfg, salt_keys=salt_keys)
+        totals["passes"] += 1
+        totals["epochs_applied"] += summary["epochs_applied"]
+        totals["events_received"] += summary["events_received"]
+        totals["files_skipped"] += summary["files_skipped"]
+        if summary["epochs_applied"]:
+            last_new = time.monotonic()
+        if time.monotonic() - last_new >= idle_timeout:
+            break
+        time.sleep(poll_interval)
+    totals["duration_sec"] = time.perf_counter() - t0
+    totals["events_per_sec"] = (
+        totals["events_received"] / totals["duration_sec"]
+        if totals["duration_sec"] > 0 else 0.0
+    )
+    return totals

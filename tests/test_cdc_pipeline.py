@@ -745,3 +745,43 @@ def test_changefeed_after_gc_and_expire(ray_session, tmp_path):
         (r["conv_id"], r["turn_idx"]): r["text"] for r in final.to_pylist()
     }
     assert state_map == got
+
+
+def test_tail_job_follows_arriving_epochs(ray_session, tmp_path):
+    """Continuous tail: epochs published (atomically) WHILE the tailer
+    runs are applied as they land; the final state equals the full
+    oracle and the tailer exits after the idle timeout."""
+    import os
+    import shutil as _sh
+    import threading
+    import time as _time
+
+    from image_report_ray.pipelines.cdc import tail_job
+
+    cfg = EngineConfig(num_partitions=4, batch_size=256)
+    staging = str(tmp_path / "staging")
+    write_wal(staging, n_epochs=3, epoch_size=300, **GEN)
+    wal = str(tmp_path / "wal")
+    os.makedirs(wal)
+    # epoch 0 is present before the tailer starts
+    _sh.move(os.path.join(staging, "epoch=00000"), wal)
+
+    def producer():
+        for k in (1, 2):
+            _time.sleep(0.8)
+            src = os.path.join(staging, f"epoch={k:05d}")
+            tmp = os.path.join(wal, f".incoming-{k}")
+            _sh.copytree(src, tmp)
+            os.rename(tmp, os.path.join(wal, f"epoch={k:05d}"))
+
+    th = threading.Thread(target=producer)
+    th.start()
+    summary = tail_job(
+        str(tmp_path / "lake"), wal, cfg,
+        poll_interval=0.2, idle_timeout=3.0,
+    )
+    th.join()
+    assert summary["epochs_applied"] == 3
+    assert summary["passes"] >= 2
+    got = canonical_state_table(Lake(str(tmp_path / "lake")))
+    assert got.equals(golden(n_epochs=3, epoch_size=300))
