@@ -251,19 +251,50 @@ def cmd_changefeed(args: argparse.Namespace) -> int:
     """Emit the row-level change feed of a committed epoch (derived from
     adjacent time-travel snapshots) as parquet or a JSON row count."""
     _init_ray(args.num_cpus)
-    from .pipelines.cdc import changefeed
+    import ray
+
+    from .pipelines.cdc import changefeed_refs
     from .state.manifest import Lake
 
-    t = changefeed(Lake(args.lake_dir), args.epoch)
+    refs = changefeed_refs(Lake(args.lake_dir), args.epoch)
     if args.out:
-        import pyarrow.parquet as pq
+        # scale path: each partition's feed is written by a remote task
+        # (sharded, resumable layout) — the whole epoch never gathers
+        # on the driver; only per-shard op counts come back
+        import os
 
-        pq.write_table(t, args.out)
-    ops = t.column("op").to_pylist()
+        os.makedirs(args.out, exist_ok=True)
+
+        @ray.remote
+        def write_shard(t, path: str) -> dict:
+            import pyarrow.parquet as pq
+
+            from image_report_ray.state.manifest import PARQUET_OPTS
+
+            pq.write_table(t, path, **PARQUET_OPTS)
+            ops = t.column("op").to_pylist()
+            return {"rows": t.num_rows, "I": ops.count("I"),
+                    "U": ops.count("U"), "D": ops.count("D")}
+
+        counts = ray.get([
+            write_shard.remote(
+                r, os.path.join(args.out, f"part-{i:05d}.parquet")
+            )
+            for i, r in enumerate(refs)
+        ])
+    else:
+        counts = []
+        for t in ray.get(refs):
+            ops = t.column("op").to_pylist()
+            counts.append({"rows": t.num_rows, "I": ops.count("I"),
+                           "U": ops.count("U"), "D": ops.count("D")})
     print(json.dumps(
-        {"epoch": args.epoch, "rows": t.num_rows,
-         "inserts": ops.count("I"), "updates": ops.count("U"),
-         "deletes": ops.count("D"), "out": args.out}
+        {"epoch": args.epoch,
+         "rows": sum(c["rows"] for c in counts),
+         "inserts": sum(c["I"] for c in counts),
+         "updates": sum(c["U"] for c in counts),
+         "deletes": sum(c["D"] for c in counts),
+         "out": args.out}
     ))
     import ray
 

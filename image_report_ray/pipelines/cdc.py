@@ -1013,6 +1013,85 @@ def bootstrap_lake(
     return {"epoch": int(epoch), "rows_loaded": int(loaded)}
 
 
+_FEED_REMOTE = None
+
+
+def _feed_remote():
+    global _FEED_REMOTE
+    if _FEED_REMOTE is None:
+        import ray
+
+        @ray.remote
+        def part_feed(paths0: list, paths1: list) -> pa.Table:
+            import pandas as pd
+
+            from ..state.merge import export_canonical, fold_state_tables
+
+            def snap(paths: list) -> pd.DataFrame:
+                folded = fold_state_tables([pq.read_table(p) for p in paths])
+                if folded is None:
+                    return pd.DataFrame({"conv_id": [], "turn_idx": []})
+                return export_canonical(folded).to_pandas()
+
+            a, b = snap(paths0), snap(paths1)
+            payload = [c for c in b.columns if c not in ("conv_id", "turn_idx")]
+            m = a.merge(b, on=["conv_id", "turn_idx"], how="outer",
+                        suffixes=("_0", "_1"), indicator=True)
+            op = pd.Series("U", index=m.index)
+            op[m["_merge"] == "right_only"] = "I"
+            op[m["_merge"] == "left_only"] = "D"
+            both = m["_merge"] == "both"
+            changed = pd.Series(False, index=m.index)
+            for c in payload:
+                c0, c1 = f"{c}_0", f"{c}_1"
+                if c0 in m.columns and c1 in m.columns:
+                    changed |= (m[c0] != m[c1]) & ~(m[c0].isna() & m[c1].isna())
+                elif c in m.columns:
+                    changed |= both & m[c].notna()
+            keep = (m["_merge"] != "both") | (both & changed)
+            m = m[keep]
+            op = op[keep]
+            cols = {"op": pa.array(op.to_numpy(), pa.string()),
+                    "conv_id": pa.array(m["conv_id"], pa.string()),
+                    "turn_idx": pa.array(
+                        m["turn_idx"].to_numpy().astype("int32"), pa.int32())}
+            for c in payload:
+                c1 = f"{c}_1"
+                src = m[c1] if c1 in m.columns else m[c]
+                typ = (pa.timestamp("us") if c == "ts" else
+                       pa.int32() if c == "turn_idx" else pa.string())
+                cols[c] = pa.array(src, typ)
+            t = pa.table(cols)
+            return t.take(
+                pc.sort_indices(
+                    t, sort_keys=[("conv_id", "ascending"),
+                                  ("turn_idx", "ascending")])
+            )
+
+        _FEED_REMOTE = part_feed
+    return _FEED_REMOTE
+
+
+def changefeed_refs(lake: Lake, epoch: int) -> list:
+    """Per-partition change-feed refs for ``epoch`` (the scale surface:
+    consumers write or forward each partition's feed without ever
+    gathering the whole epoch on the driver; :func:`changefeed` is the
+    small-result convenience wrapper that does gather)."""
+    import ray  # noqa: F401  (refs are ray ObjectRefs)
+
+    if not lake.is_committed(epoch):
+        raise ValueError(f"epoch {epoch} is not committed")
+    prev = epoch - 1
+    has_prev = any(e <= prev for e in lake.committed_epochs())
+    sets0 = lake.current_file_sets(as_of=prev) if has_prev else {}
+    sets1 = lake.current_file_sets(as_of=epoch)
+    R = _feed_remote()
+    return [
+        R.remote(sets0.get(pid, []), sets1.get(pid, []))
+        for pid in sorted(set(sets0) | set(sets1))
+    ]
+
+
 def changefeed(lake: Lake, epoch: int) -> pa.Table:
     """Change-data-feed OUT (the Delta-CDF analogue): the row-level net
     effect of ``epoch``, derived from the manifest's adjacent time-travel
@@ -1022,71 +1101,12 @@ def changefeed(lake: Lake, epoch: int) -> pa.Table:
     any payload column changed; an update that rewrote identical values
     does not feed (net-effect semantics, same rule as the compacted
     exchange). One diff task per partition (pid routing is stable across
-    epochs), vectorized outer merge; sorted (conv_id, turn_idx) output."""
+    epochs), vectorized outer merge; sorted (conv_id, turn_idx) output.
+    This is the gather-to-driver convenience form — scale consumers use
+    :func:`changefeed_refs` and handle each partition's feed in place."""
     import ray
 
-    if not lake.is_committed(epoch):
-        raise ValueError(f"epoch {epoch} is not committed")
-
-    @ray.remote
-    def part_feed(paths0: list, paths1: list) -> pa.Table:
-        import pandas as pd
-
-        from ..state.merge import export_canonical, fold_state_tables
-
-        def snap(paths: list) -> pd.DataFrame:
-            folded = fold_state_tables([pq.read_table(p) for p in paths])
-            if folded is None:
-                return pd.DataFrame({"conv_id": [], "turn_idx": []})
-            return export_canonical(folded).to_pandas()
-
-        a, b = snap(paths0), snap(paths1)
-        payload = [c for c in b.columns if c not in ("conv_id", "turn_idx")]
-        m = a.merge(b, on=["conv_id", "turn_idx"], how="outer",
-                    suffixes=("_0", "_1"), indicator=True)
-        op = pd.Series("U", index=m.index)
-        op[m["_merge"] == "right_only"] = "I"
-        op[m["_merge"] == "left_only"] = "D"
-        both = m["_merge"] == "both"
-        changed = pd.Series(False, index=m.index)
-        for c in payload:
-            c0, c1 = f"{c}_0", f"{c}_1"
-            if c0 in m.columns and c1 in m.columns:
-                changed |= (m[c0] != m[c1]) & ~(m[c0].isna() & m[c1].isna())
-            elif c in m.columns:
-                # column exists on one side only (additive schema
-                # evolution): unsuffixed after merge; a non-null value
-                # on a both-sides key is a change
-                changed |= both & m[c].notna()
-        keep = (m["_merge"] != "both") | (both & changed)
-        m = m[keep]
-        op = op[keep]
-        cols = {"op": pa.array(op.to_numpy(), pa.string()),
-                "conv_id": pa.array(m["conv_id"], pa.string()),
-                "turn_idx": pa.array(
-                    m["turn_idx"].to_numpy().astype("int32"), pa.int32())}
-        for c in payload:
-            c1 = f"{c}_1"
-            src = m[c1] if c1 in m.columns else m[c]
-            typ = (pa.timestamp("us") if c == "ts" else
-                   pa.int32() if c == "turn_idx" else pa.string())
-            cols[c] = pa.array(src, typ)
-        t = pa.table(cols)
-        return t.take(
-            pc.sort_indices(
-                t, sort_keys=[("conv_id", "ascending"),
-                              ("turn_idx", "ascending")])
-        )
-
-    prev = epoch - 1
-    has_prev = any(e <= prev for e in lake.committed_epochs())
-    sets0 = lake.current_file_sets(as_of=prev) if has_prev else {}
-    sets1 = lake.current_file_sets(as_of=epoch)
-    refs = [
-        part_feed.remote(sets0.get(pid, []), sets1.get(pid, []))
-        for pid in sorted(set(sets0) | set(sets1))
-    ]
-    tabs = [t for t in ray.get(refs) if t.num_rows]
+    tabs = [t for t in ray.get(changefeed_refs(lake, epoch)) if t.num_rows]
     if not tabs:
         return pa.table(
             {"op": pa.array([], pa.string()),
