@@ -314,6 +314,56 @@ def cmd_vacuum(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_stats(args: argparse.Namespace) -> int:
+    """Lake health at a glance, from manifests only (no data reads):
+    per-partition live/tombstone/key counts, delta-chain depth, epochs,
+    GC seqs, view coverage and on-disk bytes. Under an un-compacted MOR
+    chain the newest entry's counters are DELTA-local (the documented
+    MOR trade: exact totals need a fold) — ``counters_exact`` says
+    whether the counts are authoritative."""
+    import os
+
+    from .state.manifest import Lake
+
+    lake = Lake(args.lake_dir)
+    entries = lake.current_entries()
+    sets = lake.current_file_sets()
+    parts = {}
+    for pid, e in sorted(entries.items()):
+        parts[str(pid)] = {
+            "rows_live": e["rows_live"],
+            "tombstoned": e["tombstoned"],
+            "keys_total": e["keys_total"],
+            "last_lsn": e["last_lsn"],
+            "chain_depth": len(sets.get(pid, [])),
+            "views": sorted((e.get("views") or {})),
+        }
+    data_bytes = 0
+    for root, _, files in os.walk(os.path.join(lake.root, "data")):
+        for f in files:
+            try:
+                data_bytes += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    out = {
+        "partitions": len(entries),
+        "epochs": lake.committed_epochs(),
+        "gc_seqs": lake.gc_seqs(),
+        "rows_live": sum(e["rows_live"] for e in entries.values()),
+        "tombstoned": sum(e["tombstoned"] for e in entries.values()),
+        "keys_total": sum(e["keys_total"] for e in entries.values()),
+        "max_chain_depth": max(
+            (len(p) for p in sets.values()), default=0
+        ),
+        "counters_exact": all(len(p) == 1 for p in sets.values()),
+        "data_bytes": data_bytes,
+    }
+    if args.per_partition:
+        out["per_partition"] = parts
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_query(args: argparse.Namespace) -> int:
     """Run any named pipeline from the engine's query registry over a
     standard table directory — the user-facing surface of every operator
@@ -637,6 +687,16 @@ def build_parser() -> argparse.ArgumentParser:
                     help="write the feed as parquet to this path")
     cf.add_argument("--num-cpus", type=int, default=None)
     cf.set_defaults(fn=cmd_changefeed)
+
+    st = sub.add_parser(
+        "stats",
+        parents=[lp],
+        help="lake health from manifests only (counts, chain depth, "
+             "epochs, bytes)",
+    )
+    st.add_argument("lake_dir")
+    st.add_argument("--per-partition", action="store_true")
+    st.set_defaults(fn=cmd_stats)
 
     vc = sub.add_parser(
         "vacuum",

@@ -350,3 +350,38 @@ def test_export_jsonl_roundtrip(ray_session, tmp_path, capsys):
         (r["conv_id"], r["turn_idx"]): r["text"] for r in want.to_pylist()
     }
     assert got == expect
+
+
+def test_stats_reports_lake_health(ray_session, tmp_path, capsys):
+    """cli stats reads only manifests and agrees with the lineage-backed
+    checkpoint counters."""
+    wal = str(tmp_path / "wal")
+    lake = str(tmp_path / "lake")
+    main(["gen", wal, "--epochs", "2", "--epoch-size", "300",
+          "--conversations", "25", "--parts", "2"])
+    # COW: every entry is the full partition state -> counters exact
+    assert main(["run", lake, wal, "--partitions", "4"]) == 0
+    capsys.readouterr()
+    assert main(["stats", lake, "--per-partition"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["partitions"] == 4
+    assert out["epochs"] == [0, 1]
+    assert out["rows_live"] > 0 and out["data_bytes"] > 0
+    assert out["max_chain_depth"] == 1 and out["counters_exact"]
+    assert len(out["per_partition"]) == 4
+
+    from image_report_ray.pipelines.cdc import canonical_state_table
+    from image_report_ray.state.manifest import Lake
+
+    assert out["rows_live"] == canonical_state_table(Lake(lake)).num_rows
+
+    # MOR with an open delta chain: stats must say counters are not
+    # authoritative (delta-local entries — the documented trade)
+    lake2 = str(tmp_path / "lake2")
+    assert main(["run", lake2, wal, "--partitions", "4",
+                 "--merge-mode", "mor", "--compact-every", "8"]) == 0
+    capsys.readouterr()
+    assert main(["stats", lake2]) == 0
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["max_chain_depth"] == 2
+    assert not out2["counters_exact"]
