@@ -142,8 +142,13 @@ def cmd_export(args: argparse.Namespace) -> int:
             ))
             return 1
         tabs = [pq.read_table(p) for _, p in sorted(files.items())]
-        t = pa.concat_tables(
-            [x for x in tabs if x.num_rows], promote_options="default"
+        nonempty = [x for x in tabs if x.num_rows]
+        # every partition's view can legitimately be empty (e.g. computed
+        # over fully-tombstoned state) — export an empty view, don't crash
+        t = (
+            pa.concat_tables(nonempty, promote_options="default")
+            if nonempty
+            else tabs[0].schema.empty_table()
         )
         import os as _os
 

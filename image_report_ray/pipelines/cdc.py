@@ -41,6 +41,7 @@ while epoch K merges — the WAL never materializes fully.
 from __future__ import annotations
 
 import json
+import logging
 import os
 import re
 import time
@@ -513,6 +514,20 @@ def run_job(
     pending = [
         e for e in epochs if e > high and not lake.is_committed(e)
     ]
+    # Below-watermark epochs that were never actually committed are NOT
+    # idempotent redeliveries — they are mis-numbered / back-filled
+    # producer output (legitimate only for the single reshard
+    # migration-commit case). Count them separately so silent data loss
+    # is observable in the summary, not folded into epochs_skipped.
+    below_watermark = sorted(
+        e for e in epochs if e <= high and not lake.is_committed(e)
+    )
+    if below_watermark:
+        logging.getLogger("image_report_ray").warning(
+            "%d WAL epoch(s) below commit watermark %d but never "
+            "committed (mis-numbered producer?): %s",
+            len(below_watermark), high, below_watermark[:10],
+        )
     t0 = time.perf_counter()
     applied_epochs, skipped_epochs, events, files_skipped = 0, 0, 0, 0
     skipped_epochs = len(epochs) - len(pending)
@@ -550,6 +565,7 @@ def run_job(
     return {
         "epochs_applied": applied_epochs,
         "epochs_skipped": skipped_epochs,
+        "epochs_below_watermark": len(below_watermark),
         "events_received": events,
         "files_skipped": files_skipped,
         "duration_sec": dt,
@@ -1027,13 +1043,14 @@ def _feed_remote():
 
             from ..state.merge import export_canonical, fold_state_tables
 
-            def snap(paths: list) -> pd.DataFrame:
+            def snap(paths: list):
                 folded = fold_state_tables([pq.read_table(p) for p in paths])
                 if folded is None:
-                    return pd.DataFrame({"conv_id": [], "turn_idx": []})
-                return export_canonical(folded).to_pandas()
+                    return pd.DataFrame({"conv_id": [], "turn_idx": []}), None
+                canon = export_canonical(folded)
+                return canon.to_pandas(), canon.schema
 
-            a, b = snap(paths0), snap(paths1)
+            (a, sch0), (b, sch1) = snap(paths0), snap(paths1)
             payload = [c for c in b.columns if c not in ("conv_id", "turn_idx")]
             m = a.merge(b, on=["conv_id", "turn_idx"], how="outer",
                         suffixes=("_0", "_1"), indicator=True)
@@ -1058,9 +1075,16 @@ def _feed_remote():
             for c in payload:
                 c1 = f"{c}_1"
                 src = m[c1] if c1 in m.columns else m[c]
-                typ = (pa.timestamp("us") if c == "ts" else
-                       pa.int32() if c == "turn_idx" else pa.string())
-                cols[c] = pa.array(src, typ)
+                # feed columns keep the lake's native Arrow types (the
+                # JSONL WAL path passes evolved columns through e.g. as
+                # int64); string is only the never-seen-anywhere fallback
+                if sch1 is not None and sch1.get_field_index(c) != -1:
+                    typ = sch1.field(c).type
+                elif sch0 is not None and sch0.get_field_index(c) != -1:
+                    typ = sch0.field(c).type
+                else:
+                    typ = pa.string()
+                cols[c] = pa.Array.from_pandas(src, type=typ)
             t = pa.table(cols)
             return t.take(
                 pc.sort_indices(
@@ -1149,11 +1173,29 @@ def vacuum_lake(lake: Lake, keep_epochs: int = 1) -> dict:
     for paths in lake.current_file_sets().values():
         keep.update(os.path.abspath(p) for p in paths)
 
+    # Staged-but-uncommitted files of an IN-FLIGHT epoch or GC rewrite
+    # (state files land before the commit record — the two-phase-commit
+    # write order) must survive a concurrent vacuum, or the subsequent
+    # commit references deleted data. Anything numbered above the
+    # committed watermarks is a writer's staging area, not garbage;
+    # crash orphans there are reclaimed once a higher number commits.
+    max_epoch = max(epochs)
+    gc_seqs = lake.gc_seqs()
+    max_gc = max(gc_seqs) if gc_seqs else -1
+    dir_re = re.compile(r"^(epoch|gc)=(\d+)$")
+
     n, freed = 0, 0
     for p in glob.glob(os.path.join(lake.root, "data", "*", "*.parquet")):
         ap = os.path.abspath(p)
         if ap in keep:
             continue
+        m = dir_re.match(os.path.basename(os.path.dirname(ap)))
+        if m:
+            kind, num = m.group(1), int(m.group(2))
+            if (kind == "epoch" and num > max_epoch) or (
+                kind == "gc" and num > max_gc
+            ):
+                continue  # in-flight staging — the next commit needs it
         try:
             freed += os.path.getsize(ap)
             os.remove(ap)

@@ -709,8 +709,10 @@ def shuffle_docs(sf_dir: str, seed: int = 0x5EED, P: int = _SHUF_PARTS) -> pa.Ta
 
     rd = _rd()
     sd = np.uint64(seed)
+    if P < 1 or (P & (P - 1)) != 0:
+        # user-facing contract check — must survive `python -O`
+        raise ValueError(f"P must be a power of two, got {P}")
     shift = np.uint64(64 - int(np.log2(P)))
-    assert 1 << int(64 - int(shift)) == P, "P must be a power of two"
 
     def keyed(t: pa.Table) -> pa.Table:
         did = t.column("doc_id").to_numpy().astype(np.uint64)

@@ -55,9 +55,18 @@ def unpack_header(payload: bytes) -> tuple[int, int, int, int]:
 def _binary_offsets(col: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     """(offsets[int64, n+1], data[uint8]) views straight off an Arrow
     binary array's buffers — the zero-copy path every batch-wide media
-    kernel starts from."""
+    kernel starts from. Handles both ``binary`` (int32 offsets) and
+    ``large_binary`` (int64 offsets — Arrow's automatic promotion for
+    >2 GiB blocks, or an upstream writer choice); anything else is a
+    caller error, not garbage offsets."""
     n = len(col)
-    offs = np.frombuffer(col.buffers()[1], np.int32)[
+    if pa.types.is_large_binary(col.type) or pa.types.is_large_string(col.type):
+        off_dtype = np.int64
+    elif pa.types.is_binary(col.type) or pa.types.is_string(col.type):
+        off_dtype = np.int32
+    else:
+        raise TypeError(f"expected a (large_)binary payload column, got {col.type}")
+    offs = np.frombuffer(col.buffers()[1], off_dtype)[
         col.offset : col.offset + n + 1
     ].astype(np.int64)
     buf = col.buffers()[2]
@@ -176,11 +185,7 @@ class ByteHistogramFeatures:
         n = len(col)
         # zero-copy body extraction straight from the Arrow binary
         # buffers: per-row [offset+HEADER, next_offset) byte ranges
-        offs = np.frombuffer(col.buffers()[1], np.int32)[
-            col.offset : col.offset + n + 1
-        ].astype(np.int64)
-        buf = col.buffers()[2]
-        data = np.frombuffer(buf, np.uint8) if buf is not None else np.empty(0, np.uint8)
+        offs, data = _binary_offsets(col)
         starts = np.minimum(offs[:-1] + HEADER_LEN, offs[1:])
         lens = offs[1:] - starts
         cum = np.r_[0, np.cumsum(lens)]

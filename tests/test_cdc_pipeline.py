@@ -785,3 +785,62 @@ def test_tail_job_follows_arriving_epochs(ray_session, tmp_path):
     assert summary["passes"] >= 2
     got = canonical_state_table(Lake(str(tmp_path / "lake")))
     assert got.equals(golden(n_epochs=3, epoch_size=300))
+
+
+def test_changefeed_preserves_evolved_column_types(ray_session, tmp_path):
+    """The change feed carries evolved payload columns with their native
+    Arrow types (the JSONL WAL path delivers e.g. int64), derived from
+    the snapshot schema — not force-cast to string."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from image_report_ray.pipelines.cdc import canonical_state_table, changefeed
+
+    d = tmp_path / "wal"
+    for epoch in range(2):
+        t = __import__("image_report_ray.sources.synth", fromlist=["gen_epoch"]).gen_epoch(
+            epoch, 300, seed=23, n_convs=30, max_turns=8
+        )
+        if epoch == 1:  # evolved INT column appears mid-log
+            lsn = t.column("lsn").to_numpy()
+            is_d = pa.array(np.asarray(t.column("op")) == "D")
+            t = t.append_column(
+                pa.field("score", pa.int64()),
+                pa.array(np.where(is_d, 0, lsn * 2), mask=np.asarray(is_d)),
+            )
+        ed = d / f"epoch={epoch:05d}"
+        ed.mkdir(parents=True, exist_ok=True)
+        pq.write_table(t, ed / "part-000.parquet")
+
+    cfg = EngineConfig(num_partitions=4, batch_size=256)
+    run_job(str(tmp_path / "lake"), str(d), cfg)
+    lake = Lake(str(tmp_path / "lake"))
+
+    feed = changefeed(lake, 1)
+    assert feed.schema.field("score").type == pa.int64()
+    state = {
+        (r["conv_id"], r["turn_idx"]): r["score"]
+        for r in canonical_state_table(lake).to_pylist()
+    }
+    n_scored = 0
+    for r in feed.to_pylist():
+        if r["op"] != "D":
+            assert r["score"] == state[(r["conv_id"], r["turn_idx"])]
+            n_scored += r["score"] is not None
+    assert n_scored > 0
+
+
+def test_run_job_reports_below_watermark_epochs(ray_session, tmp_path, wal):
+    """A WAL epoch numbered at/below the commit watermark that was never
+    actually committed (mis-numbered / back-filled producer) is counted
+    separately, not silently folded into epochs_skipped."""
+    cfg = EngineConfig(num_partitions=4, batch_size=256)
+    lake_dir = str(tmp_path / "lake")
+    s1 = run_job(lake_dir, wal, cfg)
+    assert s1["epochs_below_watermark"] == 0
+    # simulate the hole: epoch 1's commit record vanishes while the
+    # watermark (epoch 2) stands
+    os.remove(Lake(lake_dir).commit_path(1))
+    s2 = run_job(lake_dir, wal, cfg)
+    assert s2["epochs_applied"] == 0
+    assert s2["epochs_below_watermark"] == 1

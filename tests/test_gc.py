@@ -197,3 +197,43 @@ def test_expire_plus_vacuum_destroys_bytes(ray_session, tmp_path):
     assert secret.encode() not in blob
     left = canonical_state_table(Lake(lake.root))
     assert left.column("text").to_pylist() == ["fresh data"]
+
+
+def test_vacuum_spares_staged_uncommitted_files(ray_session, tmp_path):
+    """vacuum must not delete staged files of an in-flight epoch or GC
+    rewrite (state files land BEFORE the commit record — two-phase
+    write order). A vacuum racing `run --follow` would otherwise delete
+    the epoch's data out from under its imminent commit."""
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    from image_report_ray.config import EngineConfig
+    from image_report_ray.pipelines.cdc import apply_epoch, vacuum_lake
+    from image_report_ray.sources.synth import write_wal
+    from image_report_ray.state.manifest import Lake
+
+    d = str(tmp_path / "wal")
+    paths = write_wal(d, n_epochs=2, epoch_size=300, seed=17, n_convs=30,
+                      max_turns=8)
+    lake = Lake(str(tmp_path / "lake"), num_partitions=2)
+    cfg = EngineConfig(num_partitions=2)
+    for i, p in enumerate(paths):
+        apply_epoch(lake, i, rd.read_parquet(p), cfg)
+
+    donor = os.path.join(lake.root, lake.current_entries()[0]["file"])
+    staged_epoch = os.path.join(
+        lake.root, "data", "epoch=00002", "pid=00000.parquet"
+    )
+    staged_gc = os.path.join(lake.root, "data", "gc=00000", "pid=00000.parquet")
+    for staged in (staged_epoch, staged_gc):
+        os.makedirs(os.path.dirname(staged), exist_ok=True)
+        shutil.copyfile(donor, staged)
+
+    res = vacuum_lake(Lake(lake.root), keep_epochs=0)
+    # epoch 0's superseded files ARE reclaimed ...
+    assert res["files_deleted"] > 0
+    # ... but the in-flight staging areas survive for their commit
+    assert os.path.exists(staged_epoch)
+    assert os.path.exists(staged_gc)

@@ -164,3 +164,29 @@ def test_media_resizer_semantics():
         assert h2 == max(h // 2, 1)
         assert nf2 == nf
         assert p[16:] == body[::2], i
+
+
+def test_stages_accept_large_binary_payloads():
+    """large_binary payloads (Arrow's >2 GiB promotion / upstream writer
+    choice) parse identically to binary — int64 offsets, not garbage."""
+    from image_report_ray.stages.media import MediaResizer
+
+    b = _batch()
+    lb = b.set_column(
+        1, "payload", b.column("payload").cast(pa.large_binary())
+    )
+    out_lb, out_b = MediaDecoder()(lb), MediaDecoder()(b)
+    # pass-through payload keeps its input type; values must match
+    assert out_lb.set_column(
+        6, "payload", out_lb.column("payload").cast(pa.binary())
+    ).equals(out_b)
+    assert ByteHistogramFeatures()(lb).equals(ByteHistogramFeatures()(b))
+    assert FrameSampler(stride=4)(lb).equals(FrameSampler(stride=4)(b))
+    assert MediaResizer(factor=2)(lb).equals(MediaResizer(factor=2)(b))
+
+
+def test_binary_offsets_rejects_non_binary():
+    from image_report_ray.stages.media import _binary_offsets
+
+    with pytest.raises(TypeError):
+        _binary_offsets(pa.array([1, 2, 3], pa.int64()))

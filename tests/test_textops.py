@@ -648,3 +648,10 @@ def test_corpus_export_consistent_with_standalone_gates(ray_session):
 
     forced = corpus_export(sf, max_broadcast_ids=0)
     assert forced.equals(corpus_export(sf))
+
+
+def test_shuffle_docs_rejects_non_power_of_two_P(ray_session):
+    from image_report_ray.pipelines.text import shuffle_docs
+
+    with pytest.raises(ValueError, match="power of two"):
+        shuffle_docs(SF, P=6)
