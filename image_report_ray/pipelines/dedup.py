@@ -430,6 +430,187 @@ def pair_counts(
     return t, {"dropped_keys": dk, "dropped_postings": dp}
 
 
+_PAIR_EMPTY_COLS = {
+    "doc_id_a": pa.int64(),
+    "doc_id_b": pa.int64(),
+    "n_common": pa.int64(),
+}
+
+
+def _pair_empty(extra: dict | None = None) -> pa.Table:
+    cols = {**_PAIR_EMPTY_COLS, **(extra or {})}
+    return pa.table({k: pa.array([], t) for k, t in cols.items()})
+
+
+def _pair_total_kernel(pid: int, t: pa.Table) -> pa.Table:
+    """Exchange kernel: sum pair partial counts co-partitioned on the
+    packed pair key and unpack into (doc_id_a, doc_id_b, n_common)."""
+    if t.num_rows == 0 or "pair" not in t.column_names:
+        return _pair_empty()
+    pairk = t.column("pair").to_numpy()
+    n = t.column("n").to_numpy()
+    uniq, inv = np.unique(pairk, return_inverse=True)
+    sums = np.zeros(len(uniq), np.int64)
+    np.add.at(sums, inv, n)
+    return pa.table(
+        {
+            "doc_id_a": pa.array((uniq >> 32).astype(np.int64), pa.int64()),
+            "doc_id_b": pa.array((uniq & 0xFFFFFFFF).astype(np.int64), pa.int64()),
+            "n_common": pa.array(sums, pa.int64()),
+        }
+    )
+
+
+_PC_REF_REMOTES = None
+
+
+def _pc_ref_remotes():
+    global _PC_REF_REMOTES
+    if _PC_REF_REMOTES is None:
+        import ray
+
+        @ray.remote(num_returns=2)
+        def wrap_partial(out):
+            """(uniq, sums, dk, dp) partial -> (pair table ref, stats)."""
+            uniq, sums, dk, dp = out
+            t = pa.table(
+                {"pair": pa.array(uniq, pa.int64()),
+                 "n": pa.array(sums, pa.int64())}
+            )
+            return t, (int(dk), int(dp))
+
+        @ray.remote
+        def doc_sizes(block: pa.Table) -> pa.Table:
+            """Per-doc distinct-shingle counts of one index block (each
+            doc's shingles live in exactly one block, so block-local
+            value_counts are globally complete)."""
+            if block.num_rows == 0 or "doc_id" not in block.column_names:
+                return pa.table(
+                    {"doc_id": pa.array([], pa.int64()),
+                     "n_sh": pa.array([], pa.int64())}
+                )
+            col = block.column("doc_id")
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            vc = col.value_counts()
+            return pa.table(
+                {
+                    "doc_id": vc.field("values").cast(pa.int64()),
+                    "n_sh": vc.field("counts").cast(pa.int64()),
+                }
+            )
+
+        _PC_REF_REMOTES = (wrap_partial, doc_sizes)
+    return _PC_REF_REMOTES
+
+
+def pair_count_refs(
+    index,
+    key_col: str,
+    id_col: str,
+    P: int = _PC_PARTS,
+    *,
+    max_key_freq: int | None = None,
+) -> tuple[list, dict]:
+    """Refs-native :func:`pair_counts`: the same capped co-occurrence
+    exchange, but instead of tree-folding to one driver table, the pair
+    partials re-exchange on the packed pair key and come back as P
+    partition refs of ``(doc_id_a, doc_id_b, n_common)`` with globally
+    summed counts (a pair appears in exactly ONE ref). The driver holds
+    only the O(P) ref handles and the scalar drop stats — this is the
+    pair source that feeds :func:`connected_components_refs` and the
+    verify exchanges without any O(pairs) driver structure."""
+    import ray
+
+    from .exchange import exchange_reduce
+
+    split, count, _ = _pc_remotes()
+    wrap, _ = _pc_ref_remotes()
+    refs = index if isinstance(index, list) else index.to_arrow_refs()
+    if P < 2:
+        P = 2
+    mats = [
+        split.options(num_returns=P).remote(ref, key_col, id_col, P)
+        for ref in refs
+    ]
+    parts = [count.remote(max_key_freq, *[m[pid] for m in mats]) for pid in range(P)]
+    wrapped = [wrap.remote(p) for p in parts]
+    tab_refs = [w[0] for w in wrapped]
+    stats = ray.get([w[1] for w in wrapped])
+    dk, dp = sum(s[0] for s in stats), sum(s[1] for s in stats)
+    if dk:
+        import logging
+
+        logging.getLogger("image_report_ray").warning(
+            "pair_count_refs: hot-key cap (max_key_freq=%s) dropped %d "
+            "key(s) / %d posting(s)", max_key_freq, dk, dp,
+        )
+    out = exchange_reduce([tab_refs], ["pair"], _pair_total_kernel, P=P)
+    return out, {"dropped_keys": dk, "dropped_postings": dp}
+
+
+def _lookup_sizes(sizes: pa.Table, ids: np.ndarray) -> np.ndarray:
+    """Exact per-id lookup into a (doc_id, n_sh) partition slice; every
+    id must be present (pair docs always have postings, and they hash to
+    the same partition as their sizes) — a miss is a routing bug, not a
+    neighbor to silently use."""
+    sd = sizes.column("doc_id").to_numpy()
+    sn = sizes.column("n_sh").to_numpy()
+    o = np.argsort(sd)
+    sd, sn = sd[o], sn[o]
+    pos = np.searchsorted(sd, ids)
+    ok = (pos < len(sd)) & (sd[np.minimum(pos, len(sd) - 1)] == ids)
+    if not ok.all():
+        raise ValueError(
+            f"{int((~ok).sum())} pair doc id(s) missing from the "
+            "co-partitioned size table — routing invariant broken"
+        )
+    return sn[pos]
+
+
+def _jac_attach_na(pid: int, pairs: pa.Table, sizes: pa.Table) -> pa.Table:
+    """Stage-1 Jaccard kernel: pairs co-partitioned with per-doc set
+    sizes on doc_id_a — attach the a-side denominator."""
+    if pairs.num_rows == 0 or "doc_id_a" not in pairs.column_names:
+        return _pair_empty({"na": pa.int64()})
+    if sizes.num_rows == 0:
+        raise ValueError(
+            "pair partition has no co-partitioned doc sizes — routing "
+            "invariant broken (sizes must come from the same index)"
+        )
+    a = pairs.column("doc_id_a").to_numpy()
+    return pairs.append_column(
+        "na", pa.array(_lookup_sizes(sizes, a), pa.int64())
+    )
+
+
+def _jac_verify(tau: float, pid: int, pairs: pa.Table, sizes: pa.Table) -> pa.Table:
+    """Stage-2 Jaccard kernel: attach the b-side denominator and keep
+    only pairs with Jaccard >= tau — verified pairs never leave the
+    partition unfiltered."""
+    if pairs.num_rows == 0 or "doc_id_b" not in pairs.column_names:
+        return _pair_empty({"jaccard": pa.float64()})
+    if sizes.num_rows == 0:
+        raise ValueError(
+            "pair partition has no co-partitioned doc sizes — routing "
+            "invariant broken (sizes must come from the same index)"
+        )
+    b = pairs.column("doc_id_b").to_numpy()
+    nb = _lookup_sizes(sizes, b)
+    na = pairs.column("na").to_numpy()
+    i = pairs.column("n_common").to_numpy().astype(np.int64)
+    jac = i / (na + nb - i)
+    keep = jac >= tau
+    return pa.table(
+        {
+            "doc_id_a": pairs.column("doc_id_a").filter(pa.array(keep)),
+            "doc_id_b": pairs.column("doc_id_b").filter(pa.array(keep)),
+            "n_common": pa.array(i[keep], pa.int64()),
+            "jaccard": pa.array(np.round(jac[keep], 6)),
+        }
+    )
+
+
 _HP_REMOTES = None
 
 
@@ -546,13 +727,25 @@ def hamming_pairs(
 # ---- exact n-gram Jaccard (oracle-checkable) --------------------------
 
 
-def dedup_ngram_jaccard(sf_dir: str, tau: float = 0.2) -> pa.Table:
-    """All document pairs with word-3-gram Jaccard >= ``tau``.
+def ngram_jaccard_pair_refs(
+    sf_dir: str, tau: float = 0.2, P: int = _PC_PARTS
+) -> tuple[list, dict]:
+    """Verified word-3-gram-Jaccard near-dup pairs as P partition refs —
+    fully distributed, no O(pairs) driver structure anywhere:
 
-    Inverted-index shape: explode distinct shingles, hash-join the index
-    with itself on the shingle, count common shingles per (a < b) pair,
-    then Jaccard against broadcast per-doc set sizes."""
-    import ray
+    1. shingle inverted index (map_batches, executes once),
+    2. :func:`pair_count_refs` — co-occurrence exchange, pair totals
+       summed in a second exchange on the packed pair key,
+    3. per-doc set sizes folded per index block (each doc's shingles
+       live in one block),
+    4. two chained exchanges attach the a- then b-side denominator and
+       filter Jaccard >= tau INSIDE the partitions.
+
+    The refs feed :func:`connected_components_refs` (clusters) or
+    :func:`dedup_ngram_jaccard` (the gathered query result)."""
+    from functools import partial as fpartial
+
+    from .exchange import exchange_reduce
 
     rd = _rd()
 
@@ -561,52 +754,33 @@ def dedup_ngram_jaccard(sf_dir: str, tau: float = 0.2) -> pa.Table:
         return pa.Table.from_pandas(df, preserve_index=False)
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    sh = ds.map_batches(explode, batch_format="pyarrow")
-    # the index executes ONCE; its blocks feed the pair exchange first,
-    # then the per-doc set sizes (the Jaccard denominator) fold from the
-    # same blocks RESTRICTED to docs that actually appear in a pair —
-    # the driver never holds a corpus-wide dict, only O(pair docs).
-    refs = sh.to_arrow_refs()
+    refs = ds.map_batches(explode, batch_format="pyarrow").to_arrow_refs()
+    _, doc_sizes = _pc_ref_remotes()
 
-    pairs_t, _ = pair_counts(refs, "shingle", "doc_id")
-
-    key = pairs_t.column("pair").to_numpy()
-    a = (key >> 32).astype(np.int64)
-    b = (key & 0xFFFFFFFF).astype(np.int64)
-    i = pairs_t.column("n_common").to_numpy().astype(np.int64)
-    needed = np.unique(np.concatenate([a, b])) if len(a) else np.array([], np.int64)
-    needed_ref = ray.put(needed)
-
-    @ray.remote
-    def block_sizes(block: pa.Table, need):
-        if block.num_rows == 0 or "doc_id" not in block.column_names:
-            return (np.array([], np.int64), np.array([], np.int64))
-        col = block.column("doc_id").combine_chunks()
-        vc = col.filter(
-            pc.is_in(col, value_set=pa.array(need, pa.int64()))
-        ).value_counts()
-        return (
-            vc.field("values").to_numpy(zero_copy_only=False),
-            vc.field("counts").to_numpy(zero_copy_only=False),
-        )
-
-    size_parts = ray.get([block_sizes.remote(r, needed_ref) for r in refs])
-    sizes = np.zeros(len(needed), dtype=np.int64)
-    for dids, ns in size_parts:
-        # each doc's shingles live in exactly one block, but += is safe
-        sizes[np.searchsorted(needed, dids)] += ns
-    na = sizes[np.searchsorted(needed, a)]
-    nb = sizes[np.searchsorted(needed, b)]
-    jac = i / (na + nb - i)
-    keep = jac >= tau
-    t = pa.table(
-        {
-            "doc_id_a": pa.array(a[keep]),
-            "doc_id_b": pa.array(b[keep]),
-            "n_common": pa.array(i[keep]),
-            "jaccard": pa.array(np.round(jac[keep], 6)),
-        }
+    pair_refs, stats = pair_count_refs(refs, "shingle", "doc_id", P)
+    size_refs = [doc_sizes.remote(r) for r in refs]
+    stage1 = exchange_reduce(
+        [pair_refs, size_refs], ["doc_id_a", "doc_id"], _jac_attach_na, P=P
     )
+    verified = exchange_reduce(
+        [stage1, size_refs], ["doc_id_b", "doc_id"],
+        fpartial(_jac_verify, tau), P=P,
+    )
+    return verified, stats
+
+
+def dedup_ngram_jaccard(sf_dir: str, tau: float = 0.2) -> pa.Table:
+    """All document pairs with word-3-gram Jaccard >= ``tau``.
+
+    Gathered form of :func:`ngram_jaccard_pair_refs` — the verify runs
+    distributed; the driver receives only the surviving pairs (the query
+    result itself)."""
+    from .exchange import gather_concat
+
+    refs, _ = ngram_jaccard_pair_refs(sf_dir, tau)
+    t = gather_concat(refs)
+    if t.num_rows == 0:
+        t = _pair_empty({"jaccard": pa.float64()})
     return finalize(t, [("doc_id_a", "ascending"), ("doc_id_b", "ascending")])
 
 
@@ -1013,44 +1187,99 @@ def _cluster_assign_partition(pid: int, docs: pa.Table, labels: pa.Table) -> pa.
     )
 
 
-def connected_components(
-    a: np.ndarray, b: np.ndarray, max_iters: int = 64
-) -> pa.Table:
-    """Distributed connected components over an undirected edge list:
-    min-label propagation with two keyed exchanges per iteration
-    (propagate the min label along edges partitioned on src; fold into
-    labels partitioned on node). Labels live as partition refs between
-    iterations; the driver folds only O(P) label sums, whose monotone
-    decrease is the fixpoint test. Returns the (node, label) table —
-    label = the component's minimum node id. Generic over any pair
-    source (text near-dups, embedding near-dups, ...)."""
-    import ray
-
-    from .exchange import exchange_reduce, gather_concat
-
-    if len(a) == 0:
+def _cc_seed(pid: int, nodes: pa.Table) -> pa.Table:
+    """Exchange kernel: dedupe this partition's edge-node mentions into
+    unique (node, label=node) seed rows (a node hashes to exactly one
+    partition, so uniqueness is global)."""
+    if nodes.num_rows == 0 or "node" not in nodes.column_names:
         return pa.table(
             {"node": pa.array([], pa.int64()), "label": pa.array([], pa.int64())}
         )
-    # undirected edges, labels seeded with each node's own id; the edge
-    # table is CHUNKED into multiple refs so the exchange's split stage
-    # parallelizes instead of one serial split task
-    src = np.concatenate([a, b]).astype(np.int64)
-    dst = np.concatenate([b, a]).astype(np.int64)
-    edges = pa.table({"src": pa.array(src), "dst": pa.array(dst)})
-    chunk = 262_144
-    edge_refs = [
-        ray.put(edges.slice(i, chunk)) for i in range(0, edges.num_rows, chunk)
-    ]
-    nodes = np.unique(src)
-    label_refs = [
-        ray.put(pa.table({"node": pa.array(nodes, pa.int64()),
-                          "label": pa.array(nodes, pa.int64())}))
-    ]
+    u = np.unique(nodes.column("node").to_numpy())
+    return pa.table(
+        {"node": pa.array(u, pa.int64()), "label": pa.array(u, pa.int64())}
+    )
 
-    @ray.remote
-    def label_sum(t: pa.Table) -> int:
-        return int(pc.sum(t.column("label")).as_py() or 0)
+
+_CC_REMOTES = None
+
+
+def _cc_remotes():
+    global _CC_REMOTES
+    if _CC_REMOTES is None:
+        import ray
+
+        @ray.remote(num_returns=2)
+        def double_edges(ca: str, cb: str, *tabs: pa.Table):
+            """Pair tables -> (both directions of the undirected edges,
+            unique node mentions). Takes a GROUP of pair refs so many
+            tiny source blocks coalesce into one edge ref — the
+            per-iteration exchange fan-out stays O(16), not O(blocks)."""
+            live = [
+                t for t in tabs if t.num_rows and ca in t.column_names
+            ]
+            if not live:
+                return (
+                    pa.table({"src": pa.array([], pa.int64()),
+                              "dst": pa.array([], pa.int64())}),
+                    pa.table({"node": pa.array([], pa.int64())}),
+                )
+            a = np.concatenate(
+                [t.column(ca).to_numpy(zero_copy_only=False) for t in live]
+            ).astype(np.int64)
+            b = np.concatenate(
+                [t.column(cb).to_numpy(zero_copy_only=False) for t in live]
+            ).astype(np.int64)
+            edges = pa.table(
+                {"src": pa.array(np.concatenate([a, b]), pa.int64()),
+                 "dst": pa.array(np.concatenate([b, a]), pa.int64())}
+            )
+            nodes = pa.table(
+                {"node": pa.array(np.unique(np.concatenate([a, b])), pa.int64())}
+            )
+            return edges, nodes
+
+        @ray.remote
+        def label_sum(t: pa.Table) -> int:
+            return int(pc.sum(t.column("label")).as_py() or 0)
+
+        @ray.remote
+        def row_count(t: pa.Table) -> int:
+            return t.num_rows
+
+        _CC_REMOTES = (double_edges, label_sum, row_count)
+    return _CC_REMOTES
+
+
+def connected_components_refs(
+    pair_refs: list,
+    cols: tuple[str, str] = ("doc_id_a", "doc_id_b"),
+    max_iters: int = 64,
+) -> list:
+    """Distributed connected components over an undirected pair graph
+    delivered AS PARTITION REFS (e.g. straight from
+    :func:`ngram_jaccard_pair_refs` or the embedding verify exchange) —
+    the edge list never transits the driver: edges double and seed their
+    node labels in remote tasks, then min-label propagation runs two
+    keyed exchanges per iteration (propagate the min label along edges
+    partitioned on src; fold into labels partitioned on node). The
+    driver folds only O(P) label sums per iteration, whose monotone
+    decrease is the fixpoint test. Returns the (node, label) partition
+    refs — label = the component's minimum node id."""
+    import ray
+
+    from .exchange import exchange_reduce
+
+    double_edges, label_sum, _ = _cc_remotes()
+    ca, cb = cols
+    # coalesce: many tiny pair blocks -> at most 16 edge refs, so each
+    # iteration's split fan-out stays O(16), not O(source blocks)
+    n_groups = max(1, min(16, len(pair_refs)))
+    groups = [pair_refs[g::n_groups] for g in range(n_groups)]
+    doubled = [double_edges.remote(ca, cb, *g) for g in groups]
+    edge_refs = [d[0] for d in doubled]
+    node_refs = [d[1] for d in doubled]
+    label_refs = exchange_reduce([node_refs], ["node"], _cc_seed)
 
     prev = None
     for _ in range(max_iters):
@@ -1068,7 +1297,33 @@ def connected_components(
         raise RuntimeError(
             f"label propagation did not converge in {max_iters} iterations"
         )
-    return gather_concat(label_refs)
+    return label_refs
+
+
+def connected_components(
+    a: np.ndarray, b: np.ndarray, max_iters: int = 64
+) -> pa.Table:
+    """Driver-array convenience form of :func:`connected_components_refs`
+    (small graphs / tests): chunks the edge list into refs and gathers
+    the label table. Scale callers hold pair REFS already and skip both
+    transits."""
+    import ray
+
+    from .exchange import gather_concat
+
+    if len(a) == 0:
+        return pa.table(
+            {"node": pa.array([], pa.int64()), "label": pa.array([], pa.int64())}
+        )
+    pairs = pa.table(
+        {"doc_id_a": pa.array(a.astype(np.int64), pa.int64()),
+         "doc_id_b": pa.array(b.astype(np.int64), pa.int64())}
+    )
+    chunk = 262_144
+    pair_refs = [
+        ray.put(pairs.slice(i, chunk)) for i in range(0, pairs.num_rows, chunk)
+    ]
+    return gather_concat(connected_components_refs(pair_refs, max_iters=max_iters))
 
 
 _CLUSTER_MAX_BROADCAST_IDS = 5_000_000
@@ -1094,41 +1349,36 @@ def dedup_clusters(
     refs between iterations and the driver folds only O(P) label SUMS,
     whose strict monotone decrease is the fixpoint test (labels only
     ever shrink). Iterations = component diameter — near-dup clusters
-    are shallow, so 2-3 in practice. The final per-doc assignment
-    broadcasts the O(pair-docs) label table while it fits
-    ``max_broadcast_ids`` and switches to an exact co-partitioned
-    exchange on doc_id/node beyond it (the dedup_exact semi-join shape
-    — a dup-heavy corpus never concentrates its labels in a broadcast
-    object)."""
+    are shallow, so 2-3 in practice. REFS-NATIVE end to end: the pair
+    graph flows from :func:`ngram_jaccard_pair_refs` straight into
+    :func:`connected_components_refs` — no edge array ever lands on the
+    driver. The final per-doc assignment broadcasts the O(pair-docs)
+    label table while it fits ``max_broadcast_ids`` and keeps the label
+    refs on an exact co-partitioned exchange on doc_id/node beyond it
+    (the dedup_exact semi-join shape — a dup-heavy corpus never
+    concentrates its labels in a broadcast object)."""
     import ray
 
+    from ._util import ds_to_table
     from .exchange import exchange_reduce, gather_concat
 
     rd = _rd()
-    pairs = dedup_ngram_jaccard(sf_dir, tau)
-    labels_t = connected_components(
-        pairs.column("doc_id_a").to_numpy(),
-        pairs.column("doc_id_b").to_numpy(),
-        max_iters=max_iters,
-    )
-
-    from .exchange import exchange_reduce, gather_concat
+    pair_refs, _ = ngram_jaccard_pair_refs(sf_dir, tau)
+    label_refs = connected_components_refs(pair_refs, max_iters=max_iters)
+    *_unused, row_count = _cc_remotes()
+    n_labels = sum(ray.get([row_count.remote(r) for r in label_refs]))
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
-    from ._util import ds_to_table
-
-    if labels_t.num_rows > max_broadcast_ids:
+    if n_labels > max_broadcast_ids:
         # dup-heavy corpus: the label table itself outgrows a sane
         # broadcast — assign through an exact co-partitioned exchange on
-        # doc_id/node instead (the dedup_exact semi-join shape)
+        # doc_id/node, feeding the label REFS directly
         refs = exchange_reduce(
-            [ds, rd.from_arrow(labels_t)],
-            ["doc_id", "node"],
-            _cluster_assign_partition,
+            [ds, label_refs], ["doc_id", "node"], _cluster_assign_partition
         )
         return finalize(gather_concat(refs), [("doc_id", "ascending")])
 
-    lbl_ref = ray.put(labels_t)
+    lbl_ref = ray.put(gather_concat(label_refs))
 
     def assign(t: pa.Table) -> pa.Table:
         return _cluster_assign_partition(0, t, ray.get(lbl_ref))

@@ -429,25 +429,26 @@ def _nd_verify(threshold: float, pid: int, pairs: pa.Table, vecs: pa.Table) -> p
     )
 
 
-def embedding_near_dups_lsh(
+def embedding_near_dup_lsh_refs(
     sf_dir: str,
     threshold: float = 0.95,
     max_band_freq: int = _ND_MAX_BAND_FREQ,
-) -> pa.Table:
-    """Near-dup pairs via banded random-hyperplane LSH — the 100 TB path
-    behind :func:`embedding_near_dups`. Candidate pairs come from the
-    shared :func:`pair_counts` exchange over band-bucket keys (hot
-    buckets capped at ``max_band_freq`` with counted drops); the exact
-    cosine verify is CO-PARTITIONED — two chained keyed exchanges attach
-    the a-vector then the b-vector to each candidate pair and compute the
-    dot product inside the partitions, so the driver holds only the
-    candidate-pair list and the final survivors, never a vector gather.
-    Approximate -> pytest recall gate, no SQL oracle."""
+) -> list:
+    """Near-dup pairs via banded random-hyperplane LSH, returned as the
+    verify exchange's PARTITION REFS (vec_id_a, vec_id_b, sim) — the
+    100 TB path behind :func:`embedding_near_dups`. Candidate pairs come
+    from the shared :func:`pair_counts` exchange over band-bucket keys
+    (hot buckets capped at ``max_band_freq`` with counted drops); the
+    exact cosine verify is CO-PARTITIONED — two chained keyed exchanges
+    attach the a-vector then the b-vector to each candidate pair and
+    compute the dot product inside the partitions, so the driver holds
+    only the candidate-pair list and the final survivors, never a
+    vector gather. Approximate -> pytest recall gate, no SQL oracle."""
     import ray
     from functools import partial as fpartial
 
     from .dedup import pair_counts
-    from .exchange import exchange_reduce, gather_concat
+    from .exchange import exchange_reduce
 
     import pyarrow.parquet as pq
 
@@ -487,15 +488,8 @@ def embedding_near_dups_lsh(
     bands = rd.from_arrow_refs(refs).map_batches(band_explode, batch_format="pyarrow")
     cands_t, _ = pair_counts(bands, "band_key", "vec_id", max_key_freq=max_band_freq)
 
-    empty = pa.table(
-        {
-            "vec_id_a": pa.array([], pa.int64()),
-            "vec_id_b": pa.array([], pa.int64()),
-            "sim": pa.array([], pa.float64()),
-        }
-    )
     if cands_t.num_rows == 0:
-        return empty
+        return []
     key = cands_t.column("pair").to_numpy()
     pairs_t = pa.table(
         {
@@ -530,13 +524,35 @@ def embedding_near_dups_lsh(
     stage1 = exchange_reduce(
         [pair_refs, vec_refs], ["vec_id_a", "vec_id"], _nd_attach_va
     )
-    stage2 = exchange_reduce(
+    return exchange_reduce(
         [stage1, vec_refs], ["vec_id_b", "vec_id"],
         fpartial(_nd_verify, threshold),
     )
-    t = gather_concat(stage2)
+
+
+def _nd_empty() -> pa.Table:
+    return pa.table(
+        {
+            "vec_id_a": pa.array([], pa.int64()),
+            "vec_id_b": pa.array([], pa.int64()),
+            "sim": pa.array([], pa.float64()),
+        }
+    )
+
+
+def embedding_near_dups_lsh(
+    sf_dir: str,
+    threshold: float = 0.95,
+    max_band_freq: int = _ND_MAX_BAND_FREQ,
+) -> pa.Table:
+    """Gathered form of :func:`embedding_near_dup_lsh_refs` (the query
+    result — the verify already filtered inside the partitions)."""
+    from .exchange import gather_concat
+
+    refs = embedding_near_dup_lsh_refs(sf_dir, threshold, max_band_freq)
+    t = gather_concat(refs) if refs else _nd_empty()
     if t.num_rows == 0:
-        return empty
+        return _nd_empty()
     t = round_col(t, "sim", 4)
     return finalize(t, [("vec_id_a", "ascending"), ("vec_id_b", "ascending")])
 
@@ -546,27 +562,24 @@ def embedding_near_dups_lsh(
 _ND_MAX_BROADCAST_ROWS = 200_000
 
 
-def embedding_near_dups(
+def embedding_near_dup_refs(
     sf_dir: str,
     threshold: float = 0.95,
     max_broadcast_rows: int = _ND_MAX_BROADCAST_ROWS,
-) -> pa.Table:
-    """Embedding-cosine near-duplicate pairs (vec_id_a < vec_id_b).
-
-    Exact plan (the oracle anchor): the full normalized matrix is
-    broadcast once; each batch computes its block-row of the similarity
-    matrix and emits only pairs over the threshold — O(n^2) work,
-    correct and fastest while the matrix fits a broadcast. Beyond
-    ``max_broadcast_rows`` the query automatically switches to
-    :func:`embedding_near_dups_lsh` (banded LSH buckets + exact verify
-    of candidates), the same-output approximate scale path."""
+) -> list:
+    """Near-dup pairs as partition refs, with the same exact-vs-LSH gate
+    as :func:`embedding_near_dups`: below ``max_broadcast_rows`` the
+    exact O(n^2)-block plan's output blocks are the refs; above it the
+    LSH verify exchange's partition refs come back directly. Feeds
+    :func:`..dedup.connected_components_refs` without a driver edge
+    gather."""
     import pyarrow.parquet as pq
     import ray
 
     rd = _rd()
     n_rows = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
     if n_rows > max_broadcast_rows:
-        return embedding_near_dups_lsh(sf_dir, threshold)
+        return embedding_near_dup_lsh_refs(sf_dir, threshold)
     all_t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     all_m = _stack(all_t.column("embedding"))
     all_norm = np.linalg.norm(all_m, axis=1)
@@ -595,7 +608,30 @@ def embedding_near_dups(
         )
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    t = ds_to_table(ds.map_batches(block_pairs, batch_format="pyarrow"))
+    return ds.map_batches(block_pairs, batch_format="pyarrow").to_arrow_refs()
+
+
+def embedding_near_dups(
+    sf_dir: str,
+    threshold: float = 0.95,
+    max_broadcast_rows: int = _ND_MAX_BROADCAST_ROWS,
+) -> pa.Table:
+    """Embedding-cosine near-duplicate pairs (vec_id_a < vec_id_b).
+
+    Exact plan (the oracle anchor): the full normalized matrix is
+    broadcast once; each batch computes its block-row of the similarity
+    matrix and emits only pairs over the threshold — O(n^2) work,
+    correct and fastest while the matrix fits a broadcast. Beyond
+    ``max_broadcast_rows`` the query automatically switches to the
+    banded-LSH buckets + exact co-partitioned verify, the same-output
+    approximate scale path. Gathered form of
+    :func:`embedding_near_dup_refs` (the pairs ARE the query result)."""
+    from .exchange import gather_concat
+
+    refs = embedding_near_dup_refs(sf_dir, threshold, max_broadcast_rows)
+    t = gather_concat(refs) if refs else _nd_empty()
+    if t.num_rows == 0 or "vec_id_a" not in t.column_names:
+        return _nd_empty()
     t = round_col(t, "sim", 4)
     return finalize(t, [("vec_id_a", "ascending"), ("vec_id_b", "ascending")])
 
@@ -606,37 +642,45 @@ def embedding_dup_clusters(
     """Near-dup CLUSTERS over embeddings: connected components of the
     exact cosine near-dup pair graph (:func:`embedding_near_dups` at the
     same threshold) via the generic distributed min-label propagation
-    (:func:`..dedup.connected_components`), every vector labeled with
-    its component's minimum vec_id and a keep flag — the embedding-side
-    keep-list (transitivity: A~B~C drops B AND C even when A!~C). The
-    label table broadcasts while it fits ``max_broadcast_ids`` and rides
-    an exact co-partitioned exchange on vec_id beyond it (the
-    dedup_clusters gate)."""
+    (:func:`..dedup.connected_components_refs`), every vector labeled
+    with its component's minimum vec_id and a keep flag — the
+    embedding-side keep-list (transitivity: A~B~C drops B AND C even
+    when A!~C). REFS-NATIVE: the pair graph flows from
+    :func:`embedding_near_dup_refs` straight into the propagate
+    exchange — no edge array on the driver. The label table broadcasts
+    while it fits ``max_broadcast_ids`` and rides an exact
+    co-partitioned exchange on vec_id beyond it (the dedup_clusters
+    gate)."""
     import ray
 
     from ._util import ds_to_table, finalize
-    from .dedup import _cluster_assign_partition, connected_components
+    from .dedup import (
+        _cc_remotes,
+        _cluster_assign_partition,
+        connected_components_refs,
+    )
     from .exchange import exchange_reduce, gather_concat
 
     rd = _rd()
-    pairs = embedding_near_dups(sf_dir, threshold)
-    labels_t = connected_components(
-        pairs.column("vec_id_a").to_numpy(),
-        pairs.column("vec_id_b").to_numpy(),
+    pair_refs = embedding_near_dup_refs(sf_dir, threshold)
+    label_refs = connected_components_refs(
+        pair_refs, cols=("vec_id_a", "vec_id_b")
     )
+    *_unused, row_count = _cc_remotes()
+    n_labels = sum(ray.get([row_count.remote(r) for r in label_refs]))
 
     def rename_out(out: pa.Table) -> pa.Table:
         return out.rename_columns(["vec_id", "cluster_id", "keep"])
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
-    if labels_t.num_rows > max_broadcast_ids:
+    if n_labels > max_broadcast_ids:
         refs = exchange_reduce(
             [
                 ds.map_batches(
                     lambda t: t.rename_columns(["doc_id"]),
                     batch_format="pyarrow",
                 ),
-                rd.from_arrow(labels_t),
+                label_refs,
             ],
             ["doc_id", "node"],
             lambda pid, docs, lab: rename_out(
@@ -645,7 +689,7 @@ def embedding_dup_clusters(
         )
         return finalize(gather_concat(refs), [("vec_id", "ascending")])
 
-    lbl_ref = ray.put(labels_t)
+    lbl_ref = ray.put(gather_concat(label_refs))
 
     def assign(t: pa.Table) -> pa.Table:
         return rename_out(

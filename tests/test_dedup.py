@@ -506,3 +506,42 @@ def test_decontaminate_paths_agree_on_corpus(ray_session):
     b = decontaminate(SF, max_broadcast_shingles=0)
     assert a.equals(b)
     assert a.num_rows > 0
+
+def test_connected_components_refs_matches_array_form(ray_session):
+    """Feeding the pair graph as partition refs (the scale path — no
+    driver edge array) produces the same labels as the array form."""
+    import ray
+
+    from image_report_ray.pipelines.dedup import (
+        connected_components,
+        connected_components_refs,
+    )
+    from image_report_ray.pipelines.exchange import gather_concat
+
+    rng = np.random.default_rng(41)
+    a = rng.integers(0, 100, size=60).astype(np.int64)
+    b = rng.integers(0, 100, size=60).astype(np.int64)
+    keep = a != b
+    a, b = a[keep], b[keep]
+    want = connected_components(a, b).to_pandas().sort_values("node")
+
+    # pairs sharded into several refs, mimicking a verify exchange output
+    refs = [
+        ray.put(pa.table({"doc_id_a": pa.array(a[i::3], pa.int64()),
+                          "doc_id_b": pa.array(b[i::3], pa.int64())}))
+        for i in range(3)
+    ]
+    got = (
+        gather_concat(connected_components_refs(refs))
+        .to_pandas()
+        .sort_values("node")
+    )
+    assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
+
+
+def test_connected_components_refs_empty_graph(ray_session):
+    from image_report_ray.pipelines.dedup import connected_components_refs
+    from image_report_ray.pipelines.exchange import gather_concat
+
+    t = gather_concat(connected_components_refs([]))
+    assert t.num_rows == 0
