@@ -438,6 +438,183 @@ FROM a3 ORDER BY vec_id
 """
 
 
+# LSH ANN twin (image_report_ray.pipelines.similarity:knn_cosine_lsh):
+# the 16 seeded hyperplanes INLINE as double literals (the minhash-twin
+# technique — full-precision repr round-trips exactly), signatures are
+# sign-of-projection bit sums, the prefilter is bit_count(xor) over the
+# query's signature, and the surviving candidates rerank by exact cosine
+# (the proven knn_cosine ordering). Sign flips need |projection| ~ 1e-15
+# — measure-zero on this data, so the twin is exact, not approximate.
+def _knn_lsh_sql() -> str:
+    from image_report_ray.pipelines.similarity import (
+        _LSH_BITS,
+        _LSH_MAX_HAMMING,
+        _hyperplanes,
+    )
+
+    pl = _hyperplanes(_embedding_dim())
+    rows = ",\n    ".join(
+        "(%d, [%s])" % (j, ", ".join(repr(float(x)) for x in pl[:, j]))
+        for j in range(_LSH_BITS)
+    )
+    return f"""
+WITH vv AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+pl(j, p) AS (VALUES {rows}),
+sg AS (
+  SELECT vv.vec_id,
+         SUM(CASE WHEN list_sum(list_transform(range(1, len(vv.v) + 1),
+                                               i -> vv.v[i] * pl.p[i])) > 0
+                  THEN 1 << pl.j ELSE 0 END) AS sig
+  FROM vv CROSS JOIN pl GROUP BY vv.vec_id
+),
+qs AS (SELECT sig FROM sg WHERE vec_id = 0),
+qv AS (SELECT v FROM vv WHERE vec_id = 0),
+cand AS (
+  SELECT vv.vec_id, list_cosine_similarity(vv.v, qv.v) AS sim
+  FROM vv JOIN sg USING (vec_id) CROSS JOIN qs CROSS JOIN qv
+  WHERE vv.vec_id <> 0
+    AND bit_count(xor(CAST(sg.sig AS BIGINT), CAST(qs.sig AS BIGINT)))
+        <= {_LSH_MAX_HAMMING}
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) AS rnk,
+       vec_id
+FROM cand ORDER BY sim DESC, vec_id LIMIT 10
+"""
+
+
+def _embedding_dim() -> int:
+    """dim of the embeddings table the driver registers (the hyperplane
+    matrix is dim-shaped; sf0.01 and sf0.001 share dim=64)."""
+    import pyarrow.parquet as pqt
+
+    for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.001"):
+        try:
+            f = pqt.ParquetFile(f"{sf}/embeddings.parquet")
+            b = next(f.iter_batches(batch_size=1, columns=["embedding"]))
+            return len(b.column(0)[0])
+        except Exception:
+            continue
+    return 64
+
+
+# IVF ANN twin (image_report_ray.pipelines.similarity:knn_cosine_ivf):
+# the coarse quantizer's pinned spherical Lloyd iterations unroll as CTE
+# rounds (the kmeans_embed technique) — seeds = the 16 smallest-vec_id
+# sample vectors rounded to 6 decimals, similarities ROUND to 6 before
+# every argmax (ties -> smallest cell), re-normalized means ROUND to 6,
+# empty cells keep their centroid. Then: every vector's cell, the probe
+# set (top-6 rounded centroid sims), and an exact-cosine rerank within
+# the probed cells — each step mirroring the engine's kernel bit-for-bit
+# at the rounding boundaries.
+def _knn_ivf_sql() -> str:
+    from image_report_ray.pipelines.similarity import (
+        _IVF_CELLS,
+        _IVF_CENT_ROUND,
+        _IVF_ITERS,
+        _IVF_PROBE,
+        _IVF_SIM_ROUND,
+        _IVF_TRAIN_SAMPLE,
+    )
+
+    R, CR = _IVF_SIM_ROUND, _IVF_CENT_ROUND
+
+    def dot(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, len({a}) + 1), "
+            f"i -> {a}[i] * {b}[i]))"
+        )
+
+    def assign(tag: str, src: str, cents: str) -> str:
+        return f"""
+d{tag} AS (
+  SELECT {src}.vec_id, {cents}.cid,
+         ROUND({dot(f'{src}.v', f'{cents}.c')}, {R}) AS sim
+  FROM {src} CROSS JOIN {cents}
+),
+a{tag} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+    FROM d{tag}
+  ) WHERE rn = 1
+)"""
+
+    def update(t: int) -> str:
+        return f"""
+m{t} AS (
+  SELECT cid, i, AVG(x) AS mv FROM (
+    SELECT a{t}.cid, unnest(range(1, len(smp.v) + 1)) AS i, unnest(smp.v) AS x
+    FROM a{t} JOIN smp USING (vec_id)
+  ) GROUP BY cid, i
+),
+u{t} AS (SELECT cid, list(mv ORDER BY i) AS m FROM m{t} GROUP BY cid),
+c{t} AS (
+  SELECT p.cid,
+         CASE WHEN u.m IS NULL
+                   OR sqrt(list_sum(list_transform(u.m, y -> y * y))) = 0
+              THEN p.c
+              ELSE list_transform(
+                     u.m,
+                     x -> ROUND(x / sqrt(list_sum(list_transform(u.m,
+                                                  y -> y * y))), {CR}))
+         END AS c
+  FROM c{t - 1} p LEFT JOIN u{t} u USING (cid)
+)"""
+
+    rounds = "".join(
+        f",{assign(str(t), 'smp', f'c{t - 1}')},{update(t)}"
+        for t in range(1, _IVF_ITERS + 1)
+    )
+    cf = f"c{_IVF_ITERS}"
+    return f"""
+WITH vv AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS raw
+  FROM embeddings
+),
+nn AS (
+  SELECT vec_id, raw,
+         sqrt(list_sum(list_transform(raw, y -> y * y))) AS nrm
+  FROM vv
+),
+vn AS (
+  SELECT vec_id,
+         list_transform(raw, x -> x / CASE WHEN nrm = 0 THEN 1 ELSE nrm END) AS v
+  FROM nn
+),
+smp AS (
+  SELECT vec_id, v FROM vn
+  QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= {_IVF_TRAIN_SAMPLE}
+),
+c0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,
+         list_transform(v, x -> ROUND(x, {CR})) AS c
+  FROM smp ORDER BY vec_id LIMIT {_IVF_CELLS}
+){rounds},{assign('F', 'vn', cf)},
+qv AS (SELECT v FROM vn WHERE vec_id = 0),
+qraw AS (SELECT raw FROM vv WHERE vec_id = 0),
+probe AS (
+  SELECT cid FROM (
+    SELECT {cf}.cid,
+           ROW_NUMBER() OVER (
+             ORDER BY ROUND({dot(f'{cf}.c', 'qv.v')}, {R}) DESC, {cf}.cid
+           ) AS rn
+    FROM {cf} CROSS JOIN qv
+  ) WHERE rn <= {_IVF_PROBE}
+),
+cand AS (
+  SELECT vv.vec_id, list_cosine_similarity(vv.raw, qraw.raw) AS sim
+  FROM vv JOIN aF USING (vec_id) CROSS JOIN qraw
+  WHERE aF.cid IN (SELECT cid FROM probe) AND vv.vec_id <> 0
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) AS rnk,
+       vec_id
+FROM cand ORDER BY sim DESC, vec_id LIMIT 10
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         # synthetic FMED headers are pure integer arithmetic on doc_id
@@ -1347,6 +1524,11 @@ FROM documents GROUP BY lang ORDER BY lang
 """,
         # bounded-iteration k-means with pinned rounding (see _kmeans_sql)
         "kmeans_embed": _kmeans_sql(),
+        # the two ANN searches, previously no_oracle: inlined-hyperplane
+        # signature prefilter (see _knn_lsh_sql) and the unrolled pinned
+        # coarse quantizer (see _knn_ivf_sql) make them exactly twinnable
+        "knn_cosine_lsh": _knn_lsh_sql(),
+        "knn_cosine_ivf": _knn_ivf_sql(),
         "knn_cosine": """
 WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
 s AS (SELECT e.vec_id,

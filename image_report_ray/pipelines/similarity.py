@@ -112,8 +112,11 @@ def knn_cosine_lsh(
     probe covers most of the 2^16 buckets — the per-batch prefilter is
     the honest plan here, and :func:`knn_cosine_ivf`'s cell-partitioned
     index (`build_ivf_index`) is the physical-pruning exemplar for
-    workloads where the probe set IS selective. Approximate -> no SQL
-    oracle; recall vs the exact query is asserted in pytest."""
+    workloads where the probe set IS selective. Approximate vs the exact
+    query (recall asserted in pytest) but fully DETERMINISTIC, so it
+    carries an exact SQL oracle: the twin inlines the 16 hyperplanes and
+    reproduces signature, Hamming prefilter, and rerank
+    (``__ray_entry__._knn_lsh_sql``)."""
     import ray
 
     rd = _rd()
@@ -155,50 +158,76 @@ def knn_cosine_lsh(
     return t.select(["vec_id"]).append_column("rnk", rnk).select(["rnk", "vec_id"])
 
 
-_IVF_SEED = 0xCE11
 _IVF_CELLS = 16
 _IVF_PROBE = 6
 _IVF_ITERS = 8
 _IVF_TRAIN_SAMPLE = 4096  # centroid-training sample size (driver-bounded)
+# Cross-engine determinism pins (the kmeans_embed technique, see the
+# k-means section below): similarities ROUND to 6 decimals before every
+# argmax (ties -> smallest cell id), centroids ROUND to 6 decimals after
+# every update. Coarser than the k-means 9-decimal pin ON PURPOSE: wider
+# rounding boundaries make a cross-engine boundary hit (~1e-14 summation
+# drift vs the bucket width) vanishingly unlikely over the 8 unrolled
+# iterations, and a coarse quantizer loses nothing at 6 decimals.
+_IVF_SIM_ROUND = 6
+_IVF_CENT_ROUND = 6
+# bump when the trainer/assignment algorithm changes: invalidates
+# physical index caches built by older code
+_IVF_ALGO_VERSION = "ivf-v2-pinned"
 
 
 def _ivf_centroids(m: np.ndarray, n_cells: int) -> np.ndarray:
-    """Seeded Lloyd's k-means (few iterations, numpy) on normalized
-    vectors — the coarse quantizer. Trains on a bounded sample; the
-    assignment pass is the bucketing shuffle key."""
-    rng = np.random.default_rng(_IVF_SEED)
-    c = m[rng.choice(len(m), size=min(n_cells, len(m)), replace=False)].copy()
+    """Pinned Lloyd's spherical k-means on normalized vectors — the
+    coarse quantizer. Fully deterministic AND SQL-reproducible: seeds =
+    the first ``n_cells`` rows of the (vec_id-sorted) sample, rounded
+    similarities before each argmax, rounded re-normalized means after
+    each update, empty cells keep their previous centroid. The oracle
+    twin unrolls these exact iterations as CTE rounds."""
+    c = np.round(m[: min(n_cells, len(m))].copy(), _IVF_CENT_ROUND)
     for _ in range(_IVF_ITERS):
-        sims = m @ c.T
-        assign = sims.argmax(axis=1)
+        sims = np.round(m @ c.T, _IVF_SIM_ROUND)
+        assign = sims.argmax(axis=1)  # first max = smallest cell id
         for j in range(len(c)):
             members = m[assign == j]
             if len(members):
                 v = members.mean(axis=0)
                 n = np.linalg.norm(v)
                 if n > 0:
-                    c[j] = v / n
+                    c[j] = np.round(v / n, _IVF_CENT_ROUND)
     return c
 
 
 def _train_ivf_centroids(sf_dir: str, n_cells: int = _IVF_CELLS) -> np.ndarray:
     """Train the coarse quantizer on a bounded sample of the embeddings
-    table — the driver holds ``_IVF_TRAIN_SAMPLE`` vectors, never the
-    full table. ``limit`` pushes down into the streamed read, so only the
-    leading blocks are materialized (deterministic: parquet row order)."""
-    rd = _rd()
-    sample = (
-        rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
-        .limit(_IVF_TRAIN_SAMPLE)
-        .to_arrow_refs()
-    )
+    table — the ``_IVF_TRAIN_SAMPLE`` SMALLEST vec_ids (an order-free,
+    SQL-expressible rule; "first rows read" would depend on block
+    arrival order). Per-block partial top-N by vec_id tree-folds to the
+    driver, which holds only the final sample."""
     import ray
 
-    m = _stack(
-        pa.concat_tables([t for t in ray.get(sample) if t.num_rows]).column(
-            "embedding"
-        )
-    )
+    rd = _rd()
+    n = _IVF_TRAIN_SAMPLE
+
+    @ray.remote
+    def part_smallest(*tabs: pa.Table) -> pa.Table:
+        live = [t for t in tabs if t.num_rows and "vec_id" in t.column_names]
+        if not live:
+            return tabs[0]
+        t = pa.concat_tables(live, promote_options="default")
+        ids = t.column("vec_id").to_numpy()
+        if len(ids) > n:
+            t = t.take(pa.array(np.argsort(ids, kind="stable")[:n]))
+        return t
+
+    refs = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).to_arrow_refs()
+    outs = [part_smallest.remote(r) for r in refs]
+    while len(outs) > 1:
+        outs = [part_smallest.remote(*outs[i : i + 8]) for i in range(0, len(outs), 8)]
+    t = ray.get(outs[0])
+    t = t.take(pa.array(np.argsort(t.column("vec_id").to_numpy(), kind="stable")))
+    m = _stack(t.column("embedding"))
     norms = np.linalg.norm(m, axis=1)
     norms[norms == 0] = 1.0
     return _ivf_centroids(m / norms[:, None], n_cells)
@@ -226,7 +255,10 @@ def build_ivf_index(
         m = _stack(t.column("embedding"))
         nrm = np.linalg.norm(m, axis=1)
         nrm[nrm == 0] = 1.0
-        cell = ((m / nrm[:, None]) @ c.T).argmax(axis=1).astype(np.int32)
+        # rounded argmax (ties -> smallest cell): same pin as training,
+        # so the SQL twin reproduces the cell of every vector
+        sims = np.round((m / nrm[:, None]) @ c.T, _IVF_SIM_ROUND)
+        cell = sims.argmax(axis=1).astype(np.int32)
         return t.append_column("cell", pa.array(cell))
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
@@ -247,6 +279,7 @@ def _ivf_index_dir(sf_dir: str) -> str:
     import hashlib
 
     h = hashlib.sha1(os.path.abspath(sf_dir).encode())
+    h.update(f"|{_IVF_ALGO_VERSION}".encode())
     pat = os.path.join(sf_dir, "embeddings.parquet")
     paths = sorted(glob.glob(pat)) or sorted(
         glob.glob(os.path.join(pat, "*.parquet"))
@@ -263,8 +296,10 @@ def knn_cosine_ivf(sf_dir: str, query_vec_id: int = 0, k: int = 10) -> pa.Table:
     ``cell=K/`` parquet partitions (:func:`build_ivf_index`, centroids
     trained on a bounded sample); each query reads ONLY its
     ``_IVF_PROBE`` closest cells' files and reranks exactly within them.
-    Approximate -> rows-only oracle; recall floor vs the exact query
-    asserted in pytest."""
+    Approximate vs the exact query (recall floor asserted in pytest) but
+    the pinned trainer makes it DETERMINISTIC and SQL-twinnable — the
+    oracle unrolls the quantizer iterations as CTE rounds
+    (``__ray_entry__._knn_ivf_sql``)."""
     import ray
 
     rd = _rd()
@@ -287,7 +322,10 @@ def knn_cosine_ivf(sf_dir: str, query_vec_id: int = 0, k: int = 10) -> pa.Table:
 
     q = _query_vector(sf_dir, query_vec_id)
     qn = q / np.linalg.norm(q)
-    probe_cells = np.argsort(-(cents @ qn))[:_IVF_PROBE]
+    # pinned probe order: rounded centroid sims desc, ties -> smaller
+    # cell id (lexsort's last key is primary)
+    cs = np.round(cents @ qn, _IVF_SIM_ROUND)
+    probe_cells = np.lexsort((np.arange(len(cs)), -cs))[:_IVF_PROBE]
     import glob
 
     probe_dirs = [
