@@ -459,7 +459,7 @@ def cmd_validate(args: argparse.Namespace) -> int:
             if f"epoch={entry['epoch']:05d}" not in vrel:
                 continue  # carried forward from an older compaction
             from .state.merge import fold_state_tables
-            from .state.views import VIEW_REGISTRY
+            from .state.views import VIEW_REGISTRY, sort_view
 
             if vname not in VIEW_REGISTRY:
                 problems.append(f"pid {pid}: unknown view {vname!r} in manifest")
@@ -468,12 +468,9 @@ def cmd_validate(args: argparse.Namespace) -> int:
             folded = fold_state_tables(
                 [pq.read_table(os.path.join(lake.root, r)) for r in files]
             )
-            expect = VIEW_REGISTRY[vname](folded)
+            expect = sort_view(vname, VIEW_REGISTRY[vname](folded))
             got = pq.read_table(os.path.join(lake.root, vrel))
-            idx = pc.sort_indices(expect, sort_keys=[("conv_id", "ascending")])
-            if not expect.take(idx).equals(
-                got.take(pc.sort_indices(got, sort_keys=[("conv_id", "ascending")]))
-            ):
+            if not expect.equals(sort_view(vname, got)):
                 problems.append(
                     f"pid {pid}: view {vname!r} != recompute from state"
                 )

@@ -150,6 +150,8 @@ def merge_partition_kernel(
     track_hot_keys: int,
     metric_names: tuple[str, ...] = ("turn_profile", "lsn_span", "live_ratio"),
     view_names: tuple[str, ...] = (),
+    prior_views: "dict[str, pa.Table] | None" = None,
+    affected_extra: "np.ndarray | None" = None,
 ) -> dict | None:
     """The reduce side: apply one partition's change slices to its state.
 
@@ -175,13 +177,28 @@ def merge_partition_kernel(
 
     # materialized views: computed over the SAME post-merge state, staged
     # under deterministic names, published by the same commit — never
-    # observable inconsistent with the state (state/views.py)
+    # observable inconsistent with the state (state/views.py). With a
+    # previous view file available, maintenance is INCREMENTAL: only the
+    # conversations touched since that view's snapshot re-aggregate, the
+    # rest carry forward — view cost scales with the delta, not the state.
     view_files: dict[str, str] = {}
     if view_names:
-        from ..state.views import VIEW_REGISTRY
+        from ..state.views import maintain_view
 
+        affected = None
+        if prior_views:
+            conv = changes.column("conv_id")
+            if isinstance(conv, pa.ChunkedArray):
+                conv = conv.combine_chunks()
+            aff = conv.to_numpy(zero_copy_only=False).astype(object)
+            if affected_extra is not None and len(affected_extra):
+                aff = np.concatenate([aff, affected_extra.astype(object)])
+            affected = pa.array(np.unique(aff), pa.string())
         for vname in view_names:
-            vt = VIEW_REGISTRY[vname](new_state)
+            pv = (prior_views or {}).get(vname)
+            vt = maintain_view(
+                vname, new_state, pv, affected if pv is not None else None
+            )
             vrel = os.path.join(
                 "views", vname, f"epoch={epoch:05d}", f"pid={pid:05d}.parquet"
             )
@@ -283,22 +300,44 @@ def _remotes() -> dict:
 
         @ray.remote
         def merge_part(pid, prior_paths, prior_lsn, lake_root, epoch, hot_k,
-                       mnames, vnames, *parts):
+                       mnames, vnames, view_rels, *parts):
             """COW / MOR-compaction leg: fold the prior composition
             (base + deltas) and apply the epoch on top, writing a full
             state file (+ any registered materialized views — only this
             leg has the full state to compute them from).
-            ``prior_paths`` empty/None -> fresh partition."""
+            ``prior_paths`` empty/None -> fresh partition. ``view_rels``
+            maps view name -> the previous committed view file (relative)
+            so maintenance can run incrementally; the conversations in
+            the MOR deltas (``prior_paths[1:]``, changes folded since
+            that view's snapshot) join the affected set."""
             from ..state.merge import fold_state_tables
 
-            prior = (
-                fold_state_tables([pq.read_table(p) for p in prior_paths])
-                if prior_paths
-                else None
+            prior_tabs = (
+                [pq.read_table(p) for p in prior_paths] if prior_paths else []
             )
+            prior = fold_state_tables(prior_tabs) if prior_tabs else None
+            prior_views: dict[str, pa.Table] = {}
+            for vname, rel in (view_rels or {}).items():
+                try:
+                    prior_views[vname] = pq.read_table(
+                        os.path.join(lake_root, rel)
+                    )
+                except (pa.ArrowInvalid, OSError):
+                    pass  # missing/corrupt previous view -> full recompute
+            affected_extra = None
+            if prior_views and len(prior_tabs) > 1:
+                affected_extra = np.unique(
+                    np.concatenate(
+                        [
+                            t.column("conv_id").to_numpy(zero_copy_only=False)
+                            for t in prior_tabs[1:]
+                        ]
+                    ).astype(object)
+                )
             return merge_partition_kernel(
                 pid, list(parts), prior, prior_lsn, lake_root, epoch, hot_k,
                 metric_names=mnames, view_names=vnames,
+                prior_views=prior_views, affected_extra=affected_extra,
             )
 
         @ray.remote
@@ -411,10 +450,15 @@ def apply_epoch(
         compact = cfg.merge_mode == "cow" or len(prior) + 1 >= cfg.compact_every
         compacted[pid] = compact
         if compact:
+            view_rels = {
+                v: rel
+                for v, rel in (current.get(pid, {}).get("views") or {}).items()
+                if v in cfg.views
+            }
             stat_refs.append(
                 R["merge"].remote(
                     pid, prior, lsns.get(pid, -1), lake.root, epoch, 3, mnames,
-                    tuple(cfg.views),
+                    tuple(cfg.views), view_rels,
                     *[m[pid] for m in mats],
                 )
             )

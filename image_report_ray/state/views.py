@@ -69,3 +69,54 @@ VIEW_REGISTRY = {
     "conv_summary": conv_summary_view,
     "role_counts": role_counts_view,
 }
+
+# Per-view key columns: every registered view is a per-conversation
+# aggregate whose rows are independent across conv_id — the property
+# incremental maintenance relies on (recompute ONLY the touched
+# conversations, carry every other row from the previous view file).
+VIEW_KEYS = {
+    "conv_summary": [("conv_id", "ascending")],
+    "role_counts": [("conv_id", "ascending"), ("role", "ascending")],
+}
+
+
+def sort_view(name: str, vt: pa.Table) -> pa.Table:
+    """Canonical row order for a view table — both the full and the
+    incremental maintenance path emit this order, so view files stay
+    byte-identical across re-runs regardless of which path produced
+    them."""
+    import pyarrow.compute as pc
+
+    if vt.num_rows == 0:
+        return vt
+    return vt.take(pc.sort_indices(vt, sort_keys=VIEW_KEYS[name]))
+
+
+def maintain_view(
+    name: str,
+    state: pa.Table,
+    prior_view: "pa.Table | None" = None,
+    affected: "pa.Array | None" = None,
+) -> pa.Table:
+    """Compute a view over post-merge ``state`` — incrementally when the
+    previous view file and the set of conversations touched since it are
+    known: recompute the view ONLY over the affected conversations'
+    state rows and carry every untouched conversation's row forward from
+    ``prior_view``. Cost scales with the delta (one vectorized
+    membership scan over the state + an aggregate over the touched
+    subset), matching the MOR O(delta) story; without a prior view the
+    full aggregate runs. Both paths return the canonical sorted order,
+    so their outputs are interchangeable bit-for-bit."""
+    import pyarrow.compute as pc
+
+    fn = VIEW_REGISTRY[name]
+    if prior_view is None or affected is None:
+        return sort_view(name, fn(state))
+    touched = pc.is_in(state.column("conv_id"), value_set=affected)
+    fresh = fn(state.filter(touched))
+    keep = prior_view.filter(
+        pc.invert(pc.is_in(prior_view.column("conv_id"), value_set=affected))
+    )
+    return sort_view(
+        name, pa.concat_tables([keep, fresh], promote_options="default")
+    )

@@ -181,3 +181,36 @@ def test_validate_audits_views(ray_session, tmp_path, capsys):
     assert main(["validate", lake_dir]) == 1
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert any("view 'conv_summary' != recompute" in p for p in out["problems"])
+
+
+def test_incremental_view_equals_full_recompute_bitwise(ray_session, tmp_path):
+    """The incremental maintenance path (prior view + affected convs)
+    writes the SAME bytes a full recompute would — for both registered
+    views, across COW epochs and an MOR compaction with folded deltas."""
+    from image_report_ray.state.views import VIEW_REGISTRY, sort_view
+
+    wal = str(tmp_path / "wal")
+    paths = write_wal(wal, n_epochs=4, epoch_size=400, n_parts=1, **GEN)
+
+    for mode, compact_every in (("cow", 1), ("mor", 3)):
+        lake = Lake(str(tmp_path / f"lake_{mode}"), num_partitions=4)
+        cfg = EngineConfig(
+            num_partitions=4, views=("conv_summary", "role_counts"),
+            merge_mode=mode, compact_every=compact_every,
+        )
+        for epoch, p in enumerate(paths):
+            apply_epoch(lake, epoch, [p], cfg)
+        for vname in ("conv_summary", "role_counts"):
+            for pid, vpath in Lake(lake.root).current_view_files(vname).items():
+                got = pq.read_table(vpath)
+                from image_report_ray.state.merge import fold_state_tables
+
+                # compare against the state AS OF the view's own epoch
+                # (MOR views lag to the compaction point by contract)
+                import re
+
+                vepoch = int(re.search(r"epoch=(\d+)", vpath).group(1))
+                files = Lake(lake.root).current_file_sets(as_of=vepoch)[pid]
+                folded = fold_state_tables([pq.read_table(f) for f in files])
+                full = sort_view(vname, VIEW_REGISTRY[vname](folded))
+                assert got.equals(full), (mode, vname, pid)
