@@ -5,10 +5,13 @@ from the ``documents`` table, processed by the actor-pool stages in
 No media libraries exist in this container, so payloads use the FMED fake
 format (stages/media.py) — built from pure integer/string arithmetic over
 ``doc_id``/``text`` so the metadata queries have exact DuckDB oracles.
-The decode/feature stages run as REAL actor pools
-(``map_batches(Cls, concurrency=N)``): codec/model setup once per actor,
-binary-in/typed-out per batch — swap the fake codec for cv2/libav and the
-pipeline shape is production-ready.
+The decode/feature stages run as REAL actor pools: codec/model setup once
+per actor, binary-in/typed-out per batch — swap the fake codec for
+cv2/libav and the pipeline shape is production-ready. The pools are the
+SESSION-SCOPED warm pools of ``stages/pool.py`` (created once, reused by
+every media query) rather than per-execution ``map_batches(Cls)`` pools:
+a suite of short queries then pays actor spin-up once, the same
+economics a long job gets naturally.
 """
 
 from __future__ import annotations
@@ -21,7 +24,8 @@ from ..stages.media import (
     FrameSampler,
     MediaDecoder,
 )
-from ._util import ds_to_table, finalize
+from ..stages.pool import gather_tables, pool_map
+from ._util import finalize
 
 _DECODE_CONCURRENCY = 2
 _MEDIA_BATCH = 256  # large binary payloads => small batches (memory-aware)
@@ -110,22 +114,25 @@ def _media_dataset(sf_dir: str):
     ).map_batches(synth_media_batch, batch_format="pyarrow", batch_size=_SYNTH_BATCH)
 
 
+def _pool(cls, refs, drop_cols=None, **ctor) -> list:
+    """Media-stage defaults for the shared warm pool."""
+    return pool_map(
+        cls,
+        refs,
+        size=_DECODE_CONCURRENCY,
+        num_cpus=_MEDIA_ACTOR_CPUS,
+        batch_size=_MEDIA_BATCH,
+        drop_cols=drop_cols,
+        ctor_kwargs=ctor or None,
+    )
+
+
 def media_meta(sf_dir: str) -> pa.Table:
     """Decode every payload through the actor-pool decoder and return its
     typed metadata — oracle-checkable because the synthetic headers are
     integer arithmetic on doc_id."""
-    ds = _media_dataset(sf_dir).map_batches(
-        MediaDecoder,
-        batch_format="pyarrow",
-        batch_size=_MEDIA_BATCH,
-        concurrency=_DECODE_CONCURRENCY,
-        num_cpus=_MEDIA_ACTOR_CPUS,
-    )
-
-    def meta_only(t: pa.Table) -> pa.Table:
-        return t.drop_columns(["payload"])
-
-    t = ds_to_table(ds.map_batches(meta_only, batch_format="pyarrow"))
+    refs = _media_dataset(sf_dir).to_arrow_refs()
+    t = gather_tables(_pool(MediaDecoder, refs, drop_cols=["payload"]))
     return finalize(t, [("media_id", "ascending")])
 
 
@@ -135,13 +142,7 @@ def media_features(sf_dir: str) -> pa.Table:
     full DuckDB oracle: feature dimension, occupied-bin count, and the
     dominant bin (ties -> smallest bin index). The float feature vector
     itself is additionally pinned by pytest (determinism)."""
-    ds = _media_dataset(sf_dir).map_batches(
-        ByteHistogramFeatures,
-        batch_format="pyarrow",
-        batch_size=_MEDIA_BATCH,
-        concurrency=_DECODE_CONCURRENCY,
-        num_cpus=_MEDIA_ACTOR_CPUS,
-    )
+    import ray
 
     def summarize(t: pa.Table) -> pa.Table:
         col = t.column("feature")
@@ -164,7 +165,14 @@ def media_features(sf_dir: str) -> pa.Table:
             }
         )
 
-    t = ds_to_table(ds.map_batches(summarize, batch_format="pyarrow"))
+    @ray.remote
+    def post(t):
+        return summarize(t) if t is not None and t.num_rows else None
+
+    refs = _media_dataset(sf_dir).to_arrow_refs()
+    t = gather_tables(
+        [post.remote(r) for r in _pool(ByteHistogramFeatures, refs)]
+    )
     return finalize(t, [("media_id", "ascending")])
 
 
@@ -172,15 +180,8 @@ def media_frames(sf_dir: str, stride: int = 4) -> pa.Table:
     """Frame sampling: one row per sampled video frame (every
     ``stride``-th), one pseudo-frame for non-video — the 1->N explode
     stage, oracle-checkable via integer arithmetic."""
-    ds = _media_dataset(sf_dir).map_batches(
-        FrameSampler,
-        batch_format="pyarrow",
-        batch_size=_MEDIA_BATCH,
-        concurrency=_DECODE_CONCURRENCY,
-        num_cpus=_MEDIA_ACTOR_CPUS,
-        fn_constructor_kwargs={"stride": stride},
-    )
-    t = ds_to_table(ds)
+    refs = _media_dataset(sf_dir).to_arrow_refs()
+    t = gather_tables(_pool(FrameSampler, refs, stride=stride))
     return finalize(t, [("media_id", "ascending"), ("frame_idx", "ascending")])
 
 
@@ -194,27 +195,7 @@ def media_resize(sf_dir: str, factor: int = 2) -> pa.Table:
     DuckDB oracle."""
     from ..stages.media import MediaResizer
 
-    ds = (
-        _media_dataset(sf_dir)
-        .map_batches(
-            MediaResizer,
-            batch_format="pyarrow",
-            batch_size=_MEDIA_BATCH,
-            concurrency=_DECODE_CONCURRENCY,
-        num_cpus=_MEDIA_ACTOR_CPUS,
-            fn_constructor_kwargs={"factor": factor},
-        )
-        .map_batches(
-            MediaDecoder,
-            batch_format="pyarrow",
-            batch_size=_MEDIA_BATCH,
-            concurrency=_DECODE_CONCURRENCY,
-        num_cpus=_MEDIA_ACTOR_CPUS,
-        )
-    )
-
-    def meta_only(t: pa.Table) -> pa.Table:
-        return t.drop_columns(["payload"])
-
-    t = ds_to_table(ds.map_batches(meta_only, batch_format="pyarrow"))
+    refs = _media_dataset(sf_dir).to_arrow_refs()
+    resized = _pool(MediaResizer, refs, factor=factor)
+    t = gather_tables(_pool(MediaDecoder, resized, drop_cols=["payload"]))
     return finalize(t, [("media_id", "ascending")])
