@@ -466,6 +466,87 @@ def run_skew(num_cpus: int) -> dict:
     }
 
 
+def run_lifecycle(num_cpus: int) -> dict:
+    """Deployment-shape evidence for the follow/changefeed surfaces at
+    10M-event scale: a warm lake holds all but the last epoch of the
+    cached scaling WAL (untimed prep — this is 'the running deployment'),
+    then (a) the TAIL step applies the held-back epoch exactly the way
+    `run --follow` would (events/s while following), and (b) the
+    change-data-feed of that epoch emits through the sharded refs API,
+    one parquet shard per partition with no driver gather."""
+    import glob
+
+    wal = _ensure_scaling_wal()
+    _init_ray(num_cpus)
+    import ray
+
+    from image_report_ray.config import EngineConfig
+    from image_report_ray.pipelines.cdc import changefeed_refs, run_job
+    from image_report_ray.state.manifest import Lake
+
+    cfg = EngineConfig(num_partitions=32, merge_mode="mor", compact_every=4)
+    epoch_dirs = sorted(glob.glob(os.path.join(wal, "epoch=*")))
+    work = tempfile.mkdtemp(prefix="irr-lifecycle-")
+    try:
+        # warm lake (untimed): every epoch but the last
+        wal_warm = os.path.join(work, "wal_warm")
+        wal_full = os.path.join(work, "wal_full")
+        for d, eps in ((wal_warm, epoch_dirs[:-1]), (wal_full, epoch_dirs)):
+            os.makedirs(d)
+            for e in eps:
+                os.symlink(e, os.path.join(d, os.path.basename(e)))
+        lake_dir = os.path.join(work, "lake")
+        run_job(lake_dir, wal_warm, cfg)
+
+        # (a) tail step: one new epoch lands, the follower applies it
+        t0 = time.perf_counter()
+        tail = run_job(lake_dir, wal_full, cfg)
+        tail_sec = time.perf_counter() - t0
+
+        # (b) CDC out for that epoch: sharded refs -> per-partition files
+        lake = Lake(lake_dir)
+        ep = max(lake.committed_epochs())
+        out_dir = os.path.join(work, "feed")
+        os.makedirs(out_dir)
+
+        @ray.remote
+        def write_shard(t, path):
+            import pyarrow.parquet as pqt
+
+            pqt.write_table(t, path)
+            return t.num_rows
+
+        t0 = time.perf_counter()
+        refs = changefeed_refs(lake, ep)
+        counts = ray.get(
+            [
+                write_shard.remote(
+                    r, os.path.join(out_dir, f"part-{i:05d}.parquet")
+                )
+                for i, r in enumerate(refs)
+            ]
+        )
+        feed_sec = time.perf_counter() - t0
+        feed_rows = int(sum(counts))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    ray.shutdown()
+    return {
+        "metric": "lifecycle_tail_events_per_sec",
+        "value": round(tail["events_received"] / tail_sec, 1),
+        "unit": "events/s",
+        "sf": SCALING_WAL,
+        "num_cpus": num_cpus,
+        "queries": {
+            "tail_apply": round(tail_sec, 3),
+            "changefeed_emit": round(feed_sec, 3),
+        },
+        "tail_events": tail["events_received"],
+        "feed_rows": feed_rows,
+        "feed_rows_per_sec": round(feed_rows / feed_sec, 1),
+    }
+
+
 def run_scaling(low: int, high: int, repeats: int = 3) -> dict:
     """North-rule scaling evidence, sandbox form (BASELINE.md protocol):
     the identical 10M-event replay in FRESH processes at num_cpus=low
@@ -545,6 +626,9 @@ def main() -> None:
                     help="similarity pipelines over a 300k-vector corpus")
     ap.add_argument("--eventbench", action="store_true",
                     help="relational/window operators over 10M events")
+    ap.add_argument("--lifecycle", action="store_true",
+                    help="tail-apply + sharded changefeed emit on a warm "
+                         "10M-event lake")
     ap.add_argument("--scaling-cpus", default="2,8",
                     help="N,4N num_cpus for --scaling (both must fit in "
                          "physical cores for an honest ratio; this box has 16)")
@@ -561,6 +645,8 @@ def main() -> None:
         out = run_simbench(args.cpus)
     elif args.eventbench:
         out = run_eventbench(args.cpus)
+    elif args.lifecycle:
+        out = run_lifecycle(args.cpus)
     elif args.synth_replay:
         out = run_synth_replay(args.cpus)
     else:
