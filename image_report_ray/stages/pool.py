@@ -61,21 +61,32 @@ class _StageWorker:
 
 def warm_pool(size: int, num_cpus: float) -> list:
     """The session's shared stage-worker pool — created on first use,
-    reused for every later stage/pipeline with the same shape."""
+    reused for every later stage/pipeline with the same shape.
+
+    Staleness guard: a ``ray.shutdown()``/``ray.init()`` cycle in the
+    same process kills the actors, and a fresh LOCAL cluster restarts
+    job-id numbering at the same value — so the cache key is
+    (node id, job id) AND a cached pool answers a liveness ping before
+    being reused; a dead pool rebuilds transparently."""
     global _ACTOR_CLS
     import ray
 
-    job = ray.get_runtime_context().get_job_id()
+    ctx = ray.get_runtime_context()
+    session = (ctx.get_node_id(), ctx.get_job_id())
     key = (size, num_cpus)
     cached = _POOLS.get(key)
-    if cached is not None and cached[0] == job:
-        return cached[1]
+    if cached is not None and cached[0] == session:
+        try:
+            ray.get(cached[1][0].apply.remote(None, {}, None, 1), timeout=10)
+            return cached[1]
+        except Exception:
+            pass  # actors died (e.g. cluster restarted on the same ids)
     if _ACTOR_CLS is None:
         _ACTOR_CLS = ray.remote(_StageWorker)
     actors = [
         _ACTOR_CLS.options(num_cpus=num_cpus).remote() for _ in range(size)
     ]
-    _POOLS[key] = (job, actors)
+    _POOLS[key] = (session, actors)
     return actors
 
 

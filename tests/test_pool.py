@@ -65,3 +65,28 @@ def test_pool_passes_none_through_chains(ray_session):
     # chain a second pool stage over the (None) outputs
     refs2 = pool_map(stage, refs, size=2, num_cpus=0.5, batch_size=2)
     assert gather_tables(refs2).num_rows == 0
+
+
+def test_pool_rebuilds_after_cluster_restart_same_ids(ray_session):
+    """A shutdown/init cycle kills the actors while a fresh local
+    cluster may reuse the same job id — the cache must detect the dead
+    pool (liveness ping) and rebuild instead of submitting into it."""
+    import ray
+
+    from image_report_ray.stages.pool import _POOLS, gather_tables, pool_map
+
+    stage = _token_stage()
+    block_t = pa.table({"x": pa.array([1, 2], pa.int64())})
+    a = gather_tables(
+        pool_map(stage, [ray.put(block_t)], size=2, num_cpus=0.5, batch_size=2)
+    )
+    assert a.num_rows == 2
+    # simulate the failure mode without restarting the fixture cluster:
+    # poison the cached entries with dead handles under the CURRENT key
+    for key, (session, actors) in list(_POOLS.items()):
+        for act in actors:
+            ray.kill(act)
+    b = gather_tables(
+        pool_map(stage, [ray.put(block_t)], size=2, num_cpus=0.5, batch_size=2)
+    )
+    assert b.column("x").to_pylist() == [1, 2]
