@@ -258,10 +258,14 @@ def cmd_changefeed(args: argparse.Namespace) -> int:
     _init_ray(args.num_cpus)
     import ray
 
-    from .pipelines.cdc import changefeed_refs
+    from .pipelines.cdc import changefeed_range_refs
     from .state.manifest import Lake
 
-    refs = changefeed_refs(Lake(args.lake_dir), args.epoch)
+    from_epoch = (
+        args.from_epoch if getattr(args, "from_epoch", None) is not None
+        else args.epoch - 1
+    )
+    refs = changefeed_range_refs(Lake(args.lake_dir), from_epoch, args.epoch)
     if args.out:
         # scale path: each partition's feed is written by a remote task
         # (sharded, resumable layout) — the whole epoch never gathers
@@ -295,6 +299,7 @@ def cmd_changefeed(args: argparse.Namespace) -> int:
                            "U": ops.count("U"), "D": ops.count("D")})
     print(json.dumps(
         {"epoch": args.epoch,
+         "from_epoch": from_epoch,
          "rows": sum(c["rows"] for c in counts),
          "inserts": sum(c["I"] for c in counts),
          "updates": sum(c["U"] for c in counts),
@@ -685,6 +690,10 @@ def build_parser() -> argparse.ArgumentParser:
     )
     cf.add_argument("lake_dir")
     cf.add_argument("--epoch", type=int, required=True)
+    cf.add_argument("--from-epoch", type=int, default=None, dest="from_epoch",
+                    help="net feed of (FROM_EPOCH, EPOCH] instead of the "
+                         "single epoch — catch-up consumers read one "
+                         "compacted diff (-1 = vs the empty lake)")
     cf.add_argument("--out", default=None,
                     help="write the feed as parquet to this path")
     cf.add_argument("--num-cpus", type=int, default=None)

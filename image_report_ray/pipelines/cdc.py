@@ -1140,24 +1140,67 @@ def _feed_remote():
     return _FEED_REMOTE
 
 
-def changefeed_refs(lake: Lake, epoch: int) -> list:
-    """Per-partition change-feed refs for ``epoch`` (the scale surface:
-    consumers write or forward each partition's feed without ever
-    gathering the whole epoch on the driver; :func:`changefeed` is the
-    small-result convenience wrapper that does gather)."""
+def changefeed_range_refs(lake: Lake, from_epoch: int, to_epoch: int) -> list:
+    """Per-partition change-feed refs for the NET effect of epochs
+    ``(from_epoch, to_epoch]`` — the diff of the two time-travel
+    snapshots (the Delta `table_changes(from, to)` analogue). A consumer
+    that catches up after missing several epochs reads ONE compacted
+    feed instead of replaying each epoch's feed; intermediate churn
+    (insert-then-delete, update-then-revert) nets out by construction.
+    ``from_epoch = -1`` diffs against the empty lake (every live row
+    feeds as ``I``). This is the scale surface: consumers write or
+    forward each partition's feed without ever gathering the whole range
+    on the driver; :func:`changefeed_range` / :func:`changefeed` are the
+    small-result convenience wrappers that do gather."""
     import ray  # noqa: F401  (refs are ray ObjectRefs)
 
-    if not lake.is_committed(epoch):
-        raise ValueError(f"epoch {epoch} is not committed")
-    prev = epoch - 1
-    has_prev = any(e <= prev for e in lake.committed_epochs())
-    sets0 = lake.current_file_sets(as_of=prev) if has_prev else {}
-    sets1 = lake.current_file_sets(as_of=epoch)
+    if not lake.is_committed(to_epoch):
+        raise ValueError(f"epoch {to_epoch} is not committed")
+    if from_epoch >= to_epoch:
+        raise ValueError(
+            f"from_epoch {from_epoch} must be < to_epoch {to_epoch}"
+        )
+    has_base = from_epoch >= 0 and any(
+        e <= from_epoch for e in lake.committed_epochs()
+    )
+    sets0 = lake.current_file_sets(as_of=from_epoch) if has_base else {}
+    sets1 = lake.current_file_sets(as_of=to_epoch)
     R = _feed_remote()
     return [
         R.remote(sets0.get(pid, []), sets1.get(pid, []))
         for pid in sorted(set(sets0) | set(sets1))
     ]
+
+
+def changefeed_refs(lake: Lake, epoch: int) -> list:
+    """Per-partition change-feed refs for one ``epoch`` (its net effect
+    vs the previous snapshot) — the single-epoch form of
+    :func:`changefeed_range_refs`."""
+    return changefeed_range_refs(lake, epoch - 1, epoch)
+
+
+def changefeed_range(lake: Lake, from_epoch: int, to_epoch: int) -> pa.Table:
+    """Gather-to-driver convenience form of :func:`changefeed_range_refs`
+    (sorted (conv_id, turn_idx))."""
+    import ray
+
+    tabs = [
+        t
+        for t in ray.get(changefeed_range_refs(lake, from_epoch, to_epoch))
+        if t.num_rows
+    ]
+    if not tabs:
+        return pa.table(
+            {"op": pa.array([], pa.string()),
+             "conv_id": pa.array([], pa.string()),
+             "turn_idx": pa.array([], pa.int32())}
+        )
+    t = concat_evolving(tabs)
+    return t.take(
+        pc.sort_indices(
+            t, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]
+        )
+    )
 
 
 def changefeed(lake: Lake, epoch: int) -> pa.Table:
@@ -1171,22 +1214,9 @@ def changefeed(lake: Lake, epoch: int) -> pa.Table:
     exchange). One diff task per partition (pid routing is stable across
     epochs), vectorized outer merge; sorted (conv_id, turn_idx) output.
     This is the gather-to-driver convenience form — scale consumers use
-    :func:`changefeed_refs` and handle each partition's feed in place."""
-    import ray
-
-    tabs = [t for t in ray.get(changefeed_refs(lake, epoch)) if t.num_rows]
-    if not tabs:
-        return pa.table(
-            {"op": pa.array([], pa.string()),
-             "conv_id": pa.array([], pa.string()),
-             "turn_idx": pa.array([], pa.int32())}
-        )
-    t = concat_evolving(tabs)
-    return t.take(
-        pc.sort_indices(
-            t, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]
-        )
-    )
+    :func:`changefeed_refs` and handle each partition's feed in place.
+    Catching up over several epochs at once: :func:`changefeed_range`."""
+    return changefeed_range(lake, epoch - 1, epoch)
 
 
 def vacuum_lake(lake: Lake, keep_epochs: int = 1) -> dict:

@@ -844,3 +844,58 @@ def test_run_job_reports_below_watermark_epochs(ray_session, tmp_path, wal):
     s2 = run_job(lake_dir, wal, cfg)
     assert s2["epochs_applied"] == 0
     assert s2["epochs_below_watermark"] == 1
+
+
+def test_changefeed_range_nets_intermediate_churn(ray_session, tmp_path):
+    """changefeed_range(a, b) == replaying the per-epoch feeds of
+    (a, b] into a dict and diffing — one compacted catch-up feed with
+    intermediate churn netted out; from_epoch=-1 feeds the whole live
+    state as inserts."""
+    cfg = EngineConfig(num_partitions=8, batch_size=256)
+    d = str(tmp_path / "wal")
+    write_wal(d, n_epochs=3, epoch_size=400, **GEN)
+    lake_dir = str(tmp_path / "lake")
+    run_job(lake_dir, d, cfg)
+    lake = Lake(lake_dir)
+
+    from image_report_ray.pipelines.cdc import changefeed, changefeed_range
+
+    def snap(upto):
+        if upto < 0:
+            return {}
+        s: dict = {}
+        for e in range(upto + 1):
+            for r in changefeed(lake, e).to_pylist():
+                k = (r["conv_id"], r["turn_idx"])
+                if r["op"] == "D":
+                    s.pop(k, None)
+                else:
+                    s[k] = (r["role"], r["text"], r["tool"], r["ts"])
+        return s
+
+    for lo, hi in ((-1, 2), (0, 2), (1, 2), (-1, 1)):
+        s0, s1 = snap(lo), snap(hi)
+        expect = {}
+        for k in s1:
+            if k not in s0:
+                expect[k] = ("I", s1[k])
+            elif s1[k] != s0[k]:
+                expect[k] = ("U", s1[k])
+        for k in s0:
+            if k not in s1:
+                expect[k] = ("D", None)
+        feed = changefeed_range(lake, lo, hi)
+        got = {
+            (r["conv_id"], r["turn_idx"]): (
+                r["op"],
+                None if r["op"] == "D"
+                else (r["role"], r["text"], r["tool"], r["ts"]),
+            )
+            for r in feed.to_pylist()
+        }
+        assert got == expect, (lo, hi)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="must be <"):
+        changefeed_range(lake, 2, 2)

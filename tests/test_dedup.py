@@ -545,3 +545,47 @@ def test_connected_components_refs_empty_graph(ray_session):
 
     t = gather_concat(connected_components_refs([]))
     assert t.num_rows == 0
+
+
+def test_pair_count_refs_matches_gathered_pair_counts(ray_session):
+    """The refs-native pair exchange returns the same (pair, n_common)
+    multiset as the tree-folded pair_counts, with every pair in exactly
+    ONE partition ref (globally summed)."""
+    import ray
+
+    from image_report_ray.pipelines.dedup import pair_count_refs, pair_counts
+
+    rng = np.random.default_rng(53)
+    # inverted index: 400 postings over 40 keys / 30 ids, sharded 3 ways
+    keys = rng.integers(0, 40, 400)
+    ids = rng.integers(0, 30, 400)
+    blocks = [
+        ray.put(pa.table({"k": pa.array(keys[i::3], pa.int64()),
+                          "d": pa.array(ids[i::3], pa.int64())}))
+        for i in range(3)
+    ]
+    gathered, _ = pair_counts(blocks, "k", "d")
+    refs, stats = pair_count_refs(blocks, "k", "d")
+    parts = [t for t in ray.get(refs) if t.num_rows]
+    per_ref = [
+        set(zip(t.column("doc_id_a").to_pylist(),
+                t.column("doc_id_b").to_pylist()))
+        for t in parts
+    ]
+    # disjoint across refs
+    seen = set()
+    for s in per_ref:
+        assert not (seen & s)
+        seen |= s
+    got = {}
+    for t in parts:
+        for a, b, n in zip(t.column("doc_id_a").to_pylist(),
+                           t.column("doc_id_b").to_pylist(),
+                           t.column("n_common").to_pylist()):
+            got[(a, b)] = n
+    want = {}
+    for p, n in zip(gathered.column("pair").to_pylist(),
+                    gathered.column("n_common").to_pylist()):
+        want[(p >> 32, p & 0xFFFFFFFF)] = n
+    assert got == want
+    assert stats == {"dropped_keys": 0, "dropped_postings": 0}
