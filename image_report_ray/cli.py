@@ -23,6 +23,7 @@ from __future__ import annotations
 import argparse
 import json
 import logging
+import os
 import sys
 
 from .config import EngineConfig, float_0_1, positive_int
@@ -254,24 +255,64 @@ def cmd_bootstrap(args: argparse.Namespace) -> int:
 
 def cmd_changefeed(args: argparse.Namespace) -> int:
     """Emit the row-level change feed of a committed epoch (derived from
-    adjacent time-travel snapshots) as parquet or a JSON row count."""
+    adjacent time-travel snapshots) as parquet or a JSON row count.
+
+    Consumer-offset mode (``--cursor FILE``): the feed range resumes
+    after the cursor's last consumed epoch and runs to the lake head
+    (or ``--epoch``); the cursor file advances ATOMICALLY after the feed
+    is fully written. A crash between emit and cursor write re-emits the
+    same range on the next run — safe, because a range feed is the NET
+    state diff and applying it twice is idempotent for any
+    state-applying consumer. Already-caught-up runs are no-ops."""
     _init_ray(args.num_cpus)
     import ray
 
     from .pipelines.cdc import changefeed_range_refs
     from .state.manifest import Lake
 
-    from_epoch = (
-        args.from_epoch if getattr(args, "from_epoch", None) is not None
-        else args.epoch - 1
-    )
-    refs = changefeed_range_refs(Lake(args.lake_dir), from_epoch, args.epoch)
+    lake = Lake(args.lake_dir)
+    cursor_path = getattr(args, "cursor", None)
+    if cursor_path:
+        cursor_epoch = -1
+        if os.path.exists(cursor_path):
+            with open(cursor_path) as f:
+                cursor_epoch = int(json.load(f)["last_epoch"])
+        head = (
+            args.epoch if getattr(args, "epoch", None) is not None
+            else max(lake.committed_epochs(), default=-1)
+        )
+        if getattr(args, "from_epoch", None) is not None:
+            print(json.dumps(
+                {"error": "--cursor and --from-epoch are mutually "
+                          "exclusive (the cursor IS the from-epoch)"}
+            ))
+            return 1
+        if head <= cursor_epoch:
+            print(json.dumps(
+                {"epoch": head, "from_epoch": cursor_epoch, "rows": 0,
+                 "caught_up": True, "cursor": cursor_path}
+            ))
+            import ray
+
+            ray.shutdown()
+            return 0
+        from_epoch, to_epoch = cursor_epoch, head
+    else:
+        if getattr(args, "epoch", None) is None:
+            print(json.dumps(
+                {"error": "--epoch is required without --cursor"}
+            ))
+            return 1
+        to_epoch = args.epoch
+        from_epoch = (
+            args.from_epoch if getattr(args, "from_epoch", None) is not None
+            else args.epoch - 1
+        )
+    refs = changefeed_range_refs(lake, from_epoch, to_epoch)
     if args.out:
         # scale path: each partition's feed is written by a remote task
         # (sharded, resumable layout) — the whole epoch never gathers
         # on the driver; only per-shard op counts come back
-        import os
-
         os.makedirs(args.out, exist_ok=True)
 
         @ray.remote
@@ -297,14 +338,23 @@ def cmd_changefeed(args: argparse.Namespace) -> int:
             ops = t.column("op").to_pylist()
             counts.append({"rows": t.num_rows, "I": ops.count("I"),
                            "U": ops.count("U"), "D": ops.count("D")})
+    if cursor_path:
+        # feed fully written -> advance the consumer offset atomically
+        tmp = cursor_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"last_epoch": int(to_epoch)}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, cursor_path)
     print(json.dumps(
-        {"epoch": args.epoch,
+        {"epoch": to_epoch,
          "from_epoch": from_epoch,
          "rows": sum(c["rows"] for c in counts),
          "inserts": sum(c["I"] for c in counts),
          "updates": sum(c["U"] for c in counts),
          "deletes": sum(c["D"] for c in counts),
-         "out": args.out}
+         "out": args.out,
+         "cursor": cursor_path}
     ))
     import ray
 
@@ -689,7 +739,14 @@ def build_parser() -> argparse.ArgumentParser:
              "(derived from adjacent snapshots — CDC out)",
     )
     cf.add_argument("lake_dir")
-    cf.add_argument("--epoch", type=int, required=True)
+    cf.add_argument("--epoch", type=int, default=None,
+                    help="feed up to this epoch (required unless --cursor; "
+                         "with --cursor, defaults to the lake head)")
+    cf.add_argument("--cursor", default=None,
+                    help="consumer-offset file: resume after its last "
+                         "consumed epoch, feed to the head, then advance "
+                         "it atomically (no-op when caught up; re-emit "
+                         "after a crash is idempotent — net-diff feed)")
     cf.add_argument("--from-epoch", type=int, default=None, dest="from_epoch",
                     help="net feed of (FROM_EPOCH, EPOCH] instead of the "
                          "single epoch — catch-up consumers read one "
