@@ -768,84 +768,58 @@ def kmeans_embed(
     """K-means cluster assignment for every embedding after ``iters``
     Lloyd updates from deterministic seeds.
 
-    Scale shape: each iteration is ONE streaming pass — every batch
-    assigns against the broadcast (k, dim) centroid matrix and emits a
-    fixed-cardinality partial (k rows of dim-wide sums + counts), so the
-    driver folds O(k * dim * num_blocks) floats, never the vectors
-    (the ``fold_partials`` fixed-cardinality rule). Empty clusters keep
-    their previous centroid. The final pass emits (vec_id, cluster_id)
-    only — no float columns reach the result surface."""
+    Scale shape: the table reads ONCE into block refs, then each round
+    (seed election, every Lloyd iteration, the final assignment) is a
+    wave of raw tasks over those refs — no re-read, no re-execution of
+    the pipeline per round. Every block emits a fixed-cardinality
+    partial (k rows of dim-wide sums + counts), so the driver folds
+    O(k * dim * num_blocks) floats, never the vectors (the
+    ``fold_partials`` fixed-cardinality rule; the fold order is the
+    stable ref order, and the 6-decimal centroid rounding absorbs any
+    last-ulp summation difference — the same pin the SQL twin relies
+    on). Empty clusters keep their previous centroid. The final pass
+    emits (vec_id, cluster_id) only — no float columns reach the result
+    surface."""
     import ray
 
     rd = _rd()
+    refs = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).to_arrow_refs()
 
+    @ray.remote
     def seed_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "vec_id" not in t.column_names:
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()),
+                 "embedding": pa.array([], pa.list_(pa.float32()))}
+            )
         ids = t.column("vec_id").to_numpy()
         if len(ids) > k:
             sel = np.argsort(ids, kind="stable")[:k]
             return t.take(pa.array(sel))
         return t
 
-    ds = rd.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
-    seeds_t = ds_to_table(ds.map_batches(seed_partial, batch_format="pyarrow"))
-    order = np.argsort(seeds_t.column("vec_id").to_numpy(), kind="stable")[:k]
-    seeds_t = seeds_t.take(pa.array(order))
-    cents = _stack(seeds_t.column("embedding"))
-    kk = cents.shape[0]  # corpus smaller than k: every vector seeds
-
-    for _ in range(iters):
-        cent_ref = ray.put(cents)
-
-        def sum_partial(t: pa.Table, _ref=cent_ref) -> pa.Table:
-            c = ray.get(_ref)
-            m = _stack(t.column("embedding"))
-            if m.shape[0] == 0:
-                return pa.table(
-                    {
-                        "cluster_id": pa.array([], pa.int64()),
-                        "vsum": pa.array([], pa.list_(pa.float64())),
-                        "n": pa.array([], pa.int64()),
-                    }
-                )
-            a = _km_assign(m, c)
-            sums = np.zeros_like(c)
-            np.add.at(sums, a, m)
-            counts = np.bincount(a, minlength=c.shape[0]).astype(np.int64)
-            return pa.table(
-                {
-                    "cluster_id": pa.array(np.arange(c.shape[0]), pa.int64()),
-                    "vsum": pa.array(list(sums), pa.list_(pa.float64())),
-                    "n": pa.array(counts, pa.int64()),
-                }
-            )
-
-        part = ds_to_table(
-            ds.map_batches(sum_partial, batch_format="pyarrow", batch_size=4096)
-        )
-        cid = part.column("cluster_id").to_numpy()
-        ns = part.column("n").to_numpy()
-        vs = _stack(part.column("vsum"))
-        sums = np.zeros_like(cents)
-        np.add.at(sums, cid, vs)
-        counts = np.zeros(kk, np.int64)
-        np.add.at(counts, cid, ns)
-        new = cents.copy()
-        nz = counts > 0
-        new[nz] = sums[nz] / counts[nz, None]
-        cents = np.round(new, _KM_CENT_ROUND)
-
-    final_ref = ray.put(cents)
-
-    def assign(t: pa.Table, _ref=final_ref) -> pa.Table:
-        c = ray.get(_ref)
+    @ray.remote
+    def sum_partial(c: np.ndarray, t: pa.Table):
+        if t.num_rows == 0 or "embedding" not in t.column_names:
+            return np.zeros_like(c), np.zeros(c.shape[0], np.int64)
         m = _stack(t.column("embedding"))
-        a = (
-            _km_assign(m, c)
-            if m.shape[0]
-            else np.zeros(0, np.int64)
-        )
+        a = _km_assign(m, c)
+        sums = np.zeros_like(c)
+        np.add.at(sums, a, m)
+        counts = np.bincount(a, minlength=c.shape[0]).astype(np.int64)
+        return sums, counts
+
+    @ray.remote
+    def assign_block(c: np.ndarray, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "embedding" not in t.column_names:
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()),
+                 "cluster_id": pa.array([], pa.int64())}
+            )
+        m = _stack(t.column("embedding"))
+        a = _km_assign(m, c)
         return pa.table(
             {
                 "vec_id": t.column("vec_id"),
@@ -853,7 +827,35 @@ def kmeans_embed(
             }
         )
 
-    out = ds_to_table(
-        ds.map_batches(assign, batch_format="pyarrow", batch_size=4096)
+    seeds_t = pa.concat_tables(
+        [t for t in ray.get([seed_partial.remote(r) for r in refs]) if t.num_rows],
+        promote_options="default",
+    )
+    order = np.argsort(seeds_t.column("vec_id").to_numpy(), kind="stable")[:k]
+    seeds_t = seeds_t.take(pa.array(order))
+    cents = _stack(seeds_t.column("embedding"))
+    kk = cents.shape[0]  # corpus smaller than k: every vector seeds
+
+    for _ in range(iters):
+        cent_ref = ray.put(cents)
+        parts = ray.get([sum_partial.remote(cent_ref, r) for r in refs])
+        sums = np.zeros_like(cents)
+        counts = np.zeros(kk, np.int64)
+        for s, n in parts:
+            sums += s
+            counts += n
+        new = cents.copy()
+        nz = counts > 0
+        new[nz] = sums[nz] / counts[nz, None]
+        cents = np.round(new, _KM_CENT_ROUND)
+
+    final_ref = ray.put(cents)
+    out = pa.concat_tables(
+        [
+            t
+            for t in ray.get([assign_block.remote(final_ref, r) for r in refs])
+            if t.num_rows
+        ],
+        promote_options="default",
     )
     return finalize(out, [("vec_id", "ascending")])
