@@ -417,7 +417,20 @@ def lang_id(sf_dir: str, top_k: int = 30) -> pa.Table:
 
     rd = _rd()
 
+    # ONE read: the same block refs feed both the fit exchange and the
+    # predict wave (previously two full Dataset executions re-read the
+    # parquet and each paid pipeline startup)
+    refs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    ).to_arrow_refs()
+
     def sample_counts(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return pa.table(
+                {"lang": pa.array([], pa.string()),
+                 "token": pa.array([], pa.string()),
+                 "n_part": pa.array([], pa.int64())}
+            )
         did = t.column("doc_id").to_numpy()
         t = t.filter(pa.array(did % 10 == 0))
         if t.num_rows == 0:
@@ -450,23 +463,24 @@ def lang_id(sf_dir: str, top_k: int = 30) -> pa.Table:
         g = t.group_by(["lang", "token"]).aggregate([("n_part", "sum")])
         return g.rename_columns(["lang", "token", "n"])
 
+    sample_task = ray.remote(sample_counts)
     vocab_t = gather_concat(
         exchange_reduce(
-            [
-                rd.read_parquet(
-                    f"{sf_dir}/documents.parquet",
-                    columns=["doc_id", "text", "lang"],
-                ).map_batches(sample_counts, batch_format="pyarrow")
-            ],
-            ["token"],
-            vocab_fold,
+            [[sample_task.remote(r) for r in refs]], ["token"], vocab_fold
         )
     )
     profiles = _topk_profiles(vocab_t.to_pandas(), top_k)
     prof_ref = ray.put(profiles)
 
-    def predict(t: pa.Table) -> pa.Table:
-        prof = ray.get(prof_ref)
+    @ray.remote
+    def predict(prof, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "text" not in t.column_names:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "lang_pred": pa.array([], pa.string()),
+                 "lang_true": pa.array([], pa.string()),
+                 "correct": pa.array([], pa.bool_())}
+            )
         preds = predict_langs_vectorized(t.column("text"), prof)
         return pa.table(
             {
@@ -477,11 +491,15 @@ def lang_id(sf_dir: str, top_k: int = 30) -> pa.Table:
             }
         )
 
-    ds = rd.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    out = pa.concat_tables(
+        [
+            t
+            for t in ray.get([predict.remote(prof_ref, r) for r in refs])
+            if t.num_rows
+        ],
+        promote_options="default",
     )
-    return finalize(ds_to_table(ds.map_batches(predict, batch_format="pyarrow")),
-                    [("doc_id", "ascending")])
+    return finalize(out, [("doc_id", "ascending")])
 
 
 # Winnowing fingerprint parameters (Schleimer et al., SIGMOD 2003 —
