@@ -1506,9 +1506,11 @@ def decontaminate(
     import ray
 
     rd = _rd()
-    from ._util import ds_to_table
 
+    @ray.remote
     def eval_hashes(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return pa.table({"h": pa.array([], pa.uint64())})
         mask = (t.column("doc_id").to_numpy() % _DECON_MOD) == _DECON_REM
         sub = t.filter(pa.array(mask))
         df = doc_shingles(sub)
@@ -1519,16 +1521,28 @@ def decontaminate(
         )
         return pa.table({"h": pa.array(h, pa.uint64())})
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    # the eval side is small by construction; materialize so the gate can
-    # count it without re-executing the explode for the exchange route
-    ev_ds = ds.map_batches(eval_hashes, batch_format="pyarrow").materialize()
-    n_eval = ev_ds.count()
+    @ray.remote
+    def nrows(t: pa.Table) -> int:
+        return t.num_rows
+
+    # ONE read: the block refs feed the eval fold, the gate count, and
+    # whichever corpus pass the gate routes to (previously the Dataset
+    # re-executed per pass)
+    refs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).to_arrow_refs()
+    ev_refs = [eval_hashes.remote(r) for r in refs]
+    n_eval = sum(ray.get([nrows.remote(r) for r in ev_refs]))
 
     if n_eval > max_broadcast_shingles:
         # 100 TB route: membership through the keyed exchange, then a
         # per-doc fold — no corpus- or eval-sized driver structure
         def corpus_postings(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "doc_id" not in t.column_names:
+                return pa.table(
+                    {"h": pa.array([], pa.uint64()),
+                     "doc_id": pa.array([], pa.int64())}
+                )
             mask = (t.column("doc_id").to_numpy() % _DECON_MOD) != _DECON_REM
             df = doc_shingles(t.filter(pa.array(mask)))
             h = (
@@ -1550,17 +1564,24 @@ def decontaminate(
 
         from .exchange import exchange_reduce, gather_concat
 
-        postings = ds.map_batches(corpus_postings, batch_format="pyarrow")
+        postings_task = ray.remote(corpus_postings)
         partial_refs = exchange_reduce(
-            [postings, ev_ds], ["h", "h"], _contam_partition
+            [[postings_task.remote(r) for r in refs], ev_refs],
+            ["h", "h"], _contam_partition,
         )
         totals = gather_concat(
             exchange_reduce([partial_refs], ["doc_id"], _contam_fold)
         )
         got = totals.column("doc_id").to_numpy() if totals.num_rows else np.zeros(0, np.int64)
         order = np.argsort(got)
-        ids_ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
-        all_ids = ds_to_table(ids_ds).column("doc_id").to_numpy()
+
+        @ray.remote
+        def block_ids(t: pa.Table) -> np.ndarray:
+            if t.num_rows == 0 or "doc_id" not in t.column_names:
+                return np.zeros(0, np.int64)
+            return t.column("doc_id").to_numpy(zero_copy_only=False)
+
+        all_ids = np.concatenate(ray.get([block_ids.remote(r) for r in refs]))
         all_ids = all_ids[(all_ids % _DECON_MOD) != _DECON_REM]
         n_sh = np.zeros(len(all_ids), np.int64)
         n_hit = np.zeros(len(all_ids), np.int64)
@@ -1572,12 +1593,16 @@ def decontaminate(
         return finalize(_decon_result(all_ids, n_sh, n_hit),
                         [("doc_id", "ascending")])
 
-    ev_sorted = np.sort(
-        ds_to_table(ev_ds).column("h").to_numpy().astype(np.uint64)
-    ) if n_eval else np.zeros(0, np.uint64)
+    ev_sorted = np.unique(np.concatenate(
+        [t.column("h").to_numpy().astype(np.uint64) for t in ray.get(ev_refs)]
+    )) if n_eval else np.zeros(0, np.uint64)
     ev_ref = ray.put(ev_sorted)
 
     def contam_counts(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return _decon_result(
+                np.zeros(0, np.int64), np.zeros(0, np.int64), np.zeros(0, np.int64)
+            )
         evs = ray.get(ev_ref)
         doc_ids = t.column("doc_id").to_numpy()
         keep = (doc_ids % _DECON_MOD) != _DECON_REM
@@ -1596,5 +1621,9 @@ def decontaminate(
             np.add.at(n_hit, pos, hit.astype(np.int64))
         return _decon_result(doc_ids, n_sh, n_hit)
 
-    out = ds.map_batches(contam_counts, batch_format="pyarrow")
-    return finalize(ds_to_table(out), [("doc_id", "ascending")])
+    contam_task = ray.remote(contam_counts)
+    out = pa.concat_tables(
+        [t for t in ray.get([contam_task.remote(r) for r in refs]) if t.num_rows],
+        promote_options="default",
+    )
+    return finalize(out, [("doc_id", "ascending")])

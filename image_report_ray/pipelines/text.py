@@ -1237,12 +1237,15 @@ def corpus_export(
     themselves are excluded from the export). Columns: one boolean per
     gate plus the final ``keep`` conjunction.
 
-    Scale shape: ONE streaming signal pass computes the four local /
-    broadcast gates per batch (the winner-id set and the eval shingle
-    set ship once via ``ray.put``) — zero shuffle besides exact dedup's
-    own winner election. Above ``max_broadcast_ids`` winners, the
-    dedup flag instead rides a doc_id-keyed exchange join against the
-    winner rows (same gate and shape as :func:`dedup_exact`)."""
+    Scale shape: ONE read — the block refs feed the winner-election
+    exchange, the eval-shingle fold, and the signal wave (previously
+    three full Dataset executions re-read the parquet). The signal pass
+    computes the four local / broadcast gates per batch (the winner-id
+    set and the eval shingle set ship once via ``ray.put``) — zero
+    shuffle besides exact dedup's own winner election. Above
+    ``max_broadcast_ids`` winners, the dedup flag instead rides a
+    doc_id-keyed exchange join against the winner rows (same gate and
+    shape as :func:`dedup_exact`)."""
     import ray
 
     rd = _rd()
@@ -1250,30 +1253,45 @@ def corpus_export(
     from .dedup import doc_shingles
     from .exchange import exchange_reduce, gather_concat
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    refs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).to_arrow_refs()
+
+    def _guard(t: pa.Table) -> bool:
+        return t.num_rows == 0 or "doc_id" not in t.column_names
 
     # exact-dedup winner election (the one shuffle)
-    winners_t = gather_concat(
-        exchange_reduce(
-            [ds.map_batches(_dedup_hash_batch, batch_format="pyarrow")],
-            ["h"],
-            _dedup_winner_partition,
-        )
-    )
+    @ray.remote
+    def hash_batch(t: pa.Table) -> pa.Table:
+        if _guard(t):
+            return pa.table(
+                {"h": pa.array([], pa.binary(16)),
+                 "doc_id": pa.array([], pa.int64())}
+            )
+        return _dedup_hash_batch(t)
+
+    winner_wave = [hash_batch.remote(r) for r in refs]
 
     # eval shingle set (bounded by the benchmark suite, not the corpus)
-    def eval_hashes(t: pa.Table) -> pa.Table:
+    @ray.remote
+    def eval_hashes(t: pa.Table) -> np.ndarray:
+        if _guard(t):
+            return np.zeros(0, np.uint64)
         mask = (t.column("doc_id").to_numpy() % _DECON_MOD) == _DECON_REM
         df = doc_shingles(t.filter(pa.array(mask)))
-        h = (
+        return (
             np.unique(_hash_shingles(df["shingle"].to_numpy()))
             if len(df)
             else np.zeros(0, np.uint64)
         )
-        return pa.table({"h": pa.array(h, pa.uint64())})
 
-    ev = ds_to_table(ds.map_batches(eval_hashes, batch_format="pyarrow"))
-    ev_sorted = np.unique(ev.column("h").to_numpy().astype(np.uint64))
+    ev_wave = [eval_hashes.remote(r) for r in refs]
+    winners_t = gather_concat(
+        exchange_reduce([winner_wave], ["h"], _dedup_winner_partition)
+    )
+    ev_sorted = np.unique(
+        np.concatenate(ray.get(ev_wave)).astype(np.uint64)
+    ) if refs else np.zeros(0, np.uint64)
     ev_ref = ray.put(ev_sorted)
 
     broadcast_dedup = winners_t.num_rows <= max_broadcast_ids
@@ -1283,7 +1301,10 @@ def corpus_export(
         else None
     )
 
+    @ray.remote
     def signals(t: pa.Table) -> pa.Table:
+        if _guard(t):
+            return pa.table({})
         did = t.column("doc_id").to_numpy().astype(np.int64)
         keep_rows = (did % _DECON_MOD) != _DECON_REM
         t = t.filter(pa.array(keep_rows))
@@ -1315,10 +1336,12 @@ def corpus_export(
             ))
         return pa.table(cols)
 
-    sig = ds.map_batches(signals, batch_format="pyarrow")
+    sig = [signals.remote(r) for r in refs]
 
     if broadcast_dedup:
-        t = ds_to_table(sig)
+        t = pa.concat_tables(
+            [x for x in ray.get(sig) if x.num_rows], promote_options="default"
+        )
     else:
         # scale path: winner membership via a doc_id-keyed exchange join
         def flag_join(pid: int, sigs: pa.Table, wins: pa.Table) -> pa.Table:
@@ -1333,11 +1356,9 @@ def corpus_export(
                 "dedup_keep", pa.array(_member_sorted(did, w))
             )
 
-        import ray.data as rd2
-
         t = gather_concat(
             exchange_reduce(
-                [sig, rd2.from_arrow(winners_t.select(["doc_id"]))],
+                [sig, [ray.put(winners_t.select(["doc_id"]))]],
                 ["doc_id", "doc_id"],
                 flag_join,
             )
