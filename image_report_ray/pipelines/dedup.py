@@ -993,7 +993,6 @@ def dedup_minhash_lsh(sf_dir: str, tau: float = 0.5) -> pa.Table:
 
     # blocks stay in the object store; the driver only ever holds refs
     base_refs = ds.map_batches(sig_and_set, batch_format="pyarrow").to_arrow_refs()
-    sigs = rd.from_arrow_refs(base_refs)
 
     def band_explode(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -1019,8 +1018,10 @@ def dedup_minhash_lsh(sf_dir: str, tau: float = 0.5) -> pa.Table:
             }
         )
 
-    bands = sigs.map_batches(band_explode, batch_format="pyarrow")
-    cands_t, _ = pair_counts(bands, "band_key", "doc_id")
+    band_task = ray.remote(band_explode)
+    cands_t, _ = pair_counts(
+        [band_task.remote(r) for r in base_refs], "band_key", "doc_id"
+    )
 
     # exact verify: co-partitioned restricted pass, O(candidates) driver
     t = _verify_candidates(base_refs, cands_t, tau)
