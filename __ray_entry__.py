@@ -1293,6 +1293,25 @@ FROM final GROUP BY conv_id ORDER BY conv_id
 SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns, MAX(ts) AS last_ts
 FROM final GROUP BY conv_id ORDER BY conv_id
 """,
+        # per-group document cap: the cap smallest seeded splitmix64
+        # sample keys win per language (tie-free — splitmix64 is a
+        # bijection), dense ranks 1..cap
+        "domain_cap": f"""
+WITH s0 AS (
+  SELECT doc_id, lang,
+         CAST((doc_id + {0xD0CA}) % {_SM_M} AS UBIGINT) AS h
+  FROM documents
+),
+s1 AS (SELECT doc_id, lang, {_sm_step('h', 30, _SM_C1)} AS h FROM s0),
+s2 AS (SELECT doc_id, lang, {_sm_step('h', 27, _SM_C2)} AS h FROM s1),
+s3 AS (SELECT doc_id, lang, xor(h, h >> 31) AS h FROM s2)
+SELECT lang, doc_id, CAST(rn AS BIGINT) AS sample_rank FROM (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+  FROM s3
+) WHERE rn <= 500
+ORDER BY lang, sample_rank
+""",
         # stratified per-language sampling: seeded splitmix64 top-32-bit
         # bucket vs the stratum's integer threshold (en keeps 1/4)
         "stratified_sample": f"""

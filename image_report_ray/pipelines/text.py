@@ -1013,6 +1013,99 @@ def stratified_sample(
                     [("doc_id", "ascending")])
 
 
+_CAP_SEED = 0xD0CA
+_CAP_PER_GROUP = 500
+
+
+def domain_cap(
+    sf_dir: str, cap: int = _CAP_PER_GROUP, seed: int = _CAP_SEED
+) -> pa.Table:
+    """Cap documents per group (``lang`` = the domain stand-in): keep,
+    per group, the ``cap`` documents with the smallest seeded
+    splitmix64 sample key — the deterministic downsampler a training
+    mix applies to over-represented sources/domains. Membership is
+    stable as the corpus grows only within a group's unchanged members
+    (a new low-key doc displaces the current rank-``cap`` one — that IS
+    the cap semantics), and re-running never changes the answer.
+
+    Scale shape: the per-group top-``cap`` min-reduce (the reference's
+    A6 candidate min-reduce generalized per group) — each block emits at
+    most ``cap`` rows per group it contains (one lexsort, no Python
+    loop), partials TREE-fold with the same bounded kernel, and the
+    driver receives exactly the final <= cap x |groups| winners. No
+    shuffle; document bodies never move. splitmix64 is a bijection on
+    uint64, so sample keys are tie-free; ranks are dense 1..cap."""
+    import ray
+
+    rd = _rd()
+    sd = np.uint64(seed)
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+
+    def topcap_kernel(t: pa.Table) -> pa.Table:
+        """Per-group smallest-``cap`` (key, doc_id) rows — used for the
+        block partials AND every fold level (idempotent)."""
+        lang = t.column("lang").to_numpy(zero_copy_only=False).astype(object)
+        did = t.column("doc_id").to_numpy().astype(np.int64)
+        key = (
+            t.column("skey").to_numpy().astype(np.uint64)
+            if "skey" in t.column_names
+            else _splitmix64(did.astype(np.uint64) + sd)
+        )
+        order = np.lexsort((did, key, lang))
+        lg, kk, dd = lang[order], key[order], did[order]
+        starts = np.flatnonzero(np.r_[True, lg[1:] != lg[:-1]])
+        rank = np.arange(len(lg)) - np.repeat(
+            starts, np.diff(np.r_[starts, len(lg)])
+        )
+        keep = rank < cap
+        return pa.table(
+            {
+                "lang": pa.array(lg[keep], pa.string()),
+                "doc_id": pa.array(dd[keep], pa.int64()),
+                "skey": pa.array(kk[keep], pa.uint64()),
+            }
+        )
+
+    @ray.remote
+    def topcap(*tabs: pa.Table) -> pa.Table:
+        live = [
+            t for t in tabs if t.num_rows and "doc_id" in t.column_names
+        ]
+        if not live:
+            return pa.table(
+                {"lang": pa.array([], pa.string()),
+                 "doc_id": pa.array([], pa.int64()),
+                 "skey": pa.array([], pa.uint64())}
+            )
+        return topcap_kernel(pa.concat_tables(live, promote_options="default"))
+
+    refs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    ).to_arrow_refs()
+    outs = [topcap.remote(r) for r in refs]
+    while len(outs) > 1:
+        outs = [topcap.remote(*outs[i : i + 8]) for i in range(0, len(outs), 8)]
+    t = ray.get(outs[0])
+    # final winners arrive group-sorted by sample key: rank them
+    lg = t.column("lang").to_numpy(zero_copy_only=False).astype(object)
+    starts = np.flatnonzero(np.r_[True, lg[1:] != lg[:-1]])
+    rank = (
+        np.arange(len(lg)) - np.repeat(starts, np.diff(np.r_[starts, len(lg)]))
+        + 1
+        if len(lg)
+        else np.zeros(0, np.int64)
+    )
+    out = pa.table(
+        {
+            "lang": t.column("lang"),
+            "doc_id": t.column("doc_id"),
+            "sample_rank": pa.array(rank.astype(np.int64), pa.int64()),
+        }
+    )
+    return finalize(out, [("lang", "ascending"), ("sample_rank", "ascending")])
+
+
 def lang_char_quantiles(
     sf_dir: str, qs: "tuple[float, ...]" = (0.25, 0.5, 0.9, 0.99)
 ) -> pa.Table:

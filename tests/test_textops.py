@@ -655,3 +655,34 @@ def test_shuffle_docs_rejects_non_power_of_two_P(ray_session):
 
     with pytest.raises(ValueError, match="power of two"):
         shuffle_docs(SF, P=6)
+
+
+def test_domain_cap_matches_naive_and_is_deterministic(ray_session):
+    from image_report_ray.pipelines.text import _splitmix64, domain_cap
+
+    import pyarrow.parquet as pq
+
+    cap = 7
+    t = domain_cap(SF, cap=cap)
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "lang"])
+    did = docs.column("doc_id").to_numpy().astype(np.uint64)
+    lang = docs.column("lang").to_numpy(zero_copy_only=False)
+    key = _splitmix64(did + np.uint64(0xD0CA))
+    want = {}
+    for lg in sorted(set(lang)):
+        m = lang == lg
+        order = np.argsort(key[m], kind="stable")[:cap]
+        want[lg] = list(did[m][order].astype(int))
+    got = {}
+    for r in t.to_pylist():
+        got.setdefault(r["lang"], []).append(r["doc_id"])
+        assert r["sample_rank"] == len(got[r["lang"]])  # dense 1..cap
+    assert got == want
+    # per-group cap respected and re-run identical
+    assert all(len(v) <= cap for v in got.values())
+    assert domain_cap(SF, cap=cap).equals(t)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="cap"):
+        domain_cap(SF, cap=0)
