@@ -1293,6 +1293,45 @@ FROM final GROUP BY conv_id ORDER BY conv_id
 SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns, MAX(ts) AS last_ts
 FROM final GROUP BY conv_id ORDER BY conv_id
 """,
+        # unigram-LM cross-entropy (the CCNet-style LM quality filter):
+        # Laplace-smoothed top-V vocabulary (count desc / token asc cut),
+        # OOV bucket, log-probs rounded to 9 and the per-doc mean to 4 —
+        # the same pins as the engine kernel
+        "perplexity_score": r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+  FROM documents
+),
+cnts AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok),
+tot AS (SELECT SUM(n) AS total, COUNT(*) AS vocab FROM cnts),
+vocab AS (
+  SELECT tok, n FROM (
+    SELECT tok, n, ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rn FROM cnts
+  ) WHERE rn <= 50000
+),
+model AS (
+  SELECT v.tok,
+         ROUND(ln((v.n + 1) / (tot.total + LEAST(50000, tot.vocab) + 1.0)), 9) AS lp
+  FROM vocab v CROSS JOIN tot
+),
+oov AS (
+  SELECT ROUND(ln(1.0 / (tot.total + LEAST(50000, tot.vocab) + 1.0)), 9) AS lp
+  FROM tot
+),
+doc_lp AS (
+  SELECT t.doc_id, COALESCE(m.lp, o.lp) AS lp
+  FROM toks t LEFT JOIN model m ON m.tok = t.tok CROSS JOIN oov o
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_tokens, ROUND(-AVG(lp), 4) AS ce
+  FROM doc_lp GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+       COALESCE(a.ce, 0.0) AS ce
+FROM documents d LEFT JOIN agg a USING (doc_id)
+ORDER BY d.doc_id
+""",
         # per-group document cap: the cap smallest seeded splitmix64
         # sample keys win per language (tie-free — splitmix64 is a
         # bijection), dense ranks 1..cap

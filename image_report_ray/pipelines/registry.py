@@ -32,6 +32,7 @@ def query_registry() -> "dict[str, Callable[[str], Any]]":
         "tfidf_top_terms": text.tfidf_top_terms,
         "stratified_sample": text.stratified_sample,
         "domain_cap": text.domain_cap,
+        "perplexity_score": text.perplexity_score,
         "fingerprint_docs": text.fingerprint_docs,
         # approximate similarity search
         "knn_cosine_lsh": similarity.knn_cosine_lsh,

@@ -1013,8 +1013,129 @@ def stratified_sample(
                     [("doc_id", "ascending")])
 
 
+# Unigram-LM cross-entropy scoring (the CCNet-style LM quality filter,
+# public design: Wenzek et al. 2020 score documents by LM perplexity and
+# keep the low-perplexity tail). The "model" here is a corpus-trained
+# unigram LM with Laplace smoothing over a capped vocabulary — exactly
+# the shape a real deployment swaps for a KenLM binary (load once per
+# actor, score per batch); every pin below exists so the score carries
+# an exact DuckDB twin: log-probs ROUND to 9 decimals, the per-doc
+# cross-entropy to 4, vocabulary cut ties break (count desc, token asc).
+_PPL_VOCAB_K = 50_000
+_PPL_LP_ROUND = 9
+_PPL_CE_ROUND = 4
+
 _CAP_SEED = 0xD0CA
 _CAP_PER_GROUP = 500
+
+
+def perplexity_score(sf_dir: str, vocab_k: int = _PPL_VOCAB_K) -> pa.Table:
+    """Per-document unigram-LM cross-entropy (rounded; lower = more
+    in-distribution) — the LM quality signal of a CCNet-style corpus
+    filter.
+
+    Model: token probabilities ``(count + 1) / (total + V + 1)`` over
+    the top-``vocab_k`` corpus tokens (count desc, token asc ties); any
+    other token scores as the single OOV bucket ``1 / (total + V + 1)``.
+    ``ce`` = -mean over the doc's tokens of the 9-decimal-rounded
+    log-probs, rounded to 4; empty docs score 0.
+
+    Scale shape: ONE read — the block refs feed per-block (token, count)
+    partials into the token-keyed exchange (vocab-bounded driver fold,
+    the lang_id fit shape), the top-V log-prob table broadcasts via
+    ``ray.put``, and scoring is a vectorized task wave over the same
+    refs (factorize + searchsorted gather, no per-token Python loop)."""
+    import ray
+
+    from .dedup import _tokenize
+    from .exchange import exchange_reduce, gather_concat
+
+    rd = _rd()
+    refs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).to_arrow_refs()
+
+    @ray.remote
+    def token_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "text" not in t.column_names:
+            return pa.table(
+                {"token": pa.array([], pa.string()),
+                 "n_part": pa.array([], pa.int64())}
+            )
+        flat, _ = _tokenize(t.column("text"))
+        u, c = np.unique(flat, return_counts=True)
+        return pa.table(
+            {"token": pa.array(u.astype(object), pa.string()),
+             "n_part": pa.array(c.astype(np.int64), pa.int64())}
+        )
+
+    def token_fold(pid: int, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "token" not in t.column_names:
+            return pa.table(
+                {"token": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64())}
+            )
+        g = t.group_by(["token"]).aggregate([("n_part", "sum")])
+        return g.rename_columns(["token", "n"])
+
+    vocab_t = gather_concat(
+        exchange_reduce(
+            [[token_partial.remote(r) for r in refs]], ["token"], token_fold
+        )
+    )
+    tok = vocab_t.column("token").to_numpy(zero_copy_only=False).astype(object)
+    cnt = vocab_t.column("n").to_numpy().astype(np.int64)
+    total = int(cnt.sum())
+    # top-V cut: count desc, token asc (lexsort's last key is primary)
+    order = np.lexsort((tok, -cnt))[:vocab_k]
+    vt, vc = tok[order], cnt[order]
+    denom = float(total + min(vocab_k, len(tok)) + 1)
+    lp = np.round(np.log((vc + 1.0) / denom), _PPL_LP_ROUND)
+    oov_lp = round(float(np.log(1.0 / denom)), _PPL_LP_ROUND)
+    vorder = np.argsort(vt.astype(str))
+    model_ref = ray.put((vt[vorder].astype(str), lp[vorder], oov_lp))
+
+    @ray.remote
+    def score(model, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "text" not in t.column_names:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "n_tokens": pa.array([], pa.int64()),
+                 "ce": pa.array([], pa.float64())}
+            )
+        vt_s, lp_s, oov = model
+        flat, off = _tokenize(t.column("text"))
+        codes, uniq = pd.factorize(flat)
+        us = uniq.astype(str)
+        pos = np.searchsorted(vt_s, us)
+        hit = (pos < len(vt_s)) & (vt_s[np.minimum(pos, len(vt_s) - 1)] == us)
+        ulp = np.where(hit, lp_s[np.minimum(pos, len(lp_s) - 1)], oov)
+        tok_lp = ulp[codes]
+        n = np.diff(off)
+        # reduceat needs in-bounds starts; clipped starts only matter for
+        # empty docs, which the nz mask excludes anyway
+        starts = np.minimum(off[:-1], max(len(tok_lp) - 1, 0))
+        sums = np.add.reduceat(tok_lp, starts) if len(tok_lp) else np.zeros(len(n))
+        ce = np.zeros(len(n), np.float64)
+        nz = n > 0
+        ce[nz] = np.round(-(sums[nz] / n[nz]), _PPL_CE_ROUND)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_tokens": pa.array(n.astype(np.int64), pa.int64()),
+                "ce": pa.array(ce),
+            }
+        )
+
+    out = pa.concat_tables(
+        [
+            t
+            for t in ray.get([score.remote(model_ref, r) for r in refs])
+            if t.num_rows
+        ],
+        promote_options="default",
+    )
+    return finalize(out, [("doc_id", "ascending")])
 
 
 def domain_cap(

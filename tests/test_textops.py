@@ -686,3 +686,43 @@ def test_domain_cap_matches_naive_and_is_deterministic(ray_session):
 
     with _pytest.raises(ValueError, match="cap"):
         domain_cap(SF, cap=0)
+
+
+def test_perplexity_score_orders_rare_docs_higher(ray_session, tmp_path):
+    """Unigram-LM cross-entropy sanity on a constructed corpus: a doc of
+    corpus-common tokens scores LOWER (more in-distribution) than a doc
+    of rare tokens, OOV tokens score highest, empty docs score 0, and
+    the math matches a naive Python model exactly."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from image_report_ray.pipelines.text import perplexity_score
+
+    texts = ["common common common common"] * 8 + [
+        "common rare1 rare2",       # mixes in rare tokens
+        "",                         # empty -> ce 0
+    ]
+    t = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()),
+         "text": pa.array(texts),
+         "lang": pa.array(["en"] * len(texts)),
+         "n_chars": pa.array([len(x) for x in texts], pa.int64())}
+    )
+    d = tmp_path / "corpus"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+
+    res = perplexity_score(str(d))
+    ce = dict(zip(res.column("doc_id").to_pylist(), res.column("ce").to_pylist()))
+    assert ce[0] < ce[8]          # all-common doc beats the mixed doc
+    assert ce[9] == 0.0           # empty doc
+    # naive replica: counts common=33, rare1=1, rare2=1; V=3
+    total, V = 35, 3
+    lp = {k: round(math.log((n + 1) / (total + V + 1)), 9)
+          for k, n in (("common", 33), ("rare1", 1), ("rare2", 1))}
+    want8 = round(-(lp["common"] + lp["rare1"] + lp["rare2"]) / 3, 4)
+    want0 = round(-lp["common"], 4)
+    assert ce[8] == want8 and ce[0] == want0
+    assert perplexity_score(str(d)).equals(res)  # deterministic
