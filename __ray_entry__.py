@@ -1293,6 +1293,41 @@ FROM final GROUP BY conv_id ORDER BY conv_id
 SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns, MAX(ts) AS last_ts
 FROM final GROUP BY conv_id ORDER BY conv_id
 """,
+        # boilerplate chunks (RefinedWeb/C4-style shared-content filter):
+        # non-overlapping 10-token chunks appearing in >= 2 distinct docs
+        # are boilerplate; integer basis points; the engine matches on
+        # hash_utf8_64 of the chunk (collision-negligible, documented)
+        "boilerplate_flags": r"""
+WITH arr AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ws FROM documents
+),
+ch AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws) // 10 + 1),
+                i -> array_to_string(list_slice(ws, (i-1)*10 + 1, i*10), ' ')))
+         AS chunk
+  FROM arr
+),
+bo AS (
+  SELECT chunk FROM (
+    SELECT chunk, COUNT(DISTINCT doc_id) AS nd FROM ch GROUP BY chunk
+  ) WHERE nd >= 2
+),
+per AS (
+  SELECT ch.doc_id, COUNT(*) AS n_chunks,
+         SUM(CASE WHEN bo.chunk IS NOT NULL THEN 1 ELSE 0 END) AS n_boiler
+  FROM ch LEFT JOIN bo USING (chunk) GROUP BY ch.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_chunks, 0) AS BIGINT) AS n_chunks,
+       CAST(COALESCE(p.n_boiler, 0) AS BIGINT) AS n_boiler,
+       CAST(COALESCE(p.n_boiler, 0) * 10000
+            // GREATEST(COALESCE(p.n_chunks, 0), 1) AS BIGINT) AS boiler_bp,
+       COALESCE(p.n_boiler, 0) * 10000
+         // GREATEST(COALESCE(p.n_chunks, 0), 1) <= 3000 AS keep
+FROM documents d LEFT JOIN per p USING (doc_id)
+ORDER BY d.doc_id
+""",
         # unigram-LM cross-entropy (the CCNet-style LM quality filter):
         # Laplace-smoothed top-V vocabulary (count desc / token asc cut),
         # OOV bucket, log-probs rounded to 9 and the per-doc mean to 4 —

@@ -33,6 +33,7 @@ def query_registry() -> "dict[str, Callable[[str], Any]]":
         "stratified_sample": text.stratified_sample,
         "domain_cap": text.domain_cap,
         "perplexity_score": text.perplexity_score,
+        "boilerplate_flags": text.boilerplate_flags,
         "fingerprint_docs": text.fingerprint_docs,
         # approximate similarity search
         "knn_cosine_lsh": similarity.knn_cosine_lsh,

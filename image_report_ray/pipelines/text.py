@@ -1013,6 +1013,142 @@ def stratified_sample(
                     [("doc_id", "ascending")])
 
 
+# Boilerplate-chunk detection (the RefinedWeb/C4-style shared-content
+# filter, public design): fixed-width non-overlapping token chunks that
+# recur across documents are boilerplate (headers, footers, templates,
+# licence blocks); documents dominated by such chunks are dropped from
+# a training mix. Chunk identity rides the SQL-reproducible
+# hash_utf8_64, the same documented stance as decontamination (string
+# equality in the twin; 64-bit-collision probability negligible).
+_BP_CHUNK_TOKENS = 10
+_BP_MIN_DOCS = 2
+_BP_MAX_BP = 3000
+
+
+def boilerplate_flags(
+    sf_dir: str,
+    chunk_tokens: int = _BP_CHUNK_TOKENS,
+    min_docs: int = _BP_MIN_DOCS,
+    max_bp: int = _BP_MAX_BP,
+) -> pa.Table:
+    """Per-document boilerplate profile: split each document into
+    non-overlapping ``chunk_tokens``-token chunks; a chunk appearing in
+    at least ``min_docs`` DISTINCT documents is boilerplate; a document
+    keeps while its boilerplate share stays <= ``max_bp`` basis points.
+
+    Scale shape: ONE read — wave 1 emits distinct (chunk-hash, doc)
+    postings into a hash-keyed exchange whose partitions count distinct
+    documents per chunk and emit ONLY the boilerplate hashes (bounded by
+    shared content, not the corpus); those broadcast sorted via
+    ``ray.put`` and wave 2 re-derives each block's chunk occurrences and
+    counts hits per document (sorted-membership, no join). Integer
+    basis points keep the twin exact."""
+    import ray
+
+    from .dedup import _tokenize, hash_utf8_64
+    from .exchange import exchange_reduce, gather_concat
+
+    rd = _rd()
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+    refs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).to_arrow_refs()
+
+    def _chunks(t: pa.Table):
+        """(chunk_hash, doc_row_index, n_chunks_per_doc) for one block."""
+        flat, off = _tokenize(t.column("text"))
+        n_tok = np.diff(off)
+        n_ch = n_tok // chunk_tokens
+        if int(n_ch.sum()) == 0:
+            return np.zeros(0, np.uint64), np.zeros(0, np.int64), n_ch
+        doc_row = np.repeat(np.arange(len(n_ch)), n_ch)
+        within = np.arange(len(doc_row)) - np.repeat(
+            np.cumsum(n_ch) - n_ch, n_ch
+        )
+        starts = off[:-1][doc_row] + within * chunk_tokens
+        s = flat[starts].copy()
+        for j in range(1, chunk_tokens):
+            s = s + " "
+            s = s + flat[starts + j]
+        return hash_utf8_64(s.astype(object)), doc_row, n_ch
+
+    @ray.remote
+    def postings(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return pa.table(
+                {"h": pa.array([], pa.uint64()),
+                 "doc_id": pa.array([], pa.int64())}
+            )
+        h, doc_row, _ = _chunks(t)
+        did = t.column("doc_id").to_numpy().astype(np.int64)
+        pair = np.unique(
+            np.stack([h, did[doc_row].astype(np.uint64)], axis=1), axis=0
+        ) if len(h) else np.zeros((0, 2), np.uint64)
+        return pa.table(
+            {"h": pa.array(pair[:, 0], pa.uint64()),
+             "doc_id": pa.array(pair[:, 1].astype(np.int64), pa.int64())}
+        )
+
+    def boiler_fold(pid: int, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "h" not in t.column_names:
+            return pa.table({"h": pa.array([], pa.uint64())})
+        h = t.column("h").to_numpy().astype(np.uint64)
+        d = t.column("doc_id").to_numpy().astype(np.int64)
+        # distinct (h, doc) then count docs per h — all of h's postings
+        # land in this partition
+        pair = np.unique(np.stack([h, d.astype(np.uint64)], axis=1), axis=0)
+        hh = pair[:, 0]
+        uniq, counts = np.unique(hh, return_counts=True)
+        return pa.table({"h": pa.array(uniq[counts >= min_docs], pa.uint64())})
+
+    boiler_t = gather_concat(
+        exchange_reduce([[postings.remote(r) for r in refs]], ["h"], boiler_fold)
+    )
+    boiler_sorted = np.sort(
+        boiler_t.column("h").to_numpy().astype(np.uint64)
+    ) if boiler_t.num_rows else np.zeros(0, np.uint64)
+    bo_ref = ray.put(boiler_sorted)
+
+    @ray.remote
+    def flags(bo, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "n_chunks": pa.array([], pa.int64()),
+                 "n_boiler": pa.array([], pa.int64())}
+            )
+        from .dedup import _member_sorted
+
+        h, doc_row, n_ch = _chunks(t)
+        n_boil = np.zeros(len(n_ch), np.int64)
+        if len(h):
+            np.add.at(n_boil, doc_row, _member_sorted(h, bo).astype(np.int64))
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_chunks": pa.array(n_ch.astype(np.int64), pa.int64()),
+                "n_boiler": pa.array(n_boil, pa.int64()),
+            }
+        )
+
+    t = pa.concat_tables(
+        [
+            x
+            for x in ray.get([flags.remote(bo_ref, r) for r in refs])
+            if x.num_rows
+        ],
+        promote_options="default",
+    )
+    bp = (
+        t.column("n_boiler").to_numpy() * 10000
+        // np.maximum(t.column("n_chunks").to_numpy(), 1)
+    )
+    t = t.append_column("boiler_bp", pa.array(bp.astype(np.int64), pa.int64()))
+    t = t.append_column("keep", pa.array(bp <= max_bp))
+    return finalize(t, [("doc_id", "ascending")])
+
+
 # Unigram-LM cross-entropy scoring (the CCNet-style LM quality filter,
 # public design: Wenzek et al. 2020 score documents by LM perplexity and
 # keep the low-perplexity tail). The "model" here is a corpus-trained

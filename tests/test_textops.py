@@ -726,3 +726,43 @@ def test_perplexity_score_orders_rare_docs_higher(ray_session, tmp_path):
     want0 = round(-lp["common"], 4)
     assert ce[8] == want8 and ce[0] == want0
     assert perplexity_score(str(d)).equals(res)  # deterministic
+
+
+def test_boilerplate_flags_detects_shared_header(ray_session, tmp_path):
+    """A 10-token header chunk shared by many docs flags as boilerplate
+    in each of them; unique-body docs keep; a doc that is ALL header
+    crosses the basis-point gate and drops."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from image_report_ray.pipelines.text import boilerplate_flags
+
+    header = " ".join(f"h{i}" for i in range(10))
+    texts = [
+        # header + 30 unique tokens -> 4 chunks, 1 boilerplate (2500bp)
+        header + " " + " ".join(f"u{d}x{i}" for i in range(30))
+        for d in range(6)
+    ] + [header]  # all-header doc: 1/1 chunks boilerplate -> drop
+    t = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()),
+         "text": pa.array(texts),
+         "lang": pa.array(["en"] * len(texts)),
+         "n_chars": pa.array([len(x) for x in texts], pa.int64())}
+    )
+    d = tmp_path / "corpus"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+
+    res = boilerplate_flags(str(d))
+    rows = {r["doc_id"]: r for r in res.to_pylist()}
+    for i in range(6):
+        assert rows[i]["n_chunks"] == 4 and rows[i]["n_boiler"] == 1
+        assert rows[i]["boiler_bp"] == 2500 and rows[i]["keep"]
+    assert rows[6]["n_chunks"] == 1 and rows[6]["n_boiler"] == 1
+    assert rows[6]["boiler_bp"] == 10000 and not rows[6]["keep"]
+    assert boilerplate_flags(str(d)).equals(res)  # deterministic
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="chunk_tokens"):
+        boilerplate_flags(str(d), chunk_tokens=0)
