@@ -302,6 +302,9 @@ def run_textbench(num_cpus: int) -> dict:
         ("content_flags", text.content_flags),
         ("decontaminate", dedup.decontaminate),
         ("corpus_export", text.corpus_export),
+        ("domain_cap", text.domain_cap),
+        ("perplexity_score", text.perplexity_score),
+        ("boilerplate_flags", text.boilerplate_flags),
     ):
         t0 = time.perf_counter()
         r = fn(TEXTBENCH_DIR)
