@@ -314,21 +314,31 @@ def cmd_changefeed(args: argparse.Namespace) -> int:
         # (sharded, resumable layout) — the whole epoch never gathers
         # on the driver; only per-shard op counts come back
         os.makedirs(args.out, exist_ok=True)
+        fmt = getattr(args, "format", "parquet") or "parquet"
 
         @ray.remote
-        def write_shard(t, path: str) -> dict:
-            import pyarrow.parquet as pq
+        def write_shard(t, path: str, fmt: str) -> dict:
+            if fmt == "jsonl":
+                # the log-shipping shape CDC consumers ingest directly
+                import pandas as _pd  # noqa: F401  (to_pandas path)
 
-            from image_report_ray.state.manifest import PARQUET_OPTS
+                t.to_pandas().to_json(
+                    path, orient="records", lines=True, date_format="iso"
+                )
+            else:
+                import pyarrow.parquet as pq
 
-            pq.write_table(t, path, **PARQUET_OPTS)
+                from image_report_ray.state.manifest import PARQUET_OPTS
+
+                pq.write_table(t, path, **PARQUET_OPTS)
             ops = t.column("op").to_pylist()
             return {"rows": t.num_rows, "I": ops.count("I"),
                     "U": ops.count("U"), "D": ops.count("D")}
 
+        ext = "jsonl" if fmt == "jsonl" else "parquet"
         counts = ray.get([
             write_shard.remote(
-                r, os.path.join(args.out, f"part-{i:05d}.parquet")
+                r, os.path.join(args.out, f"part-{i:05d}.{ext}"), fmt
             )
             for i, r in enumerate(refs)
         ])
@@ -752,7 +762,11 @@ def build_parser() -> argparse.ArgumentParser:
                          "single epoch — catch-up consumers read one "
                          "compacted diff (-1 = vs the empty lake)")
     cf.add_argument("--out", default=None,
-                    help="write the feed as parquet to this path")
+                    help="write the feed as sharded files to this path")
+    cf.add_argument("--format", default="parquet",
+                    choices=("parquet", "jsonl"),
+                    help="shard format for --out (jsonl = the "
+                         "log-shipping shape CDC consumers ingest)")
     cf.add_argument("--num-cpus", type=int, default=None)
     cf.set_defaults(fn=cmd_changefeed)
 

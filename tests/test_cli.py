@@ -471,3 +471,41 @@ def test_changefeed_cursor_consumer_loop(ray_session, tmp_path, capsys):
     assert main(["changefeed", lake, "--cursor", cur,
                  "--from-epoch", "0"]) == 1
     capsys.readouterr()
+
+
+def test_changefeed_jsonl_shards(ray_session, tmp_path, capsys):
+    """--format jsonl writes the feed as newline-delimited records with
+    the same rows the parquet shards carry."""
+    import glob as _glob
+    import json as _json
+
+    import pyarrow.parquet as _pq
+
+    from image_report_ray.cli import main
+    from image_report_ray.sources.synth import write_wal
+
+    wal = str(tmp_path / "wal")
+    lake = str(tmp_path / "lake")
+    write_wal(wal, n_epochs=2, epoch_size=300, seed=29, n_convs=30,
+              max_turns=8)
+    assert main(["run", lake, wal, "--partitions", "4"]) == 0
+    capsys.readouterr()
+    assert main(["changefeed", lake, "--epoch", "1", "--out",
+                 str(tmp_path / "fp")]) == 0
+    rec_p = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert main(["changefeed", lake, "--epoch", "1", "--out",
+                 str(tmp_path / "fj"), "--format", "jsonl"]) == 0
+    rec_j = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec_j["rows"] == rec_p["rows"] > 0
+
+    pq_rows = set()
+    for p in _glob.glob(str(tmp_path / "fp" / "*.parquet")):
+        for r in _pq.read_table(p).to_pylist():
+            pq_rows.add((r["op"], r["conv_id"], r["turn_idx"]))
+    jl_rows = set()
+    for p in _glob.glob(str(tmp_path / "fj" / "*.jsonl")):
+        with open(p) as f:
+            for line in f:
+                r = _json.loads(line)
+                jl_rows.add((r["op"], r["conv_id"], r["turn_idx"]))
+    assert jl_rows == pq_rows
