@@ -81,6 +81,7 @@ def cmd_run(args: argparse.Namespace) -> int:
         metrics=args.metrics,
         merge_mode=args.merge_mode,
         compact_every=args.compact_every,
+        compact_rows_factor=getattr(args, "compact_rows_factor", None),
         views=tuple(v for v in (args.views or "").split(",") if v),
     )
     if getattr(args, "follow", False):
@@ -634,6 +635,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="cow: rewrite partition state every epoch; "
                         "mor: per-epoch deltas + periodic compaction")
     r.add_argument("--compact-every", type=positive_int, default=8)
+    r.add_argument("--compact-rows-factor", type=float, default=None,
+                   dest="compact_rows_factor",
+                   help="mor: also compact a partition once its delta "
+                        "rows reach this fraction of its base file "
+                        "(size-tiered policy; footer metadata only)")
     r.add_argument("--follow", action="store_true",
                    help="continuous tail: poll for new epochs until "
                         "idle for --idle-timeout seconds")

@@ -114,6 +114,12 @@ class EngineConfig:
                                       #        compact_every epochs (10^10-event path:
                                       #        epoch cost ~ O(delta), not O(state))
     compact_every: int = 8            # mor: deltas accumulated before a compaction
+    compact_rows_factor: "float | None" = None
+                                      # mor: ALSO compact a partition once its
+                                      # accumulated delta rows reach this fraction
+                                      # of the base file's rows (size-tiered
+                                      # policy — hot partitions compact early,
+                                      # cold ones coast to the chain-length cap)
     continue_on_error: bool = False   # fail-fast vs keep-going (/root/reference/ir:500-506)
     salt_threshold: int = 50_000      # events/epoch for one conv_id before salt advisory
     salt_factor: int = 4              # hot conversations split into this many sub-routes
@@ -139,6 +145,13 @@ class EngineConfig:
             )
         if self.merge_mode not in ("cow", "mor"):
             raise ValueError(f"merge_mode must be cow|mor, got {self.merge_mode!r}")
+        if self.compact_rows_factor is not None:
+            self.compact_rows_factor = float(self.compact_rows_factor)
+            if self.compact_rows_factor <= 0:
+                raise ValueError(
+                    "compact_rows_factor must be > 0 (None disables), got "
+                    f"{self.compact_rows_factor}"
+                )
         if self.salt_threshold <= 0:
             raise ValueError("salt_threshold must be positive")
         self.views = tuple(self.views)

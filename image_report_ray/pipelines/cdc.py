@@ -446,8 +446,27 @@ def apply_epoch(
     for pid in range(lake.num_partitions):
         prior = file_sets.get(pid, [])
         # MOR writes a delta unless the composition is due for compaction;
-        # COW always folds-and-rewrites (compaction every epoch).
+        # COW always folds-and-rewrites (compaction every epoch). The
+        # row-based policy (size-tiered: hot partitions compact as soon
+        # as their delta chain outgrows compact_rows_factor x base rows,
+        # cold ones coast to the chain-length cap) reads only parquet
+        # FOOTERS — metadata, never data.
         compact = cfg.merge_mode == "cow" or len(prior) + 1 >= cfg.compact_every
+        if (
+            not compact
+            and cfg.compact_rows_factor is not None
+            and len(prior) > 1
+        ):
+            try:
+                base_rows = pq.read_metadata(prior[0]).num_rows
+                delta_rows = sum(
+                    pq.read_metadata(p).num_rows for p in prior[1:]
+                )
+                compact = delta_rows >= cfg.compact_rows_factor * max(
+                    base_rows, 1
+                )
+            except (pa.ArrowInvalid, OSError):
+                pass  # unreadable footer: fall back to the length cap
         compacted[pid] = compact
         if compact:
             view_rels = {
