@@ -1092,6 +1092,71 @@ def bootstrap_lake(
     return {"epoch": int(epoch), "rows_loaded": int(loaded)}
 
 
+def diff_snapshots(
+    a: "pa.Table | None", b: "pa.Table | None"
+) -> pa.Table:
+    """PURE change-feed diff kernel: the row-level net effect between
+    two canonical snapshot tables (live rows, payload columns, unique
+    (conv_id, turn_idx) keys). ``I`` = key appeared, ``D`` =
+    disappeared, ``U`` = any payload column changed; an identical
+    rewrite does not feed. Feed columns keep the snapshots' native
+    Arrow types (side-1 wins, side-0 covers columns dropped by
+    evolution, string only as the never-seen-anywhere fallback).
+    Property-tested against a dict-based naive diff; the remote
+    per-partition feed task is a thin wrapper."""
+    import pandas as pd
+
+    def frame(t: "pa.Table | None"):
+        if t is None or t.num_rows == 0:
+            base = pd.DataFrame({"conv_id": [], "turn_idx": []})
+            return base, (t.schema if t is not None else None)
+        return t.to_pandas(), t.schema
+
+    (a_df, sch0), (b_df, sch1) = frame(a), frame(b)
+    # payload columns come from side 1 (a fully-emptied side 1 feeds
+    # bare D rows — deletes carry no after-image by contract)
+    payload = [c for c in b_df.columns if c not in ("conv_id", "turn_idx")]
+    m = a_df.merge(b_df, on=["conv_id", "turn_idx"], how="outer",
+                   suffixes=("_0", "_1"), indicator=True)
+    op = pd.Series("U", index=m.index)
+    op[m["_merge"] == "right_only"] = "I"
+    op[m["_merge"] == "left_only"] = "D"
+    both = m["_merge"] == "both"
+    changed = pd.Series(False, index=m.index)
+    for c in payload:
+        c0, c1 = f"{c}_0", f"{c}_1"
+        if c0 in m.columns and c1 in m.columns:
+            changed |= (m[c0] != m[c1]) & ~(m[c0].isna() & m[c1].isna())
+        elif c in m.columns:
+            changed |= both & m[c].notna()
+    keep = (m["_merge"] != "both") | (both & changed)
+    m = m[keep]
+    op = op[keep]
+    cols = {"op": pa.array(op.to_numpy(), pa.string()),
+            "conv_id": pa.array(m["conv_id"], pa.string()),
+            "turn_idx": pa.array(
+                m["turn_idx"].to_numpy().astype("int32"), pa.int32())}
+    for c in payload:
+        c1 = f"{c}_1"
+        src = m[c1] if c1 in m.columns else m[c]
+        # feed columns keep the lake's native Arrow types (the JSONL WAL
+        # path passes evolved columns through e.g. as int64); string is
+        # only the never-seen-anywhere fallback
+        if sch1 is not None and sch1.get_field_index(c) != -1:
+            typ = sch1.field(c).type
+        elif sch0 is not None and sch0.get_field_index(c) != -1:
+            typ = sch0.field(c).type
+        else:
+            typ = pa.string()
+        cols[c] = pa.Array.from_pandas(src, type=typ)
+    t = pa.table(cols)
+    return t.take(
+        pc.sort_indices(
+            t, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]
+        )
+    )
+
+
 _FEED_REMOTE = None
 
 
@@ -1102,58 +1167,13 @@ def _feed_remote():
 
         @ray.remote
         def part_feed(paths0: list, paths1: list) -> pa.Table:
-            import pandas as pd
-
             from ..state.merge import export_canonical, fold_state_tables
 
-            def snap(paths: list):
+            def snap(paths: list) -> "pa.Table | None":
                 folded = fold_state_tables([pq.read_table(p) for p in paths])
-                if folded is None:
-                    return pd.DataFrame({"conv_id": [], "turn_idx": []}), None
-                canon = export_canonical(folded)
-                return canon.to_pandas(), canon.schema
+                return None if folded is None else export_canonical(folded)
 
-            (a, sch0), (b, sch1) = snap(paths0), snap(paths1)
-            payload = [c for c in b.columns if c not in ("conv_id", "turn_idx")]
-            m = a.merge(b, on=["conv_id", "turn_idx"], how="outer",
-                        suffixes=("_0", "_1"), indicator=True)
-            op = pd.Series("U", index=m.index)
-            op[m["_merge"] == "right_only"] = "I"
-            op[m["_merge"] == "left_only"] = "D"
-            both = m["_merge"] == "both"
-            changed = pd.Series(False, index=m.index)
-            for c in payload:
-                c0, c1 = f"{c}_0", f"{c}_1"
-                if c0 in m.columns and c1 in m.columns:
-                    changed |= (m[c0] != m[c1]) & ~(m[c0].isna() & m[c1].isna())
-                elif c in m.columns:
-                    changed |= both & m[c].notna()
-            keep = (m["_merge"] != "both") | (both & changed)
-            m = m[keep]
-            op = op[keep]
-            cols = {"op": pa.array(op.to_numpy(), pa.string()),
-                    "conv_id": pa.array(m["conv_id"], pa.string()),
-                    "turn_idx": pa.array(
-                        m["turn_idx"].to_numpy().astype("int32"), pa.int32())}
-            for c in payload:
-                c1 = f"{c}_1"
-                src = m[c1] if c1 in m.columns else m[c]
-                # feed columns keep the lake's native Arrow types (the
-                # JSONL WAL path passes evolved columns through e.g. as
-                # int64); string is only the never-seen-anywhere fallback
-                if sch1 is not None and sch1.get_field_index(c) != -1:
-                    typ = sch1.field(c).type
-                elif sch0 is not None and sch0.get_field_index(c) != -1:
-                    typ = sch0.field(c).type
-                else:
-                    typ = pa.string()
-                cols[c] = pa.Array.from_pandas(src, type=typ)
-            t = pa.table(cols)
-            return t.take(
-                pc.sort_indices(
-                    t, sort_keys=[("conv_id", "ascending"),
-                                  ("turn_idx", "ascending")])
-            )
+            return diff_snapshots(snap(paths0), snap(paths1))
 
         _FEED_REMOTE = part_feed
     return _FEED_REMOTE

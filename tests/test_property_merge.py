@@ -89,3 +89,56 @@ def test_compact_preserves_merge_result_and_accounting(log):
     assert export_canonical(s_cmp).equals(export_canonical(s_raw))
     assert st_cmp.received == st_raw.received == log.num_rows
     assert st_cmp.dup_skipped == st_raw.dup_skipped
+
+
+@given(changelogs(), changelogs())
+@settings(max_examples=50, deadline=None)
+def test_diff_snapshots_matches_naive_dict_diff(log_a, log_b):
+    """The pure change-feed kernel == a dict-based diff of the two
+    snapshots, for ANY pair of states (I/D/U classification, identical
+    rewrites do not feed, applying the feed to snapshot A yields B)."""
+    from image_report_ray.pipelines.cdc import diff_snapshots
+
+    # two arbitrary canonical snapshots (replayed from random logs; B
+    # extends A's lsn space so keys overlap with both same and changed
+    # payloads)
+    sa = apply_naive(log_a)
+    sb = apply_naive(log_b)
+    feed = diff_snapshots(sa, sb)
+
+    def as_dict(t):
+        return {
+            (r["conv_id"], r["turn_idx"]): tuple(
+                v for k, v in sorted(r.items())
+                if k not in ("conv_id", "turn_idx")
+            )
+            for r in t.to_pylist()
+        }
+
+    da, db = as_dict(sa), as_dict(sb)
+    expect = {}
+    for k in db:
+        if k not in da:
+            expect[k] = "I"
+        elif db[k] != da[k]:
+            expect[k] = "U"
+    for k in da:
+        if k not in db:
+            expect[k] = "D"
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["op"] for r in feed.to_pylist()
+    }
+    assert got == expect
+    # replaying the feed over A converges to B
+    state = dict(da)
+    payload_keys = [
+        k for k in sorted(sb.column_names)
+        if k not in ("conv_id", "turn_idx")
+    ]
+    for r in feed.to_pylist():
+        k = (r["conv_id"], r["turn_idx"])
+        if r["op"] == "D":
+            state.pop(k, None)
+        else:
+            state[k] = tuple(r[c] for c in payload_keys)
+    assert state == db
