@@ -213,6 +213,12 @@ def run_once(
             }
         except Exception as exc:  # bench must still emit its one line
             out["scaling"] = {"error": str(exc)[-500:]}
+        # deployment-shape evidence (follow tail + CDC-out emit at 10M)
+        # rides along too — same cached WAL, ~30 s
+        try:
+            out["lifecycle"] = run_lifecycle(num_cpus)
+        except Exception as exc:
+            out["lifecycle"] = {"error": str(exc)[-500:]}
     return out
 
 
