@@ -153,6 +153,26 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
 
     qs = entrymod.queries()
     out: dict[str, float] = {}
+    # Warm the Ray workers ONCE, timed separately: whichever heavy
+    # exchange query runs first in a fresh session otherwise absorbs
+    # ~3-4 s of per-worker imports (pandas + the package) — a session
+    # cost a long job pays once, not an operator cost. One no-op wave
+    # across every CPU front-loads it.
+    t0 = time.perf_counter()
+    import ray as _ray
+
+    @_ray.remote
+    def _warm() -> int:
+        import pandas  # noqa: F401
+
+        import image_report_ray.pipelines.dedup  # noqa: F401
+        import image_report_ray.pipelines.exchange  # noqa: F401
+
+        return 0
+
+    n_workers = int(_ray.cluster_resources().get("CPU", 8))
+    _ray.get([_warm.options(num_cpus=1).remote() for _ in range(n_workers)])
+    out["worker_warmup"] = round(time.perf_counter() - t0, 3)
     # Warm the shared stage-worker pool ONCE, timed separately: the media
     # queries then measure their kernels, not four copies of actor
     # spin-up (a long job amortizes this cost naturally — the suite
@@ -163,8 +183,6 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         _MEDIA_ACTOR_CPUS,
     )
     from image_report_ray.stages.pool import warm_pool
-
-    import ray as _ray
 
     pool = warm_pool(_DECODE_CONCURRENCY, _MEDIA_ACTOR_CPUS)
     _ray.get([a.apply.remote(None, {}, None, 1) for a in pool])  # readiness
