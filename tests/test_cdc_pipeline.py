@@ -899,3 +899,60 @@ def test_changefeed_range_nets_intermediate_churn(ray_session, tmp_path):
 
     with _pytest.raises(ValueError, match="must be <"):
         changefeed_range(lake, 2, 2)
+
+
+def test_zombie_merge_retry_is_byte_idempotent(ray_session, tmp_path, wal):
+    """A Ray retry (or zombie task finishing AFTER the commit) re-runs
+    merge_partition_kernel with the same inputs: it must overwrite the
+    staged files with identical bytes — state, digest, views and
+    validate all unchanged."""
+    import hashlib
+
+    import ray
+
+    from image_report_ray.pipelines.cdc import (
+        merge_partition_kernel,
+        prepare_and_split,
+        read_wal_file,
+    )
+    from image_report_ray.schema import concat_evolving
+
+    cfg = EngineConfig(num_partitions=4, batch_size=256,
+                       views=("conv_summary",))
+    lake_dir = str(tmp_path / "lake")
+    run_job(lake_dir, wal, cfg)
+    lake = Lake(lake_dir)
+
+    def sha(p):
+        with open(p, "rb") as f:
+            return hashlib.sha256(f.read()).hexdigest()
+
+    # replay epoch 2's merge for pid 0 out-of-band (the zombie)
+    epochs = discover_epochs(wal)
+    parts = [
+        prepare_and_split(read_wal_file(f), 4)[0] for f in epochs[2]
+    ]
+    # prior composition AS OF epoch 1 (what the original merge saw)
+    prior_files = Lake(lake_dir).current_file_sets(as_of=1)[0]
+    from image_report_ray.state.merge import fold_state_tables
+    import pyarrow.parquet as pq
+
+    prior = fold_state_tables([pq.read_table(p) for p in prior_files])
+    entry = Lake(lake_dir).current_entries()[0]
+    state_path = os.path.join(lake_dir, entry["file"])
+    view_path = os.path.join(lake_dir, entry["views"]["conv_summary"])
+    before_state, before_view = sha(state_path), sha(view_path)
+    # the same watermark the original epoch-2 merge saw
+    prior_lsn = int(Lake(lake_dir).read_commit(1)["partitions"]["0"]["last_lsn"])
+
+    row = merge_partition_kernel(
+        0, parts, prior, prior_lsn,
+        lake_root=lake_dir, epoch=2, track_hot_keys=3,
+        view_names=("conv_summary",),
+    )
+    assert row is not None and row["digest"] == entry["digest"]
+    assert sha(state_path) == before_state
+    assert sha(view_path) == before_view
+    from image_report_ray.cli import main
+
+    assert main(["validate", lake_dir]) == 0
