@@ -424,17 +424,48 @@ c{tag} AS (
   GROUP BY {prev}.cid, {prev}.c
 )"""
 
-    return f"""
-WITH e AS (
+    _kmeans_sql.cte = f"""e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
 ),
 c0 AS (
   SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
   FROM e ORDER BY vec_id LIMIT {_KM_K}
-),{assign(1, 'c0')},{update(1, 'c0', 'a1')},{assign(2, 'c1')},{update(2, 'c1', 'a2')},{assign(3, 'c2')}
+),{assign(1, 'c0')},{update(1, 'c0', 'a1')},{assign(2, 'c1')},{update(2, 'c1', 'a2')},{assign(3, 'c2')}"""
+    return f"""
+WITH {_kmeans_sql.cte}
 SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id
 FROM a3 ORDER BY vec_id
+"""
+
+
+# SemDeDup twin (image_report_ray.pipelines.similarity:semdedup): the
+# kmeans CTE chain (same pinned rounding) + cosine pairs RESTRICTED to
+# same-cluster endpoints + the recursive min-label closure — each piece
+# verbatim from an already-driver-green twin.
+def _semdedup_sql() -> str:
+    _kmeans_sql()  # materialize the shared CTE chain
+    return f"""
+WITH RECURSIVE {_kmeans_sql.cte},
+pairs AS (
+  SELECT x.vec_id AS va, y.vec_id AS vb
+  FROM e x JOIN e y ON x.vec_id < y.vec_id
+  JOIN a3 cx ON cx.vec_id = x.vec_id
+  JOIN a3 cy ON cy.vec_id = y.vec_id
+  WHERE cx.cid = cy.cid
+    AND list_cosine_similarity(x.v, y.v) >= 0.4
+),
+edges AS (SELECT va AS a, vb AS b FROM pairs UNION ALL SELECT vb, va FROM pairs),
+reach(node, label) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT g.b, r.label FROM reach r JOIN edges g ON g.a = r.node
+),
+labels AS (SELECT node, MIN(label) AS label FROM reach GROUP BY node)
+SELECT a3.vec_id, CAST(a3.cid AS BIGINT) AS cluster_id,
+       COALESCE(l.label, a3.vec_id) = a3.vec_id AS keep
+FROM a3 LEFT JOIN labels l ON l.node = a3.vec_id
+ORDER BY a3.vec_id
 """
 
 
@@ -1617,6 +1648,8 @@ FROM documents GROUP BY lang ORDER BY lang
 """,
         # bounded-iteration k-means with pinned rounding (see _kmeans_sql)
         "kmeans_embed": _kmeans_sql(),
+        # semantic dedup within kmeans clusters (see _semdedup_sql)
+        "semdedup": _semdedup_sql(),
         # the two ANN searches, previously no_oracle: inlined-hyperplane
         # signature prefilter (see _knn_lsh_sql) and the unrolled pinned
         # coarse quantizer (see _knn_ivf_sql) make them exactly twinnable

@@ -84,4 +84,5 @@ def query_registry() -> "dict[str, Callable[[str], Any]]":
         "kmeans_embed": similarity.kmeans_embed,
         "embedding_near_dups": lambda sf: similarity.embedding_near_dups(sf, 0.4),
         "embedding_dup_clusters": similarity.embedding_dup_clusters,
+        "semdedup": similarity.semdedup,
     }

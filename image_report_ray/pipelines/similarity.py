@@ -674,6 +674,88 @@ def embedding_near_dups(
     return finalize(t, [("vec_id_a", "ascending"), ("vec_id_b", "ascending")])
 
 
+def semdedup(
+    sf_dir: str,
+    tau: float = 0.4,
+    max_broadcast_ids: int = 5_000_000,
+) -> pa.Table:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, public design):
+    cluster the embedding space with the pinned k-means, then
+    de-duplicate WITHIN clusters — near-dup pairs (cosine >= ``tau``)
+    whose endpoints share a k-means cluster form components, and each
+    component keeps only its minimum vec_id. Output: (vec_id,
+    cluster_id, keep) — the semantic keep-list.
+
+    Composition of already-verified machinery, every stage scale-shaped:
+    :func:`kmeans_embed` (broadcast-centroid assignment, fixed-
+    cardinality folds), :func:`embedding_near_dup_refs` (exact below the
+    row gate, banded-LSH verify exchange above it), a same-cluster pair
+    filter (cluster table broadcast under ``max_broadcast_ids``, the
+    dedup_clusters gate), and
+    :func:`..dedup.connected_components_refs` over the filtered pair
+    refs — no driver edge array anywhere."""
+    import ray
+
+    from ._util import finalize
+    from .dedup import connected_components_refs
+    from .exchange import gather_concat
+
+    assign_t = kmeans_embed(sf_dir)  # (vec_id, cluster_id), pinned
+    vid = assign_t.column("vec_id").to_numpy().astype(np.int64)
+    cid = assign_t.column("cluster_id").to_numpy().astype(np.int64)
+    order = np.argsort(vid)
+    if len(vid) > max_broadcast_ids:
+        raise NotImplementedError(
+            "semdedup's cluster-broadcast gate: above max_broadcast_ids "
+            "route the same-cluster filter through a vec_id-keyed "
+            "exchange (the dedup_clusters shape)"
+        )
+    amap_ref = ray.put((vid[order], cid[order]))
+
+    @ray.remote
+    def same_cluster(amap, t: pa.Table) -> pa.Table:
+        if t is None or t.num_rows == 0 or "vec_id_a" not in t.column_names:
+            return pa.table(
+                {"vec_id_a": pa.array([], pa.int64()),
+                 "vec_id_b": pa.array([], pa.int64())}
+            )
+        ids_s, cl_s = amap
+        a = t.column("vec_id_a").to_numpy().astype(np.int64)
+        b = t.column("vec_id_b").to_numpy().astype(np.int64)
+        ca = cl_s[np.searchsorted(ids_s, a)]
+        cb = cl_s[np.searchsorted(ids_s, b)]
+        keep = ca == cb
+        return pa.table(
+            {"vec_id_a": pa.array(a[keep], pa.int64()),
+             "vec_id_b": pa.array(b[keep], pa.int64())}
+        )
+
+    pair_refs = [
+        same_cluster.remote(amap_ref, r)
+        for r in embedding_near_dup_refs(sf_dir, tau)
+    ]
+    labels_t = gather_concat(
+        connected_components_refs(pair_refs, cols=("vec_id_a", "vec_id_b"))
+    )
+    label = vid.copy()
+    if labels_t.num_rows and "node" in labels_t.column_names:
+        ln = labels_t.column("node").to_numpy()
+        lv = labels_t.column("label").to_numpy()
+        lo = np.argsort(ln)
+        ln, lv = ln[lo], lv[lo]
+        pos = np.searchsorted(ln, vid)
+        hit = (pos < len(ln)) & (ln[np.minimum(pos, len(ln) - 1)] == vid)
+        label[hit] = lv[np.minimum(pos, len(lv) - 1)][hit]
+    out = pa.table(
+        {
+            "vec_id": pa.array(vid, pa.int64()),
+            "cluster_id": pa.array(cid, pa.int64()),
+            "keep": pa.array(label == vid),
+        }
+    )
+    return finalize(out, [("vec_id", "ascending")])
+
+
 def embedding_dup_clusters(
     sf_dir: str, threshold: float = 0.4, max_broadcast_ids: int = 5_000_000
 ) -> pa.Table:

@@ -589,3 +589,48 @@ def test_pair_count_refs_matches_gathered_pair_counts(ray_session):
         want[(p >> 32, p & 0xFFFFFFFF)] = n
     assert got == want
     assert stats == {"dropped_keys": 0, "dropped_postings": 0}
+
+
+def test_semdedup_semantics(ray_session):
+    """SemDeDup = near-dup components RESTRICTED to same-kmeans-cluster
+    pairs: every dropped vector has a same-cluster near-dup with a
+    smaller label, and near-dup pairs that straddle clusters do NOT
+    cause drops by themselves."""
+    from image_report_ray.pipelines.similarity import (
+        embedding_near_dups,
+        kmeans_embed,
+        semdedup,
+    )
+
+    t = semdedup(SF, tau=0.4)
+    assign = dict(zip(
+        *[kmeans_embed(SF).column(c).to_pylist() for c in ("vec_id", "cluster_id")]
+    ))
+    pairs = embedding_near_dups(SF, 0.4)
+    same = [
+        (a, b)
+        for a, b in zip(pairs.column("vec_id_a").to_pylist(),
+                        pairs.column("vec_id_b").to_pylist())
+        if assign[a] == assign[b]
+    ]
+    import numpy as _np
+
+    # union-find over same-cluster pairs = the expected keep-list
+    parent = {v: v for v in assign}
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in same:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect_keep = {v: find(v) == v for v in assign}
+    got = {r["vec_id"]: r["keep"] for r in t.to_pylist()}
+    assert got == expect_keep
+    # clusters reported match the kmeans assignment
+    for r in t.to_pylist():
+        assert r["cluster_id"] == assign[r["vec_id"]]
+    # non-trivial on this corpus
+    assert sum(1 for k in got.values() if not k) > 0
