@@ -1257,6 +1257,32 @@ SELECT conv_id, doc_text, n_turns,
        CAST(length(doc_text) AS BIGINT) AS n_chars
 FROM agg ORDER BY conv_id
 """,
+        # conversation-level exact dedup over the replayed state:
+        # identical flattened documents group, min conv_id is canonical
+        # (the engine matches on a 128-bit content hash — documented
+        # collision stance)
+        "cdc_dedup_conversations": CHANGELOG_CTE
+        + """
+, final AS (
+    SELECT conv_id, turn_idx, role, text
+    FROM (
+        SELECT ch.*, ROW_NUMBER() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+        FROM ch
+    )
+    WHERE rn = 1 AND op <> 'D'
+), agg AS (
+    SELECT conv_id,
+           string_agg(role || ': ' || text, chr(10)
+                      ORDER BY turn_idx) AS doc_text,
+           CAST(COUNT(*) AS BIGINT) AS n_turns
+    FROM final GROUP BY conv_id
+)
+SELECT conv_id, n_turns,
+       MIN(conv_id) OVER (PARTITION BY doc_text) AS canonical_conv_id,
+       conv_id = MIN(conv_id) OVER (PARTITION BY doc_text) AS keep
+FROM agg ORDER BY conv_id
+""",
         # tool-use Markov profile: adjacent pairs of the per-conversation
         # tool-call subsequence (non-null tool, turn order)
         "cdc_tool_transitions": CHANGELOG_CTE

@@ -925,3 +925,108 @@ def cdc_export_conversations(sf_dir: str) -> pa.Table:
     )
     t = t.append_column("keep", keep)
     return finalize(t, [("conv_id", "ascending")])
+
+
+def cdc_dedup_conversations(sf_dir: str) -> pa.Table:
+    """Conversation-level exact dedup over the REPLAYED lake: flatten
+    each conversation to its training document (the
+    :func:`cdc_flatten_transcripts` rendering), then identical documents
+    form a group whose minimum conv_id is canonical — the dedup step a
+    transcript-lake export runs before tokenization (agent farms replay
+    the same conversation under different ids all the time).
+
+    Scale shape: document BODIES never leave the per-partition flatten
+    task — only (128-bit content hash, conv_id, n_turns) rows enter the
+    hash-keyed exchange, whose partitions hold every conversation with
+    the same document and elect + assign the winner in ONE kernel (no
+    broadcast, no second pass). Identity rides the same two-key
+    pandas hash as :func:`..text.dedup_exact` (collision odds
+    negligible, documented stance)."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from .exchange import exchange_reduce, gather_concat
+
+    lake = _full_lake(sf_dir)
+
+    @ray.remote
+    def part_digest(paths: list) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        from image_report_ray.state.merge import (
+            export_canonical,
+            fold_state_tables,
+        )
+
+        empty = pa.table(
+            {"h": pa.array([], pa.binary(16)),
+             "conv_id": pa.array([], pa.string()),
+             "n_turns": pa.array([], pa.int64())}
+        )
+        folded = fold_state_tables([pq.read_table(p) for p in paths])
+        if folded is None:
+            return empty
+        t = export_canonical(folded)  # sorted (conv_id, turn_idx)
+        if t.num_rows == 0:
+            return empty
+        conv = t.column("conv_id").to_numpy(zero_copy_only=False)
+        role = t.column("role").to_numpy(zero_copy_only=False)
+        text = t.column("text").to_numpy(zero_copy_only=False)
+        lines = (role.astype(object) + ": ") + text.astype(object) + "\n"
+        bounds = np.flatnonzero(np.r_[True, conv[1:] != conv[:-1]])
+        docs = np.add.reduceat(lines, bounds)
+        docs = np.array([d[:-1] for d in docs], dtype=object)
+        h1 = pd.util.hash_array(docs, hash_key="irrdedupexactkey")
+        h2 = pd.util.hash_array(docs, hash_key="irrdedupexactTWO")
+        dig = np.concatenate(
+            [h1.astype(np.uint64).byteswap().view(np.uint8).reshape(-1, 8),
+             h2.astype(np.uint64).byteswap().view(np.uint8).reshape(-1, 8)],
+            axis=1,
+        ).tobytes()
+        return pa.table(
+            {
+                "h": pa.FixedSizeBinaryArray.from_buffers(
+                    pa.binary(16), len(docs), [None, pa.py_buffer(dig)]
+                ),
+                "conv_id": pa.array(conv[bounds], pa.string()),
+                "n_turns": pa.array(
+                    np.diff(np.r_[bounds, len(conv)]).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def winner_kernel(pid: int, t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"conv_id": pa.array([], pa.string()),
+             "n_turns": pa.array([], pa.int64()),
+             "canonical_conv_id": pa.array([], pa.string()),
+             "keep": pa.array([], pa.bool_())}
+        )
+        if t.num_rows == 0 or "h" not in t.column_names:
+            return empty
+        df = t.to_pandas()
+        winner = df.groupby("h")["conv_id"].transform("min")
+        return pa.table(
+            {
+                "conv_id": pa.array(df["conv_id"], pa.string()),
+                "n_turns": pa.array(
+                    df["n_turns"].to_numpy().astype("int64"), pa.int64()
+                ),
+                "canonical_conv_id": pa.array(winner, pa.string()),
+                "keep": pa.array((df["conv_id"] == winner).to_numpy()),
+            }
+        )
+
+    sets = lake.current_file_sets()
+    refs = [part_digest.remote(paths) for _, paths in sorted(sets.items())]
+    t = gather_concat(exchange_reduce([refs], ["h"], winner_kernel))
+    if t.num_rows == 0 or "conv_id" not in t.column_names:
+        return pa.table(
+            {"conv_id": pa.array([], pa.string()),
+             "n_turns": pa.array([], pa.int64()),
+             "canonical_conv_id": pa.array([], pa.string()),
+             "keep": pa.array([], pa.bool_())}
+        )
+    return finalize(t, [("conv_id", "ascending")])

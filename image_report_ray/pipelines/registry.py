@@ -51,6 +51,7 @@ def query_registry() -> "dict[str, Callable[[str], Any]]":
         "cdc_state_diff": cdcq.cdc_state_diff,
         "cdc_tool_transitions": cdcq.cdc_tool_transitions,
         "cdc_flatten_transcripts": cdcq.cdc_flatten_transcripts,
+        "cdc_dedup_conversations": cdcq.cdc_dedup_conversations,
         "cdc_export_conversations": cdcq.cdc_export_conversations,
         "sample_split": text.sample_split,
         "shuffle_docs": text.shuffle_docs,

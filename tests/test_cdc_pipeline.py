@@ -956,3 +956,49 @@ def test_zombie_merge_retry_is_byte_idempotent(ray_session, tmp_path, wal):
     from image_report_ray.cli import main
 
     assert main(["validate", lake_dir]) == 0
+
+
+def test_dedup_conversations_on_replayed_lake(ray_session, tmp_path, monkeypatch):
+    """Two conversations replaying identical content under different ids
+    collapse to the lexicographically-smallest conv_id; distinct
+    conversations keep. Runs against a hand-built lake through the same
+    partition-local flatten + hash exchange as the query."""
+    import ray.data as rd
+
+    from image_report_ray.pipelines import cdcq
+    from image_report_ray.pipelines.cdcq import cdc_dedup_conversations
+
+    lake = Lake(str(tmp_path / "lake"), num_partitions=4)
+    cfg = EngineConfig(num_partitions=4)
+
+    def conv(conv_id, texts, lsn0):
+        n = len(texts)
+        return pa.table(
+            {"lsn": pa.array(range(lsn0, lsn0 + n), pa.int64()),
+             "op": pa.array(["I"] * n),
+             "conv_id": pa.array([conv_id] * n),
+             "turn_idx": pa.array(range(n), pa.int32()),
+             "role": pa.array(["user", "assistant"] * (n // 2 + 1))[:n],
+             "text": pa.array(texts),
+             "tool": pa.array([None] * n, pa.string()),
+             "ts": pa.array([lsn0 + i for i in range(n)], pa.timestamp("us"))}
+        )
+
+    same = ["hello", "world hello", "bye"]
+    ch = pa.concat_tables([
+        conv("conv-x", same, 0),
+        conv("conv-a", same, 10),        # identical content, smaller id
+        conv("conv-m", same, 20),        # identical content, middle id
+        conv("conv-z", ["different"], 30),
+    ])
+    apply_epoch(lake, 0, rd.from_arrow(ch), cfg)
+
+    monkeypatch.setattr(cdcq, "_full_lake", lambda sf: Lake(lake.root))
+    t = cdc_dedup_conversations("ignored")
+    rows = {r["conv_id"]: r for r in t.to_pylist()}
+    assert rows["conv-a"]["keep"] and rows["conv-a"]["canonical_conv_id"] == "conv-a"
+    for dup in ("conv-m", "conv-x"):
+        assert not rows[dup]["keep"]
+        assert rows[dup]["canonical_conv_id"] == "conv-a"
+    assert rows["conv-z"]["keep"]
+    assert rows["conv-a"]["n_turns"] == 3 and rows["conv-z"]["n_turns"] == 1
