@@ -1002,3 +1002,71 @@ def test_dedup_conversations_on_replayed_lake(ray_session, tmp_path, monkeypatch
         assert rows[dup]["canonical_conv_id"] == "conv-a"
     assert rows["conv-z"]["keep"]
     assert rows["conv-a"]["n_turns"] == 3 and rows["conv-z"]["n_turns"] == 1
+
+
+def test_follow_with_concurrent_changefeed_consumer(ray_session, tmp_path):
+    """The full deployment loop: a producer publishes epochs while
+    `tail_job` follows, and a CDC consumer catches up via cursor-style
+    range feeds BETWEEN publishes (reads against a lake that is being
+    written — safe, snapshots are immutable). The consumer's replayed
+    state must converge to the lake's canonical state."""
+    import threading
+    import time as _time
+
+    from image_report_ray.pipelines.cdc import (
+        changefeed_range,
+        canonical_state_table,
+        tail_job,
+    )
+
+    src = str(tmp_path / "src")
+    live = str(tmp_path / "live")
+    os.makedirs(live)
+    write_wal(src, n_epochs=4, epoch_size=300, **GEN)
+    cfg = EngineConfig(num_partitions=4, batch_size=256)
+    lake_dir = str(tmp_path / "lake")
+
+    totals = {}
+
+    def run_tail():
+        totals.update(
+            tail_job(lake_dir, live, cfg, poll_interval=0.1, idle_timeout=3.0)
+        )
+
+    th = threading.Thread(target=run_tail)
+    th.start()
+
+    consumer: dict = {}
+    cursor = -1
+    try:
+        for e in range(4):
+            os.symlink(f"{src}/epoch={e:05d}", f"{live}/epoch={e:05d}")
+            # wait for the follower to commit it
+            deadline = _time.monotonic() + 20
+            while _time.monotonic() < deadline:
+                if os.path.exists(
+                    os.path.join(lake_dir, "_commits", f"epoch={e:05d}.json")
+                ):
+                    break
+                _time.sleep(0.05)
+            else:
+                raise AssertionError(f"follower never committed epoch {e}")
+            # consumer catch-up: net feed (cursor, e], then advance
+            feed = changefeed_range(Lake(lake_dir), cursor, e)
+            for r in feed.to_pylist():
+                k = (r["conv_id"], r["turn_idx"])
+                if r["op"] == "D":
+                    consumer.pop(k, None)
+                else:
+                    consumer[k] = (r["role"], r["text"])
+            cursor = e
+    finally:
+        th.join(timeout=30)
+    assert not th.is_alive()
+    assert totals["epochs_applied"] == 4
+
+    want = {
+        (r["conv_id"], r["turn_idx"]): (r["role"], r["text"])
+        for r in canonical_state_table(Lake(lake_dir)).to_pylist()
+    }
+    assert consumer == want
