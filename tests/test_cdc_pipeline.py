@@ -1070,3 +1070,72 @@ def test_follow_with_concurrent_changefeed_consumer(ray_session, tmp_path):
         for r in canonical_state_table(Lake(lake_dir)).to_pylist()
     }
     assert consumer == want
+
+
+def test_changefeed_range_across_schema_evolution(ray_session, tmp_path):
+    """A range feed spanning the epoch where an evolved column first
+    appears carries that column (nulls for rows untouched since) and
+    still nets correctly."""
+    d = str(tmp_path / "wal")
+    write_wal(d, n_epochs=4, epoch_size=300, seed=5, n_convs=40, max_turns=8,
+              evolve_from_epoch=2)
+    cfg = EngineConfig(num_partitions=4, batch_size=256)
+    lake_dir = str(tmp_path / "lake")
+    run_job(lake_dir, d, cfg)
+    lake = Lake(lake_dir)
+
+    from image_report_ray.pipelines.cdc import changefeed_range
+
+    feed = changefeed_range(lake, 0, 3)  # crosses the evolution at epoch 2
+    assert "meta" in feed.column_names
+    # replaying (0,3] over the epoch-0 snapshot reaches the head
+    from image_report_ray.pipelines.cdc import canonical_state_table
+
+    base = {
+        (r["conv_id"], r["turn_idx"]): r
+        for r in canonical_state_table(lake, as_of=0).to_pylist()
+    }
+    state = {k: (v["role"], v["text"], v.get("meta")) for k, v in base.items()}
+    for r in feed.to_pylist():
+        k = (r["conv_id"], r["turn_idx"])
+        if r["op"] == "D":
+            state.pop(k, None)
+        else:
+            state[k] = (r["role"], r["text"], r.get("meta"))
+    want = {
+        (r["conv_id"], r["turn_idx"]): (r["role"], r["text"], r.get("meta"))
+        for r in canonical_state_table(lake).to_pylist()
+    }
+    assert state == want
+
+
+def test_single_partition_lake_lifecycle(ray_session, tmp_path):
+    """Degenerate P=1 lake: replay, oracle equality, changefeed, expire
+    and vacuum all work (exchange/migration code paths guard P<2)."""
+    import pyarrow.compute as _pc
+
+    d = str(tmp_path / "wal")
+    write_wal(d, n_epochs=2, epoch_size=300, **GEN)
+    cfg = EngineConfig(num_partitions=1, batch_size=256)
+    lake_dir = str(tmp_path / "lake")
+    summary = run_job(lake_dir, d, cfg)
+    assert summary["epochs_applied"] == 2
+    lake = Lake(lake_dir)
+    got = canonical_state_table(lake)
+    assert got.equals(apply_naive(full_changelog(2, 300, **GEN)))
+
+    from image_report_ray.pipelines.cdc import (
+        changefeed,
+        expire_turns,
+        vacuum_lake,
+    )
+
+    assert changefeed(lake, 1).num_rows > 0
+    cutoff = int(
+        _pc.approximate_median(got.column("ts").cast(pa.int64())).as_py()
+    )
+    assert expire_turns(Lake(lake_dir), cutoff, cfg)["expired"] > 0
+    vacuum_lake(Lake(lake_dir), keep_epochs=0)
+    from image_report_ray.cli import main
+
+    assert main(["validate", lake_dir]) == 0
