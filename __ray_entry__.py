@@ -1350,6 +1350,14 @@ FROM final GROUP BY conv_id ORDER BY conv_id
 SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns, MAX(ts) AS last_ts
 FROM final GROUP BY conv_id ORDER BY conv_id
 """,
+        # temperature mixture weights (the public GPT-3/PaLM sampling
+        # rule): weight_i = n_i^0.5 / sum n_j^0.5, rounded to 6
+        "mixture_weights": """
+WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang)
+SELECT lang, n_docs,
+       ROUND(pow(n_docs, 0.5) / SUM(pow(n_docs, 0.5)) OVER (), 6) AS mix_weight
+FROM c ORDER BY lang
+""",
         # boilerplate chunks (RefinedWeb/C4-style shared-content filter):
         # non-overlapping 10-token chunks appearing in >= 2 distinct docs
         # are boilerplate; integer basis points; the engine matches on

@@ -34,6 +34,7 @@ def query_registry() -> "dict[str, Callable[[str], Any]]":
         "domain_cap": text.domain_cap,
         "perplexity_score": text.perplexity_score,
         "boilerplate_flags": text.boilerplate_flags,
+        "mixture_weights": text.mixture_weights,
         "fingerprint_docs": text.fingerprint_docs,
         # approximate similarity search
         "knn_cosine_lsh": similarity.knn_cosine_lsh,

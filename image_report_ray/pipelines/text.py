@@ -1725,3 +1725,45 @@ def corpus_export(
     cols = ["doc_id", "quality_ok", "rep_ok", "content_ok",
             "dedup_keep", "decontam_ok", "keep"]
     return finalize(t.select(cols), [("doc_id", "ascending")])
+
+
+# Mixture weighting with temperature (the public GPT-3/PaLM-style
+# multi-source sampling rule: weight_i ∝ n_i^alpha with alpha < 1
+# up-weighting small sources). alpha is engine config, not data-sized.
+_MIX_ALPHA = 0.5
+
+
+def mixture_weights(sf_dir: str, alpha: float = _MIX_ALPHA) -> pa.Table:
+    """Per-group (lang = the source stand-in) sampling weights for a
+    training mixture: ``weight_i = n_i^alpha / sum_j n_j^alpha`` rounded
+    to 6 decimals — the temperature rule that keeps small sources from
+    vanishing. Counts fold as fixed-cardinality partials (O(groups) per
+    block, the lang_stats shape); the driver computes the tiny weight
+    table. Exact-int counts + one final double pow/normalize keep the
+    DuckDB twin bit-equal."""
+    from ._util import fold_partials
+
+    rd = _rd()
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["lang"]).aggregate([([], "count_all")])
+        return g.rename_columns(["lang", "n_part"])
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
+    counts = fold_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["lang"], [("n_part", "sum")],
+    ).rename_columns(["lang", "n_docs"])
+    lang = counts.column("lang").to_numpy(zero_copy_only=False).astype(object)
+    n = counts.column("n_docs").to_numpy().astype(np.int64)
+    order = np.argsort(lang.astype(str))
+    lang, n = lang[order], n[order]
+    w = np.power(n.astype(np.float64), alpha)
+    share = np.round(w / w.sum(), 6)
+    return pa.table(
+        {
+            "lang": pa.array(lang, pa.string()),
+            "n_docs": pa.array(n, pa.int64()),
+            "mix_weight": pa.array(share, pa.float64()),
+        }
+    )

@@ -766,3 +766,28 @@ def test_boilerplate_flags_detects_shared_header(ray_session, tmp_path):
 
     with _pytest.raises(ValueError, match="chunk_tokens"):
         boilerplate_flags(str(d), chunk_tokens=0)
+
+
+def test_mixture_weights_temperature_rule(ray_session):
+    import math
+
+    import pyarrow.parquet as pq
+
+    from image_report_ray.pipelines.text import mixture_weights
+
+    t = mixture_weights(SF)
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["lang"])
+    import collections
+
+    counts = collections.Counter(docs.column("lang").to_pylist())
+    w = {lg: math.pow(n, 0.5) for lg, n in counts.items()}
+    tot = sum(w.values())
+    for r in t.to_pylist():
+        assert r["n_docs"] == counts[r["lang"]]
+        assert r["mix_weight"] == round(w[r["lang"]] / tot, 6)
+    # weights sum to ~1 and small sources are up-weighted vs raw share
+    assert abs(sum(r["mix_weight"] for r in t.to_pylist()) - 1.0) < 1e-4
+    small = min(counts, key=counts.get)
+    raw_share = counts[small] / sum(counts.values())
+    got = {r["lang"]: r["mix_weight"] for r in t.to_pylist()}
+    assert got[small] > raw_share
