@@ -518,17 +518,48 @@ FROM cand ORDER BY sim DESC, vec_id LIMIT 10
 
 def _embedding_dim() -> int:
     """dim of the embeddings table the driver registers (the hyperplane
-    matrix is dim-shaped; sf0.01 and sf0.001 share dim=64)."""
+    matrix is dim-shaped). Probed from $GRAFT_SF_DIR first so a run
+    against a non-default dataset generates hyperplanes of the RIGHT
+    dim; raises if no embeddings table is readable rather than silently
+    defaulting and producing a confusing twin mismatch."""
+    import os
+
     import pyarrow.parquet as pqt
 
-    for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.001"):
+    candidates = [
+        os.environ.get("GRAFT_SF_DIR"),
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.1",
+    ]
+    dims = {}
+    for sf in candidates:
+        if not sf:
+            continue
         try:
             f = pqt.ParquetFile(f"{sf}/embeddings.parquet")
             b = next(f.iter_batches(batch_size=1, columns=["embedding"]))
-            return len(b.column(0)[0])
+            dims[sf] = len(b.column(0)[0])
         except Exception:
             continue
-    return 64
+    if not dims:
+        raise FileNotFoundError(
+            "no readable embeddings.parquet under $GRAFT_SF_DIR or "
+            "/root/testdata/sf* — cannot size the LSH hyperplane matrix"
+        )
+    # first readable candidate wins ($GRAFT_SF_DIR when set); if the
+    # candidates DISAGREE on dim, the twins for the non-chosen dirs would
+    # mismatch — surface that loudly instead of guessing
+    first = next(iter(dims.values()))
+    if len(set(dims.values())) > 1:
+        import logging
+
+        logging.getLogger("image_report_ray").warning(
+            "embedding dims differ across datasets %s — LSH/IVF oracle "
+            "twins are generated for dim=%d (first readable candidate)",
+            dims, first,
+        )
+    return first
 
 
 # IVF ANN twin (image_report_ray.pipelines.similarity:knn_cosine_ivf):

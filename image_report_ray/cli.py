@@ -310,11 +310,27 @@ def cmd_changefeed(args: argparse.Namespace) -> int:
             else args.epoch - 1
         )
     refs = changefeed_range_refs(lake, from_epoch, to_epoch)
-    if args.out:
+    out_dir = args.out
+    if out_dir:
+        # each emit lands in a RANGE-NAMED subdirectory so repeated
+        # --cursor runs (or a --format switch / post-reshard shrink in
+        # shard count) never mix this range's shards with a previous
+        # range's leftovers — a glob-reading consumer sees exactly one
+        # coherent emit per directory
+        out_dir = os.path.join(
+            args.out, f"from={from_epoch:05d}-to={to_epoch:05d}"
+        )
+    if out_dir:
         # scale path: each partition's feed is written by a remote task
         # (sharded, resumable layout) — the whole epoch never gathers
         # on the driver; only per-shard op counts come back
-        os.makedirs(args.out, exist_ok=True)
+        os.makedirs(out_dir, exist_ok=True)
+        # idempotent re-emit into an existing range dir must REPLACE its
+        # shards, not interleave with stale ones (e.g. a format switch)
+        import glob as _glob
+
+        for stale in _glob.glob(os.path.join(out_dir, "part-*")):
+            os.remove(stale)
         fmt = getattr(args, "format", "parquet") or "parquet"
 
         @ray.remote
@@ -339,7 +355,7 @@ def cmd_changefeed(args: argparse.Namespace) -> int:
         ext = "jsonl" if fmt == "jsonl" else "parquet"
         counts = ray.get([
             write_shard.remote(
-                r, os.path.join(args.out, f"part-{i:05d}.{ext}"), fmt
+                r, os.path.join(out_dir, f"part-{i:05d}.{ext}"), fmt
             )
             for i, r in enumerate(refs)
         ])
@@ -364,7 +380,7 @@ def cmd_changefeed(args: argparse.Namespace) -> int:
          "inserts": sum(c["I"] for c in counts),
          "updates": sum(c["U"] for c in counts),
          "deletes": sum(c["D"] for c in counts),
-         "out": args.out,
+         "out": out_dir,
          "cursor": cursor_path}
     ))
     import ray

@@ -544,6 +544,38 @@ def apply_epoch(
     return out_stats
 
 
+# below-watermark advisories already emitted, keyed by
+# (lake root, watermark, epoch set) — a follower (tail_job polls run_job
+# every poll_interval) must not re-log the same advisory forever
+_BELOW_WATERMARK_WARNED: set = set()
+
+
+def _should_warn_below_watermark(
+    lake: Lake, committed: list[int], high: int, below: list[int]
+) -> bool:
+    """The below-watermark advisory is suppressed for the one LEGITIMATE
+    shape — a migrated (resharded/bootstrapped) lake, whose single
+    migration commit at the source's max epoch covers every earlier WAL
+    epoch (received==applied==0 in every partition entry) — and is
+    otherwise logged ONCE per distinct (lake, watermark, epoch set), not
+    on every tail poll."""
+    if len(committed) == 1 and committed[0] == high:
+        try:
+            parts = lake.read_commit(high).get("partitions", {})
+        except Exception:
+            parts = {}
+        if parts and all(
+            e.get("received", -1) == 0 and e.get("applied", -1) == 0
+            for e in parts.values()
+        ):
+            return False  # migration commit — documented-legitimate
+    key = (lake.root, high, tuple(below))
+    if key in _BELOW_WATERMARK_WARNED:
+        return False
+    _BELOW_WATERMARK_WARNED.add(key)
+    return True
+
+
 def run_job(
     lake_dir: str,
     wal_dir: str,
@@ -585,7 +617,9 @@ def run_job(
     below_watermark = sorted(
         e for e in epochs if e <= high and not lake.is_committed(e)
     )
-    if below_watermark:
+    if below_watermark and _should_warn_below_watermark(
+        lake, committed, high, below_watermark
+    ):
         logging.getLogger("image_report_ray").warning(
             "%d WAL epoch(s) below commit watermark %d but never "
             "committed (mis-numbered producer?): %s",

@@ -1248,10 +1248,11 @@ def perplexity_score(sf_dir: str, vocab_k: int = _PPL_VOCAB_K) -> pa.Table:
         ulp = np.where(hit, lp_s[np.minimum(pos, len(lp_s) - 1)], oov)
         tok_lp = ulp[codes]
         n = np.diff(off)
-        # reduceat needs in-bounds starts; clipped starts only matter for
-        # empty docs, which the nz mask excludes anyway
-        starts = np.minimum(off[:-1], max(len(tok_lp) - 1, 0))
-        sums = np.add.reduceat(tok_lp, starts) if len(tok_lp) else np.zeros(len(n))
+        # exact prefix-sum segment sums: robust to empty docs anywhere
+        # (reduceat with clipped starts truncated the last non-empty
+        # doc's segment when a block ended with zero-token docs)
+        csum = np.r_[0.0, np.cumsum(tok_lp)]
+        sums = csum[off[1:]] - csum[off[:-1]]
         ce = np.zeros(len(n), np.float64)
         nz = n > 0
         ce[nz] = np.round(-(sums[nz] / n[nz]), _PPL_CE_ROUND)

@@ -77,7 +77,12 @@ def warm_pool(size: int, num_cpus: float) -> list:
     cached = _POOLS.get(key)
     if cached is not None and cached[0] == session:
         try:
-            ray.get(cached[1][0].apply.remote(None, {}, None, 1), timeout=10)
+            # ping EVERY actor: a single dead worker (OOM/crash) would
+            # otherwise fail each pool_map wave routed to it forever
+            ray.get(
+                [a.apply.remote(None, {}, None, 1) for a in cached[1]],
+                timeout=10,
+            )
             return cached[1]
         except Exception:
             pass  # actors died (e.g. cluster restarted on the same ids)

@@ -433,7 +433,10 @@ def test_changefeed_cursor_consumer_loop(ray_session, tmp_path, capsys):
     r1 = run("changefeed", lake, "--cursor", cur, "--out",
              str(tmp_path / "f1"))
     assert r1["from_epoch"] == -1 and r1["epoch"] == 1 and r1["rows"] > 0
-    state = consume(str(tmp_path / "f1"), {})
+    # the emit lands in a range-named subdirectory (no stale-shard mixing
+    # across re-emits); the JSON record points at it
+    assert r1["out"].endswith("from=-0001-to=00001")
+    state = consume(r1["out"], {})
 
     # caught up -> no-op
     r2 = run("changefeed", lake, "--cursor", cur)
@@ -446,7 +449,7 @@ def test_changefeed_cursor_consumer_loop(ray_session, tmp_path, capsys):
     r3 = run("changefeed", lake, "--cursor", cur, "--out",
              str(tmp_path / "f2"))
     assert r3["from_epoch"] == 1 and r3["epoch"] == 2
-    state = consume(str(tmp_path / "f2"), state)
+    state = consume(r3["out"], state)
 
     # crash replay: old cursor restored -> same range re-emits; applying
     # it again converges to the same state (net-diff idempotence)
@@ -454,8 +457,19 @@ def test_changefeed_cursor_consumer_loop(ray_session, tmp_path, capsys):
     r4 = run("changefeed", lake, "--cursor", cur, "--out",
              str(tmp_path / "f3"))
     assert (r4["from_epoch"], r4["epoch"]) == (r3["from_epoch"], r3["epoch"])
-    state2 = consume(str(tmp_path / "f3"), dict(state))
+    state2 = consume(r4["out"], dict(state))
     assert state2 == state
+
+    # re-emitting the SAME range into the SAME --out with a different
+    # format replaces the range dir's shards — no mixed-format leftovers
+    open(cur, "w").write(saved)
+    r5 = run("changefeed", lake, "--cursor", cur, "--out",
+             str(tmp_path / "f3"), "--format", "jsonl")
+    assert r5["out"] == r4["out"]
+    import glob as _glob
+
+    assert _glob.glob(f"{r5['out']}/part-*.parquet") == []
+    assert len(_glob.glob(f"{r5['out']}/part-*.jsonl")) > 0
 
     # the converged consumer state == the lake's canonical state
     from image_report_ray.pipelines.cdc import canonical_state_table
@@ -499,11 +513,11 @@ def test_changefeed_jsonl_shards(ray_session, tmp_path, capsys):
     assert rec_j["rows"] == rec_p["rows"] > 0
 
     pq_rows = set()
-    for p in _glob.glob(str(tmp_path / "fp" / "*.parquet")):
+    for p in _glob.glob(str(tmp_path / "fp" / "*" / "*.parquet")):
         for r in _pq.read_table(p).to_pylist():
             pq_rows.add((r["op"], r["conv_id"], r["turn_idx"]))
     jl_rows = set()
-    for p in _glob.glob(str(tmp_path / "fj" / "*.jsonl")):
+    for p in _glob.glob(str(tmp_path / "fj" / "*" / "*.jsonl")):
         with open(p) as f:
             for line in f:
                 r = _json.loads(line)

@@ -728,6 +728,37 @@ def test_perplexity_score_orders_rare_docs_higher(ray_session, tmp_path):
     assert perplexity_score(str(d)).equals(res)  # deterministic
 
 
+def test_perplexity_score_trailing_empty_doc_exact(ray_session, tmp_path):
+    """Regression: a block ENDING with a zero-token doc must not truncate
+    the last non-empty doc's segment sum (the old reduceat start-clipping
+    dropped its final token's log-prob: ce=1.0 instead of the correct
+    full-segment value for ['alpha beta gamma', '   '])."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from image_report_ray.pipelines.text import perplexity_score
+
+    texts = ["alpha beta gamma", "   "]
+    t = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()),
+         "text": pa.array(texts),
+         "lang": pa.array(["en"] * len(texts)),
+         "n_chars": pa.array([len(x) for x in texts], pa.int64())}
+    )
+    d = tmp_path / "corpus"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+
+    res = perplexity_score(str(d))
+    ce = dict(zip(res.column("doc_id").to_pylist(), res.column("ce").to_pylist()))
+    # counts: alpha=1 beta=1 gamma=1; total=3, V=3 -> each lp=log(2/7)
+    lp = round(math.log(2 / 7), 9)
+    assert ce[0] == round(-lp, 4)   # full 3-token segment, not truncated
+    assert ce[1] == 0.0             # whitespace-only doc
+
+
 def test_boilerplate_flags_detects_shared_header(ray_session, tmp_path):
     """A 10-token header chunk shared by many docs flags as boilerplate
     in each of them; unique-body docs keep; a doc that is ALL header
