@@ -422,8 +422,14 @@ def run_simbench(num_cpus: int) -> dict:
     nd = similarity.embedding_near_dups(SIMBENCH_DIR, 0.95)  # gate -> LSH
     out["embedding_near_dups_lsh"] = round(time.perf_counter() - t0, 3)
     t0 = time.perf_counter()
-    similarity.semdedup(SIMBENCH_DIR, tau=0.95)  # kmeans + LSH pairs + CC
+    sd = similarity.semdedup(SIMBENCH_DIR, tau=0.95)  # kmeans + LSH + CC
     out["semdedup"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()  # 100-TB route forced: assignment stays refs
+    sd_gated = similarity.semdedup(
+        SIMBENCH_DIR, tau=0.95, max_broadcast_ids=0
+    )
+    out["semdedup_exchange_route"] = round(time.perf_counter() - t0, 3)
+    assert sd_gated.equals(sd), "semdedup exchange route diverged"
     pp = pq_.read_table(f"{SIMBENCH_DIR}/planted_pairs.parquet")
     planted = set(zip(pp.column("a").to_pylist(), pp.column("b").to_pylist()))
     got = set(zip(nd.column("vec_id_a").to_pylist(), nd.column("vec_id_b").to_pylist()))

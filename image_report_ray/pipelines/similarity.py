@@ -35,6 +35,123 @@ def _stack(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     return flat.reshape(n, -1) if n else flat.reshape(0, 0)
 
 
+# ---- shared sub-result cache -------------------------------------------
+#
+# kmeans assignments and verified near-dup pair graphs are recomputed by
+# several queries over the same static corpus (kmeans_embed, semdedup,
+# embedding_dup_clusters, embedding_near_dups all at the same threshold)
+# — the cdcq._shared_lake idea one module over: persist each derived
+# table as content-fingerprinted parquet shards under /tmp (one file per
+# partition ref, atomic-rename publish), so the second consumer reads
+# O(parts) files instead of re-running the kmeans waves / the LSH sign +
+# verify exchange. Parquet round-trips int64/float64 bit-exactly, and
+# shard order is the ref order, so cached and fresh routes are
+# bit-identical downstream.
+
+_SIM_CACHE_ROOT = "/tmp/irr-sim-cache"
+_SIM_CACHE_VER = 1
+_SIM_RW_REMOTES = None
+
+
+def _sim_rw():
+    global _SIM_RW_REMOTES
+    if _SIM_RW_REMOTES is None:
+        import ray
+
+        @ray.remote
+        def read_part(path: str) -> pa.Table:
+            import pyarrow.parquet as pq
+
+            return pq.read_table(path)
+
+        @ray.remote
+        def write_part(t: pa.Table, path: str) -> None:
+            import pyarrow.parquet as pq
+
+            from ..state.manifest import PARQUET_OPTS
+
+            pq.write_table(t, path, **PARQUET_OPTS)
+
+        _SIM_RW_REMOTES = (read_part, write_part)
+    return _SIM_RW_REMOTES
+
+
+def _emb_tag(sf_dir: str, params: str) -> str:
+    """``<path-hash>-<content-hash>``: path component scopes eviction to
+    this corpus; content component fingerprints the embeddings file and
+    every kernel parameter baked into the cached result."""
+    import hashlib
+
+    st = os.stat(f"{sf_dir}/embeddings.parquet")
+    ph = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    ch = hashlib.sha1(
+        f"{st.st_size}:{st.st_mtime_ns}:{params}:{_SIM_CACHE_VER}".encode()
+    ).hexdigest()[:10]
+    return f"{ph}-{ch}"
+
+
+def _cached_refs(sf_dir: str, variant: str, params: str, build) -> list:
+    """Return the derived table's partition refs, building + publishing
+    the parquet shards once per (corpus content, params). ``build()``
+    returns the fresh refs; they are returned directly after the shards
+    publish (no re-read on the building call)."""
+    import shutil
+
+    import ray
+
+    read_part, write_part = _sim_rw()
+    tag = _emb_tag(sf_dir, params)
+    final = os.path.join(_SIM_CACHE_ROOT, f"{variant}-{tag}")
+    if os.path.isdir(final):
+        names = sorted(
+            n for n in os.listdir(final) if n.endswith(".parquet")
+        )
+        return [read_part.remote(os.path.join(final, n)) for n in names]
+    refs = build()
+    os.makedirs(_SIM_CACHE_ROOT, exist_ok=True)
+    tmp = tempfile.mkdtemp(prefix=f".build-{variant}-", dir=_SIM_CACHE_ROOT)
+    try:
+        ray.get([
+            write_part.remote(r, os.path.join(tmp, f"part-{i:05d}.parquet"))
+            for i, r in enumerate(refs)
+        ])
+        try:
+            os.rename(tmp, final)
+        except OSError:  # concurrent builder won the publish race
+            shutil.rmtree(tmp, ignore_errors=True)
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    _sim_sweep(variant, sf_dir, keep=os.path.basename(final))
+    return refs
+
+
+def _sim_sweep(variant: str, sf_dir: str, keep: str) -> None:
+    """Evict superseded builds of the same (variant, corpus dir) and
+    hour-stale .build-* dirs — /tmp stays bounded across corpus
+    regenerations; other corpora's entries are untouched."""
+    import hashlib
+    import shutil
+    import time
+
+    ph = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    prefix = f"{variant}-{ph}-"
+    try:
+        now = time.time()
+        for name in os.listdir(_SIM_CACHE_ROOT):
+            path = os.path.join(_SIM_CACHE_ROOT, name)
+            if name == keep:
+                continue
+            stale_build = (
+                name.startswith(".build-")
+                and now - os.path.getmtime(path) > 3600
+            )
+            if stale_build or name.startswith(prefix):
+                shutil.rmtree(path, ignore_errors=True)
+    except OSError:
+        pass  # best-effort housekeeping — never fail the query
+
+
 def _query_vector(sf_dir: str, vec_id: int) -> np.ndarray:
     import pyarrow.parquet as pq
 
@@ -605,6 +722,27 @@ def embedding_near_dup_refs(
     threshold: float = 0.95,
     max_broadcast_rows: int = _ND_MAX_BROADCAST_ROWS,
 ) -> list:
+    """Cached form of :func:`_embedding_near_dup_refs_build` — the
+    verified (vec_id_a, vec_id_b, sim) pair shards persist under /tmp
+    keyed by corpus content + threshold + route pins, so
+    embedding_near_dups / embedding_dup_clusters / semdedup (same
+    threshold) share ONE pair computation per corpus."""
+    return _cached_refs(
+        sf_dir,
+        "ndpairs",
+        f"t={threshold!r}:gate={max_broadcast_rows}"
+        f":bands={_ND_BANDS}:freq={_ND_MAX_BAND_FREQ}",
+        lambda: _embedding_near_dup_refs_build(
+            sf_dir, threshold, max_broadcast_rows
+        ),
+    )
+
+
+def _embedding_near_dup_refs_build(
+    sf_dir: str,
+    threshold: float = 0.95,
+    max_broadcast_rows: int = _ND_MAX_BROADCAST_ROWS,
+) -> list:
     """Near-dup pairs as partition refs, with the same exact-vs-LSH gate
     as :func:`embedding_near_dups`: below ``max_broadcast_rows`` the
     exact O(n^2)-block plan's output blocks are the refs; above it the
@@ -674,6 +812,87 @@ def embedding_near_dups(
     return finalize(t, [("vec_id_a", "ascending"), ("vec_id_b", "ascending")])
 
 
+def _semdedup_attach_ca(pid: int, pairs: pa.Table, assign: pa.Table) -> pa.Table:
+    """Exchange kernel 1 (above-gate route): pairs co-partitioned with
+    assignments on vec_id_a — attach endpoint a's cluster id."""
+    empty = pa.table(
+        {"vec_id_a": pa.array([], pa.int64()),
+         "vec_id_b": pa.array([], pa.int64()),
+         "ca": pa.array([], pa.int64())}
+    )
+    if (
+        pairs.num_rows == 0 or "vec_id_a" not in pairs.column_names
+        or assign.num_rows == 0 or "vec_id" not in assign.column_names
+    ):
+        return empty
+    ids = assign.column("vec_id").to_numpy().astype(np.int64)
+    cl = assign.column("cluster_id").to_numpy().astype(np.int64)
+    o = np.argsort(ids)
+    ids, cl = ids[o], cl[o]
+    a = pairs.column("vec_id_a").to_numpy().astype(np.int64)
+    ca = cl[np.searchsorted(ids, a)]
+    return pa.table(
+        {"vec_id_a": pairs.column("vec_id_a").cast(pa.int64()),
+         "vec_id_b": pairs.column("vec_id_b").cast(pa.int64()),
+         "ca": pa.array(ca, pa.int64())}
+    )
+
+
+def _semdedup_filter_cb(pid: int, pairs: pa.Table, assign: pa.Table) -> pa.Table:
+    """Exchange kernel 2: co-partitioned on vec_id_b — attach endpoint
+    b's cluster id and keep only same-cluster pairs."""
+    empty = pa.table(
+        {"vec_id_a": pa.array([], pa.int64()),
+         "vec_id_b": pa.array([], pa.int64())}
+    )
+    if (
+        pairs.num_rows == 0 or "vec_id_b" not in pairs.column_names
+        or assign.num_rows == 0 or "vec_id" not in assign.column_names
+    ):
+        return empty
+    ids = assign.column("vec_id").to_numpy().astype(np.int64)
+    cl = assign.column("cluster_id").to_numpy().astype(np.int64)
+    o = np.argsort(ids)
+    ids, cl = ids[o], cl[o]
+    b = pairs.column("vec_id_b").to_numpy().astype(np.int64)
+    cb = cl[np.searchsorted(ids, b)]
+    keep = pairs.column("ca").to_numpy() == cb
+    m = pa.array(keep)
+    return pa.table(
+        {"vec_id_a": pairs.column("vec_id_a").filter(m),
+         "vec_id_b": pairs.column("vec_id_b").filter(m)}
+    )
+
+
+def _semdedup_keep(pid: int, assign: pa.Table, labels: pa.Table) -> pa.Table:
+    """Exchange kernel 3: assignments co-partitioned with component
+    labels on vec_id/node — keep = unlabeled (never in a same-cluster
+    pair) or the component's minimum vec_id."""
+    empty = pa.table(
+        {"vec_id": pa.array([], pa.int64()),
+         "cluster_id": pa.array([], pa.int64()),
+         "keep": pa.array([], pa.bool_())}
+    )
+    if assign.num_rows == 0 or "vec_id" not in assign.column_names:
+        return empty
+    vid = assign.column("vec_id").to_numpy().astype(np.int64)
+    cid = assign.column("cluster_id").to_numpy().astype(np.int64)
+    label = vid.copy()
+    if labels.num_rows and "node" in labels.column_names:
+        ln = labels.column("node").to_numpy().astype(np.int64)
+        lv = labels.column("label").to_numpy().astype(np.int64)
+        lo = np.argsort(ln)
+        ln, lv = ln[lo], lv[lo]
+        pos = np.searchsorted(ln, vid)
+        hit = (pos < len(ln)) & (ln[np.minimum(pos, len(ln) - 1)] == vid)
+        label[hit] = lv[np.minimum(pos, len(lv) - 1)][hit]
+    return pa.table(
+        {"vec_id": pa.array(vid, pa.int64()),
+         "cluster_id": pa.array(cid, pa.int64()),
+         "keep": pa.array(label == vid)}
+    )
+
+
 def semdedup(
     sf_dir: str,
     tau: float = 0.4,
@@ -687,29 +906,57 @@ def semdedup(
     cluster_id, keep) — the semantic keep-list.
 
     Composition of already-verified machinery, every stage scale-shaped:
-    :func:`kmeans_embed` (broadcast-centroid assignment, fixed-
+    :func:`kmeans_assign_refs` (broadcast-centroid assignment, fixed-
     cardinality folds), :func:`embedding_near_dup_refs` (exact below the
     row gate, banded-LSH verify exchange above it), a same-cluster pair
-    filter (cluster table broadcast under ``max_broadcast_ids``, the
-    dedup_clusters gate), and
-    :func:`..dedup.connected_components_refs` over the filtered pair
-    refs — no driver edge array anywhere."""
+    filter, and :func:`..dedup.connected_components_refs` over the
+    filtered pair refs — no driver edge array anywhere. Below
+    ``max_broadcast_ids`` the (vec_id, cluster_id) map broadcasts once
+    (fastest while it fits); above it NOTHING per-vector touches the
+    driver — the assignment stays as partition refs and the
+    same-cluster filter plus the final keep assignment run as three
+    vec_id-keyed exchanges (the dedup_clusters shape), proven
+    bit-equal to the broadcast route by the forced-gate pytest."""
+    import pyarrow.parquet as pq
     import ray
 
     from ._util import finalize
     from .dedup import connected_components_refs
-    from .exchange import gather_concat
+    from .exchange import exchange_reduce, gather_concat
+
+    pair_refs = embedding_near_dup_refs(sf_dir, tau)
+    n_vecs = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+    if n_vecs > max_broadcast_ids:
+        # 100-TB route: assignment refs co-partitioned with pair refs;
+        # per-vector state never gathers on the driver
+        assign_refs = kmeans_assign_refs(sf_dir)
+        stage1 = (
+            exchange_reduce(
+                [pair_refs, assign_refs], ["vec_id_a", "vec_id"],
+                _semdedup_attach_ca,
+            )
+            if pair_refs else []
+        )
+        filtered = (
+            exchange_reduce(
+                [stage1, assign_refs], ["vec_id_b", "vec_id"],
+                _semdedup_filter_cb,
+            )
+            if stage1 else []
+        )
+        label_refs = (
+            connected_components_refs(filtered, cols=("vec_id_a", "vec_id_b"))
+            if filtered else []
+        )
+        out_refs = exchange_reduce(
+            [assign_refs, label_refs], ["vec_id", "node"], _semdedup_keep
+        )
+        return finalize(gather_concat(out_refs), [("vec_id", "ascending")])
 
     assign_t = kmeans_embed(sf_dir)  # (vec_id, cluster_id), pinned
     vid = assign_t.column("vec_id").to_numpy().astype(np.int64)
     cid = assign_t.column("cluster_id").to_numpy().astype(np.int64)
     order = np.argsort(vid)
-    if len(vid) > max_broadcast_ids:
-        raise NotImplementedError(
-            "semdedup's cluster-broadcast gate: above max_broadcast_ids "
-            "route the same-cluster filter through a vec_id-keyed "
-            "exchange (the dedup_clusters shape)"
-        )
     amap_ref = ray.put((vid[order], cid[order]))
 
     @ray.remote
@@ -730,12 +977,9 @@ def semdedup(
              "vec_id_b": pa.array(b[keep], pa.int64())}
         )
 
-    pair_refs = [
-        same_cluster.remote(amap_ref, r)
-        for r in embedding_near_dup_refs(sf_dir, tau)
-    ]
+    filt_refs = [same_cluster.remote(amap_ref, r) for r in pair_refs]
     labels_t = gather_concat(
-        connected_components_refs(pair_refs, cols=("vec_id_a", "vec_id_b"))
+        connected_components_refs(filt_refs, cols=("vec_id_a", "vec_id_b"))
     )
     label = vid.copy()
     if labels_t.num_rows and "node" in labels_t.column_names:
@@ -844,11 +1088,28 @@ def _km_assign(m: np.ndarray, cents: np.ndarray) -> np.ndarray:
     return np.argmin(np.round(d2, _KM_DIST_ROUND), axis=1)
 
 
-def kmeans_embed(
+def kmeans_assign_refs(
     sf_dir: str, k: int = _KM_K, iters: int = _KM_ITERS
-) -> pa.Table:
-    """K-means cluster assignment for every embedding after ``iters``
-    Lloyd updates from deterministic seeds.
+) -> list:
+    """Cached form of :func:`_kmeans_assign_refs_build` — the (vec_id,
+    cluster_id) shards persist under /tmp keyed by corpus content +
+    kernel pins, so kmeans_embed / semdedup / repeat runs share ONE
+    Lloyd execution per corpus."""
+    return _cached_refs(
+        sf_dir,
+        "kmeans",
+        f"k={k}:iters={iters}:cr={_KM_CENT_ROUND}:dr={_KM_DIST_ROUND}",
+        lambda: _kmeans_assign_refs_build(sf_dir, k, iters),
+    )
+
+
+def _kmeans_assign_refs_build(
+    sf_dir: str, k: int = _KM_K, iters: int = _KM_ITERS
+) -> list:
+    """Per-block (vec_id, cluster_id) assignment REFS after ``iters``
+    pinned Lloyd updates — the refs-native core behind
+    :func:`kmeans_embed`, consumable by further exchanges (semdedup's
+    same-cluster filter) without a driver gather.
 
     Scale shape: the table reads ONCE into block refs, then each round
     (seed election, every Lloyd iteration, the final assignment) is a
@@ -932,10 +1193,20 @@ def kmeans_embed(
         cents = np.round(new, _KM_CENT_ROUND)
 
     final_ref = ray.put(cents)
+    return [assign_block.remote(final_ref, r) for r in refs]
+
+
+def kmeans_embed(
+    sf_dir: str, k: int = _KM_K, iters: int = _KM_ITERS
+) -> pa.Table:
+    """Gathered form of :func:`kmeans_assign_refs` — the (vec_id,
+    cluster_id) query result, sorted by vec_id."""
+    import ray
+
     out = pa.concat_tables(
         [
             t
-            for t in ray.get([assign_block.remote(final_ref, r) for r in refs])
+            for t in ray.get(kmeans_assign_refs(sf_dir, k, iters))
             if t.num_rows
         ],
         promote_options="default",

@@ -634,3 +634,46 @@ def test_semdedup_semantics(ray_session):
         assert r["cluster_id"] == assign[r["vec_id"]]
     # non-trivial on this corpus
     assert sum(1 for k in got.values() if not k) > 0
+
+
+def test_similarity_subresult_cache_roundtrip(ray_session, tmp_path):
+    """The /tmp sub-result cache (kmeans assignment + verified pairs)
+    round-trips bit-exactly: a cold build, a warm cache read, and a
+    content-invalidated rebuild all produce identical query results."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from image_report_ray.pipelines import similarity as sim
+
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    shutil.copy(src, sf / "embeddings.parquet")
+
+    cold = sim.kmeans_embed(str(sf))
+    tag1 = sim._emb_tag(str(sf), "probe")
+    warm = sim.kmeans_embed(str(sf))
+    assert cold.equals(warm)
+
+    pairs_cold = sim.embedding_near_dups(str(sf), 0.4)
+    pairs_warm = sim.embedding_near_dups(str(sf), 0.4)
+    assert pairs_cold.equals(pairs_warm) and pairs_cold.num_rows > 0
+
+    # touching the corpus changes the fingerprint -> rebuild, not reuse
+    t = pq.read_table(sf / "embeddings.parquet")
+    pq.write_table(t, sf / "embeddings.parquet")
+    assert sim._emb_tag(str(sf), "probe") != tag1
+    assert sim.kmeans_embed(str(sf)).equals(cold)  # same content, same answer
+
+
+def test_semdedup_gated_route_equals_broadcast(ray_session):
+    """Forcing the above-gate route (assignment refs co-partitioned with
+    pair refs through three vec_id-keyed exchanges — the 100-TB path)
+    must reproduce the broadcast route bit-for-bit."""
+    from image_report_ray.pipelines.similarity import semdedup
+
+    broadcast = semdedup(SF, tau=0.4)
+    gated = semdedup(SF, tau=0.4, max_broadcast_ids=0)
+    assert broadcast.equals(gated)
+    assert broadcast.num_rows > 0
