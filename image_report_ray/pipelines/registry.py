@@ -14,6 +14,18 @@ def query_registry() -> "dict[str, Callable[[str], Any]]":
     from . import cdcq, dedup, multimodal, relational, similarity, text
 
     return {
+        # fronted: the driver's correctness gate checks a rotating prefix
+        # of ~50 queries — these 8 have never landed a driver-green row
+        # (local parity green since they shipped), so they lead the
+        # registry until CORRECTNESS_r5 covers them
+        "kmeans_embed": similarity.kmeans_embed,
+        "corpus_export": text.corpus_export,
+        "repetition_stats": text.repetition_stats,
+        "content_flags": text.content_flags,
+        "redact_text": text.redact_text,
+        "lang_char_quantiles": text.lang_char_quantiles,
+        "embedding_dup_clusters": similarity.embedding_dup_clusters,
+        "semdedup": similarity.semdedup,
         # multimodal binary-column plumbing (actor-pool decode stages)
         "media_meta": multimodal.media_meta,
         "media_features": multimodal.media_features,
@@ -76,15 +88,7 @@ def query_registry() -> "dict[str, Callable[[str], Any]]":
         "top_tokens": text.top_tokens,
         "dedup_exact": text.dedup_exact,
         "lang_stats": text.lang_stats,
-        "lang_char_quantiles": text.lang_char_quantiles,
-        "content_flags": text.content_flags,
-        "redact_text": text.redact_text,
-        "repetition_stats": text.repetition_stats,
-        "corpus_export": text.corpus_export,
         # similarity search
         "knn_cosine": similarity.knn_cosine,
-        "kmeans_embed": similarity.kmeans_embed,
         "embedding_near_dups": lambda sf: similarity.embedding_near_dups(sf, 0.4),
-        "embedding_dup_clusters": similarity.embedding_dup_clusters,
-        "semdedup": similarity.semdedup,
     }
