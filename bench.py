@@ -688,7 +688,44 @@ def main() -> None:
     else:
         out = run_once(args.sf, args.cpus, args.headline_only,
                        with_scaling=not args.no_scaling)
-    print(json.dumps(out))
+    _emit(out)
+
+
+# The driver records only the LAST 2000 chars of stdout; a longer line
+# front-truncates into an unparseable fragment (the r3/r4 artifacts both
+# lost their opening brace this way). Budget with margin:
+_CAPTURE_LIMIT = 1900
+
+
+def _emit(out: dict) -> None:
+    """Print the one JSON line, guaranteed to fit the driver's tail
+    capture. The untrimmed result always lands in BENCH_full.json next
+    to this file; if the line would overflow, per-query walls round to
+    2 decimals and then the FASTEST walls drop first (the headline and
+    the slow walls carry the signal), with a pointer to the sidecar."""
+    full = json.dumps(out)
+    try:
+        with open(os.path.join(REPO, "BENCH_full.json"), "w") as f:
+            f.write(full + "\n")
+    except OSError:
+        pass
+    line = full
+    if len(line) > _CAPTURE_LIMIT:
+        out = dict(out)
+        q = dict(out.get("queries") or {})
+        out["queries"] = {k: round(v, 2) for k, v in q.items()}
+        # headline sections first, walls last (readability + the walls
+        # are what gets trimmed)
+        tail_q = out.pop("queries")
+        out["queries"] = tail_q
+        line = json.dumps(out)
+        while len(line) > _CAPTURE_LIMIT and out["queries"]:
+            fastest = min(out["queries"], key=out["queries"].get)
+            del out["queries"][fastest]
+            out["queries_omitted"] = len(q) - len(out["queries"])
+            out["queries_full"] = "BENCH_full.json"
+            line = json.dumps(out)
+    print(line)
 
 
 if __name__ == "__main__":
