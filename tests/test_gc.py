@@ -199,6 +199,80 @@ def test_expire_plus_vacuum_destroys_bytes(ray_session, tmp_path):
     assert left.column("text").to_pylist() == ["fresh data"]
 
 
+def test_lifecycle_on_evolved_lake(ray_session, tmp_path):
+    """expire -> tombstone-GC -> vacuum over a lake whose schema evolved
+    mid-log (additive ``meta`` column from epoch 1): every maintenance
+    rewrite must carry the evolved column with exact values — apply and
+    changefeed were evolution-tested since round 3, the GC rewrites were
+    not (VERDICT r4 #6)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from image_report_ray.pipelines.cdc import expire_turns, vacuum_lake
+    from image_report_ray.sources.synth import full_changelog
+    from image_report_ray.state.oracle import apply_naive
+
+    ev = dict(CFG, evolve_from_epoch=1)
+    wal = str(tmp_path / "wal")
+    write_wal(wal, n_epochs=3, epoch_size=400, **ev)
+    lake_dir = str(tmp_path / "lake")
+    cfg = EngineConfig(num_partitions=4)
+    run_job(lake_dir, wal, cfg)
+
+    golden = apply_naive(full_changelog(3, 400, **ev))
+    head = canonical_state_table(Lake(lake_dir))
+    assert "meta" in head.column_names
+    assert head.equals(golden)
+
+    # TTL expiry: the GC rewrite folds evolved + pre-evolution files
+    cutoff = int(
+        pc.approximate_median(head.column("ts").cast(pa.int64())).as_py()
+    )
+    assert expire_turns(Lake(lake_dir), cutoff, cfg)["expired"] > 0
+    want = golden.filter(
+        pc.greater_equal(golden.column("ts").cast(pa.int64()), cutoff)
+    )
+    assert canonical_state_table(Lake(lake_dir)).equals(want)
+
+    # tombstone GC on the evolved lake: live state invariant
+    gc_tombstones(Lake(lake_dir), before_lsn=10_000)
+    assert canonical_state_table(Lake(lake_dir)).equals(want)
+
+    # vacuum to the head: state still bit-identical, lake validates
+    vacuum_lake(Lake(lake_dir), keep_epochs=0)
+    assert canonical_state_table(Lake(lake_dir)).equals(want)
+    from image_report_ray.cli import main
+
+    assert main(["validate", lake_dir]) == 0
+
+
+def test_bootstrap_evolved_corpus_then_reshard(ray_session, tmp_path):
+    """Bootstrapping from a corpus that already carries an extra payload
+    column keeps that column as first-class state, and a subsequent
+    reshard migrates it intact."""
+    import pyarrow.parquet as pq
+
+    from image_report_ray.pipelines.cdc import bootstrap_lake, reshard_lake
+    from image_report_ray.sources.synth import full_changelog
+    from image_report_ray.state.oracle import apply_naive
+
+    ev = dict(CFG, evolve_from_epoch=0)
+    plain = apply_naive(full_changelog(1, 400, **ev))
+    assert "meta" in plain.column_names
+    src = str(tmp_path / "corpus.parquet")
+    pq.write_table(plain, src)
+
+    lake_dir = str(tmp_path / "lake")
+    res = bootstrap_lake(src, lake_dir, 4, epoch=0)
+    assert res["rows_loaded"] == plain.num_rows
+    got = canonical_state_table(Lake(lake_dir))
+    assert got.equals(plain)
+
+    dst = str(tmp_path / "lake2")
+    reshard_lake(Lake(lake_dir), dst, 2)
+    assert canonical_state_table(Lake(dst)).equals(plain)
+
+
 def test_vacuum_spares_staged_uncommitted_files(ray_session, tmp_path):
     """vacuum must not delete staged files of an in-flight epoch or GC
     rewrite (state files land BEFORE the commit record — two-phase
