@@ -584,6 +584,188 @@ def _nd_verify(threshold: float, pid: int, pairs: pa.Table, vecs: pa.Table) -> p
     )
 
 
+def _nd_band_keys(t: pa.Table, pl: np.ndarray, band_bits: int) -> pa.Table:
+    """(band_key, vec_id) posting rows for one embeddings block — the
+    banded sign-LSH signature kernel, shared by the exchange path and
+    the physical index build (:func:`build_lsh_index`) so both routes
+    sign identically by construction."""
+    m = _stack(t.column("embedding"))
+    nrm = np.linalg.norm(m, axis=1)
+    nrm[nrm == 0] = 1.0
+    mn = m / nrm[:, None]
+    bits = (mn @ pl) > 0  # (n, bands*band_bits)
+    weights = 1 << np.arange(band_bits, dtype=np.int64)
+    keys, ids = [], []
+    vid = t.column("vec_id").to_numpy()
+    for b in range(_ND_BANDS):
+        chunk = bits[:, b * band_bits : (b + 1) * band_bits]
+        val = chunk.astype(np.int64) @ weights
+        keys.append(b * (1 << band_bits) + val)
+        ids.append(vid)
+    return pa.table(
+        {
+            "band_key": pa.array(np.concatenate(keys), pa.int64()),
+            "vec_id": pa.array(np.concatenate(ids), pa.int64()),
+        }
+    )
+
+
+# Physical banded-LSH layout at rest: the signature table
+# (band_key, vec_id) hash-partitioned into pid=K/ parquet dirs, built
+# once per corpus (the build_ivf_index sibling). Every posting of a
+# band key lives in exactly one pid, so candidate generation off the
+# index is one bucket-local count task per partition — re-runs over a
+# static corpus skip BOTH the signing matmul (the dominant flops) and
+# the candidate exchange's split stage, for ANY threshold (signatures
+# are threshold-independent, unlike the ndpairs result cache).
+_ND_INDEX_VERSION = "ndlsh-v1"
+_ND_INDEX_PARTS = 16
+
+
+def _lsh_index_dir(sf_dir: str) -> str:
+    """Deterministic per-corpus signature-index location under /tmp —
+    content-fingerprinted like :func:`_ivf_index_dir`, with every
+    signing parameter in the tag so a kernel-constant change can't
+    serve a stale layout."""
+    import glob
+    import hashlib
+
+    h = hashlib.sha1(os.path.abspath(sf_dir).encode())
+    h.update(
+        f"|{_ND_INDEX_VERSION}:{_ND_BANDS}:{_ND_SEED}:{_ND_INDEX_PARTS}".encode()
+    )
+    pat = os.path.join(sf_dir, "embeddings.parquet")
+    paths = sorted(glob.glob(pat)) or sorted(
+        glob.glob(os.path.join(pat, "*.parquet"))
+    )
+    for p in paths:
+        st = os.stat(p)
+        h.update(f"|{os.path.basename(p)}:{st.st_size}:{st.st_mtime_ns}".encode())
+    return os.path.join(tempfile.gettempdir(), f"irr-ndlsh-{h.hexdigest()[:12]}")
+
+
+def build_lsh_index(
+    sf_dir: str, index_dir: str | None = None, P: int = _ND_INDEX_PARTS
+) -> dict:
+    """Build (or reuse) the physical banded-LSH signature layout: one
+    streamed pass signs every vector and writes
+    ``index_dir/pid=K/*.parquet`` partitioned by
+    ``hash_key(band_key) % P`` — the SAME routing as the candidate
+    exchange, so per-pid files are complete per band key. Publishes by
+    atomic rename (concurrent builders: first wins). Returns the index
+    meta (also persisted as ``meta.json``)."""
+    import json
+    import shutil
+
+    import pyarrow.parquet as pq
+    import ray
+
+    from .exchange import hash_key
+
+    rd = _rd()
+    final = index_dir or _lsh_index_dir(sf_dir)
+    meta_path = os.path.join(final, "meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            return json.load(f)
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    n_rows = pf.metadata.num_rows
+    band_bits = _nd_band_bits(n_rows)
+    first = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
+    dim = len(first.column(0)[0])
+    pl_ref = ray.put(_nd_planes(dim, band_bits))
+
+    def sign(t: pa.Table) -> pa.Table:
+        out = _nd_band_keys(t, ray.get(pl_ref), band_bits)
+        pid = (hash_key(out.column("band_key")) % np.uint64(P)).astype(np.int32)
+        return out.append_column("pid", pa.array(pid))
+
+    scratch = f"{final}.building-{os.getpid()}"
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ds.map_batches(sign, batch_format="pyarrow").write_parquet(
+        scratch, partition_cols=["pid"]
+    )
+    meta = {
+        "version": _ND_INDEX_VERSION,
+        "n_rows": int(n_rows),
+        "dim": int(dim),
+        "bands": _ND_BANDS,
+        "band_bits": int(band_bits),
+        "P": int(P),
+    }
+    with open(os.path.join(scratch, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    try:
+        os.rename(scratch, final)
+    except OSError:  # concurrent builder won the publish race
+        shutil.rmtree(scratch, ignore_errors=True)
+    return meta
+
+
+def _lsh_index_pair_counts(
+    index_dir: str, meta: dict, max_band_freq: int | None
+) -> tuple[pa.Table, dict]:
+    """Candidate pairs straight off the physical layout: each pid=K dir
+    already holds EVERY posting of its band keys (build-time routing),
+    so the exchange's split stage disappears — one bucket-local count
+    task per partition, then the same tree fold as
+    :func:`..dedup.pair_counts`. Output is bit-identical to the
+    exchange route (both group by the hashed band key and sort
+    internally)."""
+    import glob
+
+    import ray
+
+    from .dedup import _PC_FAN, _merge_pair_partials, _pairs_in_partition
+    from .exchange import hash_key
+
+    @ray.remote
+    def count_pid(paths: list, cap):
+        import pyarrow.parquet as pq
+
+        t = pa.concat_tables(
+            [pq.read_table(p, columns=["band_key", "vec_id"]) for p in paths]
+        )
+        if t.num_rows == 0:
+            e = np.array([], np.int64)
+            return e, e, 0, 0
+        ks = hash_key(t.column("band_key"))
+        es = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return _pairs_in_partition(ks, es, max_key_freq=cap)
+
+    @ray.remote
+    def merge(*outs):
+        return _merge_pair_partials(list(outs))
+
+    outs = []
+    for pid in range(meta["P"]):
+        paths = sorted(
+            glob.glob(os.path.join(index_dir, f"pid={pid}", "*.parquet"))
+        )
+        if paths:
+            outs.append(count_pid.remote(paths, max_band_freq))
+    if not outs:
+        return (
+            pa.table({"pair": pa.array([], pa.int64()),
+                      "n_common": pa.array([], pa.int64())}),
+            {"dropped_keys": 0, "dropped_postings": 0},
+        )
+    while len(outs) > 1:
+        outs = [merge.remote(*outs[i : i + _PC_FAN]) for i in range(0, len(outs), _PC_FAN)]
+    uniq, sums, dk, dp = ray.get(outs[0])
+    if dk:
+        import logging
+
+        logging.getLogger("image_report_ray").warning(
+            "lsh-index pair_counts: hot-key cap (max_key_freq=%s) dropped "
+            "%d key(s) / %d posting(s)", max_band_freq, dk, dp,
+        )
+    t = pa.table({"pair": pa.array(uniq, pa.int64()), "n_common": pa.array(sums)})
+    return t, {"dropped_keys": dk, "dropped_postings": dp}
+
+
 def embedding_near_dup_lsh_refs(
     sf_dir: str,
     threshold: float = 0.95,
@@ -599,49 +781,41 @@ def embedding_near_dup_lsh_refs(
     compute the dot product inside the partitions, so the driver holds
     only the candidate-pair list and the final survivors, never a
     vector gather. Approximate -> pytest recall gate, no SQL oracle."""
-    import ray
+    import json
     from functools import partial as fpartial
+
+    import pyarrow.parquet as pq
+    import ray
 
     from .dedup import pair_counts
     from .exchange import exchange_reduce
 
-    import pyarrow.parquet as pq
-
     rd = _rd()
-    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
-    n_rows = pf.metadata.num_rows
-    band_bits = _nd_band_bits(n_rows)
-    first = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
-    dim = len(first.column(0)[0])
-    # hyperplanes generated ONCE and broadcast — not rebuilt per batch
-    pl_ref = ray.put(_nd_planes(dim, band_bits))
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     refs = ds.to_arrow_refs()
 
-    def band_explode(t: pa.Table) -> pa.Table:
-        m = _stack(t.column("embedding"))
-        nrm = np.linalg.norm(m, axis=1)
-        nrm[nrm == 0] = 1.0
-        mn = m / nrm[:, None]
-        pl = ray.get(pl_ref)
-        bits = (mn @ pl) > 0  # (n, bands*band_bits)
-        weights = (1 << np.arange(band_bits, dtype=np.int64))
-        keys, ids = [], []
-        vid = t.column("vec_id").to_numpy()
-        for b in range(_ND_BANDS):
-            chunk = bits[:, b * band_bits : (b + 1) * band_bits]
-            val = chunk.astype(np.int64) @ weights
-            keys.append(b * (1 << band_bits) + val)
-            ids.append(vid)
-        return pa.table(
-            {
-                "band_key": pa.array(np.concatenate(keys), pa.int64()),
-                "vec_id": pa.array(np.concatenate(ids), pa.int64()),
-            }
-        )
+    idx_dir = _lsh_index_dir(sf_dir)
+    meta_path = os.path.join(idx_dir, "meta.json")
+    if os.path.exists(meta_path):
+        # physical signature layout exists for this exact corpus content
+        # + signing params: skip the signing matmul AND the candidate
+        # exchange's split stage (bucket-local counts per pid=K dir)
+        with open(meta_path) as f:
+            index_meta = json.load(f)
+        cands_t, _ = _lsh_index_pair_counts(idx_dir, index_meta, max_band_freq)
+    else:
+        pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+        band_bits = _nd_band_bits(pf.metadata.num_rows)
+        first = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
+        dim = len(first.column(0)[0])
+        # hyperplanes generated ONCE and broadcast — not rebuilt per batch
+        pl_ref = ray.put(_nd_planes(dim, band_bits))
 
-    bands = rd.from_arrow_refs(refs).map_batches(band_explode, batch_format="pyarrow")
-    cands_t, _ = pair_counts(bands, "band_key", "vec_id", max_key_freq=max_band_freq)
+        def band_explode(t: pa.Table) -> pa.Table:
+            return _nd_band_keys(t, ray.get(pl_ref), band_bits)
+
+        bands = rd.from_arrow_refs(refs).map_batches(band_explode, batch_format="pyarrow")
+        cands_t, _ = pair_counts(bands, "band_key", "vec_id", max_key_freq=max_band_freq)
 
     if cands_t.num_rows == 0:
         return []

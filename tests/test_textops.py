@@ -297,6 +297,88 @@ def test_embedding_near_dups_lsh_recall(ray_session, tmp_path):
     assert routed.num_rows == approx.num_rows
 
 
+def test_lsh_index_layout_route_equality_and_reuse(ray_session, tmp_path):
+    """build_lsh_index writes the physical pid-partitioned signature
+    layout; the near-dup query auto-routes through it and the result is
+    BIT-IDENTICAL to the exchange route — at the build threshold, at a
+    different threshold (signatures are threshold-independent), and
+    under the hot-bucket cap. Re-queries reuse the published files."""
+    import glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from image_report_ray.pipelines.similarity import (
+        _ND_BANDS,
+        _lsh_index_dir,
+        build_lsh_index,
+        embedding_near_dups_lsh,
+    )
+
+    rng = np.random.default_rng(33)
+    dim = 32
+    base = rng.standard_normal((60, dim))
+    jit = base[:15] + 0.05 * rng.standard_normal((15, dim))
+    hot = np.tile(base[0], (10, 1))  # identical cluster -> hot buckets
+    mat = np.concatenate([base, jit, hot])
+    d = tmp_path / "emb"
+    os.makedirs(d)
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array(np.arange(len(mat)), pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in mat],
+                                   pa.list_(pa.float32())),
+        }),
+        str(d / "embeddings.parquet"),
+    )
+    sf = str(d)
+    # exchange-route results BEFORE any index exists
+    ex_95 = embedding_near_dups_lsh(sf, 0.95)
+    ex_99 = embedding_near_dups_lsh(sf, 0.99)
+    ex_cap = embedding_near_dups_lsh(sf, 0.95, max_band_freq=4)
+    assert ex_95.num_rows > 0
+
+    meta = build_lsh_index(sf)
+    idx = _lsh_index_dir(sf)
+    assert os.path.exists(os.path.join(idx, "meta.json"))
+    assert meta["n_rows"] == len(mat) and meta["bands"] == _ND_BANDS
+    files = glob.glob(os.path.join(idx, "pid=*", "*.parquet"))
+    assert files
+    # every (vector, band) posting landed in exactly one pid
+    n = sum(pq.read_metadata(f).num_rows for f in files)
+    assert n == len(mat) * _ND_BANDS
+
+    # index route == exchange route, bit-for-bit, all three variants
+    assert embedding_near_dups_lsh(sf, 0.95).equals(ex_95)
+    assert embedding_near_dups_lsh(sf, 0.99).equals(ex_99)
+    assert embedding_near_dups_lsh(sf, 0.95, max_band_freq=4).equals(ex_cap)
+
+    # reuse: neither the re-build nor the queries rewrote any file
+    assert build_lsh_index(sf) == meta
+    mtimes = {f: os.path.getmtime(f) for f in files}
+    embedding_near_dups_lsh(sf, 0.95)
+    assert mtimes == {f: os.path.getmtime(f) for f in files}
+
+
+def test_lsh_index_dir_invalidates_on_content_change(tmp_path):
+    """The signature-index tag is a content fingerprint (the IVF rule):
+    rewriting embeddings.parquet in place must yield a different dir."""
+    import os
+    import shutil
+
+    from image_report_ray.pipelines.similarity import _lsh_index_dir
+
+    sf = str(tmp_path)
+    shutil.copy(f"{SF}/embeddings.parquet", os.path.join(sf, "embeddings.parquet"))
+    tag1 = _lsh_index_dir(sf)
+    assert tag1 == _lsh_index_dir(sf)
+    with open(os.path.join(sf, "embeddings.parquet"), "ab") as f:
+        f.write(b"\0")
+    os.utime(os.path.join(sf, "embeddings.parquet"))
+    assert _lsh_index_dir(sf) != tag1
+
+
 def test_documents_corpus_deterministic(tmp_path):
     from image_report_ray.sources.synth import write_documents_corpus
     import pyarrow.parquet as pq
