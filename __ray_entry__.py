@@ -1720,6 +1720,23 @@ FROM documents GROUP BY lang ORDER BY lang
         # coarse quantizer (see _knn_ivf_sql) make them exactly twinnable
         "knn_cosine_lsh": _knn_lsh_sql(),
         "knn_cosine_ivf": _knn_ivf_sql(),
+        # batched multi-query retrieval join (similarity.knn_join): the
+        # 8 smallest vec_ids each retrieve their exact top-10 — the
+        # same cosine/tie pinning as knn_cosine, per query partition
+        "knn_join": """
+WITH q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= 8
+),
+s AS (SELECT q.qid, e.vec_id,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) AS sim
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid)
+SELECT qid AS query_vec_id,
+       CAST(ROW_NUMBER() OVER (
+            PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rnk,
+       vec_id
+FROM s QUALIFY rnk <= 10 ORDER BY query_vec_id, rnk
+""",
         "knn_cosine": """
 WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
 s AS (SELECT e.vec_id,

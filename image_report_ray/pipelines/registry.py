@@ -26,6 +26,9 @@ def query_registry() -> "dict[str, Callable[[str], Any]]":
         "lang_char_quantiles": text.lang_char_quantiles,
         "embedding_dup_clusters": similarity.embedding_dup_clusters,
         "semdedup": similarity.semdedup,
+        # round-5 additions ride directly behind the fronted 8 so the
+        # driver's rotating prefix reaches them in their landing round
+        "knn_join": similarity.knn_join,
         # multimodal binary-column plumbing (actor-pool decode stages)
         "media_meta": multimodal.media_meta,
         "media_features": multimodal.media_features,

@@ -192,6 +192,102 @@ def knn_cosine(sf_dir: str, query_vec_id: int = 0, k: int = 10) -> pa.Table:
     return t.select(["vec_id"]).append_column("rnk", rnk).select(["rnk", "vec_id"])
 
 
+def _smallest_vectors(sf_dir: str, n: int) -> pa.Table:
+    """The ``n`` SMALLEST vec_ids with their embeddings — the order-free
+    deterministic sample rule shared with the IVF trainer (``first rows
+    read`` would depend on block arrival order). Per-block partial
+    top-N tree-folds; the driver holds only the final n rows."""
+    import ray
+
+    rd = _rd()
+
+    @ray.remote
+    def part_smallest(*tabs: pa.Table) -> pa.Table:
+        live = [t for t in tabs if t.num_rows and "vec_id" in t.column_names]
+        if not live:
+            return tabs[0]
+        t = pa.concat_tables(live, promote_options="default")
+        ids = t.column("vec_id").to_numpy()
+        if len(ids) > n:
+            t = t.take(pa.array(np.argsort(ids, kind="stable")[:n]))
+        return t
+
+    refs = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).to_arrow_refs()
+    outs = [part_smallest.remote(r) for r in refs]
+    while len(outs) > 1:
+        outs = [part_smallest.remote(*outs[i : i + 8]) for i in range(0, len(outs), 8)]
+    t = ray.get(outs[0])
+    return t.take(pa.array(np.argsort(t.column("vec_id").to_numpy(), kind="stable")))
+
+
+def knn_join(sf_dir: str, n_queries: int = 8, k: int = 10) -> pa.Table:
+    """Batched multi-query exact retrieval join — the RAG / batch-lookup
+    shape: every query vector gets its top-``k`` cosine neighbors among
+    all OTHER stored vectors in ONE streamed pass over the corpus. The
+    query set is the ``n_queries`` smallest vec_ids (the IVF trainer's
+    order-free rule, SQL-expressible).
+
+    Scale shape: the (dim x Q) query matrix is broadcast once
+    (``ray.put``); each corpus block does a single (B x dim) @ (dim x Q)
+    matmul and emits at most Q*k partial rows, so the driver folds
+    O(blocks * Q * k) candidates — never the corpus. Exact twin:
+    ``__ray_entry__`` ``knn_join``."""
+    import ray
+
+    rd = _rd()
+    qt = _smallest_vectors(sf_dir, n_queries)
+    qids = qt.column("vec_id").to_numpy().astype(np.int64)
+    qm = _stack(qt.column("embedding"))
+    qn = np.linalg.norm(qm, axis=1)
+    qn[qn == 0] = 1.0
+    q_ref = ray.put((qids, (qm / qn[:, None]).T))  # (dim, Q)
+
+    def batch_topk(t: pa.Table) -> pa.Table:
+        qi, qmat = ray.get(q_ref)
+        m = _stack(t.column("embedding"))
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (m @ qmat) / norms[:, None]  # (B, Q)
+        ids = t.column("vec_id").to_numpy().astype(np.int64)
+        sims[ids[:, None] == qi[None, :]] = -np.inf  # self-match excluded
+        B, Q = sims.shape
+        take = min(k, B)
+        idx = np.argpartition(-sims, take - 1, axis=0)[:take]  # (take, Q)
+        cols = np.broadcast_to(np.arange(Q), (take, Q))
+        return pa.table(
+            {
+                "query_vec_id": pa.array(np.repeat(qi, take), pa.int64()),
+                "vec_id": pa.array(ids[idx].T.ravel(), pa.int64()),
+                "sim": pa.array(sims[idx, cols].T.ravel(), pa.float64()),
+            }
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    t = ds_to_table(ds.map_batches(batch_topk, batch_format="pyarrow"))
+    t = t.filter(pc.greater(t.column("sim"), -np.inf))
+    # fold the O(blocks*Q*k) partials: per-query rank, keep k
+    t = t.take(
+        pc.sort_indices(
+            t,
+            sort_keys=[("query_vec_id", "ascending"), ("sim", "descending"),
+                       ("vec_id", "ascending")],
+        )
+    )
+    g = t.column("query_vec_id").to_numpy()
+    pos = np.arange(len(g)) - np.searchsorted(g, g, side="left")
+    keep = pos < k
+    t = t.filter(pa.array(keep))
+    return pa.table(
+        {
+            "query_vec_id": t.column("query_vec_id"),
+            "rnk": pa.array((pos[keep] + 1).astype(np.int64), pa.int64()),
+            "vec_id": t.column("vec_id"),
+        }
+    )
+
+
 _LSH_BITS = 16
 _LSH_SEED = 0xA11CE
 # Probe radius calibrated to this corpus: true top-10 cosine sims are weak
@@ -316,34 +412,9 @@ def _ivf_centroids(m: np.ndarray, n_cells: int) -> np.ndarray:
 
 def _train_ivf_centroids(sf_dir: str, n_cells: int = _IVF_CELLS) -> np.ndarray:
     """Train the coarse quantizer on a bounded sample of the embeddings
-    table — the ``_IVF_TRAIN_SAMPLE`` SMALLEST vec_ids (an order-free,
-    SQL-expressible rule; "first rows read" would depend on block
-    arrival order). Per-block partial top-N by vec_id tree-folds to the
-    driver, which holds only the final sample."""
-    import ray
-
-    rd = _rd()
-    n = _IVF_TRAIN_SAMPLE
-
-    @ray.remote
-    def part_smallest(*tabs: pa.Table) -> pa.Table:
-        live = [t for t in tabs if t.num_rows and "vec_id" in t.column_names]
-        if not live:
-            return tabs[0]
-        t = pa.concat_tables(live, promote_options="default")
-        ids = t.column("vec_id").to_numpy()
-        if len(ids) > n:
-            t = t.take(pa.array(np.argsort(ids, kind="stable")[:n]))
-        return t
-
-    refs = rd.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    ).to_arrow_refs()
-    outs = [part_smallest.remote(r) for r in refs]
-    while len(outs) > 1:
-        outs = [part_smallest.remote(*outs[i : i + 8]) for i in range(0, len(outs), 8)]
-    t = ray.get(outs[0])
-    t = t.take(pa.array(np.argsort(t.column("vec_id").to_numpy(), kind="stable")))
+    table — the ``_IVF_TRAIN_SAMPLE`` SMALLEST vec_ids
+    (:func:`_smallest_vectors`, the order-free SQL-expressible rule)."""
+    t = _smallest_vectors(sf_dir, _IVF_TRAIN_SAMPLE)
     m = _stack(t.column("embedding"))
     norms = np.linalg.norm(m, axis=1)
     norms[norms == 0] = 1.0
