@@ -208,6 +208,42 @@ def _simhash_sql() -> str:
     return _SIMHASH_SQL.format(poly=_poly_hash_sql("tok"))
 
 
+# Duplicated-span coverage twin (image_report_ray.pipelines.dedup:
+# dup_span_coverage): W-token windows as strings (the kernel hashes the
+# SAME space-joined strings — the minhash shingle equivalence), a span
+# is duplicated iff >= 2 distinct docs hold it, coverage is the interval
+# union of a doc's duplicated window starts (LEAD == the kernel's
+# next-start minimum).
+def _dupspan_sql() -> str:
+    from image_report_ray.pipelines.dedup import _SPAN_W as W
+
+    span = "||' '||".join(f"a.ws[p.pos+{j}]" if j else "a.ws[p.pos]"
+                          for j in range(W))
+    return f"""
+WITH arr AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS ws FROM documents
+),
+win AS (
+  SELECT a.doc_id, p.pos, {span} AS span
+  FROM arr a, UNNEST(range(1, len(a.ws) - {W - 2})) AS p(pos)
+),
+dup AS (SELECT span FROM win GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2),
+dwin AS (SELECT w.doc_id, w.pos FROM win w JOIN dup USING (span)),
+cov AS (
+  SELECT doc_id,
+         SUM(CASE WHEN nxt IS NULL THEN {W}
+                  ELSE LEAST(nxt - pos, {W}) END) AS dup_tokens
+  FROM (SELECT doc_id, pos,
+               LEAD(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+        FROM dwin)
+  GROUP BY doc_id
+)
+SELECT a.doc_id, CAST(len(a.ws) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(c.dup_tokens, 0) AS BIGINT) AS dup_tokens
+FROM arr a LEFT JOIN cov c USING (doc_id) ORDER BY a.doc_id
+"""
+
+
 def _minhash_sql() -> str:
     """MinHash+LSH twin (image_report_ray.pipelines.dedup:
     dedup_minhash_lsh), candidate generation INCLUDED: the 128 seeded
@@ -829,6 +865,7 @@ ORDER BY d.doc_id
         # mul-mix/xor Horner); exact-Jaccard verify over distinct
         # shingle hashes
         "dedup_minhash_lsh": _minhash_sql(),
+        "dup_span_coverage": _dupspan_sql(),
         # SimHash near-dup: the pigeonhole candidates + popcount verify
         # are exact for hamming <= 3, so the twin is the quadratic form
         "dedup_simhash": _simhash_sql(),

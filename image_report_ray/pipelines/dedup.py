@@ -784,6 +784,161 @@ def dedup_ngram_jaccard(sf_dir: str, tau: float = 0.2) -> pa.Table:
     return finalize(t, [("doc_id_a", "ascending"), ("doc_id_b", "ascending")])
 
 
+# ---- duplicated-span corpus profile ------------------------------------
+
+# Window width for the exact shared-span profile (Lee et al.,
+# "Deduplicating Training Data Makes Language Models Better": the
+# duplication measure is tokens inside >=W-token spans that recur across
+# documents). 8 words on this corpus (docs are 10-99 tokens).
+_SPAN_W = 8
+
+
+def _doc_windows(batch: pa.Table, W: int) -> tuple[pa.Table, pa.Table]:
+    """Per block: (h, doc_id, pos) posting rows — every W-token window
+    of every doc, hashed with :func:`hash_utf8_64` over the space-joined
+    window (the minhash-shingle string equivalence) — plus the per-doc
+    token counts (each doc lives in exactly one block, so block-local
+    counts are globally complete)."""
+    flat, offsets = _tokenize(batch.column("text"))
+    n_docs = len(offsets) - 1
+    doc_ids = batch.column("doc_id").to_numpy()
+    counts = pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "n_tokens": pa.array(np.diff(offsets), pa.int64()),
+        }
+    )
+    n = len(flat)
+    empty = pa.table(
+        {"h": pa.array([], pa.int64()),
+         "doc_id": pa.array([], pa.int64()),
+         "pos": pa.array([], pa.int64())}
+    )
+    if n < W or n_docs == 0:
+        return empty, counts
+    sh = flat[: n - W + 1].copy()
+    for j in range(1, W):
+        sh = sh + " "
+        sh = sh + flat[j : n - W + 1 + j]
+    doc_idx_full = np.repeat(np.arange(n_docs), np.diff(offsets))
+    valid = doc_idx_full[: n - W + 1] == doc_idx_full[W - 1 :]
+    if not valid.any():
+        return empty, counts
+    doc_idx = doc_idx_full[: n - W + 1]
+    pos = (np.arange(n - W + 1) - offsets[doc_idx])[valid]
+    h = hash_utf8_64(sh[valid]).view(np.int64)
+    return (
+        pa.table(
+            {
+                "h": pa.array(h, pa.int64()),
+                "doc_id": pa.array(doc_ids[doc_idx[valid]], pa.int64()),
+                "pos": pa.array(pos, pa.int64()),
+            }
+        ),
+        counts,
+    )
+
+
+def _span_flag_kernel(pid: int, t: pa.Table) -> pa.Table:
+    """Hash-partition kernel: window hashes held by >= 2 DISTINCT docs
+    are duplicated; emit their (doc_id, pos) placements. All postings of
+    a hash live in this partition, so the distinct-doc count is global."""
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "pos": pa.array([], pa.int64())}
+    )
+    if t.num_rows == 0 or "h" not in t.column_names:
+        return empty
+    h = t.column("h").to_numpy()
+    d = t.column("doc_id").to_numpy()
+    order = np.lexsort((d, h))
+    hs, ds_ = h[order], d[order]
+    new_hd = np.r_[True, (hs[1:] != hs[:-1]) | (ds_[1:] != ds_[:-1])]
+    uniq, ndocs = np.unique(hs[new_hd], return_counts=True)
+    dup_hashes = uniq[ndocs >= 2]
+    if not len(dup_hashes):
+        return empty
+    keep = np.isin(h, dup_hashes, assume_unique=False)
+    return pa.table(
+        {
+            "doc_id": t.column("doc_id").filter(pa.array(keep)),
+            "pos": t.column("pos").filter(pa.array(keep)),
+        }
+    )
+
+
+def _span_cov_kernel(W: int, pid: int, flags: pa.Table, counts: pa.Table) -> pa.Table:
+    """Doc-partition kernel: interval-union coverage of each doc's
+    duplicated windows (sorted starts; each start covers min(next-start,
+    W) tokens, the last covers W) joined onto the per-doc token counts —
+    docs with no duplicated span report 0."""
+    if counts.num_rows == 0 or "doc_id" not in counts.column_names:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "n_tokens": pa.array([], pa.int64()),
+             "dup_tokens": pa.array([], pa.int64())}
+        )
+    cd = counts.column("doc_id").to_numpy()
+    cn = counts.column("n_tokens").to_numpy()
+    dup = np.zeros(len(cd), np.int64)
+    if flags.num_rows and "doc_id" in flags.column_names:
+        d = flags.column("doc_id").to_numpy()
+        p = flags.column("pos").to_numpy()
+        order = np.lexsort((p, d))
+        d, p = d[order], p[order]
+        last = np.r_[d[1:] != d[:-1], True]
+        nxt = np.empty_like(p)
+        nxt[:-1] = p[1:]
+        contrib = np.where(last, W, np.minimum(nxt - p, W))
+        starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+        sums = np.add.reduceat(contrib, starts)
+        corder = np.argsort(cd)
+        ix = np.searchsorted(cd[corder], d[starts])
+        dup[corder[ix]] = sums
+    return pa.table(
+        {
+            "doc_id": pa.array(cd, pa.int64()),
+            "n_tokens": pa.array(cn, pa.int64()),
+            "dup_tokens": pa.array(dup, pa.int64()),
+        }
+    )
+
+
+def dup_span_coverage(sf_dir: str, W: int = _SPAN_W, P: int = _PC_PARTS) -> pa.Table:
+    """Corpus duplication profile: for every document, how many of its
+    tokens sit inside an exact W-token span that also occurs in ANOTHER
+    document (the Lee-et-al. duplicated-text measure; exact-integer
+    output, ratios are the consumer's division).
+
+    Scale shape: postings are (64-bit window hash, doc_id, pos) — bodies
+    never shuffle; one exchange on the hash decides global duplication
+    (all placements of a hash co-locate), one exchange on doc_id merges
+    the flagged intervals per doc. Driver holds only the final per-doc
+    table. Exact twin: ``__ray_entry__`` ``dup_span_coverage``."""
+    import ray
+    from functools import partial as fpartial
+
+    from .exchange import exchange_reduce, gather_concat
+
+    rd = _rd()
+
+    @ray.remote(num_returns=2)
+    def explode(block: pa.Table):
+        return _doc_windows(block, W)
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    outs = [explode.remote(r) for r in ds.to_arrow_refs()]
+    post_refs = [o[0] for o in outs]
+    count_refs = [o[1] for o in outs]
+
+    flag_refs = exchange_reduce([post_refs], ["h"], _span_flag_kernel, P=P)
+    cov_refs = exchange_reduce(
+        [flag_refs, count_refs], ["doc_id", "doc_id"],
+        fpartial(_span_cov_kernel, W), P=P,
+    )
+    t = gather_concat(cov_refs)
+    return finalize(t, [("doc_id", "ascending")])
+
+
 # ---- MinHash + LSH (scale path) ---------------------------------------
 
 

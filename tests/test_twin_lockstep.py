@@ -96,6 +96,7 @@ _DERIVED_TWINS = {
     "knn_cosine_lsh": entry._knn_lsh_sql,
     "knn_cosine_ivf": entry._knn_ivf_sql,
     "cdc_incremental_dedup": entry._incdedup_sql,
+    "dup_span_coverage": entry._dupspan_sql,
 }
 
 
