@@ -244,6 +244,32 @@ FROM arr a LEFT JOIN cov c USING (doc_id) ORDER BY a.doc_id
 """
 
 
+# Top-duplicated-spans twin (image_report_ray.pipelines.dedup:top_spans):
+# same W-token window strings, duplicated = >= 2 distinct docs, ordered
+# by (n_docs, n_occurrences) desc with the span-string tiebreak.
+def _topspans_sql() -> str:
+    from image_report_ray.pipelines.dedup import _SPAN_W as W
+
+    span = "||' '||".join(f"a.ws[p.pos+{j}]" if j else "a.ws[p.pos]"
+                          for j in range(W))
+    return f"""
+WITH arr AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS ws FROM documents
+),
+win AS (
+  SELECT a.doc_id, {span} AS span
+  FROM arr a, UNNEST(range(1, len(a.ws) - {W - 2})) AS p(pos)
+),
+agg AS (
+  SELECT span, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occurrences
+  FROM win GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2
+)
+SELECT span, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_occurrences AS BIGINT) AS n_occurrences
+FROM agg ORDER BY n_docs DESC, n_occurrences DESC, span ASC LIMIT 20
+"""
+
+
 def _minhash_sql() -> str:
     """MinHash+LSH twin (image_report_ray.pipelines.dedup:
     dedup_minhash_lsh), candidate generation INCLUDED: the 128 seeded
@@ -866,6 +892,7 @@ ORDER BY d.doc_id
         # shingle hashes
         "dedup_minhash_lsh": _minhash_sql(),
         "dup_span_coverage": _dupspan_sql(),
+        "top_spans": _topspans_sql(),
         # SimHash near-dup: the pigeonhole candidates + popcount verify
         # are exact for hamming <= 3, so the twin is the quadratic form
         "dedup_simhash": _simhash_sql(),

@@ -939,6 +939,134 @@ def dup_span_coverage(sf_dir: str, W: int = _SPAN_W, P: int = _PC_PARTS) -> pa.T
     return finalize(t, [("doc_id", "ascending")])
 
 
+def _span_top_kernel(topn: int, pid: int, t: pa.Table) -> pa.Table:
+    """Hash-partition kernel for :func:`top_spans`: per window hash the
+    (distinct-doc, total-occurrence) counts; only duplicated hashes
+    (>= 2 docs) survive, truncated to the partition's top-``topn`` by
+    (n_docs, n_occurrences) WITH boundary ties kept — a superset of any
+    global top-``topn`` under a finer tiebreak."""
+    empty = pa.table(
+        {"h": pa.array([], pa.int64()),
+         "n_docs": pa.array([], pa.int64()),
+         "n_occurrences": pa.array([], pa.int64())}
+    )
+    if t.num_rows == 0 or "h" not in t.column_names:
+        return empty
+    h = t.column("h").to_numpy()
+    d = t.column("doc_id").to_numpy()
+    order = np.lexsort((d, h))
+    hs, ds_ = h[order], d[order]
+    new_h = np.r_[True, hs[1:] != hs[:-1]]
+    new_hd = new_h | np.r_[True, ds_[1:] != ds_[:-1]]
+    grp = np.cumsum(new_h) - 1
+    n_grp = grp[-1] + 1
+    ndocs = np.zeros(n_grp, np.int64)
+    np.add.at(ndocs, grp, new_hd.astype(np.int64))
+    nocc = np.bincount(grp, minlength=n_grp).astype(np.int64)
+    uh = hs[new_h]
+    keep = ndocs >= 2
+    uh, ndocs, nocc = uh[keep], ndocs[keep], nocc[keep]
+    if not len(uh):
+        return empty
+    if len(uh) > topn:
+        # top-n by (n_docs, n_occ) + every row tied with the boundary
+        rank = np.lexsort((-nocc, -ndocs))
+        bd, bo = ndocs[rank[topn - 1]], nocc[rank[topn - 1]]
+        sel = rank[
+            np.r_[np.arange(topn),
+                  topn + np.flatnonzero(
+                      (ndocs[rank[topn:]] == bd) & (nocc[rank[topn:]] == bo))]
+        ]
+        uh, ndocs, nocc = uh[sel], ndocs[sel], nocc[sel]
+    return pa.table(
+        {"h": pa.array(uh, pa.int64()),
+         "n_docs": pa.array(ndocs, pa.int64()),
+         "n_occurrences": pa.array(nocc, pa.int64())}
+    )
+
+
+def top_spans(sf_dir: str, W: int = _SPAN_W, topn: int = 20) -> pa.Table:
+    """The corpus's most-duplicated exact W-token spans: (span, n_docs,
+    n_occurrences), n_docs >= 2, ordered by (n_docs desc, n_occurrences
+    desc, span asc), top ``topn`` — the boilerplate/contamination lens
+    over the same windows as :func:`dup_span_coverage`.
+
+    Scale shape: counting happens on 64-bit window hashes (one keyed
+    exchange; each partition returns at most topn + boundary ties);
+    span TEXT is resolved only for the <= P*(topn+ties) candidate
+    hashes by a second broadcast-membership pass over the doc blocks —
+    strings never enter the exchange. Exact twin: ``__ray_entry__``
+    ``top_spans``."""
+    import ray
+    from functools import partial as fpartial
+
+    from .exchange import exchange_reduce, gather_concat
+
+    rd = _rd()
+
+    @ray.remote(num_returns=2)
+    def explode(block: pa.Table):
+        return _doc_windows(block, W)
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    doc_refs = ds.to_arrow_refs()
+    post_refs = [explode.remote(r)[0] for r in doc_refs]
+    cand = gather_concat(
+        exchange_reduce([post_refs], ["h"], fpartial(_span_top_kernel, topn))
+    )
+    if cand.num_rows == 0:
+        return pa.table(
+            {"span": pa.array([], pa.string()),
+             "n_docs": pa.array([], pa.int64()),
+             "n_occurrences": pa.array([], pa.int64())}
+        )
+    want_ref = ray.put(np.unique(cand.column("h").to_numpy()))
+
+    @ray.remote
+    def resolve(block: pa.Table, want) -> pa.Table:
+        posts, _ = _doc_windows(block, W)
+        h = posts.column("h").to_numpy()
+        keep = np.isin(h, want)
+        if not keep.any():
+            return pa.table(
+                {"h": pa.array([], pa.int64()),
+                 "span": pa.array([], pa.string())}
+            )
+        # rebuild only the winners' texts (block-local recompute of the
+        # matching windows; cheaper than ever shuffling strings)
+        flat, offsets = _tokenize(block.column("text"))
+        n = len(flat)
+        sh = flat[: n - W + 1].copy()
+        for j in range(1, W):
+            sh = sh + " "
+            sh = sh + flat[j : n - W + 1 + j]
+        n_docs_blk = len(offsets) - 1
+        doc_idx_full = np.repeat(np.arange(n_docs_blk), np.diff(offsets))
+        valid = doc_idx_full[: n - W + 1] == doc_idx_full[W - 1 :]
+        texts = sh[valid][keep]
+        hh, first = np.unique(h[keep], return_index=True)
+        return pa.table(
+            {"h": pa.array(hh, pa.int64()),
+             "span": pa.array(texts[first].astype(object), pa.string())}
+        )
+
+    tex = [resolve.remote(r, want_ref) for r in doc_refs]
+    tt = pa.concat_tables([t for t in ray.get(tex) if t.num_rows])
+    hmap = dict(zip(tt.column("h").to_pylist(), tt.column("span").to_pylist()))
+    # driver fold: candidates are tiny; finish with the span tiebreak
+    ch = cand.column("h").to_numpy()
+    uh, first = np.unique(ch, return_index=True)
+    nd = cand.column("n_docs").to_numpy()[first]
+    no = cand.column("n_occurrences").to_numpy()[first]
+    spans = np.array([hmap[x] for x in uh], dtype=object)
+    order = np.lexsort((spans, -no, -nd))[:topn]
+    return pa.table(
+        {"span": pa.array(spans[order].tolist(), pa.string()),
+         "n_docs": pa.array(nd[order], pa.int64()),
+         "n_occurrences": pa.array(no[order], pa.int64())}
+    )
+
+
 # ---- MinHash + LSH (scale path) ---------------------------------------
 
 

@@ -30,6 +30,7 @@ def query_registry() -> "dict[str, Callable[[str], Any]]":
         # driver's rotating prefix reaches them in their landing round
         "knn_join": similarity.knn_join,
         "dup_span_coverage": dedup.dup_span_coverage,
+        "top_spans": dedup.top_spans,
         # multimodal binary-column plumbing (actor-pool decode stages)
         "media_meta": multimodal.media_meta,
         "media_features": multimodal.media_features,

@@ -97,6 +97,7 @@ _DERIVED_TWINS = {
     "knn_cosine_ivf": entry._knn_ivf_sql,
     "cdc_incremental_dedup": entry._incdedup_sql,
     "dup_span_coverage": entry._dupspan_sql,
+    "top_spans": entry._topspans_sql,
 }
 
 
