@@ -1787,6 +1787,33 @@ FROM documents GROUP BY lang ORDER BY lang
         # batched multi-query retrieval join (similarity.knn_join): the
         # 8 smallest vec_ids each retrieve their exact top-10 — the
         # same cosine/tie pinning as knn_cosine, per query partition
+        # ordered funnel (relational.funnel_stages): greedy earliest
+        # completion per stage, strictly-after chaining
+        "funnel_stages": """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id
+),
+u AS (SELECT DISTINCT user_id FROM events)
+SELECT u.user_id,
+       CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                 WHEN t2 IS NOT NULL THEN 2
+                 WHEN t1 IS NOT NULL THEN 1
+                 ELSE 0 END AS BIGINT) AS funnel_stage
+FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+       LEFT JOIN s3 USING (user_id)
+ORDER BY u.user_id
+""",
         "knn_join": """
 WITH q AS (
   SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe

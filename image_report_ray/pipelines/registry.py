@@ -31,6 +31,7 @@ def query_registry() -> "dict[str, Callable[[str], Any]]":
         "knn_join": similarity.knn_join,
         "dup_span_coverage": dedup.dup_span_coverage,
         "top_spans": dedup.top_spans,
+        "funnel_stages": relational.funnel_stages,
         # multimodal binary-column plumbing (actor-pool decode stages)
         "media_meta": multimodal.media_meta,
         "media_features": multimodal.media_features,

@@ -951,6 +951,58 @@ def sessionize_users(sf_dir: str) -> pa.Table:
     return finalize(gather_concat(refs), [("user_id", "ascending")])
 
 
+_FUNNEL = ("view", "click", "purchase")
+
+
+def _funnel_partition(pid: int, t: pa.Table) -> pa.Table:
+    """Vectorized funnel kernel for one user-hash partition: per user
+    the earliest completion time of each stage — stage i's event must
+    be STRICTLY after stage i-1's earliest completion (the standard
+    ordered-funnel semantics). No Python loop: per-stage masked
+    ``minimum.reduceat`` at the sorted user-group starts, chained."""
+    empty = pa.table({"user_id": pa.array([], pa.int64()),
+                      "funnel_stage": pa.array([], pa.int64())})
+    if t.num_rows == 0 or "user_id" not in t.column_names:
+        return empty
+    u = t.column("user_id").to_numpy()
+    ty = t.column("event_type").to_numpy(zero_copy_only=False)
+    ts = t.column("ts").to_numpy().astype(np.int64)
+    order = np.lexsort((ts, u))
+    u, ty, ts = u[order], ty[order], ts[order]
+    starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+    grp = np.cumsum(np.r_[True, u[1:] != u[:-1]]) - 1
+    BIG = np.iinfo(np.int64).max
+    prev = np.full(len(starts), -BIG)  # stage-0 sentinel: no constraint
+    stage = np.zeros(len(starts), np.int64)
+    for i, ev in enumerate(_FUNNEL):
+        cand = np.where((ty == ev) & (ts > prev[grp]), ts, BIG)
+        cur = np.minimum.reduceat(cand, starts)
+        done = cur < BIG
+        stage = np.where(done, i + 1, stage)
+        prev = np.where(done, cur, BIG)  # unreachable next stage if not done
+    return pa.table(
+        {"user_id": pa.array(u[starts], pa.int64()),
+         "funnel_stage": pa.array(stage, pa.int64())}
+    )
+
+
+def funnel_stages(sf_dir: str) -> pa.Table:
+    """Ordered funnel (view -> click -> purchase) per user: the furthest
+    stage whose event occurs strictly after the previous stage's
+    earliest completion — the classic event-pipeline conversion
+    operator. One keyed exchange on user_id (3-column pruned read), one
+    vectorized kernel per partition. Exact twin: ``__ray_entry__``
+    ``funnel_stages``."""
+    from .exchange import exchange_reduce, gather_concat
+
+    rd = _rd()
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "ts"]
+    )
+    refs = exchange_reduce([ds], ["user_id"], _funnel_partition)
+    return finalize(gather_concat(refs), [("user_id", "ascending")])
+
+
 def _asof_partition(pid: int, t: pa.Table) -> pa.Table:
     """Vectorized by-user as-of join for one user-hash partition: ONE
     ``merge_asof(by="user_id")`` over all this partition's users."""

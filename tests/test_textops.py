@@ -297,6 +297,47 @@ def test_embedding_near_dups_lsh_recall(ray_session, tmp_path):
     assert routed.num_rows == approx.num_rows
 
 
+def test_funnel_stages_constructed_edges(ray_session, tmp_path):
+    """Ordered-funnel semantics on a constructed table: all four stages
+    reachable, same-timestamp events do NOT chain (strictly-after), and
+    out-of-order events don't count."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from image_report_ray.pipelines.relational import funnel_stages
+
+    def ev(uid, typ, us):
+        return (uid, typ, us)
+
+    rows = [
+        ev(0, "error", 10),                                  # stage 0
+        ev(1, "view", 10),                                   # stage 1
+        ev(2, "view", 10), ev(2, "click", 20),               # stage 2
+        ev(3, "view", 10), ev(3, "click", 20), ev(3, "purchase", 30),  # 3
+        # same-ts click as the view: strictly-after fails -> stage 1
+        ev(4, "view", 10), ev(4, "click", 10),
+        # purchase BEFORE the click completes: no chain -> stage 2
+        ev(5, "view", 10), ev(5, "purchase", 15), ev(5, "click", 20),
+        # later view re-opens nothing: greedy earliest view at 10,
+        # click at 5 precedes it -> stage 1
+        ev(6, "click", 5), ev(6, "view", 10),
+    ]
+    t = pa.table(
+        {"user_id": pa.array([r[0] for r in rows], pa.int64()),
+         "event_type": pa.array([r[1] for r in rows]),
+         "ts": pa.array([r[2] for r in rows], pa.timestamp("us"))}
+    )
+    d = tmp_path / "ev"
+    os.makedirs(d)
+    pq.write_table(t, str(d / "events.parquet"))
+    out = funnel_stages(str(d))
+    got = dict(zip(out.column("user_id").to_pylist(),
+                   out.column("funnel_stage").to_pylist()))
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 1, 5: 2, 6: 1}
+
+
 def test_lsh_index_layout_route_equality_and_reuse(ray_session, tmp_path):
     """build_lsh_index writes the physical pid-partitioned signature
     layout; the near-dup query auto-routes through it and the result is
