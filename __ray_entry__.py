@@ -1787,6 +1787,22 @@ FROM documents GROUP BY lang ORDER BY lang
         # batched multi-query retrieval join (similarity.knn_join): the
         # 8 smallest vec_ids each retrieve their exact top-10 — the
         # same cosine/tie pinning as knn_cosine, per query partition
+        # weekly retention triangle (relational.retention_cohorts):
+        # cohort = Monday week of each user's first event
+        "retention_cohorts": """
+WITH f AS (
+  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cw
+  FROM events GROUP BY user_id
+),
+w AS (
+  SELECT DISTINCT e.user_id, f.cw,
+         date_diff('day', f.cw, CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS off
+  FROM events e JOIN f USING (user_id)
+)
+SELECT cw AS cohort_week, CAST(off AS BIGINT) AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM w GROUP BY 1, 2 ORDER BY 1, 2
+""",
         # ordered funnel (relational.funnel_stages): greedy earliest
         # completion per stage, strictly-after chaining
         "funnel_stages": """

@@ -32,6 +32,7 @@ def query_registry() -> "dict[str, Callable[[str], Any]]":
         "dup_span_coverage": dedup.dup_span_coverage,
         "top_spans": dedup.top_spans,
         "funnel_stages": relational.funnel_stages,
+        "retention_cohorts": relational.retention_cohorts,
         # multimodal binary-column plumbing (actor-pool decode stages)
         "media_meta": multimodal.media_meta,
         "media_features": multimodal.media_features,

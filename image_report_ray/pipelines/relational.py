@@ -1003,6 +1003,63 @@ def funnel_stages(sf_dir: str) -> pa.Table:
     return finalize(gather_concat(refs), [("user_id", "ascending")])
 
 
+def _retention_partition(pid: int, t: pa.Table) -> pa.Table:
+    """Per user-hash partition: each user's cohort week (Monday of the
+    first event's week) and the DISTINCT week offsets they were active;
+    users are partition-complete, so (cohort, offset) user counts from
+    different partitions simply ADD at the driver fold."""
+    empty = pa.table({"cohort_week": pa.array([], pa.date32()),
+                      "week_offset": pa.array([], pa.int64()),
+                      "n_users": pa.array([], pa.int64())})
+    if t.num_rows == 0 or "user_id" not in t.column_names:
+        return empty
+    u = t.column("user_id").to_numpy()
+    days = t.column("ts").to_numpy().astype(np.int64) // 86_400_000_000
+    monday = days - ((days + 3) % 7)  # 1970-01-01 is a Thursday
+    order = np.argsort(u, kind="stable")
+    u, monday = u[order], monday[order]
+    starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+    grp = np.cumsum(np.r_[True, u[1:] != u[:-1]]) - 1
+    first = np.minimum.reduceat(monday, starts)
+    off = (monday - first[grp]) // 7
+    # distinct (user, offset) -> (cohort, offset) counts
+    key = grp * (off.max() + 1) + off if len(off) else off
+    _, ix = np.unique(key, return_index=True)
+    cohort, offs = first[grp[ix]], off[ix]
+    ck = cohort * 1024 + offs  # offsets < 1024 weeks on any sane corpus
+    uniq, cnt = np.unique(ck, return_counts=True)
+    return pa.table(
+        {
+            "cohort_week": pa.array((uniq // 1024).astype("datetime64[D]")),
+            "week_offset": pa.array((uniq % 1024).astype(np.int64), pa.int64()),
+            "n_users": pa.array(cnt.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def retention_cohorts(sf_dir: str) -> pa.Table:
+    """Weekly retention cohorts: users grouped by the Monday week of
+    their FIRST event; for each (cohort_week, week_offset) the count of
+    cohort users active that week — the classic activation/retention
+    triangle. One user-keyed exchange (2-column pruned read); the
+    driver folds O(weeks^2) partial count rows per partition. Exact
+    twin: ``__ray_entry__`` ``retention_cohorts``."""
+    from .exchange import exchange_reduce, gather_concat
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    t = gather_concat(
+        exchange_reduce([ds], ["user_id"], _retention_partition)
+    )
+    if t.num_rows == 0:
+        return t
+    g = t.group_by(["cohort_week", "week_offset"]).aggregate([("n_users", "sum")])
+    g = g.rename_columns(["cohort_week", "week_offset", "n_users"])
+    return finalize(
+        g, [("cohort_week", "ascending"), ("week_offset", "ascending")]
+    )
+
+
 def _asof_partition(pid: int, t: pa.Table) -> pa.Table:
     """Vectorized by-user as-of join for one user-hash partition: ONE
     ``merge_asof(by="user_id")`` over all this partition's users."""

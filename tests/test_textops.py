@@ -338,6 +338,51 @@ def test_funnel_stages_constructed_edges(ray_session, tmp_path):
     assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 1, 5: 2, 6: 1}
 
 
+def test_retention_cohorts_constructed(ray_session, tmp_path):
+    """Multi-cohort retention triangle on a constructed table: Monday
+    truncation, distinct-week dedup (two events in one week count the
+    user once), and cross-cohort separation."""
+    import os
+    from datetime import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from image_report_ray.pipelines.relational import retention_cohorts
+
+    def ts(s):
+        return datetime.fromisoformat(s)
+
+    # 2024-01-01 and 2024-01-08 are Mondays
+    rows = [
+        (0, ts("2024-01-03")), (0, ts("2024-01-05")),  # cohort w0, off 0 (x2 -> once)
+        (0, ts("2024-01-16")),                          # off 2
+        (1, ts("2024-01-07")),                          # Sunday -> cohort w0
+        (1, ts("2024-01-08")),                          # Monday -> off 1
+        (2, ts("2024-01-10")),                          # cohort w1 only
+    ]
+    t = pa.table(
+        {"user_id": pa.array([r[0] for r in rows], pa.int64()),
+         "ts": pa.array([r[1] for r in rows], pa.timestamp("us"))}
+    )
+    d = tmp_path / "ev"
+    os.makedirs(d)
+    pq.write_table(t, str(d / "events.parquet"))
+    out = retention_cohorts(str(d))
+    got = {
+        (str(c), o): n
+        for c, o, n in zip(out.column("cohort_week").to_pylist(),
+                           out.column("week_offset").to_pylist(),
+                           out.column("n_users").to_pylist())
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,   # users 0 and 1 in cohort week 2024-01-01
+        ("2024-01-01", 1): 1,   # user 1 active the next week
+        ("2024-01-01", 2): 1,   # user 0 two weeks later
+        ("2024-01-08", 0): 1,   # user 2's own cohort
+    }
+
+
 def test_lsh_index_layout_route_equality_and_reuse(ray_session, tmp_path):
     """build_lsh_index writes the physical pid-partitioned signature
     layout; the near-dup query auto-routes through it and the result is
