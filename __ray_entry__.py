@@ -1791,12 +1791,12 @@ FROM documents GROUP BY lang ORDER BY lang
         # cohort = Monday week of each user's first event
         "retention_cohorts": """
 WITH f AS (
-  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cw
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cw
   FROM events GROUP BY user_id
 ),
 w AS (
   SELECT DISTINCT e.user_id, f.cw,
-         date_diff('day', f.cw, CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS off
+         date_diff('day', f.cw, date_trunc('week', e.ts)) // 7 AS off
   FROM events e JOIN f USING (user_id)
 )
 SELECT cw AS cohort_week, CAST(off AS BIGINT) AS week_offset,

@@ -1008,7 +1008,7 @@ def _retention_partition(pid: int, t: pa.Table) -> pa.Table:
     first event's week) and the DISTINCT week offsets they were active;
     users are partition-complete, so (cohort, offset) user counts from
     different partitions simply ADD at the driver fold."""
-    empty = pa.table({"cohort_week": pa.array([], pa.date32()),
+    empty = pa.table({"cohort_week": pa.array([], pa.timestamp("us")),
                       "week_offset": pa.array([], pa.int64()),
                       "n_users": pa.array([], pa.int64())})
     if t.num_rows == 0 or "user_id" not in t.column_names:
@@ -1030,7 +1030,9 @@ def _retention_partition(pid: int, t: pa.Table) -> pa.Table:
     uniq, cnt = np.unique(ck, return_counts=True)
     return pa.table(
         {
-            "cohort_week": pa.array((uniq // 1024).astype("datetime64[D]")),
+            "cohort_week": pa.array(
+                (uniq // 1024).astype("datetime64[D]").astype("datetime64[us]")
+            ),
             "week_offset": pa.array((uniq % 1024).astype(np.int64), pa.int64()),
             "n_users": pa.array(cnt.astype(np.int64), pa.int64()),
         }

@@ -370,7 +370,7 @@ def test_retention_cohorts_constructed(ray_session, tmp_path):
     pq.write_table(t, str(d / "events.parquet"))
     out = retention_cohorts(str(d))
     got = {
-        (str(c), o): n
+        (c.date().isoformat(), o): n
         for c, o, n in zip(out.column("cohort_week").to_pylist(),
                            out.column("week_offset").to_pylist(),
                            out.column("n_users").to_pylist())
