@@ -1158,6 +1158,14 @@ SELECT doc_id, n_alpha_runs, n_num_runs, n_marks,
 FROM c ORDER BY doc_id
 """,
         "cdc_apply": CHANGELOG_CTE + _FINAL_STATE.format(extra_cols=""),
+        # SCD2 version history (cdcq.cdc_version_history): each event's
+        # validity closes at its key's next lsn (null = current)
+        "cdc_version_history": CHANGELOG_CTE + """
+SELECT lsn, conv_id, turn_idx, op,
+       LEAD(lsn) OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn)
+           AS valid_to_lsn
+FROM ch ORDER BY conv_id, turn_idx, lsn
+""",
         # duplicates deliver identical rows: the oracle is the dup-free state
         "cdc_apply_dups": CHANGELOG_CTE + _FINAL_STATE.format(extra_cols=""),
         "cdc_apply_evolve": """

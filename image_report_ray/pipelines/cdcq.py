@@ -1030,3 +1030,61 @@ def cdc_dedup_conversations(sf_dir: str) -> pa.Table:
              "keep": pa.array([], pa.bool_())}
         )
     return finalize(t, [("conv_id", "ascending")])
+
+
+def _version_hist_kernel(pid: int, t: pa.Table) -> pa.Table:
+    """Per conv-hash partition: each change event's validity interval —
+    valid until the key's NEXT event (null for the key's current
+    version). A key's whole history co-locates here, so the shift is
+    partition-complete."""
+    empty = pa.table(
+        {"lsn": pa.array([], pa.int64()),
+         "conv_id": pa.array([], pa.string()),
+         "turn_idx": pa.array([], pa.int32()),
+         "op": pa.array([], pa.string()),
+         "valid_to_lsn": pa.array([], pa.int64())}
+    )
+    if t.num_rows == 0 or "conv_id" not in t.column_names:
+        return empty
+    import numpy as np
+
+    conv = t.column("conv_id").to_numpy(zero_copy_only=False)
+    turn = t.column("turn_idx").to_numpy()
+    lsn = t.column("lsn").to_numpy()
+    order = np.lexsort((lsn, turn, conv))
+    conv, turn, lsn = conv[order], turn[order], lsn[order]
+    same_key = (conv[1:] == conv[:-1]) & (turn[1:] == turn[:-1])
+    nxt = np.zeros(len(lsn), np.int64)
+    closed = np.r_[same_key, False]
+    nxt[:-1][same_key] = lsn[1:][same_key]
+    return pa.table(
+        {
+            "lsn": pa.array(lsn, pa.int64()),
+            "conv_id": pa.array(conv, pa.string()),
+            "turn_idx": pa.array(turn.astype(np.int32), pa.int32()),
+            "op": t.column("op").take(pa.array(order)),
+            "valid_to_lsn": pa.array(nxt, pa.int64(), mask=~closed),
+        }
+    )
+
+
+def cdc_version_history(sf_dir: str) -> pa.Table:
+    """SCD2-style version history straight off the changelog: every
+    change event with the lsn at which its key's NEXT event supersedes
+    it (null = still the current version; D rows are the explicit
+    closures). One conv-keyed exchange — a key's events co-locate, the
+    next-lsn shift is one vectorized pass per partition. Exact twin:
+    ``__ray_entry__`` ``cdc_version_history`` (LEAD over the changelog
+    CTE)."""
+    from .exchange import exchange_reduce, gather_concat
+
+    ds = changelog_dataset(sf_dir).map_batches(
+        lambda t: t.select(["lsn", "op", "conv_id", "turn_idx"]),
+        batch_format="pyarrow",
+    )
+    refs = exchange_reduce([ds], ["conv_id"], _version_hist_kernel)
+    return finalize(
+        gather_concat(refs),
+        [("conv_id", "ascending"), ("turn_idx", "ascending"),
+         ("lsn", "ascending")],
+    )

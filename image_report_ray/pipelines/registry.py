@@ -72,6 +72,7 @@ def query_registry() -> "dict[str, Callable[[str], Any]]":
         "cdc_tool_transitions": cdcq.cdc_tool_transitions,
         "cdc_flatten_transcripts": cdcq.cdc_flatten_transcripts,
         "cdc_dedup_conversations": cdcq.cdc_dedup_conversations,
+        "cdc_version_history": cdcq.cdc_version_history,
         "cdc_export_conversations": cdcq.cdc_export_conversations,
         "sample_split": text.sample_split,
         "shuffle_docs": text.shuffle_docs,
