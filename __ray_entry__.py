@@ -892,6 +892,24 @@ ORDER BY d.doc_id
         # shingle hashes
         "dedup_minhash_lsh": _minhash_sql(),
         "dup_span_coverage": _dupspan_sql(),
+        # n-gram novelty (dedup.ngram_novelty): shingle owner = MIN
+        # doc_id; novelty = a doc's share of self-owned shingles
+        "ngram_novelty": """
+WITH arr AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS ws FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+  )) AS shingle
+  FROM arr WHERE len(ws) >= 3
+),
+mn AS (SELECT shingle, MIN(doc_id) AS own FROM sh GROUP BY shingle)
+SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN m.own = s.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+FROM sh s JOIN mn m USING (shingle)
+GROUP BY s.doc_id ORDER BY s.doc_id
+""",
         "top_spans": _topspans_sql(),
         # SimHash near-dup: the pigeonhole candidates + popcount verify
         # are exact for hamming <= 3, so the twin is the quadratic form

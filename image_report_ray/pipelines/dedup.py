@@ -1067,6 +1067,85 @@ def top_spans(sf_dir: str, W: int = _SPAN_W, topn: int = 20) -> pa.Table:
     )
 
 
+def _novelty_flag_kernel(pid: int, t: pa.Table) -> pa.Table:
+    """Hash-partition kernel for :func:`ngram_novelty`: a shingle hash's
+    OWNER is its minimum doc_id (partition-complete by routing); emit
+    per-doc partial (n_shingles, n_novel) counts."""
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()),
+         "n_shingles": pa.array([], pa.int64()),
+         "n_novel": pa.array([], pa.int64())}
+    )
+    if t.num_rows == 0 or "h" not in t.column_names:
+        return empty
+    h = t.column("h").to_numpy()
+    d = t.column("doc_id").to_numpy()
+    order = np.lexsort((d, h))
+    hs, ds_ = h[order], d[order]
+    new_h = np.r_[True, hs[1:] != hs[:-1]]
+    grp = np.cumsum(new_h) - 1
+    novel = ds_ == ds_[np.flatnonzero(new_h)][grp]  # first d per h == min
+    uniq_d, inv = np.unique(ds_, return_inverse=True)
+    n_sh = np.bincount(inv).astype(np.int64)
+    n_nov = np.zeros(len(uniq_d), np.int64)
+    np.add.at(n_nov, inv, novel.astype(np.int64))
+    return pa.table(
+        {"doc_id": pa.array(uniq_d, pa.int64()),
+         "n_shingles": pa.array(n_sh, pa.int64()),
+         "n_novel": pa.array(n_nov, pa.int64())}
+    )
+
+
+def _novelty_sum_kernel(pid: int, t: pa.Table) -> pa.Table:
+    """Doc-partition kernel: sum the per-hash-partition partials."""
+    if t.num_rows == 0 or "doc_id" not in t.column_names:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "n_shingles": pa.array([], pa.int64()),
+             "n_novel": pa.array([], pa.int64())}
+        )
+    g = t.group_by(["doc_id"]).aggregate(
+        [("n_shingles", "sum"), ("n_novel", "sum")]
+    )
+    return g.rename_columns(["doc_id", "n_shingles", "n_novel"])
+
+
+def ngram_novelty(sf_dir: str, P: int = _PC_PARTS) -> pa.Table:
+    """Per-document n-gram novelty in doc_id order: of a doc's DISTINCT
+    word-3-gram shingles, how many are FIRST seen in this doc (its
+    doc_id is the corpus-wide minimum holding the shingle) — the
+    redundancy-growth / memorization-pressure profile of a crawl
+    (novelty falls as a corpus saturates).
+
+    Scale shape: postings shuffle as (64-bit shingle hash, doc_id);
+    exchange 1 on the hash decides ownership partition-locally, exchange
+    2 on doc_id sums the per-doc partials. Exact-integer output. Twin:
+    ``__ray_entry__`` ``ngram_novelty``."""
+    from .exchange import exchange_reduce, gather_concat
+
+    rd = _rd()
+
+    def explode(t: pa.Table) -> pa.Table:
+        df = doc_shingles(t)
+        return pa.table(
+            {
+                "h": pa.array(
+                    hash_utf8_64(df["shingle"].to_numpy()).view(np.int64),
+                    pa.int64(),
+                ),
+                "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
+            }
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    post_refs = ds.map_batches(explode, batch_format="pyarrow").to_arrow_refs()
+    flag_refs = exchange_reduce([post_refs], ["h"], _novelty_flag_kernel, P=P)
+    sum_refs = exchange_reduce(
+        [flag_refs], ["doc_id"], _novelty_sum_kernel, P=P
+    )
+    return finalize(gather_concat(sum_refs), [("doc_id", "ascending")])
+
+
 # ---- MinHash + LSH (scale path) ---------------------------------------
 
 

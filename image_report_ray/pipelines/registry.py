@@ -30,6 +30,7 @@ def query_registry() -> "dict[str, Callable[[str], Any]]":
         # driver's rotating prefix reaches them in their landing round
         "knn_join": similarity.knn_join,
         "dup_span_coverage": dedup.dup_span_coverage,
+        "ngram_novelty": dedup.ngram_novelty,
         "top_spans": dedup.top_spans,
         "funnel_stages": relational.funnel_stages,
         "retention_cohorts": relational.retention_cohorts,
