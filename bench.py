@@ -329,6 +329,9 @@ def run_textbench(num_cpus: int) -> dict:
         ("domain_cap", text.domain_cap),
         ("perplexity_score", text.perplexity_score),
         ("boilerplate_flags", text.boilerplate_flags),
+        ("dup_span_coverage", dedup.dup_span_coverage),
+        ("top_spans", dedup.top_spans),
+        ("ngram_novelty", dedup.ngram_novelty),
     ):
         t0 = time.perf_counter()
         r = fn(TEXTBENCH_DIR)
@@ -373,6 +376,8 @@ def run_eventbench(num_cpus: int) -> dict:
         ("asof_click_before_purchase", R.asof_click_before_purchase),
         ("user_persona_match", R.user_persona_match),
         ("distinct_event_types", R.distinct_event_types),
+        ("funnel_stages", R.funnel_stages),
+        ("retention_cohorts", R.retention_cohorts),
     ):
         t0 = time.perf_counter()
         r = fn(EVENTBENCH_DIR)

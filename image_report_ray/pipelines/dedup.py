@@ -1020,44 +1020,66 @@ def top_spans(sf_dir: str, W: int = _SPAN_W, topn: int = 20) -> pa.Table:
              "n_docs": pa.array([], pa.int64()),
              "n_occurrences": pa.array([], pa.int64())}
         )
-    want_ref = ray.put(np.unique(cand.column("h").to_numpy()))
-
     @ray.remote
     def resolve(block: pa.Table, want) -> pa.Table:
-        posts, _ = _doc_windows(block, W)
-        h = posts.column("h").to_numpy()
-        keep = np.isin(h, want)
-        if not keep.any():
-            return pa.table(
-                {"h": pa.array([], pa.int64()),
-                 "span": pa.array([], pa.string())}
-            )
-        # rebuild only the winners' texts (block-local recompute of the
-        # matching windows; cheaper than ever shuffling strings)
+        """Block-local winner-text lookup: build windows ONCE, hash,
+        keep only candidate hashes — strings never leave except the
+        <= |want| winners."""
+        empty = pa.table(
+            {"h": pa.array([], pa.int64()), "span": pa.array([], pa.string())}
+        )
         flat, offsets = _tokenize(block.column("text"))
         n = len(flat)
+        n_docs_blk = len(offsets) - 1
+        if n < W or n_docs_blk == 0:
+            return empty
         sh = flat[: n - W + 1].copy()
         for j in range(1, W):
             sh = sh + " "
             sh = sh + flat[j : n - W + 1 + j]
-        n_docs_blk = len(offsets) - 1
         doc_idx_full = np.repeat(np.arange(n_docs_blk), np.diff(offsets))
         valid = doc_idx_full[: n - W + 1] == doc_idx_full[W - 1 :]
-        texts = sh[valid][keep]
+        sh = sh[valid]
+        if not len(sh):
+            return empty
+        h = hash_utf8_64(sh).view(np.int64)
+        keep = np.isin(h, want)
+        if not keep.any():
+            return empty
         hh, first = np.unique(h[keep], return_index=True)
         return pa.table(
             {"h": pa.array(hh, pa.int64()),
-             "span": pa.array(texts[first].astype(object), pa.string())}
+             "span": pa.array(sh[keep][first].astype(object), pa.string())}
         )
 
-    tex = [resolve.remote(r, want_ref) for r in doc_refs]
-    tt = pa.concat_tables([t for t in ray.get(tex) if t.num_rows])
-    hmap = dict(zip(tt.column("h").to_pylist(), tt.column("span").to_pylist()))
-    # driver fold: candidates are tiny; finish with the span tiebreak
-    ch = cand.column("h").to_numpy()
-    uh, first = np.unique(ch, return_index=True)
-    nd = cand.column("n_docs").to_numpy()[first]
-    no = cand.column("n_occurrences").to_numpy()[first]
+    # driver fold on counts FIRST: only the strict top-topn plus the
+    # rows tied at the topn-th (n_docs, n_occ) pair can appear in the
+    # result, so only THOSE hashes (typically ~topn, not the P*(topn+
+    # partition-tie) candidate pool) ever need their text resolved
+    uh = cand.column("h").to_numpy()
+    nd = cand.column("n_docs").to_numpy()
+    no = cand.column("n_occurrences").to_numpy()
+    if len(uh) > topn:
+        rank = np.lexsort((-no, -nd))
+        bd, bo = nd[rank[topn - 1]], no[rank[topn - 1]]
+        keep = (nd > bd) | ((nd == bd) & (no >= bo))
+        uh, nd, no = uh[keep], nd[keep], no[keep]
+    # two-wave resolve: a small first wave catches the frequent winners
+    # (top spans live in many docs); anything still unseen — rare
+    # boundary-tied spans — resolves in ONE fully parallel wave over the
+    # remaining blocks (serial small waves would straggle on them)
+    hmap: dict = {}
+    want = set(uh.tolist())
+    for blocks in (doc_refs[:8], doc_refs[8:]):
+        if not want or not blocks:
+            break
+        want_ref = ray.put(np.fromiter(want, np.int64, len(want)))
+        tex = [resolve.remote(r, want_ref) for r in blocks]
+        for t_ in ray.get(tex):
+            for hh, sp in zip(t_.column("h").to_pylist(),
+                              t_.column("span").to_pylist()):
+                hmap.setdefault(hh, sp)
+        want -= hmap.keys()
     spans = np.array([hmap[x] for x in uh], dtype=object)
     order = np.lexsort((spans, -no, -nd))[:topn]
     return pa.table(
