@@ -1,0 +1,129 @@
+"""Property tests for the round-5 operators: brute-force cross-checks
+on constructed corpora (the SQL parity gate covers the real testdata;
+these pin the kernel semantics on adversarial shapes)."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _write_docs(tmp_path, texts):
+    t = pa.table(
+        {"doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+         "text": pa.array(texts, pa.string())}
+    )
+    d = tmp_path / "docs"
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(t, str(d / "documents.parquet"))
+    return str(d)
+
+
+WORDS = [f"w{i}" for i in range(50)]
+
+
+def test_dup_span_coverage_identical_docs_fully_covered(ray_session, tmp_path):
+    from image_report_ray.pipelines.dedup import _SPAN_W, dup_span_coverage
+
+    dup = " ".join(WORDS[:20])          # 20 tokens, shared verbatim
+    uniq = " ".join(f"u{i}" for i in range(20))
+    sf = _write_docs(tmp_path, [dup, dup, uniq])
+    out = dup_span_coverage(sf)
+    got = {r["doc_id"]: (r["n_tokens"], r["dup_tokens"]) for r in out.to_pylist()}
+    # identical docs: every token sits in a shared >=W-token span
+    assert got[0] == (20, 20) and got[1] == (20, 20)
+    assert got[2] == (20, 0)
+    assert _SPAN_W <= 20  # the premise of full coverage
+
+
+def test_dup_span_coverage_partial_overlap_interval_math(ray_session, tmp_path):
+    from image_report_ray.pipelines.dedup import _SPAN_W as W
+    from image_report_ray.pipelines.dedup import dup_span_coverage
+
+    shared = WORDS[:W]                   # exactly one W-token shared span
+    a = " ".join(shared + [f"a{i}" for i in range(10)])
+    b = " ".join([f"b{i}" for i in range(10)] + shared)
+    sf = _write_docs(tmp_path, [a, b])
+    out = dup_span_coverage(sf)
+    got = {r["doc_id"]: r["dup_tokens"] for r in out.to_pylist()}
+    # one duplicated window start per doc -> exactly W covered tokens
+    assert got == {0: W, 1: W}
+
+
+def test_ngram_novelty_order_semantics(ray_session, tmp_path):
+    from image_report_ray.pipelines.dedup import ngram_novelty
+
+    a = " ".join(WORDS[:10])
+    sf = _write_docs(tmp_path, [a, a, " ".join(WORDS[10:20])])
+    out = ngram_novelty(sf)
+    got = {r["doc_id"]: (r["n_shingles"], r["n_novel"]) for r in out.to_pylist()}
+    assert got[0] == (8, 8)   # first holder owns all its shingles
+    assert got[1] == (8, 0)   # verbatim repeat owns none
+    assert got[2] == (8, 8)
+
+
+def test_top_spans_ranks_most_shared_first(ray_session, tmp_path):
+    from image_report_ray.pipelines.dedup import _SPAN_W as W
+    from image_report_ray.pipelines.dedup import top_spans
+
+    hot = " ".join(WORDS[:W])            # in 3 docs
+    warm = " ".join(WORDS[W : 2 * W])    # in 2 docs
+    docs = [hot, hot, hot + " xtra", warm, warm, " ".join(f"z{i}" for i in range(W))]
+    sf = _write_docs(tmp_path, docs)
+    out = top_spans(sf)
+    spans = out.column("span").to_pylist()
+    nd = out.column("n_docs").to_pylist()
+    assert spans[0] == hot and nd[0] == 3
+    assert warm in spans
+    assert all(x >= 2 for x in nd)
+
+
+def test_knn_join_matches_single_query_knn(ray_session, tmp_path):
+    """knn_join's per-query result must equal knn_cosine for the same
+    query id (same kernel pinning), and never contain the query itself."""
+    from image_report_ray.pipelines.similarity import knn_cosine, knn_join
+
+    rng = np.random.default_rng(5)
+    mat = rng.standard_normal((60, 16))
+    d = tmp_path / "emb"
+    os.makedirs(d)
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array(np.arange(60), pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in mat],
+                                   pa.list_(pa.float32())),
+        }),
+        str(d / "embeddings.parquet"),
+    )
+    sf = str(d)
+    joined = knn_join(sf, n_queries=4, k=7)
+    assert joined.num_rows == 4 * 7
+    for qid in range(4):
+        sub = joined.filter(
+            pa.compute.equal(joined.column("query_vec_id"), qid)
+        )
+        assert qid not in sub.column("vec_id").to_pylist()
+        single = knn_cosine(sf, query_vec_id=qid, k=7)
+        assert sub.column("vec_id").to_pylist() == single.column("vec_id").to_pylist()
+        assert sub.column("rnk").to_pylist() == single.column("rnk").to_pylist()
+
+
+def test_cdc_version_history_chain_invariants(ray_session):
+    """Within every key: valid_to_lsn == the next event's lsn, exactly
+    one open version, intervals strictly increase."""
+    from image_report_ray.pipelines.cdcq import cdc_version_history
+
+    t = cdc_version_history("/root/testdata/sf0.001").to_pylist()
+    by_key: dict = {}
+    for r in t:
+        by_key.setdefault((r["conv_id"], r["turn_idx"]), []).append(r)
+    assert by_key
+    for rows in by_key.values():
+        lsns = [r["lsn"] for r in rows]
+        assert lsns == sorted(lsns)
+        for a, b in zip(rows, rows[1:]):
+            assert a["valid_to_lsn"] == b["lsn"]
+        assert rows[-1]["valid_to_lsn"] is None
+        assert all(r["valid_to_lsn"] is not None for r in rows[:-1])
