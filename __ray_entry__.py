@@ -914,6 +914,24 @@ GROUP BY s.doc_id ORDER BY s.doc_id
         # SimHash near-dup: the pigeonhole candidates + popcount verify
         # are exact for hamming <= 3, so the twin is the quadratic form
         "dedup_simhash": _simhash_sql(),
+        # distributed total-order sort (text.quality_rank): global rank
+        # by the exact quality ints, range-partitioned in the engine
+        "quality_rank": r"""
+WITH q AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ws FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(list_filter(ws, w -> list_contains(
+             ['the','a','and','of','to','table','row','value','key','fast'], w)))
+           * 10000 // GREATEST(len(ws), 1) AS stop_ratio_bp
+  FROM q
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY stop_ratio_bp DESC, doc_id) AS BIGINT)
+           AS rnk,
+       doc_id, CAST(stop_ratio_bp AS BIGINT) AS stop_ratio_bp
+FROM m ORDER BY rnk
+""",
         "quality_score": r"""
 WITH q AS (
   SELECT doc_id, text, regexp_extract_all(lower(text), '\S+') AS ws

@@ -31,6 +31,7 @@ def query_registry() -> "dict[str, Callable[[str], Any]]":
         "knn_join": similarity.knn_join,
         "dup_span_coverage": dedup.dup_span_coverage,
         "ngram_novelty": dedup.ngram_novelty,
+        "quality_rank": text.quality_rank,
         "top_spans": dedup.top_spans,
         "funnel_stages": relational.funnel_stages,
         "retention_cohorts": relational.retention_cohorts,

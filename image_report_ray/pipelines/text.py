@@ -211,6 +211,95 @@ _BPE_NUM = r"[0-9]+"
 _BPE_OTHER = r"[^a-z0-9\s]"
 
 
+def quality_rank(sf_dir: str, P: int = 16) -> pa.Table:
+    """Global total-order rank of every document by quality
+    (stop_ratio_bp desc, doc_id asc) — the distributed-sort shape a
+    corpus-curation pipeline uses for "keep the best N%":
+
+    1. per-block score kernel (the exact :func:`_quality_batch` ints),
+    2. a per-block sample picks P-1 RANGE bounds (sample quality only
+       affects balance, never correctness),
+    3. rows route by score range — equal scores always co-locate, so
+       the doc_id tiebreak is bucket-local,
+    4. each bucket sorts locally; global rank = local rank + the
+       exclusive prefix of bucket counts (driver folds P ints, no rows).
+
+    Exact twin: ``__ray_entry__`` ``quality_rank`` (ROW_NUMBER over the
+    quality CTE)."""
+    import ray
+
+    rd = _rd()
+
+    @ray.remote
+    def score_block(block: pa.Table) -> pa.Table:
+        return _quality_batch(block).select(["doc_id", "stop_ratio_bp"])
+
+    @ray.remote
+    def sample_block(t: pa.Table, k: int = 64) -> np.ndarray:
+        s = t.column("stop_ratio_bp").to_numpy()
+        if len(s) <= k:
+            return np.sort(s)
+        return np.sort(s)[np.linspace(0, len(s) - 1, k).astype(np.int64)]
+
+    @ray.remote
+    def split_range(t: pa.Table, bounds: np.ndarray, nb: int):
+        s = t.column("stop_ratio_bp").to_numpy()
+        b = np.searchsorted(bounds, s, side="left")
+        order = np.argsort(b, kind="stable")
+        tt = t.take(pa.array(order))
+        cuts = np.searchsorted(b[order], np.arange(nb + 1))
+        return tuple(tt.slice(cuts[i], cuts[i + 1] - cuts[i]) for i in range(nb))
+
+    @ray.remote(num_returns=2)
+    def sort_bucket(*slices):
+        live = [s for s in slices if s.num_rows]
+        if not live:
+            return slices[0], 0
+        t = pa.concat_tables(live, promote_options="default")
+        sc = t.column("stop_ratio_bp").to_numpy()
+        d = t.column("doc_id").to_numpy()
+        order = np.lexsort((d, -sc))
+        return t.take(pa.array(order)), t.num_rows
+
+    @ray.remote
+    def add_rank(t: pa.Table, offset: int) -> pa.Table:
+        rnk = pa.array(np.arange(offset + 1, offset + 1 + t.num_rows), pa.int64())
+        return pa.table(
+            {"rnk": rnk, "doc_id": t.column("doc_id"),
+             "stop_ratio_bp": t.column("stop_ratio_bp")}
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    refs = [score_block.remote(r) for r in ds.to_arrow_refs()]
+    sample = np.concatenate(ray.get([sample_block.remote(r) for r in refs]))
+    if not len(sample):
+        return pa.table(
+            {"rnk": pa.array([], pa.int64()),
+             "doc_id": pa.array([], pa.int64()),
+             "stop_ratio_bp": pa.array([], pa.int64())}
+        )
+    bounds = np.unique(
+        np.quantile(sample, np.linspace(0, 1, P + 1)[1:-1]).astype(np.int64)
+    )
+    nb = len(bounds) + 1
+    mats = [split_range.options(num_returns=nb).remote(r, bounds, nb) for r in refs]
+    if nb == 1:
+        mats = [[m] for m in mats]
+    sorted_counts = [
+        sort_bucket.remote(*[m[b] for m in mats]) for b in range(nb)
+    ]
+    counts = ray.get([sc[1] for sc in sorted_counts])
+    # bucket nb-1 holds the HIGHEST scores -> rank offset 0; descend
+    offsets = np.r_[0, np.cumsum(counts[::-1])[:-1]][::-1]
+    out = [
+        add_rank.remote(sorted_counts[b][0], int(offsets[b]))
+        for b in range(nb)
+        if counts[b]
+    ]
+    t = pa.concat_tables(ray.get(out), promote_options="default")
+    return finalize(t, [("rnk", "ascending")])
+
+
 def quality_score(sf_dir: str) -> pa.Table:
     """Per-document quality signals: token count, stopword ratio, mean
     token length, punctuation count and a pass/fail flag — all integer
