@@ -332,6 +332,7 @@ def run_textbench(num_cpus: int) -> dict:
         ("dup_span_coverage", dedup.dup_span_coverage),
         ("top_spans", dedup.top_spans),
         ("ngram_novelty", dedup.ngram_novelty),
+        ("quality_rank", text.quality_rank),
     ):
         t0 = time.perf_counter()
         r = fn(TEXTBENCH_DIR)
