@@ -90,3 +90,31 @@ def test_pool_rebuilds_after_cluster_restart_same_ids(ray_session):
         pool_map(stage, [ray.put(block_t)], size=2, num_cpus=0.5, batch_size=2)
     )
     assert b.column("x").to_pylist() == [1, 2]
+
+
+def test_pool_rebuilds_when_one_actor_dies(ray_session):
+    """ADVICE r4: a SINGLE dead pooled actor (OOM/crash, not a cluster
+    restart) must be detected by the all-actor liveness ping — waves
+    routed round-robin would otherwise hit the corpse forever."""
+    import ray
+
+    from image_report_ray.stages.pool import (
+        _POOLS,
+        gather_tables,
+        pool_map,
+        warm_pool,
+    )
+
+    stage = _token_stage()
+    block_t = pa.table({"x": pa.array([3, 4], pa.int64())})
+    gather_tables(
+        pool_map(stage, [ray.put(block_t)], size=2, num_cpus=0.5, batch_size=2)
+    )
+    actors = warm_pool(2, 0.5)
+    ray.kill(actors[1])  # only ONE of the two dies
+    rebuilt = warm_pool(2, 0.5)
+    assert rebuilt[0] is not actors[0] or rebuilt[1] is not actors[1]
+    out = gather_tables(
+        pool_map(stage, [ray.put(block_t)] * 4, size=2, num_cpus=0.5, batch_size=2)
+    )
+    assert out.column("x").to_pylist() == [3, 4] * 4
