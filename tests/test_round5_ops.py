@@ -127,3 +127,53 @@ def test_cdc_version_history_chain_invariants(ray_session):
             assert a["valid_to_lsn"] == b["lsn"]
         assert rows[-1]["valid_to_lsn"] is None
         assert all(r["valid_to_lsn"] is not None for r in rows[:-1])
+
+
+def test_dup_span_coverage_matches_bruteforce_random(ray_session, tmp_path):
+    """Randomized corpora vs a dict-based brute-force oracle: window
+    hashing, cross-doc-only duplication, and interval-union coverage all
+    agree on 30 docs x 3 seeds of skewed token soup."""
+    from image_report_ray.pipelines.dedup import _SPAN_W as W
+    from image_report_ray.pipelines.dedup import dup_span_coverage
+
+    for seed in (1, 2, 3):
+        rng = np.random.default_rng(seed)
+        vocab = [f"t{i}" for i in range(12)]  # tiny vocab -> real collisions
+        texts = [
+            " ".join(rng.choice(vocab, rng.integers(3, 40)))
+            for _ in range(30)
+        ]
+        sf = _write_docs(tmp_path / f"s{seed}", texts)
+        out = dup_span_coverage(sf)
+        got = {r["doc_id"]: (r["n_tokens"], r["dup_tokens"])
+               for r in out.to_pylist()}
+
+        # brute force
+        toks = [t.split() for t in texts]
+        owners: dict = {}
+        for d, tk in enumerate(toks):
+            for i in range(len(tk) - W + 1):
+                owners.setdefault(" ".join(tk[i : i + W]), set()).add(d)
+        want = {}
+        for d, tk in enumerate(toks):
+            starts = [
+                i for i in range(len(tk) - W + 1)
+                if len(owners[" ".join(tk[i : i + W])]) >= 2
+            ]
+            cov = 0
+            for j, s in enumerate(starts):
+                nxt = starts[j + 1] if j + 1 < len(starts) else None
+                cov += W if nxt is None else min(nxt - s, W)
+            want[d] = (len(tk), cov)
+        assert got == want, f"seed {seed}"
+
+
+def test_quality_rank_bijective_and_monotone(ray_session):
+    """Ranks are a permutation of 1..n and scores are non-increasing."""
+    from image_report_ray.pipelines.text import quality_rank
+
+    t = quality_rank("/root/testdata/sf0.001")
+    r = t.column("rnk").to_numpy()
+    s = t.column("stop_ratio_bp").to_numpy()
+    assert sorted(r.tolist()) == list(range(1, len(r) + 1))
+    assert (np.diff(s[np.argsort(r)]) <= 0).all()
