@@ -298,7 +298,7 @@ TEXTBENCH_DIR = "/tmp/irr-textbench/v1"
 TEXTBENCH_DOCS = 200_000
 
 
-def run_textbench(num_cpus: int) -> dict:
+def run_textbench(num_cpus: int, n_docs: int = TEXTBENCH_DOCS) -> dict:
     """Dedup/text-analysis throughput at 400x the driver corpus: a 200k-doc
     synthetic documents table (2% planted exact dups, 5% near-dups at 90%
     token overlap) through the headline training-data pipelines. The
@@ -306,7 +306,9 @@ def run_textbench(num_cpus: int) -> dict:
     pair exchange (planted near-dups must dominate the found pairs)."""
     from image_report_ray.sources.synth import write_documents_corpus
 
-    write_documents_corpus(TEXTBENCH_DIR, TEXTBENCH_DOCS)  # cached, untimed
+    tb_dir = (TEXTBENCH_DIR if n_docs == TEXTBENCH_DOCS
+              else f"/tmp/irr-textbench-{n_docs}/v1")
+    write_documents_corpus(tb_dir, n_docs)  # cached, untimed
     _init_ray(num_cpus)
     from image_report_ray.pipelines import dedup, text
 
@@ -335,7 +337,7 @@ def run_textbench(num_cpus: int) -> dict:
         ("quality_rank", text.quality_rank),
     ):
         t0 = time.perf_counter()
-        r = fn(TEXTBENCH_DIR)
+        r = fn(tb_dir)
         out[name] = round(time.perf_counter() - t0, 3)
         rows[name] = r.num_rows
     import ray
@@ -344,11 +346,11 @@ def run_textbench(num_cpus: int) -> dict:
     total = sum(out.values())
     return {
         "metric": "textbench_docs_per_sec",
-        "value": round(TEXTBENCH_DOCS * len(out) / total, 1),
+        "value": round(n_docs * len(out) / total, 1),
         "unit": "docs/s",
-        "sf": TEXTBENCH_DIR,
+        "sf": tb_dir,
         "num_cpus": num_cpus,
-        "n_docs": TEXTBENCH_DOCS,
+        "n_docs": n_docs,
         "queries": out,
         "result_rows": rows,
     }
@@ -404,7 +406,7 @@ SIMBENCH_DIR = "/tmp/irr-simbench/v1"
 SIMBENCH_VECS = 300_000
 
 
-def run_simbench(num_cpus: int) -> dict:
+def run_simbench(num_cpus: int, n_vecs: int = SIMBENCH_VECS) -> dict:
     """Similarity-search throughput at scale: a 300k x 64 embeddings table
     with 6k planted near-dup pairs. Exercises brute-force kNN, the IVF
     physical index (cold build + warm pruned query), and the
@@ -413,7 +415,9 @@ def run_simbench(num_cpus: int) -> dict:
 
     from image_report_ray.sources.synth import write_embeddings_corpus
 
-    write_embeddings_corpus(SIMBENCH_DIR, SIMBENCH_VECS)  # cached, untimed
+    sb_dir = (SIMBENCH_DIR if n_vecs == SIMBENCH_VECS
+              else f"/tmp/irr-simbench-{n_vecs}/v1")
+    write_embeddings_corpus(sb_dir, n_vecs)  # cached, untimed
     _init_ray(num_cpus)
     from image_report_ray.pipelines import similarity
 
@@ -423,7 +427,7 @@ def run_simbench(num_cpus: int) -> dict:
     # datapoints below)
     import hashlib
 
-    ph = hashlib.sha1(os.path.abspath(SIMBENCH_DIR).encode()).hexdigest()[:10]
+    ph = hashlib.sha1(os.path.abspath(sb_dir).encode()).hexdigest()[:10]
     if os.path.isdir(similarity._SIM_CACHE_ROOT):
         for name in os.listdir(similarity._SIM_CACHE_ROOT):
             if ph in name:
@@ -431,36 +435,36 @@ def run_simbench(num_cpus: int) -> dict:
                     os.path.join(similarity._SIM_CACHE_ROOT, name),
                     ignore_errors=True,
                 )
-    shutil.rmtree(similarity._lsh_index_dir(SIMBENCH_DIR), ignore_errors=True)
-    shutil.rmtree(similarity._ivf_index_dir(SIMBENCH_DIR), ignore_errors=True)
+    shutil.rmtree(similarity._lsh_index_dir(sb_dir), ignore_errors=True)
+    shutil.rmtree(similarity._ivf_index_dir(sb_dir), ignore_errors=True)
 
     out: dict[str, float] = {}
-    t0 = time.perf_counter(); similarity.knn_cosine(SIMBENCH_DIR, 0, 10)
+    t0 = time.perf_counter(); similarity.knn_cosine(sb_dir, 0, 10)
     out["knn_cosine"] = round(time.perf_counter() - t0, 3)
-    t0 = time.perf_counter(); similarity.knn_cosine_ivf(SIMBENCH_DIR, 0, 10)
+    t0 = time.perf_counter(); similarity.knn_cosine_ivf(sb_dir, 0, 10)
     out["knn_cosine_ivf_build"] = round(time.perf_counter() - t0, 3)
-    t0 = time.perf_counter(); similarity.knn_cosine_ivf(SIMBENCH_DIR, 1, 10)
+    t0 = time.perf_counter(); similarity.knn_cosine_ivf(sb_dir, 1, 10)
     out["knn_cosine_ivf_warm"] = round(time.perf_counter() - t0, 3)
     t0 = time.perf_counter()
-    nd = similarity.embedding_near_dups(SIMBENCH_DIR, 0.95)  # gate -> LSH
+    nd = similarity.embedding_near_dups(sb_dir, 0.95)  # gate -> LSH
     out["embedding_near_dups_lsh"] = round(time.perf_counter() - t0, 3)
     t0 = time.perf_counter()  # physical signature layout at rest
-    similarity.build_lsh_index(SIMBENCH_DIR)
+    similarity.build_lsh_index(sb_dir)
     out["lsh_index_build"] = round(time.perf_counter() - t0, 3)
     t0 = time.perf_counter()  # re-run through the index: no re-signing
-    nd_idx = similarity.embedding_near_dups_lsh(SIMBENCH_DIR, 0.95)
+    nd_idx = similarity.embedding_near_dups_lsh(sb_dir, 0.95)
     out["near_dups_lsh_indexed"] = round(time.perf_counter() - t0, 3)
     t0 = time.perf_counter()
-    sd = similarity.semdedup(SIMBENCH_DIR, tau=0.95)  # kmeans + LSH + CC
+    sd = similarity.semdedup(sb_dir, tau=0.95)  # kmeans + LSH + CC
     out["semdedup"] = round(time.perf_counter() - t0, 3)
     t0 = time.perf_counter()  # 100-TB route forced: assignment stays refs
     sd_gated = similarity.semdedup(
-        SIMBENCH_DIR, tau=0.95, max_broadcast_ids=0
+        sb_dir, tau=0.95, max_broadcast_ids=0
     )
     out["semdedup_exchange_route"] = round(time.perf_counter() - t0, 3)
     assert sd_gated.equals(sd), "semdedup exchange route diverged"
     assert nd_idx.equals(nd), "lsh index route diverged from exchange route"
-    pp = pq_.read_table(f"{SIMBENCH_DIR}/planted_pairs.parquet")
+    pp = pq_.read_table(f"{sb_dir}/planted_pairs.parquet")
     planted = set(zip(pp.column("a").to_pylist(), pp.column("b").to_pylist()))
     got = set(zip(nd.column("vec_id_a").to_pylist(), nd.column("vec_id_b").to_pylist()))
     import ray
@@ -470,9 +474,9 @@ def run_simbench(num_cpus: int) -> dict:
         "metric": "simbench_near_dup_sec",
         "value": out["embedding_near_dups_lsh"],
         "unit": "sec",
-        "sf": SIMBENCH_DIR,
+        "sf": sb_dir,
         "num_cpus": num_cpus,
-        "n_vecs": SIMBENCH_VECS,
+        "n_vecs": n_vecs,
         "queries": out,
         "near_dup_pairs": nd.num_rows,
         "planted_recall": round(len(got & planted) / max(len(planted), 1), 4),
@@ -690,6 +694,11 @@ def main() -> None:
                     help="dedup/text pipelines over a 200k-doc corpus")
     ap.add_argument("--simbench", action="store_true",
                     help="similarity pipelines over a 300k-vector corpus")
+    ap.add_argument("--textbench-docs", type=int, default=TEXTBENCH_DOCS,
+                    help="corpus size for --textbench (reproduces the 1M "
+                         "BASELINE datapoints with --textbench-docs 1000000)")
+    ap.add_argument("--simbench-vecs", type=int, default=SIMBENCH_VECS,
+                    help="corpus size for --simbench")
     ap.add_argument("--eventbench", action="store_true",
                     help="relational/window operators over 10M events")
     ap.add_argument("--lifecycle", action="store_true",
@@ -706,9 +715,9 @@ def main() -> None:
     elif args.skew:
         out = run_skew(args.cpus)
     elif args.textbench:
-        out = run_textbench(args.cpus)
+        out = run_textbench(args.cpus, args.textbench_docs)
     elif args.simbench:
-        out = run_simbench(args.cpus)
+        out = run_simbench(args.cpus, args.simbench_vecs)
     elif args.eventbench:
         out = run_eventbench(args.cpus)
     elif args.lifecycle:
