@@ -208,6 +208,53 @@ def _simhash_sql() -> str:
     return _SIMHASH_SQL.format(poly=_poly_hash_sql("tok"))
 
 
+# Fixed-point PageRank twin (image_report_ray.pipelines.dedup:
+# pair_pagerank): the verified n-gram pair graph, ranks as int64
+# multiples of 1e-9, contributions rank // degree, update
+# base + 85*S // 100 — ALL integer arithmetic, so the distributed fold
+# is bit-identical with no rounding pins. Iterations unroll as CTEs.
+def _pagerank_sql() -> str:
+    from image_report_ray.pipelines.dedup import (
+        _PR_D_DEN,
+        _PR_D_NUM,
+        _PR_ITERS,
+        _PR_SCALE,
+    )
+
+    compl = _PR_D_DEN - _PR_D_NUM
+    it = ""
+    for t in range(1, _PR_ITERS + 1):
+        it += f""",
+s{t} AS (
+  SELECT e.dst AS id, SUM(r{t - 1}.r // d.deg) AS s
+  FROM ed e JOIN r{t - 1} ON r{t - 1}.id = e.src JOIN deg d ON d.id = e.src
+  GROUP BY e.dst
+),
+r{t} AS (
+  SELECT n.id,
+         (SELECT CAST({compl} AS BIGINT) * {_PR_SCALE}
+                 // ({_PR_D_DEN} * COUNT(*)) FROM nodes)
+           + {_PR_D_NUM} * COALESCE(s{t}.s, 0) // {_PR_D_DEN} AS r
+  FROM nodes n LEFT JOIN s{t} ON s{t}.id = n.id
+)"""
+    return "WITH " + _NGRAM_CTE + f""",
+pairs AS (
+  SELECT da, db
+  FROM inter JOIN cnt ca ON inter.da = ca.doc_id JOIN cnt cb ON inter.db = cb.doc_id
+  WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.2
+),
+ed AS (SELECT da AS src, db AS dst FROM pairs UNION ALL SELECT db, da FROM pairs),
+nodes AS (SELECT DISTINCT src AS id FROM ed),
+deg AS (SELECT src AS id, COUNT(*) AS deg FROM ed GROUP BY src),
+r0 AS (SELECT id, {_PR_SCALE} // (SELECT COUNT(*) FROM nodes) AS r FROM nodes){it}
+SELECT n.id AS doc_id, CAST(d.deg AS BIGINT) AS degree,
+       CAST(r{_PR_ITERS}.r AS BIGINT) AS pagerank_e9
+FROM nodes n JOIN deg d ON d.id = n.id
+     JOIN r{_PR_ITERS} ON r{_PR_ITERS}.id = n.id
+ORDER BY doc_id
+"""
+
+
 # Duplicated-span coverage twin (image_report_ray.pipelines.dedup:
 # dup_span_coverage): W-token windows as strings (the kernel hashes the
 # SAME space-joined strings — the minhash shingle equivalence), a span
@@ -911,6 +958,7 @@ FROM sh s JOIN mn m USING (shingle)
 GROUP BY s.doc_id ORDER BY s.doc_id
 """,
         "top_spans": _topspans_sql(),
+        "pair_pagerank": _pagerank_sql(),
         # SimHash near-dup: the pigeonhole candidates + popcount verify
         # are exact for hamming <= 3, so the twin is the quadratic form
         "dedup_simhash": _simhash_sql(),

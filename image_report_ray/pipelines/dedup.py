@@ -1168,6 +1168,109 @@ def ngram_novelty(sf_dir: str, P: int = _PC_PARTS) -> pa.Table:
     return finalize(gather_concat(sum_refs), [("doc_id", "ascending")])
 
 
+# Fixed-point PageRank scale: ranks live as int64 multiples of 1e-9.
+# INTEGER arithmetic end-to-end (floor divisions) makes every sum
+# order-independent — the same reason the money pipelines use cents —
+# so the distributed fold is bit-identical to the SQL twin with no
+# rounding pins.
+_PR_SCALE = 10**9
+_PR_ITERS = 8
+# damping d = 0.85 expressed as the integer pair (85, 100)
+_PR_D_NUM, _PR_D_DEN = 85, 100
+
+
+def pair_pagerank(
+    sf_dir: str, tau: float = 0.2, iters: int = _PR_ITERS
+) -> pa.Table:
+    """PageRank over the verified n-gram near-dup pair graph — the
+    template-hub detector: documents whose near-dup neighborhood is
+    large and well-connected rank highest (boilerplate families,
+    spam templates). The iterative-algorithm exemplar next to
+    :func:`connected_components_refs`: each iteration is one task wave
+    over the PAIR PARTITION REFS with the current rank vector broadcast
+    (the vector covers only nodes IN the dup graph — a small fraction
+    of any real corpus; the per-node fold is O(graph nodes), never
+    corpus rows).
+
+    Fixed-point integer arithmetic (``_PR_SCALE``): contributions are
+    ``rank // degree`` int64, sums are exact in any order, and the
+    update is ``base + 85 * S // 100`` — bit-identical to the unrolled
+    SQL twin (``__ray_entry__._pagerank_sql``). Output:
+    (doc_id, degree, pagerank_e9)."""
+    import ray
+
+    from .exchange import gather_concat
+
+    refs, _ = ngram_jaccard_pair_refs(sf_dir, tau)
+    if not refs:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "degree": pa.array([], pa.int64()),
+             "pagerank_e9": pa.array([], pa.int64())}
+        )
+
+    @ray.remote
+    def edge_arrays(t: pa.Table):
+        """Directed edge endpoints (both directions) of one pair shard."""
+        if t.num_rows == 0 or "doc_id_a" not in t.column_names:
+            e = np.array([], np.int64)
+            return e, e
+        a = t.column("doc_id_a").to_numpy().astype(np.int64)
+        b = t.column("doc_id_b").to_numpy().astype(np.int64)
+        return np.concatenate([a, b]), np.concatenate([b, a])
+
+    @ray.remote
+    def contrib(edges, nodes: np.ndarray, rank: np.ndarray, deg: np.ndarray):
+        """Per-shard partial: sum of rank[src] // deg[src] into dst."""
+        src, dst = edges
+        if not len(src):
+            return np.array([], np.int64), np.array([], np.int64)
+        si = np.searchsorted(nodes, src)
+        give = rank[si] // deg[si]
+        uniq, inv = np.unique(dst, return_inverse=True)
+        s = np.zeros(len(uniq), np.int64)
+        np.add.at(s, inv, give)
+        return uniq, s
+
+    edge_refs = [edge_arrays.remote(r) for r in refs]
+    # degrees: exact per-node edge counts folded from the shards
+    parts = ray.get(edge_refs)
+    deg_map: dict = {}
+    for src, _dst in parts:
+        u, c = np.unique(src, return_counts=True)
+        for k, v in zip(u.tolist(), c.tolist()):
+            deg_map[k] = deg_map.get(k, 0) + v
+    if not deg_map:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "degree": pa.array([], pa.int64()),
+             "pagerank_e9": pa.array([], pa.int64())}
+        )
+    nodes = np.array(sorted(deg_map), np.int64)
+    deg = np.array([deg_map[n] for n in nodes.tolist()], np.int64)
+    n = len(nodes)
+    base = (_PR_DEN_COMPL * _PR_SCALE) // (_PR_D_DEN * n)
+    rank = np.full(n, _PR_SCALE // n, np.int64)
+    for _ in range(iters):
+        outs = ray.get(
+            [contrib.remote(e, nodes, rank, deg) for e in edge_refs]
+        )
+        s = np.zeros(n, np.int64)
+        for u, c in outs:
+            if len(u):
+                s[np.searchsorted(nodes, u)] += c
+        rank = base + (_PR_D_NUM * s) // _PR_D_DEN
+    return pa.table(
+        {"doc_id": pa.array(nodes, pa.int64()),
+         "degree": pa.array(deg, pa.int64()),
+         "pagerank_e9": pa.array(rank, pa.int64())}
+    )
+
+
+# (1 - d) numerator on the same integer denominator
+_PR_DEN_COMPL = _PR_D_DEN - _PR_D_NUM
+
+
 # ---- MinHash + LSH (scale path) ---------------------------------------
 
 

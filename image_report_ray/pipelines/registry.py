@@ -32,6 +32,7 @@ def query_registry() -> "dict[str, Callable[[str], Any]]":
         "dup_span_coverage": dedup.dup_span_coverage,
         "ngram_novelty": dedup.ngram_novelty,
         "quality_rank": text.quality_rank,
+        "pair_pagerank": dedup.pair_pagerank,
         "top_spans": dedup.top_spans,
         "funnel_stages": relational.funnel_stages,
         "retention_cohorts": relational.retention_cohorts,

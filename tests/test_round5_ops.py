@@ -177,3 +177,30 @@ def test_quality_rank_bijective_and_monotone(ray_session):
     s = t.column("stop_ratio_bp").to_numpy()
     assert sorted(r.tolist()) == list(range(1, len(r) + 1))
     assert (np.diff(s[np.argsort(r)]) <= 0).all()
+
+
+def test_pair_pagerank_hub_ranks_highest(ray_session, tmp_path):
+    """A star of near-identical docs: the hub (connected to all leaves)
+    outranks every leaf; exact integer ranks are deterministic."""
+    from image_report_ray.pipelines.dedup import pair_pagerank
+
+    base = " ".join(WORDS[:30])
+    # hub = base; leaves = base with one token changed at DIFFERENT spots
+    leaves = []
+    for i in range(4):
+        tk = base.split()
+        tk[i * 7] = f"mut{i}"
+        leaves.append(" ".join(tk))
+    sf = _write_docs(tmp_path, [base] + leaves)
+    out = pair_pagerank(sf, tau=0.2)
+    got = dict(zip(out.column("doc_id").to_pylist(),
+                   out.column("pagerank_e9").to_pylist()))
+    deg = dict(zip(out.column("doc_id").to_pylist(),
+                   out.column("degree").to_pylist()))
+    assert deg[0] == max(deg.values())  # doc 0 is the hub
+    assert all(got[0] >= got[k] for k in got)
+    # fixed-point mass is conserved up to floor error per node
+    assert abs(sum(got.values()) - 10**9) < 200 * len(got)
+    # repeat run: bit-identical
+    out2 = pair_pagerank(sf, tau=0.2)
+    assert out2.equals(out)

@@ -98,6 +98,7 @@ _DERIVED_TWINS = {
     "cdc_incremental_dedup": entry._incdedup_sql,
     "dup_span_coverage": entry._dupspan_sql,
     "top_spans": entry._topspans_sql,
+    "pair_pagerank": entry._pagerank_sql,
 }
 
 
