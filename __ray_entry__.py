@@ -208,6 +208,43 @@ def _simhash_sql() -> str:
     return _SIMHASH_SQL.format(poly=_poly_hash_sql("tok"))
 
 
+# Temperature-sampling twin (image_report_ray.pipelines.text:
+# mixture_sample): the N63 weight table lifted to exact integer micro
+# units, per-lang threshold w6 * N * 2^64 // (den * 1e6 * n_i), keep =
+# splitmix64(doc_id + seed) < thr (the shuffle twin's hash chain).
+def _mixsample_sql() -> str:
+    from image_report_ray.pipelines.text import _MIX_BUDGET_DEN as DEN
+
+    return f"""
+WITH c AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+),
+w AS (
+  SELECT lang, n_docs,
+         CAST(ROUND(ROUND(pow(n_docs, 0.5) / SUM(pow(n_docs, 0.5)) OVER (), 6)
+                    * 1000000) AS BIGINT) AS w6
+  FROM c
+),
+t AS (
+  SELECT lang,
+         CAST(w6 AS HUGEINT) * (SELECT SUM(n_docs) FROM c) * {1 << 64}
+           // ({DEN} * 1000000 * n_docs) AS thr
+  FROM w
+),
+s0 AS (
+  SELECT doc_id, lang, CAST((doc_id + {_SM_SEED}) % {_SM_M} AS UBIGINT) AS h
+  FROM documents
+),
+s1 AS (SELECT doc_id, lang, {_sm_step('h', 30, _SM_C1)} AS h FROM s0),
+s2 AS (SELECT doc_id, lang, {_sm_step('h', 27, _SM_C2)} AS h FROM s1),
+s3 AS (SELECT doc_id, lang, xor(h, h >> 31) AS h FROM s2)
+SELECT s3.doc_id, s3.lang
+FROM s3 JOIN t USING (lang)
+WHERE t.thr >= {1 << 64} OR CAST(s3.h AS HUGEINT) < t.thr
+ORDER BY s3.doc_id
+"""
+
+
 # Fixed-point PageRank twin (image_report_ray.pipelines.dedup:
 # pair_pagerank): the verified n-gram pair graph, ranks as int64
 # multiples of 1e-9, contributions rank // degree, update
@@ -959,6 +996,7 @@ GROUP BY s.doc_id ORDER BY s.doc_id
 """,
         "top_spans": _topspans_sql(),
         "pair_pagerank": _pagerank_sql(),
+        "mixture_sample": _mixsample_sql(),
         # SimHash near-dup: the pigeonhole candidates + popcount verify
         # are exact for hamming <= 3, so the twin is the quadratic form
         "dedup_simhash": _simhash_sql(),

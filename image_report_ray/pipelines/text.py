@@ -300,6 +300,63 @@ def quality_rank(sf_dir: str, P: int = 16) -> pa.Table:
     return finalize(t, [("rnk", "ascending")])
 
 
+_MIX_BUDGET_DEN = 2  # sample budget = 1/2 of the corpus, exact rational
+
+
+def mixture_sample(sf_dir: str, seed: int = 0x5EED) -> pa.Table:
+    """Deterministic temperature-weighted corpus sample — the sampler
+    that CONSUMES :func:`mixture_weights`: lang i keeps documents with
+    probability ``min(1, budget * N * w_i / n_i)`` (expected kept mass
+    follows the mixture weights; upweighted small sources saturate at
+    keep-all). The keep decision is ``splitmix64(doc_id + seed) <
+    thr_i`` with the threshold an EXACT integer (w_i's 6-decimal
+    rounding lifted to micro units) — reproducible on any cluster
+    shape, no RNG state.
+
+    Scale shape: one fixed-cardinality count fold (the N63 weight
+    table), a tiny threshold dict broadcast, then one streamed
+    map_batches — no shuffle. Exact twin: ``__ray_entry__``
+    ``mixture_sample``."""
+    import ray
+
+    rd = _rd()
+    w = mixture_weights(sf_dir)
+    langs = w.column("lang").to_pylist()
+    n_docs = w.column("n_docs").to_numpy().astype(np.int64)
+    w6 = np.round(w.column("mix_weight").to_numpy() * 1_000_000).astype(np.int64)
+    total = int(n_docs.sum())
+    thr = {
+        lang: (int(w6[i]) * total * (1 << 64))
+        // (_MIX_BUDGET_DEN * 1_000_000 * int(n_docs[i]))
+        for i, lang in enumerate(langs)
+    }
+    thr_ref = ray.put(thr)
+
+    def keep_batch(t: pa.Table) -> pa.Table:
+        th = ray.get(thr_ref)
+        did = t.column("doc_id").to_numpy().astype(np.uint64)
+        h = _splitmix64(did + np.uint64(seed))
+        lang = t.column("lang").to_numpy(zero_copy_only=False)
+        keep = np.zeros(len(did), bool)
+        for lg in np.unique(lang):
+            m = lang == lg
+            tl = th.get(lg, 0)
+            if tl >= (1 << 64):
+                keep[m] = True
+            else:
+                keep[m] = h[m] < np.uint64(tl)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id").filter(pa.array(keep)),
+                "lang": t.column("lang").filter(pa.array(keep)),
+            }
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    t = ds_to_table(ds.map_batches(keep_batch, batch_format="pyarrow"))
+    return finalize(t, [("doc_id", "ascending")])
+
+
 def quality_score(sf_dir: str) -> pa.Table:
     """Per-document quality signals: token count, stopword ratio, mean
     token length, punctuation count and a pass/fail flag — all integer

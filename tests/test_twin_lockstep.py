@@ -99,6 +99,7 @@ _DERIVED_TWINS = {
     "dup_span_coverage": entry._dupspan_sql,
     "top_spans": entry._topspans_sql,
     "pair_pagerank": entry._pagerank_sql,
+    "mixture_sample": entry._mixsample_sql,
 }
 
 
