@@ -997,6 +997,25 @@ GROUP BY s.doc_id ORDER BY s.doc_id
         "top_spans": _topspans_sql(),
         "pair_pagerank": _pagerank_sql(),
         "mixture_sample": _mixsample_sql(),
+        # simhash clustering: the dedup_clusters recursive closure over
+        # the simhash pair graph (the _simhash_sql pair query inlined)
+        "simhash_clusters": (
+            "WITH RECURSIVE pairs AS (\n  SELECT doc_id_a AS da, doc_id_b AS db"
+            "\n  FROM (" + _simhash_sql() + ") sp\n),\n" + r"""
+edges AS (SELECT da AS a, db AS b FROM pairs UNION ALL SELECT db, da FROM pairs),
+reach(node, label) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node
+),
+labels AS (SELECT node, MIN(label) AS label FROM reach GROUP BY node)
+SELECT d.doc_id,
+       CAST(COALESCE(l.label, d.doc_id) AS BIGINT) AS cluster_id,
+       COALESCE(l.label, d.doc_id) = d.doc_id AS keep
+FROM documents d LEFT JOIN labels l ON l.node = d.doc_id
+ORDER BY d.doc_id
+"""
+        ),
         # SimHash near-dup: the pigeonhole candidates + popcount verify
         # are exact for hamming <= 3, so the twin is the quadratic form
         "dedup_simhash": _simhash_sql(),

@@ -1875,6 +1875,53 @@ def dedup_clusters(
                     [("doc_id", "ascending")])
 
 
+def simhash_clusters(
+    sf_dir: str,
+    max_hamming: int = 3,
+    max_broadcast_ids: int = _CLUSTER_MAX_BROADCAST_IDS,
+) -> pa.Table:
+    """Near-dup clusters + keep-list over the SIMHASH pair graph — the
+    third instantiation of the clustering contract (beside the n-gram
+    and embedding routes): simhash pairs verify inside the pigeonhole
+    exchange (:func:`dedup_simhash` — hashes shuffle, bodies don't),
+    min-label propagation closes the components, and the per-doc
+    assignment broadcasts the O(dup-docs) label table below
+    ``max_broadcast_ids`` / routes through the doc_id-keyed exchange
+    above it (the :func:`dedup_clusters` gate). Output:
+    (doc_id, cluster_id, keep)."""
+    import ray
+
+    from ._util import ds_to_table
+    from .exchange import exchange_reduce, gather_concat
+
+    rd = _rd()
+    pairs = dedup_simhash(sf_dir, max_hamming)
+    labels = connected_components(
+        pairs.column("doc_id_a").to_numpy(),
+        pairs.column("doc_id_b").to_numpy(),
+    )
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    if labels.num_rows > max_broadcast_ids:
+        chunk = 262_144
+        label_refs = [
+            ray.put(labels.slice(i, chunk))
+            for i in range(0, labels.num_rows, chunk)
+        ]
+        refs = exchange_reduce(
+            [ds, label_refs], ["doc_id", "node"], _cluster_assign_partition
+        )
+        return finalize(gather_concat(refs), [("doc_id", "ascending")])
+    lbl_ref = ray.put(labels)
+
+    def assign(t: pa.Table) -> pa.Table:
+        return _cluster_assign_partition(0, t, ray.get(lbl_ref))
+
+    return finalize(
+        ds_to_table(ds.map_batches(assign, batch_format="pyarrow")),
+        [("doc_id", "ascending")],
+    )
+
+
 # ---- benchmark decontamination ----------------------------------------
 #
 # Training-data hygiene: flag corpus documents that share word n-grams

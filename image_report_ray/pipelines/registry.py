@@ -34,6 +34,7 @@ def query_registry() -> "dict[str, Callable[[str], Any]]":
         "quality_rank": text.quality_rank,
         "pair_pagerank": dedup.pair_pagerank,
         "mixture_sample": text.mixture_sample,
+        "simhash_clusters": dedup.simhash_clusters,
         "top_spans": dedup.top_spans,
         "funnel_stages": relational.funnel_stages,
         "retention_cohorts": relational.retention_cohorts,
