@@ -1936,6 +1936,22 @@ FROM documents GROUP BY lang ORDER BY lang
         # batched multi-query retrieval join (similarity.knn_join): the
         # 8 smallest vec_ids each retrieve their exact top-10 — the
         # same cosine/tie pinning as knn_cosine, per query partition
+        # semi-structured extraction (relational.props_stats): regex
+        # parse of the JSON props payload + exact-int aggregate
+        "props_stats": r"""
+WITH x AS (
+  SELECT event_type,
+         CAST(regexp_extract(props, '"k":\s*(-?[0-9]+)', 1) AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(k) AS BIGINT) AS n_with_k,
+       CAST(SUM(k) AS BIGINT) AS k_sum,
+       CAST(MIN(k) AS BIGINT) AS k_min,
+       CAST(MAX(k) AS BIGINT) AS k_max
+FROM x GROUP BY event_type ORDER BY event_type
+""",
         # weekly retention triangle (relational.retention_cohorts):
         # cohort = Monday week of each user's first event
         "retention_cohorts": """

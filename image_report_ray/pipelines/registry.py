@@ -38,6 +38,7 @@ def query_registry() -> "dict[str, Callable[[str], Any]]":
         "top_spans": dedup.top_spans,
         "funnel_stages": relational.funnel_stages,
         "retention_cohorts": relational.retention_cohorts,
+        "props_stats": relational.props_stats,
         # multimodal binary-column plumbing (actor-pool decode stages)
         "media_meta": multimodal.media_meta,
         "media_features": multimodal.media_features,

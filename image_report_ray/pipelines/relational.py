@@ -1003,6 +1003,57 @@ def funnel_stages(sf_dir: str) -> pa.Table:
     return finalize(gather_concat(refs), [("user_id", "ascending")])
 
 
+def props_stats(sf_dir: str) -> pa.Table:
+    """Semi-structured extraction at scale: parse the JSON ``props``
+    payload column (vectorized regex over the Arrow buffers — no
+    per-row json.loads) and aggregate the extracted ``k`` field per
+    event_type with exact integers. The shape every log pipeline needs:
+    extract-then-aggregate without a shuffle (fixed-cardinality fold).
+    Exact twin: ``__ray_entry__`` ``props_stats``."""
+    rd = _rd()
+
+    def extract(t: pa.Table) -> pa.Table:
+        s = t.column("props")
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        m = pc.extract_regex(s, r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        full = pa.table(
+            {"event_type": t.column("event_type"),
+             "k": k,
+             "has_k": pc.is_valid(k)}
+        )
+        g = full.group_by(["event_type"]).aggregate(
+            [("k", "sum"), ("k", "min"), ("k", "max"),
+             ("has_k", "sum"), ([], "count_all")]
+        )
+        return g.rename_columns(
+            ["event_type", "k_sum", "k_min", "k_max", "n_with_k", "n_events"]
+        )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    )
+    t = fold_partials(
+        ds.map_batches(extract, batch_format="pyarrow"),
+        ["event_type"],
+        [("k_sum", "sum"), ("k_min", "min"), ("k_max", "max"),
+         ("n_with_k", "sum"), ("n_events", "sum")],
+        ["event_type", "k_sum", "k_min", "k_max", "n_with_k", "n_events"],
+    )
+    t = pa.table(
+        {
+            "event_type": t.column("event_type"),
+            "n_events": t.column("n_events").cast(pa.int64()),
+            "n_with_k": t.column("n_with_k").cast(pa.int64()),
+            "k_sum": t.column("k_sum").cast(pa.int64()),
+            "k_min": t.column("k_min").cast(pa.int64()),
+            "k_max": t.column("k_max").cast(pa.int64()),
+        }
+    )
+    return finalize(t, [("event_type", "ascending")])
+
+
 def _retention_partition(pid: int, t: pa.Table) -> pa.Table:
     """Per user-hash partition: each user's cohort week (Monday of the
     first event's week) and the DISTINCT week offsets they were active;
