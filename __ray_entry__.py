@@ -1299,6 +1299,29 @@ SELECT doc_id, n_alpha_runs, n_num_runs, n_marks,
 FROM c ORDER BY doc_id
 """,
         "cdc_apply": CHANGELOG_CTE + _FINAL_STATE.format(extra_cols=""),
+        # inter-turn latency profile (cdcq.cdc_conv_gaps): microsecond
+        # gaps between consecutive live turn_idx positions per conv
+        "cdc_conv_gaps": CHANGELOG_CTE + """
+, final AS (
+    SELECT conv_id, turn_idx, ts
+    FROM (
+        SELECT ch.*, ROW_NUMBER() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+        FROM ch
+    )
+    WHERE rn = 1 AND op <> 'D'
+),
+g AS (
+    SELECT conv_id,
+           epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+               PARTITION BY conv_id ORDER BY turn_idx) AS gap
+    FROM final
+)
+SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
+       CAST(COALESCE(SUM(gap), 0) AS BIGINT) AS gap_sum_us,
+       CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS gap_max_us
+FROM g GROUP BY conv_id ORDER BY conv_id
+""",
         # SCD2 version history (cdcq.cdc_version_history): each event's
         # validity closes at its key's next lsn (null = current)
         "cdc_version_history": CHANGELOG_CTE + """

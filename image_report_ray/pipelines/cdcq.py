@@ -1088,3 +1088,79 @@ def cdc_version_history(sf_dir: str) -> pa.Table:
         [("conv_id", "ascending"), ("turn_idx", "ascending"),
          ("lsn", "ascending")],
     )
+
+
+def cdc_conv_gaps(sf_dir: str) -> pa.Table:
+    """Per-conversation inter-turn latency profile of the REPLAYED
+    state: live turn count plus the sum and max of the microsecond gaps
+    between consecutive turn_idx positions — the conversation-pacing
+    signal (stuck agents, burst traffic) a transcript lake serves.
+
+    Same scale shape as :func:`cdc_conv_summary`: one remote task per
+    lake partition LWW-folds its own files and computes its
+    conversations' gap stats locally (pid routing keeps a conversation
+    in one partition; export_canonical's (conv_id, turn_idx) sort makes
+    the shift partition-complete). Exact-integer output; single-turn
+    conversations report 0/0. Twin: ``__ray_entry__``
+    ``cdc_conv_gaps``."""
+    import numpy as np
+    import ray
+
+    @ray.remote
+    def part_gaps(paths: list) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        from image_report_ray.state.merge import (
+            export_canonical,
+            fold_state_tables,
+        )
+
+        folded = fold_state_tables([pq.read_table(p) for p in paths])
+        if folded is None:
+            return pa.table({})
+        t = export_canonical(folded)
+        if t.num_rows == 0:
+            return pa.table({})
+        conv = t.column("conv_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts").to_numpy().astype(np.int64)
+        starts = np.flatnonzero(np.r_[True, conv[1:] != conv[:-1]])
+        n_turns = np.diff(np.r_[starts, len(conv)]).astype(np.int64)
+        same = conv[1:] == conv[:-1]
+        gaps = np.where(same, ts[1:] - ts[:-1], 0)
+        cg = np.r_[0, np.cumsum(gaps)]
+        ends = np.r_[starts[1:], len(conv)]
+        gap_sum = cg[ends - 1] - cg[starts]
+        gmask = np.where(same, ts[1:] - ts[:-1], np.iinfo(np.int64).min)
+        idx = np.minimum(starts, max(len(gmask) - 1, 0))
+        gap_max = (
+            np.maximum.reduceat(gmask, idx)
+            if len(gmask)
+            else np.zeros(len(starts), np.int64)
+        )
+        single = n_turns == 1
+        gap_max = np.where(single, 0, gap_max)
+        gap_sum = np.where(single, 0, gap_sum)
+        return pa.table(
+            {
+                "conv_id": pa.array(conv[starts], pa.string()),
+                "n_turns": pa.array(n_turns, pa.int64()),
+                "gap_sum_us": pa.array(gap_sum, pa.int64()),
+                "gap_max_us": pa.array(gap_max.astype(np.int64), pa.int64()),
+            }
+        )
+
+    lake = _full_lake(sf_dir)
+    sets = lake.current_file_sets()
+    refs = [part_gaps.remote(paths) for _, paths in sorted(sets.items())]
+    tabs = [t for t in ray.get(refs) if t.num_rows]
+    if not tabs:
+        return pa.table(
+            {"conv_id": pa.array([], pa.string()),
+             "n_turns": pa.array([], pa.int64()),
+             "gap_sum_us": pa.array([], pa.int64()),
+             "gap_max_us": pa.array([], pa.int64())}
+        )
+    return finalize(
+        pa.concat_tables(tabs, promote_options="default"),
+        [("conv_id", "ascending")],
+    )

@@ -79,6 +79,7 @@ def query_registry() -> "dict[str, Callable[[str], Any]]":
         "cdc_flatten_transcripts": cdcq.cdc_flatten_transcripts,
         "cdc_dedup_conversations": cdcq.cdc_dedup_conversations,
         "cdc_version_history": cdcq.cdc_version_history,
+        "cdc_conv_gaps": cdcq.cdc_conv_gaps,
         "cdc_export_conversations": cdcq.cdc_export_conversations,
         "sample_split": text.sample_split,
         "shuffle_docs": text.shuffle_docs,
