@@ -39,6 +39,8 @@ def query_registry() -> "dict[str, Callable[[str], Any]]":
         "funnel_stages": relational.funnel_stages,
         "retention_cohorts": relational.retention_cohorts,
         "props_stats": relational.props_stats,
+        "cdc_version_history": cdcq.cdc_version_history,
+        "cdc_conv_gaps": cdcq.cdc_conv_gaps,
         # multimodal binary-column plumbing (actor-pool decode stages)
         "media_meta": multimodal.media_meta,
         "media_features": multimodal.media_features,
@@ -78,8 +80,6 @@ def query_registry() -> "dict[str, Callable[[str], Any]]":
         "cdc_tool_transitions": cdcq.cdc_tool_transitions,
         "cdc_flatten_transcripts": cdcq.cdc_flatten_transcripts,
         "cdc_dedup_conversations": cdcq.cdc_dedup_conversations,
-        "cdc_version_history": cdcq.cdc_version_history,
-        "cdc_conv_gaps": cdcq.cdc_conv_gaps,
         "cdc_export_conversations": cdcq.cdc_export_conversations,
         "sample_split": text.sample_split,
         "shuffle_docs": text.shuffle_docs,
