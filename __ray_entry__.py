@@ -1259,6 +1259,48 @@ SELECT d.doc_id, p.lang_pred, d.lang AS lang_true,
 FROM documents d JOIN pred p USING (doc_id)
 ORDER BY d.doc_id
 """,
+        # classifier confusion matrix (text.lang_confusion): the lang_id
+        # CTE chain, aggregated to (true, pred) counts
+        "lang_confusion": r"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest(regexp_extract_all(lower(text), '\S+')) AS token
+  FROM documents
+),
+vocab AS (
+  SELECT lang, token, COUNT(*) AS n
+  FROM toks WHERE doc_id % 10 = 0 GROUP BY lang, token
+),
+prof AS (
+  SELECT lang, token FROM (
+    SELECT lang, token,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, token ASC) AS rn
+    FROM vocab
+  ) WHERE rn <= 30
+),
+langs AS (SELECT DISTINCT lang FROM vocab),
+dt AS (SELECT DISTINCT doc_id, token FROM toks),
+sc AS (
+  SELECT dt.doc_id, prof.lang, COUNT(*) AS s
+  FROM dt JOIN prof USING (token)
+  GROUP BY 1, 2
+),
+allsc AS (
+  SELECT d.doc_id, l.lang, COALESCE(sc.s, 0) AS s
+  FROM documents d CROSS JOIN langs l
+  LEFT JOIN sc ON sc.doc_id = d.doc_id AND sc.lang = l.lang
+),
+pred AS (
+  SELECT doc_id, lang AS lang_pred FROM (
+    SELECT doc_id, lang, s,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s DESC, lang ASC) AS rn
+    FROM allsc
+  ) WHERE rn = 1
+)
+SELECT d.lang AS lang_true, p.lang_pred,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents d JOIN pred p USING (doc_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
         # integer-exact tf-idf (idf_scaled = 1e6 * N // df) — floats would
         # make DuckDB ln() vs numpy log() a cross-engine hazard; linear
         # idf keeps the ranking and the values bit-equal

@@ -534,41 +534,16 @@ def predict_langs_vectorized(
     return np.array(langs, dtype=object)[scores.argmax(axis=1)]
 
 
-def lang_id(sf_dir: str, top_k: int = 30) -> pa.Table:
-    """Heuristic language identification: fit per-language top-k token
-    profiles on the deterministic 10% labeled sample (``doc_id % 10 ==
-    0``), broadcast them (``ray.put`` — the reference's dimension-table
-    join shape), predict every document by best profile overlap. Returns
-    per-doc prediction plus agreement with the table's label.
-
-    Scale shape: the fit is distributed — the sample filter applies in
-    the FIRST map stage (only sample rows survive the read), per-batch
-    partial (lang, token) counts combine before one small grouped sum,
-    and the driver receives only the vocabulary counts (vocab-bounded,
-    not corpus-bounded) to cut top-k profiles. Prediction is the
-    vectorized bitmask kernel, no per-text Python loop.
-
-    NOTE: the driver's synthetic corpus draws text from a shared
-    vocabulary regardless of the ``lang`` label, so no classifier can
-    beat chance *on this table*; the kernels are unit-tested on a corpus
-    with real per-language vocabularies instead. The whole pipeline is
-    relational (window-rank fit + distinct-overlap argmax predict), so
-    it carries a full SQL twin in ``oracle_sql()`` — tie semantics
-    (profile cut: count desc/token asc; predict: score desc/lang asc)
-    are pinned identically on both sides."""
+def _fit_lang_prof_ref(refs, top_k: int):
+    """Distributed N8 profile fit over document block refs: sample
+    filter in the first map stage, per-batch partial (lang, token)
+    counts, token-keyed exchange fold, top-k profile cut on the
+    (vocab-bounded) driver. Returns a ray.put ref of the profiles —
+    shared by lang_id and lang_confusion."""
     import ray
 
     from .dedup import _tokenize
     from .exchange import exchange_reduce, gather_concat
-
-    rd = _rd()
-
-    # ONE read: the same block refs feed both the fit exchange and the
-    # predict wave (previously two full Dataset executions re-read the
-    # parquet and each paid pipeline startup)
-    refs = rd.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
-    ).to_arrow_refs()
 
     def sample_counts(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or "doc_id" not in t.column_names:
@@ -616,7 +591,41 @@ def lang_id(sf_dir: str, top_k: int = 30) -> pa.Table:
         )
     )
     profiles = _topk_profiles(vocab_t.to_pandas(), top_k)
-    prof_ref = ray.put(profiles)
+    return ray.put(profiles)
+
+
+def lang_id(sf_dir: str, top_k: int = 30) -> pa.Table:
+    """Heuristic language identification: fit per-language top-k token
+    profiles on the deterministic 10% labeled sample (``doc_id % 10 ==
+    0``), broadcast them (``ray.put`` — the reference's dimension-table
+    join shape), predict every document by best profile overlap. Returns
+    per-doc prediction plus agreement with the table's label.
+
+    Scale shape: the fit is distributed — the sample filter applies in
+    the FIRST map stage (only sample rows survive the read), per-batch
+    partial (lang, token) counts combine before one small grouped sum,
+    and the driver receives only the vocabulary counts (vocab-bounded,
+    not corpus-bounded) to cut top-k profiles. Prediction is the
+    vectorized bitmask kernel, no per-text Python loop.
+
+    NOTE: the driver's synthetic corpus draws text from a shared
+    vocabulary regardless of the ``lang`` label, so no classifier can
+    beat chance *on this table*; the kernels are unit-tested on a corpus
+    with real per-language vocabularies instead. The whole pipeline is
+    relational (window-rank fit + distinct-overlap argmax predict), so
+    it carries a full SQL twin in ``oracle_sql()`` — tie semantics
+    (profile cut: count desc/token asc; predict: score desc/lang asc)
+    are pinned identically on both sides."""
+    import ray
+
+    rd = _rd()
+
+    # ONE read: the same block refs feed both the fit exchange
+    # (_fit_lang_prof_ref) and the predict wave
+    refs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    ).to_arrow_refs()
+    prof_ref = _fit_lang_prof_ref(refs, top_k)
 
     @ray.remote
     def predict(prof, t: pa.Table) -> pa.Table:
@@ -646,6 +655,55 @@ def lang_id(sf_dir: str, top_k: int = 30) -> pa.Table:
         promote_options="default",
     )
     return finalize(out, [("doc_id", "ascending")])
+
+
+def lang_confusion(sf_dir: str, top_k: int = 30) -> pa.Table:
+    """Confusion matrix of the N8 classifier against the table's labels:
+    (lang_true, lang_pred, n_docs) — the quality dashboard of a language
+    router. Same distributed fit as :func:`lang_id` (shared
+    ``_fit_lang_prof_ref``); each block aggregates its OWN predictions
+    to langs^2 partial counts, so the driver folds O(langs^2 x blocks)
+    rows — per-doc predictions never gather. Twin: ``__ray_entry__``
+    ``lang_confusion``."""
+    import ray
+
+    rd = _rd()
+    refs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    ).to_arrow_refs()
+    prof_ref = _fit_lang_prof_ref(refs, top_k)
+
+    @ray.remote
+    def confuse(prof, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "text" not in t.column_names:
+            return pa.table(
+                {"lang_true": pa.array([], pa.string()),
+                 "lang_pred": pa.array([], pa.string()),
+                 "n_docs": pa.array([], pa.int64())}
+            )
+        preds = predict_langs_vectorized(t.column("text"), prof)
+        part = pa.table(
+            {"lang_true": t.column("lang"),
+             "lang_pred": pa.array(preds.astype(str))}
+        )
+        g = part.group_by(["lang_true", "lang_pred"]).aggregate([([], "count_all")])
+        return g.rename_columns(["lang_true", "lang_pred", "n_docs"])
+
+    tabs = [t for t in ray.get([confuse.remote(prof_ref, r) for r in refs])
+            if t.num_rows]
+    if not tabs:
+        return pa.table(
+            {"lang_true": pa.array([], pa.string()),
+             "lang_pred": pa.array([], pa.string()),
+             "n_docs": pa.array([], pa.int64())}
+        )
+    t = pa.concat_tables(tabs, promote_options="default")
+    g = t.group_by(["lang_true", "lang_pred"]).aggregate([("n_docs", "sum")])
+    g = g.rename_columns(["lang_true", "lang_pred", "n_docs"])
+    g = g.set_column(2, "n_docs", g.column("n_docs").cast(pa.int64()))
+    return finalize(
+        g, [("lang_true", "ascending"), ("lang_pred", "ascending")]
+    )
 
 
 # Winnowing fingerprint parameters (Schleimer et al., SIGMOD 2003 —
