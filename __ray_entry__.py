@@ -1980,6 +1980,19 @@ SELECT token, CAST(COUNT(*) AS BIGINT) AS n
 FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS token FROM documents)
 GROUP BY token ORDER BY n DESC, token ASC LIMIT 20
 """,
+        # per-group top-k (text.lang_top_tokens): the grouped-rank
+        # window shape; token is unique within a lang so the
+        # ROW_NUMBER cut is deterministic
+        "lang_top_tokens": r"""
+SELECT lang, token, n FROM (
+  SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS n,
+         ROW_NUMBER() OVER (
+             PARTITION BY lang ORDER BY COUNT(*) DESC, token ASC) AS r
+  FROM (SELECT lang, unnest(regexp_extract_all(text, '\S+')) AS token
+        FROM documents)
+  GROUP BY lang, token
+) WHERE r <= 10 ORDER BY lang ASC, n DESC, token ASC
+""",
         "dedup_exact": """
 SELECT MIN(doc_id) AS doc_id, text FROM documents
 GROUP BY text ORDER BY doc_id

@@ -92,6 +92,100 @@ def top_tokens(sf_dir: str, k: int = 20) -> pa.Table:
     return t.slice(0, k).select(["token", "n"])
 
 
+_LANG_TOPK_SCHEMA = pa.schema(
+    [("lang", pa.string()), ("token", pa.string()), ("n", pa.int64())]
+)
+
+
+def _lang_topk_cut(t: pa.Table, k: int) -> pa.Table:
+    """Keep the top-k rows PER lang under (n desc, token asc): one sort,
+    then rank = position − group start, all vectorized. token is unique
+    within a lang so the cut is deterministic — no boundary ties."""
+    if t.num_rows == 0:
+        return t
+    idx = pc.sort_indices(
+        t,
+        sort_keys=[
+            ("lang", "ascending"), ("n", "descending"), ("token", "ascending")
+        ],
+    )
+    s = t.take(idx)
+    lang = s.column("lang").to_numpy(zero_copy_only=False)
+    change = np.r_[True, lang[1:] != lang[:-1]]
+    grp = np.cumsum(change) - 1
+    starts = np.flatnonzero(change)
+    rank = np.arange(len(lang)) - starts[grp]
+    return s.filter(pa.array(rank < k))
+
+
+def _lang_token_topk_partition(pid: int, t: pa.Table, k: int = 10) -> pa.Table:
+    """Per-partition fold + per-lang top-k: the exchange key is
+    (lang, token), so a pair's global count completes here and at most
+    langs × k rows leave the partition — a provable superset of each
+    lang's global top-k."""
+    if t.num_rows == 0:
+        return _LANG_TOPK_SCHEMA.empty_table()
+    g = t.group_by(["lang", "token"]).aggregate([("n_part", "sum")])
+    out = pa.table(
+        {
+            "lang": g.column("lang"),
+            "token": g.column("token"),
+            "n": g.column("n_part_sum").cast(pa.int64()),
+        }
+    )
+    return _lang_topk_cut(out, k)
+
+
+def lang_top_tokens(sf_dir: str, k: int = 10) -> pa.Table:
+    """Per-GROUP top-k — the grouped-rank window shape (`ROW_NUMBER()
+    OVER (PARTITION BY lang ...)`) every curation dashboard needs: the
+    k most frequent whitespace tokens per language.
+
+    Same scale contract as :func:`top_tokens`: per-batch (lang, token)
+    partial counts combine before the exchange, the keyed exchange
+    completes each pair's count in exactly one partition, and only
+    langs × k rows per partition reach the driver — the vocabulary
+    never gathers. lang cardinality is fixed and tiny; token skew
+    spreads because the exchange hashes the (lang, token) PAIR."""
+    from functools import partial as fpartial
+
+    from .exchange import exchange_reduce, gather_concat
+
+    rd = _rd()
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            t.column("text").combine_chunks(), _TOKEN_SPLIT
+        )
+        flat = pc.list_flatten(toks)
+        lang = t.column("lang").combine_chunks().take(
+            pc.list_parent_indices(toks)
+        )
+        pairs = pa.table({"lang": lang, "token": flat}).filter(
+            pc.not_equal(flat, "")
+        )
+        g = pairs.group_by(["lang", "token"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "lang": g.column("lang"),
+                "token": g.column("token"),
+                "n_part": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+    refs = exchange_reduce(
+        [ds.map_batches(partial_counts, batch_format="pyarrow")],
+        ["lang", "token"],
+        fpartial(_lang_token_topk_partition, k=k),
+    )
+    t = _lang_topk_cut(gather_concat(refs), k)
+    return finalize(
+        t,
+        [("lang", "ascending"), ("n", "descending"), ("token", "ascending")],
+    )
+
+
 def _dedup_winner_partition(pid: int, t: pa.Table) -> pa.Table:
     """Per-partition winner election: all postings of a digest meet in
     one partition, so min(doc_id) per digest is final here."""

@@ -204,3 +204,42 @@ def test_pair_pagerank_hub_ranks_highest(ray_session, tmp_path):
     # repeat run: bit-identical
     out2 = pair_pagerank(sf, tau=0.2)
     assert out2.equals(out)
+
+
+def test_lang_top_tokens_per_group_cut(ray_session, tmp_path):
+    """Grouped top-k: each lang ranks independently, count desc then
+    token asc inside a lang, k bounds each group separately."""
+    from image_report_ray.pipelines.text import lang_top_tokens
+
+    texts = ["aa aa aa bb bb cc", "aa bb", "zz zz yy", "zz yy"]
+    langs = ["en", "en", "fr", "fr"]
+    t = pa.table(
+        {"doc_id": pa.array(np.arange(4), pa.int64()),
+         "text": pa.array(texts, pa.string()),
+         "lang": pa.array(langs, pa.string())}
+    )
+    d = tmp_path / "docs_lang"
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(t, str(d / "documents.parquet"))
+
+    out = lang_top_tokens(str(d), k=2).to_pydict()
+    assert list(zip(out["lang"], out["token"], out["n"])) == [
+        ("en", "aa", 4), ("en", "bb", 3), ("fr", "zz", 3), ("fr", "yy", 2),
+    ]
+
+
+def test_lang_topk_cut_kernel_boundaries():
+    """Pure kernel: k larger than a group keeps the whole group; empty
+    table round-trips; single-lang input ranks like the global cut."""
+    from image_report_ray.pipelines.text import _LANG_TOPK_SCHEMA, _lang_topk_cut
+
+    empty = _lang_topk_cut(_LANG_TOPK_SCHEMA.empty_table(), 3)
+    assert empty.num_rows == 0
+    t = pa.table(
+        {"lang": pa.array(["a", "a", "b"], pa.string()),
+         "token": pa.array(["x", "y", "z"], pa.string()),
+         "n": pa.array([1, 2, 5], pa.int64())}
+    )
+    cut = _lang_topk_cut(t, 10)
+    assert cut.num_rows == 3  # k exceeds every group size
+    assert cut.column("token").to_pylist() == ["y", "x", "z"]
