@@ -1364,6 +1364,24 @@ SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
        CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS gap_max_us
 FROM g GROUP BY conv_id ORDER BY conv_id
 """,
+        # tool co-occurrence (cdcq.cdc_tool_cooccurrence): unordered
+        # tool pairs sharing a conversation in the live state
+        "cdc_tool_cooccurrence": CHANGELOG_CTE + """
+, final AS (
+    SELECT conv_id, tool
+    FROM (
+        SELECT ch.*, ROW_NUMBER() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+        FROM ch
+    )
+    WHERE rn = 1 AND op <> 'D' AND tool IS NOT NULL
+),
+tt AS (SELECT DISTINCT conv_id, tool FROM final)
+SELECT a.tool AS tool_a, b.tool AS tool_b,
+       CAST(COUNT(*) AS BIGINT) AS n_convs
+FROM tt a JOIN tt b ON a.conv_id = b.conv_id AND a.tool < b.tool
+GROUP BY 1, 2 ORDER BY n_convs DESC, tool_a ASC, tool_b ASC
+""",
         # SCD2 version history (cdcq.cdc_version_history): each event's
         # validity closes at its key's next lsn (null = current)
         "cdc_version_history": CHANGELOG_CTE + """

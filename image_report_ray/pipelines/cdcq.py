@@ -1164,3 +1164,95 @@ def cdc_conv_gaps(sf_dir: str) -> pa.Table:
         pa.concat_tables(tabs, promote_options="default"),
         [("conv_id", "ascending")],
     )
+
+
+def cdc_tool_cooccurrence(sf_dir: str) -> pa.Table:
+    """Unordered tool co-occurrence over the REPLAYED state: for every
+    pair of tools (a < b), the number of conversations whose live turns
+    invoke BOTH — the association-mining signal (which tools travel
+    together) an agent-transcript lake serves.
+
+    Scale shape: one remote task per lake partition LWW-folds its own
+    files, takes the DISTINCT (conv_id, tool) set, and emits its
+    conversations' pairs vectorized (conversations are
+    partition-complete by pid routing, so a pair count is a clean
+    partial). Per-partition partials are O(tools²) rows — tools is a
+    fixed tiny vocabulary — and the driver finishes with one Arrow
+    group_by fold, the :func:`_util.fold_partials` contract. Bodies
+    never move; no exchange. Twin: ``__ray_entry__``
+    ``cdc_tool_cooccurrence``."""
+    import numpy as np
+    import ray
+
+    empty = pa.table(
+        {"tool_a": pa.array([], pa.string()),
+         "tool_b": pa.array([], pa.string()),
+         "n_convs": pa.array([], pa.int64())}
+    )
+
+    @ray.remote
+    def part_pairs(paths: list) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        from image_report_ray.state.merge import (
+            export_canonical,
+            fold_state_tables,
+        )
+
+        folded = fold_state_tables([pq.read_table(p) for p in paths])
+        if folded is None:
+            return pa.table({})
+        t = export_canonical(folded)
+        t = t.filter(pc.is_valid(t.column("tool")))
+        if t.num_rows == 0:
+            return pa.table({})
+        d = t.group_by(["conv_id", "tool"]).aggregate([([], "count_all")])
+        d = d.take(
+            pc.sort_indices(
+                d,
+                sort_keys=[("conv_id", "ascending"), ("tool", "ascending")],
+            )
+        )
+        conv = d.column("conv_id").to_numpy(zero_copy_only=False)
+        tool = d.column("tool").to_numpy(zero_copy_only=False)
+        n = len(conv)
+        starts = np.flatnonzero(np.r_[True, conv[1:] != conv[:-1]])
+        ends = np.r_[starts[1:], n]
+        grp = np.cumsum(np.r_[True, conv[1:] != conv[:-1]]) - 1
+        # row p pairs (as the smaller tool) with the cf[p] rows after it
+        # inside its conversation — tools are sorted within the group
+        cf = ends[grp] - np.arange(n) - 1
+        if int(cf.sum()) == 0:
+            return pa.table({})
+        a = np.repeat(np.arange(n), cf)
+        off = np.arange(len(a)) - np.repeat(np.r_[0, np.cumsum(cf)[:-1]], cf) + 1
+        b = a + off
+        pairs = pa.table(
+            {"tool_a": pa.array(tool[a], pa.string()),
+             "tool_b": pa.array(tool[b], pa.string())}
+        )
+        g = pairs.group_by(["tool_a", "tool_b"]).aggregate([([], "count_all")])
+        return pa.table(
+            {"tool_a": g.column("tool_a"),
+             "tool_b": g.column("tool_b"),
+             "n_part": g.column("count_all").cast(pa.int64())}
+        )
+
+    lake = _full_lake(sf_dir)
+    sets = lake.current_file_sets()
+    refs = [part_pairs.remote(paths) for _, paths in sorted(sets.items())]
+    tabs = [t for t in ray.get(refs) if t.num_rows]
+    if not tabs:
+        return empty
+    allp = pa.concat_tables(tabs, promote_options="default")
+    g = allp.group_by(["tool_a", "tool_b"]).aggregate([("n_part", "sum")])
+    out = pa.table(
+        {"tool_a": g.column("tool_a"),
+         "tool_b": g.column("tool_b"),
+         "n_convs": g.column("n_part_sum").cast(pa.int64())}
+    )
+    return finalize(
+        out,
+        [("n_convs", "descending"), ("tool_a", "ascending"),
+         ("tool_b", "ascending")],
+    )

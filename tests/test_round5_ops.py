@@ -243,3 +243,49 @@ def test_lang_topk_cut_kernel_boundaries():
     cut = _lang_topk_cut(t, 10)
     assert cut.num_rows == 3  # k exceeds every group size
     assert cut.column("token").to_pylist() == ["y", "x", "z"]
+
+
+def test_cdc_tool_cooccurrence_dense_corpus_parity(ray_session, tmp_path):
+    """Adversarial shape for the pair kernel: FEW users (dense multi-tool
+    conversations) and MANY event types, checked against the SQL twin on
+    the same constructed events parquet — update/delete churn included
+    via the shared changelog derivation."""
+    import duckdb
+
+    import __ray_entry__ as e
+    from image_report_ray.pipelines.cdcq import cdc_tool_cooccurrence
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "ts": pa.array(
+                np.arange(n).astype("datetime64[us]"), pa.timestamp("us")
+            ),
+            "user_id": pa.array(rng.integers(0, 12, n), pa.int64()),
+            "event_type": pa.array(
+                [f"tool{v}" for v in rng.integers(0, 9, n)], pa.string()
+            ),
+            "value": pa.array(rng.random(n), pa.float64()),
+            "props": pa.array([f"p{i}" for i in range(n)], pa.string()),
+        }
+    )
+    d = tmp_path / "dense"
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(t, str(d / "events.parquet"))
+
+    got = cdc_tool_cooccurrence(str(d))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * "
+        f"FROM read_parquet('{d}/events.parquet')"
+    )
+    want = con.execute(
+        e.oracle_sql()["cdc_tool_cooccurrence"]
+    ).arrow().cast(got.schema)
+    # the changelog derivation lands tool turns on turn_idx {3, 7} only,
+    # so a conv contributes at most one pair — dense users still yield
+    # several distinct pairs
+    assert got.num_rows > 3
+    assert got.equals(want)
