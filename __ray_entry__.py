@@ -1382,6 +1382,29 @@ SELECT a.tool AS tool_a, b.tool AS tool_b,
 FROM tt a JOIN tt b ON a.conv_id = b.conv_id AND a.tool < b.tool
 GROUP BY 1, 2 ORDER BY n_convs DESC, tool_a ASC, tool_b ASC
 """,
+        # watermark / late-data accounting (cdcq.cdc_late_arrivals):
+        # events whose ts undercuts the max ts of all EARLIER epochs
+        "cdc_late_arrivals": CHANGELOG_CTE + """
+, ep AS (
+    SELECT lsn // 2500 AS epoch,
+           CASE WHEN op <> 'D' THEN epoch_us(ts) END AS ts_us
+    FROM ch
+),
+wm AS (
+    SELECT epoch, CAST(COUNT(*) AS BIGINT) AS n_events,
+           MAX(ts_us) AS ep_max,
+           MAX(MAX(ts_us)) OVER (ORDER BY epoch
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm_in
+    FROM ep GROUP BY epoch
+)
+SELECT w.epoch, w.n_events,
+       CAST(COALESCE(SUM(CASE WHEN e.ts_us < w.wm_in THEN 1 END), 0)
+            AS BIGINT) AS n_late,
+       CAST(COALESCE(w.ep_max, -1) AS BIGINT) AS epoch_max_ts_us
+FROM wm w JOIN ep e USING (epoch)
+GROUP BY w.epoch, w.n_events, w.ep_max
+ORDER BY epoch
+""",
         # SCD2 version history (cdcq.cdc_version_history): each event's
         # validity closes at its key's next lsn (null = current)
         "cdc_version_history": CHANGELOG_CTE + """

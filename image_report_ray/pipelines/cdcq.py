@@ -1256,3 +1256,83 @@ def cdc_tool_cooccurrence(sf_dir: str) -> pa.Table:
         [("n_convs", "descending"), ("tool_a", "ascending"),
          ("tool_b", "ascending")],
     )
+
+
+def cdc_late_arrivals(sf_dir: str, epoch_size: int = 2500) -> pa.Table:
+    """Watermark / late-data accounting over the changelog — the
+    streaming-ingest health signal: per epoch, how many events carry a
+    timestamp BELOW the watermark (the max event ts of all earlier
+    epochs), plus the epoch's own closing max. Late shares tell an
+    operator whether upstream producers reorder across epoch boundaries
+    before the lake's LWW rule has to arbitrate.
+
+    Two streamed passes, both per-batch combiners over a 2-column
+    pruned read (:func:`cdc_counts`'s fold_partials contract — fixed
+    tiny epoch cardinality, no shuffle): pass 1 folds per-epoch
+    (count, max ts); the driver prefix-maxes O(epochs) ints into the
+    exclusive watermark; pass 2 ships that tiny vector in the task
+    closure and folds per-epoch late counts. Exact int64 microseconds
+    everywhere. Twin: ``__ray_entry__`` ``cdc_late_arrivals``."""
+    import numpy as np
+
+    from ._util import fold_partials
+
+    # tombstones (op = D) carry NO payload ts in the changelog — they
+    # can neither set a watermark nor arrive late; counts include them
+    def ep_stats(t: pa.Table) -> pa.Table:
+        ep = pc.divide(t.column("lsn"), epoch_size)
+        ts = t.column("ts").cast(pa.int64())
+        g = pa.table({"epoch": ep, "ts_us": ts}).group_by(["epoch"]).aggregate(
+            [([], "count_all"), ("ts_us", "max")]
+        )
+        return g.rename_columns(["epoch", "n_part", "max_part"])
+
+    ds = changelog_dataset(sf_dir).map_batches(ep_stats, batch_format="pyarrow")
+    stats = fold_partials(
+        ds, ["epoch"], [("n_part", "sum"), ("max_part", "max")],
+        ["epoch", "n_events", "ep_max"],
+    )
+    if stats.num_rows == 0:
+        return pa.table(
+            {"epoch": pa.array([], pa.int64()),
+             "n_events": pa.array([], pa.int64()),
+             "n_late": pa.array([], pa.int64()),
+             "epoch_max_ts_us": pa.array([], pa.int64())}
+        )
+    stats = stats.take(pc.sort_indices(stats, sort_keys=[("epoch", "ascending")]))
+    ep_arr = stats.column("epoch").to_numpy().astype(np.int64)
+    lo = np.iinfo(np.int64).min
+    # an epoch whose events are ALL tombstones has no max — surface -1
+    ep_max = pc.fill_null(
+        stats.column("ep_max").cast(pa.int64()), lo
+    ).to_numpy().astype(np.int64)
+    # exclusive prefix max: epoch 0 has no watermark yet — nothing is late
+    wm_in = np.r_[lo, np.maximum.accumulate(ep_max)[:-1]]
+    ep_max = np.where(ep_max == lo, -1, ep_max)
+
+    def late_partial(t: pa.Table) -> pa.Table:
+        ep = pc.divide(t.column("lsn"), epoch_size).to_numpy().astype(np.int64)
+        ts = pc.fill_null(
+            t.column("ts").cast(pa.int64()), np.iinfo(np.int64).max
+        ).to_numpy().astype(np.int64)
+        late = (ts < wm_in[np.searchsorted(ep_arr, ep)]).astype(np.int64)
+        g = pa.table(
+            {"epoch": pa.array(ep, pa.int64()),
+             "late": pa.array(late, pa.int64())}
+        ).group_by(["epoch"]).aggregate([("late", "sum")])
+        return g.rename_columns(["epoch", "late_part"])
+
+    ds2 = changelog_dataset(sf_dir).map_batches(
+        late_partial, batch_format="pyarrow"
+    )
+    lates = fold_partials(ds2, ["epoch"], [("late_part", "sum")],
+                          ["epoch", "n_late"])
+    lates = lates.take(pc.sort_indices(lates, sort_keys=[("epoch", "ascending")]))
+    assert lates.column("epoch").to_numpy().tolist() == ep_arr.tolist()
+    out = pa.table(
+        {"epoch": pa.array(ep_arr, pa.int64()),
+         "n_events": stats.column("n_events").cast(pa.int64()),
+         "n_late": lates.column("n_late").cast(pa.int64()),
+         "epoch_max_ts_us": pa.array(ep_max, pa.int64())}
+    )
+    return finalize(out, [("epoch", "ascending")])

@@ -42,6 +42,7 @@ def query_registry() -> "dict[str, Callable[[str], Any]]":
         "cdc_version_history": cdcq.cdc_version_history,
         "cdc_conv_gaps": cdcq.cdc_conv_gaps,
         "cdc_tool_cooccurrence": cdcq.cdc_tool_cooccurrence,
+        "cdc_late_arrivals": cdcq.cdc_late_arrivals,
         "lang_confusion": text.lang_confusion,
         "lang_top_tokens": text.lang_top_tokens,
         # multimodal binary-column plumbing (actor-pool decode stages)

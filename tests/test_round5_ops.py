@@ -289,3 +289,49 @@ def test_cdc_tool_cooccurrence_dense_corpus_parity(ray_session, tmp_path):
     # several distinct pairs
     assert got.num_rows > 3
     assert got.equals(want)
+
+
+def test_cdc_late_arrivals_reordered_ts_parity(ray_session, tmp_path):
+    """Constructed WAL whose timestamps are shuffled across event ids —
+    the late path actually fires — checked against the SQL twin, plus
+    the epoch-0-has-no-watermark invariant."""
+    import duckdb
+
+    import __ray_entry__ as e
+    from image_report_ray.pipelines.cdcq import cdc_late_arrivals
+
+    rng = np.random.default_rng(3)
+    n = 6000  # 3 epochs of 2500, last partial
+    ts = np.arange(n)
+    rng.shuffle(ts)  # heavy cross-epoch reordering
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "ts": pa.array(
+                (ts * 1000).astype("datetime64[us]"), pa.timestamp("us")
+            ),
+            "user_id": pa.array(rng.integers(0, 40, n), pa.int64()),
+            "event_type": pa.array(["t"] * n, pa.string()),
+            "value": pa.array(rng.random(n), pa.float64()),
+            "props": pa.array([f"p{i}" for i in range(n)], pa.string()),
+        }
+    )
+    d = tmp_path / "late"
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(t, str(d / "events.parquet"))
+
+    got = cdc_late_arrivals(str(d))
+    assert got.column("epoch").to_pylist() == [0, 1, 2]
+    n_late = got.column("n_late").to_pylist()
+    assert n_late[0] == 0          # no watermark before epoch 0
+    assert sum(n_late[1:]) > 0     # shuffling makes real late arrivals
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * "
+        f"FROM read_parquet('{d}/events.parquet')"
+    )
+    want = con.execute(
+        e.oracle_sql()["cdc_late_arrivals"]
+    ).arrow().cast(got.schema)
+    assert got.equals(want)
