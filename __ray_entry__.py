@@ -1920,6 +1920,21 @@ FROM events
 GROUP BY user_id, hour_bucket
 ORDER BY user_id, hour_bucket
 """,
+        # burst anomaly (relational.user_burst_anomaly): hottest hour vs
+        # k×mean hourly rate, decided in exact integer cross-multiplication
+        "user_burst_anomaly": """
+WITH h AS (
+  SELECT user_id, epoch_us(ts) // 3600000000 AS hb,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, CAST(SUM(n) AS BIGINT) AS n_events,
+       CAST(COUNT(*) AS BIGINT) AS n_hours,
+       CAST(MAX(n) AS BIGINT) AS max_hour_cnt,
+       CAST(CASE WHEN MAX(n) * COUNT(*) > 2 * SUM(n)
+                 THEN 1 ELSE 0 END AS BIGINT) AS burst
+FROM h GROUP BY user_id ORDER BY user_id
+""",
         "user_sliding_activity": """
 WITH e AS (
   SELECT user_id, epoch_us(ts) // 3600000000 AS hb FROM events

@@ -43,6 +43,7 @@ def query_registry() -> "dict[str, Callable[[str], Any]]":
         "cdc_conv_gaps": cdcq.cdc_conv_gaps,
         "cdc_tool_cooccurrence": cdcq.cdc_tool_cooccurrence,
         "cdc_late_arrivals": cdcq.cdc_late_arrivals,
+        "user_burst_anomaly": relational.user_burst_anomaly,
         "lang_confusion": text.lang_confusion,
         "lang_top_tokens": text.lang_top_tokens,
         # multimodal binary-column plumbing (actor-pool decode stages)

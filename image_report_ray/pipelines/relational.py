@@ -1423,3 +1423,65 @@ def q14_promo_revenue(
             ),
         }
     )
+
+
+def _burst_partition(pid: int, t: pa.Table, k: int) -> pa.Table:
+    """Per-partition burst fold: a user's (user, hour) partials all meet
+    here, so the per-user profile completes locally — one row per user
+    leaves, with the flag decided by exact-integer cross-multiplication
+    (max_hour_cnt · n_hours > k · n_events ⇔ max > k · mean)."""
+    if t.num_rows == 0:
+        return pa.table(
+            {"user_id": pa.array([], pa.int64()),
+             "n_events": pa.array([], pa.int64()),
+             "n_hours": pa.array([], pa.int64()),
+             "max_hour_cnt": pa.array([], pa.int64()),
+             "burst": pa.array([], pa.int64())}
+        )
+    hw = t.group_by(["user_id", "hour_bucket"]).aggregate([("n_part", "sum")])
+    u = hw.group_by(["user_id"]).aggregate(
+        [("n_part_sum", "sum"), ([], "count_all"), ("n_part_sum", "max")]
+    )
+    ne = u.column("n_part_sum_sum").cast(pa.int64())
+    nh = u.column("count_all").cast(pa.int64())
+    mx = u.column("n_part_sum_max").cast(pa.int64())
+    burst = pc.cast(
+        pc.greater(pc.multiply(mx, nh), pc.multiply(ne, k)), pa.int64()
+    )
+    return pa.table(
+        {"user_id": u.column("user_id").cast(pa.int64()), "n_events": ne,
+         "n_hours": nh, "max_hour_cnt": mx, "burst": burst}
+    )
+
+
+def user_burst_anomaly(sf_dir: str, k: int = 2) -> pa.Table:
+    """Traffic-burst anomaly profile: per user, total events, distinct
+    active hours, the hottest hour's count, and a 0/1 burst flag — set
+    when the hottest hour exceeds k× the user's mean hourly rate. The
+    abuse / runaway-agent triage signal an event lake serves.
+
+    Same shuffle discipline as :func:`user_hour_activity`: per-batch
+    (user, hour) combine, ONE user-keyed exchange, per-partition
+    completion (a user's hours are partition-complete), O(users) result
+    rows. The flag is exact integer cross-multiplication — no float
+    mean, so distributed fold order can never flip it."""
+    from functools import partial as fpartial
+
+    from .exchange import exchange_reduce, gather_concat
+
+    rd = _rd()
+
+    def bucket(t: pa.Table) -> pa.Table:
+        hb = pc.divide(t.column("ts").cast(pa.int64()), _US_PER_HOUR)
+        g = pa.table(
+            {"user_id": t.column("user_id"), "hour_bucket": hb}
+        ).group_by(["user_id", "hour_bucket"]).aggregate([([], "count_all")])
+        return g.rename_columns(["user_id", "hour_bucket", "n_part"])
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    refs = exchange_reduce(
+        [ds.map_batches(bucket, batch_format="pyarrow")],
+        ["user_id"],
+        fpartial(_burst_partition, k=k),
+    )
+    return finalize(gather_concat(refs), [("user_id", "ascending")])

@@ -335,3 +335,41 @@ def test_cdc_late_arrivals_reordered_ts_parity(ray_session, tmp_path):
         e.oracle_sql()["cdc_late_arrivals"]
     ).arrow().cast(got.schema)
     assert got.equals(want)
+
+
+def test_user_burst_anomaly_flag_semantics(ray_session, tmp_path):
+    """Constructed traffic: a flat user (1 event/hour) never flags; a
+    bursty user (one hot hour > 2x mean) does; a single-hour user can
+    never flag (max == total)."""
+    from image_report_ray.pipelines.relational import user_burst_anomaly
+
+    rows = []
+    hr = 3_600_000_000
+    for h in range(10):                      # user 1: flat, 10 hours
+        rows.append((1, h * hr))
+    rows += [(2, 0)] * 20                    # user 2: hot hour 0
+    for h in range(1, 5):
+        rows.append((2, h * hr))             # + 4 quiet hours
+    rows += [(3, 0)] * 50                    # user 3: one hour only
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(len(rows)), pa.int64()),
+            "ts": pa.array(
+                np.array([r[1] for r in rows], dtype="datetime64[us]"),
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array(["t"] * len(rows), pa.string()),
+            "value": pa.array([0.0] * len(rows), pa.float64()),
+            "props": pa.array(["p"] * len(rows), pa.string()),
+        }
+    )
+    d = tmp_path / "burst"
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(t, str(d / "events.parquet"))
+
+    out = {r["user_id"]: r for r in user_burst_anomaly(str(d)).to_pylist()}
+    assert out[1]["burst"] == 0 and out[1]["n_hours"] == 10
+    # user 2: max 20, hours 5, total 24 -> 100 > 48
+    assert out[2]["burst"] == 1 and out[2]["max_hour_cnt"] == 20
+    assert out[3]["burst"] == 0 and out[3]["n_hours"] == 1
