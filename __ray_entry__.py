@@ -919,6 +919,18 @@ FROM inter JOIN cnt ca ON inter.da = ca.doc_id JOIN cnt cb ON inter.db = cb.doc_
 WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.2
 ORDER BY doc_id_a, doc_id_b
 """,
+        # fuzzy (Levenshtein) near-dup pairs (dedup.dedup_edit_distance):
+        # same shared-shingle blocking as the Jaccard family, verified
+        # with exact edit distance <= 16
+        "dedup_edit_distance": "WITH " + _NGRAM_CTE + r"""
+SELECT da AS doc_id_a, db AS doc_id_b,
+       CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS dist
+FROM inter
+JOIN documents ta ON ta.doc_id = da
+JOIN documents tb ON tb.doc_id = db
+WHERE levenshtein(ta.text, tb.text) <= 16
+ORDER BY doc_id_a, doc_id_b
+""",
         # near-dup clusters: connected components over the same exact
         # pair graph via a recursive label-reach CTE; min label per
         # component = cluster_id, keep = canonical representative

@@ -2162,3 +2162,201 @@ def decontaminate(
         promote_options="default",
     )
     return finalize(out, [("doc_id", "ascending")])
+
+
+# ---- edit-distance (fuzzy) near-dup pairs ------------------------------
+
+# Character-level near-dup threshold: candidate pairs (>=1 shared word
+# 3-gram — the same blocking the SQL twin mirrors) verified with EXACT
+# banded Levenshtein. 16 edits separates "same doc, small patch" from
+# rewrites on this corpus (10-99-token docs).
+_EDIT_MAX_DIST = 16
+
+
+def banded_levenshtein(a_mat, a_len, b_mat, b_len, D: int):
+    """Exact Levenshtein per row pair wherever the true distance <= D;
+    larger distances saturate at D+1 (never below — saturated cells can
+    only propagate values >= D+1, and any cell on an optimal path of a
+    <=D pair is itself <= D, hence never saturated).
+
+    Vectorized across the PAIR axis: one (n_pairs, 2D+1) band state,
+    max_len row iterations of pure numpy — the within-row insertion
+    cascade r[k] = min(t[k], r[k-1]+1) closes in one
+    ``minimum.accumulate`` via r = k + accmin(t - k). Inputs are padded
+    code-point matrices (int64) + true lengths."""
+    n = len(a_len)
+    INF = D + 1
+    W = 2 * D + 1
+    kk = np.arange(W)
+    if n == 0:
+        return np.empty(0, np.int64)
+    j0 = kk - D
+    r = np.where(
+        (j0 >= 0) & (j0[None, :] <= b_len[:, None]),
+        np.broadcast_to(np.maximum(j0, 0), (n, W)), INF,
+    ).astype(np.int64)
+    r = np.minimum(r, INF)
+    max_m = int(a_len.max())
+    col_cap = b_mat.shape[1] - 1 if b_mat.shape[1] else 0
+    arow = np.arange(n)
+    for i in range(1, max_m + 1):
+        j = i - D + kk                       # column index per band slot
+        ai = a_mat[arow, np.minimum(i - 1, a_mat.shape[1] - 1)]
+        bj = b_mat[:, np.clip(j - 1, 0, col_cap)]  # (n, W)
+        valid = (j[None, :] >= 1) & (j[None, :] <= b_len[:, None])
+        cost = np.where(valid, (bj != ai[:, None]).astype(np.int64), INF)
+        # j == 0 cell (k = D - i): dist(i, 0) = i exactly
+        prev_shift = np.concatenate(
+            [r[:, 1:], np.full((n, 1), INF, np.int64)], axis=1
+        )
+        t = np.minimum(prev_shift + 1, r + cost)
+        if 0 <= D - i < W:
+            t[:, D - i] = min(i, INF)
+        t = np.minimum(t, INF + 1)
+        scan = kk + np.minimum.accumulate(t - kk, axis=1)
+        new_r = np.minimum(np.minimum(t, scan), INF)
+        # freeze rows past each a's true length; mask invalid columns
+        new_r = np.where(
+            (j[None, :] >= 0) & (j[None, :] <= b_len[:, None]), new_r, INF
+        )
+        r = np.where(i <= a_len[:, None], new_r, r)
+    out_k = b_len - a_len + D
+    return r[arow, out_k].astype(np.int64)
+
+
+def _pad_codes(strs) -> tuple[np.ndarray, np.ndarray]:
+    """Unicode code-point matrix (int64, zero-padded) + true lengths —
+    code points, not bytes, to match SQL ``levenshtein`` / ``length``
+    semantics (equal to bytes on this ASCII corpus)."""
+    lens = np.empty(len(strs), np.int64)
+    codes = []
+    for i, s in enumerate(strs):
+        c = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+        lens[i] = len(c)
+        codes.append(c)
+    m = np.zeros((len(strs), max(int(lens.max()) if len(strs) else 0, 1)),
+                 dtype=np.int64)
+    for i, c in enumerate(codes):
+        m[i, : len(c)] = c
+    return m, lens
+
+
+def _lookup_texts(texts: pa.Table, ids: np.ndarray) -> np.ndarray:
+    td = texts.column("doc_id").to_numpy()
+    tx = texts.column("text").to_numpy(zero_copy_only=False)
+    order = np.argsort(td)
+    td, tx = td[order], tx[order]
+    pos = np.searchsorted(td, ids)
+    if len(td) == 0 or (td[np.minimum(pos, len(td) - 1)] != ids).any():
+        raise ValueError(
+            "pair partition missing co-partitioned candidate texts — "
+            "routing invariant broken"
+        )
+    return tx[pos]
+
+
+def _edit_attach_a(pid: int, pairs: pa.Table, texts: pa.Table) -> pa.Table:
+    """Stage-1 edit-distance kernel: attach the a-side text (pairs and
+    candidate texts co-partitioned on doc_id_a)."""
+    if pairs.num_rows == 0 or "doc_id_a" not in pairs.column_names:
+        return _pair_empty({"text_a": pa.string()})
+    a = pairs.column("doc_id_a").to_numpy()
+    return pairs.append_column(
+        "text_a", pa.array(_lookup_texts(texts, a), pa.string())
+    )
+
+
+def _edit_verify(D: int, pid: int, pairs: pa.Table, texts: pa.Table) -> pa.Table:
+    """Stage-2 edit-distance kernel: attach the b-side text, drop pairs
+    whose length delta already exceeds D (lev >= |len diff| — free exact
+    prefilter), then run the banded DP and keep dist <= D."""
+    empty = _pair_empty({"dist": pa.int64()}).drop_columns(["n_common"])
+    if pairs.num_rows == 0 or "doc_id_b" not in pairs.column_names:
+        return empty
+    b = pairs.column("doc_id_b").to_numpy()
+    ta = pairs.column("text_a").to_numpy(zero_copy_only=False)
+    tb = _lookup_texts(texts, b)
+    la = np.fromiter((len(s) for s in ta), np.int64, len(ta))
+    lb = np.fromiter((len(s) for s in tb), np.int64, len(tb))
+    cand = np.abs(la - lb) <= D
+    if not cand.any():
+        return empty
+    a_ids = pairs.column("doc_id_a").to_numpy()[cand]
+    b_ids = b[cand]
+    am, al = _pad_codes(ta[cand].tolist())
+    bm, bl = _pad_codes(tb[cand].tolist())
+    dist = banded_levenshtein(am, al, bm, bl, D)
+    keep = dist <= D
+    return pa.table(
+        {
+            "doc_id_a": pa.array(a_ids[keep], pa.int64()),
+            "doc_id_b": pa.array(b_ids[keep], pa.int64()),
+            "dist": pa.array(dist[keep], pa.int64()),
+        }
+    )
+
+
+def dedup_edit_distance(sf_dir: str, max_dist: int = _EDIT_MAX_DIST) -> pa.Table:
+    """Character-level (Levenshtein) near-dup pairs — the fuzzy-dedup
+    modality token-set measures miss (small in-place patches that keep
+    almost every character but break shingle sets move edit distance
+    only a little; unrelated docs sharing vocabulary look close in
+    Jaccard but far in edits).
+
+    Blocking + verify, all distributed: candidate pairs = docs sharing
+    >= 1 word 3-gram (the :func:`pair_count_refs` exchange — same
+    blocking rule the SQL twin mirrors); candidate doc TEXTS (only
+    candidates — the id set broadcasts and filters the base blocks) ride
+    two chained exchanges to meet their pairs, where the exact banded DP
+    (:func:`banded_levenshtein`, vectorized across the pair axis)
+    decides dist <= ``max_dist`` inside the partition. Driver holds ref
+    handles and the final surviving pairs only. Recall contract: a pair
+    with NO shared word 3-gram is out of scope on both sides of the
+    oracle."""
+    from functools import partial as fpartial
+
+    import ray
+
+    from .exchange import exchange_reduce, gather_concat
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    base_refs = ds.to_arrow_refs()
+
+    @ray.remote
+    def explode(t: pa.Table) -> pa.Table:
+        df = doc_shingles(t)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    @ray.remote
+    def pair_ids(t: pa.Table) -> np.ndarray:
+        if t.num_rows == 0 or "doc_id_a" not in t.column_names:
+            return np.empty(0, np.int64)
+        return np.unique(
+            np.concatenate(
+                [t.column("doc_id_a").to_numpy(), t.column("doc_id_b").to_numpy()]
+            )
+        )
+
+    @ray.remote
+    def cand_texts(t: pa.Table, ids: np.ndarray) -> pa.Table:
+        keep = pc.is_in(t.column("doc_id"), value_set=pa.array(ids, pa.int64()))
+        return t.filter(keep)
+
+    shingle_refs = [explode.remote(r) for r in base_refs]
+    pair_refs, _ = pair_count_refs(shingle_refs, "shingle", "doc_id")
+    ids = np.unique(np.concatenate(ray.get([pair_ids.remote(r) for r in pair_refs])))
+    ids_ref = ray.put(ids)
+    text_refs = [cand_texts.remote(r, ids_ref) for r in base_refs]
+
+    stage1 = exchange_reduce(
+        [pair_refs, text_refs], ["doc_id_a", "doc_id"], _edit_attach_a
+    )
+    out = exchange_reduce(
+        [stage1, text_refs], ["doc_id_b", "doc_id"],
+        fpartial(_edit_verify, max_dist),
+    )
+    t = gather_concat(out)
+    if t.num_rows == 0:
+        t = _pair_empty({"dist": pa.int64()}).drop_columns(["n_common"])
+    return finalize(t, [("doc_id_a", "ascending"), ("doc_id_b", "ascending")])

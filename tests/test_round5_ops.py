@@ -373,3 +373,70 @@ def test_user_burst_anomaly_flag_semantics(ray_session, tmp_path):
     # user 2: max 20, hours 5, total 24 -> 100 > 48
     assert out[2]["burst"] == 1 and out[2]["max_hour_cnt"] == 20
     assert out[3]["burst"] == 0 and out[3]["n_hours"] == 1
+
+
+def test_banded_levenshtein_matches_bruteforce_random():
+    """Random string pairs (mutations + unrelated): the banded DP is
+    exact wherever true dist <= D, and never reports <= D for a pair
+    whose true distance exceeds D (saturation invariant)."""
+    from image_report_ray.pipelines.dedup import _pad_codes, banded_levenshtein
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    rng = np.random.default_rng(17)
+    alpha = "abcdef "
+    pairs = []
+    for _ in range(60):
+        n = int(rng.integers(0, 40))
+        a = "".join(rng.choice(list(alpha), n))
+        roll = rng.random()
+        if roll < 0.5:  # mutate a few positions / indels
+            b = list(a)
+            for _ in range(int(rng.integers(0, 6))):
+                op = rng.integers(0, 3)
+                if op == 0 and b:
+                    b[rng.integers(0, len(b))] = rng.choice(list(alpha))
+                elif op == 1:
+                    b.insert(int(rng.integers(0, len(b) + 1)),
+                             str(rng.choice(list(alpha))))
+                elif b:
+                    del b[rng.integers(0, len(b))]
+            b = "".join(b)
+        else:           # unrelated
+            b = "".join(rng.choice(list(alpha), int(rng.integers(0, 40))))
+        pairs.append((a, b))
+
+    for D in (3, 8):
+        sub = [(a, b) for a, b in pairs if abs(len(a) - len(b)) <= D]
+        am, al = _pad_codes([p[0] for p in sub])
+        bm, bl = _pad_codes([p[1] for p in sub])
+        got = banded_levenshtein(am, al, bm, bl, D)
+        for (a, b), g in zip(sub, got):
+            true = lev(a, b)
+            if true <= D:
+                assert g == true, (a, b, D, g, true)
+            else:
+                assert g > D, (a, b, D, g, true)
+
+
+def test_dedup_edit_distance_planted_patch(ray_session, tmp_path):
+    """A doc with a tiny in-place patch is found with the exact edit
+    count; a rewrite sharing vocabulary is not."""
+    from image_report_ray.pipelines.dedup import dedup_edit_distance
+
+    base = " ".join(WORDS[:30])
+    patched = base.replace("w5", "w5x", 1)          # 1 insertion
+    rewrite = " ".join(reversed(WORDS[:30]))        # same words, reordered
+    sf = _write_docs(tmp_path, [base, patched, rewrite])
+    out = dedup_edit_distance(sf)
+    got = {(r["doc_id_a"], r["doc_id_b"]): r["dist"] for r in out.to_pylist()}
+    assert got[(0, 1)] == 1
+    assert (0, 2) not in got and (1, 2) not in got
