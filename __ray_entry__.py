@@ -2048,6 +2048,31 @@ SELECT token, CAST(COUNT(*) AS BIGINT) AS n
 FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS token FROM documents)
 GROUP BY token ORDER BY n DESC, token ASC LIMIT 20
 """,
+        # bigram collocations (text.collocations): exact integer lift in
+        # HUGEINT — the same nested floor the engine takes in Python ints
+        "collocations": r"""
+WITH toks AS (SELECT regexp_extract_all(text, '\S+') AS ws FROM documents),
+uni AS (SELECT unnest(ws) AS w FROM toks),
+ucnt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM uni GROUP BY w),
+ut AS (SELECT CAST(SUM(n) AS HUGEINT) AS u FROM ucnt),
+bi AS (SELECT unnest(list_transform(range(1, len(ws)),
+                                    i -> [ws[i], ws[i+1]])) AS pr
+       FROM toks WHERE len(ws) >= 2),
+bcnt AS (SELECT pr[1] AS w1, pr[2] AS w2,
+                CAST(COUNT(*) AS BIGINT) AS n_ab
+         FROM bi GROUP BY 1, 2),
+bt AS (SELECT CAST(SUM(n_ab) AS HUGEINT) AS b FROM bcnt)
+SELECT w1, w2, n_ab,
+       CAST((CAST(n_ab AS HUGEINT) * 1000000 * ut.u * ut.u)
+            // (bt.b * ca.n * cb.n) AS BIGINT) AS lift_micro
+FROM bcnt
+CROSS JOIN ut CROSS JOIN bt
+JOIN ucnt ca ON ca.w = w1
+JOIN ucnt cb ON cb.w = w2
+WHERE n_ab >= 5
+ORDER BY lift_micro DESC, w1 ASC, w2 ASC
+LIMIT 20
+""",
         # per-group top-k (text.lang_top_tokens): the grouped-rank
         # window shape; token is unique within a lang so the
         # ROW_NUMBER cut is deterministic

@@ -45,6 +45,7 @@ def query_registry() -> "dict[str, Callable[[str], Any]]":
         "cdc_late_arrivals": cdcq.cdc_late_arrivals,
         "user_burst_anomaly": relational.user_burst_anomaly,
         "dedup_edit_distance": dedup.dedup_edit_distance,
+        "collocations": text.collocations,
         "lang_confusion": text.lang_confusion,
         "lang_top_tokens": text.lang_top_tokens,
         # multimodal binary-column plumbing (actor-pool decode stages)

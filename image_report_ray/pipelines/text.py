@@ -2066,3 +2066,169 @@ def mixture_weights(sf_dir: str, alpha: float = _MIX_ALPHA) -> pa.Table:
             "mix_weight": pa.array(share, pa.float64()),
         }
     )
+
+
+# ---- bigram collocation mining (PMI / lift) ---------------------------
+
+_COLL_SCALE = 1_000_000
+
+
+def _coll_count_fold(names: list[str], pid: int, t: pa.Table) -> pa.Table:
+    """Generic exchange fold: sum ``n_part`` per key tuple (the key's
+    partials all meet here)."""
+    if t.num_rows == 0:
+        return pa.table(
+            {**{c: pa.array([], pa.string()) for c in names},
+             "n": pa.array([], pa.int64())}
+        )
+    g = t.group_by(names).aggregate([("n_part", "sum")])
+    return pa.table(
+        {**{c: g.column(c) for c in names},
+         "n": g.column("n_part_sum").cast(pa.int64())}
+    )
+
+
+def _coll_attach(col: str, out: str, pid: int, pairs: pa.Table,
+                 uni: pa.Table) -> pa.Table:
+    """Attach the unigram count of ``col`` (bigrams co-partitioned with
+    the completed unigram counts on that word)."""
+    if pairs.num_rows == 0 or col not in pairs.column_names:
+        cols = {"w1": pa.string(), "w2": pa.string(), "n_ab": pa.int64(),
+                "ca": pa.int64(), "cb": pa.int64()}
+        return pa.table({c: pa.array([], typ) for c, typ in cols.items()
+                         if c in ("w1", "w2", "n_ab") or c == out
+                         or (out == "cb" and c == "ca")})
+    uw = uni.column("w").to_numpy(zero_copy_only=False)
+    un = uni.column("n").to_numpy()
+    order = np.argsort(uw)
+    uw, un = uw[order], un[order]
+    w = pairs.column(col).to_numpy(zero_copy_only=False)
+    pos = np.searchsorted(uw, w)
+    if len(uw) == 0 or (uw[np.minimum(pos, len(uw) - 1)] != w).any():
+        raise ValueError(
+            "bigram partition missing co-partitioned unigram counts — "
+            "routing invariant broken"
+        )
+    return pairs.append_column(out, pa.array(un[pos], pa.int64()))
+
+
+def collocations(sf_dir: str, k: int = 20, min_count: int = 5) -> pa.Table:
+    """Top-k bigram collocations by exact integer LIFT — the PMI-style
+    phrase-mining signal (tokens that travel together far above chance),
+    mined corpus-wide without any vocabulary ever gathering.
+
+    lift_micro = ⌊n_ab · 10⁶ · U² / (B · c_a · c_b)⌋ with U = total
+    tokens, B = total bigrams — the SQL twin computes the identical
+    floor in HUGEINT, so both sides are bit-equal (no float, no log).
+
+    Four chained keyed exchanges, the :func:`dedup.ngram_jaccard`
+    composition discipline: (1) unigram counts complete per partition,
+    (2) bigram counts complete + min_count floor, (3)/(4) the two
+    unigram denominators ride to their bigrams, lift + per-partition
+    top-k decided in-partition (counts are complete there — the
+    partition cut is a provable superset of the global top-k). The
+    driver folds P × k rows and two scalar totals."""
+    from functools import partial as fpartial
+
+    import ray
+
+    from .exchange import exchange_reduce, gather_concat
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    base_refs = ds.to_arrow_refs()
+
+    @ray.remote
+    def uni_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(t.column("text").combine_chunks(),
+                                      _TOKEN_SPLIT)
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = flat.value_counts()
+        return pa.table({"w": vc.field("values"),
+                         "n_part": vc.field("counts").cast(pa.int64())})
+
+    @ray.remote
+    def bi_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(t.column("text").combine_chunks(),
+                                      _TOKEN_SPLIT)
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy()
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        w = flat.to_numpy(zero_copy_only=False)[keep]
+        par = parent[keep]
+        if len(w) < 2:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "n_part": pa.array([], pa.int64())})
+        adj = par[:-1] == par[1:]
+        g = pa.table(
+            {"w1": pa.array(w[:-1][adj], pa.string()),
+             "w2": pa.array(w[1:][adj], pa.string())}
+        ).group_by(["w1", "w2"]).aggregate([([], "count_all")])
+        return g.rename_columns(["w1", "w2", "n_part"])
+
+    @ray.remote
+    def total(t: pa.Table) -> int:
+        return int(pc.sum(t.column("n")).as_py() or 0) if t.num_rows else 0
+
+    uni_parts = [uni_partial.remote(r) for r in base_refs]
+    bi_parts = [bi_partial.remote(r) for r in base_refs]
+    uni_refs = exchange_reduce([uni_parts], ["w"],
+                               fpartial(_coll_count_fold, ["w"]))
+    bi_refs = exchange_reduce([bi_parts], ["w1", "w2"],
+                              fpartial(_coll_count_fold, ["w1", "w2"]))
+    u_total = sum(ray.get([total.remote(r) for r in uni_refs]))
+    b_total = sum(ray.get([total.remote(r) for r in bi_refs]))
+    if b_total == 0:
+        return pa.table(
+            {"w1": pa.array([], pa.string()), "w2": pa.array([], pa.string()),
+             "n_ab": pa.array([], pa.int64()),
+             "lift_micro": pa.array([], pa.int64())}
+        )
+
+    @ray.remote
+    def floor_filter(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t.column("n"), min_count))
+        return t.rename_columns(["w1", "w2", "n_ab"])
+
+    bi_flt = [floor_filter.remote(r) for r in bi_refs]
+
+    def lift_topk(pid: int, pairs: pa.Table, uni: pa.Table) -> pa.Table:
+        t = _coll_attach("w2", "cb", pid, pairs, uni)
+        if t.num_rows == 0:
+            return pa.table(
+                {"w1": pa.array([], pa.string()),
+                 "w2": pa.array([], pa.string()),
+                 "n_ab": pa.array([], pa.int64()),
+                 "lift_micro": pa.array([], pa.int64())}
+            )
+        nab = t.column("n_ab").to_pylist()
+        ca = t.column("ca").to_pylist()
+        cb = t.column("cb").to_pylist()
+        # exact integer floor — unbounded Python ints, the HUGEINT twin
+        lift = [
+            (a * _COLL_SCALE * u_total * u_total) // (b_total * x * y)
+            for a, x, y in zip(nab, ca, cb)
+        ]
+        out = pa.table(
+            {"w1": t.column("w1"), "w2": t.column("w2"),
+             "n_ab": t.column("n_ab"),
+             "lift_micro": pa.array(lift, pa.int64())}
+        )
+        idx = pc.sort_indices(
+            out, sort_keys=[("lift_micro", "descending"),
+                            ("w1", "ascending"), ("w2", "ascending")]
+        )
+        return out.take(idx.slice(0, k))
+
+    stage_a = exchange_reduce(
+        [bi_flt, uni_refs], ["w1", "w"], fpartial(_coll_attach, "w1", "ca")
+    )
+    out_refs = exchange_reduce([stage_a, uni_refs], ["w2", "w"], lift_topk)
+    t = gather_concat(out_refs)
+    idx = pc.sort_indices(
+        t, sort_keys=[("lift_micro", "descending"), ("w1", "ascending"),
+                      ("w2", "ascending")]
+    )
+    return t.take(idx.slice(0, k)).combine_chunks()

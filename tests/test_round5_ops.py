@@ -440,3 +440,40 @@ def test_dedup_edit_distance_planted_patch(ray_session, tmp_path):
     got = {(r["doc_id_a"], r["doc_id_b"]): r["dist"] for r in out.to_pylist()}
     assert got[(0, 1)] == 1
     assert (0, 2) not in got and (1, 2) not in got
+
+
+def test_collocations_lift_bruteforce(ray_session, tmp_path):
+    """Constructed corpus with one glued phrase: the phrase bigram tops
+    the lift ranking and the exact integer lift matches a Python
+    brute-force of the same floor expression."""
+    from image_report_ray.pipelines.text import collocations
+
+    filler = [f"f{i}" for i in range(30)]
+    docs = []
+    rng = np.random.default_rng(23)
+    for i in range(40):
+        toks = list(rng.choice(filler, 12))
+        if i % 2 == 0:
+            toks[3:3] = ["new", "york"]     # glued pair, never apart
+        docs.append(" ".join(toks))
+    sf = _write_docs(tmp_path, docs)
+    out = collocations(sf, k=5, min_count=5)
+    # random filler bigrams rarely clear min_count — but the glued pair
+    # must exist, top the ranking, and carry the exact lift
+    assert out.num_rows >= 1
+    assert (out.column("w1")[0].as_py(), out.column("w2")[0].as_py()) == (
+        "new", "york")
+
+    toks_all = [d.split() for d in docs]
+    uni: dict = {}
+    bi: dict = {}
+    for tk in toks_all:
+        for w in tk:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(tk, tk[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+    U = sum(uni.values())
+    B = sum(bi.values())
+    want = (bi[("new", "york")] * 1_000_000 * U * U) // (
+        B * uni["new"] * uni["york"])
+    assert out.column("lift_micro")[0].as_py() == want
