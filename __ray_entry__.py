@@ -1932,6 +1932,20 @@ FROM events
 GROUP BY user_id, hour_bucket
 ORDER BY user_id, hour_bucket
 """,
+        # per-user event-type Markov transitions (relational.
+        # event_transitions): LEAD over (ts, event_id) order
+        "event_transitions": """
+WITH s AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events
+)
+SELECT event_type AS from_type, nxt AS to_type,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM s WHERE nxt IS NOT NULL
+GROUP BY 1, 2 ORDER BY n DESC, from_type ASC, to_type ASC
+""",
         # burst anomaly (relational.user_burst_anomaly): hottest hour vs
         # k×mean hourly rate, decided in exact integer cross-multiplication
         "user_burst_anomaly": """

@@ -46,6 +46,7 @@ def query_registry() -> "dict[str, Callable[[str], Any]]":
         "user_burst_anomaly": relational.user_burst_anomaly,
         "dedup_edit_distance": dedup.dedup_edit_distance,
         "collocations": text.collocations,
+        "event_transitions": relational.event_transitions,
         "lang_confusion": text.lang_confusion,
         "lang_top_tokens": text.lang_top_tokens,
         # multimodal binary-column plumbing (actor-pool decode stages)

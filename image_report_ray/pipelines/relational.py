@@ -1485,3 +1485,71 @@ def user_burst_anomaly(sf_dir: str, k: int = 2) -> pa.Table:
         fpartial(_burst_partition, k=k),
     )
     return finalize(gather_concat(refs), [("user_id", "ascending")])
+
+
+def _transition_partition(pid: int, t: pa.Table) -> pa.Table:
+    """Per-partition transition fold: a user's events are
+    partition-complete, so one lexsort by (user, ts, event_id) makes
+    every adjacent (from → to) pair visible locally; only O(types²)
+    partial rows leave."""
+    empty = pa.table(
+        {"from_type": pa.array([], pa.string()),
+         "to_type": pa.array([], pa.string()),
+         "n_part": pa.array([], pa.int64())}
+    )
+    if t.num_rows == 0:
+        return empty
+    u = t.column("user_id").to_numpy()
+    ts = t.column("ts").cast(pa.int64()).to_numpy()
+    eid = t.column("event_id").to_numpy()
+    et = t.column("event_type").to_numpy(zero_copy_only=False)
+    order = np.lexsort((eid, ts, u))
+    u, et = u[order], et[order]
+    same = u[1:] == u[:-1]
+    if not same.any():
+        return empty
+    g = pa.table(
+        {"from_type": pa.array(et[:-1][same], pa.string()),
+         "to_type": pa.array(et[1:][same], pa.string())}
+    ).group_by(["from_type", "to_type"]).aggregate([([], "count_all")])
+    return g.rename_columns(["from_type", "to_type", "n_part"])
+
+
+def event_transitions(sf_dir: str) -> pa.Table:
+    """First-order Markov transition counts over each user's event
+    stream ordered by (ts, event_id) — the behavioral sequence-mining
+    view (:func:`cdcq.cdc_tool_transitions`'s events-side sibling).
+
+    ONE user-keyed exchange of 4 narrow columns (adjacency crosses
+    batch boundaries, so rows must co-locate — but bodies are four
+    fixed-width fields, never payloads); the per-partition kernel is a
+    single lexsort + shift, partials are O(event_types²) and fold on
+    the driver (fixed tiny cardinality)."""
+    from .exchange import exchange_reduce, gather_concat
+
+    rd = _rd()
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    refs = exchange_reduce(
+        [ds.map_batches(lambda t: t, batch_format="pyarrow")],
+        ["user_id"], _transition_partition,
+    )
+    allp = gather_concat(refs)
+    if allp.num_rows == 0:
+        return pa.table(
+            {"from_type": pa.array([], pa.string()),
+             "to_type": pa.array([], pa.string()),
+             "n": pa.array([], pa.int64())}
+        )
+    g = allp.group_by(["from_type", "to_type"]).aggregate([("n_part", "sum")])
+    out = pa.table(
+        {"from_type": g.column("from_type"), "to_type": g.column("to_type"),
+         "n": g.column("n_part_sum").cast(pa.int64())}
+    )
+    return finalize(
+        out,
+        [("n", "descending"), ("from_type", "ascending"),
+         ("to_type", "ascending")],
+    )

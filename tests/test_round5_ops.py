@@ -477,3 +477,35 @@ def test_collocations_lift_bruteforce(ray_session, tmp_path):
     want = (bi[("new", "york")] * 1_000_000 * U * U) // (
         B * uni["new"] * uni["york"])
     assert out.column("lift_micro")[0].as_py() == want
+
+
+def test_event_transitions_tie_and_order_semantics(ray_session, tmp_path):
+    """Same-timestamp events order by event_id; transitions never cross
+    users; counts are global over users."""
+    from image_report_ray.pipelines.relational import event_transitions
+
+    #          user, ts, type       (event_id = row index)
+    rows = [(1, 0, "a"), (1, 0, "b"),      # tie -> a->b via event_id
+            (1, 5, "c"),                   # b->c
+            (2, 0, "a"), (2, 1, "b"),      # a->b again (other user)
+            (3, 9, "z")]                   # singleton: no transition
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(len(rows)), pa.int64()),
+            "ts": pa.array(
+                np.array([r[1] for r in rows], dtype="datetime64[us]"),
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+            "value": pa.array([0.0] * len(rows), pa.float64()),
+            "props": pa.array(["p"] * len(rows), pa.string()),
+        }
+    )
+    d = tmp_path / "trans"
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(t, str(d / "events.parquet"))
+
+    out = {(r["from_type"], r["to_type"]): r["n"]
+           for r in event_transitions(str(d)).to_pylist()}
+    assert out == {("a", "b"): 2, ("b", "c"): 1}
