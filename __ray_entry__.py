@@ -1932,6 +1932,19 @@ FROM events
 GROUP BY user_id, hour_bucket
 ORDER BY user_id, hour_bucket
 """,
+        # exact second moments per type (relational.value_moments):
+        # population variance closed in HUGEINT with one shared floor
+        "value_moments": """
+WITH c AS (SELECT event_type,
+                  CAST(round(value * 100) AS BIGINT) AS v FROM events),
+a AS (SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(v) AS HUGEINT) AS s,
+             CAST(SUM(CAST(v AS HUGEINT) * v) AS HUGEINT) AS sq
+      FROM c GROUP BY 1)
+SELECT event_type, CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS sum_cents,
+       CAST(((n * sq - s * s) * 1000000) // (n * n) AS BIGINT) AS var_micro
+FROM a ORDER BY event_type
+""",
         # per-user event-type Markov transitions (relational.
         # event_transitions): LEAD over (ts, event_id) order
         "event_transitions": """

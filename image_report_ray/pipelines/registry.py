@@ -47,6 +47,7 @@ def query_registry() -> "dict[str, Callable[[str], Any]]":
         "dedup_edit_distance": dedup.dedup_edit_distance,
         "collocations": text.collocations,
         "event_transitions": relational.event_transitions,
+        "value_moments": relational.value_moments,
         "lang_confusion": text.lang_confusion,
         "lang_top_tokens": text.lang_top_tokens,
         # multimodal binary-column plumbing (actor-pool decode stages)

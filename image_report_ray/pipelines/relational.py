@@ -1553,3 +1553,56 @@ def event_transitions(sf_dir: str) -> pa.Table:
         [("n", "descending"), ("from_type", "ascending"),
          ("to_type", "ascending")],
     )
+
+
+def value_moments(sf_dir: str) -> pa.Table:
+    """Exact distributed second moments per event type: count, sum and
+    population variance of ``value`` — every partial an int64 triple
+    (n, Σcents, Σcents²), so fold order can never move a bit; the
+    variance closes driver-side in unbounded Python ints with the same
+    floor the HUGEINT twin takes: var_micro = ⌊(n·Σv² − (Σv)²)·10⁶/n²⌋.
+
+    The canonical moments-sketch shape (mean/std/z-score backbone):
+    per-batch combine to one row per type, fixed tiny cardinality,
+    :func:`_util.fold_partials` — no shuffle."""
+    from ._util import fold_partials
+
+    rd = _rd()
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = _cents(t.column("value"))
+        g = pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "v": pa.array(v, pa.int64()),
+                "v2": pa.array(v * v, pa.int64()),
+            }
+        ).group_by(["event_type"]).aggregate(
+            [([], "count_all"), ("v", "sum"), ("v2", "sum")]
+        )
+        return g.rename_columns(["event_type", "n_part", "s_part", "sq_part"])
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    t = fold_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type"],
+        [("n_part", "sum"), ("s_part", "sum"), ("sq_part", "sum")],
+        ["event_type", "n", "sum_cents", "sq"],
+    )
+    n = t.column("n").to_pylist()
+    s = t.column("sum_cents").to_pylist()
+    sq = t.column("sq").to_pylist()
+    var = [
+        ((ni * qi - si * si) * 1_000_000) // (ni * ni) if ni else 0
+        for ni, si, qi in zip(n, s, sq)
+    ]
+    out = pa.table(
+        {
+            "event_type": t.column("event_type"),
+            "n": t.column("n").cast(pa.int64()),
+            "sum_cents": t.column("sum_cents").cast(pa.int64()),
+            "var_micro": pa.array(var, pa.int64()),
+        }
+    )
+    return finalize(out, [("event_type", "ascending")])

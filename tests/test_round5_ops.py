@@ -509,3 +509,32 @@ def test_event_transitions_tie_and_order_semantics(ray_session, tmp_path):
     out = {(r["from_type"], r["to_type"]): r["n"]
            for r in event_transitions(str(d)).to_pylist()}
     assert out == {("a", "b"): 2, ("b", "c"): 1}
+
+
+def test_value_moments_exact_variance(ray_session, tmp_path):
+    """Constructed values with a known population variance: var_micro is
+    the exact floor, and a constant series has variance 0."""
+    from image_report_ray.pipelines.relational import value_moments
+
+    vals = {"a": [1.00, 3.00], "b": [2.50, 2.50, 2.50]}
+    rows = [(t, v) for t, vs in vals.items() for v in vs]
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(len(rows)), pa.int64()),
+            "ts": pa.array(
+                np.zeros(len(rows), dtype="datetime64[us]"), pa.timestamp("us")
+            ),
+            "user_id": pa.array([0] * len(rows), pa.int64()),
+            "event_type": pa.array([r[0] for r in rows], pa.string()),
+            "value": pa.array([r[1] for r in rows], pa.float64()),
+            "props": pa.array(["p"] * len(rows), pa.string()),
+        }
+    )
+    d = tmp_path / "mom"
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(t, str(d / "events.parquet"))
+
+    out = {r["event_type"]: r for r in value_moments(str(d)).to_pylist()}
+    # a: cents 100, 300 -> n=2 s=400 sq=100000; var = (2*100000-160000)/4
+    assert out["a"]["var_micro"] == (2 * 100_000 - 400 * 400) * 1_000_000 // 4
+    assert out["b"]["var_micro"] == 0 and out["b"]["sum_cents"] == 750
