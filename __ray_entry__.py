@@ -2075,6 +2075,22 @@ SELECT token, CAST(COUNT(*) AS BIGINT) AS n
 FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS token FROM documents)
 GROUP BY token ORDER BY n DESC, token ASC LIMIT 20
 """,
+        # conjunctive keyword search (text.keyword_search): docs holding
+        # ALL of the top-2-DF tokens as whole tokens
+        "keyword_search": r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w FROM documents
+),
+dfr AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY w),
+terms AS (SELECT w FROM dfr ORDER BY df DESC, w ASC LIMIT 2),
+hit AS (
+  SELECT t.doc_id, COUNT(DISTINCT t.w) AS m
+  FROM tok t JOIN terms USING (w)
+  GROUP BY t.doc_id
+)
+SELECT doc_id FROM hit
+WHERE m = (SELECT COUNT(*) FROM terms) ORDER BY doc_id
+""",
         # bigram collocations (text.collocations): exact integer lift in
         # HUGEINT — the same nested floor the engine takes in Python ints
         "collocations": r"""

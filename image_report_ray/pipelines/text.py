@@ -2232,3 +2232,86 @@ def collocations(sf_dir: str, k: int = 20, min_count: int = 5) -> pa.Table:
                       ("w2", "ascending")]
     )
     return t.take(idx.slice(0, k)).combine_chunks()
+
+
+# ---- conjunctive keyword search (inverted-index shape) ----------------
+
+
+def keyword_search(sf_dir: str, n_terms: int = 2) -> pa.Table:
+    """Conjunctive keyword search — the inverted-index retrieval shape:
+    find every document containing ALL query terms as whole tokens. The
+    query is self-derived for determinism: the ``n_terms`` tokens with
+    the highest DOCUMENT frequency (ties by token asc) — the worst-case
+    hot postings, so the benchmark exercises the fattest lists.
+
+    Two task waves over ONE read (the round-4 read-once pattern):
+    (1) distinct (token, doc_id) postings fold DF through the token-keyed
+    exchange, per-partition top-``n_terms`` cut (a provable superset of
+    the global cut), driver folds P × n rows; (2) the tiny term set
+    broadcasts back over the same blocks — each doc lives in exactly one
+    block, so the per-doc distinct-term count is complete block-locally
+    and hits need NO second exchange."""
+    from functools import partial as fpartial
+
+    import ray
+
+    from .exchange import exchange_reduce, gather_concat
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    base_refs = ds.to_arrow_refs()
+
+    @ray.remote
+    def postings(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(t.column("text").combine_chunks(),
+                                      _TOKEN_SPLIT)
+        flat = pc.list_flatten(toks)
+        did = t.column("doc_id").combine_chunks().take(
+            pc.list_parent_indices(toks)
+        )
+        pt = pa.table({"token": flat, "doc_id": did}).filter(
+            pc.not_equal(flat, "")
+        )
+        g = pt.group_by(["token", "doc_id"]).aggregate([([], "count_all")])
+        # distinct postings: one row per (token, doc) regardless of tf
+        return pa.table(
+            {"token": g.column("token"),
+             "doc_id": g.column("doc_id").cast(pa.int64()),
+             "n_part": pa.array(np.ones(g.num_rows, np.int64), pa.int64())}
+        )
+
+    post_refs = [postings.remote(r) for r in base_refs]
+    df_refs = exchange_reduce(
+        [post_refs], ["token"], fpartial(_token_topk_partition, k=n_terms)
+    )
+    dfs = gather_concat(df_refs)
+    idx = pc.sort_indices(
+        dfs, sort_keys=[("n", "descending"), ("token", "ascending")]
+    )
+    terms = dfs.take(idx.slice(0, n_terms)).column("token").to_pylist()
+    if not terms:
+        return pa.table({"doc_id": pa.array([], pa.int64())})
+    terms_set = pa.array(sorted(terms), pa.string())
+
+    @ray.remote
+    def hits(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(t.column("text").combine_chunks(),
+                                      _TOKEN_SPLIT)
+        flat = pc.list_flatten(toks)
+        did = t.column("doc_id").combine_chunks().take(
+            pc.list_parent_indices(toks)
+        )
+        keep = pc.is_in(flat, value_set=terms_set)
+        pt = pa.table({"token": flat, "doc_id": did}).filter(keep)
+        if pt.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64())})
+        g = pt.group_by(["doc_id", "token"]).aggregate([([], "count_all")])
+        m = g.group_by(["doc_id"]).aggregate([([], "count_all")])
+        full = m.filter(pc.equal(m.column("count_all"), len(terms_set)))
+        return pa.table({"doc_id": full.column("doc_id").cast(pa.int64())})
+
+    tabs = [t for t in ray.get([hits.remote(r) for r in base_refs])
+            if t.num_rows]
+    if not tabs:
+        return pa.table({"doc_id": pa.array([], pa.int64())})
+    return finalize(pa.concat_tables(tabs), [("doc_id", "ascending")])

@@ -538,3 +538,20 @@ def test_value_moments_exact_variance(ray_session, tmp_path):
     # a: cents 100, 300 -> n=2 s=400 sq=100000; var = (2*100000-160000)/4
     assert out["a"]["var_micro"] == (2 * 100_000 - 400 * 400) * 1_000_000 // 4
     assert out["b"]["var_micro"] == 0 and out["b"]["sum_cents"] == 750
+
+
+def test_keyword_search_conjunctive_whole_token(ray_session, tmp_path):
+    """Term derivation picks the two highest-DF tokens; hits require
+    BOTH as whole tokens (substring containment does not count)."""
+    from image_report_ray.pipelines.text import keyword_search
+
+    docs = [
+        "alpha beta x", "alpha beta y", "alpha beta z",   # both terms
+        "alpha only here", "beta only here",              # one term
+        "alphabet betamax",                               # substrings only
+        "only filler words",
+    ]
+    sf = _write_docs(tmp_path, docs)
+    out = keyword_search(sf)
+    # DF: alpha 4, beta 4, only 3 ... -> terms {alpha, beta}
+    assert out.column("doc_id").to_pylist() == [0, 1, 2]
