@@ -336,6 +336,10 @@ def run_textbench(num_cpus: int, n_docs: int = TEXTBENCH_DOCS) -> dict:
         ("top_spans", dedup.top_spans),
         ("ngram_novelty", dedup.ngram_novelty),
         ("quality_rank", text.quality_rank),
+        ("lang_top_tokens", text.lang_top_tokens),
+        ("collocations", text.collocations),
+        ("keyword_search", text.keyword_search),
+        ("dedup_edit_distance", dedup.dedup_edit_distance),
     ):
         t0 = time.perf_counter()
         r = fn(tb_dir)
@@ -382,6 +386,9 @@ def run_eventbench(num_cpus: int) -> dict:
         ("distinct_event_types", R.distinct_event_types),
         ("funnel_stages", R.funnel_stages),
         ("retention_cohorts", R.retention_cohorts),
+        ("user_burst_anomaly", R.user_burst_anomaly),
+        ("event_transitions", R.event_transitions),
+        ("value_moments", R.value_moments),
     ):
         t0 = time.perf_counter()
         r = fn(EVENTBENCH_DIR)
