@@ -919,6 +919,23 @@ FROM inter JOIN cnt ca ON inter.da = ca.doc_id JOIN cnt cb ON inter.db = cb.doc_
 WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.2
 ORDER BY doc_id_a, doc_id_b
 """,
+        # triangle census of the near-dup graph (dedup.pair_triangles)
+        "pair_triangles": "WITH " + _NGRAM_CTE + r""",
+pairs AS (
+  SELECT da, db
+  FROM inter JOIN cnt ca ON inter.da = ca.doc_id
+             JOIN cnt cb ON inter.db = cb.doc_id
+  WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.2
+),
+fa AS (SELECT da, CAST(COUNT(*) AS BIGINT) AS d FROM pairs GROUP BY da)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_edges,
+       (SELECT CAST(COALESCE(SUM(d * (d - 1) // 2), 0) AS BIGINT)
+        FROM fa) AS n_wedges,
+       (SELECT CAST(COUNT(*) AS BIGINT)
+        FROM pairs p1
+        JOIN pairs p2 ON p2.da = p1.db
+        JOIN pairs p3 ON p3.da = p1.da AND p3.db = p2.db) AS n_triangles
+""",
         # fuzzy (Levenshtein) near-dup pairs (dedup.dedup_edit_distance):
         # same shared-shingle blocking as the Jaccard family, verified
         # with exact edit distance <= 16

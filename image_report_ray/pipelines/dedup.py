@@ -2266,10 +2266,24 @@ def _edit_attach_a(pid: int, pairs: pa.Table, texts: pa.Table) -> pa.Table:
     )
 
 
+def _char_hists(strs) -> np.ndarray:
+    """Per-string code-point histograms over 256 buckets (codes >= 256
+    share bucket 255 — merging bins only SHRINKS the L1 diff, so the
+    bound below stays a valid lower bound)."""
+    H = np.zeros((len(strs), 256), np.int32)
+    for i, s in enumerate(strs):
+        c = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+        np.add.at(H[i], np.minimum(c, 255), 1)
+    return H
+
+
 def _edit_verify(D: int, pid: int, pairs: pa.Table, texts: pa.Table) -> pa.Table:
-    """Stage-2 edit-distance kernel: attach the b-side text, drop pairs
-    whose length delta already exceeds D (lev >= |len diff| — free exact
-    prefilter), then run the banded DP and keep dist <= D."""
+    """Stage-2 edit-distance kernel: attach the b-side text, then two
+    result-preserving exact lower bounds prune before the DP — length
+    delta (lev >= |len diff|) and character-histogram distance (one edit
+    moves the histogram L1 by <= 2, so lev >= ceil(L1/2)); histograms
+    are built once per DISTINCT doc, not per pair. Survivors run the
+    banded DP; keep dist <= D."""
     empty = _pair_empty({"dist": pa.int64()}).drop_columns(["n_common"])
     if pairs.num_rows == 0 or "doc_id_b" not in pairs.column_names:
         return empty
@@ -2281,10 +2295,22 @@ def _edit_verify(D: int, pid: int, pairs: pa.Table, texts: pa.Table) -> pa.Table
     cand = np.abs(la - lb) <= D
     if not cand.any():
         return empty
-    a_ids = pairs.column("doc_id_a").to_numpy()[cand]
-    b_ids = b[cand]
-    am, al = _pad_codes(ta[cand].tolist())
-    bm, bl = _pad_codes(tb[cand].tolist())
+    a_all = pairs.column("doc_id_a").to_numpy()
+    ua, ia_first, ia = np.unique(a_all[cand], return_index=True,
+                                 return_inverse=True)
+    ub, ib_first, ib = np.unique(b[cand], return_index=True,
+                                 return_inverse=True)
+    Ha = _char_hists(ta[cand][ia_first].tolist())
+    Hb = _char_hists(tb[cand][ib_first].tolist())
+    l1 = np.abs(Ha[ia] - Hb[ib]).sum(axis=1)
+    hist_ok = (l1 + 1) // 2 <= D
+    if not hist_ok.any():
+        return empty
+    sel = np.flatnonzero(cand)[hist_ok]
+    a_ids = a_all[sel]
+    b_ids = b[sel]
+    am, al = _pad_codes(ta[sel].tolist())
+    bm, bl = _pad_codes(tb[sel].tolist())
     dist = banded_levenshtein(am, al, bm, bl, D)
     keep = dist <= D
     return pa.table(
@@ -2360,3 +2386,102 @@ def dedup_edit_distance(sf_dir: str, max_dist: int = _EDIT_MAX_DIST) -> pa.Table
     if t.num_rows == 0:
         t = _pair_empty({"dist": pa.int64()}).drop_columns(["n_common"])
     return finalize(t, [("doc_id_a", "ascending"), ("doc_id_b", "ascending")])
+
+
+# ---- triangle counting over the near-dup graph -------------------------
+
+
+def _tri_wedge_kernel(pid: int, t: pa.Table) -> pa.Table:
+    """Edges co-partitioned on doc_id_a: each node's FORWARD adjacency
+    (neighbors with larger id — exactly the stored a<b orientation) is
+    complete here, so every wedge (a; b < c) it anchors can be emitted
+    locally as the packed key of its closing edge (b, c)."""
+    if t.num_rows == 0 or "doc_id_a" not in t.column_names:
+        return pa.table({"wkey": pa.array([], pa.int64())})
+    a = t.column("doc_id_a").to_numpy()
+    b = t.column("doc_id_b").to_numpy()
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    starts = np.flatnonzero(np.r_[True, a[1:] != a[:-1]])
+    ends = np.r_[starts[1:], len(a)]
+    grp = np.cumsum(np.r_[True, a[1:] != a[:-1]]) - 1
+    cf = ends[grp] - np.arange(len(a)) - 1
+    if int(cf.sum()) == 0:
+        return pa.table({"wkey": pa.array([], pa.int64())})
+    li = np.repeat(np.arange(len(a)), cf)
+    off = np.arange(len(li)) - np.repeat(np.r_[0, np.cumsum(cf)[:-1]], cf) + 1
+    ri = li + off
+    wkey = (b[li] << 32) | b[ri]          # b sorted within group -> b<c
+    return pa.table({"wkey": pa.array(wkey, pa.int64())})
+
+
+def _tri_close_kernel(pid: int, wedges: pa.Table, edges: pa.Table) -> pa.Table:
+    """Wedges co-partitioned with the edge set on the packed (b, c) key:
+    a wedge is a triangle iff its closing edge exists here. Emits one
+    scalar partial row."""
+    if wedges.num_rows == 0 or "wkey" not in wedges.column_names:
+        return pa.table({"n_tri": pa.array([0], pa.int64())})
+    if edges.num_rows == 0 or "ekey" not in edges.column_names:
+        return pa.table({"n_tri": pa.array([0], pa.int64())})
+    w = wedges.column("wkey").to_numpy()
+    ek = np.sort(edges.column("ekey").to_numpy())
+    pos = np.searchsorted(ek, w)
+    hit = (pos < len(ek)) & (ek[np.minimum(pos, len(ek) - 1)] == w)
+    return pa.table({"n_tri": pa.array([int(hit.sum())], pa.int64())})
+
+
+def pair_triangles(sf_dir: str, tau: float = 0.2) -> pa.Table:
+    """Triangle census of the verified n-gram-Jaccard near-dup graph —
+    the third graph primitive beside refs-native connected components
+    (N29) and PageRank (N73): edge count, wedge count (anchored
+    forward-adjacency pairs) and closed-triangle count, the clustering-
+    coefficient numerator duplication audits read (cliquey dup clusters
+    vs chains of borderline pairs).
+
+    Refs-native end-to-end: verified pair refs re-exchange on doc_id_a
+    (forward adjacency completes per partition → wedges emitted as
+    packed closing-edge keys), wedges meet the packed edge set in a
+    second exchange, and only O(P) scalar partials + two O(P) count
+    folds reach the driver. Hot-node wedge fan-out is bounded by the
+    near-dup cluster size — the same skew the CC/PageRank operators
+    carry, documented there."""
+    import ray
+
+    from .exchange import exchange_reduce
+
+    pair_refs, _ = ngram_jaccard_pair_refs(sf_dir, tau)
+
+    @ray.remote
+    def edge_keys(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_id_a" not in t.column_names:
+            return pa.table({"ekey": pa.array([], pa.int64())})
+        a = t.column("doc_id_a").to_numpy()
+        b = t.column("doc_id_b").to_numpy()
+        return pa.table({"ekey": pa.array((a << 32) | b, pa.int64())})
+
+    @ray.remote
+    def count_rows(t: pa.Table) -> int:
+        return int(t.num_rows) if "doc_id_a" in t.column_names else 0
+
+    @ray.remote
+    def count_wedges(t: pa.Table) -> int:
+        return int(t.num_rows) if "wkey" in t.column_names else 0
+
+    n_edges = sum(ray.get([count_rows.remote(r) for r in pair_refs]))
+    wedge_refs = exchange_reduce([pair_refs], ["doc_id_a"], _tri_wedge_kernel)
+    n_wedges = sum(ray.get([count_wedges.remote(r) for r in wedge_refs]))
+    ekey_refs = [edge_keys.remote(r) for r in pair_refs]
+    tri_refs = exchange_reduce(
+        [wedge_refs, ekey_refs], ["wkey", "ekey"], _tri_close_kernel
+    )
+    n_tri = sum(
+        int(pc.sum(t.column("n_tri")).as_py() or 0)
+        for t in ray.get(tri_refs) if t.num_rows
+    )
+    return pa.table(
+        {
+            "n_edges": pa.array([n_edges], pa.int64()),
+            "n_wedges": pa.array([n_wedges], pa.int64()),
+            "n_triangles": pa.array([n_tri], pa.int64()),
+        }
+    )

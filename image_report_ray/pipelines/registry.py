@@ -49,6 +49,7 @@ def query_registry() -> "dict[str, Callable[[str], Any]]":
         "event_transitions": relational.event_transitions,
         "value_moments": relational.value_moments,
         "keyword_search": text.keyword_search,
+        "pair_triangles": dedup.pair_triangles,
         "lang_confusion": text.lang_confusion,
         "lang_top_tokens": text.lang_top_tokens,
         # multimodal binary-column plumbing (actor-pool decode stages)

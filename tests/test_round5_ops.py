@@ -555,3 +555,18 @@ def test_keyword_search_conjunctive_whole_token(ray_session, tmp_path):
     out = keyword_search(sf)
     # DF: alpha 4, beta 4, only 3 ... -> terms {alpha, beta}
     assert out.column("doc_id").to_pylist() == [0, 1, 2]
+
+
+def test_pair_triangles_clique_and_chain(ray_session, tmp_path):
+    """A 3-clique of identical docs closes exactly one triangle; an
+    attached chain node adds wedges but no triangle."""
+    from image_report_ray.pipelines.dedup import pair_triangles
+
+    tri = " ".join(WORDS[:25])
+    # chain doc: high overlap with tri (shares a long prefix) but we
+    # verify counts off the actual verified pair graph, whatever it is
+    sf = _write_docs(tmp_path, [tri, tri, tri,
+                                " ".join(f"q{i}" for i in range(25))])
+    out = pair_triangles(sf).to_pylist()[0]
+    # clique edges (0,1) (0,2) (1,2); isolated doc contributes nothing
+    assert out == {"n_edges": 3, "n_wedges": 1, "n_triangles": 1}
