@@ -1949,6 +1949,23 @@ FROM events
 GROUP BY user_id, hour_bucket
 ORDER BY user_id, hour_bucket
 """,
+        # exact DAU / rolling 7-day WAU (relational.active_users):
+        # the windowed-DISTINCT shape
+        "active_users": """
+WITH days AS (
+  SELECT DISTINCT user_id,
+         epoch_us(ts) // 86400000000 AS d FROM events
+),
+all_days AS (SELECT DISTINCT d FROM days),
+dau AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM days GROUP BY d),
+wau AS (
+  SELECT a.d, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau
+  FROM all_days a JOIN days u ON u.d BETWEEN a.d - 6 AND a.d
+  GROUP BY a.d
+)
+SELECT dau.d AS day, dau.dau, wau.wau
+FROM dau JOIN wau ON dau.d = wau.d ORDER BY day
+""",
         # exact second moments per type (relational.value_moments):
         # population variance closed in HUGEINT with one shared floor
         "value_moments": """

@@ -50,6 +50,7 @@ def query_registry() -> "dict[str, Callable[[str], Any]]":
         "value_moments": relational.value_moments,
         "keyword_search": text.keyword_search,
         "pair_triangles": dedup.pair_triangles,
+        "active_users": relational.active_users,
         "lang_confusion": text.lang_confusion,
         "lang_top_tokens": text.lang_top_tokens,
         # multimodal binary-column plumbing (actor-pool decode stages)

@@ -1606,3 +1606,105 @@ def value_moments(sf_dir: str) -> pa.Table:
         }
     )
     return finalize(out, [("event_type", "ascending")])
+
+
+_US_PER_DAY = 86_400_000_000
+
+
+def _active_partition(pid: int, t: pa.Table) -> pa.Table:
+    """Per-partition DAU/WAU partials: a user's (user, day) pairs are
+    partition-complete, so the user's distinct-day set — and the union
+    of its 7-day coverage intervals — close locally. Emits (day,
+    dau_part, wau_part); anchor days that never saw an event are
+    trimmed by the driver against the global day list."""
+    empty = pa.table(
+        {"day": pa.array([], pa.int64()),
+         "dau_part": pa.array([], pa.int64()),
+         "wau_part": pa.array([], pa.int64())}
+    )
+    if t.num_rows == 0:
+        return empty
+    u = t.column("user_id").to_numpy()
+    d = t.column("day").to_numpy()
+    order = np.lexsort((d, u))
+    u, d = u[order], d[order]
+    first = np.r_[True, (u[1:] != u[:-1]) | (d[1:] != d[:-1])]
+    u, d = u[first], d[first]                      # distinct (user, day)
+    # DAU partials: count users per day (distinct within partition=global)
+    ud, dn = np.unique(d, return_counts=True)
+    # WAU: per user, union of [day, day+6] intervals, expanded to anchors
+    new_u = np.r_[True, u[1:] != u[:-1]]
+    # interval merge per user over the sorted day list: a new interval
+    # starts when the gap to the previous day exceeds 6 or user changes
+    gap = np.r_[True, (d[1:] - d[:-1]) > 6]
+    start = new_u | gap
+    seg = np.cumsum(start) - 1
+    seg_start = d[start]
+    # segment end = last day in segment + 6
+    seg_last = np.zeros(seg[-1] + 1, np.int64)
+    seg_last[seg] = d                               # last write wins (sorted)
+    lo = seg_start
+    hi = seg_last + 6
+    lens = hi - lo + 1
+    anchors = np.repeat(lo, lens) + (
+        np.arange(int(lens.sum())) - np.repeat(np.r_[0, np.cumsum(lens)[:-1]], lens)
+    )
+    wd, wn = np.unique(anchors, return_counts=True)
+    days = np.union1d(ud, wd)
+    out_dau = np.zeros(len(days), np.int64)
+    out_dau[np.searchsorted(days, ud)] = dn
+    out_wau = np.zeros(len(days), np.int64)
+    out_wau[np.searchsorted(days, wd)] = wn
+    return pa.table(
+        {"day": pa.array(days, pa.int64()),
+         "dau_part": pa.array(out_dau, pa.int64()),
+         "wau_part": pa.array(out_wau, pa.int64())}
+    )
+
+
+def active_users(sf_dir: str) -> pa.Table:
+    """Exact DAU / rolling-7-day WAU — the windowed-DISTINCT shape that
+    defeats naive aggregation (a distinct user must count once per
+    window, not once per event): ONE user-keyed exchange of (user, day)
+    pairs; each partition closes its users' distinct-day sets and their
+    merged 7-day coverage intervals locally, so WAU partials ADD across
+    partitions (users are partition-complete — no distinct survives the
+    fold boundary). Driver folds O(days) rows and trims anchor days
+    that never saw an event."""
+    from .exchange import exchange_reduce, gather_concat
+
+    rd = _rd()
+
+    def to_days(t: pa.Table) -> pa.Table:
+        day = pc.divide(t.column("ts").cast(pa.int64()), _US_PER_DAY)
+        g = pa.table(
+            {"user_id": t.column("user_id"), "day": day}
+        ).group_by(["user_id", "day"]).aggregate([([], "count_all")])
+        return g.drop_columns(["count_all"])
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    refs = exchange_reduce(
+        [ds.map_batches(to_days, batch_format="pyarrow")],
+        ["user_id"], _active_partition,
+    )
+    allp = gather_concat(refs)
+    if allp.num_rows == 0:
+        return pa.table(
+            {"day": pa.array([], pa.int64()),
+             "dau": pa.array([], pa.int64()),
+             "wau": pa.array([], pa.int64())}
+        )
+    g = allp.group_by(["day"]).aggregate(
+        [("dau_part", "sum"), ("wau_part", "sum")]
+    )
+    # trim anchors beyond the last REAL event day (interval expansion
+    # reaches up to +6 past it; real days all carry dau > 0)
+    real = g.filter(pc.greater(g.column("dau_part_sum"), 0))
+    keep = pc.is_in(g.column("day"), value_set=real.column("day").combine_chunks())
+    g = g.filter(keep)
+    out = pa.table(
+        {"day": g.column("day").cast(pa.int64()),
+         "dau": g.column("dau_part_sum").cast(pa.int64()),
+         "wau": g.column("wau_part_sum").cast(pa.int64())}
+    )
+    return finalize(out, [("day", "ascending")])

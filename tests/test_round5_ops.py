@@ -570,3 +570,41 @@ def test_pair_triangles_clique_and_chain(ray_session, tmp_path):
     out = pair_triangles(sf).to_pylist()[0]
     # clique edges (0,1) (0,2) (1,2); isolated doc contributes nothing
     assert out == {"n_edges": 3, "n_wedges": 1, "n_triangles": 1}
+
+
+def test_active_users_window_distinct_semantics(ray_session, tmp_path):
+    """WAU counts a user ONCE per window however many active days they
+    have inside it; gaps > 6 days split coverage; output days are only
+    real event days."""
+    from image_report_ray.pipelines.relational import active_users
+
+    day = 86_400_000_000
+    #        user, day
+    rows = [(1, 0), (1, 3),       # two active days, one window coverage
+            (2, 0),               # single day
+            (3, 20)]              # far gap: own island
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(len(rows)), pa.int64()),
+            "ts": pa.array(
+                np.array([r[1] * day for r in rows], dtype="datetime64[us]"),
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array(["t"] * len(rows), pa.string()),
+            "value": pa.array([0.0] * len(rows), pa.float64()),
+            "props": pa.array(["p"] * len(rows), pa.string()),
+        }
+    )
+    d = tmp_path / "dau"
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(t, str(d / "events.parquet"))
+
+    out = {r["day"]: (r["dau"], r["wau"])
+           for r in active_users(str(d)).to_pylist()}
+    # real event days only: 0, 3, 20
+    assert set(out) == {0, 3, 20}
+    assert out[0] == (2, 2)       # users 1,2 active day 0; window [−6,0]
+    # day 3 window [−3,3]: users 1 (days 0,3 -> once) and 2 (day 0)
+    assert out[3] == (1, 2)
+    assert out[20] == (1, 1)
