@@ -340,6 +340,7 @@ def run_textbench(num_cpus: int, n_docs: int = TEXTBENCH_DOCS) -> dict:
         ("collocations", text.collocations),
         ("keyword_search", text.keyword_search),
         ("dedup_edit_distance", dedup.dedup_edit_distance),
+        ("pair_triangles", dedup.pair_triangles),
     ):
         t0 = time.perf_counter()
         r = fn(tb_dir)
@@ -389,6 +390,7 @@ def run_eventbench(num_cpus: int) -> dict:
         ("user_burst_anomaly", R.user_burst_anomaly),
         ("event_transitions", R.event_transitions),
         ("value_moments", R.value_moments),
+        ("active_users", R.active_users),
     ):
         t0 = time.perf_counter()
         r = fn(EVENTBENCH_DIR)
