@@ -1487,32 +1487,36 @@ def user_burst_anomaly(sf_dir: str, k: int = 2) -> pa.Table:
     return finalize(gather_concat(refs), [("user_id", "ascending")])
 
 
-def _transition_partition(pid: int, t: pa.Table) -> pa.Table:
+def _transition_partition(n_types: int, pid: int, t: pa.Table) -> pa.Table:
     """Per-partition transition fold: a user's events are
     partition-complete, so one lexsort by (user, ts, event_id) makes
-    every adjacent (from → to) pair visible locally; only O(types²)
-    partial rows leave."""
+    every adjacent (from → to) pair visible locally; the pair count is
+    one 2-D bincount over the shipped int16 type codes — only
+    O(types²) partial rows leave."""
     empty = pa.table(
-        {"from_type": pa.array([], pa.string()),
-         "to_type": pa.array([], pa.string()),
+        {"from_code": pa.array([], pa.int64()),
+         "to_code": pa.array([], pa.int64()),
          "n_part": pa.array([], pa.int64())}
     )
     if t.num_rows == 0:
         return empty
     u = t.column("user_id").to_numpy()
-    ts = t.column("ts").cast(pa.int64()).to_numpy()
+    ts = t.column("ts").to_numpy()
     eid = t.column("event_id").to_numpy()
-    et = t.column("event_type").to_numpy(zero_copy_only=False)
+    code = t.column("code").to_numpy()
     order = np.lexsort((eid, ts, u))
-    u, et = u[order], et[order]
+    u, code = u[order], code[order].astype(np.int64)
     same = u[1:] == u[:-1]
     if not same.any():
         return empty
-    g = pa.table(
-        {"from_type": pa.array(et[:-1][same], pa.string()),
-         "to_type": pa.array(et[1:][same], pa.string())}
-    ).group_by(["from_type", "to_type"]).aggregate([([], "count_all")])
-    return g.rename_columns(["from_type", "to_type", "n_part"])
+    flat = code[:-1][same] * n_types + code[1:][same]
+    cnt = np.bincount(flat, minlength=n_types * n_types)
+    nz = np.flatnonzero(cnt)
+    return pa.table(
+        {"from_code": pa.array(nz // n_types, pa.int64()),
+         "to_code": pa.array(nz % n_types, pa.int64()),
+         "n_part": pa.array(cnt[nz], pa.int64())}
+    )
 
 
 def event_transitions(sf_dir: str) -> pa.Table:
@@ -1520,11 +1524,17 @@ def event_transitions(sf_dir: str) -> pa.Table:
     stream ordered by (ts, event_id) — the behavioral sequence-mining
     view (:func:`cdcq.cdc_tool_transitions`'s events-side sibling).
 
-    ONE user-keyed exchange of 4 narrow columns (adjacency crosses
-    batch boundaries, so rows must co-locate — but bodies are four
-    fixed-width fields, never payloads); the per-partition kernel is a
-    single lexsort + shift, partials are O(event_types²) and fold on
-    the driver (fixed tiny cardinality)."""
+    Two waves over ONE read: a tiny distinct-type fold first, then the
+    broadcast sorted type list dictionary-encodes ``event_type`` to
+    int16 per batch so the user-keyed co-location exchange ships four
+    FIXED-WIDTH columns (adjacency crosses batch boundaries, rows must
+    co-locate — but never a string payload); the per-partition kernel
+    is a lexsort + 2-D bincount, partials are O(event_types²) and fold
+    on the driver (fixed tiny cardinality)."""
+    from functools import partial as fpartial
+
+    import ray
+
     from .exchange import exchange_reduce, gather_concat
 
     rd = _rd()
@@ -1532,11 +1542,54 @@ def event_transitions(sf_dir: str) -> pa.Table:
         f"{sf_dir}/events.parquet",
         columns=["user_id", "ts", "event_id", "event_type"],
     )
-    refs = exchange_reduce(
-        [ds.map_batches(lambda t: t, batch_format="pyarrow")],
-        ["user_id"], _transition_partition,
+    base_refs = ds.to_arrow_refs()
+
+    @ray.remote
+    def types_of(t: pa.Table) -> pa.Table:
+        et = t.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        return pa.table({"t": pc.unique(et)})
+
+    types = pa.concat_tables(ray.get([types_of.remote(r) for r in base_refs]))
+    tlist = np.sort(
+        np.unique(types.column("t").to_numpy(zero_copy_only=False))
     )
-    allp = gather_concat(refs)
+
+    @ray.remote
+    def encode(t: pa.Table, tl: np.ndarray) -> pa.Table:
+        et = t.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        code = np.searchsorted(tl, et.to_numpy(zero_copy_only=False))
+        return pa.table(
+            {"user_id": t.column("user_id"),
+             "ts": t.column("ts").cast(pa.int64()),
+             "event_id": t.column("event_id"),
+             "code": pa.array(code.astype(np.int16), pa.int16())}
+        )
+
+    tl_ref = ray.put(tlist)
+    enc_refs = [encode.remote(r, tl_ref) for r in base_refs]
+    refs = exchange_reduce(
+        [enc_refs], ["user_id"],
+        fpartial(_transition_partition, len(tlist)),
+    )
+    coded = gather_concat(refs)
+    if coded.num_rows == 0:
+        allp = pa.table(
+            {"from_type": pa.array([], pa.string()),
+             "to_type": pa.array([], pa.string()),
+             "n_part": pa.array([], pa.int64())}
+        )
+    else:
+        allp = pa.table(
+            {"from_type": pa.array(
+                tlist[coded.column("from_code").to_numpy()], pa.string()),
+             "to_type": pa.array(
+                tlist[coded.column("to_code").to_numpy()], pa.string()),
+             "n_part": coded.column("n_part")}
+        )
     if allp.num_rows == 0:
         return pa.table(
             {"from_type": pa.array([], pa.string()),
