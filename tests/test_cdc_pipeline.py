@@ -1139,3 +1139,57 @@ def test_single_partition_lake_lifecycle(ray_session, tmp_path):
     from image_report_ray.cli import main
 
     assert main(["validate", lake_dir]) == 0
+
+
+def test_crash_fuzz_random_points_resume_byte_identical(
+    ray_session, tmp_path, wal
+):
+    """Randomized exactly-once fuzz: inject a different crash artifact
+    per seed — deleted commit record, stranded ``.inprogress`` partial
+    write, stranded commit ``.tmp``, or a CORRUPT (truncated) orphan
+    data file of an uncommitted epoch — then resume with ``run_job``.
+    Every scenario must land on the oracle state AND byte-identical
+    per-partition digests vs an uninterrupted reference run."""
+    import numpy as np
+
+    cfg = EngineConfig(num_partitions=8, batch_size=256)
+    ref_dir = str(tmp_path / "ref")
+    run_job(ref_dir, wal, cfg)
+    ref = {p: e["digest"] for p, e in Lake(ref_dir).current_entries().items()}
+    gold = golden()
+
+    epochs = discover_epochs(wal)
+    for seed in range(4):
+        rng = np.random.default_rng(seed)
+        lake_dir = str(tmp_path / f"fuzz{seed}")
+        lake = Lake(lake_dir, num_partitions=8)
+        crash_epoch = int(rng.integers(1, 3))
+        for e in range(crash_epoch + 1):
+            apply_epoch(lake, e, epochs[e], cfg)
+        mode = ["drop_commit", "inprogress", "commit_tmp", "corrupt"][seed]
+        if mode == "drop_commit":
+            os.remove(lake.commit_path(crash_epoch))
+        elif mode == "inprogress":
+            os.remove(lake.commit_path(crash_epoch))
+            pid = int(rng.integers(0, 8))
+            strand = lake.data_path(crash_epoch, pid) + ".inprogress"
+            with open(strand, "wb") as f:
+                f.write(b"partial write, not parquet")
+        elif mode == "commit_tmp":
+            os.replace(lake.commit_path(crash_epoch),
+                       lake.commit_path(crash_epoch) + ".tmp")
+        elif mode == "corrupt":
+            os.remove(lake.commit_path(crash_epoch))
+            pid = int(rng.integers(0, 8))
+            path = lake.data_path(crash_epoch, pid)
+            if os.path.exists(path):
+                with open(path, "r+b") as f:  # truncate the orphan
+                    f.truncate(17)
+        assert crash_epoch not in Lake(lake_dir).committed_epochs()
+
+        summary = run_job(lake_dir, wal, cfg)
+        assert summary["epochs_applied"] == 3 - crash_epoch
+        assert canonical_state_table(Lake(lake_dir)).equals(gold), mode
+        got = {p: e["digest"]
+               for p, e in Lake(lake_dir).current_entries().items()}
+        assert got == ref, f"digest drift after {mode} crash"
