@@ -1949,6 +1949,21 @@ FROM events
 GROUP BY user_id, hour_bucket
 ORDER BY user_id, hour_bucket
 """,
+        # exact per-type value quantiles (relational.value_quantiles):
+        # smallest v whose rank reaches the pure-integer ceil(q*n)
+        "value_quantiles": """
+WITH c AS (SELECT event_type,
+                  CAST(round(value * 100) AS BIGINT) AS v FROM events),
+r AS (SELECT event_type, v,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM c)
+SELECT event_type,
+       MIN(CASE WHEN rn >= (50 * n + 99) // 100 THEN v END) AS p50_cents,
+       MIN(CASE WHEN rn >= (90 * n + 99) // 100 THEN v END) AS p90_cents,
+       MIN(CASE WHEN rn >= (99 * n + 99) // 100 THEN v END) AS p99_cents
+FROM r GROUP BY event_type ORDER BY event_type
+""",
         # exact DAU / rolling 7-day WAU (relational.active_users):
         # the windowed-DISTINCT shape
         "active_users": """

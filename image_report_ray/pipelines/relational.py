@@ -1761,3 +1761,62 @@ def active_users(sf_dir: str) -> pa.Table:
          "wau": g.column("wau_part_sum").cast(pa.int64())}
     )
     return finalize(out, [("day", "ascending")])
+
+
+_QUANTS = ((50, 100, "p50_cents"), (90, 100, "p90_cents"),
+           (99, 100, "p99_cents"))
+
+
+def value_quantiles(sf_dir: str) -> pa.Table:
+    """Exact per-type P50/P90/P99 of ``value`` — the bounded-domain
+    histogram fold (the N33 ``lang_char_quantiles`` pattern on the
+    events table): per-batch (event_type, cents) counts combine before
+    the driver fold (observed-cents cardinality is bounded by the value
+    domain, not the row count), cumulative counts close per type, and
+    each quantile is the smallest v whose cumulative rank reaches
+    ⌈q·n⌉ — computed as the pure integer (q_num·n + q_den − 1) // q_den
+    on BOTH sides, so no float rank can ever disagree with the twin."""
+    from ._util import fold_partials
+
+    rd = _rd()
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = _cents(t.column("value"))
+        g = pa.table(
+            {"event_type": t.column("event_type"),
+             "v": pa.array(v, pa.int64())}
+        ).group_by(["event_type", "v"]).aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "v", "n_part"])
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    hist = fold_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "v"], [("n_part", "sum")], ["event_type", "v", "n"],
+    )
+    if hist.num_rows == 0:
+        return pa.table(
+            {"event_type": pa.array([], pa.string()),
+             **{name: pa.array([], pa.int64()) for _, _, name in _QUANTS}}
+        )
+    hist = hist.take(pc.sort_indices(
+        hist, sort_keys=[("event_type", "ascending"), ("v", "ascending")]
+    ))
+    et = hist.column("event_type").to_numpy(zero_copy_only=False)
+    v = hist.column("v").to_numpy()
+    n = hist.column("n").to_numpy().astype(np.int64)
+    starts = np.flatnonzero(np.r_[True, et[1:] != et[:-1]])
+    ends = np.r_[starts[1:], len(et)]
+    types, cols = [], {name: [] for _, _, name in _QUANTS}
+    for s, e in zip(starts, ends):
+        cum = np.cumsum(n[s:e])
+        total = int(cum[-1])
+        types.append(et[s])
+        for q_num, q_den, name in _QUANTS:
+            rank = (q_num * total + q_den - 1) // q_den
+            cols[name].append(int(v[s:e][np.searchsorted(cum, rank)]))
+    out = pa.table(
+        {"event_type": pa.array(types, pa.string()),
+         **{name: pa.array(vals, pa.int64()) for name, vals in cols.items()}}
+    )
+    return finalize(out, [("event_type", "ascending")])

@@ -608,3 +608,29 @@ def test_active_users_window_distinct_semantics(ray_session, tmp_path):
     # day 3 window [−3,3]: users 1 (days 0,3 -> once) and 2 (day 0)
     assert out[3] == (1, 2)
     assert out[20] == (1, 1)
+
+
+def test_value_quantiles_rank_rule(ray_session, tmp_path):
+    """10 known values: p50 = 5th smallest (ceil(0.5*10)), p90 = 9th,
+    p99 = 10th — the exact integer rank rule, no interpolation."""
+    from image_report_ray.pipelines.relational import value_quantiles
+
+    vals = [float(i) for i in range(1, 11)]          # 1.00 .. 10.00
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(10), pa.int64()),
+            "ts": pa.array(np.zeros(10, dtype="datetime64[us]"),
+                           pa.timestamp("us")),
+            "user_id": pa.array([0] * 10, pa.int64()),
+            "event_type": pa.array(["a"] * 10, pa.string()),
+            "value": pa.array(vals, pa.float64()),
+            "props": pa.array(["p"] * 10, pa.string()),
+        }
+    )
+    d = tmp_path / "vq"
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(t, str(d / "events.parquet"))
+
+    out = value_quantiles(str(d)).to_pylist()[0]
+    assert (out["p50_cents"], out["p90_cents"], out["p99_cents"]) == (
+        500, 900, 1000)
