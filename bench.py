@@ -391,6 +391,7 @@ def run_eventbench(num_cpus: int) -> dict:
         ("event_transitions", R.event_transitions),
         ("value_moments", R.value_moments),
         ("active_users", R.active_users),
+        ("value_quantiles", R.value_quantiles),
     ):
         t0 = time.perf_counter()
         r = fn(EVENTBENCH_DIR)
