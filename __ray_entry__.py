@@ -1949,6 +1949,23 @@ FROM events
 GROUP BY user_id, hour_bucket
 ORDER BY user_id, hour_bucket
 """,
+        # TPC-H Q18 large-volume customers (relational.q18_large_orders):
+        # the large×large×large co-partitioned join exemplar
+        "q18_large_orders": """
+WITH big AS (
+  SELECT l_orderkey, CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+         AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(round(l_quantity) AS BIGINT)) > 250
+)
+SELECT c.c_name, o.o_custkey, o.o_orderkey, o.o_orderdate,
+       o.o_totalprice, big.sum_qty
+FROM big
+JOIN orders o ON o.o_orderkey = big.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderdate ASC, o.o_orderkey ASC
+LIMIT 100
+""",
         # exact per-type value quantiles (relational.value_quantiles):
         # smallest v whose rank reaches the pure-integer ceil(q*n)
         "value_quantiles": """

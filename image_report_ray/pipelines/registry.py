@@ -52,6 +52,7 @@ def query_registry() -> "dict[str, Callable[[str], Any]]":
         "pair_triangles": dedup.pair_triangles,
         "active_users": relational.active_users,
         "value_quantiles": relational.value_quantiles,
+        "q18_large_orders": relational.q18_large_orders,
         "lang_confusion": text.lang_confusion,
         "lang_top_tokens": text.lang_top_tokens,
         # multimodal binary-column plumbing (actor-pool decode stages)

@@ -1820,3 +1820,122 @@ def value_quantiles(sf_dir: str) -> pa.Table:
          **{name: pa.array(vals, pa.int64()) for name, vals in cols.items()}}
     )
     return finalize(out, [("event_type", "ascending")])
+
+
+def _q18_qty_partition(min_qty: int, pid: int, t: pa.Table) -> pa.Table:
+    """An order's quantity partials all meet here: close the sum, keep
+    only large orders — the HAVING filter runs inside the partition, so
+    survivors (a tiny fraction) are all that moves downstream."""
+    if t.num_rows == 0:
+        return pa.table(
+            {"o_orderkey": pa.array([], pa.int64()),
+             "sum_qty": pa.array([], pa.int64())}
+        )
+    g = t.group_by(["l_orderkey"]).aggregate([("q_part", "sum")])
+    out = pa.table(
+        {"o_orderkey": g.column("l_orderkey").cast(pa.int64()),
+         "sum_qty": g.column("q_part_sum").cast(pa.int64())}
+    )
+    return out.filter(pc.greater(out.column("sum_qty"), min_qty))
+
+
+def _q18_order_attach(pid: int, winners: pa.Table, orders: pa.Table) -> pa.Table:
+    """Winners co-partitioned with orders on the order key: attach
+    custkey / totalprice / orderdate (inner join — every winner key
+    exists exactly once in orders)."""
+    if winners.num_rows == 0 or "o_orderkey" not in winners.column_names:
+        return pa.table(
+            {"o_orderkey": pa.array([], pa.int64()),
+             "sum_qty": pa.array([], pa.int64()),
+             "o_custkey": pa.array([], pa.int64()),
+             "o_totalprice": pa.array([], pa.float64()),
+             "o_orderdate": pa.array([], pa.timestamp("us"))}
+        )
+    ok = orders.column("o_orderkey").to_numpy()
+    order = np.argsort(ok)
+    w = winners.column("o_orderkey").to_numpy()
+    pos = order[np.searchsorted(ok[order], w)]
+    return pa.table(
+        {"o_orderkey": winners.column("o_orderkey"),
+         "sum_qty": winners.column("sum_qty"),
+         "o_custkey": orders.column("o_custkey").take(pos).cast(pa.int64()),
+         "o_totalprice": orders.column("o_totalprice").take(pos),
+         "o_orderdate": orders.column("o_orderdate").take(pos)}
+    )
+
+
+def _q18_cust_attach(pid: int, rows: pa.Table, cust: pa.Table) -> pa.Table:
+    if rows.num_rows == 0 or "o_custkey" not in rows.column_names:
+        return pa.table(
+            {"c_name": pa.array([], pa.string()),
+             "o_custkey": pa.array([], pa.int64()),
+             "o_orderkey": pa.array([], pa.int64()),
+             "o_orderdate": pa.array([], pa.timestamp("us")),
+             "o_totalprice": pa.array([], pa.float64()),
+             "sum_qty": pa.array([], pa.int64())}
+        )
+    ck = cust.column("c_custkey").to_numpy()
+    order = np.argsort(ck)
+    r = rows.column("o_custkey").to_numpy()
+    pos = order[np.searchsorted(ck[order], r)]
+    return pa.table(
+        {"c_name": cust.column("c_name").take(pos),
+         "o_custkey": rows.column("o_custkey"),
+         "o_orderkey": rows.column("o_orderkey"),
+         "o_orderdate": rows.column("o_orderdate"),
+         "o_totalprice": rows.column("o_totalprice"),
+         "sum_qty": rows.column("sum_qty")}
+    )
+
+
+def q18_large_orders(sf_dir: str, min_qty: int = 250, k: int = 100) -> pa.Table:
+    """TPC-H Q18 (large-volume customers) — the LARGE×LARGE×LARGE join
+    exemplar: no side broadcasts; three chained keyed exchanges
+    co-partition lineitem quantity partials with orders on the order
+    key, then survivors with customers on custkey. The HAVING filter
+    closes inside the first exchange, so only the tiny winner set rides
+    the later stages; quantities sum as exact int64 (whole-number
+    doubles in the data)."""
+    from functools import partial as fpartial
+
+    from .exchange import exchange_reduce, gather_concat
+
+    rd = _rd()
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        q = np.rint(
+            t.column("l_quantity").to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        g = pa.table(
+            {"l_orderkey": t.column("l_orderkey"),
+             "q": pa.array(q, pa.int64())}
+        ).group_by(["l_orderkey"]).aggregate([("q", "sum")])
+        return g.rename_columns(["l_orderkey", "q_part"])
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_quantity"])
+    winners = exchange_reduce(
+        [li.map_batches(qty_partial, batch_format="pyarrow")],
+        ["l_orderkey"], fpartial(_q18_qty_partition, min_qty),
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"],
+    )
+    stage2 = exchange_reduce(
+        [winners, orders.map_batches(lambda t: t, batch_format="pyarrow")],
+        ["o_orderkey", "o_orderkey"], _q18_order_attach,
+    )
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name"])
+    stage3 = exchange_reduce(
+        [stage2, cust.map_batches(lambda t: t, batch_format="pyarrow")],
+        ["o_custkey", "c_custkey"], _q18_cust_attach,
+    )
+    t = gather_concat(stage3)
+    t = finalize(
+        t,
+        [("o_totalprice", "descending"), ("o_orderdate", "ascending"),
+         ("o_orderkey", "ascending")],
+    )
+    return t.slice(0, k).combine_chunks()

@@ -634,3 +634,33 @@ def test_value_quantiles_rank_rule(ray_session, tmp_path):
     out = value_quantiles(str(d)).to_pylist()[0]
     assert (out["p50_cents"], out["p90_cents"], out["p99_cents"]) == (
         500, 900, 1000)
+
+
+def test_q18_threshold_strict_and_join_integrity(ray_session, tmp_path):
+    """sum == min_qty is excluded (strict >); each surviving row carries
+    its own order's attrs and its customer's name."""
+    from image_report_ray.pipelines.relational import q18_large_orders
+
+    d = tmp_path / "q18"
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 1, 2, 3], pa.int64()),
+        "l_quantity": pa.array([5.0, 5.0, 10.0, 11.0], pa.float64()),
+    }), str(d / "lineitem.parquet"))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "o_custkey": pa.array([7, 8, 7], pa.int64()),
+        "o_totalprice": pa.array([100.0, 200.0, 300.0], pa.float64()),
+        "o_orderdate": pa.array(
+            np.arange(3).astype("datetime64[us]"), pa.timestamp("us")),
+    }), str(d / "orders.parquet"))
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([7, 8], pa.int64()),
+        "c_name": pa.array(["ada", "bob"], pa.string()),
+    }), str(d / "customer.parquet"))
+
+    out = q18_large_orders(str(d), min_qty=10).to_pylist()
+    # order 1 (sum 10) == threshold -> excluded; order 2 == 10 excluded;
+    # order 3 (11) survives with customer ada
+    assert [(r["o_orderkey"], r["c_name"], r["sum_qty"]) for r in out] == [
+        (3, "ada", 11)]
