@@ -1393,6 +1393,31 @@ SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
        CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS gap_max_us
 FROM g GROUP BY conv_id ORDER BY conv_id
 """,
+        # state ⋈ telemetry enrichment (cdcq.cdc_conv_activity): live
+        # conversations joined with their owner's event aggregates
+        "cdc_conv_activity": CHANGELOG_CTE + """
+, final AS (
+    SELECT conv_id, turn_idx
+    FROM (
+        SELECT ch.*, ROW_NUMBER() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+        FROM ch
+    )
+    WHERE rn = 1 AND op <> 'D'
+),
+conv AS (
+    SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns
+    FROM final GROUP BY conv_id
+),
+ev AS (
+    SELECT 'c' || CAST(user_id AS VARCHAR) AS conv_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_event_ts_us
+    FROM events GROUP BY 1
+)
+SELECT conv.conv_id, conv.n_turns, ev.n_events, ev.last_event_ts_us
+FROM conv JOIN ev USING (conv_id) ORDER BY conv_id
+""",
         # tool co-occurrence (cdcq.cdc_tool_cooccurrence): unordered
         # tool pairs sharing a conversation in the live state
         "cdc_tool_cooccurrence": CHANGELOG_CTE + """

@@ -1336,3 +1336,119 @@ def cdc_late_arrivals(sf_dir: str, epoch_size: int = 2500) -> pa.Table:
          "epoch_max_ts_us": pa.array(ep_max, pa.int64())}
     )
     return finalize(out, [("epoch", "ascending")])
+
+
+def cdc_conv_activity(sf_dir: str) -> pa.Table:
+    """Enrich the REPLAYED lake with the raw event stream — the
+    external-dimension join every lake serves (state ⋈ telemetry):
+    per live conversation, its live turn count plus the owning user's
+    total event count and last event timestamp.
+
+    The join ships ZERO state: per-batch event partials
+    (conv_id, n, max_ts) are split by the LAKE's own routing function
+    (``derive.conv_hash % P``), so each partial lands exactly where its
+    conversation's state already lives; one task per lake partition
+    LWW-folds its files and attaches the aggregates locally. This is
+    the alignment contract a production lake gives its consumers: reuse
+    the state's partitioner and a state-side shuffle never happens."""
+    import ray
+
+    from ..stages.derive import conv_hash
+
+    lake = _full_lake(sf_dir)
+    sets = lake.current_file_sets()
+    P = _P
+
+    @ray.remote
+    def ev_split(t: pa.Table, P: int):
+        import numpy as np
+
+        uid = t.column("user_id")
+        if isinstance(uid, pa.ChunkedArray):
+            uid = uid.combine_chunks()
+        conv = np.char.add(
+            "c", uid.to_numpy(zero_copy_only=False).astype("U20")
+        )
+        ts = t.column("ts").cast(pa.int64()).to_numpy()
+        # per-batch combine before the split: one row per conv
+        tb = pa.table(
+            {"conv_id": pa.array(conv, pa.string()),
+             "ts_us": pa.array(ts, pa.int64())}
+        ).group_by(["conv_id"]).aggregate([([], "count_all"), ("ts_us", "max")])
+        pid = conv_hash(tb.column("conv_id")) % P
+        return tuple(
+            tb.filter(pa.array(pid == p)) for p in range(P)
+        )
+
+    @ray.remote
+    def part_join(paths: list, *ev_parts) -> pa.Table:
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from image_report_ray.state.merge import (
+            export_canonical,
+            fold_state_tables,
+        )
+
+        empty = pa.table(
+            {"conv_id": pa.array([], pa.string()),
+             "n_turns": pa.array([], pa.int64()),
+             "n_events": pa.array([], pa.int64()),
+             "last_event_ts_us": pa.array([], pa.int64())}
+        )
+        folded = fold_state_tables([pq.read_table(p) for p in paths])
+        if folded is None:
+            return empty
+        st = export_canonical(folded)
+        if st.num_rows == 0:
+            return empty
+        conv = pa.table({"conv_id": st.column("conv_id")}).group_by(
+            ["conv_id"]
+        ).aggregate([([], "count_all")])
+        ev = pa.concat_tables(
+            [e for e in ev_parts if e.num_rows], promote_options="default"
+        ) if any(e.num_rows for e in ev_parts) else None
+        if ev is None:
+            return empty
+        g = ev.group_by(["conv_id"]).aggregate(
+            [("count_all", "sum"), ("ts_us_max", "max")]
+        )
+        ck = g.column("conv_id").to_numpy(zero_copy_only=False)
+        order = np.argsort(ck)
+        cv = conv.column("conv_id").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ck[order], cv)
+        if len(ck) == 0 or (ck[order][np.minimum(pos, len(ck) - 1)] != cv).any():
+            raise ValueError(
+                "live conversation without owner events — the changelog "
+                "derives conv_id from event user_ids, this cannot happen"
+            )
+        take = order[pos]
+        return pa.table(
+            {"conv_id": conv.column("conv_id"),
+             "n_turns": conv.column("count_all").cast(pa.int64()),
+             "n_events": g.column("count_all_sum").take(take).cast(pa.int64()),
+             "last_event_ts_us": g.column("ts_us_max_max").take(take).cast(
+                 pa.int64())}
+        )
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    base_refs = ds.to_arrow_refs()
+    splits = [ev_split.options(num_returns=P).remote(r, P) for r in base_refs]
+    refs = [
+        part_join.remote(paths, *[s[p] for s in splits])
+        for p, paths in sorted(sets.items())
+    ]
+    tabs = [t for t in ray.get(refs) if t.num_rows]
+    if not tabs:
+        return pa.table(
+            {"conv_id": pa.array([], pa.string()),
+             "n_turns": pa.array([], pa.int64()),
+             "n_events": pa.array([], pa.int64()),
+             "last_event_ts_us": pa.array([], pa.int64())}
+        )
+    return finalize(
+        pa.concat_tables(tabs, promote_options="default"),
+        [("conv_id", "ascending")],
+    )

@@ -53,6 +53,7 @@ def query_registry() -> "dict[str, Callable[[str], Any]]":
         "active_users": relational.active_users,
         "value_quantiles": relational.value_quantiles,
         "q18_large_orders": relational.q18_large_orders,
+        "cdc_conv_activity": cdcq.cdc_conv_activity,
         "lang_confusion": text.lang_confusion,
         "lang_top_tokens": text.lang_top_tokens,
         # multimodal binary-column plumbing (actor-pool decode stages)
