@@ -1974,6 +1974,35 @@ FROM events
 GROUP BY user_id, hour_bucket
 ORDER BY user_id, hour_bucket
 """,
+        # PIVOT / crosstab (relational.user_type_pivot): one count
+        # column per event type + n_other, the wide feature matrix
+        "user_type_pivot": """
+SELECT user_id,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_click,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_error,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_signup,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_view,
+       CAST(SUM(CASE WHEN event_type NOT IN
+                ('click', 'error', 'purchase', 'signup', 'view')
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_other
+FROM events GROUP BY user_id ORDER BY user_id
+""",
+        # ROLLUP (relational.events_rollup): three grouping levels in
+        # one pass, NULLs mark rolled-up dimensions
+        "events_rollup": """
+SELECT event_type, CAST(hour_bucket AS BIGINT) AS hour_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT event_type, epoch_us(ts) // 3600000000 AS hour_bucket
+      FROM events)
+GROUP BY ROLLUP (event_type, hour_bucket)
+ORDER BY event_type ASC, hour_bucket ASC, n ASC
+""",
         # TPC-H Q18 large-volume customers (relational.q18_large_orders):
         # the large×large×large co-partitioned join exemplar
         "q18_large_orders": """

@@ -54,6 +54,8 @@ def query_registry() -> "dict[str, Callable[[str], Any]]":
         "value_quantiles": relational.value_quantiles,
         "q18_large_orders": relational.q18_large_orders,
         "cdc_conv_activity": cdcq.cdc_conv_activity,
+        "user_type_pivot": relational.user_type_pivot,
+        "events_rollup": relational.events_rollup,
         "lang_confusion": text.lang_confusion,
         "lang_top_tokens": text.lang_top_tokens,
         # multimodal binary-column plumbing (actor-pool decode stages)

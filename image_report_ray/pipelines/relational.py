@@ -1939,3 +1939,119 @@ def q18_large_orders(sf_dir: str, min_qty: int = 250, k: int = 100) -> pa.Table:
          ("o_orderkey", "ascending")],
     )
     return t.slice(0, k).combine_chunks()
+
+
+# Fixed pivot vocabulary: the five event types of the events table.
+# The SQL twin hardcodes the same list; test_round5_ops pins the
+# assumption so a data change fails loudly instead of silently
+# misclassifying into n_other.
+_PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def user_type_pivot(sf_dir: str) -> pa.Table:
+    """PIVOT / crosstab: one row per user, one count column per event
+    type (plus ``n_other`` for anything outside the fixed vocabulary) —
+    the wide feature-matrix shape model-feature pipelines export.
+
+    Per-batch (user, type) combine, ONE user-keyed exchange, pivot to
+    wide inside the partition (a user's counts are complete there);
+    O(users) result rows, no string column survives the pivot."""
+    from .exchange import exchange_reduce, gather_concat
+
+    rd = _rd()
+    names = [f"n_{t}" for t in _PIVOT_TYPES] + ["n_other"]
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table(
+            {"user_id": t.column("user_id"),
+             "event_type": t.column("event_type")}
+        ).group_by(["user_id", "event_type"]).aggregate([([], "count_all")])
+        return g.rename_columns(["user_id", "event_type", "n_part"])
+
+    def pivot_partition(pid: int, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"user_id": pa.array([], pa.int64()),
+                 **{n: pa.array([], pa.int64()) for n in names}}
+            )
+        g = t.group_by(["user_id", "event_type"]).aggregate([("n_part", "sum")])
+        u = g.column("user_id").to_numpy()
+        et = g.column("event_type").to_numpy(zero_copy_only=False)
+        n = g.column("n_part_sum").to_numpy().astype(np.int64)
+        uu, ui = np.unique(u, return_inverse=True)
+        code = np.searchsorted(np.array(_PIVOT_TYPES), et)
+        known = (code < len(_PIVOT_TYPES)) & (
+            np.array(_PIVOT_TYPES + ("",))[
+                np.minimum(code, len(_PIVOT_TYPES))] == et
+        )
+        col = np.where(known, code, len(_PIVOT_TYPES))
+        mat = np.zeros((len(uu), len(names)), np.int64)
+        np.add.at(mat, (ui, col), n)
+        return pa.table(
+            {"user_id": pa.array(uu, pa.int64()),
+             **{nm: pa.array(mat[:, i], pa.int64())
+                for i, nm in enumerate(names)}}
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+    refs = exchange_reduce(
+        [ds.map_batches(partial, batch_format="pyarrow")],
+        ["user_id"], pivot_partition,
+    )
+    return finalize(gather_concat(refs), [("user_id", "ascending")])
+
+
+def events_rollup(sf_dir: str) -> pa.Table:
+    """ROLLUP: event counts at three grouping levels in one streamed
+    pass — (event_type, hour_bucket), (event_type), and grand total —
+    with NULLs marking rolled-up dimensions exactly like SQL ROLLUP.
+    The leaf level is a fixed-tiny-cardinality fold (types × hours);
+    the upper levels derive from it driver-side for free — no second
+    pass, no shuffle."""
+    from ._util import fold_partials
+
+    rd = _rd()
+
+    def partial(t: pa.Table) -> pa.Table:
+        hb = pc.divide(t.column("ts").cast(pa.int64()), _US_PER_HOUR)
+        g = pa.table(
+            {"event_type": t.column("event_type"), "hour_bucket": hb}
+        ).group_by(["event_type", "hour_bucket"]).aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "hour_bucket", "n_part"])
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+    leaf = fold_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "hour_bucket"], [("n_part", "sum")],
+        ["event_type", "hour_bucket", "n"],
+    )
+    if leaf.num_rows == 0:
+        return pa.table(
+            {"event_type": pa.array([], pa.string()),
+             "hour_bucket": pa.array([], pa.int64()),
+             "n": pa.array([], pa.int64())}
+        )
+    leaf = pa.table(
+        {"event_type": leaf.column("event_type"),
+         "hour_bucket": leaf.column("hour_bucket").cast(pa.int64()),
+         "n": leaf.column("n").cast(pa.int64())}
+    )
+    mid = leaf.group_by(["event_type"]).aggregate([("n", "sum")])
+    mid = pa.table(
+        {"event_type": mid.column("event_type"),
+         "hour_bucket": pa.nulls(mid.num_rows, pa.int64()),
+         "n": mid.column("n_sum").cast(pa.int64())}
+    )
+    total = pa.table(
+        {"event_type": pa.nulls(1, pa.string()),
+         "hour_bucket": pa.nulls(1, pa.int64()),
+         "n": pa.array([int(pc.sum(leaf.column("n")).as_py())], pa.int64())}
+    )
+    out = pa.concat_tables([leaf, mid, total])
+    return finalize(
+        out,
+        [("event_type", "ascending"), ("hour_bucket", "ascending"),
+         ("n", "ascending")],
+    )

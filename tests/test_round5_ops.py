@@ -664,3 +664,37 @@ def test_q18_threshold_strict_and_join_integrity(ray_session, tmp_path):
     # order 3 (11) survives with customer ada
     assert [(r["o_orderkey"], r["c_name"], r["sum_qty"]) for r in out] == [
         (3, "ada", 11)]
+
+
+def test_pivot_vocabulary_assumption(ray_session):
+    """The fixed _PIVOT_TYPES vocabulary must match the data — if the
+    generator grows a type, this fails loudly instead of silently
+    counting it as n_other."""
+    import duckdb
+
+    from image_report_ray.pipelines.relational import _PIVOT_TYPES
+
+    con = duckdb.connect()
+    got = [r[0] for r in con.execute(
+        "SELECT DISTINCT event_type FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet') ORDER BY 1"
+    ).fetchall()]
+    assert got == list(_PIVOT_TYPES)
+
+
+def test_rollup_levels_consistent(ray_session):
+    """Leaf counts sum to the mid level, mid sums to the grand total."""
+    from image_report_ray.pipelines.relational import events_rollup
+
+    t = events_rollup("/root/testdata/sf0.001").to_pylist()
+    leaf = [r for r in t if r["event_type"] is not None
+            and r["hour_bucket"] is not None]
+    mid = {r["event_type"]: r["n"] for r in t
+           if r["event_type"] is not None and r["hour_bucket"] is None}
+    total = [r["n"] for r in t if r["event_type"] is None]
+    assert len(total) == 1
+    by_type: dict = {}
+    for r in leaf:
+        by_type[r["event_type"]] = by_type.get(r["event_type"], 0) + r["n"]
+    assert by_type == mid
+    assert sum(mid.values()) == total[0]
