@@ -392,6 +392,8 @@ def run_eventbench(num_cpus: int) -> dict:
         ("value_moments", R.value_moments),
         ("active_users", R.active_users),
         ("value_quantiles", R.value_quantiles),
+        ("user_type_pivot", R.user_type_pivot),
+        ("events_rollup", R.events_rollup),
     ):
         t0 = time.perf_counter()
         r = fn(EVENTBENCH_DIR)
