@@ -1974,6 +1974,34 @@ FROM events
 GROUP BY user_id, hour_bucket
 ORDER BY user_id, hour_bucket
 """,
+        # ordered running aggregate (relational.user_running_value)
+        "user_running_value": """
+SELECT event_id, user_id,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id)
+            AS BIGINT) AS running_cents
+FROM events ORDER BY event_id
+""",
+        # gaps-and-islands streaks (relational.user_streaks): the
+        # classic d - ROW_NUMBER island trick
+        "user_streaks": """
+WITH days AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d FROM events
+),
+isl AS (
+  SELECT user_id, d,
+         d - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS grp
+  FROM days
+),
+runs AS (
+  SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len
+  FROM isl GROUP BY 1, 2
+)
+SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks,
+       CAST(MAX(len) AS BIGINT) AS longest_streak
+FROM runs GROUP BY user_id ORDER BY user_id
+""",
         # PIVOT / crosstab (relational.user_type_pivot): one count
         # column per event type + n_other, the wide feature matrix
         "user_type_pivot": """

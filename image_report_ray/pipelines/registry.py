@@ -56,6 +56,8 @@ def query_registry() -> "dict[str, Callable[[str], Any]]":
         "cdc_conv_activity": cdcq.cdc_conv_activity,
         "user_type_pivot": relational.user_type_pivot,
         "events_rollup": relational.events_rollup,
+        "user_running_value": relational.user_running_value,
+        "user_streaks": relational.user_streaks,
         "lang_confusion": text.lang_confusion,
         "lang_top_tokens": text.lang_top_tokens,
         # multimodal binary-column plumbing (actor-pool decode stages)

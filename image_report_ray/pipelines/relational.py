@@ -2055,3 +2055,122 @@ def events_rollup(sf_dir: str) -> pa.Table:
         [("event_type", "ascending"), ("hour_bucket", "ascending"),
          ("n", "ascending")],
     )
+
+
+def _running_partition(pid: int, t: pa.Table) -> pa.Table:
+    """A user's events are partition-complete: one lexsort by
+    (user, ts, event_id), then a per-user running sum = global cumsum
+    minus each user's starting offset — two vector ops, no loop."""
+    if t.num_rows == 0:
+        return pa.table(
+            {"event_id": pa.array([], pa.int64()),
+             "user_id": pa.array([], pa.int64()),
+             "running_cents": pa.array([], pa.int64())}
+        )
+    u = t.column("user_id").to_numpy()
+    ts = t.column("ts").to_numpy()
+    eid = t.column("event_id").to_numpy()
+    v = t.column("v").to_numpy()
+    order = np.lexsort((eid, ts, u))
+    u, eid, v = u[order], eid[order], v[order]
+    cum = np.cumsum(v)
+    starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+    grp = np.cumsum(np.r_[True, u[1:] != u[:-1]]) - 1
+    base = np.r_[0, cum[starts - 1][1:]] if len(starts) > 1 else np.zeros(
+        1, np.int64)
+    run = cum - base[grp]
+    return pa.table(
+        {"event_id": pa.array(eid, pa.int64()),
+         "user_id": pa.array(u, pa.int64()),
+         "running_cents": pa.array(run.astype(np.int64), pa.int64())}
+    )
+
+
+def user_running_value(sf_dir: str) -> pa.Table:
+    """Ordered running aggregate — ``SUM(value) OVER (PARTITION BY user
+    ORDER BY ts, event_id)`` — the per-entity prefix-scan shape
+    (billing meters, budget burndown): one user-keyed exchange of
+    narrow columns, per-partition lexsort + one global cumsum with
+    per-user offsets subtracted. Exact integer cents throughout."""
+    from .exchange import exchange_reduce, gather_concat
+
+    rd = _rd()
+
+    def narrow(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"user_id": t.column("user_id"),
+             "ts": t.column("ts").cast(pa.int64()),
+             "event_id": t.column("event_id"),
+             "v": pa.array(_cents(t.column("value")), pa.int64())}
+        )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "value"],
+    )
+    refs = exchange_reduce(
+        [ds.map_batches(narrow, batch_format="pyarrow")],
+        ["user_id"], _running_partition,
+    )
+    return finalize(gather_concat(refs), [("event_id", "ascending")])
+
+
+def _streak_partition(pid: int, t: pa.Table) -> pa.Table:
+    """Gaps-and-islands per user over distinct active days (the user's
+    days are partition-complete): island starts where the day gap
+    exceeds 1; count islands + longest run, all vectorized."""
+    if t.num_rows == 0:
+        return pa.table(
+            {"user_id": pa.array([], pa.int64()),
+             "n_active_days": pa.array([], pa.int64()),
+             "n_streaks": pa.array([], pa.int64()),
+             "longest_streak": pa.array([], pa.int64())}
+        )
+    u = t.column("user_id").to_numpy()
+    d = t.column("day").to_numpy()
+    order = np.lexsort((d, u))
+    u, d = u[order], d[order]
+    dup = np.r_[False, (u[1:] == u[:-1]) & (d[1:] == d[:-1])]
+    u, d = u[~dup], d[~dup]                     # distinct (user, day)
+    new_u = np.r_[True, u[1:] != u[:-1]]
+    island = new_u | np.r_[True, (d[1:] - d[:-1]) > 1]
+    isl = np.cumsum(island) - 1
+    isl_len = np.bincount(isl)
+    isl_user = u[island]
+    uu, ui = np.unique(isl_user, return_inverse=True)
+    n_streaks = np.bincount(ui)
+    longest = np.zeros(len(uu), np.int64)
+    np.maximum.at(longest, ui, isl_len)
+    days_per_user = np.bincount(
+        np.searchsorted(uu, u), minlength=len(uu))
+    return pa.table(
+        {"user_id": pa.array(uu, pa.int64()),
+         "n_active_days": pa.array(days_per_user.astype(np.int64), pa.int64()),
+         "n_streaks": pa.array(n_streaks.astype(np.int64), pa.int64()),
+         "longest_streak": pa.array(longest, pa.int64())}
+    )
+
+
+def user_streaks(sf_dir: str) -> pa.Table:
+    """Gaps-and-islands: per user, distinct active days, number of
+    maximal consecutive-day runs, and the longest run — the retention
+    streak profile. One user-keyed exchange of per-batch-distinct
+    (user, day) pairs; islands close in-partition (a user's days are
+    partition-complete), O(users) result rows."""
+    from .exchange import exchange_reduce, gather_concat
+
+    rd = _rd()
+
+    def to_days(t: pa.Table) -> pa.Table:
+        day = pc.divide(t.column("ts").cast(pa.int64()), _US_PER_DAY)
+        g = pa.table(
+            {"user_id": t.column("user_id"), "day": day}
+        ).group_by(["user_id", "day"]).aggregate([([], "count_all")])
+        return g.drop_columns(["count_all"])
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    refs = exchange_reduce(
+        [ds.map_batches(to_days, batch_format="pyarrow")],
+        ["user_id"], _streak_partition,
+    )
+    return finalize(gather_concat(refs), [("user_id", "ascending")])

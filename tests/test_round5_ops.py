@@ -698,3 +698,36 @@ def test_rollup_levels_consistent(ray_session):
         by_type[r["event_type"]] = by_type.get(r["event_type"], 0) + r["n"]
     assert by_type == mid
     assert sum(mid.values()) == total[0]
+
+
+def test_user_streaks_islands(ray_session, tmp_path):
+    """Constructed day patterns: consecutive runs merge, a 1-day gap
+    splits, single-day users report streak 1."""
+    from image_report_ray.pipelines.relational import user_streaks
+
+    day = 86_400_000_000
+    rows = [(1, 0), (1, 1), (1, 2), (1, 4), (1, 4),   # runs [0-2], [4]
+            (2, 7)]                                    # single day
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(len(rows)), pa.int64()),
+            "ts": pa.array(
+                np.array([r[1] * day for r in rows], dtype="datetime64[us]"),
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array(["t"] * len(rows), pa.string()),
+            "value": pa.array([0.0] * len(rows), pa.float64()),
+            "props": pa.array(["p"] * len(rows), pa.string()),
+        }
+    )
+    d = tmp_path / "streak"
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(t, str(d / "events.parquet"))
+
+    out = {r["user_id"]: r for r in user_streaks(str(d)).to_pylist()}
+    assert out[1]["n_active_days"] == 4
+    assert out[1]["n_streaks"] == 2
+    assert out[1]["longest_streak"] == 3
+    assert out[2] == {"user_id": 2, "n_active_days": 1,
+                      "n_streaks": 1, "longest_streak": 1}
