@@ -394,6 +394,7 @@ def run_eventbench(num_cpus: int) -> dict:
         ("value_quantiles", R.value_quantiles),
         ("user_type_pivot", R.user_type_pivot),
         ("events_rollup", R.events_rollup),
+        ("user_streaks", R.user_streaks),
     ):
         t0 = time.perf_counter()
         r = fn(EVENTBENCH_DIR)
