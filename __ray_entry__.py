@@ -128,6 +128,31 @@ def _poly_hash_sql(col: str) -> str:
     )
 
 
+# Hashing-trick featurizer twin (image_report_ray.pipelines.text:
+# feature_hashing): per-token hash_utf8_64 % 16 -> per-doc bucket
+# counts, the same Horner+splitmix chain as the dedup twins.
+def _feathash_sql(dim: int = 16) -> str:
+    cases = ",\n       ".join(
+        f"CAST(SUM(CASE WHEN bkt = {j} THEN 1 ELSE 0 END) AS BIGINT) AS f{j}"
+        for j in range(dim)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS w
+  FROM documents
+),
+h0 AS (SELECT doc_id, CAST({_poly_hash_sql('w')} AS UBIGINT) AS h FROM tok),
+h1 AS (SELECT doc_id, {_sm_step('h', 30, _SM_C1)} AS h FROM h0),
+h2 AS (SELECT doc_id, {_sm_step('h', 27, _SM_C2)} AS h FROM h1),
+h3 AS (SELECT doc_id, xor(h, h >> 31) AS h FROM h2),
+b AS (SELECT doc_id, CAST(h % {dim} AS BIGINT) AS bkt FROM h3)
+SELECT d.doc_id,
+       {cases}
+FROM documents d LEFT JOIN b USING (doc_id)
+GROUP BY d.doc_id ORDER BY d.doc_id
+"""
+
+
 # Incremental-dedup twin (image_report_ray.pipelines.cdcq:
 # cdc_incremental_dedup): epoch-0 final state (lsn below the halfway
 # threshold) -> distinct hash_utf8_64(text) fingerprints; every
@@ -2223,6 +2248,9 @@ SELECT token, CAST(COUNT(*) AS BIGINT) AS n
 FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS token FROM documents)
 GROUP BY token ORDER BY n DESC, token ASC LIMIT 20
 """,
+        # hashing-trick featurizer (text.feature_hashing): per-token
+        # hash % 16 bucket counts, no vocabulary state anywhere
+        "feature_hashing": _feathash_sql(),
         # conjunctive keyword search (text.keyword_search): docs holding
         # ALL of the top-2-DF tokens as whole tokens
         "keyword_search": r"""

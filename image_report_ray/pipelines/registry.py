@@ -58,6 +58,7 @@ def query_registry() -> "dict[str, Callable[[str], Any]]":
         "events_rollup": relational.events_rollup,
         "user_running_value": relational.user_running_value,
         "user_streaks": relational.user_streaks,
+        "feature_hashing": text.feature_hashing,
         "lang_confusion": text.lang_confusion,
         "lang_top_tokens": text.lang_top_tokens,
         # multimodal binary-column plumbing (actor-pool decode stages)

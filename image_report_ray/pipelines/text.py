@@ -2315,3 +2315,48 @@ def keyword_search(sf_dir: str, n_terms: int = 2) -> pa.Table:
     if not tabs:
         return pa.table({"doc_id": pa.array([], pa.int64())})
     return finalize(pa.concat_tables(tabs), [("doc_id", "ascending")])
+
+
+# ---- hashing-trick featurizer -----------------------------------------
+
+_FH_DIM = 16
+
+
+def feature_hashing(sf_dir: str, dim: int = _FH_DIM) -> pa.Table:
+    """The hashing-trick featurizer (Weinberger et al. 2009): each doc
+    becomes a fixed-``dim`` integer count vector — bucket j counts the
+    tokens whose :func:`dedup.hash_utf8_64` lands in residue j. The
+    fixed-width feature export a downstream model consumes, with NO
+    vocabulary state anywhere (the whole point of the trick).
+
+    Map-only: every doc lives in one block, so the per-doc scatter-add
+    closes block-locally; the driver gathers the O(docs) × dim result
+    (the query contract — production writes it partitioned). The SQL
+    twin replays the identical Horner+splitmix hash in HUGEINT."""
+    from .dedup import hash_utf8_64
+
+    rd = _rd()
+    names = [f"f{j}" for j in range(dim)]
+
+    def featurize(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id").combine_chunks()
+        toks = pc.split_pattern_regex(t.column("text").combine_chunks(),
+                                      _TOKEN_SPLIT)
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy()
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        h = hash_utf8_64(flat.filter(pc.not_equal(flat, "")))
+        bkt = (h % np.uint64(dim)).astype(np.int64)
+        par = parent[keep]
+        mat = np.zeros((t.num_rows, dim), np.int64)
+        np.add.at(mat, (par, bkt), 1)
+        return pa.table(
+            {"doc_id": did.cast(pa.int64()),
+             **{nm: pa.array(mat[:, j], pa.int64())
+                for j, nm in enumerate(names)}}
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    t = ds_to_table(ds.map_batches(featurize, batch_format="pyarrow"))
+    return finalize(t, [("doc_id", "ascending")])

@@ -731,3 +731,17 @@ def test_user_streaks_islands(ray_session, tmp_path):
     assert out[1]["longest_streak"] == 3
     assert out[2] == {"user_id": 2, "n_active_days": 1,
                       "n_streaks": 1, "longest_streak": 1}
+
+
+def test_feature_hashing_counts_preserve_tokens(ray_session, tmp_path):
+    """Bucket counts sum to the doc's token count (nothing dropped),
+    identical docs featurize identically, empty docs are all-zero."""
+    from image_report_ray.pipelines.text import feature_hashing
+
+    sf = _write_docs(tmp_path, ["aa bb cc aa", "aa bb cc aa", ""])
+    out = feature_hashing(sf)
+    rows = out.to_pylist()
+    fcols = [c for c in out.column_names if c.startswith("f")]
+    assert sum(rows[0][c] for c in fcols) == 4
+    assert [rows[0][c] for c in fcols] == [rows[1][c] for c in fcols]
+    assert all(rows[2][c] == 0 for c in fcols)
