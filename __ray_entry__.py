@@ -1418,6 +1418,32 @@ SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
        CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS gap_max_us
 FROM g GROUP BY conv_id ORDER BY conv_id
 """,
+        # FIRST/LAST projection (cdcq.cdc_conv_first_last)
+        "cdc_conv_first_last": CHANGELOG_CTE + """
+, final AS (
+    SELECT conv_id, turn_idx, text
+    FROM (
+        SELECT ch.*, ROW_NUMBER() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+        FROM ch
+    )
+    WHERE rn = 1 AND op <> 'D'
+),
+w AS (
+    SELECT conv_id, turn_idx, text,
+           ROW_NUMBER() OVER (
+               PARTITION BY conv_id ORDER BY turn_idx ASC) AS rf,
+           ROW_NUMBER() OVER (
+               PARTITION BY conv_id ORDER BY turn_idx DESC) AS rl
+    FROM final
+)
+SELECT f.conv_id,
+       f.turn_idx AS first_turn_idx, f.text AS first_text,
+       l.turn_idx AS last_turn_idx, l.text AS last_text
+FROM (SELECT * FROM w WHERE rf = 1) f
+JOIN (SELECT * FROM w WHERE rl = 1) l USING (conv_id)
+ORDER BY conv_id
+""",
         # state ⋈ telemetry enrichment (cdcq.cdc_conv_activity): live
         # conversations joined with their owner's event aggregates
         "cdc_conv_activity": CHANGELOG_CTE + """
@@ -2247,6 +2273,24 @@ FROM documents ORDER BY doc_id
 SELECT token, CAST(COUNT(*) AS BIGINT) AS n
 FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS token FROM documents)
 GROUP BY token ORDER BY n DESC, token ASC LIMIT 20
+""",
+        # Simpson repeat index (text.doc_diversity): exact integer
+        # collision probability per doc
+        "doc_diversity": r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w
+  FROM documents
+),
+c AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS n
+      FROM tok GROUP BY 1, 2),
+a AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS nt,
+             CAST(SUM(n * (n - 1)) AS BIGINT) AS rep
+      FROM c GROUP BY doc_id)
+SELECT d.doc_id, CAST(COALESCE(a.nt, 0) AS BIGINT) AS n_tokens,
+       CAST(CASE WHEN COALESCE(a.nt, 0) > 1
+                 THEN (a.rep * 1000000) // (a.nt * (a.nt - 1))
+                 ELSE 0 END AS BIGINT) AS simpson_micro
+FROM documents d LEFT JOIN a USING (doc_id) ORDER BY d.doc_id
 """,
         # hashing-trick featurizer (text.feature_hashing): per-token
         # hash % 16 bucket counts, no vocabulary state anywhere

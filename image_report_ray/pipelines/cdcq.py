@@ -1452,3 +1452,62 @@ def cdc_conv_activity(sf_dir: str) -> pa.Table:
         pa.concat_tables(tabs, promote_options="default"),
         [("conv_id", "ascending")],
     )
+
+
+def cdc_conv_first_last(sf_dir: str) -> pa.Table:
+    """FIRST_VALUE / LAST_VALUE over the REPLAYED state: per live
+    conversation, the text of its first and last live turn (by
+    turn_idx) — the opening-prompt / latest-reply projection a
+    transcript UI serves.
+
+    One remote task per lake partition: export_canonical's
+    (conv_id, turn_idx) sort makes first = run start and last =
+    run end — two gathers, no window machinery; conversations are
+    partition-complete by pid routing."""
+    import numpy as np
+    import ray
+
+    empty = pa.table(
+        {"conv_id": pa.array([], pa.string()),
+         "first_turn_idx": pa.array([], pa.int32()),
+         "first_text": pa.array([], pa.string()),
+         "last_turn_idx": pa.array([], pa.int32()),
+         "last_text": pa.array([], pa.string())}
+    )
+
+    @ray.remote
+    def part_fl(paths: list) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        from image_report_ray.state.merge import (
+            export_canonical,
+            fold_state_tables,
+        )
+
+        folded = fold_state_tables([pq.read_table(p) for p in paths])
+        if folded is None:
+            return pa.table({})
+        t = export_canonical(folded)
+        if t.num_rows == 0:
+            return pa.table({})
+        conv = t.column("conv_id").to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, conv[1:] != conv[:-1]])
+        ends = np.r_[starts[1:], len(conv)] - 1
+        return pa.table(
+            {"conv_id": t.column("conv_id").take(pa.array(starts)),
+             "first_turn_idx": t.column("turn_idx").take(pa.array(starts)),
+             "first_text": t.column("text").take(pa.array(starts)),
+             "last_turn_idx": t.column("turn_idx").take(pa.array(ends)),
+             "last_text": t.column("text").take(pa.array(ends))}
+        )
+
+    lake = _full_lake(sf_dir)
+    sets = lake.current_file_sets()
+    refs = [part_fl.remote(paths) for _, paths in sorted(sets.items())]
+    tabs = [t for t in ray.get(refs) if t.num_rows]
+    if not tabs:
+        return empty
+    return finalize(
+        pa.concat_tables(tabs, promote_options="default"),
+        [("conv_id", "ascending")],
+    )

@@ -59,6 +59,8 @@ def query_registry() -> "dict[str, Callable[[str], Any]]":
         "user_running_value": relational.user_running_value,
         "user_streaks": relational.user_streaks,
         "feature_hashing": text.feature_hashing,
+        "cdc_conv_first_last": cdcq.cdc_conv_first_last,
+        "doc_diversity": text.doc_diversity,
         "lang_confusion": text.lang_confusion,
         "lang_top_tokens": text.lang_top_tokens,
         # multimodal binary-column plumbing (actor-pool decode stages)

@@ -2360,3 +2360,46 @@ def feature_hashing(sf_dir: str, dim: int = _FH_DIM) -> pa.Table:
                          columns=["doc_id", "text"])
     t = ds_to_table(ds.map_batches(featurize, batch_format="pyarrow"))
     return finalize(t, [("doc_id", "ascending")])
+
+
+def doc_diversity(sf_dir: str) -> pa.Table:
+    """Lexical diversity per document — Simpson's repeat index as an
+    EXACT integer: simpson_micro = ⌊Σᵢ nᵢ(nᵢ−1)·10⁶ / (N(N−1))⌋, the
+    probability two sampled tokens coincide (high = repetitive, the
+    quality-filter complement of type-token ratio). Docs with N ≤ 1
+    report 0.
+
+    Map-only: each doc lives in one block, so the per-doc token-count
+    fold closes block-locally — no shuffle, O(docs) result rows."""
+    rd = _rd()
+
+    def per_doc(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id").combine_chunks()
+        toks = pc.split_pattern_regex(t.column("text").combine_chunks(),
+                                      _TOKEN_SPLIT)
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        pt = pa.table({"d": parent, "w": flat}).filter(
+            pc.not_equal(flat, "")
+        )
+        c = pt.group_by(["d", "w"]).aggregate([([], "count_all")])
+        d = c.column("d").to_numpy()
+        n = c.column("count_all").to_numpy().astype(np.int64)
+        N = np.zeros(t.num_rows, np.int64)
+        rep = np.zeros(t.num_rows, np.int64)
+        np.add.at(N, d, n)
+        np.add.at(rep, d, n * (n - 1))
+        denom = N * (N - 1)
+        simpson = np.where(denom > 0, (rep * 1_000_000) // np.maximum(denom, 1), 0)
+        return pa.table(
+            {"doc_id": did.cast(pa.int64()),
+             "n_tokens": pa.array(N, pa.int64()),
+             "simpson_micro": pa.array(simpson, pa.int64())}
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return finalize(
+        ds_to_table(ds.map_batches(per_doc, batch_format="pyarrow")),
+        [("doc_id", "ascending")],
+    )

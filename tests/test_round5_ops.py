@@ -745,3 +745,16 @@ def test_feature_hashing_counts_preserve_tokens(ray_session, tmp_path):
     assert sum(rows[0][c] for c in fcols) == 4
     assert [rows[0][c] for c in fcols] == [rows[1][c] for c in fcols]
     assert all(rows[2][c] == 0 for c in fcols)
+
+
+def test_doc_diversity_known_values(ray_session, tmp_path):
+    """Exact Simpson index: all-same doc -> 1.0 (1e6 micro); all-distinct
+    -> 0; the [a,a,b] case -> 2/6."""
+    from image_report_ray.pipelines.text import doc_diversity
+
+    sf = _write_docs(tmp_path, ["x x x x", "a b c d", "a a b", ""])
+    out = {r["doc_id"]: r for r in doc_diversity(sf).to_pylist()}
+    assert out[0]["simpson_micro"] == 1_000_000
+    assert out[1]["simpson_micro"] == 0
+    assert out[2]["simpson_micro"] == 2_000_000 // 6
+    assert out[3] == {"doc_id": 3, "n_tokens": 0, "simpson_micro": 0}
