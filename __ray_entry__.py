@@ -848,6 +848,139 @@ FROM cand ORDER BY sim DESC, vec_id LIMIT 10
 """
 
 
+def _knn_pq_sql() -> str:
+    """Product-quantization ANN twin (similarity.knn_cosine_pq): the
+    SAME pinned per-subspace L2 Lloyd unrolled as CTE rounds, then
+    asymmetric-distance scoring through the per-cid query dots."""
+    from image_report_ray.pipelines.similarity import (
+        _PQ_CENT_ROUND,
+        _PQ_D_ROUND,
+        _PQ_ITERS,
+        _PQ_K,
+        _PQ_M,
+        _PQ_RERANK,
+        _PQ_SCORE_ROUND,
+        _PQ_TRAIN_SAMPLE,
+    )
+
+    dim = _embedding_dim()
+    if dim % _PQ_M:
+        raise ValueError(f"embedding dim {dim} not divisible by PQ M={_PQ_M}")
+    S = dim // _PQ_M
+    CR, DR, SR = _PQ_CENT_ROUND, _PQ_D_ROUND, _PQ_SCORE_ROUND
+
+    def l2(src: str, cb: str, off: int) -> str:
+        return (
+            f"ROUND(list_sum(list_transform(range(1, {S} + 1), "
+            f"i -> ({src}.v[{off} + i] - {cb}.c[i]) * "
+            f"({src}.v[{off} + i] - {cb}.c[i]))), {DR})"
+        )
+
+    def assign(mi: int, tag: str, src: str, cents: str) -> str:
+        off = mi * S
+        return f"""
+p{mi}d{tag} AS (
+  SELECT {src}.vec_id, cb.cid, {l2(src, 'cb', off)} AS d
+  FROM {src} CROSS JOIN {cents} cb
+),
+p{mi}a{tag} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC)
+               AS rn
+    FROM p{mi}d{tag}
+  ) WHERE rn = 1
+)"""
+
+    def update(mi: int, t: int) -> str:
+        off = mi * S
+        return f"""
+p{mi}m{t} AS (
+  SELECT cid, i, AVG(x) AS mv FROM (
+    SELECT a.cid, unnest(range(1, {S} + 1)) AS i,
+           unnest(list_transform(range(1, {S} + 1),
+                                 j -> smp.v[{off} + j])) AS x
+    FROM p{mi}a{t} a JOIN smp USING (vec_id)
+  ) GROUP BY cid, i
+),
+p{mi}u{t} AS (
+  SELECT cid, list(ROUND(mv, {CR}) ORDER BY i) AS m
+  FROM p{mi}m{t} GROUP BY cid
+),
+p{mi}c{t} AS (
+  SELECT p.cid, CASE WHEN u.m IS NULL THEN p.c ELSE u.m END AS c
+  FROM p{mi}c{t - 1} p LEFT JOIN p{mi}u{t} u USING (cid)
+)"""
+
+    blocks = []
+    for mi in range(_PQ_M):
+        off = mi * S
+        blocks.append(f"""
+p{mi}c0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,
+         list_transform(range(1, {S} + 1),
+                        i -> ROUND(v[{off} + i], {CR})) AS c
+  FROM smp ORDER BY vec_id LIMIT {_PQ_K}
+)""")
+        for t in range(1, _PQ_ITERS + 1):
+            blocks.append(assign(mi, str(t), "smp", f"p{mi}c{t - 1}"))
+            blocks.append(update(mi, t))
+        blocks.append(assign(mi, "F", "vn", f"p{mi}c{_PQ_ITERS}"))
+        blocks.append(f"""
+qd{mi} AS (
+  SELECT cb.cid,
+         ROUND(list_sum(list_transform(range(1, {S} + 1),
+               i -> qv.v[{off} + i] * cb.c[i])), {SR}) AS qd
+  FROM p{mi}c{_PQ_ITERS} cb CROSS JOIN qv
+)""")
+
+    score_join = "\n".join(
+        f"  JOIN p{mi}aF ON p{mi}aF.vec_id = vn.vec_id\n"
+        f"  JOIN qd{mi} q{mi} ON q{mi}.cid = p{mi}aF.cid"
+        for mi in range(_PQ_M)
+    )
+    score_sum = " + ".join(f"q{mi}.qd" for mi in range(_PQ_M))
+    return f"""
+WITH vv AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS raw
+  FROM embeddings
+),
+nn AS (
+  SELECT vec_id, raw,
+         sqrt(list_sum(list_transform(raw, y -> y * y))) AS nrm
+  FROM vv
+),
+vn AS (
+  SELECT vec_id,
+         list_transform(raw, x -> x / CASE WHEN nrm = 0 THEN 1 ELSE nrm END)
+             AS v
+  FROM nn
+),
+smp AS (
+  SELECT vec_id, v FROM vn
+  QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= {_PQ_TRAIN_SAMPLE}
+),
+qv AS (SELECT v FROM vn WHERE vec_id = 0),{",".join(blocks)},
+scored AS (
+  SELECT vn.vec_id, ROUND({score_sum}, {SR}) AS score
+  FROM vn
+{score_join}
+  WHERE vn.vec_id <> 0
+),
+short AS (
+  SELECT vec_id FROM scored ORDER BY score DESC, vec_id LIMIT {_PQ_RERANK}
+),
+qraw AS (SELECT raw FROM vv WHERE vec_id = 0),
+cand AS (
+  SELECT vv.vec_id, list_cosine_similarity(vv.raw, qraw.raw) AS sim
+  FROM vv JOIN short USING (vec_id) CROSS JOIN qraw
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) AS rnk,
+       vec_id
+FROM cand ORDER BY sim DESC, vec_id LIMIT 10
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         # synthetic FMED headers are pure integer arithmetic on doc_id
@@ -2367,6 +2500,9 @@ FROM documents GROUP BY lang ORDER BY lang
         # coarse quantizer (see _knn_ivf_sql) make them exactly twinnable
         "knn_cosine_lsh": _knn_lsh_sql(),
         "knn_cosine_ivf": _knn_ivf_sql(),
+        # product-quantization ANN (see _knn_pq_sql): the third index
+        # family, pinned per-subspace Lloyd + asymmetric distance
+        "knn_cosine_pq": _knn_pq_sql(),
         # batched multi-query retrieval join (similarity.knn_join): the
         # 8 smallest vec_ids each retrieve their exact top-10 — the
         # same cosine/tie pinning as knn_cosine, per query partition

@@ -1457,3 +1457,153 @@ def kmeans_embed(
         promote_options="default",
     )
     return finalize(out, [("vec_id", "ascending")])
+
+
+# ---- product-quantization ANN (the third index family) -----------------
+
+# PQ constants — every one of them appears verbatim in the SQL twin
+# (__ray_entry__._knn_pq_sql), which unrolls the SAME pinned per-subspace
+# Lloyd iterations; change them here and the twin regenerates.
+_PQ_M = 8              # subspaces (dim must divide evenly)
+_PQ_K = 16             # centroids per subspace codebook
+_PQ_ITERS = 4          # Lloyd iterations per codebook
+_PQ_TRAIN_SAMPLE = 1024
+_PQ_D_ROUND = 6        # L2 assignment distances
+_PQ_CENT_ROUND = 6     # centroid coordinates
+_PQ_SCORE_ROUND = 6    # per-subspace dots and the final ADC score
+
+
+def _pq_train_codebooks(sf_dir: str) -> tuple[list, int]:
+    """Pinned per-subspace L2 Lloyd on the unit-normalized
+    ``_PQ_TRAIN_SAMPLE`` smallest vec_ids (the shared order-free sample
+    rule): init = first K sample subvectors by vec_id, assignment =
+    argmin of ROUNDED squared distance (ties → smallest cid), update =
+    rounded mean (empty keeps previous). Driver-bounded like the IVF
+    trainer; the SQL twin replays it bit-for-bit."""
+    t = _smallest_vectors(sf_dir, _PQ_TRAIN_SAMPLE)
+    ids = t.column("vec_id").to_numpy()
+    order = np.argsort(ids)
+    m = _stack(t.column("embedding")).astype(np.float64)[order]
+    nrm = np.linalg.norm(m, axis=1)
+    nrm[nrm == 0] = 1.0
+    vh = m / nrm[:, None]
+    dim = vh.shape[1]
+    if dim % _PQ_M:
+        raise ValueError(f"embedding dim {dim} not divisible by PQ M={_PQ_M}")
+    S = dim // _PQ_M
+    books = []
+    for mi in range(_PQ_M):
+        sub = vh[:, mi * S:(mi + 1) * S]
+        c = np.round(sub[:_PQ_K].copy(), _PQ_CENT_ROUND)
+        for _ in range(_PQ_ITERS):
+            d = np.round(
+                ((sub[:, None, :] - c[None, :, :]) ** 2).sum(-1), _PQ_D_ROUND
+            )
+            a = np.argmin(d, axis=1)     # first occurrence = smallest cid
+            for j in range(_PQ_K):
+                sel = a == j
+                if sel.any():
+                    c[j] = np.round(sub[sel].mean(axis=0), _PQ_CENT_ROUND)
+        books.append(c)
+    return books, S
+
+
+_PQ_RERANK = 128       # ADC shortlist size fed to the exact rerank
+
+
+def knn_cosine_pq(sf_dir: str, k: int = 10) -> pa.Table:
+    """Approximate top-k cosine neighbors of vec_id 0 via PRODUCT
+    QUANTIZATION with asymmetric distance + exact rerank (the ADC →
+    shortlist → rerank composition of Jégou et al. 2011) — the third
+    ANN family beside the LSH prefilter and the physical IVF index:
+    the corpus is summarized as M per-subspace codes, a query scans an
+    (M × K) lookup table, and only the ``_PQ_RERANK`` best quantized
+    scores get their raw vectors touched.
+
+    Distributed shape: codebooks train driver-side on the bounded
+    shared sample (the IVF economics) and broadcast with the query's
+    lookup table; pass 1 keeps a per-block partial shortlist of the
+    rounded ADC scores (driver folds O(blocks × R) rows); pass 2
+    broadcast-filters the same read-once blocks to the R shortlist ids
+    and the exact cosine rerank closes on R × dim numbers. Recall
+    floor vs the exact scan is pytest-gated; every rounding is pinned
+    so the unrolled SQL twin matches bit-for-bit."""
+    import ray
+
+    rd = _rd()
+    books, S = _pq_train_codebooks(sf_dir)
+    q = _query_vector(sf_dir, 0).astype(np.float64)
+    qn = np.linalg.norm(q)
+    qh = q / (qn if qn else 1.0)
+    # ADC lookup table: lut[m][j] = rounded dot(q_m, codebook_m[j])
+    lut = [
+        np.round(books[mi] @ qh[mi * S:(mi + 1) * S], _PQ_SCORE_ROUND)
+        for mi in range(_PQ_M)
+    ]
+    state_ref = ray.put((books, lut))
+    R = _PQ_RERANK
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    base_refs = ds.to_arrow_refs()
+
+    @ray.remote
+    def block_shortlist(t: pa.Table) -> pa.Table:
+        bks, lt = ray.get(state_ref)
+        m = _stack(t.column("embedding")).astype(np.float64)
+        nrm = np.linalg.norm(m, axis=1)
+        nrm[nrm == 0] = 1.0
+        vh = m / nrm[:, None]
+        score = None
+        for mi in range(_PQ_M):
+            sub = vh[:, mi * S:(mi + 1) * S]
+            d = np.round(
+                ((sub[:, None, :] - bks[mi][None, :, :]) ** 2).sum(-1),
+                _PQ_D_ROUND,
+            )
+            code = np.argmin(d, axis=1)
+            part = lt[mi][code]
+            score = part if score is None else score + part
+        score = np.round(score, _PQ_SCORE_ROUND)
+        ids = t.column("vec_id").to_numpy()
+        keep = ids != 0
+        score, ids = score[keep], ids[keep]
+        if len(ids) > R:
+            sel = np.lexsort((ids, -score))[:R]
+            score, ids = score[sel], ids[sel]
+        return pa.table(
+            {"vec_id": pa.array(ids, pa.int64()), "score": pa.array(score)}
+        )
+
+    parts = [t for t in ray.get([block_shortlist.remote(r) for r in base_refs])
+             if t.num_rows]
+    if not parts:
+        return pa.table({"rnk": pa.array([], pa.int64()),
+                         "vec_id": pa.array([], pa.int64())})
+    pool = pa.concat_tables(parts)
+    ps = pool.column("score").to_numpy()
+    pi = pool.column("vec_id").to_numpy()
+    sel = np.lexsort((pi, -ps))[:R]
+    short = np.sort(pi[sel])
+    short_ref = ray.put(short)
+
+    @ray.remote
+    def fetch(t: pa.Table, ids: np.ndarray) -> pa.Table:
+        return t.filter(
+            pc.is_in(t.column("vec_id"), value_set=pa.array(ids, pa.int64()))
+        )
+
+    cand = pa.concat_tables(
+        [t for t in ray.get([fetch.remote(r, short_ref) for r in base_refs])
+         if t.num_rows]
+    )
+    m = _stack(cand.column("embedding")).astype(np.float64)
+    nrm = np.linalg.norm(m, axis=1)
+    nrm[nrm == 0] = 1.0
+    sims = (m / nrm[:, None]) @ qh
+    ids = cand.column("vec_id").to_numpy()
+    order = np.lexsort((ids, -sims))[:k]
+    return pa.table(
+        {"rnk": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+         "vec_id": pa.array(ids[order], pa.int64())}
+    )

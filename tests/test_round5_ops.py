@@ -758,3 +758,14 @@ def test_doc_diversity_known_values(ray_session, tmp_path):
     assert out[1]["simpson_micro"] == 0
     assert out[2]["simpson_micro"] == 2_000_000 // 6
     assert out[3] == {"doc_id": 3, "n_tokens": 0, "simpson_micro": 0}
+
+
+def test_knn_pq_recall_floor(ray_session):
+    """PQ-ADC shortlist + exact rerank must recover >= 80% of the exact
+    top-10 at both test scales (the IVF/LSH recall-gate convention)."""
+    from image_report_ray.pipelines.similarity import knn_cosine, knn_cosine_pq
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        exact = set(knn_cosine(sf).column("vec_id").to_pylist())
+        got = set(knn_cosine_pq(sf).column("vec_id").to_pylist())
+        assert len(exact & got) / 10 >= 0.8, sf
