@@ -859,6 +859,7 @@ def _knn_pq_sql() -> str:
         _PQ_K,
         _PQ_M,
         _PQ_RERANK,
+        _PQ_RERANK_DIV,
         _PQ_SCORE_ROUND,
         _PQ_TRAIN_SAMPLE,
     )
@@ -968,7 +969,9 @@ scored AS (
   WHERE vn.vec_id <> 0
 ),
 short AS (
-  SELECT vec_id FROM scored ORDER BY score DESC, vec_id LIMIT {_PQ_RERANK}
+  SELECT vec_id FROM scored ORDER BY score DESC, vec_id
+  LIMIT GREATEST({_PQ_RERANK},
+                 (SELECT COUNT(*) FROM embeddings) // {_PQ_RERANK_DIV})
 ),
 qraw AS (SELECT raw FROM vv WHERE vec_id = 0),
 cand AS (

@@ -455,6 +455,8 @@ def run_simbench(num_cpus: int, n_vecs: int = SIMBENCH_VECS) -> dict:
     out: dict[str, float] = {}
     t0 = time.perf_counter(); similarity.knn_cosine(sb_dir, 0, 10)
     out["knn_cosine"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter(); similarity.knn_cosine_pq(sb_dir, 10)
+    out["knn_cosine_pq"] = round(time.perf_counter() - t0, 3)
     t0 = time.perf_counter(); similarity.knn_cosine_ivf(sb_dir, 0, 10)
     out["knn_cosine_ivf_build"] = round(time.perf_counter() - t0, 3)
     t0 = time.perf_counter(); similarity.knn_cosine_ivf(sb_dir, 1, 10)

@@ -1508,7 +1508,19 @@ def _pq_train_codebooks(sf_dir: str) -> tuple[list, int]:
     return books, S
 
 
-_PQ_RERANK = 128       # ADC shortlist size fed to the exact rerank
+_PQ_RERANK = 128       # ADC shortlist floor fed to the exact rerank
+_PQ_RERANK_DIV = 256   # shortlist grows as max(floor, n_vectors // DIV)
+
+
+def _pq_shortlist_depth(sf_dir: str) -> int:
+    """R = max(128, n // 256): a FIXED depth goes recall-blind as the
+    corpus grows (ADC ranks of true neighbors spread with n), a fixed
+    FRACTION wastes rerank at small n — the same expression closes the
+    twin's LIMIT via COUNT(*)."""
+    import pyarrow.parquet as pqt
+
+    n = pqt.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+    return max(_PQ_RERANK, n // _PQ_RERANK_DIV)
 
 
 def knn_cosine_pq(sf_dir: str, k: int = 10) -> pa.Table:
@@ -1541,7 +1553,7 @@ def knn_cosine_pq(sf_dir: str, k: int = 10) -> pa.Table:
         for mi in range(_PQ_M)
     ]
     state_ref = ray.put((books, lut))
-    R = _PQ_RERANK
+    R = _pq_shortlist_depth(sf_dir)
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
