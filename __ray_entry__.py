@@ -1554,6 +1554,20 @@ SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
        CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS gap_max_us
 FROM g GROUP BY conv_id ORDER BY conv_id
 """,
+        # changelog hygiene audit (cdcq.cdc_orphan_tombstones):
+        # deletes whose key never saw an earlier insert/update
+        "cdc_orphan_tombstones": CHANGELOG_CTE + """
+, f AS (
+  SELECT conv_id, turn_idx, lsn, op,
+         SUM(CASE WHEN op IN ('I', 'U') THEN 1 ELSE 0 END) OVER (
+             PARTITION BY conv_id, turn_idx ORDER BY lsn
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_up
+  FROM ch
+)
+SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_orphan_deletes
+FROM f WHERE op = 'D' AND COALESCE(prior_up, 0) = 0
+GROUP BY conv_id ORDER BY conv_id
+""",
         # FIRST/LAST projection (cdcq.cdc_conv_first_last)
         "cdc_conv_first_last": CHANGELOG_CTE + """
 , final AS (

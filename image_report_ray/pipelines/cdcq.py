@@ -1511,3 +1511,66 @@ def cdc_conv_first_last(sf_dir: str) -> pa.Table:
         pa.concat_tables(tabs, promote_options="default"),
         [("conv_id", "ascending")],
     )
+
+
+def cdc_orphan_tombstones(sf_dir: str) -> pa.Table:
+    """Changelog hygiene audit: per conversation, DELETE events whose
+    key (conv_id, turn_idx) was never preceded by an INSERT/UPDATE —
+    tombstones for rows that never existed (an upstream-CDC bug
+    signature: dropped inserts, wrong key extraction, replay from a
+    truncated log).
+
+    One conv-keyed exchange of 4 narrow columns; a key's events are
+    partition-complete so "no earlier I/U" closes locally via one
+    lexsort + per-key first-op scan. O(convs-with-orphans) result
+    rows. Twin: ``__ray_entry__`` ``cdc_orphan_tombstones``."""
+    import numpy as np
+
+    from .exchange import exchange_reduce, gather_concat
+
+    empty = pa.table(
+        {"conv_id": pa.array([], pa.string()),
+         "n_orphan_deletes": pa.array([], pa.int64())}
+    )
+
+    def narrow(t: pa.Table) -> pa.Table:
+        return t.select(["conv_id", "turn_idx", "lsn", "op"])
+
+    def orphan_partition(pid: int, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        conv = t.column("conv_id").to_numpy(zero_copy_only=False)
+        turn = t.column("turn_idx").to_numpy()
+        lsn = t.column("lsn").to_numpy()
+        op = t.column("op").to_numpy(zero_copy_only=False)
+        order = np.lexsort((lsn, turn, conv))
+        conv, turn, op = conv[order], turn[order], op[order]
+        new_key = np.r_[True, (conv[1:] != conv[:-1]) | (turn[1:] != turn[:-1])]
+        key = np.cumsum(new_key) - 1
+        # a D is orphan while its key has seen NO I/U yet (lsn order)
+        upsert = (op == "I") | (op == "U")
+        cum_up = np.cumsum(upsert)
+        base = np.r_[0, cum_up[np.flatnonzero(new_key) - 1][1:]] if (
+            new_key.sum() > 1) else np.zeros(1, np.int64)
+        seen_before = (cum_up - upsert.astype(np.int64)) - base[key] > 0
+        orphan = (op == "D") & ~seen_before
+        if not orphan.any():
+            return empty
+        oc = conv[orphan]
+        uu, cnt = np.unique(oc, return_counts=True)
+        return pa.table(
+            {"conv_id": pa.array(uu, pa.string()),
+             "n_orphan_deletes": pa.array(cnt.astype(np.int64), pa.int64())}
+        )
+
+    ds = changelog_dataset(sf_dir).map_batches(narrow, batch_format="pyarrow")
+    refs = exchange_reduce([ds], ["conv_id"], orphan_partition)
+    t = gather_concat(refs)
+    if t.num_rows == 0:
+        return empty
+    g = t.group_by(["conv_id"]).aggregate([("n_orphan_deletes", "sum")])
+    out = pa.table(
+        {"conv_id": g.column("conv_id"),
+         "n_orphan_deletes": g.column("n_orphan_deletes_sum").cast(pa.int64())}
+    )
+    return finalize(out, [("conv_id", "ascending")])

@@ -62,6 +62,7 @@ def query_registry() -> "dict[str, Callable[[str], Any]]":
         "cdc_conv_first_last": cdcq.cdc_conv_first_last,
         "doc_diversity": text.doc_diversity,
         "knn_cosine_pq": similarity.knn_cosine_pq,
+        "cdc_orphan_tombstones": cdcq.cdc_orphan_tombstones,
         "lang_confusion": text.lang_confusion,
         "lang_top_tokens": text.lang_top_tokens,
         # multimodal binary-column plumbing (actor-pool decode stages)

@@ -769,3 +769,55 @@ def test_knn_pq_recall_floor(ray_session):
         exact = set(knn_cosine(sf).column("vec_id").to_pylist())
         got = set(knn_cosine_pq(sf).column("vec_id").to_pylist())
         assert len(exact & got) / 10 >= 0.8, sf
+
+
+def test_orphan_tombstones_ordering_semantics(ray_session, tmp_path):
+    """A D before any I/U on its key is orphan; a D after an I is not;
+    a second D after the first I is ALSO not (the key existed once)."""
+    import duckdb
+
+    import __ray_entry__ as e
+    from image_report_ray.pipelines.cdcq import cdc_orphan_tombstones
+
+    # craft event ids by op class: (id*7919)%10 -> I<6, U<9, D else
+    def op_of(i):
+        h = (i * 7919) % 10
+        return "I" if h < 6 else ("U" if h < 9 else "D")
+
+    d_ids = [i for i in range(400) if op_of(i) == "D"]
+    i_ids = [i for i in range(400) if op_of(i) == "I"]
+    # one user -> conv c1; same turn slot: ids congruent mod 8
+    d0 = d_ids[0]
+    later_i = next(i for i in i_ids if i > d0 and i % 8 == d0 % 8)
+    later_d = next(i for i in d_ids if i > later_i and i % 8 == d0 % 8)
+    ids = [d0, later_i, later_d]
+    t = pa.table(
+        {
+            "event_id": pa.array(ids, pa.int64()),
+            "ts": pa.array(
+                np.array([i * 1000 for i in ids], dtype="datetime64[us]"),
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([1] * 3, pa.int64()),
+            "event_type": pa.array(["t"] * 3, pa.string()),
+            "value": pa.array([0.0] * 3, pa.float64()),
+            "props": pa.array(["p"] * 3, pa.string()),
+        }
+    )
+    d = tmp_path / "orph"
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(t, str(d / "events.parquet"))
+
+    out = cdc_orphan_tombstones(str(d)).to_pylist()
+    # only the FIRST delete (before the insert) is orphan
+    assert out == [{"conv_id": "c1", "n_orphan_deletes": 1}]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * "
+        f"FROM read_parquet('{d}/events.parquet')"
+    )
+    want = con.execute(
+        e.oracle_sql()["cdc_orphan_tombstones"]
+    ).arrow()
+    assert cdc_orphan_tombstones(str(d)).equals(want.cast(
+        cdc_orphan_tombstones(str(d)).schema))
