@@ -2249,6 +2249,24 @@ JOIN customer c ON c.c_custkey = o.o_custkey
 ORDER BY o.o_totalprice DESC, o.o_orderdate ASC, o.o_orderkey ASC
 LIMIT 100
 """,
+        # rank-transform / CDF normalization (relational.
+        # value_rank_transform): RANK tie semantics in exact integers
+        "value_rank_transform": """
+WITH c AS (
+  SELECT event_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS v FROM events
+),
+r AS (
+  SELECT event_id,
+         RANK() OVER (PARTITION BY event_type ORDER BY v) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM c
+)
+SELECT event_id,
+       CAST(CASE WHEN n > 1 THEN ((rk - 1) * 10000) // (n - 1)
+                 ELSE 0 END AS BIGINT) AS pct_rank_bp
+FROM r ORDER BY event_id
+""",
         # exact per-type value quantiles (relational.value_quantiles):
         # smallest v whose rank reaches the pure-integer ceil(q*n)
         "value_quantiles": """

@@ -63,6 +63,7 @@ def query_registry() -> "dict[str, Callable[[str], Any]]":
         "doc_diversity": text.doc_diversity,
         "knn_cosine_pq": similarity.knn_cosine_pq,
         "cdc_orphan_tombstones": cdcq.cdc_orphan_tombstones,
+        "value_rank_transform": relational.value_rank_transform,
         "lang_confusion": text.lang_confusion,
         "lang_top_tokens": text.lang_top_tokens,
         # multimodal binary-column plumbing (actor-pool decode stages)

@@ -2174,3 +2174,79 @@ def user_streaks(sf_dir: str) -> pa.Table:
         ["user_id"], _streak_partition,
     )
     return finalize(gather_concat(refs), [("user_id", "ascending")])
+
+
+def value_rank_transform(sf_dir: str) -> pa.Table:
+    """Rank-transform (CDF) normalization — the feature-engineering
+    step that replaces a skewed raw value with its within-group
+    percentile: per event, pct_rank_bp = ⌊(rank_min − 1)·10⁴ /
+    (n_type − 1)⌋ with rank_min = count(values below) + 1 (SQL RANK
+    tie semantics), exact integers end to end.
+
+    NO per-row sort and NO hot-key exchange (a type-keyed shuffle would
+    send 1/5th of the data to one partition): pass 1 folds the
+    bounded-domain (type, cents) histogram (the N90 machinery); the
+    driver prefix-sums O(types × domain) counts; pass 2 ships the tiny
+    CDF in task closures and every event looks its rank up with one
+    searchsorted — map-only over the same columns. Single-event types
+    report 0."""
+    from ._util import fold_partials
+
+    rd = _rd()
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        v = _cents(t.column("value"))
+        g = pa.table(
+            {"event_type": t.column("event_type"),
+             "v": pa.array(v, pa.int64())}
+        ).group_by(["event_type", "v"]).aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "v", "n_part"])
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+    hist = fold_partials(
+        ds.map_batches(
+            lambda t: hist_partial(t.select(["event_type", "value"])),
+            batch_format="pyarrow",
+        ),
+        ["event_type", "v"], [("n_part", "sum")], ["event_type", "v", "n"],
+    )
+    if hist.num_rows == 0:
+        return pa.table(
+            {"event_id": pa.array([], pa.int64()),
+             "pct_rank_bp": pa.array([], pa.int64())}
+        )
+    hist = hist.take(pc.sort_indices(
+        hist, sort_keys=[("event_type", "ascending"), ("v", "ascending")]
+    ))
+    et = hist.column("event_type").to_numpy(zero_copy_only=False)
+    hv = hist.column("v").to_numpy()
+    hn = hist.column("n").to_numpy().astype(np.int64)
+    starts = np.flatnonzero(np.r_[True, et[1:] != et[:-1]])
+    ends = np.r_[starts[1:], len(et)]
+    cdf = {}
+    for s, e in zip(starts, ends):
+        below = np.r_[0, np.cumsum(hn[s:e])[:-1]]
+        cdf[et[s]] = (hv[s:e], below, int(hn[s:e].sum()))
+
+    def rank_batch(t: pa.Table) -> pa.Table:
+        v = _cents(t.column("value"))
+        ty = t.column("event_type").to_numpy(zero_copy_only=False)
+        out = np.zeros(t.num_rows, np.int64)
+        for name, (vals, below, n) in cdf.items():
+            m = ty == name
+            if not m.any() or n <= 1:
+                continue
+            less = below[np.searchsorted(vals, v[m])]
+            out[m] = (less * 10_000) // (n - 1)
+        return pa.table(
+            {"event_id": t.column("event_id").cast(pa.int64()),
+             "pct_rank_bp": pa.array(out, pa.int64())}
+        )
+
+    t = ds_to_table(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_id", "event_type", "value"])
+        .map_batches(rank_batch, batch_format="pyarrow")
+    )
+    return finalize(t, [("event_id", "ascending")])

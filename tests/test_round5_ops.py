@@ -821,3 +821,29 @@ def test_orphan_tombstones_ordering_semantics(ray_session, tmp_path):
     ).arrow()
     assert cdc_orphan_tombstones(str(d)).equals(want.cast(
         cdc_orphan_tombstones(str(d)).schema))
+
+
+def test_value_rank_transform_tie_semantics(ray_session, tmp_path):
+    """Ties share the MIN rank (SQL RANK): values [1,2,2,4] map to bp
+    0, 3333, 3333, 10000; a singleton type maps to 0."""
+    from image_report_ray.pipelines.relational import value_rank_transform
+
+    rows = [("a", 1.0), ("a", 2.0), ("a", 2.0), ("a", 4.0), ("b", 9.0)]
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(len(rows)), pa.int64()),
+            "ts": pa.array(np.zeros(len(rows), dtype="datetime64[us]"),
+                           pa.timestamp("us")),
+            "user_id": pa.array([0] * len(rows), pa.int64()),
+            "event_type": pa.array([r[0] for r in rows], pa.string()),
+            "value": pa.array([r[1] for r in rows], pa.float64()),
+            "props": pa.array(["p"] * len(rows), pa.string()),
+        }
+    )
+    d = tmp_path / "rank"
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(t, str(d / "events.parquet"))
+
+    out = {r["event_id"]: r["pct_rank_bp"]
+           for r in value_rank_transform(str(d)).to_pylist()}
+    assert out == {0: 0, 1: 3333, 2: 3333, 3: 10000, 4: 0}
