@@ -2479,6 +2479,36 @@ hit AS (
 SELECT doc_id FROM hit
 WHERE m = (SELECT COUNT(*) FROM terms) ORDER BY doc_id
 """,
+        # BM25 ranked retrieval (text.bm25_search): exact-integer Okapi
+        # BM25 (k1=6/5, b=3/4, log-free rational idf) — per-term micro
+        # contributions floored in HUGEINT before the sum, the identical
+        # order-independent fold the engine takes in Python ints
+        "bm25_search": r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w FROM documents
+),
+dfr AS (SELECT w, CAST(COUNT(DISTINCT doc_id) AS HUGEINT) AS df
+        FROM tok GROUP BY w),
+terms AS (SELECT w, df FROM dfr ORDER BY df DESC, w ASC LIMIT 2),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS HUGEINT) AS dl FROM tok GROUP BY doc_id),
+tot AS (SELECT CAST((SELECT COUNT(*) FROM documents) AS HUGEINT) AS n,
+               CAST((SELECT SUM(dl) FROM dl) AS HUGEINT) AS l),
+tf AS (SELECT t.doc_id, t.w, CAST(COUNT(*) AS HUGEINT) AS tf
+       FROM tok t JOIN terms USING (w) GROUP BY 1, 2),
+contrib AS (
+  SELECT tf.doc_id,
+         ((2 * tot.n - 2 * terms.df + 1) * 44 * tot.l * tf.tf * 1000000)
+         // ((2 * terms.df + 1)
+             * (20 * tot.l * tf.tf + 6 * tot.l + 18 * dl.dl * tot.n)) AS c
+  FROM tf
+  JOIN terms ON tf.w = terms.w
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN tot
+)
+SELECT doc_id, CAST(SUM(c) AS BIGINT) AS score_micro
+FROM contrib GROUP BY doc_id
+ORDER BY score_micro DESC, doc_id ASC LIMIT 20
+""",
         # bigram collocations (text.collocations): exact integer lift in
         # HUGEINT — the same nested floor the engine takes in Python ints
         "collocations": r"""

@@ -28,6 +28,7 @@ def query_registry() -> "dict[str, Callable[[str], Any]]":
         "semdedup": similarity.semdedup,
         # round-5 additions ride directly behind the fronted 8 so the
         # driver's rotating prefix reaches them in their landing round
+        "bm25_search": text.bm25_search,
         "knn_join": similarity.knn_join,
         "dup_span_coverage": dedup.dup_span_coverage,
         "ngram_novelty": dedup.ngram_novelty,

@@ -2403,3 +2403,148 @@ def doc_diversity(sf_dir: str) -> pa.Table:
         ds_to_table(ds.map_batches(per_doc, batch_format="pyarrow")),
         [("doc_id", "ascending")],
     )
+
+
+# ---- BM25 ranked retrieval ---------------------------------------------
+
+_BM25_K = 20
+
+
+def bm25_search(sf_dir: str, n_terms: int = 2, k: int = _BM25_K) -> pa.Table:
+    """BM25-ranked retrieval — the scored sibling of
+    :func:`keyword_search`: rank every document against the corpus's
+    ``n_terms`` highest-DF tokens (the self-derived worst-case-hot
+    query) by Okapi BM25 with k1 = 6/5, b = 3/4 and the log-free
+    rational idf ``(N - df + 1/2) / (df + 1/2)``, so each per-term
+    contribution is an EXACT integer ratio:
+
+        c(d, t) = ⌊(2N−2df_t+1) · 44·L·tf_td · 10⁶ /
+                   ((2df_t+1) · (20·L·tf_td + 6·L + 18·dl_d·N))⌋
+
+    and ``score_micro(d) = Σ_t c(d, t)`` (L = corpus token count,
+    dl = doc token count). Flooring per term BEFORE the sum makes the
+    fold order-independent, so the distributed result is bit-stable
+    and the DuckDB twin replays the identical arithmetic in HUGEINT.
+
+    Shape: the keyword_search two-task-wave pattern over ONE read —
+    (1) distinct postings fold global DF through the token-keyed
+    exchange (per-partition top-``n_terms`` cut is a provable superset
+    of the global cut) while 1-row block size tables fold (N, L)
+    driver-side; (2) the tiny (term, df) map plus (N, L) broadcast
+    back over the same blocks — each doc lives in exactly one block,
+    so scoring and the per-block top-``k`` cut (a superset of the
+    global top-k under the total (score desc, doc_id asc) order)
+    close block-locally and the driver folds only P×k rows. The
+    per-candidate Python-int arithmetic is bounded by the block's doc
+    count; a 100-TB run would reduce each ratio by gcd (or take a
+    float scoring path) before the integers outgrow 128 bits."""
+    from functools import partial as fpartial
+
+    import ray
+
+    from .exchange import exchange_reduce, gather_concat
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    base_refs = ds.to_arrow_refs()
+
+    @ray.remote(num_returns=2)
+    def postings_and_size(t: pa.Table):
+        if "text" not in t.column_names:  # schema-less empty block
+            return (
+                pa.table({"token": pa.array([], pa.string()),
+                          "doc_id": pa.array([], pa.int64()),
+                          "n_part": pa.array([], pa.int64())}),
+                pa.table({"n_docs": pa.array([0], pa.int64()),
+                          "n_tokens": pa.array([0], pa.int64())}),
+            )
+        toks = pc.split_pattern_regex(t.column("text").combine_chunks(),
+                                      _TOKEN_SPLIT)
+        flat = pc.list_flatten(toks)
+        did = t.column("doc_id").combine_chunks().take(
+            pc.list_parent_indices(toks)
+        )
+        pt = pa.table({"token": flat, "doc_id": did}).filter(
+            pc.not_equal(flat, "")
+        )
+        g = pt.group_by(["token", "doc_id"]).aggregate([([], "count_all")])
+        post = pa.table(
+            {"token": g.column("token"),
+             "doc_id": g.column("doc_id").cast(pa.int64()),
+             "n_part": pa.array(np.ones(g.num_rows, np.int64), pa.int64())}
+        )
+        size = pa.table({"n_docs": pa.array([t.num_rows], pa.int64()),
+                         "n_tokens": pa.array([pt.num_rows], pa.int64())})
+        return post, size
+
+    outs = [postings_and_size.remote(r) for r in base_refs]
+    post_refs = [o[0] for o in outs]
+    size_refs = [o[1] for o in outs]
+    df_refs = exchange_reduce(
+        [post_refs], ["token"], fpartial(_token_topk_partition, k=n_terms)
+    )
+    dfs = gather_concat(df_refs)
+    sizes = pa.concat_tables(ray.get(size_refs))
+    N = int(pc.sum(sizes.column("n_docs")).as_py() or 0)
+    L = int(pc.sum(sizes.column("n_tokens")).as_py() or 0)
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "score_micro": pa.array([], pa.int64())})
+    if dfs.num_rows == 0 or L == 0:
+        return empty
+    idx = pc.sort_indices(
+        dfs, sort_keys=[("n", "descending"), ("token", "ascending")]
+    )
+    sel = dfs.take(idx.slice(0, n_terms))
+    df_by_term = dict(
+        zip(sel.column("token").to_pylist(), sel.column("n").to_pylist())
+    )
+    terms_set = pa.array(sorted(df_by_term), pa.string())
+
+    @ray.remote
+    def score_block(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(t.column("text").combine_chunks(),
+                                      _TOKEN_SPLIT)
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        pt = pa.table({"d": parent, "w": flat}).filter(
+            pc.not_equal(flat, "")
+        )
+        dl = np.zeros(t.num_rows, np.int64)
+        np.add.at(dl, pt.column("d").to_numpy(), 1)
+        cand = pt.filter(pc.is_in(pt.column("w"), value_set=terms_set))
+        if cand.num_rows == 0:
+            return empty
+        g = cand.group_by(["d", "w"]).aggregate([([], "count_all")])
+        did_np = t.column("doc_id").to_numpy()
+        # exact Python-int per-(doc, term) floors; ≤ n_terms rows per doc
+        scores: dict[int, int] = {}
+        for dd, w, tf in zip(g.column("d").to_numpy().tolist(),
+                             g.column("w").to_pylist(),
+                             g.column("count_all").to_numpy().tolist()):
+            dfq = df_by_term[w]
+            a = (2 * N - 2 * dfq + 1) * 44 * L * tf * 1_000_000
+            b = (2 * dfq + 1) * (20 * L * tf + 6 * L + 18 * int(dl[dd]) * N)
+            doc = int(did_np[dd])
+            scores[doc] = scores.get(doc, 0) + a // b
+        out = pa.table(
+            {"doc_id": pa.array(list(scores), pa.int64()),
+             "score_micro": pa.array(list(scores.values()), pa.int64())}
+        )
+        s_idx = pc.sort_indices(
+            out,
+            sort_keys=[("score_micro", "descending"), ("doc_id", "ascending")],
+        )
+        return out.take(s_idx.slice(0, k))
+
+    tabs = [x for x in ray.get([score_block.remote(r) for r in base_refs])
+            if x.num_rows]
+    if not tabs:
+        return empty
+    allt = pa.concat_tables(tabs)
+    f_idx = pc.sort_indices(
+        allt,
+        sort_keys=[("score_micro", "descending"), ("doc_id", "ascending")],
+    )
+    return allt.take(f_idx.slice(0, k)).combine_chunks()

@@ -547,7 +547,7 @@ def test_operators_tolerate_empty_corpus(ray_session, tmp_path):
                   "value": pa.array([], pa.float64())}),
         os.path.join(d, "events.parquet"))
     for fn in (T.shuffle_docs, T.lang_stats, T.dedup_exact, T.top_tokens,
-               T.quality_score, T.text_stats, T.pack_docs,
+               T.quality_score, T.text_stats, T.pack_docs, T.bm25_search,
                R.hll_user_sketch, R.clicks_before_purchase_count,
                R.user_hour_activity, R.distinct_event_types,
                R.sessionize_users):
@@ -990,3 +990,45 @@ def test_mixture_weights_temperature_rule(ray_session):
     raw_share = counts[small] / sum(counts.values())
     got = {r["lang"]: r["mix_weight"] for r in t.to_pylist()}
     assert got[small] > raw_share
+
+
+def test_bm25_search_exact_integer_scores(ray_session, tmp_path):
+    """3-doc corpus with a hand-replayable BM25: top-2 DF terms are
+    'the' (df=3) and 'cat' (df=2); scores must equal the exact
+    floor-per-term integer formula and rank by (score desc, doc_id)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from image_report_ray.pipelines.text import bm25_search
+
+    docs = ["the cat sat", "the the dog", "a the cat"]
+    d = str(tmp_path)
+    pq.write_table(
+        pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                  "text": pa.array(docs),
+                  "lang": pa.array(["en"] * 3),
+                  "n_chars": pa.array([len(s) for s in docs], pa.int64())}),
+        os.path.join(d, "documents.parquet"))
+    out = bm25_search(d)
+    N, L = 3, 9
+    dfm = {"the": 3, "cat": 2}
+    exp = {}
+    for did, s in enumerate(docs):
+        toks = s.split()
+        dl = len(toks)
+        sc = 0
+        for w, df in dfm.items():
+            tf = toks.count(w)
+            if tf:
+                sc += ((2 * N - 2 * df + 1) * 44 * L * tf * 10**6) // (
+                    (2 * df + 1) * (20 * L * tf + 6 * L + 18 * dl * N)
+                )
+        exp[did] = sc
+    got = dict(zip(out.column("doc_id").to_pylist(),
+                   out.column("score_micro").to_pylist()))
+    assert got == exp
+    assert out.column("doc_id").to_pylist() == sorted(
+        exp, key=lambda i: (-exp[i], i)
+    )
