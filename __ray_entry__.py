@@ -2509,6 +2509,23 @@ SELECT doc_id, CAST(SUM(c) AS BIGINT) AS score_micro
 FROM contrib GROUP BY doc_id
 ORDER BY score_micro DESC, doc_id ASC LIMIT 20
 """,
+        # φ-heavy hitters (text.heavy_hitters): per-language tokens with
+        # n·200 > N_lang — the engine's Misra–Gries sketch + exact
+        # recount resolves to these exact counts (or falls back to the
+        # exact exchange when the sketch cannot certify coverage)
+        "heavy_hitters": r"""
+WITH tok AS (
+  SELECT lang, unnest(regexp_extract_all(text, '\S+')) AS token
+  FROM documents
+),
+tot AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS nl FROM tok GROUP BY lang),
+cnt AS (SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS n
+        FROM tok GROUP BY 1, 2)
+SELECT c.lang, c.token, c.n
+FROM cnt c JOIN tot USING (lang)
+WHERE c.n * 200 > tot.nl
+ORDER BY c.lang ASC, c.n DESC, c.token ASC
+""",
         # bigram collocations (text.collocations): exact integer lift in
         # HUGEINT — the same nested floor the engine takes in Python ints
         "collocations": r"""

@@ -29,6 +29,7 @@ def query_registry() -> "dict[str, Callable[[str], Any]]":
         # round-5 additions ride directly behind the fronted 8 so the
         # driver's rotating prefix reaches them in their landing round
         "bm25_search": text.bm25_search,
+        "heavy_hitters": text.heavy_hitters,
         "knn_join": similarity.knn_join,
         "dup_span_coverage": dedup.dup_span_coverage,
         "ngram_novelty": dedup.ngram_novelty,

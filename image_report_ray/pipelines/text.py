@@ -2548,3 +2548,181 @@ def bm25_search(sf_dir: str, n_terms: int = 2, k: int = _BM25_K) -> pa.Table:
         sort_keys=[("score_micro", "descending"), ("doc_id", "ascending")],
     )
     return allt.take(f_idx.slice(0, k)).combine_chunks()
+
+
+# ---- φ-heavy hitters (mergeable Misra–Gries) ----------------------------
+
+_HH_PHI_INV = 200
+_HH_M = 4096
+
+
+def heavy_hitters(sf_dir: str, phi_inv: int = _HH_PHI_INV,
+                  m: int = _HH_M) -> pa.Table:
+    """Per-language φ-frequent tokens — every (lang, token) whose count
+    satisfies ``n · phi_inv > N_lang`` — via mergeable Misra–Gries
+    summaries plus an exact recount (the sketch-then-verify shape; the
+    HLL pattern's deterministic cousin).
+
+    Wave 1 per block: exact (lang, token) counts close block-locally,
+    then compress to an m-entry MG summary (subtract the (m+1)-th
+    largest count, drop non-positive) — the decrement is the block's
+    additive error. ONE merge task folds the P summaries and compresses
+    once more; every token whose true count exceeds
+    ``E = Σ block decrements + merge decrement`` is provably in the
+    merged keys (mergeable-summaries bound, Agarwal et al. 2012).
+    Certification: if ``E ≤ min_lang ⌊N_lang/phi_inv⌋`` the candidate
+    set provably covers all heavy hitters; wave 2 broadcasts it, blocks
+    recount candidates EXACTLY (re-scan, nothing extra in the object
+    store), one fold applies the threshold. If certification fails the
+    operator falls back to the exact token-keyed exchange — same
+    result, full vocabulary shuffle (forced-fallback pytest proves the
+    routes bit-equal). Only the ≤ m-row summary + candidate recounts
+    ever leave a block on the certified path."""
+    from functools import partial as fpartial
+
+    import ray
+
+    from .exchange import exchange_reduce, gather_concat
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "text"])
+    base_refs = ds.to_arrow_refs()
+
+    empty = pa.table({"lang": pa.array([], pa.string()),
+                      "token": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64())})
+    meta_empty = pa.table({"lang": pa.array([], pa.string()),
+                           "nl": pa.array([], pa.int64())})
+
+    def _lt_counts(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(t.column("text").combine_chunks(),
+                                      _TOKEN_SPLIT)
+        flat = pc.list_flatten(toks)
+        lang = t.column("lang").combine_chunks().take(
+            pc.list_parent_indices(toks)
+        )
+        pt = pa.table({"lang": lang, "token": flat}).filter(
+            pc.not_equal(flat, "")
+        )
+        c = pt.group_by(["lang", "token"]).aggregate([([], "count_all")])
+        return pa.table({"lang": c.column("lang"),
+                         "token": c.column("token"),
+                         "n": c.column("count_all").cast(pa.int64())})
+
+    def _mg_compress(counts: pa.Table):
+        n = counts.column("n").to_numpy()
+        if len(n) <= m:
+            return counts, 0
+        dec = int(np.partition(n, len(n) - 1 - m)[len(n) - 1 - m])
+        keep = pa.array(n > dec)
+        kept = counts.filter(keep)
+        return kept.set_column(
+            kept.schema.get_field_index("n"), "n",
+            pa.array(kept.column("n").to_numpy() - dec, pa.int64())
+        ), dec
+
+    @ray.remote(num_returns=3)
+    def mg_block(t: pa.Table):
+        if "text" not in t.column_names or t.num_rows == 0:
+            return empty, meta_empty, 0
+        c = _lt_counts(t)
+        totals = c.group_by(["lang"]).aggregate([("n", "sum")])
+        meta = pa.table({"lang": totals.column("lang"),
+                         "nl": totals.column("n_sum").cast(pa.int64())})
+        summ, dec = _mg_compress(c)
+        return summ, meta, dec
+
+    @ray.remote(num_returns=2)
+    def mg_merge(*summs):
+        tabs = [s for s in summs if s.num_rows]
+        if not tabs:
+            return empty, 0
+        g = pa.concat_tables(tabs).group_by(["lang", "token"]).aggregate(
+            [("n", "sum")]
+        )
+        merged = pa.table({"lang": g.column("lang"),
+                           "token": g.column("token"),
+                           "n": g.column("n_sum").cast(pa.int64())})
+        return _mg_compress(merged)
+
+    outs = [mg_block.remote(r) for r in base_refs]
+    metas = pa.concat_tables(ray.get([o[1] for o in outs]))
+    if metas.num_rows == 0:
+        return empty
+    tot = metas.group_by(["lang"]).aggregate([("nl", "sum")])
+    lang_tot = dict(zip(tot.column("lang").to_pylist(),
+                        tot.column("nl_sum").to_pylist()))
+    cand_ref, mdec_ref = mg_merge.options(num_returns=2).remote(
+        *[o[0] for o in outs]
+    )
+    E = sum(ray.get([o[2] for o in outs])) + ray.get(mdec_ref)
+    min_thresh = min(nl // phi_inv for nl in lang_tot.values())
+    lt_tab = pa.table({"lang": pa.array(list(lang_tot), pa.string()),
+                       "nl": pa.array(list(lang_tot.values()), pa.int64())})
+
+    def _apply_threshold(counts: pa.Table) -> pa.Table:
+        j = counts.join(lt_tab, "lang")
+        j = j.filter(pc.greater(pc.multiply(j.column("n"),
+                                            pa.scalar(phi_inv, pa.int64())),
+                                j.column("nl")))
+        return pa.table({"lang": j.column("lang"), "token": j.column("token"),
+                         "n": j.column("n")})
+
+    if E <= min_thresh:
+        cand = ray.get(cand_ref)
+        cand_key = ray.put(pc.binary_join_element_wise(
+            cand.column("lang").combine_chunks().cast(pa.string()),
+            cand.column("token").combine_chunks(), "\x1f"))
+
+        @ray.remote
+        def recount(t: pa.Table, ck) -> pa.Table:
+            if "text" not in t.column_names or t.num_rows == 0:
+                return empty
+            c = _lt_counts(t)
+            key = pc.binary_join_element_wise(
+                c.column("lang").combine_chunks(),
+                c.column("token").combine_chunks(), "\x1f")
+            return c.filter(pc.is_in(key, value_set=ck))
+
+        @ray.remote
+        def fold(*parts):
+            tabs = [p for p in parts if p.num_rows]
+            if not tabs:
+                return empty
+            g = pa.concat_tables(tabs).group_by(["lang", "token"]).aggregate(
+                [("n", "sum")]
+            )
+            return _apply_threshold(
+                pa.table({"lang": g.column("lang"), "token": g.column("token"),
+                          "n": g.column("n_sum").cast(pa.int64())})
+            )
+
+        out = ray.get(fold.remote(
+            *[recount.remote(r, cand_key) for r in base_refs]
+        ))
+    else:  # sketch cannot certify coverage — exact full exchange
+        @ray.remote
+        def partials(t: pa.Table) -> pa.Table:
+            if "text" not in t.column_names or t.num_rows == 0:
+                return empty
+            return _lt_counts(t)
+
+        def exact_partition(pid: int, t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "token" not in t.column_names:
+                return empty
+            g = t.group_by(["lang", "token"]).aggregate([("n", "sum")])
+            return _apply_threshold(
+                pa.table({"lang": g.column("lang"),
+                          "token": g.column("token"),
+                          "n": g.column("n_sum").cast(pa.int64())})
+            )
+
+        out = gather_concat(exchange_reduce(
+            [[partials.remote(r) for r in base_refs]], ["token"],
+            exact_partition,
+        ))
+    if out.num_rows == 0:
+        return empty
+    return finalize(out, [("lang", "ascending"), ("n", "descending"),
+                          ("token", "ascending")])

@@ -1032,3 +1032,38 @@ def test_bm25_search_exact_integer_scores(ray_session, tmp_path):
     assert out.column("doc_id").to_pylist() == sorted(
         exp, key=lambda i: (-exp[i], i)
     )
+
+
+def test_heavy_hitters_routes_bit_equal(ray_session):
+    """The certified MG-sketch path and the forced exact-exchange
+    fallback (m too small to certify) must return identical tables."""
+    from image_report_ray.pipelines.text import heavy_hitters
+
+    a = heavy_hitters(SF)
+    b = heavy_hitters(SF, m=4)  # certification must fail at m=4
+    assert a.equals(b)
+    assert a.num_rows > 0
+
+
+def test_heavy_hitters_constructed_corpus(ray_session, tmp_path):
+    """Hand-checkable φ=1/3 heavy hitters per language."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from image_report_ray.pipelines.text import heavy_hitters
+
+    # en: 6 tokens, 'x' appears 3 (> 6/3=2 ✓), 'y' 2 (not > 2), 'z' 1
+    # fr: 3 tokens, 'a' appears 2 (> 1 ✓), 'b' 1 (not > 1)
+    pq.write_table(
+        pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                  "text": pa.array(["x x y", "x y z", "a a b"]),
+                  "lang": pa.array(["en", "en", "fr"]),
+                  "n_chars": pa.array([5, 5, 5], pa.int64())}),
+        os.path.join(str(tmp_path), "documents.parquet"))
+    out = heavy_hitters(str(tmp_path), phi_inv=3)
+    assert out.to_pylist() == [
+        {"lang": "en", "token": "x", "n": 3},
+        {"lang": "fr", "token": "a", "n": 2},
+    ]
