@@ -2509,6 +2509,20 @@ SELECT doc_id, CAST(SUM(c) AS BIGINT) AS score_micro
 FROM contrib GROUP BY doc_id
 ORDER BY score_micro DESC, doc_id ASC LIMIT 20
 """,
+        # bloom-prefiltered semi-join (relational.bloom_semi_join):
+        # total event count per user with >= 16 purchase events; the
+        # engine's bloom bitset only bounds shuffle volume — the
+        # co-partitioned exact id set kills false positives, so the
+        # result is the plain semi-join
+        "bloom_semi_join": """
+WITH qual AS (
+  SELECT user_id FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id HAVING COUNT(*) >= 16
+)
+SELECT e.user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events e JOIN qual USING (user_id)
+GROUP BY e.user_id ORDER BY e.user_id
+""",
         # φ-heavy hitters (text.heavy_hitters): per-language tokens with
         # n·200 > N_lang — the engine's Misra–Gries sketch + exact
         # recount resolves to these exact counts (or falls back to the

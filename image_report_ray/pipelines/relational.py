@@ -2250,3 +2250,119 @@ def value_rank_transform(sf_dir: str) -> pa.Table:
         .map_batches(rank_batch, batch_format="pyarrow")
     )
     return finalize(t, [("event_id", "ascending")])
+
+
+# ---- bloom-prefiltered semi-join ----------------------------------------
+
+_BSJ_MIN_PURCHASES = 16
+
+
+def bloom_semi_join(sf_dir: str, min_purchases: int = _BSJ_MIN_PURCHASES,
+                    nbits: int | None = None, k: int = 7) -> pa.Table:
+    """Total event count per repeat buyer (users with ≥ ``min_purchases``
+    'purchase' events) — the bloom-prefiltered semi-join: when the
+    qualifying key set is too large to broadcast exactly, broadcast a
+    fixed-size bloom bitset (:mod:`.bloom` kernels) instead and let the
+    exchange move only the survivors.
+
+    Stage A: per-block partial purchase counts fold through the
+    user-keyed exchange; each partition keeps its qualifying user ids
+    (refs stay in the object store). Stage B: one tiny task per
+    partition renders its ids into a bloom slice (union is bitwise OR);
+    the driver holds only bitmaps, never ids. Stage C: the SAME block
+    refs (one read, two task waves) fold per-user total counts, drop
+    definite non-members vectorized against the broadcast bitset, and
+    only the survivors — qualifying users plus the bloom's ~1% false-
+    positive sliver — re-enter the exchange, where the co-partitioned
+    exact id set kills the false positives. No false negatives by
+    construction, so the result is exact; the bloom only bounds the
+    shuffle volume (the saturated-bloom pytest forces nbits=64 and
+    still matches bit-for-bit)."""
+    import ray
+
+    from .bloom import bloom_contains, bloom_insert, bloom_params
+    from .exchange import exchange_reduce, gather_concat
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+    base_refs = ds.to_arrow_refs()
+
+    empty = pa.table({"user_id": pa.array([], pa.int64()),
+                      "n_events": pa.array([], pa.int64())})
+    uid_only = pa.table({"user_id": pa.array([], pa.int64())})
+
+    @ray.remote
+    def purchase_partials(t: pa.Table) -> pa.Table:
+        if "user_id" not in t.column_names or t.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "n_part": pa.array([], pa.int64())})
+        f = t.filter(pc.equal(t.column("event_type"), "purchase"))
+        g = f.group_by(["user_id"]).aggregate([([], "count_all")])
+        return pa.table({"user_id": g.column("user_id").cast(pa.int64()),
+                         "n_part": g.column("count_all").cast(pa.int64())})
+
+    def qualify_partition(pid: int, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return uid_only
+        g = t.group_by(["user_id"]).aggregate([("n_part", "sum")])
+        q = g.filter(pc.greater_equal(g.column("n_part_sum"),
+                                      min_purchases))
+        return pa.table({"user_id": q.column("user_id").cast(pa.int64())})
+
+    qual_refs = exchange_reduce(
+        [[purchase_partials.remote(r) for r in base_refs]], ["user_id"],
+        qualify_partition,
+    )
+
+    @ray.remote
+    def _nrows(q: pa.Table) -> int:
+        return q.num_rows
+
+    n_keys = sum(ray.get([_nrows.remote(q) for q in qual_refs]))
+    n_bits, kk = (nbits, k) if nbits is not None else bloom_params(n_keys)
+
+    @ray.remote
+    def bloom_slice(q: pa.Table) -> np.ndarray:
+        words = np.zeros(n_bits >> 6, np.uint64)
+        if q.num_rows:
+            bloom_insert(words, q.column("user_id"), n_bits, kk)
+        return words
+
+    bloom = np.bitwise_or.reduce(
+        ray.get([bloom_slice.remote(q) for q in qual_refs])
+    )
+    bloom_ref = ray.put(bloom)
+
+    @ray.remote
+    def survivor_partials(t: pa.Table, words: np.ndarray) -> pa.Table:
+        if "user_id" not in t.column_names or t.num_rows == 0:
+            return empty
+        g = t.group_by(["user_id"]).aggregate([([], "count_all")])
+        member = pa.array(
+            bloom_contains(words, g.column("user_id"), n_bits, kk)
+        )
+        return pa.table(
+            {"user_id": g.column("user_id").cast(pa.int64()).filter(member),
+             "n_part": g.column("count_all").cast(pa.int64()).filter(member)}
+        )
+
+    def semi_partition(pid: int, surv: pa.Table, qual: pa.Table) -> pa.Table:
+        if (surv.num_rows == 0 or qual.num_rows == 0
+                or "user_id" not in surv.column_names):
+            return empty
+        g = surv.group_by(["user_id"]).aggregate([("n_part", "sum")])
+        keep = pc.is_in(g.column("user_id"),
+                        value_set=qual.column("user_id").combine_chunks())
+        g = g.filter(keep)
+        return pa.table({"user_id": g.column("user_id").cast(pa.int64()),
+                         "n_events": g.column("n_part_sum").cast(pa.int64())})
+
+    out = gather_concat(exchange_reduce(
+        [[survivor_partials.remote(r, bloom_ref) for r in base_refs],
+         qual_refs],
+        ["user_id", "user_id"], semi_partition,
+    ))
+    if out.num_rows == 0:
+        return empty
+    return finalize(out, [("user_id", "ascending")])

@@ -126,3 +126,39 @@ def test_q14_gated_path_matches_broadcast(ray_session):
     gated = q14_promo_revenue(SF, max_broadcast_keys=0)
     assert small.equals(gated)
     assert small.column("promo_pct_bp")[0].as_py() > 0
+
+
+def test_bloom_semi_join_saturated_bloom_exact(ray_session):
+    """A 64-bit (fully saturated) bloom must still return the exact
+    semi-join — the co-partitioned confirm pass owns correctness, the
+    bloom only bounds shuffle volume."""
+    from image_report_ray.pipelines.relational import bloom_semi_join
+
+    a = bloom_semi_join(SF)
+    b = bloom_semi_join(SF, nbits=64, k=2)
+    assert a.equals(b)
+
+
+def test_bloom_semi_join_constructed(ray_session, tmp_path):
+    """3 users: u1 has 2 purchases (qualifies at min=2), u2 has 1, u3
+    has 0 — only u1's TOTAL event count comes back."""
+    import numpy as np
+
+    from image_report_ray.pipelines.relational import bloom_semi_join
+
+    ts = pa.array(
+        np.arange(6, dtype="int64") * 1_000_000, pa.timestamp("us")
+    )
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array(range(6), pa.int64()),
+            "ts": ts,
+            "user_id": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+            "event_type": pa.array(["purchase", "purchase", "click",
+                                    "purchase", "click", "click"]),
+            "value": pa.array([1.0] * 6),
+            "props": pa.array(["{}"] * 6),
+        }),
+        os.path.join(str(tmp_path), "events.parquet"))
+    out = bloom_semi_join(str(tmp_path), min_purchases=2)
+    assert out.to_pylist() == [{"user_id": 1, "n_events": 3}]
