@@ -637,10 +637,12 @@ def run_scaling(low: int, high: int, repeats: int = 3) -> dict:
     """North-rule scaling evidence, sandbox form (BASELINE.md protocol):
     the identical 10M-event replay in FRESH processes at num_cpus=low
     (N) and num_cpus=high (4N), same input, P fixed at 32. Each leg runs
-    ``repeats`` times and reports its MEDIAN — single-shot legs measured
-    up to +-30% scheduler/page-cache noise on this box in BOTH
-    directions, and the median is the unique estimator robust to a
-    single outlier on either side. (Best-of-N, the previous protocol,
+    ``repeats`` times, legs INTERLEAVED (low, high, low, high, ...) so a
+    host window drifting mid-measurement loads both legs equally, and
+    reports its MEDIAN — single-shot legs measured up to +-30%
+    scheduler/page-cache noise on this box in BOTH directions, and the
+    median is the unique estimator robust to a single outlier on
+    either side. (Best-of-N, the previous protocol,
     is robust only to slow outliers: one lucky fast sample on the LOW
     leg divides the ratio down — measured 2026-08-18, a 330k ev/s fluke
     against a 245-250k cluster at 2 cpus reported 0.739 where the
@@ -666,8 +668,13 @@ def run_scaling(low: int, high: int, repeats: int = 3) -> dict:
         return line["events_per_sec"]
 
     all_runs: dict[int, list] = {low: [], high: []}
-    for cpus in (low, high):
-        for _ in range(repeats):
+    # INTERLEAVED legs (low, high, low, high, ...): a host window that
+    # degrades or recovers mid-measurement then hits both legs
+    # symmetrically instead of loading all of its drift onto whichever
+    # leg ran last (the 0.772 outlier run measured all three low legs
+    # before the THP stall peaked and all three high legs inside it)
+    for _ in range(repeats):
+        for cpus in (low, high):
             all_runs[cpus].append(one_leg(cpus))
     factor = high / low
     med = statistics.median
