@@ -2509,6 +2509,33 @@ SELECT doc_id, CAST(SUM(c) AS BIGINT) AS score_micro
 FROM contrib GROUP BY doc_id
 ORDER BY score_micro DESC, doc_id ASC LIMIT 20
 """,
+        # Pareto frontier / skyline (text.pareto_docs): docs no other
+        # doc beats on BOTH (n_tokens max, simpson_micro min); equal
+        # pairs never dominate each other — the O(n²) NOT EXISTS is the
+        # oracle for the engine's O(n log n) local+global sweep
+        "pareto_docs": r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w
+  FROM documents
+),
+c AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS n
+      FROM tok GROUP BY 1, 2),
+agg AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS nt,
+               CAST(SUM(n * (n - 1)) AS BIGINT) AS rep
+        FROM c GROUP BY doc_id),
+m AS (SELECT d.doc_id, CAST(COALESCE(agg.nt, 0) AS BIGINT) AS n_tokens,
+             CAST(CASE WHEN COALESCE(agg.nt, 0) > 1
+                       THEN (agg.rep * 1000000) // (agg.nt * (agg.nt - 1))
+                       ELSE 0 END AS BIGINT) AS simpson_micro
+      FROM documents d LEFT JOIN agg USING (doc_id))
+SELECT doc_id, n_tokens, simpson_micro FROM m a
+WHERE NOT EXISTS (
+  SELECT 1 FROM m b
+  WHERE b.n_tokens >= a.n_tokens AND b.simpson_micro <= a.simpson_micro
+    AND (b.n_tokens > a.n_tokens OR b.simpson_micro < a.simpson_micro)
+)
+ORDER BY doc_id
+""",
         # bloom-prefiltered semi-join (relational.bloom_semi_join):
         # total event count per user with >= 16 purchase events; the
         # engine's bloom bitset only bounds shuffle volume — the

@@ -31,6 +31,7 @@ def query_registry() -> "dict[str, Callable[[str], Any]]":
         "bm25_search": text.bm25_search,
         "heavy_hitters": text.heavy_hitters,
         "bloom_semi_join": relational.bloom_semi_join,
+        "pareto_docs": text.pareto_docs,
         "knn_join": similarity.knn_join,
         "dup_span_coverage": dedup.dup_span_coverage,
         "ngram_novelty": dedup.ngram_novelty,

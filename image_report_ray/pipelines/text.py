@@ -2726,3 +2726,103 @@ def heavy_hitters(sf_dir: str, phi_inv: int = _HH_PHI_INV,
         return empty
     return finalize(out, [("lang", "ascending"), ("n", "descending"),
                           ("token", "ascending")])
+
+
+# ---- Pareto frontier (2-D skyline) --------------------------------------
+
+
+def pareto_kernel(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Boolean frontier mask for maximize-x / minimize-y dominance:
+    row i survives iff no row has (x ≥ xᵢ, y ≤ yᵢ) with one strict.
+    Equal (x, y) pairs never dominate each other, so exact duplicates
+    all survive together. O(n log n) sweep, pure numpy."""
+    n = len(x)
+    if n == 0:
+        return np.zeros(0, bool)
+    order = np.lexsort((y, -x))  # x desc, y asc within level
+    xs, ys = x[order], y[order]
+    new_level = np.r_[True, xs[1:] != xs[:-1]]
+    # min y within each x-level = first y of the level (y asc)
+    level_min = ys[new_level][np.cumsum(new_level) - 1]
+    # strict prefix min of level minima over all STRICTLY higher x
+    lm = ys[new_level]
+    prev = np.r_[np.iinfo(np.int64).max, np.minimum.accumulate(lm)[:-1]]
+    m_prev = prev[np.cumsum(new_level) - 1]
+    keep_sorted = (ys == level_min) & (ys < m_prev)
+    keep = np.zeros(n, bool)
+    keep[order] = keep_sorted
+    return keep
+
+
+def pareto_docs(sf_dir: str) -> pa.Table:
+    """The corpus's Pareto-optimal documents under (n_tokens maximized,
+    simpson_micro minimized) — the skyline operator: long AND lexically
+    diverse docs that no other doc beats on both axes (the
+    quality-frontier lens a curation pipeline cuts against, rather than
+    a single blended score).
+
+    Distributed prune: every global frontier point is on its own
+    block's local frontier, so blocks compute doc metrics (the
+    :func:`doc_diversity` integers) and sweep locally — only the local
+    frontier (expected O(log n_block) points for non-degenerate 2-D
+    data) leaves each block; one final task sweeps the gathered
+    candidates. Worst-case (fully sorted data) candidates degrade to
+    O(n); a production run would add a second block-parallel prune
+    against a broadcast sample of the candidate sweep before the
+    gather. Kernel is pure numpy (:func:`pareto_kernel`) and
+    pytest-checked against the O(n²) dominance definition."""
+    import ray
+
+    rd = _rd()
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "n_tokens": pa.array([], pa.int64()),
+                      "simpson_micro": pa.array([], pa.int64())})
+
+    @ray.remote
+    def local_frontier(t: pa.Table) -> pa.Table:
+        if "text" not in t.column_names or t.num_rows == 0:
+            return empty
+        did = t.column("doc_id").combine_chunks()
+        toks = pc.split_pattern_regex(t.column("text").combine_chunks(),
+                                      _TOKEN_SPLIT)
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        pt = pa.table({"d": parent, "w": flat}).filter(
+            pc.not_equal(flat, "")
+        )
+        c = pt.group_by(["d", "w"]).aggregate([([], "count_all")])
+        d = c.column("d").to_numpy()
+        n = c.column("count_all").to_numpy().astype(np.int64)
+        N = np.zeros(t.num_rows, np.int64)
+        rep = np.zeros(t.num_rows, np.int64)
+        np.add.at(N, d, n)
+        np.add.at(rep, d, n * (n - 1))
+        denom = N * (N - 1)
+        simpson = np.where(denom > 0,
+                           (rep * 1_000_000) // np.maximum(denom, 1), 0)
+        keep = pareto_kernel(N, simpson)
+        return pa.table(
+            {"doc_id": did.cast(pa.int64()).filter(pa.array(keep)),
+             "n_tokens": pa.array(N[keep], pa.int64()),
+             "simpson_micro": pa.array(simpson[keep], pa.int64())}
+        )
+
+    @ray.remote
+    def global_frontier(*cands) -> pa.Table:
+        tabs = [c for c in cands if c.num_rows]
+        if not tabs:
+            return empty
+        t = pa.concat_tables(tabs).combine_chunks()
+        keep = pareto_kernel(t.column("n_tokens").to_numpy(),
+                             t.column("simpson_micro").to_numpy())
+        return t.filter(pa.array(keep))
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = ray.get(global_frontier.remote(
+        *[local_frontier.remote(r) for r in ds.to_arrow_refs()]
+    ))
+    if out.num_rows == 0:
+        return empty
+    return finalize(out, [("doc_id", "ascending")])

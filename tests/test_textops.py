@@ -1067,3 +1067,48 @@ def test_heavy_hitters_constructed_corpus(ray_session, tmp_path):
         {"lang": "en", "token": "x", "n": 3},
         {"lang": "fr", "token": "a", "n": 2},
     ]
+
+
+def test_pareto_kernel_matches_bruteforce_random():
+    """O(n log n) sweep vs the O(n²) dominance definition, including
+    duplicate points (never dominate each other) and empty input."""
+    from image_report_ray.pipelines.text import pareto_kernel
+
+    rng = np.random.default_rng(3)
+    for _ in range(300):
+        n = int(rng.integers(0, 40))
+        x = rng.integers(0, 8, n).astype(np.int64)
+        y = rng.integers(0, 8, n).astype(np.int64)
+        got = pareto_kernel(x, y)
+        exp = np.array(
+            [not any((x[j] >= x[i] and y[j] <= y[i])
+                     and (x[j] > x[i] or y[j] < y[i]) for j in range(n))
+             for i in range(n)], bool) if n else np.zeros(0, bool)
+        assert (got == exp).all()
+
+
+def test_pareto_docs_block_split_invariant(ray_session, tmp_path):
+    """The local+global sweep must equal a single global sweep — write
+    the same corpus as 1 file and as 4 row groups and compare."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from image_report_ray.pipelines.text import pareto_docs
+
+    rng = np.random.default_rng(11)
+    words = [f"w{i}" for i in range(30)]
+    texts = [" ".join(rng.choice(words, size=int(k)))
+             for k in rng.integers(1, 60, size=200)]
+    t = pa.table({"doc_id": pa.array(range(200), pa.int64()),
+                  "text": pa.array(texts),
+                  "lang": pa.array(["en"] * 200),
+                  "n_chars": pa.array([len(s) for s in texts], pa.int64())})
+    d1, d2 = tmp_path / "one", tmp_path / "many"
+    os.makedirs(d1); os.makedirs(d2)
+    pq.write_table(t, str(d1 / "documents.parquet"))
+    pq.write_table(t, str(d2 / "documents.parquet"), row_group_size=50)
+    a, b = pareto_docs(str(d1)), pareto_docs(str(d2))
+    assert a.equals(b)
+    assert a.num_rows > 0
