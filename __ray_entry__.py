@@ -610,6 +610,31 @@ FROM a3 ORDER BY vec_id
 """
 
 
+def _embedding_outliers_sql() -> str:
+    """Per-cluster distance outliers twin: reuses the kmeans CTE chain
+    (same pinned rounding) — d3 carries the rounded squared L2 to every
+    centroid, the a3 join keeps the assigned one, ROW_NUMBER cuts the
+    top 3 per cluster under the engine's exact (d2 desc, vec_id) order."""
+    from image_report_ray.pipelines.similarity import _OUT_TOPN
+
+    _kmeans_sql()  # materialize the shared CTE chain
+    return f"""
+WITH {_kmeans_sql.cte},
+ad AS (
+  SELECT a3.vec_id, a3.cid, d3.d2
+  FROM a3 JOIN d3 ON d3.vec_id = a3.vec_id AND d3.cid = a3.cid
+)
+SELECT CAST(cid AS BIGINT) AS cluster_id, vec_id, CAST(rn AS BIGINT) AS rank
+FROM (
+  SELECT vec_id, cid,
+         ROW_NUMBER() OVER (PARTITION BY cid ORDER BY d2 DESC, vec_id) AS rn
+  FROM ad
+)
+WHERE rn <= {_OUT_TOPN}
+ORDER BY cluster_id, rank
+"""
+
+
 # SemDeDup twin (image_report_ray.pipelines.similarity:semdedup): the
 # kmeans CTE chain (same pinned rounding) + cosine pairs RESTRICTED to
 # same-cluster endpoints + the recursive min-label closure — each piece
@@ -2616,6 +2641,10 @@ FROM documents GROUP BY lang ORDER BY lang
 """,
         # bounded-iteration k-means with pinned rounding (see _kmeans_sql)
         "kmeans_embed": _kmeans_sql(),
+        # per-cluster distance outliers (similarity.embedding_outliers):
+        # the kmeans CTE chain's own d3 rounded distances, top-3 per
+        # cluster by (d2 desc, vec_id asc) — no float in the output
+        "embedding_outliers": _embedding_outliers_sql(),
         # semantic dedup within kmeans clusters (see _semdedup_sql)
         "semdedup": _semdedup_sql(),
         # the two ANN searches, previously no_oracle: inlined-hyperplane

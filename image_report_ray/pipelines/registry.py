@@ -32,6 +32,7 @@ def query_registry() -> "dict[str, Callable[[str], Any]]":
         "heavy_hitters": text.heavy_hitters,
         "bloom_semi_join": relational.bloom_semi_join,
         "pareto_docs": text.pareto_docs,
+        "embedding_outliers": similarity.embedding_outliers,
         "knn_join": similarity.knn_join,
         "dup_span_coverage": dedup.dup_span_coverage,
         "ngram_novelty": dedup.ngram_novelty,

@@ -1374,6 +1374,36 @@ def _kmeans_assign_refs_build(
     refs = rd.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     ).to_arrow_refs()
+    cents = _kmeans_centroids(refs, k, iters)
+
+    @ray.remote
+    def assign_block(c: np.ndarray, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "embedding" not in t.column_names:
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()),
+                 "cluster_id": pa.array([], pa.int64())}
+            )
+        m = _stack(t.column("embedding"))
+        a = _km_assign(m, c)
+        return pa.table(
+            {
+                "vec_id": t.column("vec_id"),
+                "cluster_id": pa.array(a.astype(np.int64), pa.int64()),
+            }
+        )
+
+    final_ref = ray.put(cents)
+    return [assign_block.remote(final_ref, r) for r in refs]
+
+
+def _kmeans_centroids(refs: list, k: int, iters: int) -> np.ndarray:
+    """Seed election + ``iters`` pinned Lloyd rounds over embedding
+    block refs — the shared trainer behind :func:`kmeans_assign_refs`
+    and :func:`embedding_outliers`; bit-identical to the loop the SQL
+    twin unrolls (k smallest vec_ids seed, rounded-distance argmin with
+    smallest-cid ties, ``_KM_CENT_ROUND``-rounded means, empty clusters
+    keep their previous centroid)."""
+    import ray
 
     @ray.remote
     def seed_partial(t: pa.Table) -> pa.Table:
@@ -1399,26 +1429,13 @@ def _kmeans_assign_refs_build(
         counts = np.bincount(a, minlength=c.shape[0]).astype(np.int64)
         return sums, counts
 
-    @ray.remote
-    def assign_block(c: np.ndarray, t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or "embedding" not in t.column_names:
-            return pa.table(
-                {"vec_id": pa.array([], pa.int64()),
-                 "cluster_id": pa.array([], pa.int64())}
-            )
-        m = _stack(t.column("embedding"))
-        a = _km_assign(m, c)
-        return pa.table(
-            {
-                "vec_id": t.column("vec_id"),
-                "cluster_id": pa.array(a.astype(np.int64), pa.int64()),
-            }
-        )
-
-    seeds_t = pa.concat_tables(
-        [t for t in ray.get([seed_partial.remote(r) for r in refs]) if t.num_rows],
-        promote_options="default",
-    )
+    seed_tabs = [
+        t for t in ray.get([seed_partial.remote(r) for r in refs])
+        if t.num_rows
+    ]
+    if not seed_tabs:
+        return np.zeros((0, 0))
+    seeds_t = pa.concat_tables(seed_tabs, promote_options="default")
     order = np.argsort(seeds_t.column("vec_id").to_numpy(), kind="stable")[:k]
     seeds_t = seeds_t.take(pa.array(order))
     cents = _stack(seeds_t.column("embedding"))
@@ -1437,8 +1454,7 @@ def _kmeans_assign_refs_build(
         new[nz] = sums[nz] / counts[nz, None]
         cents = np.round(new, _KM_CENT_ROUND)
 
-    final_ref = ray.put(cents)
-    return [assign_block.remote(final_ref, r) for r in refs]
+    return cents
 
 
 def kmeans_embed(
@@ -1619,3 +1635,83 @@ def knn_cosine_pq(sf_dir: str, k: int = 10) -> pa.Table:
         {"rnk": pa.array(np.arange(1, len(order) + 1), pa.int64()),
          "vec_id": pa.array(ids[order], pa.int64())}
     )
+
+
+# ---- per-cluster distance outliers --------------------------------------
+
+_OUT_TOPN = 3
+
+
+def embedding_outliers(sf_dir: str, topn: int = _OUT_TOPN) -> pa.Table:
+    """Per-cluster distance outliers: for every pinned-kmeans cluster,
+    the ``topn`` members FARTHEST from their centroid — the
+    curation-time "inspect what the cluster barely holds" lens (and the
+    SemDeDup paper's suggested keep-rule flipped to surface anomalies).
+    Distance is the assignment kernel's own ``_KM_DIST_ROUND``-rounded
+    squared L2 to the FINAL centroid, so ranking ties are pinned the
+    same way assignment ties are; rank ties break by vec_id asc and no
+    float reaches the result surface (cluster_id, vec_id, rank).
+
+    Shape: one read into block refs, the shared Lloyd trainer
+    (:func:`_kmeans_centroids` — driver folds k×dim partials per
+    round), then ONE wave computing assignment + rounded distance with
+    a per-cluster top-``topn`` cut block-locally (a provable superset
+    of the global cut under the total (d2 desc, vec_id asc) order); the
+    driver folds P·k·topn candidate rows, never the vectors."""
+    import ray
+
+    rd = _rd()
+    refs = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).to_arrow_refs()
+    empty = pa.table({"cluster_id": pa.array([], pa.int64()),
+                      "vec_id": pa.array([], pa.int64()),
+                      "rank": pa.array([], pa.int64())})
+    cents = _kmeans_centroids(refs, _KM_K, _KM_ITERS)
+    if cents.size == 0:
+        return empty
+    cref = ray.put(cents)
+
+    def _cut(t: pa.Table) -> tuple[pa.Table, np.ndarray]:
+        """Sort by (cluster, d2 desc, vec_id) and rank within cluster."""
+        idx = pc.sort_indices(
+            t, sort_keys=[("cluster_id", "ascending"), ("d2", "descending"),
+                          ("vec_id", "ascending")]
+        )
+        s = t.take(idx)
+        cid = s.column("cluster_id").to_numpy()
+        starts = np.flatnonzero(np.r_[True, cid[1:] != cid[:-1]])
+        rank = np.arange(len(cid)) - np.repeat(
+            starts, np.diff(np.r_[starts, len(cid)])
+        )
+        return s, rank
+
+    @ray.remote
+    def block_outliers(c: np.ndarray, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "embedding" not in t.column_names:
+            return pa.table({"cluster_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "d2": pa.array([], pa.float64())})
+        m = _stack(t.column("embedding"))
+        a = _km_assign(m, c)
+        d2 = np.round(((m - c[a]) ** 2).sum(axis=1), _KM_DIST_ROUND)
+        t2 = pa.table(
+            {"cluster_id": pa.array(a.astype(np.int64), pa.int64()),
+             "vec_id": t.column("vec_id").cast(pa.int64()),
+             "d2": pa.array(d2, pa.float64())}
+        )
+        s, rank = _cut(t2)
+        return s.filter(pa.array(rank < topn))
+
+    parts = [p for p in ray.get([block_outliers.remote(cref, r)
+                                 for r in refs]) if p.num_rows]
+    if not parts:
+        return empty
+    s, rank = _cut(pa.concat_tables(parts).combine_chunks())
+    keep = rank < topn
+    out = pa.table(
+        {"cluster_id": s.column("cluster_id").filter(pa.array(keep)),
+         "vec_id": s.column("vec_id").filter(pa.array(keep)),
+         "rank": pa.array(rank[keep] + 1, pa.int64())}
+    )
+    return finalize(out, [("cluster_id", "ascending"), ("rank", "ascending")])

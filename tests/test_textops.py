@@ -1112,3 +1112,25 @@ def test_pareto_docs_block_split_invariant(ray_session, tmp_path):
     a, b = pareto_docs(str(d1)), pareto_docs(str(d2))
     assert a.equals(b)
     assert a.num_rows > 0
+
+
+def test_embedding_outliers_consistent_with_kmeans(ray_session):
+    """Every outlier (cluster_id, vec_id) must agree with kmeans_embed's
+    assignment, ranks are 1..topn per cluster, and the trainer refactor
+    keeps the run deterministic."""
+    from image_report_ray.pipelines.similarity import (
+        embedding_outliers,
+        kmeans_embed,
+    )
+
+    out = embedding_outliers(SF)
+    assert out.num_rows > 0
+    assign = dict(zip(kmeans_embed(SF).column("vec_id").to_pylist(),
+                      kmeans_embed(SF).column("cluster_id").to_pylist()))
+    ranks = {}
+    for r in out.to_pylist():
+        assert assign[r["vec_id"]] == r["cluster_id"]
+        ranks.setdefault(r["cluster_id"], []).append(r["rank"])
+    for rs in ranks.values():
+        assert rs == list(range(1, len(rs) + 1))
+    assert out.equals(embedding_outliers(SF))
