@@ -341,6 +341,9 @@ def run_textbench(num_cpus: int, n_docs: int = TEXTBENCH_DOCS) -> dict:
         ("keyword_search", text.keyword_search),
         ("dedup_edit_distance", dedup.dedup_edit_distance),
         ("pair_triangles", dedup.pair_triangles),
+        ("bm25_search", text.bm25_search),
+        ("heavy_hitters", text.heavy_hitters),
+        ("pareto_docs", text.pareto_docs),
     ):
         t0 = time.perf_counter()
         r = fn(tb_dir)
@@ -395,6 +398,7 @@ def run_eventbench(num_cpus: int) -> dict:
         ("user_type_pivot", R.user_type_pivot),
         ("events_rollup", R.events_rollup),
         ("user_streaks", R.user_streaks),
+        ("bloom_semi_join", R.bloom_semi_join),
     ):
         t0 = time.perf_counter()
         r = fn(EVENTBENCH_DIR)
@@ -478,6 +482,9 @@ def run_simbench(num_cpus: int, n_vecs: int = SIMBENCH_VECS) -> dict:
         sb_dir, tau=0.95, max_broadcast_ids=0
     )
     out["semdedup_exchange_route"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()  # shared-trainer outlier wave
+    similarity.embedding_outliers(sb_dir)
+    out["embedding_outliers"] = round(time.perf_counter() - t0, 3)
     assert sd_gated.equals(sd), "semdedup exchange route diverged"
     assert nd_idx.equals(nd), "lsh index route diverged from exchange route"
     pp = pq_.read_table(f"{sb_dir}/planted_pairs.parquet")
