@@ -2168,6 +2168,37 @@ GROUP BY l_orderkey, o_orderdate
 ORDER BY revenue DESC, l_orderkey
 LIMIT 10
 """,
+        # TPC-H Q4 adapted (relational.q4_order_priority): EXISTS via the
+        # max-shipdate sufficient statistic; 90-day test in exact µs ints
+        "q4_order_priority": """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate >= o.o_orderdate + INTERVAL 90 DAY
+)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+        # TPC-H Q10 (relational.q10_returned_items): returned-item
+        # revenue per customer, exact 1e-4-dollar integers, ordered by
+        # the INTEGER revenue before the one display division
+        "q10_returned_items": """
+WITH rev AS (
+  SELECT o_custkey AS c_custkey,
+         SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev_u
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+  GROUP BY o_custkey
+)
+SELECT c.c_custkey, c.c_name, n.n_name,
+       ((rev.rev_u // 100) / 100.0) AS revenue
+FROM rev
+JOIN customer c USING (c_custkey)
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+ORDER BY rev.rev_u DESC, c.c_custkey LIMIT 20
+""",
         "q5_region_revenue": """
 SELECT n_name,
        (SUM(CAST(round(l_extendedprice * 100) AS BIGINT)

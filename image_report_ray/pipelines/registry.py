@@ -33,6 +33,8 @@ def query_registry() -> "dict[str, Callable[[str], Any]]":
         "bloom_semi_join": relational.bloom_semi_join,
         "pareto_docs": text.pareto_docs,
         "embedding_outliers": similarity.embedding_outliers,
+        "q4_order_priority": relational.q4_order_priority,
+        "q10_returned_items": relational.q10_returned_items,
         "knn_join": similarity.knn_join,
         "dup_span_coverage": dedup.dup_span_coverage,
         "ngram_novelty": dedup.ngram_novelty,

@@ -2366,3 +2366,175 @@ def bloom_semi_join(sf_dir: str, min_purchases: int = _BSJ_MIN_PURCHASES,
     if out.num_rows == 0:
         return empty
     return finalize(out, [("user_id", "ascending")])
+
+
+# ---- TPC-H Q4 (adapted): late-shipment order priority census ------------
+
+_Q4_LATE_US = 90 * 86_400_000_000  # 90 days in µs
+
+
+def q4_order_priority(sf_dir: str) -> pa.Table:
+    """TPC-H Q4 shape (adapted to this lake's columns): count orders per
+    priority having at least one lineitem shipped ≥ 90 days after the
+    order date — the EXISTS-subquery pattern.
+
+    The existence test has a one-row sufficient statistic: max
+    l_shipdate per orderkey, so lineitem folds map-side to one partial
+    row per (block, orderkey) BEFORE the exchange; the orderkey
+    exchange completes the max, joins orders co-partitioned, applies
+    the 90-day test as exact µs-integer arithmetic, and each partition
+    emits ≤ 5 priority-count rows — the driver folds P×5 (the
+    fixed-cardinality rule), never the orders."""
+    from .exchange import exchange_reduce, gather_concat
+
+    rd = _rd()
+    empty = pa.table({"o_orderpriority": pa.array([], pa.string()),
+                      "order_count": pa.array([], pa.int64())})
+
+    def lmax(t: pa.Table) -> pa.Table:
+        if "l_orderkey" not in t.column_names or t.num_rows == 0:
+            return pa.table({"l_orderkey": pa.array([], pa.int64()),
+                             "max_ship": pa.array([], pa.timestamp("us"))})
+        g = t.group_by(["l_orderkey"]).aggregate([("l_shipdate", "max")])
+        return pa.table({"l_orderkey": g.column("l_orderkey").cast(pa.int64()),
+                         "max_ship": g.column("l_shipdate_max")})
+
+    def kernel(pid: int, lt: pa.Table, ot: pa.Table) -> pa.Table:
+        if (ot.num_rows == 0 or lt.num_rows == 0
+                or "o_orderkey" not in ot.column_names):
+            return empty
+        g = lt.group_by(["l_orderkey"]).aggregate([("max_ship", "max")])
+        j = ot.join(g, keys=["o_orderkey"], right_keys=["l_orderkey"],
+                    join_type="inner")
+        ship = j.column("max_ship_max").to_numpy().astype("datetime64[us]")
+        odate = j.column("o_orderdate").to_numpy().astype("datetime64[us]")
+        late = ship.view(np.int64) >= odate.view(np.int64) + _Q4_LATE_US
+        c = j.filter(pa.array(late)).group_by(["o_orderpriority"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table({"o_orderpriority": c.column("o_orderpriority"),
+                         "order_count": c.column("count_all").cast(pa.int64())})
+
+    line = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_orderkey", "l_shipdate"])
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+    parts = gather_concat(exchange_reduce(
+        [line.map_batches(lmax, batch_format="pyarrow"), orders],
+        ["l_orderkey", "o_orderkey"], kernel,
+    ))
+    if parts.num_rows == 0:
+        return empty
+    g = parts.group_by(["o_orderpriority"]).aggregate([("order_count", "sum")])
+    out = pa.table({"o_orderpriority": g.column("o_orderpriority"),
+                    "order_count": g.column("order_count_sum").cast(pa.int64())})
+    return finalize(out, [("o_orderpriority", "ascending")])
+
+
+# ---- TPC-H Q10: returned-item revenue per customer -----------------------
+
+
+def q10_returned_items(sf_dir: str, topn: int = 20) -> pa.Table:
+    """TPC-H Q10 shape: the ``topn`` customers by revenue of RETURNED
+    lineitems (l_returnflag = 'R'), enriched with customer and nation
+    names.
+
+    Revenue is exact 1e-4-dollar integers (the q1/q3 money rule; one
+    final division for display). lineitem folds revenue per orderkey
+    map-side, the orderkey exchange joins orders co-partitioned and
+    re-keys to custkey partials, a SECOND exchange on custkey completes
+    per-customer revenue and cuts its partition's top-``topn`` (a
+    provable superset under the total (rev_u desc, custkey asc) order);
+    the driver folds P×topn rows and resolves names by a FILTERED
+    customer read (predicate pushdown on the ≤ topn keys) + the tiny
+    nation table — names never enter the exchange."""
+    from .exchange import exchange_reduce, gather_concat
+
+    rd = _rd()
+    empty = pa.table({"c_custkey": pa.array([], pa.int64()),
+                      "c_name": pa.array([], pa.string()),
+                      "n_name": pa.array([], pa.string()),
+                      "revenue": pa.array([], pa.float64())})
+
+    def lrev(t: pa.Table) -> pa.Table:
+        if "l_orderkey" not in t.column_names or t.num_rows == 0:
+            return pa.table({"l_orderkey": pa.array([], pa.int64()),
+                             "rev_u": pa.array([], pa.int64())})
+        f = t.filter(pc.equal(t.column("l_returnflag"), "R"))
+        rev = _cents(f.column("l_extendedprice")) * (
+            100 - _cents(f.column("l_discount"))
+        )
+        pt = pa.table({"l_orderkey": f.column("l_orderkey").cast(pa.int64()),
+                       "rev_u": pa.array(rev, pa.int64())})
+        g = pt.group_by(["l_orderkey"]).aggregate([("rev_u", "sum")])
+        return pa.table({"l_orderkey": g.column("l_orderkey"),
+                         "rev_u": g.column("rev_u_sum").cast(pa.int64())})
+
+    def order_kernel(pid: int, lt: pa.Table, ot: pa.Table) -> pa.Table:
+        if (ot.num_rows == 0 or lt.num_rows == 0
+                or "o_orderkey" not in ot.column_names):
+            return pa.table({"c_custkey": pa.array([], pa.int64()),
+                             "rev_u": pa.array([], pa.int64())})
+        g = lt.group_by(["l_orderkey"]).aggregate([("rev_u", "sum")])
+        j = g.join(ot, keys=["l_orderkey"], right_keys=["o_orderkey"],
+                   join_type="inner")
+        c = j.group_by(["o_custkey"]).aggregate([("rev_u_sum", "sum")])
+        return pa.table(
+            {"c_custkey": c.column("o_custkey").cast(pa.int64()),
+             "rev_u": c.column("rev_u_sum_sum").cast(pa.int64())}
+        )
+
+    def cust_kernel(pid: int, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "c_custkey" not in t.column_names:
+            return pa.table({"c_custkey": pa.array([], pa.int64()),
+                             "rev_u": pa.array([], pa.int64())})
+        g = t.group_by(["c_custkey"]).aggregate([("rev_u", "sum")])
+        out = pa.table({"c_custkey": g.column("c_custkey"),
+                        "rev_u": g.column("rev_u_sum").cast(pa.int64())})
+        idx = pc.sort_indices(
+            out, sort_keys=[("rev_u", "descending"), ("c_custkey", "ascending")]
+        )
+        return out.take(idx.slice(0, topn))
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice",
+                 "l_discount"],
+    )
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    per_cust = exchange_reduce(
+        [line.map_batches(lrev, batch_format="pyarrow"), orders],
+        ["l_orderkey", "o_orderkey"], order_kernel,
+    )
+    cand = gather_concat(exchange_reduce([per_cust], ["c_custkey"],
+                                         cust_kernel))
+    if cand.num_rows == 0:
+        return empty
+    idx = pc.sort_indices(
+        cand, sort_keys=[("rev_u", "descending"), ("c_custkey", "ascending")]
+    )
+    top = cand.take(idx.slice(0, topn))
+    keys = top.column("c_custkey").to_pylist()
+    cust = ds_to_table(rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_nationkey"],
+        filter=pc.field("c_custkey").isin(keys),
+    ))
+    nation = ds_to_table(rd.read_parquet(f"{sf_dir}/nation.parquet",
+                                         columns=["n_nationkey", "n_name"]))
+    j = top.join(cust, keys=["c_custkey"]).join(
+        nation, keys=["c_nationkey"], right_keys=["n_nationkey"]
+    )
+    rev_u = j.column("rev_u").to_numpy()
+    out = pa.table(
+        {"c_custkey": j.column("c_custkey").cast(pa.int64()),
+         "c_name": j.column("c_name"),
+         "n_name": j.column("n_name"),
+         "rev_u": j.column("rev_u"),
+         "revenue": pa.array((rev_u // 100) / 100.0, pa.float64())}
+    )
+    out = finalize(out, [("rev_u", "descending"), ("c_custkey", "ascending")])
+    return out.drop_columns(["rev_u"])

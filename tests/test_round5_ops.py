@@ -847,3 +847,98 @@ def test_value_rank_transform_tie_semantics(ray_session, tmp_path):
     out = {r["event_id"]: r["pct_rank_bp"]
            for r in value_rank_transform(str(d)).to_pylist()}
     assert out == {0: 0, 1: 3333, 2: 3333, 3: 10000, 4: 0}
+
+
+def test_q4_exists_via_max_shipdate(ray_session, tmp_path):
+    """Order 1 has a lineitem 90 days late (counts), order 2 ships a day
+    early (doesn't), order 3 has no lineitems (doesn't)."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from image_report_ray.pipelines.relational import q4_order_priority
+
+    d = str(tmp_path)
+    day = np.timedelta64(1, "D")
+    t0 = np.datetime64("1997-01-01", "us")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "o_custkey": pa.array([1, 1, 1], pa.int64()),
+        "o_orderstatus": pa.array(["O"] * 3),
+        "o_totalprice": pa.array([1.0] * 3),
+        "o_orderdate": pa.array([t0, t0, t0], pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT", "1-URGENT", "2-HIGH"]),
+    }), os.path.join(d, "orders.parquet"))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 1, 2], pa.int64()),
+        "l_partkey": pa.array([1, 1, 1], pa.int64()),
+        "l_suppkey": pa.array([1, 1, 1], pa.int64()),
+        "l_linenumber": pa.array([1, 2, 1], pa.int32()),
+        "l_quantity": pa.array([1.0] * 3),
+        "l_extendedprice": pa.array([10.0] * 3),
+        "l_discount": pa.array([0.0] * 3),
+        "l_tax": pa.array([0.0] * 3),
+        "l_returnflag": pa.array(["N"] * 3),
+        "l_linestatus": pa.array(["O"] * 3),
+        "l_shipdate": pa.array(
+            [t0 + 5 * day, t0 + 90 * day, t0 + 89 * day], pa.timestamp("us")),
+    }), os.path.join(d, "lineitem.parquet"))
+    out = q4_order_priority(d)
+    assert out.to_pylist() == [{"o_orderpriority": "1-URGENT",
+                                "order_count": 1}]
+
+
+def test_q10_exact_cents_and_cut(ray_session, tmp_path):
+    """Returned-flag filter + exact 1e-4-dollar revenue + the top-n cut
+    ordered by integer revenue with custkey ties."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from image_report_ray.pipelines.relational import q10_returned_items
+
+    d = str(tmp_path)
+    t0 = np.datetime64("1997-01-01", "us")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "o_custkey": pa.array([10, 20, 30], pa.int64()),
+        "o_orderstatus": pa.array(["O"] * 3),
+        "o_totalprice": pa.array([1.0] * 3),
+        "o_orderdate": pa.array([t0] * 3, pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"] * 3),
+    }), os.path.join(d, "orders.parquet"))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 2, 2, 3], pa.int64()),
+        "l_partkey": pa.array([1] * 4, pa.int64()),
+        "l_suppkey": pa.array([1] * 4, pa.int64()),
+        "l_linenumber": pa.array([1, 1, 2, 1], pa.int32()),
+        "l_quantity": pa.array([1.0] * 4),
+        "l_extendedprice": pa.array([100.00, 50.00, 49.99, 500.0]),
+        "l_discount": pa.array([0.10, 0.0, 0.0, 0.0]),
+        "l_tax": pa.array([0.0] * 4),
+        "l_returnflag": pa.array(["R", "R", "R", "N"]),  # order 3 not returned
+        "l_linestatus": pa.array(["O"] * 4),
+        "l_shipdate": pa.array([t0] * 4, pa.timestamp("us")),
+    }), os.path.join(d, "lineitem.parquet"))
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([10, 20, 30], pa.int64()),
+        "c_name": pa.array(["cA", "cB", "cC"]),
+        "c_nationkey": pa.array([0, 1, 0], pa.int64()),
+        "c_acctbal": pa.array([0.0] * 3),
+        "c_mktsegment": pa.array(["BUILDING"] * 3),
+    }), os.path.join(d, "customer.parquet"))
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([0, 1], pa.int64()),
+        "n_name": pa.array(["ALPHA", "BETA"]),
+        "n_regionkey": pa.array([0, 0], pa.int64()),
+    }), os.path.join(d, "nation.parquet"))
+    out = q10_returned_items(d)
+    # cust 20: 50.00 + 49.99 = 99.99; cust 10: 100 * 0.90 = 90.00
+    assert out.to_pylist() == [
+        {"c_custkey": 20, "c_name": "cB", "n_name": "BETA", "revenue": 99.99},
+        {"c_custkey": 10, "c_name": "cA", "n_name": "ALPHA", "revenue": 90.0},
+    ]
