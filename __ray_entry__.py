@@ -1023,6 +1023,18 @@ SELECT doc_id AS media_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_body_bytes
 FROM documents ORDER BY media_id
 """,
+        # media content dedup (multimodal.media_dedup): the fake codec's
+        # decoded body IS the utf-8 text, so grouping by text replays the
+        # engine's 128-bit body-digest winner election exactly
+        "media_dedup": """
+WITH g AS (
+  SELECT MIN(doc_id) AS media_id, CAST(COUNT(*) AS BIGINT) AS n_copies
+  FROM documents GROUP BY text
+)
+SELECT media_id, ['image','audio','video'][(media_id % 3) + 1] AS kind,
+       n_copies
+FROM g ORDER BY media_id
+""",
         # resize (1/2 thumbnail): floor-scaled dims (audio keeps rate),
         # ceil-scaled body byte count — metadata of the re-decoded output
         "media_resize": """

@@ -199,3 +199,41 @@ def media_resize(sf_dir: str, factor: int = 2) -> pa.Table:
     resized = _pool(MediaResizer, refs, factor=factor)
     t = gather_tables(_pool(MediaDecoder, resized, drop_cols=["payload"]))
     return finalize(t, [("media_id", "ascending")])
+
+
+def media_dedup(sf_dir: str) -> pa.Table:
+    """Exact dedup over DECODED media content: one row per distinct
+    decoded body with the smallest media_id (winner), its kind, and the
+    copy count — the multimodal face of the exact-dedup operator.
+
+    Payloads stream through the warm-pool
+    :class:`~image_report_ray.stages.media.MediaContentHasher` (codec
+    resolve once per actor; headers validated, bodies sliced zero-copy
+    and digested 128-bit, min-combined in-batch), so only (digest,
+    winner, kind, count) rows — never payload bytes — enter the
+    digest-keyed exchange, where each partition applies the identical
+    winner rule. The fake codec's body is the utf-8 text, so the DuckDB
+    twin is GROUP BY text with the winner's doc_id-derived kind."""
+    import ray
+
+    from ..stages.media import MediaContentHasher, combine_media_digests
+    from .exchange import exchange_reduce, gather_concat
+
+    def winner_partition(pid: int, t: pa.Table) -> pa.Table:
+        w = combine_media_digests(t)
+        return pa.table({"media_id": w.column("media_id"),
+                         "kind": w.column("kind"),
+                         "n_copies": w.column("n_part")})
+
+    @ray.remote
+    def denone(t):  # the pool passes None through for empty blocks
+        return t if t is not None else combine_media_digests(pa.table({}))
+
+    refs = _media_dataset(sf_dir).to_arrow_refs()
+    hashed = [denone.remote(r) for r in _pool(MediaContentHasher, refs)]
+    out = gather_concat(exchange_reduce([hashed], ["h"], winner_partition))
+    if out.num_rows == 0:
+        return pa.table({"media_id": pa.array([], pa.int64()),
+                         "kind": pa.array([], pa.string()),
+                         "n_copies": pa.array([], pa.int64())})
+    return finalize(out, [("media_id", "ascending")])

@@ -35,6 +35,7 @@ def query_registry() -> "dict[str, Callable[[str], Any]]":
         "embedding_outliers": similarity.embedding_outliers,
         "q4_order_priority": relational.q4_order_priority,
         "q10_returned_items": relational.q10_returned_items,
+        "media_dedup": multimodal.media_dedup,
         "knn_join": similarity.knn_join,
         "dup_span_coverage": dedup.dup_span_coverage,
         "ngram_novelty": dedup.ngram_novelty,

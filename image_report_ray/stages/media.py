@@ -311,3 +311,97 @@ class MediaResizer:
         return pa.table(
             {"media_id": batch.column("media_id"), "payload": payload}
         )
+
+
+def combine_media_digests(t: pa.Table) -> pa.Table:
+    """Min-combine (h, media_id, kind[, n_part]) digest rows: one row per
+    digest with the smallest media_id (its kind rides along) and the
+    summed copy count. Shared by the hasher stage (in-batch combine) and
+    the dedup partition kernel (final fold) so both sides of the
+    exchange apply the identical winner rule."""
+    if t.num_rows == 0:
+        return pa.table({"h": pa.array([], pa.binary(16)),
+                         "media_id": pa.array([], pa.int64()),
+                         "kind": pa.array([], pa.string()),
+                         "n_part": pa.array([], pa.int64())})
+    if "n_part" not in t.column_names:
+        t = t.append_column(
+            "n_part", pa.array(np.ones(t.num_rows, np.int64), pa.int64())
+        )
+    idx = pc.sort_indices(
+        t, sort_keys=[("h", "ascending"), ("media_id", "ascending")]
+    )
+    s = t.take(idx)
+    h = s.column("h").to_numpy(zero_copy_only=False)
+    starts = np.flatnonzero(np.r_[True, h[1:] != h[:-1]])
+    n = np.add.reduceat(s.column("n_part").to_numpy(), starts)
+    w = s.take(pa.array(starts))
+    return pa.table({"h": w.column("h"),
+                     "media_id": w.column("media_id").cast(pa.int64()),
+                     "kind": w.column("kind"),
+                     "n_part": pa.array(n.astype(np.int64), pa.int64())})
+
+
+class MediaContentHasher:
+    """Actor-pool stage: payload -> (h, media_id, kind, n_part) content-
+    digest partials for media dedup. ``__init__`` resolves the codec
+    once per actor; ``__call__`` parses + validates every FMED header,
+    packs the bodies with one vectorized gather, digests them with the
+    exact-dedup two-key 128-bit scheme, and min-combines
+    within the batch so only (digest, winner, kind, count) rows leave
+    the actor — payload bytes never re-enter the object store."""
+
+    def __init__(self) -> None:
+        try:  # pragma: no cover - cv2 absent in this container
+            import cv2  # noqa: F401
+
+            self._backend = "cv2"
+        except ImportError:
+            self._backend = "fake"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._backend != "fake":  # pragma: no cover
+            raise NotImplementedError(
+                "real decode backend present but intentionally stubbed in "
+                "this environment (no image libs baked in)"
+            )
+        import pandas as pd
+
+        hdr = parse_headers(batch.column("payload"))
+        offs, data = hdr["offsets"], hdr["data"]
+        n = batch.num_rows
+        # bodies are per-row suffixes, so one vectorized gather packs
+        # them (an offsets array can only describe contiguous spans —
+        # an offset shift would bleed each row into the next header)
+        body_lens = (offs[1:] - offs[:-1] - HEADER_LEN).astype(np.int64)
+        out_offs = np.zeros(n + 1, np.int64)
+        np.cumsum(body_lens, out=out_offs[1:])
+        pos = np.arange(int(out_offs[-1])) - np.repeat(
+            out_offs[:-1], body_lens
+        )
+        packed = data[np.repeat(offs[:-1] + HEADER_LEN, body_lens) + pos]
+        bodies = pa.Array.from_buffers(
+            pa.binary(), n,
+            [None, pa.py_buffer(out_offs.astype(np.int32)),
+             pa.py_buffer(packed)],
+        )
+        # the fake codec's body is utf-8 text; a real deployment hashes
+        # the raw decoded bytes with the same two-key scheme
+        arr = bodies.cast(pa.string()).to_numpy(zero_copy_only=False).astype(
+            object
+        )
+        h1 = pd.util.hash_array(arr, hash_key="irrmediadedupk01")
+        h2 = pd.util.hash_array(arr, hash_key="irrmediadedupk02")
+        digest = np.concatenate(
+            [h1.astype(np.uint64).byteswap().view(np.uint8).reshape(-1, 8),
+             h2.astype(np.uint64).byteswap().view(np.uint8).reshape(-1, 8)],
+            axis=1,
+        ).tobytes()
+        part = pa.table(
+            {"h": pa.FixedSizeBinaryArray.from_buffers(
+                pa.binary(16), n, [None, pa.py_buffer(digest)]),
+             "media_id": batch.column("media_id"),
+             "kind": pa.array(
+                 np.array(KINDS, dtype=object)[hdr["kind"]], pa.string())}
+        )
+        return combine_media_digests(part)

@@ -190,3 +190,53 @@ def test_binary_offsets_rejects_non_binary():
 
     with pytest.raises(TypeError):
         _binary_offsets(pa.array([1, 2, 3], pa.int64()))
+
+
+def test_media_dedup_planted_duplicates(ray_session, tmp_path):
+    """Two docs share a body (different doc_id => different header): the
+    smaller media_id wins with n_copies=2 and ITS kind; unique bodies
+    come back with n_copies=1."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from image_report_ray.pipelines.multimodal import media_dedup
+
+    texts = ["same body text", "unique one", "same body text", "unique two"]
+    pq.write_table(
+        pa.table({"doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                  "text": pa.array(texts),
+                  "lang": pa.array(["en"] * 4),
+                  "source": pa.array(["s"] * 4),
+                  "n_chars": pa.array([len(s) for s in texts], pa.int64())}),
+        os.path.join(str(tmp_path), "documents.parquet"))
+    out = media_dedup(str(tmp_path))
+    assert out.to_pylist() == [
+        {"media_id": 0, "kind": "image", "n_copies": 2},
+        {"media_id": 1, "kind": "audio", "n_copies": 1},
+        {"media_id": 3, "kind": "image", "n_copies": 1},
+    ]
+
+
+def test_media_content_hasher_multibyte_bodies():
+    """The body gather must respect utf-8 byte lengths (CJK/emoji) and
+    batch slicing."""
+    import pyarrow as pa
+
+    from image_report_ray.pipelines.multimodal import synth_media_batch
+    from image_report_ray.stages.media import MediaContentHasher
+
+    texts = ["你好世界", "emoji 🎉🎊", "plain", "你好世界"]
+    t = pa.table({"doc_id": pa.array([5, 6, 7, 8], pa.int64()),
+                  "text": pa.array(texts)})
+    m = synth_media_batch(t)
+    h = MediaContentHasher()
+    full = h(m)
+    assert full.num_rows == 3  # 你好世界 deduped in-batch (min id 5)
+    by_h = {r["h"]: r for r in full.to_pylist()}
+    dup = [r for r in full.to_pylist() if r["n_part"] == 2]
+    assert dup and dup[0]["media_id"] == 5
+    # sliced application hashes identically
+    sliced = h(m.slice(3, 1))
+    assert sliced.column("h").to_pylist()[0] in by_h
