@@ -1374,7 +1374,7 @@ def _kmeans_assign_refs_build(
     refs = rd.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     ).to_arrow_refs()
-    cents = _kmeans_centroids(refs, k, iters)
+    cents = _kmeans_centroids_cached(sf_dir, refs, k, iters)
 
     @ray.remote
     def assign_block(c: np.ndarray, t: pa.Table) -> pa.Table:
@@ -1394,6 +1394,30 @@ def _kmeans_assign_refs_build(
 
     final_ref = ray.put(cents)
     return [assign_block.remote(final_ref, r) for r in refs]
+
+
+def _kmeans_centroids_cached(
+    sf_dir: str, refs: list, k: int, iters: int
+) -> np.ndarray:
+    """Content-fingerprinted /tmp cache around :func:`_kmeans_centroids`
+    (the npy sibling of `_cached_refs`): one Lloyd run per (corpus
+    content, pins) serves kmeans assignment builds AND the outlier
+    query across processes. Atomic-rename publish; np.save round-trips
+    float64 bit-exactly."""
+    tag = _emb_tag(
+        sf_dir,
+        f"kmcent:k={k}:iters={iters}:cr={_KM_CENT_ROUND}:dr={_KM_DIST_ROUND}",
+    )
+    path = os.path.join(_SIM_CACHE_ROOT, f"kmcent-{tag}.npy")
+    if os.path.exists(path):
+        return np.load(path)
+    cents = _kmeans_centroids(refs, k, iters)
+    os.makedirs(_SIM_CACHE_ROOT, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(suffix=".npy", dir=_SIM_CACHE_ROOT)
+    os.close(fd)
+    np.save(tmp, cents)
+    os.replace(tmp, path)
+    return cents
 
 
 def _kmeans_centroids(refs: list, k: int, iters: int) -> np.ndarray:
@@ -1667,7 +1691,7 @@ def embedding_outliers(sf_dir: str, topn: int = _OUT_TOPN) -> pa.Table:
     empty = pa.table({"cluster_id": pa.array([], pa.int64()),
                       "vec_id": pa.array([], pa.int64()),
                       "rank": pa.array([], pa.int64())})
-    cents = _kmeans_centroids(refs, _KM_K, _KM_ITERS)
+    cents = _kmeans_centroids_cached(sf_dir, refs, _KM_K, _KM_ITERS)
     if cents.size == 0:
         return empty
     cref = ray.put(cents)
