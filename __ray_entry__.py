@@ -2180,6 +2180,65 @@ GROUP BY l_orderkey, o_orderdate
 ORDER BY revenue DESC, l_orderkey
 LIMIT 10
 """,
+        # TPC-H Q6 (relational.q6_forecast_revenue): discount-band
+        # revenue; exact 1e-4-dollar integers, cents band on BOTH sides
+        "q6_forecast_revenue": """
+WITH c AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+         CAST(round(l_discount * 100) AS BIGINT)      AS disc_c
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-01-01'
+    AND l_quantity < 24
+    AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+)
+SELECT (COALESCE(SUM(price_c * disc_c), 0) // 100) / 100.0 AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM c
+""",
+        # TPC-H Q7 (relational.q7_volume_shipping): bi-directional
+        # nation-pair shipped revenue per year; exact cents
+        "q7_volume_shipping": """
+WITH j AS (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+         * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_u
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey  = c_custkey
+  JOIN supplier ON l_suppkey  = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1998-01-01'
+)
+SELECT supp_nation, cust_nation, l_year,
+       (SUM(rev_u) // 100) / 100.0 AS revenue
+FROM j
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""",
+        # TPC-H Q19 (relational.q19_disjunctive_revenue): or-of-ands
+        # (brand, size, quantity) rules; exact cents
+        "q19_disjunctive_revenue": """
+WITH j AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+         * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_u
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+         AND l_quantity BETWEEN 1 AND 11)
+     OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+         AND l_quantity BETWEEN 10 AND 20)
+     OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 15
+         AND l_quantity BETWEEN 20 AND 30)
+)
+SELECT (COALESCE(SUM(rev_u), 0) // 100) / 100.0 AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM j
+""",
         # TPC-H Q4 adapted (relational.q4_order_priority): EXISTS via the
         # max-shipdate sufficient statistic; 90-day test in exact µs ints
         "q4_order_priority": """

@@ -36,6 +36,9 @@ def query_registry() -> "dict[str, Callable[[str], Any]]":
         "q4_order_priority": relational.q4_order_priority,
         "q10_returned_items": relational.q10_returned_items,
         "media_dedup": multimodal.media_dedup,
+        "q6_forecast_revenue": relational.q6_forecast_revenue,
+        "q7_volume_shipping": relational.q7_volume_shipping,
+        "q19_disjunctive_revenue": relational.q19_disjunctive_revenue,
         "knn_join": similarity.knn_join,
         "dup_span_coverage": dedup.dup_span_coverage,
         "ngram_novelty": dedup.ngram_novelty,

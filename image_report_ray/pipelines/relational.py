@@ -2538,3 +2538,300 @@ def q10_returned_items(sf_dir: str, topn: int = 20) -> pa.Table:
     )
     out = finalize(out, [("rev_u", "descending"), ("c_custkey", "ascending")])
     return out.drop_columns(["rev_u"])
+
+
+# ---- TPC-H Q6: forecast revenue change ----------------------------------
+
+_Q6_LO = np.datetime64("1996-01-01", "us")
+_Q6_HI = np.datetime64("1997-01-01", "us")
+
+
+def q6_forecast_revenue(sf_dir: str) -> pa.Table:
+    """TPC-H Q6 shape: revenue increase from dropping small discounts —
+    SUM(extendedprice * discount) over one shipdate year, a discount
+    band and a quantity cap.
+
+    The cheapest query in the suite and the exemplar for predicate
+    pushdown + driver-scalar folds: the shipdate window and quantity cap
+    are pushed into the Parquet scan (only qualifying row groups leave
+    storage), the discount band is one vectorized cents comparison per
+    batch, and every block emits ONE partial row (rev_u, n) — the driver
+    folds P scalars, no shuffle of any kind. Revenue is exact
+    1e-4-dollar integers (price_c × disc_c), one display division at the
+    end (the q1 money rule)."""
+    rd = _rd()
+    lo = pa.scalar(_Q6_LO, type=pa.timestamp("us"))
+    hi = pa.scalar(_Q6_HI, type=pa.timestamp("us"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "l_discount" not in t.column_names:
+            return pa.table({"rev_u": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        disc_c = _cents(t.column("l_discount"))
+        keep = (disc_c >= 5) & (disc_c <= 7)
+        price_c = _cents(t.column("l_extendedprice"))[keep]
+        rev_u = int((price_c * disc_c[keep]).sum())
+        return pa.table({"rev_u": pa.array([rev_u], pa.int64()),
+                         "n": pa.array([int(keep.sum())], pa.int64())})
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice", "l_discount"],
+        filter=(pc.field("l_shipdate") >= lo) & (pc.field("l_shipdate") < hi)
+        & (pc.field("l_quantity") < pa.scalar(24.0)),
+    ).map_batches(partial, batch_format="pyarrow")
+    parts = ds_to_table(ds)
+    rev_u = int(pc.sum(parts.column("rev_u")).as_py() or 0)
+    n = int(pc.sum(parts.column("n")).as_py() or 0)
+    return pa.table({"revenue": pa.array([(rev_u // 100) / 100.0], pa.float64()),
+                     "n_items": pa.array([n], pa.int64())})
+
+
+# ---- TPC-H Q7: volume shipping between two nations -----------------------
+
+
+def q7_volume_shipping(
+    sf_dir: str, nation_a: str = "NATION_1", nation_b: str = "NATION_2"
+) -> pa.Table:
+    """TPC-H Q7 shape: shipped revenue between two nations per year, in
+    both directions (supplier nation → customer nation).
+
+    Three chained keyed exchanges, zero data-sized broadcasts: lineitem
+    partials co-partition with the (nation-filtered) supplier table on
+    suppkey, the result with orders on orderkey, and that with the
+    (nation-filtered) customer table on custkey — each hop re-keys and
+    re-combines, so what moves shrinks at every stage and nothing grows
+    with total data size on the driver. Only the constant 25-row nation
+    table is read driver-side (to resolve the two names). The final
+    (supp_nation, cust_nation, year) aggregate is fixed-cardinality →
+    P×small driver fold. Exact cents revenue, one display division."""
+    import pyarrow.parquet as pq
+
+    from .exchange import exchange_reduce, gather_concat
+
+    rd = _rd()
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"), type=pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64("1998-01-01", "us"), type=pa.timestamp("us"))
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    name_by_key = dict(zip(nation.column("n_nationkey").to_pylist(),
+                           nation.column("n_name").to_pylist()))
+    keys = [k for k, v in name_by_key.items() if v in (nation_a, nation_b)]
+    empty = pa.table({"supp_nation": pa.array([], pa.string()),
+                      "cust_nation": pa.array([], pa.string()),
+                      "l_year": pa.array([], pa.int64()),
+                      "revenue": pa.array([], pa.float64())})
+    if len(keys) < 2:
+        return empty
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        out_schema = {"l_suppkey": pa.array([], pa.int64()),
+                      "l_orderkey": pa.array([], pa.int64()),
+                      "l_year": pa.array([], pa.int64()),
+                      "rev_u": pa.array([], pa.int64())}
+        if t.num_rows == 0 or "l_shipdate" not in t.column_names:
+            return pa.table(out_schema)
+        ship = t.column("l_shipdate").combine_chunks().to_numpy(
+            zero_copy_only=False
+        ).astype("datetime64[us]")
+        yr = ship.astype("datetime64[Y]").astype(np.int64) + 1970
+        rev_u = _cents(t.column("l_extendedprice")) * (
+            100 - _cents(t.column("l_discount"))
+        )
+        part = pa.table({"l_suppkey": t.column("l_suppkey").cast(pa.int64()),
+                         "l_orderkey": t.column("l_orderkey").cast(pa.int64()),
+                         "l_year": pa.array(yr, pa.int64()),
+                         "rev_u": pa.array(rev_u, pa.int64())})
+        g = part.group_by(["l_suppkey", "l_orderkey", "l_year"]).aggregate(
+            [("rev_u", "sum")]
+        )
+        return g.rename_columns(["l_suppkey", "l_orderkey", "l_year", "rev_u"])
+
+    def supp_kernel(pid: int, lt: pa.Table, st: pa.Table) -> pa.Table:
+        if (lt.num_rows == 0 or st.num_rows == 0
+                or "l_suppkey" not in lt.column_names):
+            return pa.table({"l_orderkey": pa.array([], pa.int64()),
+                             "supp_nk": pa.array([], pa.int32()),
+                             "l_year": pa.array([], pa.int64()),
+                             "rev_u": pa.array([], pa.int64())})
+        j = lt.join(st, keys=["l_suppkey"], right_keys=["s_suppkey"],
+                    join_type="inner")
+        g = j.group_by(["l_orderkey", "s_nationkey", "l_year"]).aggregate(
+            [("rev_u", "sum")]
+        )
+        return pa.table({"l_orderkey": g.column("l_orderkey"),
+                         "supp_nk": g.column("s_nationkey").cast(pa.int32()),
+                         "l_year": g.column("l_year"),
+                         "rev_u": g.column("rev_u_sum").cast(pa.int64())})
+
+    def order_kernel(pid: int, lt: pa.Table, ot: pa.Table) -> pa.Table:
+        if (lt.num_rows == 0 or ot.num_rows == 0
+                or "l_orderkey" not in lt.column_names):
+            return pa.table({"o_custkey": pa.array([], pa.int64()),
+                             "supp_nk": pa.array([], pa.int32()),
+                             "l_year": pa.array([], pa.int64()),
+                             "rev_u": pa.array([], pa.int64())})
+        j = lt.join(ot, keys=["l_orderkey"], right_keys=["o_orderkey"],
+                    join_type="inner")
+        g = j.group_by(["o_custkey", "supp_nk", "l_year"]).aggregate(
+            [("rev_u", "sum")]
+        )
+        return pa.table({"o_custkey": g.column("o_custkey").cast(pa.int64()),
+                         "supp_nk": g.column("supp_nk"),
+                         "l_year": g.column("l_year"),
+                         "rev_u": g.column("rev_u_sum").cast(pa.int64())})
+
+    def cust_kernel(pid: int, lt: pa.Table, ct: pa.Table) -> pa.Table:
+        if (lt.num_rows == 0 or ct.num_rows == 0
+                or "o_custkey" not in lt.column_names):
+            return pa.table({"supp_nk": pa.array([], pa.int32()),
+                             "cust_nk": pa.array([], pa.int32()),
+                             "l_year": pa.array([], pa.int64()),
+                             "rev_u": pa.array([], pa.int64())})
+        j = lt.join(ct, keys=["o_custkey"], right_keys=["c_custkey"],
+                    join_type="inner")
+        # both directions, never same-nation traffic
+        keep = pc.not_equal(j.column("supp_nk").cast(pa.int32()),
+                            j.column("c_nationkey").cast(pa.int32()))
+        j = j.filter(keep)
+        g = j.group_by(["supp_nk", "c_nationkey", "l_year"]).aggregate(
+            [("rev_u", "sum")]
+        )
+        return pa.table({"supp_nk": g.column("supp_nk").cast(pa.int32()),
+                         "cust_nk": g.column("c_nationkey").cast(pa.int32()),
+                         "l_year": g.column("l_year"),
+                         "rev_u": g.column("rev_u_sum").cast(pa.int64())})
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+        filter=(pc.field("l_shipdate") >= lo) & (pc.field("l_shipdate") < hi),
+    ).map_batches(li_partial, batch_format="pyarrow")
+    supp = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"],
+        filter=pc.field("s_nationkey").isin(keys),
+    )
+    stage1 = exchange_reduce([li, supp], ["l_suppkey", "s_suppkey"],
+                             supp_kernel, P=8)
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    stage2 = exchange_reduce([stage1, orders], ["l_orderkey", "o_orderkey"],
+                             order_kernel, P=8)
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"],
+        filter=pc.field("c_nationkey").isin(keys),
+    )
+    parts = gather_concat(exchange_reduce(
+        [stage2, cust], ["o_custkey", "c_custkey"], cust_kernel, P=8
+    ))
+    if parts.num_rows == 0:
+        return empty
+    g = parts.group_by(["supp_nk", "cust_nk", "l_year"]).aggregate(
+        [("rev_u", "sum")]
+    )
+    rev_u = g.column("rev_u_sum").to_numpy()
+    out = pa.table(
+        {"supp_nation": pa.array(
+            [name_by_key[k] for k in g.column("supp_nk").to_pylist()]),
+         "cust_nation": pa.array(
+            [name_by_key[k] for k in g.column("cust_nk").to_pylist()]),
+         "l_year": g.column("l_year"),
+         "revenue": pa.array((rev_u // 100) / 100.0, pa.float64())}
+    )
+    return finalize(out, [("supp_nation", "ascending"),
+                          ("cust_nation", "ascending"),
+                          ("l_year", "ascending")])
+
+
+# ---- TPC-H Q19: disjunctive-predicate discounted revenue ------------------
+
+_Q19_RULES = (  # (brand, size_lo, size_hi, qty_lo, qty_hi)
+    ("Brand#12", 1, 5, 1.0, 11.0),
+    ("Brand#23", 1, 10, 10.0, 20.0),
+    ("Brand#14", 1, 15, 20.0, 30.0),
+)
+
+
+def q19_disjunctive_revenue(sf_dir: str) -> pa.Table:
+    """TPC-H Q19 shape: discounted revenue of lineitems matching a
+    DISJUNCTION of (brand, part-size window, quantity window) rules —
+    the or-of-ands predicate that defeats naive pushdown.
+
+    The UNION of the per-rule windows still prunes the scan: quantity
+    ∈ [min_lo, max_hi] pushes into the lineitem read and size/brand
+    into the part read, so only candidate rows enter the exchange. The
+    partkey exchange co-partitions the surviving lineitem partials with
+    the part table and evaluates the exact disjunction vectorized per
+    partition (numpy boolean algebra over brand codes × size × qty) —
+    each partition emits one (rev_u, n) row; the driver folds P scalars.
+    Exact cents revenue (the q1 money rule)."""
+    from .exchange import exchange_reduce, gather_concat
+
+    rd = _rd()
+    qty_lo = min(r[3] for r in _Q19_RULES)
+    qty_hi = max(r[4] for r in _Q19_RULES)
+    size_lo = min(r[1] for r in _Q19_RULES)
+    size_hi = max(r[2] for r in _Q19_RULES)
+    brands = [r[0] for r in _Q19_RULES]
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "l_partkey" not in t.column_names:
+            return pa.table({"l_partkey": pa.array([], pa.int64()),
+                             "l_quantity": pa.array([], pa.float64()),
+                             "rev_u": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        rev_u = _cents(t.column("l_extendedprice")) * (
+            100 - _cents(t.column("l_discount"))
+        )
+        part = pa.table({"l_partkey": t.column("l_partkey").cast(pa.int64()),
+                         "l_quantity": t.column("l_quantity"),
+                         "rev_u": pa.array(rev_u, pa.int64())})
+        # the combine folds multiple lineitems of one (part, qty) into a
+        # single partial row — carry the source-row count alongside the
+        # revenue sum so n_items survives the combine
+        g = part.group_by(["l_partkey", "l_quantity"]).aggregate(
+            [("rev_u", "sum"), ([], "count_all")]
+        )
+        return pa.table({"l_partkey": g.column("l_partkey"),
+                         "l_quantity": g.column("l_quantity"),
+                         "rev_u": g.column("rev_u_sum").cast(pa.int64()),
+                         "n": g.column("count_all").cast(pa.int64())})
+
+    def kernel(pid: int, lt: pa.Table, pt: pa.Table) -> pa.Table:
+        if (lt.num_rows == 0 or pt.num_rows == 0
+                or "l_partkey" not in lt.column_names):
+            return pa.table({"rev_u": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        j = lt.join(pt, keys=["l_partkey"], right_keys=["p_partkey"],
+                    join_type="inner")
+        brand = j.column("p_brand").to_numpy(zero_copy_only=False)
+        size = j.column("p_size").to_numpy(zero_copy_only=False)
+        qty = j.column("l_quantity").to_numpy(zero_copy_only=False)
+        keep = np.zeros(len(brand), dtype=bool)
+        for b, slo, shi, qlo, qhi in _Q19_RULES:
+            keep |= ((brand == b) & (size >= slo) & (size <= shi)
+                     & (qty >= qlo) & (qty <= qhi))
+        rev = j.column("rev_u").to_numpy()[keep]
+        n = j.column("n").to_numpy()[keep]
+        return pa.table({"rev_u": pa.array([int(rev.sum())], pa.int64()),
+                         "n": pa.array([int(n.sum())], pa.int64())})
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+        filter=(pc.field("l_quantity") >= pa.scalar(qty_lo))
+        & (pc.field("l_quantity") <= pa.scalar(qty_hi)),
+    ).map_batches(li_partial, batch_format="pyarrow")
+    part = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"],
+        filter=(pc.field("p_size") >= size_lo) & (pc.field("p_size") <= size_hi)
+        & (pc.field("p_brand").isin(brands)),
+    )
+    parts = gather_concat(exchange_reduce(
+        [li, part], ["l_partkey", "p_partkey"], kernel, P=8
+    ))
+    rev_u = int(pc.sum(parts.column("rev_u")).as_py() or 0) if parts.num_rows else 0
+    n = int(pc.sum(parts.column("n")).as_py() or 0) if parts.num_rows else 0
+    return pa.table({"revenue": pa.array([(rev_u // 100) / 100.0], pa.float64()),
+                     "n_items": pa.array([n], pa.int64())})

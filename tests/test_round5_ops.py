@@ -942,3 +942,141 @@ def test_q10_exact_cents_and_cut(ray_session, tmp_path):
         {"c_custkey": 20, "c_name": "cB", "n_name": "BETA", "revenue": 99.99},
         {"c_custkey": 10, "c_name": "cA", "n_name": "ALPHA", "revenue": 90.0},
     ]
+
+
+def test_q6_discount_band_and_qty_cap(ray_session, tmp_path):
+    """Only the in-window row with a 5-7% discount and qty < 24 counts;
+    revenue is exact price*discount cents."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from image_report_ray.pipelines.relational import q6_forecast_revenue
+
+    d = str(tmp_path)
+    t_in = np.datetime64("1996-06-01", "us")
+    t_out = np.datetime64("1995-06-01", "us")
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "l_partkey": pa.array([1] * 4, pa.int64()),
+        "l_suppkey": pa.array([1] * 4, pa.int64()),
+        "l_linenumber": pa.array([1] * 4, pa.int32()),
+        "l_quantity": pa.array([10.0, 10.0, 24.0, 10.0]),
+        "l_extendedprice": pa.array([100.0, 100.0, 100.0, 100.0]),
+        "l_discount": pa.array([0.06, 0.04, 0.06, 0.06]),
+        "l_tax": pa.array([0.0] * 4),
+        "l_returnflag": pa.array(["N"] * 4),
+        "l_linestatus": pa.array(["O"] * 4),
+        "l_shipdate": pa.array([t_in, t_in, t_in, t_out], pa.timestamp("us")),
+    }), os.path.join(d, "lineitem.parquet"))
+    out = q6_forecast_revenue(d)
+    assert out.to_pylist() == [{"revenue": 6.0, "n_items": 1}]
+
+
+def test_q7_nation_pair_directions_and_window(ray_session, tmp_path):
+    """Both directions of the pair count, same-nation and third-nation
+    traffic and out-of-window shipments don't."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from image_report_ray.pipelines.relational import q7_volume_shipping
+
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([1, 2, 3], pa.int32()),
+        "n_name": pa.array(["NATION_1", "NATION_2", "NATION_3"]),
+        "n_regionkey": pa.array([0, 0, 0], pa.int32()),
+    }), os.path.join(d, "nation.parquet"))
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([1, 2, 3], pa.int64()),
+        "s_name": pa.array(["s1", "s2", "s3"]),
+        "s_nationkey": pa.array([1, 2, 3], pa.int32()),
+        "s_acctbal": pa.array([0.0] * 3),
+    }), os.path.join(d, "supplier.parquet"))
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([10, 20, 30], pa.int64()),
+        "c_name": pa.array(["cA", "cB", "cC"]),
+        "c_nationkey": pa.array([2, 1, 3], pa.int32()),
+        "c_acctbal": pa.array([0.0] * 3),
+        "c_mktsegment": pa.array(["BUILDING"] * 3),
+    }), os.path.join(d, "customer.parquet"))
+    t0 = np.datetime64("1997-01-01", "us")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "o_custkey": pa.array([10, 20, 30], pa.int64()),
+        "o_orderstatus": pa.array(["O"] * 3),
+        "o_totalprice": pa.array([1.0] * 3),
+        "o_orderdate": pa.array([t0] * 3, pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"] * 3),
+    }), os.path.join(d, "orders.parquet"))
+    ship = [np.datetime64("1996-05-01", "us"),   # n1 -> n2, 1996: counts
+            np.datetime64("1997-03-01", "us"),   # n2 -> n1, 1997: counts
+            np.datetime64("1996-05-01", "us"),   # n2 -> n2: same nation
+            np.datetime64("1996-05-01", "us"),   # n1 -> n3: not the pair
+            np.datetime64("1995-05-01", "us")]   # out of window
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 2, 1, 3, 1], pa.int64()),
+        "l_partkey": pa.array([1] * 5, pa.int64()),
+        "l_suppkey": pa.array([1, 2, 2, 1, 1], pa.int64()),
+        "l_linenumber": pa.array([1, 1, 2, 1, 3], pa.int32()),
+        "l_quantity": pa.array([1.0] * 5),
+        "l_extendedprice": pa.array([100.0, 50.0, 70.0, 80.0, 90.0]),
+        "l_discount": pa.array([0.0] * 5),
+        "l_tax": pa.array([0.0] * 5),
+        "l_returnflag": pa.array(["N"] * 5),
+        "l_linestatus": pa.array(["O"] * 5),
+        "l_shipdate": pa.array(ship, pa.timestamp("us")),
+    }), os.path.join(d, "lineitem.parquet"))
+    out = q7_volume_shipping(d)
+    assert out.to_pylist() == [
+        {"supp_nation": "NATION_1", "cust_nation": "NATION_2",
+         "l_year": 1996, "revenue": 100.0},
+        {"supp_nation": "NATION_2", "cust_nation": "NATION_1",
+         "l_year": 1997, "revenue": 50.0},
+    ]
+
+
+def test_q19_disjunction_and_count_through_combine(ray_session, tmp_path):
+    """Each rule is an AND of brand/size/qty; the combine must not lose
+    the per-row count (two lineitems of one (part, qty) = 2 items)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from image_report_ray.pipelines.relational import q19_disjunctive_revenue
+
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "p_name": pa.array(["a", "b", "c", "d"]),
+        "p_brand": pa.array(["Brand#12", "Brand#23", "Brand#12", "Brand#11"]),
+        "p_type": pa.array(["STANDARD"] * 4),
+        "p_size": pa.array([3, 8, 20, 3], pa.int32()),
+        "p_retailprice": pa.array([1.0] * 4),
+    }), os.path.join(d, "part.parquet"))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 1, 2, 3, 4, 5], pa.int64()),
+        "l_partkey": pa.array([1, 1, 1, 2, 3, 4], pa.int64()),
+        "l_suppkey": pa.array([1] * 6, pa.int64()),
+        "l_linenumber": pa.array([1, 2, 1, 1, 1, 1], pa.int32()),
+        # p1@qty5 twice (combine folds them), p1@qty12 (rule1 qty cap),
+        # p2@qty15 (rule2), p3@qty5 (size out), p4@qty5 (brand out)
+        "l_quantity": pa.array([5.0, 5.0, 12.0, 15.0, 5.0, 5.0]),
+        "l_extendedprice": pa.array([100.0, 30.0, 40.0, 50.0, 60.0, 70.0]),
+        "l_discount": pa.array([0.10, 0.0, 0.0, 0.0, 0.0, 0.0]),
+        "l_tax": pa.array([0.0] * 6),
+        "l_returnflag": pa.array(["N"] * 6),
+        "l_linestatus": pa.array(["O"] * 6),
+        "l_shipdate": pa.array(
+            [pa.scalar(0, pa.timestamp("us")).as_py()] * 6,
+            pa.timestamp("us")),
+    }), os.path.join(d, "lineitem.parquet"))
+    out = q19_disjunctive_revenue(d)
+    # 100*0.90 + 30 + 50 = 170.0 over 3 qualifying lineitems
+    assert out.to_pylist() == [{"revenue": 170.0, "n_items": 3}]
