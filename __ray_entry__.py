@@ -2180,6 +2180,47 @@ GROUP BY l_orderkey, o_orderdate
 ORDER BY revenue DESC, l_orderkey
 LIMIT 10
 """,
+        # deterministic weighted sampling (text.weighted_sample): the
+        # shuffle twin's splitmix chain, priority = (h >> 1) // weight,
+        # k smallest win — all int64, floor division on both sides
+        "weighted_sample": f"""
+WITH s0 AS (
+  SELECT doc_id, n_chars,
+         CAST((doc_id + {_SM_SEED}) % {_SM_M} AS UBIGINT) AS h
+  FROM documents
+),
+s1 AS (SELECT doc_id, n_chars, {_sm_step('h', 30, _SM_C1)} AS h FROM s0),
+s2 AS (SELECT doc_id, n_chars, {_sm_step('h', 27, _SM_C2)} AS h FROM s1),
+s3 AS (SELECT doc_id, n_chars, xor(h, h >> 31) AS h FROM s2),
+p AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+         CAST(h >> 1 AS BIGINT) // GREATEST(CAST(n_chars AS BIGINT), 1)
+             AS priority
+  FROM s3
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY priority, doc_id) AS BIGINT) AS rnk,
+       doc_id, n_chars, priority
+FROM p ORDER BY priority, doc_id LIMIT 100
+""",
+        # per-source character-class census (text.charclass_profile):
+        # RE2 classes on both sides, exact int64 counts
+        "charclass_profile": """
+WITH c AS (
+  SELECT source,
+         CAST(length(text) AS BIGINT) AS nc,
+         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT)
+             AS le,
+         CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT)
+             AS di,
+         CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS sp
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       SUM(nc) AS n_chars, SUM(le) AS letters, SUM(di) AS digits,
+       SUM(sp) AS spaces, SUM(nc - le - di - sp) AS other
+FROM c GROUP BY source ORDER BY source
+""",
         # TPC-H Q6 (relational.q6_forecast_revenue): discount-band
         # revenue; exact 1e-4-dollar integers, cents band on BOTH sides
         "q6_forecast_revenue": """

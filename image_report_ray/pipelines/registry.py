@@ -39,6 +39,8 @@ def query_registry() -> "dict[str, Callable[[str], Any]]":
         "q6_forecast_revenue": relational.q6_forecast_revenue,
         "q7_volume_shipping": relational.q7_volume_shipping,
         "q19_disjunctive_revenue": relational.q19_disjunctive_revenue,
+        "weighted_sample": text.weighted_sample,
+        "charclass_profile": text.charclass_profile,
         "knn_join": similarity.knn_join,
         "dup_span_coverage": dedup.dup_span_coverage,
         "ngram_novelty": dedup.ngram_novelty,

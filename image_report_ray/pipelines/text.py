@@ -2826,3 +2826,124 @@ def pareto_docs(sf_dir: str) -> pa.Table:
     if out.num_rows == 0:
         return empty
     return finalize(out, [("doc_id", "ascending")])
+
+
+# ---- deterministic weighted sampling without replacement ------------------
+
+_WS_SEED = 0x5EED
+_WS_K = 100
+
+
+def weighted_sample(sf_dir: str, k: int = _WS_K, seed: int = _WS_SEED) -> pa.Table:
+    """Deterministic weighted sampling without replacement: the ``k``
+    documents with the SMALLEST integer priority
+    ``(splitmix64(doc_id + seed) >> 1) // max(weight, 1)`` win, weight =
+    n_chars — the integer-exact analogue of the Efraimidis–Spirakis
+    u^(1/w) reservoir key (a doc's win probability grows ∝ its weight;
+    heavier docs divide their uniform key by more). Everything is int64
+    (the >> 1 keeps the dividend inside int63), so the sample is
+    reproducible bit-for-bit on any executor topology and in SQL.
+
+    Distributed shape: priorities are one vectorized splitmix pass per
+    block, each block cuts its local k-smallest (a provable superset of
+    the global cut), the driver folds P×k candidate rows — no shuffle,
+    same top-k shape as q10. Bodies never move: only (doc_id, weight,
+    priority) rows leave the scan."""
+    rd = _rd()
+    empty = pa.table({"rnk": pa.array([], pa.int64()),
+                      "doc_id": pa.array([], pa.int64()),
+                      "n_chars": pa.array([], pa.int64()),
+                      "priority": pa.array([], pa.int64())})
+
+    def local_cut(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return empty
+        did = t.column("doc_id").to_numpy().astype(np.int64)
+        w = t.column("n_chars").to_numpy().astype(np.int64)
+        h = _splitmix64((did + seed).astype(np.uint64))
+        pr = (h >> np.uint64(1)).astype(np.int64) // np.maximum(w, 1)
+        out = pa.table({"rnk": pa.array(np.zeros(len(did), np.int64)),
+                        "doc_id": pa.array(did),
+                        "n_chars": pa.array(w),
+                        "priority": pa.array(pr)})
+        idx = pc.sort_indices(out, sort_keys=[("priority", "ascending"),
+                                              ("doc_id", "ascending")])
+        return out.take(idx.slice(0, k))
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "n_chars"])
+    cand = ds_to_table(ds.map_batches(local_cut, batch_format="pyarrow"))
+    if cand.num_rows == 0 or cand.num_columns == 0:
+        return empty
+    idx = pc.sort_indices(cand, sort_keys=[("priority", "ascending"),
+                                           ("doc_id", "ascending")])
+    top = cand.take(idx.slice(0, k))
+    return top.set_column(
+        0, "rnk", pa.array(np.arange(1, top.num_rows + 1, dtype=np.int64))
+    )
+
+
+# ---- per-source character-class census ------------------------------------
+
+
+def charclass_profile(sf_dir: str) -> pa.Table:
+    """Per-source character-class census: total codepoints and how many
+    are ASCII letters / digits / spaces / anything else — the cheap
+    encoding-health signal that flags a source whose "text" is secretly
+    markup, base64 or binary soup before it poisons tokenization.
+
+    One vectorized pass per block (Arrow's RE2 ``count_substring_regex``
+    counts class members per doc; space counts are an exact literal
+    ``count_substring``), partials combine per source map-side, and the
+    fixed-cardinality source census folds driver-side — no shuffle, no
+    Python loop, bodies never leave the scan task. All counts are exact
+    int64, so the fold is order-independent."""
+    from ._util import fold_partials
+
+    rd = _rd()
+    empty = pa.table({"source": pa.array([], pa.string()),
+                      "n_docs": pa.array([], pa.int64()),
+                      "n_chars": pa.array([], pa.int64()),
+                      "letters": pa.array([], pa.int64()),
+                      "digits": pa.array([], pa.int64()),
+                      "spaces": pa.array([], pa.int64()),
+                      "other": pa.array([], pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "text" not in t.column_names:
+            return empty
+        txt = t.column("text")
+        part = pa.table({
+            "source": t.column("source"),
+            "nc": pc.utf8_length(txt).cast(pa.int64()),
+            "le": pc.count_substring_regex(txt, "[A-Za-z]").cast(pa.int64()),
+            "di": pc.count_substring_regex(txt, "[0-9]").cast(pa.int64()),
+            "sp": pc.count_substring(txt, " ").cast(pa.int64()),
+        })
+        g = part.group_by(["source"]).aggregate(
+            [([], "count_all"), ("nc", "sum"), ("le", "sum"),
+             ("di", "sum"), ("sp", "sum")]
+        )
+        return g.rename_columns(["source", "nd", "nc", "le", "di", "sp"])
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "text"])
+    t = fold_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["source"],
+        [("nd", "sum"), ("nc", "sum"), ("le", "sum"),
+         ("di", "sum"), ("sp", "sum")],
+        ["source", "n_docs", "n_chars", "letters", "digits", "spaces"],
+    )
+    if t.num_columns == 0:
+        return empty
+    other = (t.column("n_chars").to_numpy() - t.column("letters").to_numpy()
+             - t.column("digits").to_numpy() - t.column("spaces").to_numpy())
+    out = pa.table({"source": t.column("source"),
+                    "n_docs": t.column("n_docs").cast(pa.int64()),
+                    "n_chars": t.column("n_chars").cast(pa.int64()),
+                    "letters": t.column("letters").cast(pa.int64()),
+                    "digits": t.column("digits").cast(pa.int64()),
+                    "spaces": t.column("spaces").cast(pa.int64()),
+                    "other": pa.array(other.astype(np.int64))})
+    return finalize(out, [("source", "ascending")])

@@ -1080,3 +1080,68 @@ def test_q19_disjunction_and_count_through_combine(ray_session, tmp_path):
     out = q19_disjunctive_revenue(d)
     # 100*0.90 + 30 + 50 = 170.0 over 3 qualifying lineitems
     assert out.to_pylist() == [{"revenue": 170.0, "n_items": 3}]
+
+
+def test_weighted_sample_weight_bias_and_block_invariance(ray_session, tmp_path):
+    """Heavier docs must win far more often than light ones, and the
+    local-cut/driver-cut composition must equal a single global cut."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from image_report_ray.pipelines.text import _splitmix64, weighted_sample
+
+    d = str(tmp_path)
+    n = 4000
+    did = np.arange(n, dtype=np.int64)
+    w = np.where(did % 2 == 0, 1000, 1).astype(np.int64)  # heavy evens
+    pq.write_table(pa.table({
+        "doc_id": pa.array(did),
+        "text": pa.array(["x"] * n),
+        "lang": pa.array(["en"] * n),
+        "source": pa.array(["s"] * n),
+        "n_chars": pa.array(w),
+    }), os.path.join(d, "documents.parquet"), row_group_size=257)
+    out = weighted_sample(d, k=100)
+    assert out.num_rows == 100
+    assert out.column("rnk").to_pylist() == list(range(1, 101))
+    picked = np.array(out.column("doc_id").to_pylist())
+    # heavy docs are 1000x likelier per unit; expect near-total dominance
+    assert (picked % 2 == 0).sum() >= 95
+    # bit-equality with the single-pass reference cut
+    h = _splitmix64((did + 0x5EED).astype(np.uint64))
+    pr = (h >> np.uint64(1)).astype(np.int64) // np.maximum(w, 1)
+    order = np.lexsort((did, pr))[:100]
+    assert picked.tolist() == did[order].tolist()
+    assert out.column("priority").to_pylist() == pr[order].tolist()
+
+
+def test_charclass_profile_exact_counts(ray_session, tmp_path):
+    """Known class mix per source; other = total - letters - digits -
+    spaces, including non-ASCII codepoints counted once each."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from image_report_ray.pipelines.text import charclass_profile
+
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["ab 12!", "Zz9", "héllo"]),
+        "lang": pa.array(["en"] * 3),
+        "source": pa.array(["a", "a", "b"]),
+        "n_chars": pa.array([6, 3, 5], pa.int64()),
+    }), os.path.join(d, "documents.parquet"))
+    out = charclass_profile(d)
+    assert out.to_pylist() == [
+        # "ab 12!" + "Zz9": 9 chars, 4 letters, 3 digits, 1 space, 1 other
+        {"source": "a", "n_docs": 2, "n_chars": 9, "letters": 4,
+         "digits": 3, "spaces": 1, "other": 1},
+        # "héllo": 5 codepoints, 4 ASCII letters, é is other
+        {"source": "b", "n_docs": 1, "n_chars": 5, "letters": 4,
+         "digits": 0, "spaces": 0, "other": 1},
+    ]
