@@ -1117,6 +1117,15 @@ FROM inter JOIN cnt ca ON inter.da = ca.doc_id JOIN cnt cb ON inter.db = cb.doc_
 WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.2
 ORDER BY doc_id_a, doc_id_b
 """,
+        # asymmetric containment near-dup (dedup.dedup_containment):
+        # same shingle CTE, min-side denominator instead of the union
+        "dedup_containment": "WITH " + _NGRAM_CTE + r"""
+SELECT da AS doc_id_a, db AS doc_id_b, CAST(i AS BIGINT) AS n_common,
+       ROUND(i * 1.0 / LEAST(ca.n, cb.n), 6) AS containment
+FROM inter JOIN cnt ca ON inter.da = ca.doc_id JOIN cnt cb ON inter.db = cb.doc_id
+WHERE i * 1.0 / LEAST(ca.n, cb.n) >= 0.8
+ORDER BY doc_id_a, doc_id_b
+""",
         # triangle census of the near-dup graph (dedup.pair_triangles)
         "pair_triangles": "WITH " + _NGRAM_CTE + r""",
 pairs AS (

@@ -2485,3 +2485,84 @@ def pair_triangles(sf_dir: str, tau: float = 0.2) -> pa.Table:
             "n_triangles": pa.array([n_tri], pa.int64()),
         }
     )
+
+
+# ---- asymmetric containment near-dup -------------------------------------
+
+
+def _cont_verify(tau: float, pid: int, pairs: pa.Table, sizes: pa.Table) -> pa.Table:
+    """Stage-2 containment kernel (the :func:`_jac_verify` sibling):
+    attach the b-side set size and keep pairs whose shingle CONTAINMENT
+    ``|A∩B| / min(|A|, |B|)`` >= tau — the asymmetric criterion that
+    catches a short document quoted inside a long one, which Jaccard
+    misses (the union denominator drowns the small side)."""
+    if pairs.num_rows == 0 or "doc_id_b" not in pairs.column_names:
+        return _pair_empty({"containment": pa.float64()})
+    if sizes.num_rows == 0:
+        raise ValueError(
+            "pair partition has no co-partitioned doc sizes — routing "
+            "invariant broken (sizes must come from the same index)"
+        )
+    b = pairs.column("doc_id_b").to_numpy()
+    nb = _lookup_sizes(sizes, b)
+    na = pairs.column("na").to_numpy()
+    i = pairs.column("n_common").to_numpy().astype(np.int64)
+    cont = i / np.minimum(na, nb)
+    keep = cont >= tau
+    return pa.table(
+        {
+            "doc_id_a": pairs.column("doc_id_a").filter(pa.array(keep)),
+            "doc_id_b": pairs.column("doc_id_b").filter(pa.array(keep)),
+            "n_common": pa.array(i[keep], pa.int64()),
+            "containment": pa.array(np.round(cont[keep], 6)),
+        }
+    )
+
+
+def containment_pair_refs(
+    sf_dir: str, tau: float = 0.8, P: int = _PC_PARTS
+) -> tuple[list, dict]:
+    """Verified containment near-dup pairs as P partition refs — the
+    same fully-distributed shape as :func:`ngram_jaccard_pair_refs`
+    (shingle inverted index → pair-count exchange → two chained
+    size-attach exchanges), only the final criterion differs: the
+    min-side denominator instead of the union."""
+    from functools import partial as fpartial
+
+    from .exchange import exchange_reduce
+
+    rd = _rd()
+
+    def explode(t: pa.Table) -> pa.Table:
+        df = doc_shingles(t)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    refs = ds.map_batches(explode, batch_format="pyarrow").to_arrow_refs()
+    _, doc_sizes = _pc_ref_remotes()
+
+    pair_refs, stats = pair_count_refs(refs, "shingle", "doc_id", P)
+    size_refs = [doc_sizes.remote(r) for r in refs]
+    stage1 = exchange_reduce(
+        [pair_refs, size_refs], ["doc_id_a", "doc_id"], _jac_attach_na, P=P
+    )
+    verified = exchange_reduce(
+        [stage1, size_refs], ["doc_id_b", "doc_id"],
+        fpartial(_cont_verify, tau), P=P,
+    )
+    return verified, stats
+
+
+def dedup_containment(sf_dir: str, tau: float = 0.8) -> pa.Table:
+    """All document pairs whose word-3-gram containment
+    ``|A∩B| / min(|A|, |B|)`` >= ``tau`` — the asymmetric near-dup
+    family member: a tweet-sized doc fully quoted inside an article is
+    containment 1.0 but Jaccard ≈ |small|/|large| ≈ 0. Gathered form of
+    :func:`containment_pair_refs`; the driver receives only survivors."""
+    from .exchange import gather_concat
+
+    refs, _ = containment_pair_refs(sf_dir, tau)
+    t = gather_concat(refs)
+    if t.num_rows == 0:
+        t = _pair_empty({"containment": pa.float64()})
+    return finalize(t, [("doc_id_a", "ascending"), ("doc_id_b", "ascending")])

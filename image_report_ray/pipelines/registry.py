@@ -41,6 +41,7 @@ def query_registry() -> "dict[str, Callable[[str], Any]]":
         "q19_disjunctive_revenue": relational.q19_disjunctive_revenue,
         "weighted_sample": text.weighted_sample,
         "charclass_profile": text.charclass_profile,
+        "dedup_containment": dedup.dedup_containment,
         "knn_join": similarity.knn_join,
         "dup_span_coverage": dedup.dup_span_coverage,
         "ngram_novelty": dedup.ngram_novelty,

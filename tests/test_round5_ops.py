@@ -1145,3 +1145,40 @@ def test_charclass_profile_exact_counts(ray_session, tmp_path):
         {"source": "b", "n_docs": 1, "n_chars": 5, "letters": 4,
          "digits": 0, "spaces": 0, "other": 1},
     ]
+
+
+def test_dedup_containment_catches_quote_inclusion(ray_session, tmp_path):
+    """A short doc fully quoted inside a long one is containment 1.0
+    (flagged) even though its Jaccard vs the long doc is far below any
+    usable tau; an overlapping-but-not-contained pair stays out."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from image_report_ray.pipelines.dedup import (
+        dedup_containment,
+        dedup_ngram_jaccard,
+    )
+
+    d = str(tmp_path)
+    quote = "the quick brown fox jumps over the lazy dog"
+    filler = " ".join(f"w{i}" for i in range(40))
+    other = " ".join(f"v{i}" for i in range(40))
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        # doc 1 ⊂ doc 2; doc 3 shares only two shingles with docs 1/2
+        "text": pa.array([quote, f"{filler} {quote}",
+                          f"over the lazy dog {other}"]),
+        "lang": pa.array(["en"] * 3),
+        "source": pa.array(["s"] * 3),
+        "n_chars": pa.array([1, 1, 1], pa.int64()),
+    })
+    pq.write_table(docs, os.path.join(d, "documents.parquet"))
+    out = dedup_containment(d, tau=0.8)
+    assert out.column("doc_id_a").to_pylist() == [1]
+    assert out.column("doc_id_b").to_pylist() == [2]
+    assert out.column("containment").to_pylist() == [1.0]
+    # the symmetric family would miss it at the same strictness
+    jac = dedup_ngram_jaccard(d, tau=0.8)
+    assert jac.num_rows == 0
