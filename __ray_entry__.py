@@ -2289,6 +2289,39 @@ SELECT (COALESCE(SUM(rev_u), 0) // 100) / 100.0 AS revenue,
        CAST(COUNT(*) AS BIGINT) AS n_items
 FROM j
 """,
+        # TPC-H Q8 (relational.q8_market_share): nation's share of a
+        # region's PROMO revenue per order year; exact integer share
+        "q8_market_share": """
+WITH j AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS l_year,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+         * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_u,
+         s_nationkey
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey  = c_custkey
+  JOIN part     ON l_partkey  = p_partkey
+  JOIN supplier ON l_suppkey  = s_suppkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  JOIN region   ON n2.n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate <  TIMESTAMP '1998-01-01'
+),
+y AS (
+  SELECT l_year,
+         SUM(CASE WHEN s_nationkey =
+             (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_1')
+             THEN rev_u ELSE 0 END) AS nat_u,
+         SUM(rev_u) AS tot_u
+  FROM j GROUP BY l_year
+)
+SELECT l_year,
+       CAST(1000000 * nat_u // GREATEST(tot_u, 1) AS BIGINT) AS mkt_share_bp,
+       (nat_u // 100) / 100.0 AS nation_revenue,
+       (tot_u // 100) / 100.0 AS total_revenue
+FROM y ORDER BY l_year
+""",
         # TPC-H Q4 adapted (relational.q4_order_priority): EXISTS via the
         # max-shipdate sufficient statistic; 90-day test in exact µs ints
         "q4_order_priority": """

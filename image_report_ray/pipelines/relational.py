@@ -2835,3 +2835,164 @@ def q19_disjunctive_revenue(sf_dir: str) -> pa.Table:
     n = int(pc.sum(parts.column("n")).as_py() or 0) if parts.num_rows else 0
     return pa.table({"revenue": pa.array([(rev_u // 100) / 100.0], pa.float64()),
                      "n_items": pa.array([n], pa.int64())})
+
+
+# ---- TPC-H Q8: national market share --------------------------------------
+
+
+def q8_market_share(
+    sf_dir: str, region: str = "ASIA", ptype: str = "PROMO",
+    nation: str = "NATION_1",
+) -> pa.Table:
+    """TPC-H Q8 shape: ``nation``'s share of ``region``'s revenue for
+    parts of ``ptype``, per order year — the widest join in the suite
+    (lineitem ⋈ part ⋈ supplier ⋈ orders ⋈ customer ⋈ nation ⋈ region).
+
+    Four chained keyed exchanges (partkey → suppkey → custkey →
+    orderkey), no data-sized broadcast: part and customer enter the
+    exchange pre-FILTERED from the scan (type / region-nation pushdown),
+    supplier streams through its own hop, and the final (year ×
+    supplier-nation) census is fixed-cardinality → P×small driver fold,
+    where the share is one exact integer division (basis points of 1e-2,
+    i.e. share_bp = 1e6 · nation_rev // total_rev — no float ratio).
+    Only the constant nation/region tables are read driver-side."""
+    import pyarrow.parquet as pq
+
+    from .exchange import exchange_reduce, gather_concat
+
+    rd = _rd()
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"), type=pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64("1998-01-01", "us"), type=pa.timestamp("us"))
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    rkeys = reg.filter(pc.equal(reg.column("r_name"), region)).column("r_regionkey")
+    region_nk = nat.filter(
+        pc.is_in(nat.column("n_regionkey"), value_set=rkeys)
+    ).column("n_nationkey").to_pylist()
+    target_nk = nat.filter(pc.equal(nat.column("n_name"), nation))
+    empty = pa.table({"l_year": pa.array([], pa.int64()),
+                      "mkt_share_bp": pa.array([], pa.int64()),
+                      "nation_revenue": pa.array([], pa.float64()),
+                      "total_revenue": pa.array([], pa.float64())})
+    if target_nk.num_rows == 0 or not region_nk:
+        return empty
+    target = target_nk.column("n_nationkey").to_pylist()[0]
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "l_partkey" not in t.column_names:
+            return pa.table({"l_partkey": pa.array([], pa.int64()),
+                             "l_orderkey": pa.array([], pa.int64()),
+                             "l_suppkey": pa.array([], pa.int64()),
+                             "rev_u": pa.array([], pa.int64())})
+        rev_u = _cents(t.column("l_extendedprice")) * (
+            100 - _cents(t.column("l_discount"))
+        )
+        part = pa.table({"l_partkey": t.column("l_partkey").cast(pa.int64()),
+                         "l_orderkey": t.column("l_orderkey").cast(pa.int64()),
+                         "l_suppkey": t.column("l_suppkey").cast(pa.int64()),
+                         "rev_u": pa.array(rev_u, pa.int64())})
+        g = part.group_by(["l_partkey", "l_orderkey", "l_suppkey"]).aggregate(
+            [("rev_u", "sum")]
+        )
+        return g.rename_columns(
+            ["l_partkey", "l_orderkey", "l_suppkey", "rev_u"])
+
+    def part_kernel(pid: int, lt: pa.Table, pt: pa.Table) -> pa.Table:
+        if (lt.num_rows == 0 or pt.num_rows == 0
+                or "l_partkey" not in lt.column_names):
+            return pa.table({"l_orderkey": pa.array([], pa.int64()),
+                             "l_suppkey": pa.array([], pa.int64()),
+                             "rev_u": pa.array([], pa.int64())})
+        j = lt.join(pt, keys=["l_partkey"], right_keys=["p_partkey"],
+                    join_type="inner")
+        g = j.group_by(["l_orderkey", "l_suppkey"]).aggregate([("rev_u", "sum")])
+        return pa.table({"l_orderkey": g.column("l_orderkey"),
+                         "l_suppkey": g.column("l_suppkey"),
+                         "rev_u": g.column("rev_u_sum").cast(pa.int64())})
+
+    def supp_kernel(pid: int, lt: pa.Table, st: pa.Table) -> pa.Table:
+        if (lt.num_rows == 0 or st.num_rows == 0
+                or "l_suppkey" not in lt.column_names):
+            return pa.table({"l_orderkey": pa.array([], pa.int64()),
+                             "s_nk": pa.array([], pa.int32()),
+                             "rev_u": pa.array([], pa.int64())})
+        j = lt.join(st, keys=["l_suppkey"], right_keys=["s_suppkey"],
+                    join_type="inner")
+        g = j.group_by(["l_orderkey", "s_nationkey"]).aggregate(
+            [("rev_u", "sum")])
+        return pa.table({"l_orderkey": g.column("l_orderkey"),
+                         "s_nk": g.column("s_nationkey").cast(pa.int32()),
+                         "rev_u": g.column("rev_u_sum").cast(pa.int64())})
+
+    def cust_kernel(pid: int, ot: pa.Table, ct: pa.Table) -> pa.Table:
+        if (ot.num_rows == 0 or ct.num_rows == 0
+                or "o_custkey" not in ot.column_names):
+            return pa.table({"o_orderkey": pa.array([], pa.int64()),
+                             "l_year": pa.array([], pa.int64())})
+        j = ot.join(ct, keys=["o_custkey"], right_keys=["c_custkey"],
+                    join_type="inner")
+        odate = j.column("o_orderdate").combine_chunks().to_numpy(
+            zero_copy_only=False).astype("datetime64[us]")
+        yr = odate.astype("datetime64[Y]").astype(np.int64) + 1970
+        return pa.table({"o_orderkey": j.column("o_orderkey").cast(pa.int64()),
+                         "l_year": pa.array(yr, pa.int64())})
+
+    def order_kernel(pid: int, lt: pa.Table, ot: pa.Table) -> pa.Table:
+        if (lt.num_rows == 0 or ot.num_rows == 0
+                or "l_orderkey" not in lt.column_names):
+            return pa.table({"l_year": pa.array([], pa.int64()),
+                             "s_nk": pa.array([], pa.int32()),
+                             "rev_u": pa.array([], pa.int64())})
+        j = lt.join(ot, keys=["l_orderkey"], right_keys=["o_orderkey"],
+                    join_type="inner")
+        g = j.group_by(["l_year", "s_nk"]).aggregate([("rev_u", "sum")])
+        return pa.table({"l_year": g.column("l_year"),
+                         "s_nk": g.column("s_nk"),
+                         "rev_u": g.column("rev_u_sum").cast(pa.int64())})
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"],
+    ).map_batches(li_partial, batch_format="pyarrow")
+    part = rd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey"],
+                           filter=pc.field("p_type") == ptype)
+    stage1 = exchange_reduce([li, part], ["l_partkey", "p_partkey"],
+                             part_kernel, P=8)
+    supp = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                           columns=["s_suppkey", "s_nationkey"])
+    stage2 = exchange_reduce([stage1, supp], ["l_suppkey", "s_suppkey"],
+                             supp_kernel, P=8)
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pc.field("o_orderdate") >= lo) & (pc.field("o_orderdate") < hi),
+    )
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"],
+        filter=pc.field("c_nationkey").isin(region_nk),
+    )
+    ostage = exchange_reduce([orders, cust], ["o_custkey", "c_custkey"],
+                             cust_kernel, P=8)
+    parts = gather_concat(exchange_reduce(
+        [stage2, ostage], ["l_orderkey", "o_orderkey"], order_kernel, P=8
+    ))
+    if parts.num_rows == 0:
+        return empty
+    g = parts.group_by(["l_year", "s_nk"]).aggregate([("rev_u", "sum")])
+    yr = g.column("l_year").to_numpy()
+    nk = g.column("s_nk").to_numpy()
+    rev = g.column("rev_u_sum").to_numpy()
+    years = np.unique(yr)
+    nat_u = np.array([rev[(yr == y) & (nk == target)].sum() for y in years],
+                     dtype=np.int64)
+    tot_u = np.array([rev[yr == y].sum() for y in years], dtype=np.int64)
+    out = pa.table(
+        {"l_year": pa.array(years.astype(np.int64)),
+         "mkt_share_bp": pa.array(
+             1_000_000 * nat_u // np.maximum(tot_u, 1), pa.int64()),
+         "nation_revenue": pa.array((nat_u // 100) / 100.0, pa.float64()),
+         "total_revenue": pa.array((tot_u // 100) / 100.0, pa.float64())}
+    )
+    return finalize(out, [("l_year", "ascending")])

@@ -1182,3 +1182,77 @@ def test_dedup_containment_catches_quote_inclusion(ray_session, tmp_path):
     # the symmetric family would miss it at the same strictness
     jac = dedup_ngram_jaccard(d, tau=0.8)
     assert jac.num_rows == 0
+
+
+def test_q8_market_share_exact_integer_share(ray_session, tmp_path):
+    """Two suppliers in different nations split one region-year's
+    revenue; the share is the exact integer 1e6-basis division and
+    out-of-region customers don't contribute to the denominator."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from image_report_ray.pipelines.relational import q8_market_share
+
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "r_regionkey": pa.array([0, 1], pa.int32()),
+        "r_name": pa.array(["ASIA", "EUROPE"]),
+    }), os.path.join(d, "region.parquet"))
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([1, 2, 3], pa.int32()),
+        "n_name": pa.array(["NATION_1", "NATION_2", "NATION_3"]),
+        "n_regionkey": pa.array([0, 0, 1], pa.int32()),
+    }), os.path.join(d, "nation.parquet"))
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([1, 2], pa.int64()),
+        "s_name": pa.array(["s1", "s2"]),
+        "s_nationkey": pa.array([1, 2], pa.int32()),
+        "s_acctbal": pa.array([0.0] * 2),
+    }), os.path.join(d, "supplier.parquet"))
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([10, 30], pa.int64()),
+        "c_name": pa.array(["cA", "cC"]),
+        "c_nationkey": pa.array([1, 3], pa.int32()),  # 30 is in EUROPE
+        "c_acctbal": pa.array([0.0] * 2),
+        "c_mktsegment": pa.array(["BUILDING"] * 2),
+    }), os.path.join(d, "customer.parquet"))
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1, 2], pa.int64()),
+        "p_name": pa.array(["a", "b"]),
+        "p_brand": pa.array(["Brand#1"] * 2),
+        "p_type": pa.array(["PROMO", "ECONOMY"]),
+        "p_size": pa.array([1, 1], pa.int32()),
+        "p_retailprice": pa.array([1.0] * 2),
+    }), os.path.join(d, "part.parquet"))
+    t96 = np.datetime64("1996-06-01", "us")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2], pa.int64()),
+        "o_custkey": pa.array([10, 30], pa.int64()),
+        "o_orderstatus": pa.array(["O"] * 2),
+        "o_totalprice": pa.array([1.0] * 2),
+        "o_orderdate": pa.array([t96, t96], pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"] * 2),
+    }), os.path.join(d, "orders.parquet"))
+    pq.write_table(pa.table({
+        # order 1 (ASIA cust): supp1/PROMO 30.00, supp2/PROMO 70.00,
+        # supp1/ECONOMY 99.00 (type excluded); order 2: EUROPE cust
+        "l_orderkey": pa.array([1, 1, 1, 2], pa.int64()),
+        "l_partkey": pa.array([1, 1, 2, 1], pa.int64()),
+        "l_suppkey": pa.array([1, 2, 1, 1], pa.int64()),
+        "l_linenumber": pa.array([1, 2, 3, 1], pa.int32()),
+        "l_quantity": pa.array([1.0] * 4),
+        "l_extendedprice": pa.array([30.0, 70.0, 99.0, 55.0]),
+        "l_discount": pa.array([0.0] * 4),
+        "l_tax": pa.array([0.0] * 4),
+        "l_returnflag": pa.array(["N"] * 4),
+        "l_linestatus": pa.array(["O"] * 4),
+        "l_shipdate": pa.array([t96] * 4, pa.timestamp("us")),
+    }), os.path.join(d, "lineitem.parquet"))
+    out = q8_market_share(d)
+    assert out.to_pylist() == [{
+        "l_year": 1996, "mkt_share_bp": 300_000,
+        "nation_revenue": 30.0, "total_revenue": 100.0,
+    }]
