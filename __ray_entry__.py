@@ -2289,6 +2289,30 @@ SELECT (COALESCE(SUM(rev_u), 0) // 100) / 100.0 AS revenue,
        CAST(COUNT(*) AS BIGINT) AS n_items
 FROM j
 """,
+        # exact two-pass order statistics (relational.gap_quantiles):
+        # k = ceil(p*n/100), 1-indexed; the value at rank k among ties
+        # is well-defined, so ROW_NUMBER's tie order doesn't matter
+        "gap_quantiles": """
+WITH g AS (
+  SELECT event_type,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap
+  FROM events
+),
+gg AS (SELECT event_type, CAST(gap AS BIGINT) AS gap
+       FROM g WHERE gap IS NOT NULL),
+r AS (
+  SELECT event_type, gap,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY gap) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM gg
+)
+SELECT event_type,
+       MAX(CASE WHEN rn = (50*n + 99) // 100 THEN gap END) AS p50_us,
+       MAX(CASE WHEN rn = (90*n + 99) // 100 THEN gap END) AS p90_us,
+       MAX(CASE WHEN rn = (99*n + 99) // 100 THEN gap END) AS p99_us
+FROM r GROUP BY event_type ORDER BY event_type
+""",
         # TPC-H Q8 (relational.q8_market_share): nation's share of a
         # region's PROMO revenue per order year; exact integer share
         "q8_market_share": """

@@ -43,6 +43,7 @@ def query_registry() -> "dict[str, Callable[[str], Any]]":
         "charclass_profile": text.charclass_profile,
         "dedup_containment": dedup.dedup_containment,
         "q8_market_share": relational.q8_market_share,
+        "gap_quantiles": relational.gap_quantiles,
         "knn_join": similarity.knn_join,
         "dup_span_coverage": dedup.dup_span_coverage,
         "ngram_novelty": dedup.ngram_novelty,

@@ -2996,3 +2996,152 @@ def q8_market_share(
          "total_revenue": pa.array((tot_u // 100) / 100.0, pa.float64())}
     )
     return finalize(out, [("l_year", "ascending")])
+
+
+# ---- exact distributed order statistics (two-pass histogram refine) -------
+
+_GQ_SHIFT = 26  # coarse bucket = 2^26 µs ≈ 67 s; ~24k buckets per 19-day span
+_GQ_PS = (50, 90, 99)
+
+
+def gap_quantiles(
+    sf_dir: str, ps: tuple = _GQ_PS, P: int = 16, shift: int = _GQ_SHIFT
+) -> pa.Table:
+    """Exact P50/P90/P99 of same-type inter-event gaps (µs between a
+    user's consecutive events of one type) per event type — latency/
+    cadence SLO numbers over an UNBOUNDED integer domain, where the
+    bounded-domain histogram fold (value_quantiles) can't apply.
+
+    Two-pass distributed selection, never a global sort:
+
+    1. the user-keyed exchange computes each partition's gaps (every
+       (user, type) subsequence lives whole in one partition, so diffs
+       are partition-local) and KEEPS them as P partition refs; a task
+       wave folds per-partition coarse histograms over ``gap >> shift``
+       — the driver sees O(P × types × occupied buckets) counts only;
+    2. cumulative counts locate, for each (type, quantile), the one
+       coarse bucket holding the k-th order statistic (k = ceil(p·n/100),
+       the classic 1-indexed rank) and its within-bucket rank; a second
+       task wave returns each partition's (gap, count) pairs for JUST
+       the target buckets — compressed, so even a hot bucket ships at
+       most its distinct values — and one driver merge reads the exact
+       value off the cumulative counts.
+
+    Scale note: occupied buckets ≤ time-span / 2^shift; widen ``shift``
+    for corpora spanning years. Everything is exact int64 µs — no
+    interpolation, bit-equal to the SQL ROW_NUMBER twin."""
+    import ray
+
+    from .exchange import exchange_reduce
+
+    rd = _rd()
+    empty = pa.table(
+        {"event_type": pa.array([], pa.string())}
+        | {f"p{p}_us": pa.array([], pa.int64()) for p in ps}
+    )
+
+    def gap_kernel(pid: int, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "gap": pa.array([], pa.int64())})
+        ts = t.column("ts").combine_chunks().to_numpy(
+            zero_copy_only=False).astype("datetime64[us]").view(np.int64)
+        uid = t.column("user_id").to_numpy()
+        eid = t.column("event_id").to_numpy()
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        # stable key order: (user, type, ts, event_id) — the SQL window
+        codes, uniq = pd.factorize(et, sort=True)
+        order = np.lexsort((eid, ts, codes, uid))
+        u, c, v = uid[order], codes[order], ts[order]
+        same = np.r_[False, (u[1:] == u[:-1]) & (c[1:] == c[:-1])]
+        gap = np.where(same, v - np.r_[np.int64(0), v[:-1]], -1)
+        keep = same
+        return pa.table({"event_type": pa.array(uniq.take(c[keep])),
+                         "gap": pa.array(gap[keep], pa.int64())})
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id", "event_type"])
+    gap_refs = exchange_reduce([ds], ["user_id"], gap_kernel, P=P)
+
+    @ray.remote
+    def hist_task(t: pa.Table, sh: int) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "bucket": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        b = t.column("gap").to_numpy() >> np.int64(sh)
+        g = (t.append_column("bucket", pa.array(b, pa.int64()))
+             .group_by(["event_type", "bucket"])
+             .aggregate([([], "count_all")]))
+        return pa.table({"event_type": g.column("event_type"),
+                         "bucket": g.column("bucket"),
+                         "n": g.column("count_all").cast(pa.int64())})
+
+    @ray.remote
+    def bucket_vals(t: pa.Table, wanted: dict, sh: int) -> pa.Table:
+        out_empty = pa.table({"event_type": pa.array([], pa.string()),
+                              "gap": pa.array([], pa.int64()),
+                              "n": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return out_empty
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        gap = t.column("gap").to_numpy()
+        b = gap >> np.int64(sh)
+        keep = np.zeros(len(gap), dtype=bool)
+        for typ, buckets in wanted.items():
+            keep |= (et == typ) & np.isin(b, list(buckets))
+        if not keep.any():
+            return out_empty
+        g = (t.filter(pa.array(keep)).group_by(["event_type", "gap"])
+             .aggregate([([], "count_all")]))
+        return pa.table({"event_type": g.column("event_type"),
+                         "gap": g.column("gap"),
+                         "n": g.column("count_all").cast(pa.int64())})
+
+    hist = pa.concat_tables(ray.get([hist_task.remote(r, shift)
+                                     for r in gap_refs]))
+    if hist.num_rows == 0:
+        return empty
+    hist = (hist.group_by(["event_type", "bucket"]).aggregate([("n", "sum")])
+            .rename_columns(["event_type", "bucket", "n"]))
+    hdf = hist.to_pandas().sort_values(["event_type", "bucket"])
+
+    # locate each (type, p)'s coarse bucket and within-bucket rank
+    targets: dict[str, dict[int, list]] = {}
+    wanted: dict[str, set] = {}
+    for typ, grp in hdf.groupby("event_type", sort=True):
+        n = int(grp["n"].sum())
+        cum = grp["n"].cumsum().to_numpy()
+        buckets = grp["bucket"].to_numpy()
+        for p in ps:
+            k = (p * n + 99) // 100  # ceil rank, 1-indexed
+            i = int(np.searchsorted(cum, k))
+            before = int(cum[i - 1]) if i else 0
+            targets.setdefault(typ, {}).setdefault(
+                int(buckets[i]), []).append((p, k - before))
+            wanted.setdefault(typ, set()).add(int(buckets[i]))
+
+    vals = pa.concat_tables(ray.get(
+        [bucket_vals.remote(r, wanted, shift) for r in gap_refs]))
+    vt = (vals.group_by(["event_type", "gap"]).aggregate([("n", "sum")])
+          .rename_columns(["event_type", "gap", "n"]))
+    vdf = vt.to_pandas().sort_values(["event_type", "gap"])
+
+    rows: dict[str, dict[int, int]] = {}
+    for typ, grp in vdf.groupby("event_type", sort=True):
+        gaps = grp["gap"].to_numpy()
+        cnts = grp["n"].to_numpy()
+        bks = gaps >> np.int64(shift)
+        for bucket, asks in targets[typ].items():
+            m = bks == bucket
+            bg, bc = gaps[m], np.cumsum(cnts[m])
+            for p, r in asks:
+                rows.setdefault(typ, {})[p] = int(bg[np.searchsorted(bc, r)])
+
+    types = sorted(rows)
+    out = pa.table(
+        {"event_type": pa.array(types)}
+        | {f"p{p}_us": pa.array([rows[t][p] for t in types], pa.int64())
+           for p in ps}
+    )
+    return finalize(out, [("event_type", "ascending")])

@@ -1256,3 +1256,51 @@ def test_q8_market_share_exact_integer_share(ray_session, tmp_path):
         "l_year": 1996, "mkt_share_bp": 300_000,
         "nation_revenue": 30.0, "total_revenue": 100.0,
     }]
+
+
+def test_gap_quantiles_matches_bruteforce_with_ties(ray_session, tmp_path):
+    """Randomized events incl. heavy tie mass; a tiny shift forces real
+    multi-bucket refinement. Exact k = ceil(p*n/100) order statistics."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from image_report_ray.pipelines.relational import gap_quantiles
+
+    d = str(tmp_path)
+    rng = np.random.default_rng(11)
+    n = 5000
+    uid = rng.integers(0, 40, n)
+    typ = np.array(["a", "b", "c"])[rng.integers(0, 3, n)]
+    # lots of equal timestamps and tiny deltas -> tied/zero gaps
+    ts = np.sort(rng.choice(np.arange(0, 10_000_000, 250_000), n)).astype(
+        "datetime64[us]")
+    t = pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array(uid, pa.int64()),
+        "event_type": pa.array(typ),
+        "value": pa.array(np.zeros(n)),
+        "props": pa.array(["{}"] * n),
+    })
+    pq.write_table(t, os.path.join(d, "events.parquet"), row_group_size=613)
+    out = gap_quantiles(d, shift=18)  # ~0.26 s buckets
+    got = {r["event_type"]: (r["p50_us"], r["p90_us"], r["p99_us"])
+           for r in out.to_pylist()}
+
+    # brute force
+    tsv = ts.view(np.int64)
+    want = {}
+    for T in ("a", "b", "c"):
+        gaps = []
+        for u in np.unique(uid):
+            m = (uid == u) & (typ == T)
+            order = np.lexsort((np.arange(n)[m], tsv[m]))
+            sub = tsv[m][order]
+            gaps.extend(np.diff(sub).tolist())
+        gaps = np.sort(np.array(gaps, dtype=np.int64))
+        want[T] = tuple(int(gaps[(p * len(gaps) + 99) // 100 - 1])
+                        for p in (50, 90, 99))
+    assert got == want
