@@ -344,6 +344,8 @@ def run_textbench(num_cpus: int, n_docs: int = TEXTBENCH_DOCS) -> dict:
         ("bm25_search", text.bm25_search),
         ("heavy_hitters", text.heavy_hitters),
         ("pareto_docs", text.pareto_docs),
+        ("weighted_sample", text.weighted_sample),
+        ("dedup_containment", dedup.dedup_containment),
     ):
         t0 = time.perf_counter()
         r = fn(tb_dir)
@@ -399,6 +401,7 @@ def run_eventbench(num_cpus: int) -> dict:
         ("events_rollup", R.events_rollup),
         ("user_streaks", R.user_streaks),
         ("bloom_semi_join", R.bloom_semi_join),
+        ("gap_quantiles", R.gap_quantiles),
     ):
         t0 = time.perf_counter()
         r = fn(EVENTBENCH_DIR)
