@@ -2289,6 +2289,55 @@ SELECT (COALESCE(SUM(rev_u), 0) // 100) / 100.0 AS revenue,
        CAST(COUNT(*) AS BIGINT) AS n_items
 FROM j
 """,
+        # TPC-H Q15 (relational.q15_top_supplier): argmax with ties via
+        # the MAX subquery; exact cents
+        "q15_top_supplier": """
+WITH rev AS (
+  SELECT l_suppkey AS s_suppkey,
+         SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev_u
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, (rev.rev_u // 100) / 100.0 AS total_revenue
+FROM rev JOIN supplier s USING (s_suppkey)
+WHERE rev.rev_u = (SELECT MAX(rev_u) FROM rev)
+ORDER BY s.s_suppkey
+""",
+        # corpus vocabulary census (text.vocab_stats): top_tokens' token
+        # semantics, exact integer type/token ratio
+        "vocab_stats": r"""
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(text, '\S+')) AS w FROM documents
+),
+c AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY w)
+SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(COALESCE(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+           AS n_hapax,
+       CAST(1000000 * COUNT(*) // GREATEST(SUM(n), 1) AS BIGINT) AS ttr_micro
+FROM c
+""",
+        # near-dup graph degree distribution (dedup.pair_degree_hist):
+        # the shared shingle CTE's verified pair graph, endpoint degrees
+        "pair_degree_hist": "WITH " + _NGRAM_CTE + r""",
+pairs AS (
+  SELECT da, db
+  FROM inter JOIN cnt ca ON inter.da = ca.doc_id
+             JOIN cnt cb ON inter.db = cb.doc_id
+  WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.2
+),
+deg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS degree
+  FROM (SELECT da AS doc_id FROM pairs
+        UNION ALL SELECT db AS doc_id FROM pairs)
+  GROUP BY doc_id
+)
+SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM deg GROUP BY degree ORDER BY degree
+""",
         # exact two-pass order statistics (relational.gap_quantiles):
         # k = ceil(p*n/100), 1-indexed; the value at rank k among ties
         # is well-defined, so ROW_NUMBER's tie order doesn't matter

@@ -2566,3 +2566,54 @@ def dedup_containment(sf_dir: str, tau: float = 0.8) -> pa.Table:
     if t.num_rows == 0:
         t = _pair_empty({"containment": pa.float64()})
     return finalize(t, [("doc_id_a", "ascending"), ("doc_id_b", "ascending")])
+
+
+# ---- near-dup graph degree distribution -----------------------------------
+
+
+def pair_degree_hist(sf_dir: str, tau: float = 0.2) -> pa.Table:
+    """Degree distribution of the verified n-gram-Jaccard near-dup
+    graph: how many documents have exactly ``degree`` near-duplicates —
+    the graph-shape profile that distinguishes scattered pairwise noise
+    (degree 1 mass) from template blobs (heavy high-degree tail) and
+    sizes the blast radius of cluster-collapse dedup before running it.
+
+    The verified pair refs never gather: each pair explodes to its two
+    endpoint rows inside a task, the doc-keyed exchange completes every
+    document's degree in exactly one partition, and each partition
+    folds its degrees to a (degree, n_docs) histogram — the driver sees
+    P × distinct-degrees rows, never the edge list."""
+    import ray
+
+    from .exchange import exchange_reduce, gather_concat
+
+    refs, _ = ngram_jaccard_pair_refs(sf_dir, tau)
+
+    @ray.remote
+    def explode_endpoints(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_id_a" not in t.column_names:
+            return pa.table({"doc_id": pa.array([], pa.int64())})
+        return pa.table({"doc_id": pa.concat_arrays([
+            t.column("doc_id_a").combine_chunks(),
+            t.column("doc_id_b").combine_chunks(),
+        ])})
+
+    def degree_kernel(pid: int, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return pa.table({"degree": pa.array([], pa.int64()),
+                             "n_docs": pa.array([], pa.int64())})
+        g = t.group_by(["doc_id"]).aggregate([([], "count_all")])
+        deg = g.column("count_all").to_numpy()
+        d, c = np.unique(deg, return_counts=True)
+        return pa.table({"degree": pa.array(d.astype(np.int64)),
+                         "n_docs": pa.array(c.astype(np.int64))})
+
+    ends = [explode_endpoints.remote(r) for r in refs]
+    parts = gather_concat(exchange_reduce([ends], ["doc_id"], degree_kernel))
+    if parts.num_rows == 0:
+        return pa.table({"degree": pa.array([], pa.int64()),
+                         "n_docs": pa.array([], pa.int64())})
+    g = parts.group_by(["degree"]).aggregate([("n_docs", "sum")])
+    out = pa.table({"degree": g.column("degree"),
+                    "n_docs": g.column("n_docs_sum").cast(pa.int64())})
+    return finalize(out, [("degree", "ascending")])

@@ -44,6 +44,9 @@ def query_registry() -> "dict[str, Callable[[str], Any]]":
         "dedup_containment": dedup.dedup_containment,
         "q8_market_share": relational.q8_market_share,
         "gap_quantiles": relational.gap_quantiles,
+        "q15_top_supplier": relational.q15_top_supplier,
+        "vocab_stats": text.vocab_stats,
+        "pair_degree_hist": dedup.pair_degree_hist,
         "knn_join": similarity.knn_join,
         "dup_span_coverage": dedup.dup_span_coverage,
         "ngram_novelty": dedup.ngram_novelty,

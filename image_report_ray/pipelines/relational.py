@@ -3145,3 +3145,73 @@ def gap_quantiles(
            for p in ps}
     )
     return finalize(out, [("event_type", "ascending")])
+
+
+# ---- TPC-H Q15: top supplier(s) by quarter revenue ------------------------
+
+
+def q15_top_supplier(sf_dir: str) -> pa.Table:
+    """TPC-H Q15 shape: the supplier(s) with MAXIMUM shipped revenue in
+    one quarter — the argmax-with-ties pattern (the original's view +
+    MAX subquery).
+
+    lineitem folds (suppkey, rev_u) partials map-side; the suppkey
+    exchange completes each supplier's total and each partition emits
+    ONLY its rows tied at the partition max — a provable superset of
+    the global argmax set, O(P × ties) to the driver, never O(suppliers).
+    Winner names resolve via a pushdown supplier read on the ≤ few
+    winning keys. Exact cents; one display division."""
+    from .exchange import exchange_reduce, gather_concat
+
+    rd = _rd()
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"), type=pa.timestamp("us"))
+    hi = pa.scalar(np.datetime64("1996-04-01", "us"), type=pa.timestamp("us"))
+    empty = pa.table({"s_suppkey": pa.array([], pa.int64()),
+                      "s_name": pa.array([], pa.string()),
+                      "total_revenue": pa.array([], pa.float64())})
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "l_suppkey" not in t.column_names:
+            return pa.table({"l_suppkey": pa.array([], pa.int64()),
+                             "rev_u": pa.array([], pa.int64())})
+        rev_u = _cents(t.column("l_extendedprice")) * (
+            100 - _cents(t.column("l_discount"))
+        )
+        part = pa.table({"l_suppkey": t.column("l_suppkey").cast(pa.int64()),
+                         "rev_u": pa.array(rev_u, pa.int64())})
+        g = part.group_by(["l_suppkey"]).aggregate([("rev_u", "sum")])
+        return g.rename_columns(["l_suppkey", "rev_u"])
+
+    def argmax_kernel(pid: int, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "l_suppkey" not in t.column_names:
+            return pa.table({"l_suppkey": pa.array([], pa.int64()),
+                             "rev_u": pa.array([], pa.int64())})
+        g = t.group_by(["l_suppkey"]).aggregate([("rev_u", "sum")])
+        rev = g.column("rev_u_sum").to_numpy()
+        keep = rev == rev.max()
+        return pa.table({"l_suppkey": g.column("l_suppkey").filter(pa.array(keep)),
+                         "rev_u": pa.array(rev[keep], pa.int64())})
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+        filter=(pc.field("l_shipdate") >= lo) & (pc.field("l_shipdate") < hi),
+    ).map_batches(li_partial, batch_format="pyarrow")
+    cand = gather_concat(exchange_reduce([li], ["l_suppkey"], argmax_kernel,
+                                         P=8))
+    if cand.num_rows == 0:
+        return empty
+    rev = cand.column("rev_u").to_numpy()
+    win = cand.filter(pa.array(rev == rev.max()))
+    keys = win.column("l_suppkey").to_pylist()
+    supp = ds_to_table(rd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"],
+        filter=pc.field("s_suppkey").isin(keys),
+    ))
+    j = win.join(supp, keys=["l_suppkey"], right_keys=["s_suppkey"])
+    ru = j.column("rev_u").to_numpy()
+    out = pa.table({"s_suppkey": j.column("l_suppkey").cast(pa.int64()),
+                    "s_name": j.column("s_name"),
+                    "total_revenue": pa.array((ru // 100) / 100.0,
+                                              pa.float64())})
+    return finalize(out, [("s_suppkey", "ascending")])

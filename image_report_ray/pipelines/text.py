@@ -2947,3 +2947,56 @@ def charclass_profile(sf_dir: str) -> pa.Table:
                     "spaces": t.column("spaces").cast(pa.int64()),
                     "other": pa.array(other.astype(np.int64))})
     return finalize(out, [("source", "ascending")])
+
+
+# ---- corpus vocabulary census ---------------------------------------------
+
+
+def vocab_stats(sf_dir: str) -> pa.Table:
+    """Corpus vocabulary census: total token occurrences, distinct
+    types, hapax legomena (types occurring exactly once) and the exact
+    integer type/token ratio (1e-6 basis) — the Zipf-health signal that
+    catches both a template-collapsed corpus (TTR ≈ 0) and an id-soup
+    one (TTR ≈ 1) before training.
+
+    top_tokens' token semantics (non-empty ``\\S+`` runs): per-block
+    value_counts partials, the token-keyed exchange completes each
+    type's global count in exactly one partition, and each partition
+    reduces to ONE (occurrences, types, hapax) row — the driver folds P
+    scalar rows, never the vocabulary."""
+    from .exchange import exchange_reduce, gather_concat
+
+    rd = _rd()
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(t.column("text"), _TOKEN_SPLIT)
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = flat.value_counts()
+        return pa.table({"token": vc.field("values"),
+                         "n_part": vc.field("counts").cast(pa.int64())})
+
+    def census_kernel(pid: int, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "token" not in t.column_names:
+            return pa.table({"occ": pa.array([], pa.int64()),
+                             "types": pa.array([], pa.int64()),
+                             "hapax": pa.array([], pa.int64())})
+        g = t.group_by(["token"]).aggregate([("n_part", "sum")])
+        n = g.column("n_part_sum").to_numpy()
+        return pa.table({"occ": pa.array([int(n.sum())], pa.int64()),
+                         "types": pa.array([len(n)], pa.int64()),
+                         "hapax": pa.array([int((n == 1).sum())], pa.int64())})
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    parts = gather_concat(exchange_reduce(
+        [ds.map_batches(partial_counts, batch_format="pyarrow")],
+        ["token"], census_kernel,
+    ))
+    occ = int(pc.sum(parts.column("occ")).as_py() or 0) if parts.num_rows else 0
+    ty = int(pc.sum(parts.column("types")).as_py() or 0) if parts.num_rows else 0
+    hp = int(pc.sum(parts.column("hapax")).as_py() or 0) if parts.num_rows else 0
+    return pa.table({"n_tokens": pa.array([occ], pa.int64()),
+                     "n_types": pa.array([ty], pa.int64()),
+                     "n_hapax": pa.array([hp], pa.int64()),
+                     "ttr_micro": pa.array(
+                         [1_000_000 * ty // max(occ, 1)], pa.int64())})

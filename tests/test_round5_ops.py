@@ -1304,3 +1304,94 @@ def test_gap_quantiles_matches_bruteforce_with_ties(ray_session, tmp_path):
         want[T] = tuple(int(gaps[(p * len(gaps) + 99) // 100 - 1])
                         for p in (50, 90, 99))
     assert got == want
+
+
+def test_q15_argmax_keeps_all_ties(ray_session, tmp_path):
+    """Two suppliers tied at the window max both win; out-of-window
+    revenue doesn't count."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from image_report_ray.pipelines.relational import q15_top_supplier
+
+    d = str(tmp_path)
+    t_in = np.datetime64("1996-02-01", "us")
+    t_out = np.datetime64("1996-06-01", "us")
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([1, 2, 3], pa.int64()),
+        "s_name": pa.array(["s1", "s2", "s3"]),
+        "s_nationkey": pa.array([0, 0, 0], pa.int32()),
+        "s_acctbal": pa.array([0.0] * 3),
+    }), os.path.join(d, "supplier.parquet"))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "l_partkey": pa.array([1] * 5, pa.int64()),
+        "l_suppkey": pa.array([1, 2, 2, 3, 3], pa.int64()),
+        "l_linenumber": pa.array([1] * 5, pa.int32()),
+        "l_quantity": pa.array([1.0] * 5),
+        # s1: 100; s2: 60+40=100 (tie); s3: 50 in-window + 999 out
+        "l_extendedprice": pa.array([100.0, 60.0, 40.0, 50.0, 999.0]),
+        "l_discount": pa.array([0.0] * 5),
+        "l_tax": pa.array([0.0] * 5),
+        "l_returnflag": pa.array(["N"] * 5),
+        "l_linestatus": pa.array(["O"] * 5),
+        "l_shipdate": pa.array([t_in, t_in, t_in, t_in, t_out],
+                               pa.timestamp("us")),
+    }), os.path.join(d, "lineitem.parquet"))
+    out = q15_top_supplier(d)
+    assert out.to_pylist() == [
+        {"s_suppkey": 1, "s_name": "s1", "total_revenue": 100.0},
+        {"s_suppkey": 2, "s_name": "s2", "total_revenue": 100.0},
+    ]
+
+
+def test_vocab_stats_exact_census(ray_session, tmp_path):
+    """Occurrences / types / hapax / TTR on a corpus with known counts."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from image_report_ray.pipelines.text import vocab_stats
+
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["a b a c", "b d"]),
+        "lang": pa.array(["en"] * 2),
+        "source": pa.array(["s"] * 2),
+        "n_chars": pa.array([7, 3], pa.int64()),
+    }), os.path.join(d, "documents.parquet"))
+    out = vocab_stats(d)
+    # tokens: a a b b c d -> 6 occ, 4 types, hapax {c, d} = 2
+    assert out.to_pylist() == [{
+        "n_tokens": 6, "n_types": 4, "n_hapax": 2,
+        "ttr_micro": 1_000_000 * 4 // 6,
+    }]
+
+
+def test_pair_degree_hist_triangle_plus_isolate(ray_session, tmp_path):
+    """Three identical docs form a triangle (each degree 2); an
+    unrelated doc contributes no degree row."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from image_report_ray.pipelines.dedup import pair_degree_hist
+
+    d = str(tmp_path)
+    same = " ".join(f"w{i}" for i in range(20))
+    other = " ".join(f"z{i}" for i in range(20))
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([same, same, same, other]),
+        "lang": pa.array(["en"] * 4),
+        "source": pa.array(["s"] * 4),
+        "n_chars": pa.array([1] * 4, pa.int64()),
+    }), os.path.join(d, "documents.parquet"))
+    out = pair_degree_hist(d)
+    assert out.to_pylist() == [{"degree": 2, "n_docs": 3}]
