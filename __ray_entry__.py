@@ -1708,6 +1708,28 @@ ORDER BY epoch
 """,
         # SCD2 version history (cdcq.cdc_version_history): each event's
         # validity closes at its key's next lsn (null = current)
+        # overwrite-churn census (cdcq.cdc_edit_wars)
+        "cdc_edit_wars": CHANGELOG_CTE + """
+, k AS (
+  SELECT conv_id, turn_idx, CAST(COUNT(*) AS BIGINT) AS v
+  FROM ch GROUP BY conv_id, turn_idx
+)
+SELECT conv_id,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(CASE WHEN v >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rewritten,
+       MAX(v) AS max_versions,
+       CAST(SUM(v) AS BIGINT) AS n_events
+FROM k GROUP BY conv_id ORDER BY conv_id
+""",
+        # most-rewritten keys (cdcq.cdc_hot_keys): the salting hot list
+        "cdc_hot_keys": CHANGELOG_CTE + """
+, k AS (
+  SELECT conv_id, turn_idx, CAST(COUNT(*) AS BIGINT) AS versions
+  FROM ch GROUP BY conv_id, turn_idx
+)
+SELECT conv_id, turn_idx, versions
+FROM k ORDER BY versions DESC, conv_id, turn_idx LIMIT 20
+""",
         "cdc_version_history": CHANGELOG_CTE + """
 SELECT lsn, conv_id, turn_idx, op,
        LEAD(lsn) OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn)

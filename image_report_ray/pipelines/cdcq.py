@@ -1574,3 +1574,107 @@ def cdc_orphan_tombstones(sf_dir: str) -> pa.Table:
          "n_orphan_deletes": g.column("n_orphan_deletes_sum").cast(pa.int64())}
     )
     return finalize(out, [("conv_id", "ascending")])
+
+
+# ---- overwrite-churn profiles off the changelog ---------------------------
+
+
+def _key_version_counts_kernel(pid: int, t: pa.Table) -> pa.Table:
+    """Per-partition (conv_id, turn_idx, versions) — a key's whole event
+    history co-locates under the conv-keyed exchange, so the count is
+    globally complete."""
+    if t.num_rows == 0 or "conv_id" not in t.column_names:
+        return pa.table({"conv_id": pa.array([], pa.string()),
+                         "turn_idx": pa.array([], pa.int32()),
+                         "v": pa.array([], pa.int64())})
+    g = t.group_by(["conv_id", "turn_idx"]).aggregate([([], "count_all")])
+    return pa.table({"conv_id": g.column("conv_id"),
+                     "turn_idx": g.column("turn_idx"),
+                     "v": g.column("count_all").cast(pa.int64())})
+
+
+def cdc_edit_wars(sf_dir: str) -> pa.Table:
+    """Per-conversation overwrite churn off the changelog: how many
+    (conv, turn) keys exist, how many were written MORE than once
+    (rewrites — upserts/deletes landing on an already-written turn), the
+    deepest single-key version pile and total events. The edit-war
+    profile that tells an agent-farm operator which conversations burn
+    write amplification before they hit compaction.
+
+    One conv-keyed exchange: a conversation's events co-locate, each
+    partition folds its keys' version counts straight to per-conv rows
+    — nothing but the final per-conversation profile leaves the
+    partition. Exact twin: ``cdc_edit_wars`` (changelog CTE census)."""
+    from .exchange import exchange_reduce, gather_concat
+
+    ds = changelog_dataset(sf_dir).map_batches(
+        lambda t: t.select(["conv_id", "turn_idx"]), batch_format="pyarrow",
+    )
+
+    def conv_kernel(pid: int, t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        k = _key_version_counts_kernel(pid, t)
+        if k.num_rows == 0:
+            return pa.table({"conv_id": pa.array([], pa.string()),
+                             "n_keys": pa.array([], pa.int64()),
+                             "n_rewritten": pa.array([], pa.int64()),
+                             "max_versions": pa.array([], pa.int64()),
+                             "n_events": pa.array([], pa.int64())})
+        v = k.column("v").to_numpy()
+        k = k.append_column("rw", pa.array((v >= 2).astype(np.int64)))
+        g = k.group_by(["conv_id"]).aggregate(
+            [([], "count_all"), ("rw", "sum"), ("v", "max"), ("v", "sum")]
+        )
+        return pa.table({"conv_id": g.column("conv_id"),
+                         "n_keys": g.column("count_all").cast(pa.int64()),
+                         "n_rewritten": g.column("rw_sum").cast(pa.int64()),
+                         "max_versions": g.column("v_max").cast(pa.int64()),
+                         "n_events": g.column("v_sum").cast(pa.int64())})
+
+    out = gather_concat(exchange_reduce([ds], ["conv_id"], conv_kernel))
+    if out.num_rows == 0:
+        return pa.table({"conv_id": pa.array([], pa.string()),
+                         "n_keys": pa.array([], pa.int64()),
+                         "n_rewritten": pa.array([], pa.int64()),
+                         "max_versions": pa.array([], pa.int64()),
+                         "n_events": pa.array([], pa.int64())})
+    return finalize(out, [("conv_id", "ascending")])
+
+
+def cdc_hot_keys(sf_dir: str, topn: int = 20) -> pa.Table:
+    """The ``topn`` most-rewritten (conv, turn) keys in the changelog —
+    the write-amplification hot list that feeds the salting advisory:
+    these are exactly the keys whose partitions straggle at apply time.
+
+    Same exchange as :func:`cdc_edit_wars`; each partition cuts its own
+    top-``topn`` under the total (versions desc, conv asc, turn asc)
+    order (a provable superset of the global cut) and the driver folds
+    P×topn rows."""
+    from .exchange import exchange_reduce, gather_concat
+
+    ds = changelog_dataset(sf_dir).map_batches(
+        lambda t: t.select(["conv_id", "turn_idx"]), batch_format="pyarrow",
+    )
+
+    def topk_kernel(pid: int, t: pa.Table) -> pa.Table:
+        k = _key_version_counts_kernel(pid, t)
+        if k.num_rows == 0:
+            return k
+        idx = pc.sort_indices(k, sort_keys=[
+            ("v", "descending"), ("conv_id", "ascending"),
+            ("turn_idx", "ascending")])
+        return k.take(idx.slice(0, topn))
+
+    cand = gather_concat(exchange_reduce([ds], ["conv_id"], topk_kernel))
+    if cand.num_rows == 0:
+        return pa.table({"conv_id": pa.array([], pa.string()),
+                         "turn_idx": pa.array([], pa.int32()),
+                         "versions": pa.array([], pa.int64())})
+    idx = pc.sort_indices(cand, sort_keys=[
+        ("v", "descending"), ("conv_id", "ascending"),
+        ("turn_idx", "ascending")])
+    top = cand.take(idx.slice(0, topn))
+    return pa.table({"conv_id": top.column("conv_id"),
+                     "turn_idx": top.column("turn_idx"),
+                     "versions": top.column("v")})

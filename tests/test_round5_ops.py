@@ -1395,3 +1395,37 @@ def test_pair_degree_hist_triangle_plus_isolate(ray_session, tmp_path):
     }), os.path.join(d, "documents.parquet"))
     out = pair_degree_hist(d)
     assert out.to_pylist() == [{"degree": 2, "n_docs": 3}]
+
+
+def test_cdc_edit_wars_and_hot_keys_consistency(ray_session):
+    """edit_wars totals must re-derive from version_history, and
+    hot_keys must be the global top-20 of the same per-key counts."""
+    from collections import Counter
+
+    from image_report_ray.pipelines.cdcq import (
+        cdc_edit_wars,
+        cdc_hot_keys,
+        cdc_version_history,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    hist = cdc_version_history(sf).to_pylist()
+    per_key = Counter((r["conv_id"], r["turn_idx"]) for r in hist)
+
+    wars = {r["conv_id"]: r for r in cdc_edit_wars(sf).to_pylist()}
+    per_conv: dict = {}
+    for (c, t), v in per_key.items():
+        d = per_conv.setdefault(c, {"n_keys": 0, "n_rewritten": 0,
+                                    "max_versions": 0, "n_events": 0})
+        d["n_keys"] += 1
+        d["n_rewritten"] += int(v >= 2)
+        d["max_versions"] = max(d["max_versions"], v)
+        d["n_events"] += v
+    assert set(wars) == set(per_conv)
+    for c, d in per_conv.items():
+        got = wars[c]
+        assert {k: got[k] for k in d} == d, c
+
+    hot = cdc_hot_keys(sf).to_pylist()
+    want = sorted(per_key.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert [((r["conv_id"], r["turn_idx"]), r["versions"]) for r in hot] == want
