@@ -2257,6 +2257,10 @@ def keyword_search(sf_dir: str, n_terms: int = 2) -> pa.Table:
 
     from .exchange import exchange_reduce, gather_concat
 
+    idx = _text_index_meta(sf_dir)
+    if idx is not None:  # physical inverted index at rest for this content
+        return _keyword_search_indexed(idx[0], idx[1], n_terms)
+
     rd = _rd()
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     base_refs = ds.to_arrow_refs()
@@ -2443,6 +2447,10 @@ def bm25_search(sf_dir: str, n_terms: int = 2, k: int = _BM25_K) -> pa.Table:
     import ray
 
     from .exchange import exchange_reduce, gather_concat
+
+    idx = _text_index_meta(sf_dir)
+    if idx is not None:  # physical inverted index at rest for this content
+        return _bm25_search_indexed(idx[0], idx[1], n_terms, k)
 
     rd = _rd()
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
@@ -3000,3 +3008,335 @@ def vocab_stats(sf_dir: str) -> pa.Table:
                      "n_hapax": pa.array([hp], pa.int64()),
                      "ttr_micro": pa.array(
                          [1_000_000 * ty // max(occ, 1)], pa.int64())})
+
+
+# ---- physical inverted text index at rest ---------------------------------
+#
+# The build_lsh_index sibling for TOKENS (similarity.py:698): the
+# (token, doc_id, tf) posting table written once, hash-partitioned by
+# hash_key(token) % P into ``pid=K/`` parquet dirs — the SAME routing as
+# the token-keyed exchange, so each pid dir holds EVERY posting of its
+# tokens and df/top-k folds become pid-local. A doclens/ sibling (one
+# shard per hash_key(doc_id) % P) carries the per-doc token counts BM25
+# needs. keyword_search and bm25_search auto-route through the index
+# when one exists for the corpus content: retrieval then reads ONLY the
+# query terms' pid dirs — no re-tokenization of a single document.
+
+_TI_VERSION = 1
+_TI_PARTS = 16
+
+
+def _text_index_dir(sf_dir: str) -> str:
+    """Deterministic per-corpus inverted-index location under /tmp —
+    content-fingerprinted (size + mtime of every documents file) with
+    every layout parameter in the tag, so a corpus or constant change
+    can't serve a stale index."""
+    import glob
+    import hashlib
+    import os
+    import tempfile
+
+    h = hashlib.sha1(os.path.abspath(sf_dir).encode())
+    h.update(f"|ti{_TI_VERSION}:{_TI_PARTS}".encode())
+    pat = os.path.join(sf_dir, "documents.parquet")
+    paths = sorted(glob.glob(pat)) or sorted(
+        glob.glob(os.path.join(pat, "*.parquet"))
+    )
+    for p in paths:
+        st = os.stat(p)
+        h.update(f"|{os.path.basename(p)}:{st.st_size}:{st.st_mtime_ns}".encode())
+    return os.path.join(tempfile.gettempdir(), f"irr-textidx-{h.hexdigest()[:12]}")
+
+
+def _text_index_meta(sf_dir: str) -> "tuple[str, dict] | None":
+    import json
+    import os
+
+    d = _text_index_dir(sf_dir)
+    mp = os.path.join(d, "meta.json")
+    if not os.path.exists(mp):
+        return None
+    with open(mp) as f:
+        return d, json.load(f)
+
+
+def build_text_index(
+    sf_dir: str, index_dir: str | None = None, P: int = _TI_PARTS
+) -> dict:
+    """Build (or reuse) the physical inverted text index: one streamed
+    tokenize pass writes ``postings/pid=K/`` (token-hash partitioned,
+    one row per (token, doc) with its tf), a doc-keyed exchange folds
+    ``doclens/pid=K/`` (one shard per doc-hash partition), and
+    ``meta.json`` pins (N, L, P, version). Publishes by atomic rename —
+    concurrent builders race safely, first wins."""
+    import json
+    import os
+    import shutil
+
+    import pyarrow.parquet as pqt
+    import ray
+
+    from .exchange import exchange_reduce, hash_key
+
+    rd = _rd()
+    final = index_dir or _text_index_dir(sf_dir)
+    mp = os.path.join(final, "meta.json")
+    if os.path.exists(mp):
+        with open(mp) as f:
+            return json.load(f)
+    n_docs = pqt.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+
+    def explode(t: pa.Table) -> pa.Table:
+        empty = pa.table({"token": pa.array([], pa.string()),
+                          "doc_id": pa.array([], pa.int64()),
+                          "tf": pa.array([], pa.int64()),
+                          "pid": pa.array([], pa.int32())})
+        if t.num_rows == 0 or "text" not in t.column_names:
+            return empty
+        toks = pc.split_pattern_regex(t.column("text").combine_chunks(),
+                                      _TOKEN_SPLIT)
+        flat = pc.list_flatten(toks)
+        did = t.column("doc_id").combine_chunks().take(
+            pc.list_parent_indices(toks)
+        )
+        pt = pa.table({"token": flat, "doc_id": did}).filter(
+            pc.not_equal(flat, "")
+        )
+        if pt.num_rows == 0:
+            return empty
+        g = pt.group_by(["token", "doc_id"]).aggregate([([], "count_all")])
+        pid = (hash_key(g.column("token")) % np.uint64(P)).astype(np.int32)
+        return pa.table({"token": g.column("token"),
+                         "doc_id": g.column("doc_id").cast(pa.int64()),
+                         "tf": g.column("count_all").cast(pa.int64()),
+                         "pid": pa.array(pid)})
+
+    scratch = f"{final}.building-{os.getpid()}"
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    ds.map_batches(explode, batch_format="pyarrow").write_parquet(
+        os.path.join(scratch, "postings"), partition_cols=["pid"]
+    )
+
+    # doclens: complete dl per doc via the doc-keyed exchange over the
+    # freshly-written postings (dl = Σ tf — token-partitioned shards
+    # each hold part of a doc, the exchange reunites them)
+    post_ds = rd.read_parquet(os.path.join(scratch, "postings"),
+                              columns=["doc_id", "tf"])
+
+    def dl_kernel(pid_: int, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "dl": pa.array([], pa.int64())})
+        g = t.group_by(["doc_id"]).aggregate([("tf", "sum")])
+        return pa.table({"doc_id": g.column("doc_id"),
+                         "dl": g.column("tf_sum").cast(pa.int64())})
+
+    dl_refs = exchange_reduce([post_ds], ["doc_id"], dl_kernel, P=P)
+
+    @ray.remote
+    def write_dl(t: pa.Table, path: str) -> int:
+        import os as _os
+
+        import pyarrow.parquet as _pq
+
+        _os.makedirs(_os.path.dirname(path), exist_ok=True)
+        _pq.write_table(t, path)
+        return int(t.column("dl").to_numpy().sum()) if t.num_rows else 0
+
+    ls = ray.get([
+        write_dl.remote(r, os.path.join(scratch, "doclens", f"pid={i}",
+                                        "part-0.parquet"))
+        for i, r in enumerate(dl_refs)
+    ])
+    meta = {"version": _TI_VERSION, "P": int(P),
+            "n_docs": int(n_docs), "n_tokens": int(sum(ls))}
+    with open(os.path.join(scratch, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    try:
+        os.rename(scratch, final)
+    except OSError:  # concurrent builder won the publish race
+        shutil.rmtree(scratch, ignore_errors=True)
+    with open(mp) as f:
+        return json.load(f)
+
+
+def _ti_top_terms(index_dir: str, meta: dict, n_terms: int) -> pa.Table:
+    """Global top-``n_terms`` document-frequency tokens off the index:
+    each pid dir holds every posting of its tokens, so df and the
+    top-n cut are pid-local (provable superset) — NO exchange."""
+    import glob
+    import os
+
+    import ray
+
+    @ray.remote
+    def pid_top(paths: list, k: int) -> pa.Table:
+        import pyarrow.parquet as _pq
+
+        if not paths:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        t = pa.concat_tables(
+            [_pq.read_table(p, columns=["token"]) for p in paths]
+        )
+        vc = t.column("token").combine_chunks().value_counts()
+        out = pa.table({"token": vc.field("values"),
+                        "n": vc.field("counts").cast(pa.int64())})
+        idx = pc.sort_indices(out, sort_keys=[("n", "descending"),
+                                              ("token", "ascending")])
+        return out.take(idx.slice(0, k))
+
+    cands = pa.concat_tables(ray.get([
+        pid_top.remote(
+            sorted(glob.glob(os.path.join(index_dir, "postings",
+                                          f"pid={i}", "*.parquet"))),
+            n_terms)
+        for i in range(meta["P"])
+    ]))
+    idx = pc.sort_indices(cands, sort_keys=[("n", "descending"),
+                                            ("token", "ascending")])
+    return cands.take(idx.slice(0, n_terms))
+
+
+def _ti_term_posting_refs(index_dir: str, meta: dict, terms: list) -> list:
+    """Posting refs for the query terms, reading ONLY the pid dirs the
+    terms hash into — the pruning the physical layout buys."""
+    import glob
+    import os
+
+    import ray
+
+    from .exchange import hash_key
+
+    pids = sorted(set(
+        (hash_key(pa.array(terms, pa.string())) % np.uint64(meta["P"]))
+        .astype(int).tolist()
+    ))
+
+    @ray.remote
+    def read_pid(paths: list, terms_: list) -> pa.Table:
+        import pyarrow.parquet as _pq
+
+        empty = pa.table({"token": pa.array([], pa.string()),
+                          "doc_id": pa.array([], pa.int64()),
+                          "tf": pa.array([], pa.int64())})
+        if not paths:
+            return empty
+        t = pa.concat_tables([
+            _pq.read_table(p, columns=["token", "doc_id", "tf"])
+            for p in paths
+        ])
+        return t.filter(pc.is_in(t.column("token"),
+                                 value_set=pa.array(terms_, pa.string())))
+
+    return [
+        read_pid.remote(
+            sorted(glob.glob(os.path.join(index_dir, "postings",
+                                          f"pid={i}", "*.parquet"))),
+            terms)
+        for i in pids
+    ]
+
+
+def _ti_doclen_refs(index_dir: str, meta: dict) -> list:
+    import glob
+    import os
+
+    import ray
+
+    @ray.remote
+    def read_dl(paths: list) -> pa.Table:
+        import pyarrow.parquet as _pq
+
+        if not paths:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "dl": pa.array([], pa.int64())})
+        return pa.concat_tables([_pq.read_table(p) for p in paths])
+
+    return [
+        read_dl.remote(sorted(glob.glob(os.path.join(
+            index_dir, "doclens", f"pid={i}", "*.parquet"))))
+        for i in range(meta["P"])
+    ]
+
+
+def _keyword_search_indexed(
+    index_dir: str, meta: dict, n_terms: int
+) -> pa.Table:
+    """keyword_search off the physical index: identical result to the
+    exchange route (same df top-n tie order, same conjunctive test) —
+    candidate generation touches only the query terms' pid dirs."""
+    from .exchange import exchange_reduce, gather_concat
+
+    sel = _ti_top_terms(index_dir, meta, n_terms)
+    terms = sel.column("token").to_pylist()
+    if not terms:
+        return pa.table({"doc_id": pa.array([], pa.int64())})
+    refs = _ti_term_posting_refs(index_dir, meta, terms)
+
+    def conj_kernel(pid: int, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return pa.table({"doc_id": pa.array([], pa.int64())})
+        m = t.group_by(["doc_id"]).aggregate([([], "count_all")])
+        full = m.filter(pc.equal(m.column("count_all"), len(terms)))
+        return pa.table({"doc_id": full.column("doc_id").cast(pa.int64())})
+
+    hits = gather_concat(exchange_reduce([refs], ["doc_id"], conj_kernel))
+    if hits.num_rows == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64())})
+    return finalize(hits, [("doc_id", "ascending")])
+
+
+def _bm25_search_indexed(
+    index_dir: str, meta: dict, n_terms: int, k: int
+) -> pa.Table:
+    """bm25_search off the physical index: the identical exact-integer
+    Okapi arithmetic (flooring per term before the sum), candidates from
+    the query terms' pid dirs only, dl via the doc-keyed exchange with
+    the doclens shards — bit-equal to the tokenize route."""
+    from .exchange import exchange_reduce, gather_concat
+
+    N, L = meta["n_docs"], meta["n_tokens"]
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "score_micro": pa.array([], pa.int64())})
+    if L == 0:
+        return empty
+    sel = _ti_top_terms(index_dir, meta, n_terms)
+    if sel.num_rows == 0:
+        return empty
+    df_by_term = dict(zip(sel.column("token").to_pylist(),
+                          sel.column("n").to_pylist()))
+    cand_refs = _ti_term_posting_refs(index_dir, meta, list(df_by_term))
+    dl_refs = _ti_doclen_refs(index_dir, meta)
+
+    def score_kernel(pid: int, ct: pa.Table, dt: pa.Table) -> pa.Table:
+        if ct.num_rows == 0 or "doc_id" not in ct.column_names:
+            return empty
+        dld = dict(zip(dt.column("doc_id").to_numpy().tolist(),
+                       dt.column("dl").to_numpy().tolist()))
+        scores: dict[int, int] = {}
+        for doc, w, tf in zip(ct.column("doc_id").to_numpy().tolist(),
+                              ct.column("token").to_pylist(),
+                              ct.column("tf").to_numpy().tolist()):
+            dfq = df_by_term[w]
+            a = (2 * N - 2 * dfq + 1) * 44 * L * tf * 1_000_000
+            b = (2 * dfq + 1) * (20 * L * tf + 6 * L + 18 * dld[doc] * N)
+            scores[doc] = scores.get(doc, 0) + a // b
+        out = pa.table({
+            "doc_id": pa.array(list(scores), pa.int64()),
+            "score_micro": pa.array(list(scores.values()), pa.int64()),
+        })
+        idx = pc.sort_indices(out, sort_keys=[("score_micro", "descending"),
+                                              ("doc_id", "ascending")])
+        return out.take(idx.slice(0, k))
+
+    cand = gather_concat(exchange_reduce(
+        [cand_refs, dl_refs], ["doc_id", "doc_id"], score_kernel,
+        P=meta["P"],
+    ))
+    if cand.num_rows == 0:
+        return empty
+    idx = pc.sort_indices(cand, sort_keys=[("score_micro", "descending"),
+                                           ("doc_id", "ascending")])
+    return cand.take(idx.slice(0, k)).combine_chunks()

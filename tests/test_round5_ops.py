@@ -1429,3 +1429,62 @@ def test_cdc_edit_wars_and_hot_keys_consistency(ray_session):
     hot = cdc_hot_keys(sf).to_pylist()
     want = sorted(per_key.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
     assert [((r["conv_id"], r["turn_idx"]), r["versions"]) for r in hot] == want
+
+
+def _ti_corpus(tmp_path, texts):
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * len(texts)),
+        "source": pa.array(["s"] * len(texts)),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), os.path.join(d, "documents.parquet"), row_group_size=7)
+    return d
+
+
+def test_text_index_route_equality_and_reuse(ray_session, tmp_path):
+    """keyword_search and bm25_search must be bit-equal through the
+    physical inverted index, the second build must reuse (no rewrite),
+    and a content change must invalidate the fingerprint."""
+    import shutil
+    import time as _time
+
+    from image_report_ray.pipelines.text import (
+        _text_index_dir,
+        bm25_search,
+        build_text_index,
+        keyword_search,
+    )
+
+    rng = np.random.default_rng(3)
+    vocab = [f"t{i}" for i in range(30)]
+    texts = [" ".join(rng.choice(vocab, rng.integers(5, 25)))
+             for _ in range(40)]
+    d = _ti_corpus(tmp_path, texts)
+
+    fresh_kw = keyword_search(d)
+    fresh_bm = bm25_search(d)
+    idx_dir = _text_index_dir(d)
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    meta1 = build_text_index(d)
+    assert meta1["n_docs"] == 40
+    assert keyword_search(d).equals(fresh_kw)
+    assert bm25_search(d).equals(fresh_bm)
+
+    # reuse: meta.json untouched by a second build
+    mp = os.path.join(idx_dir, "meta.json")
+    mt = os.stat(mp).st_mtime_ns
+    meta2 = build_text_index(d)
+    assert meta2 == meta1 and os.stat(mp).st_mtime_ns == mt
+
+    # content change -> new fingerprint dir (stale index never served)
+    _time.sleep(0.01)
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        "text": pa.array(["only one doc now"]),
+        "lang": pa.array(["en"]),
+        "source": pa.array(["s"]),
+        "n_chars": pa.array([16], pa.int64()),
+    }), os.path.join(d, "documents.parquet"))
+    assert _text_index_dir(d) != idx_dir
