@@ -494,6 +494,58 @@ def cmd_query(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_index(args: argparse.Namespace) -> int:
+    """Build (or reuse) one of the engine's physical at-rest indexes.
+    Each build is content-fingerprinted and idempotent: a second
+    invocation over unchanged data returns the existing meta without
+    touching the layout, and the matching queries (keyword/bm25 search,
+    embedding near-dup, ANN top-k) auto-route through the index."""
+    _init_ray(args.num_cpus)
+    import time
+
+    t0 = time.perf_counter()
+    if args.kind == "text":
+        from .pipelines.text import _text_index_dir, build_text_index
+
+        meta = build_text_index(args.data_dir)
+        where = _text_index_dir(args.data_dir)
+    elif args.kind == "lsh":
+        from .pipelines.similarity import _lsh_index_dir, build_lsh_index
+
+        meta = build_lsh_index(args.data_dir)
+        where = _lsh_index_dir(args.data_dir)
+    else:
+        import os as _os
+
+        from .pipelines.similarity import _ivf_index_dir, build_ivf_index
+
+        where = _ivf_index_dir(args.data_dir)
+        cents_path = _os.path.join(where, "centroids.npy")
+        if _os.path.exists(cents_path):  # content-addressed: reuse
+            import numpy as _np
+
+            meta = {"n_cells": int(_np.load(cents_path).shape[0]),
+                    "reused": True}
+        else:
+            scratch = f"{where}.building-{_os.getpid()}"
+            cents = build_ivf_index(args.data_dir, scratch)
+            try:
+                _os.rename(scratch, where)
+            except OSError:  # concurrent builder won the publish race
+                import shutil as _shutil
+
+                _shutil.rmtree(scratch, ignore_errors=True)
+            meta = {"n_cells": int(cents.shape[0]), "reused": False}
+    print(json.dumps({
+        "kind": args.kind, "index_dir": where, "meta": meta,
+        "wall_sec": round(time.perf_counter() - t0, 3),
+    }))
+    import ray
+
+    ray.shutdown()
+    return 0
+
+
 def cmd_validate(args: argparse.Namespace) -> int:
     """Offline audit: for every committed partition, re-read state, re-check
     the digest and row counts against the manifest and the lineage XML —
@@ -714,6 +766,19 @@ def build_parser() -> argparse.ArgumentParser:
                        parents=[lp])
     v.add_argument("lake_dir")
     v.set_defaults(fn=cmd_validate)
+
+    ix = sub.add_parser(
+        "index",
+        parents=[lp],
+        help="build (or reuse) a physical at-rest index over a table "
+             "directory: text (inverted postings), lsh (banded "
+             "signatures), ivf (cell-partitioned ANN) — matching "
+             "queries auto-route through it",
+    )
+    ix.add_argument("kind", choices=["text", "lsh", "ivf"])
+    ix.add_argument("data_dir", help="directory of parquet tables")
+    ix.add_argument("--num-cpus", type=int, default=None)
+    ix.set_defaults(fn=cmd_index)
 
     c = sub.add_parser(
         "compact",

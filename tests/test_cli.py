@@ -523,3 +523,41 @@ def test_changefeed_jsonl_shards(ray_session, tmp_path, capsys):
                 r = _json.loads(line)
                 jl_rows.add((r["op"], r["conv_id"], r["turn_idx"]))
     assert jl_rows == pq_rows
+
+
+def test_cli_index_build_and_reuse(ray_session, tmp_path, capsys):
+    """`cli index text` builds the content-fingerprinted inverted index
+    once and a second invocation reuses it (same dir, near-zero wall);
+    keyword_search then auto-routes and stays bit-equal."""
+    import json
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from image_report_ray.cli import main
+    from image_report_ray.pipelines.text import keyword_search
+
+    d = str(tmp_path)
+    rng = np.random.default_rng(9)
+    vocab = [f"t{i}" for i in range(20)]
+    texts = [" ".join(rng.choice(vocab, rng.integers(5, 15)))
+             for _ in range(30)]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(30), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * 30),
+        "source": pa.array(["s"] * 30),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), os.path.join(d, "documents.parquet"))
+
+    fresh = keyword_search(d)  # no index yet: tokenize route
+    assert main(["index", "text", d]) == 0
+    rec1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec1["meta"]["n_docs"] == 30
+    assert main(["index", "text", d]) == 0
+    rec2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec2["index_dir"] == rec1["index_dir"]
+    assert rec2["meta"] == rec1["meta"]
+    assert keyword_search(d).equals(fresh)  # auto-routed, bit-equal
