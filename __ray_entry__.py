@@ -1117,6 +1117,16 @@ FROM inter JOIN cnt ca ON inter.da = ca.doc_id JOIN cnt cb ON inter.db = cb.doc_
 WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.2
 ORDER BY doc_id_a, doc_id_b
 """,
+        # prefix-filtering AllPairs near-dup (dedup.dedup_prefix_filter):
+        # LOSSLESS candidates + exact verify == the all-pairs result at
+        # tau 0.8, so the twin is the shared shingle CTE at 0.8
+        "dedup_prefix_filter": "WITH " + _NGRAM_CTE + r"""
+SELECT da AS doc_id_a, db AS doc_id_b, CAST(i AS BIGINT) AS n_common,
+       ROUND(i * 1.0 / (ca.n + cb.n - i), 6) AS jaccard
+FROM inter JOIN cnt ca ON inter.da = ca.doc_id JOIN cnt cb ON inter.db = cb.doc_id
+WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.8
+ORDER BY doc_id_a, doc_id_b
+""",
         # asymmetric containment near-dup (dedup.dedup_containment):
         # same shingle CTE, min-side denominator instead of the union
         "dedup_containment": "WITH " + _NGRAM_CTE + r"""

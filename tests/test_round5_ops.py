@@ -1488,3 +1488,39 @@ def test_text_index_route_equality_and_reuse(ray_session, tmp_path):
         "n_chars": pa.array([16], pa.int64()),
     }), os.path.join(d, "documents.parquet"))
     assert _text_index_dir(d) != idx_dir
+
+
+def test_prefix_filter_equals_allpairs_route(ray_session, tmp_path):
+    """Prefix filtering is LOSSLESS: on a corpus with planted near-dups
+    at several overlap levels the output is bit-equal to the exhaustive
+    shared-shingle route at the same tau, and the planted >=0.8 pairs
+    are all present."""
+    from image_report_ray.pipelines.dedup import (
+        dedup_ngram_jaccard,
+        dedup_prefix_filter,
+    )
+
+    rng = np.random.default_rng(17)
+    vocab = [f"w{i}" for i in range(200)]
+    texts = []
+    for i in range(30):
+        texts.append(" ".join(rng.choice(vocab, 40)))
+    # planted: 5 docs nearly identical to doc 0 (1 token changed),
+    # 3 docs half-overlapping doc 1
+    base0 = texts[0].split()
+    for j in range(5):
+        tk = list(base0)
+        tk[7 + j] = f"mut{j}"
+        texts.append(" ".join(tk))
+    base1 = texts[1].split()
+    for j in range(3):
+        texts.append(" ".join(base1[:20] + list(rng.choice(vocab, 20))))
+    sf = _write_docs(tmp_path, texts)
+    a = dedup_prefix_filter(sf)            # tau 0.8
+    b = dedup_ngram_jaccard(sf, tau=0.8)
+    assert a.equals(b)
+    # the 5 planted single-mutation dups of doc 0 all clear tau=0.8
+    # (mutant-x-mutant pairs land just below it — two mutation sites)
+    got = set(zip(a.column("doc_id_a").to_pylist(),
+                  a.column("doc_id_b").to_pylist()))
+    assert {(0, 30 + j) for j in range(5)} <= got
