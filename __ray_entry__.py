@@ -2370,6 +2370,33 @@ deg AS (
 SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_docs
 FROM deg GROUP BY degree ORDER BY degree
 """,
+        # customer spend deciles (relational.customer_value_deciles):
+        # nine exact order-statistic cut points (k = ceil(p*n/100)),
+        # decile = count of cut points strictly below the spend
+        "customer_value_deciles": """
+WITH s AS (
+  SELECT o_custkey, SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS spend_c
+  FROM orders GROUP BY o_custkey
+),
+r AS (SELECT spend_c, ROW_NUMBER() OVER (ORDER BY spend_c) AS rn,
+             COUNT(*) OVER () AS n FROM s),
+t AS (SELECT
+""" + ",\n".join(
+            f"  MAX(CASE WHEN rn = ({p}*n + 99) // 100 THEN spend_c END)"
+            f" AS t{p // 10}" for p in range(10, 100, 10)
+        ) + """
+FROM r),
+d AS (SELECT s.o_custkey, s.spend_c, CAST(
+""" + " +\n".join(
+            f"  (CASE WHEN s.spend_c > t.t{j} THEN 1 ELSE 0 END)"
+            for j in range(1, 10)
+        ) + """
+  AS BIGINT) AS decile
+FROM s CROSS JOIN t)
+SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+       SUM(spend_c) / 100.0 AS total_spend
+FROM d GROUP BY decile ORDER BY decile
+""",
         # exact two-pass order statistics (relational.gap_quantiles):
         # k = ceil(p*n/100), 1-indexed; the value at rank k among ties
         # is well-defined, so ROW_NUMBER's tie order doesn't matter

@@ -346,6 +346,7 @@ def run_textbench(num_cpus: int, n_docs: int = TEXTBENCH_DOCS) -> dict:
         ("pareto_docs", text.pareto_docs),
         ("weighted_sample", text.weighted_sample),
         ("dedup_containment", dedup.dedup_containment),
+        ("dedup_prefix_filter", dedup.dedup_prefix_filter),
     ):
         t0 = time.perf_counter()
         r = fn(tb_dir)

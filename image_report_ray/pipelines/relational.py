@@ -3215,3 +3215,133 @@ def q15_top_supplier(sf_dir: str) -> pa.Table:
                     "total_revenue": pa.array((ru // 100) / 100.0,
                                               pa.float64())})
     return finalize(out, [("s_suppkey", "ascending")])
+
+
+# ---- customer spend deciles (CDF segmentation) ----------------------------
+
+_CVD_SHIFT = 8  # coarse bucket = 256 cents; widen for heavier spend tails
+
+
+def customer_value_deciles(sf_dir: str, shift: int = _CVD_SHIFT) -> pa.Table:
+    """Customer value segmentation: every ordering customer assigned to
+    a spend decile (0 = bottom, 9 = top) and the per-decile census
+    (customers, total spend) — the "M" of an RFM profile, built without
+    a global sort and without any per-customer driver structure.
+
+    Decile semantics are threshold-based and exact: the nine cut
+    points t_p (p = 10..90) are the k = ⌈p·n/100⌉-th order statistics
+    of the per-customer spend distribution, found by the gap_quantiles
+    two-pass selection (coarse histogram locate + single-bucket refine
+    — `relational.py::gap_quantiles`, N118) over the SAME per-customer
+    partition refs the custkey exchange produced; a customer's decile
+    is the number of cut points strictly below their spend. Ties
+    therefore land in one decile deterministically on both sides. A
+    third task wave folds the 10-row census per partition — the driver
+    only ever sees O(P × 10) rows and 9 thresholds."""
+    import ray
+
+    from .exchange import exchange_reduce
+
+    rd = _rd()
+    empty = pa.table({"decile": pa.array([], pa.int64()),
+                      "n_customers": pa.array([], pa.int64()),
+                      "total_spend": pa.array([], pa.float64())})
+
+    def spend_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "o_custkey" not in t.column_names:
+            return pa.table({"o_custkey": pa.array([], pa.int64()),
+                             "spend_c": pa.array([], pa.int64())})
+        part = pa.table({"o_custkey": t.column("o_custkey").cast(pa.int64()),
+                         "spend_c": pa.array(_cents(t.column("o_totalprice")),
+                                             pa.int64())})
+        g = part.group_by(["o_custkey"]).aggregate([("spend_c", "sum")])
+        return g.rename_columns(["o_custkey", "spend_c"])
+
+    def spend_kernel(pid: int, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "o_custkey" not in t.column_names:
+            return pa.table({"o_custkey": pa.array([], pa.int64()),
+                             "spend_c": pa.array([], pa.int64())})
+        g = t.group_by(["o_custkey"]).aggregate([("spend_c", "sum")])
+        return g.rename_columns(["o_custkey", "spend_c"])
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).map_batches(spend_partial, batch_format="pyarrow")
+    spend_refs = exchange_reduce([orders], ["o_custkey"], spend_kernel, P=16)
+
+    @ray.remote
+    def hist_task(t: pa.Table, sh: int) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        b = t.column("spend_c").to_numpy() >> np.int64(sh)
+        u, c = np.unique(b, return_counts=True)
+        return pa.table({"bucket": pa.array(u.astype(np.int64)),
+                         "n": pa.array(c.astype(np.int64))})
+
+    @ray.remote
+    def bucket_vals(t: pa.Table, buckets: list, sh: int) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"spend_c": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        v = t.column("spend_c").to_numpy()
+        keep = np.isin(v >> np.int64(sh), buckets)
+        u, c = np.unique(v[keep], return_counts=True)
+        return pa.table({"spend_c": pa.array(u.astype(np.int64)),
+                         "n": pa.array(c.astype(np.int64))})
+
+    hist = pa.concat_tables(ray.get(
+        [hist_task.remote(r, shift) for r in spend_refs]))
+    if hist.num_rows == 0:
+        return empty
+    h = (hist.group_by(["bucket"]).aggregate([("n", "sum")])
+         .rename_columns(["bucket", "n"]).to_pandas().sort_values("bucket"))
+    n = int(h["n"].sum())
+    cum = h["n"].cumsum().to_numpy()
+    buckets = h["bucket"].to_numpy()
+    ks = [(p * n + 99) // 100 for p in range(10, 100, 10)]
+    tb = {int(buckets[np.searchsorted(cum, k)]) for k in ks}
+
+    vals = pa.concat_tables(ray.get(
+        [bucket_vals.remote(r, sorted(tb), shift) for r in spend_refs]))
+    vt = (vals.group_by(["spend_c"]).aggregate([("n", "sum")])
+          .rename_columns(["spend_c", "n"]).to_pandas().sort_values("spend_c"))
+    vv = vt["spend_c"].to_numpy()
+    vb = vv >> np.int64(shift)
+    vn = vt["n"].to_numpy()
+    thresholds = []
+    for k in ks:
+        i = int(np.searchsorted(cum, k))
+        before = int(cum[i - 1]) if i else 0
+        m = vb == buckets[i]
+        bc = np.cumsum(vn[m])
+        thresholds.append(int(vv[m][np.searchsorted(bc, k - before)]))
+    thr = np.array(thresholds, dtype=np.int64)
+    thr_ref = ray.put(thr)
+
+    @ray.remote
+    def decile_fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"decile": pa.array([], pa.int64()),
+                             "n_customers": pa.array([], pa.int64()),
+                             "spend_c": pa.array([], pa.int64())})
+        v = t.column("spend_c").to_numpy()
+        d = np.searchsorted(ray.get(thr_ref), v, side="left").astype(np.int64)
+        g = (pa.table({"decile": pa.array(d), "spend_c": t.column("spend_c")})
+             .group_by(["decile"])
+             .aggregate([([], "count_all"), ("spend_c", "sum")]))
+        return pa.table({"decile": g.column("decile"),
+                         "n_customers": g.column("count_all").cast(pa.int64()),
+                         "spend_c": g.column("spend_c_sum").cast(pa.int64())})
+
+    parts = pa.concat_tables(ray.get(
+        [decile_fold.remote(r) for r in spend_refs]))
+    g = parts.group_by(["decile"]).aggregate(
+        [("n_customers", "sum"), ("spend_c", "sum")])
+    out = pa.table(
+        {"decile": g.column("decile"),
+         "n_customers": g.column("n_customers_sum").cast(pa.int64()),
+         "total_spend": pa.array(
+             g.column("spend_c_sum").to_numpy() / 100.0, pa.float64())}
+    )
+    return finalize(out, [("decile", "ascending")])

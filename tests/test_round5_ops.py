@@ -1524,3 +1524,45 @@ def test_prefix_filter_equals_allpairs_route(ray_session, tmp_path):
     got = set(zip(a.column("doc_id_a").to_pylist(),
                   a.column("doc_id_b").to_pylist()))
     assert {(0, 30 + j) for j in range(5)} <= got
+
+
+def test_customer_value_deciles_bruteforce(ray_session, tmp_path):
+    """Randomized spends incl. heavy ties vs a numpy brute force of the
+    same threshold semantics; a tiny shift forces real refinement and
+    the census must cover every customer exactly once."""
+    from image_report_ray.pipelines.relational import customer_value_deciles
+
+    d = str(tmp_path)
+    rng = np.random.default_rng(23)
+    n = 3000
+    cust = rng.integers(0, 700, n)
+    price = np.round(rng.choice([5.0, 19.99, 19.99, 250.0, 999.99], n)
+                     * rng.integers(1, 4, n), 2)
+    t0 = np.datetime64("1996-01-01", "us")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(np.arange(n), pa.int64()),
+        "o_custkey": pa.array(cust, pa.int64()),
+        "o_orderstatus": pa.array(["O"] * n),
+        "o_totalprice": pa.array(price),
+        "o_orderdate": pa.array([t0] * n, pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"] * n),
+    }), os.path.join(d, "orders.parquet"), row_group_size=379)
+    out = customer_value_deciles(d, shift=4)
+    got = {r["decile"]: (r["n_customers"], r["total_spend"])
+           for r in out.to_pylist()}
+
+    spend = {}
+    for c, p in zip(cust, np.rint(price * 100).astype(np.int64)):
+        spend[c] = spend.get(c, 0) + int(p)
+    v = np.sort(np.array(list(spend.values()), dtype=np.int64))
+    N = len(v)
+    thr = np.array([v[(p * N + 99) // 100 - 1] for p in range(10, 100, 10)],
+                   dtype=np.int64)
+    want = {}
+    for s in spend.values():
+        dd = int(np.searchsorted(thr, s, side="left"))
+        nn, ss = want.get(dd, (0, 0))
+        want[dd] = (nn + 1, ss + s)
+    want = {k: (nc, sc / 100.0) for k, (nc, sc) in want.items()}
+    assert got == want
+    assert sum(nc for nc, _ in got.values()) == N
