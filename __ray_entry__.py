@@ -1168,6 +1168,25 @@ ORDER BY doc_id_a, doc_id_b
         # near-dup clusters: connected components over the same exact
         # pair graph via a recursive label-reach CTE; min label per
         # component = cluster_id, keep = canonical representative
+        # near-dup cluster size histogram (dedup.cluster_size_hist):
+        # the dedup_clusters recursive-CC twin, folded to sizes
+        "cluster_size_hist": "WITH RECURSIVE " + _NGRAM_CTE + r""",
+pairs AS (
+  SELECT da, db
+  FROM inter JOIN cnt ca ON inter.da = ca.doc_id JOIN cnt cb ON inter.db = cb.doc_id
+  WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.2
+),
+edges AS (SELECT da AS a, db AS b FROM pairs UNION ALL SELECT db, da FROM pairs),
+reach(node, label) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node
+),
+labels AS (SELECT node, MIN(label) AS label FROM reach GROUP BY node),
+sizes AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS sz FROM labels GROUP BY label)
+SELECT sz AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+FROM sizes GROUP BY sz ORDER BY sz
+""",
         "dedup_clusters": "WITH RECURSIVE " + _NGRAM_CTE + r""",
 pairs AS (
   SELECT da, db

@@ -2733,3 +2733,45 @@ def dedup_prefix_filter(
     if out.num_rows == 0:
         out = _pair_empty({"jaccard": pa.float64()})
     return finalize(out, [("doc_id_a", "ascending"), ("doc_id_b", "ascending")])
+
+
+# ---- near-dup cluster size histogram --------------------------------------
+
+
+def cluster_size_hist(sf_dir: str, tau: float = 0.2) -> pa.Table:
+    """Size distribution of the verified near-dup clusters: how many
+    connected components of the Jaccard ≥ tau pair graph have exactly
+    ``cluster_size`` members — the blast-radius summary of a
+    cluster-collapse dedup (one row per size, so the answer is legible
+    at ANY corpus size). Singleton documents (no near-dup) are not
+    clusters and don't appear.
+
+    Composition over the refs-native machinery: the verified pair refs
+    feed :func:`connected_components_refs` (labels stay partition refs),
+    a label-keyed exchange completes each component's size, and each
+    partition folds sizes to a (size, n_clusters) histogram — the
+    driver sees P × distinct-sizes rows, never a label table."""
+    from .exchange import exchange_reduce, gather_concat
+
+    refs, _ = ngram_jaccard_pair_refs(sf_dir, tau)
+    label_refs = connected_components_refs(refs)
+
+    def size_kernel(pid: int, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "label" not in t.column_names:
+            return pa.table({"cluster_size": pa.array([], pa.int64()),
+                             "n_clusters": pa.array([], pa.int64())})
+        g = t.group_by(["label"]).aggregate([([], "count_all")])
+        sz = g.column("count_all").to_numpy()
+        u, c = np.unique(sz, return_counts=True)
+        return pa.table({"cluster_size": pa.array(u.astype(np.int64)),
+                         "n_clusters": pa.array(c.astype(np.int64))})
+
+    parts = gather_concat(exchange_reduce([label_refs], ["label"],
+                                          size_kernel))
+    if parts.num_rows == 0:
+        return pa.table({"cluster_size": pa.array([], pa.int64()),
+                         "n_clusters": pa.array([], pa.int64())})
+    g = parts.group_by(["cluster_size"]).aggregate([("n_clusters", "sum")])
+    out = pa.table({"cluster_size": g.column("cluster_size"),
+                    "n_clusters": g.column("n_clusters_sum").cast(pa.int64())})
+    return finalize(out, [("cluster_size", "ascending")])

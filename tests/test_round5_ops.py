@@ -1566,3 +1566,20 @@ def test_customer_value_deciles_bruteforce(ray_session, tmp_path):
     want = {k: (nc, sc / 100.0) for k, (nc, sc) in want.items()}
     assert got == want
     assert sum(nc for nc, _ in got.values()) == N
+
+
+def test_cluster_size_hist_constructed_components(ray_session, tmp_path):
+    """A 3-doc identical family, a 2-doc pair, and singletons: the
+    histogram is {3: 1, 2: 1} with singletons absent."""
+    from image_report_ray.pipelines.dedup import cluster_size_hist
+
+    fam = " ".join(f"w{i}" for i in range(20))
+    pair = " ".join(f"p{i}" for i in range(20))
+    solo1 = " ".join(f"x{i}" for i in range(20))
+    solo2 = " ".join(f"y{i}" for i in range(20))
+    sf = _write_docs(tmp_path, [fam, fam, fam, pair, pair, solo1, solo2])
+    out = cluster_size_hist(sf)
+    assert out.to_pylist() == [
+        {"cluster_size": 2, "n_clusters": 1},
+        {"cluster_size": 3, "n_clusters": 1},
+    ]
