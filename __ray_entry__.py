@@ -2389,6 +2389,18 @@ deg AS (
 SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_docs
 FROM deg GROUP BY degree ORDER BY degree
 """,
+        # per-type daily volume shifts (relational.event_rate_shifts)
+        "event_rate_shifts": """
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY event_type, day
+)
+SELECT event_type, day, n_events,
+       n_events - LAG(n_events) OVER (
+           PARTITION BY event_type ORDER BY day) AS delta
+FROM d ORDER BY event_type, day
+""",
         # customer spend deciles (relational.customer_value_deciles):
         # nine exact order-statistic cut points (k = ceil(p*n/100)),
         # decile = count of cut points strictly below the spend

@@ -50,6 +50,7 @@ def query_registry() -> "dict[str, Callable[[str], Any]]":
         "dedup_prefix_filter": dedup.dedup_prefix_filter,
         "customer_value_deciles": relational.customer_value_deciles,
         "cluster_size_hist": dedup.cluster_size_hist,
+        "event_rate_shifts": relational.event_rate_shifts,
         "cdc_edit_wars": cdcq.cdc_edit_wars,
         "cdc_hot_keys": cdcq.cdc_hot_keys,
         "knn_join": similarity.knn_join,

@@ -3345,3 +3345,60 @@ def customer_value_deciles(sf_dir: str, shift: int = _CVD_SHIFT) -> pa.Table:
              g.column("spend_c_sum").to_numpy() / 100.0, pa.float64())}
     )
     return finalize(out, [("decile", "ascending")])
+
+
+# ---- per-type daily volume shifts -----------------------------------------
+
+_US_PER_DAY = 86_400_000_000
+
+
+def event_rate_shifts(sf_dir: str) -> pa.Table:
+    """Per-type day-over-day event-volume deltas — the pipeline-health
+    monitor that flags an ingest source going quiet or bursting: every
+    (event_type, day) with its count and the signed change vs the
+    previous OBSERVED day (first day = null).
+
+    (type × day) is a fixed tiny cardinality for any horizon a
+    monitoring query covers, so per-batch partials fold driver-side
+    (the fold_partials rule) and the LAG is one vectorized shift over
+    the sorted census — the result itself is the O(types × days)
+    table."""
+    from ._util import fold_partials
+
+    rd = _rd()
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "ts" not in t.column_names:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "day": pa.array([], pa.int64()),
+                             "n_part": pa.array([], pa.int64())})
+        ts = t.column("ts").combine_chunks().to_numpy(
+            zero_copy_only=False).astype("datetime64[us]").view(np.int64)
+        g = pa.table({"event_type": t.column("event_type"),
+                      "day": pa.array(ts // _US_PER_DAY, pa.int64())}
+                     ).group_by(["event_type", "day"]).aggregate(
+                         [([], "count_all")])
+        return g.rename_columns(["event_type", "day", "n_part"])
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+    t = fold_partials(ds.map_batches(partial, batch_format="pyarrow"),
+                      ["event_type", "day"], [("n_part", "sum")],
+                      ["event_type", "day", "n_events"])
+    if t.num_columns == 0 or t.num_rows == 0:
+        return pa.table({"event_type": pa.array([], pa.string()),
+                         "day": pa.array([], pa.int64()),
+                         "n_events": pa.array([], pa.int64()),
+                         "delta": pa.array([], pa.int64())})
+    t = t.take(pc.sort_indices(t, sort_keys=[("event_type", "ascending"),
+                                             ("day", "ascending")]))
+    et = t.column("event_type").to_numpy(zero_copy_only=False)
+    n = t.column("n_events").to_numpy().astype(np.int64)
+    same = np.r_[False, et[1:] == et[:-1]]
+    delta = n - np.r_[np.int64(0), n[:-1]]
+    return pa.table({"event_type": t.column("event_type"),
+                     "day": t.column("day"),
+                     "n_events": pa.array(n, pa.int64()),
+                     "delta": pa.array(
+                         [int(d) if s else None
+                          for d, s in zip(delta, same)], pa.int64())})

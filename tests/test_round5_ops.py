@@ -1583,3 +1583,31 @@ def test_cluster_size_hist_constructed_components(ray_session, tmp_path):
         {"cluster_size": 2, "n_clusters": 1},
         {"cluster_size": 3, "n_clusters": 1},
     ]
+
+
+def test_event_rate_shifts_gap_days_and_first_null(ray_session, tmp_path):
+    """Deltas compare vs the previous OBSERVED day (gap days don't
+    reset to zero) and each type's first day reports null."""
+    from image_report_ray.pipelines.relational import event_rate_shifts
+
+    d = str(tmp_path)
+    day = 86_400_000_000
+    rows = [  # (day, type) counts: a d0=2 d1=3 d4=1; b d2=5
+        (0, "a"), (0, "a"), (1, "a"), (1, "a"), (1, "a"),
+        (4, "a"), (2, "b")] * 1
+    ts = np.array([r[0] * day + 1 for r in rows], dtype="datetime64[us]")
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(len(rows)), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array([1] * len(rows), pa.int64()),
+        "event_type": pa.array([r[1] for r in rows]),
+        "value": pa.array([0.0] * len(rows)),
+        "props": pa.array(["{}"] * len(rows)),
+    }), os.path.join(d, "events.parquet"))
+    out = event_rate_shifts(d)
+    assert out.to_pylist() == [
+        {"event_type": "a", "day": 0, "n_events": 2, "delta": None},
+        {"event_type": "a", "day": 1, "n_events": 3, "delta": 1},
+        {"event_type": "a", "day": 4, "n_events": 1, "delta": -2},
+        {"event_type": "b", "day": 2, "n_events": 1, "delta": None},
+    ]
