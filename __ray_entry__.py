@@ -610,6 +610,23 @@ FROM a3 ORDER BY vec_id
 """
 
 
+def _cluster_separation_sql() -> str:
+    """Inter-centroid pairwise distances twin: the kmeans CTE chain's
+    final (c2) centroids self-joined, same pinned distance rounding."""
+    from image_report_ray.pipelines.similarity import _KM_DIST_ROUND
+
+    _kmeans_sql()  # materialize the shared CTE chain
+    return f"""
+WITH {_kmeans_sql.cte}
+SELECT CAST(x.cid AS BIGINT) AS cid_a, CAST(y.cid AS BIGINT) AS cid_b,
+       ROUND(list_sum(list_transform(range(1, len(x.c) + 1),
+             i -> (x.c[i] - y.c[i]) * (x.c[i] - y.c[i]))),
+             {_KM_DIST_ROUND}) AS d2
+FROM c2 x JOIN c2 y ON x.cid < y.cid
+ORDER BY cid_a, cid_b
+"""
+
+
 def _embedding_outliers_sql() -> str:
     """Per-cluster distance outliers twin: reuses the kmeans CTE chain
     (same pinned rounding) — d3 carries the rounded squared L2 to every
@@ -2989,6 +3006,10 @@ FROM documents GROUP BY lang ORDER BY lang
 """,
         # bounded-iteration k-means with pinned rounding (see _kmeans_sql)
         "kmeans_embed": _kmeans_sql(),
+        # inter-centroid separation (similarity.cluster_separation):
+        # the kmeans CTE chain's FINAL centroids (c2), self-joined with
+        # the assignment kernel's own distance rounding
+        "cluster_separation": _cluster_separation_sql(),
         # per-cluster distance outliers (similarity.embedding_outliers):
         # the kmeans CTE chain's own d3 rounded distances, top-3 per
         # cluster by (d2 desc, vec_id asc) — no float in the output

@@ -1739,3 +1739,40 @@ def embedding_outliers(sf_dir: str, topn: int = _OUT_TOPN) -> pa.Table:
          "rank": pa.array(rank[keep] + 1, pa.int64())}
     )
     return finalize(out, [("cluster_id", "ascending"), ("rank", "ascending")])
+
+
+# ---- inter-cluster separation profile -------------------------------------
+
+
+def cluster_separation(sf_dir: str) -> pa.Table:
+    """Pairwise squared-L2 distances between the pinned-kmeans FINAL
+    centroids — the cluster-geometry health check (two near-coincident
+    centroids mean k is too high or the corpus collapsed; one far
+    outlier centroid usually holds junk). K is a pinned constant, so
+    the K·(K−1)/2-row result is driver-computable from the shared
+    cached Lloyd trainer (`_kmeans_centroids_cached` — one training run
+    serves kmeans_embed / embedding_outliers / semdedup / this);
+    distances carry the assignment kernel's own ``_KM_DIST_ROUND``
+    rounding so the SQL twin (the kmeans CTE chain's c2 centroids,
+    self-joined) reproduces every value bit-for-bit."""
+    rd = _rd()
+    refs = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).to_arrow_refs()
+    empty = pa.table({"cid_a": pa.array([], pa.int64()),
+                      "cid_b": pa.array([], pa.int64()),
+                      "d2": pa.array([], pa.float64())})
+    cents = _kmeans_centroids_cached(sf_dir, refs, _KM_K, _KM_ITERS)
+    if cents.size == 0:
+        return empty
+    k = cents.shape[0]
+    ia, ib, dd = [], [], []
+    for i in range(k):
+        for j in range(i + 1, k):
+            ia.append(i)
+            ib.append(j)
+            dd.append(float(np.round(((cents[i] - cents[j]) ** 2).sum(),
+                                     _KM_DIST_ROUND)))
+    return pa.table({"cid_a": pa.array(ia, pa.int64()),
+                     "cid_b": pa.array(ib, pa.int64()),
+                     "d2": pa.array(dd, pa.float64())})

@@ -1611,3 +1611,30 @@ def test_event_rate_shifts_gap_days_and_first_null(ray_session, tmp_path):
         {"event_type": "a", "day": 4, "n_events": 1, "delta": -2},
         {"event_type": "b", "day": 2, "n_events": 1, "delta": None},
     ]
+
+
+def test_cluster_separation_consistency(ray_session):
+    """K*(K-1)/2 rows, symmetric-complete pair coverage, and distances
+    re-derive from the shared cached centroids bit-for-bit."""
+    from image_report_ray.pipelines.similarity import (
+        _KM_DIST_ROUND,
+        _KM_ITERS,
+        _KM_K,
+        _kmeans_centroids_cached,
+        cluster_separation,
+    )
+    import ray as _ray
+    import ray.data as rd
+
+    sf = "/root/testdata/sf0.001"
+    out = cluster_separation(sf)
+    refs = rd.read_parquet(f"{sf}/embeddings.parquet",
+                           columns=["vec_id", "embedding"]).to_arrow_refs()
+    cents = _kmeans_centroids_cached(sf, refs, _KM_K, _KM_ITERS)
+    k = cents.shape[0]
+    assert out.num_rows == k * (k - 1) // 2
+    for r in out.to_pylist()[:20]:
+        want = float(np.round(
+            ((cents[r["cid_a"]] - cents[r["cid_b"]]) ** 2).sum(),
+            _KM_DIST_ROUND))
+        assert r["d2"] == want
