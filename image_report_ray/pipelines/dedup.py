@@ -1340,6 +1340,15 @@ def _verify_remotes():
         def explode_cand_shingles(block: pa.Table, cand_docs: np.ndarray):
             """(doc_id, sig, hs) block -> restricted shingle inverted
             index for candidate docs only, plus their set sizes."""
+            if block.num_rows == 0 or "doc_id" not in block.column_names:
+                # Ray may emit schema-less empty blocks through a map
+                # stage; they carry no candidate postings
+                return (
+                    pa.table({"sh": pa.array([], pa.int64()),
+                              "doc_id": pa.array([], pa.int64())}),
+                    pa.table({"doc_id": pa.array([], pa.int64()),
+                              "n_sh": pa.array([], pa.int64())}),
+                )
             doc = block.column("doc_id").to_numpy()
             keep = np.isin(doc, cand_docs)
             idx = np.flatnonzero(keep)
@@ -2658,6 +2667,9 @@ def dedup_prefix_filter(
     tau = tau_num / tau_den
 
     def hashed_sets(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "text" not in t.column_names:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "hs": pa.array([], pa.list_(pa.uint64()))})
         df = doc_shingles(t)
         if not len(df):
             return pa.table({"doc_id": pa.array([], pa.int64()),

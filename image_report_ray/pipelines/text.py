@@ -2977,6 +2977,9 @@ def vocab_stats(sf_dir: str) -> pa.Table:
     rd = _rd()
 
     def partial_counts(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "text" not in t.column_names:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "n_part": pa.array([], pa.int64())})
         toks = pc.split_pattern_regex(t.column("text"), _TOKEN_SPLIT)
         flat = pc.list_flatten(toks)
         flat = flat.filter(pc.not_equal(flat, ""))
