@@ -73,6 +73,10 @@ def top_tokens(sf_dir: str, k: int = 20) -> pa.Table:
 
     from .exchange import exchange_reduce, gather_concat
 
+    ti = _text_index_meta(sf_dir)
+    if ti is not None:  # physical inverted index at rest for this content
+        return _top_tokens_indexed(ti[0], ti[1], k)
+
     rd = _rd()
 
     def partial_counts(t: pa.Table) -> pa.Table:
@@ -2974,6 +2978,10 @@ def vocab_stats(sf_dir: str) -> pa.Table:
     scalar rows, never the vocabulary."""
     from .exchange import exchange_reduce, gather_concat
 
+    ti = _text_index_meta(sf_dir)
+    if ti is not None:  # physical inverted index at rest for this content
+        return _vocab_stats_indexed(ti[0], ti[1])
+
     rd = _rd()
 
     def partial_counts(t: pa.Table) -> pa.Table:
@@ -3343,3 +3351,81 @@ def _bm25_search_indexed(
     idx = pc.sort_indices(cand, sort_keys=[("score_micro", "descending"),
                                            ("doc_id", "ascending")])
     return cand.take(idx.slice(0, k)).combine_chunks()
+
+
+def _top_tokens_indexed(index_dir: str, meta: dict, k: int) -> pa.Table:
+    """top_tokens off the physical index: a token's postings are
+    pid-complete, so the global occurrence count (Σ tf) and the top-k
+    cut close per pid dir — no exchange, no tokenization."""
+    import glob
+    import os
+
+    import ray
+
+    @ray.remote
+    def pid_top(paths: list, kk: int) -> pa.Table:
+        import pyarrow.parquet as _pq
+
+        if not paths:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        t = pa.concat_tables(
+            [_pq.read_table(p, columns=["token", "tf"]) for p in paths]
+        )
+        g = t.group_by(["token"]).aggregate([("tf", "sum")])
+        out = pa.table({"token": g.column("token"),
+                        "n": g.column("tf_sum").cast(pa.int64())})
+        idx = pc.sort_indices(out, sort_keys=[("n", "descending"),
+                                              ("token", "ascending")])
+        return out.take(idx.slice(0, kk))
+
+    cands = pa.concat_tables(ray.get([
+        pid_top.remote(
+            sorted(glob.glob(os.path.join(index_dir, "postings",
+                                          f"pid={i}", "*.parquet"))), k)
+        for i in range(meta["P"])
+    ]))
+    t = finalize(cands, [("n", "descending"), ("token", "ascending")])
+    return t.slice(0, k).select(["token", "n"])
+
+
+def _vocab_stats_indexed(index_dir: str, meta: dict) -> pa.Table:
+    """vocab_stats off the physical index: each pid dir folds its own
+    (occurrences, types, hapax) scalars — no exchange, no tokenization
+    (hapax = total occurrences 1, identical to the tokenize route)."""
+    import glob
+    import os
+
+    import ray
+
+    @ray.remote
+    def pid_census(paths: list) -> pa.Table:
+        import pyarrow.parquet as _pq
+
+        if not paths:
+            return pa.table({"occ": pa.array([0], pa.int64()),
+                             "types": pa.array([0], pa.int64()),
+                             "hapax": pa.array([0], pa.int64())})
+        t = pa.concat_tables(
+            [_pq.read_table(p, columns=["token", "tf"]) for p in paths]
+        )
+        g = t.group_by(["token"]).aggregate([("tf", "sum")])
+        n = g.column("tf_sum").to_numpy()
+        return pa.table({"occ": pa.array([int(n.sum())], pa.int64()),
+                         "types": pa.array([len(n)], pa.int64()),
+                         "hapax": pa.array([int((n == 1).sum())], pa.int64())})
+
+    parts = pa.concat_tables(ray.get([
+        pid_census.remote(
+            sorted(glob.glob(os.path.join(index_dir, "postings",
+                                          f"pid={i}", "*.parquet"))))
+        for i in range(meta["P"])
+    ]))
+    occ = int(pc.sum(parts.column("occ")).as_py() or 0)
+    ty = int(pc.sum(parts.column("types")).as_py() or 0)
+    hp = int(pc.sum(parts.column("hapax")).as_py() or 0)
+    return pa.table({"n_tokens": pa.array([occ], pa.int64()),
+                     "n_types": pa.array([ty], pa.int64()),
+                     "n_hapax": pa.array([hp], pa.int64()),
+                     "ttr_micro": pa.array(
+                         [1_000_000 * ty // max(occ, 1)], pa.int64())})

@@ -1638,3 +1638,28 @@ def test_cluster_separation_consistency(ray_session):
             ((cents[r["cid_a"]] - cents[r["cid_b"]]) ** 2).sum(),
             _KM_DIST_ROUND))
         assert r["d2"] == want
+
+
+def test_text_index_routes_top_tokens_and_vocab_stats(ray_session, tmp_path):
+    """top_tokens and vocab_stats auto-route through the physical
+    inverted index bit-equal to their tokenize routes."""
+    import shutil
+
+    from image_report_ray.pipelines.text import (
+        _text_index_dir,
+        build_text_index,
+        top_tokens,
+        vocab_stats,
+    )
+
+    rng = np.random.default_rng(29)
+    vocab = [f"t{i}" for i in range(25)]
+    texts = [" ".join(rng.choice(vocab, rng.integers(5, 20)))
+             for _ in range(35)]
+    d = _ti_corpus(tmp_path, texts)
+    fresh_tt = top_tokens(d)
+    fresh_vs = vocab_stats(d)
+    shutil.rmtree(_text_index_dir(d), ignore_errors=True)
+    build_text_index(d)
+    assert top_tokens(d).equals(fresh_tt)
+    assert vocab_stats(d).equals(fresh_vs)
