@@ -2469,6 +2469,59 @@ SELECT event_type,
        MAX(CASE WHEN rn = (99*n + 99) // 100 THEN gap END) AS p99_us
 FROM r GROUP BY event_type ORDER BY event_type
 """,
+        # TPC-H Q13 (relational.q13_custdist): order-count histogram
+        # INCLUDING zero-order customers (the left join's raison d'etre)
+        "q13_custdist": """
+WITH c AS (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM c GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+""",
+        # TPC-H Q17 (relational.q17_small_quantity): correlated-average
+        # subquery in exact integers — qty_c*5*n < sum(qty_c) per part
+        "q17_small_quantity": """
+WITH cand AS (
+  SELECT l_partkey,
+         CAST(round(l_quantity * 100) AS BIGINT)      AS qty_c,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#13' AND p_type = 'SMALL'
+),
+agg AS (
+  SELECT l_partkey, SUM(qty_c) AS sq, CAST(COUNT(*) AS BIGINT) AS n
+  FROM cand GROUP BY l_partkey
+),
+small AS (
+  SELECT c.price_c
+  FROM cand c JOIN agg a USING (l_partkey)
+  WHERE c.qty_c * 5 * a.n < a.sq
+)
+SELECT (COALESCE(SUM(price_c), 0) // 7) / 100.0 AS avg_yearly,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM small
+""",
+        # TPC-H Q22 (relational.q22_wealthy_inactive): above-average
+        # positive balance as the exact integer test bal_c * n > sum_c
+        "q22_wealthy_inactive": """
+WITH pos AS (
+  SELECT SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM customer WHERE CAST(round(c_acctbal * 100) AS BIGINT) > 0
+),
+w AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+  FROM customer CROSS JOIN pos
+  WHERE CAST(round(c_acctbal * 100) AS BIGINT) * pos.n > pos.s
+    AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+)
+SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
+       SUM(bal_c) / 100.0 AS totacctbal
+FROM w GROUP BY c_nationkey ORDER BY c_nationkey
+""",
         # TPC-H Q8 (relational.q8_market_share): nation's share of a
         # region's PROMO revenue per order year; exact integer share
         "q8_market_share": """

@@ -3402,3 +3402,251 @@ def event_rate_shifts(sf_dir: str) -> pa.Table:
                      "delta": pa.array(
                          [int(d) if s else None
                           for d, s in zip(delta, same)], pa.int64())})
+
+
+# ---- TPC-H Q13: customer order-count distribution -------------------------
+
+
+def q13_custdist(sf_dir: str) -> pa.Table:
+    """TPC-H Q13 shape: how many customers placed exactly N orders,
+    INCLUDING the zero-order customers the left join exists for.
+
+    One custkey exchange co-partitions the full customer key column
+    with per-batch (custkey, n_orders) partials; each partition
+    completes its customers' counts (absent on the orders side = 0) and
+    folds them to a (c_count, n) histogram — the driver sees
+    P × distinct-counts rows, never a per-customer table."""
+    from .exchange import exchange_reduce, gather_concat
+
+    rd = _rd()
+    empty = pa.table({"c_count": pa.array([], pa.int64()),
+                      "custdist": pa.array([], pa.int64())})
+
+    def o_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "o_custkey" not in t.column_names:
+            return pa.table({"o_custkey": pa.array([], pa.int64()),
+                             "n_ord": pa.array([], pa.int64())})
+        g = t.group_by(["o_custkey"]).aggregate([([], "count_all")])
+        return pa.table({"o_custkey": g.column("o_custkey").cast(pa.int64()),
+                         "n_ord": g.column("count_all").cast(pa.int64())})
+
+    def hist_kernel(pid: int, ct: pa.Table, ot: pa.Table) -> pa.Table:
+        if ct.num_rows == 0 or "c_custkey" not in ct.column_names:
+            return empty
+        if ot.num_rows and "o_custkey" in ot.column_names:
+            og = ot.group_by(["o_custkey"]).aggregate([("n_ord", "sum")])
+            j = ct.join(og, keys=["c_custkey"], right_keys=["o_custkey"],
+                        join_type="left outer")
+            n = j.column("n_ord_sum").fill_null(0).to_numpy()
+        else:
+            n = np.zeros(ct.num_rows, dtype=np.int64)
+        u, c = np.unique(n, return_counts=True)
+        return pa.table({"c_count": pa.array(u.astype(np.int64)),
+                         "custdist": pa.array(c.astype(np.int64))})
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey"])
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"]
+    ).map_batches(o_partial, batch_format="pyarrow")
+    parts = gather_concat(exchange_reduce(
+        [cust, orders], ["c_custkey", "o_custkey"], hist_kernel, P=8
+    ))
+    if parts.num_rows == 0:
+        return empty
+    g = parts.group_by(["c_count"]).aggregate([("custdist", "sum")])
+    out = pa.table({"c_count": g.column("c_count"),
+                    "custdist": g.column("custdist_sum").cast(pa.int64())})
+    return finalize(out, [("custdist", "descending"), ("c_count", "descending")])
+
+
+# ---- TPC-H Q17: small-quantity order revenue ------------------------------
+
+
+def q17_small_quantity(
+    sf_dir: str, brand: str = "Brand#13", ptype: str = "SMALL"
+) -> pa.Table:
+    """TPC-H Q17 shape: yearly revenue lost if small-quantity orders
+    (below 20% of a part's average order quantity) were not filled —
+    the correlated-average subquery.
+
+    The candidate part set (one brand × one type) is a tiny slice of
+    the part table, so a BLOOM filter of its keys (the shared
+    `pipelines/bloom.py` kernels — O(bits) on the driver, never the
+    keys) prunes lineitem map-side before the exchange; the partkey
+    exchange then joins the exact filtered part table co-partitioned
+    (bloom false positives die here), and each partition evaluates the
+    correlated test in exact integers — qty_c·5·n < Σqty_c per part —
+    and emits one revenue scalar. avg_yearly = (Σ price_c ÷ 7) floored
+    to cents, one display division."""
+    import ray
+
+    from .bloom import bloom_contains, build_bloom_distributed
+    from .exchange import exchange_reduce, gather_concat
+
+    rd = _rd()
+    part_ds = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey"],
+        filter=(pc.field("p_brand") == brand) & (pc.field("p_type") == ptype),
+    )
+    part_refs = part_ds.to_arrow_refs()
+    n_cand = sum(ray.get([_nrows_remote().remote(r) for r in part_refs]))
+    empty = pa.table({"avg_yearly": pa.array([], pa.float64()),
+                      "n_items": pa.array([], pa.int64())})
+    if n_cand == 0:
+        return pa.table({"avg_yearly": pa.array([0.0], pa.float64()),
+                         "n_items": pa.array([0], pa.int64())})
+    words, n_bits, kk = build_bloom_distributed(part_refs, "p_partkey", n_cand)
+    w_ref = ray.put(words)
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "l_partkey" not in t.column_names:
+            return pa.table({"l_partkey": pa.array([], pa.int64()),
+                             "qty_c": pa.array([], pa.int64()),
+                             "price_c": pa.array([], pa.int64())})
+        keep = bloom_contains(ray.get(w_ref), t.column("l_partkey"),
+                              n_bits, kk)
+        t = t.filter(pa.array(keep))
+        return pa.table({"l_partkey": t.column("l_partkey").cast(pa.int64()),
+                         "qty_c": pa.array(_cents(t.column("l_quantity")),
+                                           pa.int64()),
+                         "price_c": pa.array(
+                             _cents(t.column("l_extendedprice")), pa.int64())})
+
+    def kernel(pid: int, lt: pa.Table, pt: pa.Table) -> pa.Table:
+        if (lt.num_rows == 0 or pt.num_rows == 0
+                or "l_partkey" not in lt.column_names):
+            return pa.table({"rev_c": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        j = lt.join(pt, keys=["l_partkey"], right_keys=["p_partkey"],
+                    join_type="inner")
+        pk = j.column("l_partkey").to_numpy()
+        qty = j.column("qty_c").to_numpy()
+        price = j.column("price_c").to_numpy()
+        order = np.argsort(pk, kind="stable")
+        pk, qty, price = pk[order], qty[order], price[order]
+        starts = np.flatnonzero(np.r_[True, pk[1:] != pk[:-1]])
+        counts = np.diff(np.r_[starts, len(pk)])
+        sums = np.add.reduceat(qty, starts)
+        n_rep = np.repeat(counts, counts)
+        s_rep = np.repeat(sums, counts)
+        small = qty * 5 * n_rep < s_rep
+        return pa.table({"rev_c": pa.array([int(price[small].sum())],
+                                           pa.int64()),
+                         "n": pa.array([int(small.sum())], pa.int64())})
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    ).map_batches(li_partial, batch_format="pyarrow")
+    parts = gather_concat(exchange_reduce(
+        [li, part_ds], ["l_partkey", "p_partkey"], kernel, P=8
+    ))
+    rev_c = int(pc.sum(parts.column("rev_c")).as_py() or 0) if parts.num_rows else 0
+    n = int(pc.sum(parts.column("n")).as_py() or 0) if parts.num_rows else 0
+    return pa.table({"avg_yearly": pa.array([(rev_c // 7) / 100.0],
+                                            pa.float64()),
+                     "n_items": pa.array([n], pa.int64())})
+
+
+_NROWS_REMOTE = None
+
+
+def _nrows_remote():
+    global _NROWS_REMOTE
+    if _NROWS_REMOTE is None:
+        import ray
+
+        @ray.remote
+        def nrows(t: pa.Table) -> int:
+            return t.num_rows
+
+        _NROWS_REMOTE = nrows
+    return _NROWS_REMOTE
+
+
+# ---- TPC-H Q22: wealthy inactive customers by nation ----------------------
+
+
+def q22_wealthy_inactive(sf_dir: str) -> pa.Table:
+    """TPC-H Q22 shape (nation standing in for the phone country code):
+    customers with above-average positive account balance who never
+    ordered, counted per nation with their total balance.
+
+    Pass 1 folds the positive-balance (Σ, n) scalars per block (driver
+    folds P rows); the above-average test is the exact integer cross
+    product acctbal_c · n > Σ_c — no float average exists anywhere.
+    Pass 2 co-partitions the pre-filtered wealthy customers with the
+    orders key column on custkey; each partition anti-joins (customers
+    with NO order rows) and folds a per-nation (count, Σ balance)
+    census — P × 25 rows to the driver."""
+    from .exchange import exchange_reduce, gather_concat
+
+    rd = _rd()
+    empty = pa.table({"c_nationkey": pa.array([], pa.int32()),
+                      "numcust": pa.array([], pa.int64()),
+                      "totacctbal": pa.array([], pa.float64())})
+
+    def bal_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "c_acctbal" not in t.column_names:
+            return pa.table({"s": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        bal = _cents(t.column("c_acctbal"))
+        pos = bal[bal > 0]
+        return pa.table({"s": pa.array([int(pos.sum())], pa.int64()),
+                         "n": pa.array([int(len(pos))], pa.int64())})
+
+    cust_cols = ["c_custkey", "c_nationkey", "c_acctbal"]
+    bal = ds_to_table(rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_acctbal"]
+    ).map_batches(bal_partial, batch_format="pyarrow"))
+    s_c = int(pc.sum(bal.column("s")).as_py() or 0) if bal.num_rows else 0
+    n_c = int(pc.sum(bal.column("n")).as_py() or 0) if bal.num_rows else 0
+    if n_c == 0:
+        return empty
+
+    def wealthy(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "c_acctbal" not in t.column_names:
+            return pa.table({"c_custkey": pa.array([], pa.int64()),
+                             "c_nationkey": pa.array([], pa.int32()),
+                             "bal_c": pa.array([], pa.int64())})
+        bal_c = _cents(t.column("c_acctbal"))
+        keep = bal_c * n_c > s_c
+        t = t.filter(pa.array(keep))
+        return pa.table({"c_custkey": t.column("c_custkey").cast(pa.int64()),
+                         "c_nationkey": t.column("c_nationkey").cast(pa.int32()),
+                         "bal_c": pa.array(bal_c[keep], pa.int64())})
+
+    def anti_kernel(pid: int, ct: pa.Table, ot: pa.Table) -> pa.Table:
+        if ct.num_rows == 0 or "c_custkey" not in ct.column_names:
+            return pa.table({"c_nationkey": pa.array([], pa.int32()),
+                             "numcust": pa.array([], pa.int64()),
+                             "bal_c": pa.array([], pa.int64())})
+        if ot.num_rows and "o_custkey" in ot.column_names:
+            ok = ot.column("o_custkey").to_numpy()
+            keep = ~np.isin(ct.column("c_custkey").to_numpy(), ok)
+            ct = ct.filter(pa.array(keep))
+        g = ct.group_by(["c_nationkey"]).aggregate(
+            [([], "count_all"), ("bal_c", "sum")])
+        return pa.table({"c_nationkey": g.column("c_nationkey").cast(pa.int32()),
+                         "numcust": g.column("count_all").cast(pa.int64()),
+                         "bal_c": g.column("bal_c_sum").cast(pa.int64())})
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=cust_cols
+                           ).map_batches(wealthy, batch_format="pyarrow")
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey"])
+    parts = gather_concat(exchange_reduce(
+        [cust, orders], ["c_custkey", "o_custkey"], anti_kernel, P=8
+    ))
+    if parts.num_rows == 0:
+        return empty
+    g = parts.group_by(["c_nationkey"]).aggregate(
+        [("numcust", "sum"), ("bal_c", "sum")])
+    out = pa.table(
+        {"c_nationkey": g.column("c_nationkey").cast(pa.int32()),
+         "numcust": g.column("numcust_sum").cast(pa.int64()),
+         "totacctbal": pa.array(g.column("bal_c_sum").to_numpy() / 100.0,
+                                pa.float64())}
+    )
+    return finalize(out, [("c_nationkey", "ascending")])

@@ -1663,3 +1663,98 @@ def test_text_index_routes_top_tokens_and_vocab_stats(ray_session, tmp_path):
     build_text_index(d)
     assert top_tokens(d).equals(fresh_tt)
     assert vocab_stats(d).equals(fresh_vs)
+
+
+def test_q13_custdist_counts_zero_order_customers(ray_session, tmp_path):
+    """Customers without orders land in the c_count=0 bucket; the
+    histogram covers every customer exactly once."""
+    from image_report_ray.pipelines.relational import q13_custdist
+
+    d = str(tmp_path)
+    t0 = np.datetime64("1996-01-01", "us")
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "c_name": pa.array(["a", "b", "c", "d"]),
+        "c_nationkey": pa.array([0] * 4, pa.int32()),
+        "c_acctbal": pa.array([0.0] * 4),
+        "c_mktsegment": pa.array(["BUILDING"] * 4),
+    }), os.path.join(d, "customer.parquet"))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "o_custkey": pa.array([1, 1, 2], pa.int64()),
+        "o_orderstatus": pa.array(["O"] * 3),
+        "o_totalprice": pa.array([1.0] * 3),
+        "o_orderdate": pa.array([t0] * 3, pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"] * 3),
+    }), os.path.join(d, "orders.parquet"))
+    out = q13_custdist(d)
+    # custs 3,4: 0 orders; cust 2: 1; cust 1: 2
+    assert out.to_pylist() == [
+        {"c_count": 0, "custdist": 2},
+        {"c_count": 2, "custdist": 1},
+        {"c_count": 1, "custdist": 1},
+    ]
+
+
+def test_q17_correlated_average_exact(ray_session, tmp_path):
+    """qty < 0.2*avg(qty) per part in pure integers: for part 1 with
+    quantities [1, 10, 10, 10] avg = 7.75, cutoff 1.55 — only the 1
+    qualifies; a second part below brand filter contributes nothing."""
+    from image_report_ray.pipelines.relational import q17_small_quantity
+
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1, 2], pa.int64()),
+        "p_name": pa.array(["a", "b"]),
+        "p_brand": pa.array(["Brand#13", "Brand#99"]),
+        "p_type": pa.array(["SMALL", "SMALL"]),
+        "p_size": pa.array([1, 1], pa.int32()),
+        "p_retailprice": pa.array([1.0] * 2),
+    }), os.path.join(d, "part.parquet"))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "l_partkey": pa.array([1, 1, 1, 1, 2], pa.int64()),
+        "l_suppkey": pa.array([1] * 5, pa.int64()),
+        "l_linenumber": pa.array([1] * 5, pa.int32()),
+        "l_quantity": pa.array([1.0, 10.0, 10.0, 10.0, 1.0]),
+        "l_extendedprice": pa.array([70.0, 5.0, 5.0, 5.0, 9.0]),
+        "l_discount": pa.array([0.0] * 5),
+        "l_tax": pa.array([0.0] * 5),
+        "l_returnflag": pa.array(["N"] * 5),
+        "l_linestatus": pa.array(["O"] * 5),
+        "l_shipdate": pa.array(
+            [np.datetime64("1996-01-01", "us")] * 5, pa.timestamp("us")),
+    }), os.path.join(d, "lineitem.parquet"))
+    out = q17_small_quantity(d)
+    assert out.to_pylist() == [{"avg_yearly": 10.0, "n_items": 1}]
+
+
+def test_q22_above_average_anti_join(ray_session, tmp_path):
+    """Above-positive-average balance + no orders, censused per nation;
+    the average test is the exact integer cross product."""
+    from image_report_ray.pipelines.relational import q22_wealthy_inactive
+
+    d = str(tmp_path)
+    t0 = np.datetime64("1996-01-01", "us")
+    pq.write_table(pa.table({
+        # positive balances: 100, 200, 300 -> avg 200
+        "c_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "c_name": pa.array(["a", "b", "c", "d"]),
+        "c_nationkey": pa.array([0, 1, 1, 1], pa.int32()),
+        "c_acctbal": pa.array([100.0, 300.0, 300.0, -50.0]),
+    "c_mktsegment": pa.array(["BUILDING"] * 4),
+    }), os.path.join(d, "customer.parquet"))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1], pa.int64()),
+        "o_custkey": pa.array([2], pa.int64()),  # cust 2 ordered
+        "o_orderstatus": pa.array(["O"]),
+        "o_totalprice": pa.array([1.0]),
+        "o_orderdate": pa.array([t0], pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"]),
+    }), os.path.join(d, "orders.parquet"))
+    out = q22_wealthy_inactive(d)
+    # avg positive = (100+300+300)/3 = 233.33; wealthy = custs 2,3;
+    # cust 2 ordered -> only cust 3 (nation 1) remains
+    assert out.to_pylist() == [
+        {"c_nationkey": 1, "numcust": 1, "totacctbal": 300.0},
+    ]
