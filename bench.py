@@ -315,6 +315,8 @@ def run_textbench(num_cpus: int, n_docs: int = TEXTBENCH_DOCS) -> dict:
 
     out: dict[str, float] = {}
     rows: dict[str, int] = {}
+    _TI_ROUTED = ("keyword_search", "bm25_search", "top_tokens", "vocab_stats")
+    _ti_fresh: dict = {}
     for name, fn in (
         ("dedup_exact", text.dedup_exact),
         ("dedup_simhash", dedup.dedup_simhash),
@@ -347,11 +349,32 @@ def run_textbench(num_cpus: int, n_docs: int = TEXTBENCH_DOCS) -> dict:
         ("weighted_sample", text.weighted_sample),
         ("dedup_containment", dedup.dedup_containment),
         ("dedup_prefix_filter", dedup.dedup_prefix_filter),
+        ("vocab_stats", text.vocab_stats),
     ):
         t0 = time.perf_counter()
         r = fn(tb_dir)
         out[name] = round(time.perf_counter() - t0, 3)
         rows[name] = r.num_rows
+        if name in _TI_ROUTED:
+            _ti_fresh[name] = r
+    # physical inverted-index datapoint: build once, re-run the four
+    # auto-routing queries off the layout (bit-equal, asserted)
+    import shutil
+
+    from image_report_ray.pipelines.text import _text_index_dir, build_text_index
+
+    fresh = _ti_fresh
+    shutil.rmtree(_text_index_dir(tb_dir), ignore_errors=True)
+    t0 = time.perf_counter()
+    build_text_index(tb_dir)
+    index = {"build": round(time.perf_counter() - t0, 3)}
+    t0 = time.perf_counter()
+    for n, want in fresh.items():
+        assert text.__dict__[n](tb_dir).equals(want), f"indexed {n} != fresh"
+    index["indexed_4q"] = round(time.perf_counter() - t0, 3)
+    index["fresh_4q"] = round(
+        sum(out[n] for n in fresh), 3
+    )
     import ray
 
     ray.shutdown()
@@ -365,6 +388,7 @@ def run_textbench(num_cpus: int, n_docs: int = TEXTBENCH_DOCS) -> dict:
         "n_docs": n_docs,
         "queries": out,
         "result_rows": rows,
+        "index": index,
     }
 
 
