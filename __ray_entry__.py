@@ -2469,6 +2469,19 @@ SELECT event_type,
        MAX(CASE WHEN rn = (99*n + 99) // 100 THEN gap END) AS p99_us
 FROM r GROUP BY event_type ORDER BY event_type
 """,
+        # order fill latency (relational.orders_fill_latency): exact
+        # µs-integer day floor on both sides
+        "orders_fill_latency": """
+WITH f AS (
+  SELECT l_orderkey, MIN(l_shipdate) AS first_ship
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT CAST((epoch_us(first_ship) - epoch_us(o_orderdate)) // 86400000000
+            AS BIGINT) AS latency_days,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders JOIN f ON o_orderkey = l_orderkey
+GROUP BY latency_days ORDER BY latency_days
+""",
         # TPC-H Q13 (relational.q13_custdist): order-count histogram
         # INCLUDING zero-order customers (the left join's raison d'etre)
         "q13_custdist": """

@@ -3650,3 +3650,62 @@ def q22_wealthy_inactive(sf_dir: str) -> pa.Table:
                                 pa.float64())}
     )
     return finalize(out, [("c_nationkey", "ascending")])
+
+
+# ---- order fill-latency histogram -----------------------------------------
+
+
+def orders_fill_latency(sf_dir: str) -> pa.Table:
+    """Order-to-first-shipment latency histogram (whole days) — the
+    fulfilment SLO profile: how many orders shipped their first lineitem
+    after exactly N days. Orders with no lineitems don't appear.
+
+    The q4 sufficient-statistic shape with MIN instead of MAX: lineitem
+    folds min(l_shipdate) per orderkey map-side, the orderkey exchange
+    joins orders co-partitioned, the day difference is exact µs-integer
+    floor division and each partition folds its own (latency_days, n)
+    histogram — P × distinct-latencies rows to the driver."""
+    from .exchange import exchange_reduce, gather_concat
+
+    rd = _rd()
+    empty = pa.table({"latency_days": pa.array([], pa.int64()),
+                      "n_orders": pa.array([], pa.int64())})
+
+    def lmin(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "l_orderkey" not in t.column_names:
+            return pa.table({"l_orderkey": pa.array([], pa.int64()),
+                             "first_ship": pa.array([], pa.timestamp("us"))})
+        g = t.group_by(["l_orderkey"]).aggregate([("l_shipdate", "min")])
+        return pa.table({"l_orderkey": g.column("l_orderkey").cast(pa.int64()),
+                         "first_ship": g.column("l_shipdate_min")})
+
+    def kernel(pid: int, lt: pa.Table, ot: pa.Table) -> pa.Table:
+        if (lt.num_rows == 0 or ot.num_rows == 0
+                or "l_orderkey" not in lt.column_names):
+            return empty
+        g = lt.group_by(["l_orderkey"]).aggregate([("first_ship", "min")])
+        j = g.join(ot, keys=["l_orderkey"], right_keys=["o_orderkey"],
+                   join_type="inner")
+        ship = j.column("first_ship_min").combine_chunks().to_numpy(
+            zero_copy_only=False).astype("datetime64[us]").view(np.int64)
+        odate = j.column("o_orderdate").combine_chunks().to_numpy(
+            zero_copy_only=False).astype("datetime64[us]").view(np.int64)
+        days = (ship - odate) // _US_PER_DAY
+        u, c = np.unique(days, return_counts=True)
+        return pa.table({"latency_days": pa.array(u.astype(np.int64)),
+                         "n_orders": pa.array(c.astype(np.int64))})
+
+    line = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_orderkey", "l_shipdate"]
+                           ).map_batches(lmin, batch_format="pyarrow")
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderdate"])
+    parts = gather_concat(exchange_reduce(
+        [line, orders], ["l_orderkey", "o_orderkey"], kernel, P=8
+    ))
+    if parts.num_rows == 0:
+        return empty
+    g = parts.group_by(["latency_days"]).aggregate([("n_orders", "sum")])
+    out = pa.table({"latency_days": g.column("latency_days"),
+                    "n_orders": g.column("n_orders_sum").cast(pa.int64())})
+    return finalize(out, [("latency_days", "ascending")])

@@ -1758,3 +1758,38 @@ def test_q22_above_average_anti_join(ray_session, tmp_path):
     assert out.to_pylist() == [
         {"c_nationkey": 1, "numcust": 1, "totacctbal": 300.0},
     ]
+
+
+def test_orders_fill_latency_min_and_exclusion(ray_session, tmp_path):
+    """First-ship MIN wins per order, day floor is exact, and orders
+    with no lineitems don't appear."""
+    from image_report_ray.pipelines.relational import orders_fill_latency
+
+    d = str(tmp_path)
+    day = np.timedelta64(1, "D")
+    t0 = np.datetime64("1997-01-01", "us")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "o_custkey": pa.array([1, 1, 1], pa.int64()),
+        "o_orderstatus": pa.array(["O"] * 3),
+        "o_totalprice": pa.array([1.0] * 3),
+        "o_orderdate": pa.array([t0] * 3, pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"] * 3),
+    }), os.path.join(d, "orders.parquet"))
+    pq.write_table(pa.table({
+        # order 1: ships day 5 then day 2 -> latency 2; order 2: day 2
+        "l_orderkey": pa.array([1, 1, 2], pa.int64()),
+        "l_partkey": pa.array([1] * 3, pa.int64()),
+        "l_suppkey": pa.array([1] * 3, pa.int64()),
+        "l_linenumber": pa.array([1, 2, 1], pa.int32()),
+        "l_quantity": pa.array([1.0] * 3),
+        "l_extendedprice": pa.array([1.0] * 3),
+        "l_discount": pa.array([0.0] * 3),
+        "l_tax": pa.array([0.0] * 3),
+        "l_returnflag": pa.array(["N"] * 3),
+        "l_linestatus": pa.array(["O"] * 3),
+        "l_shipdate": pa.array([t0 + 5 * day, t0 + 2 * day, t0 + 2 * day],
+                               pa.timestamp("us")),
+    }), os.path.join(d, "lineitem.parquet"))
+    out = orders_fill_latency(d)
+    assert out.to_pylist() == [{"latency_days": 2, "n_orders": 2}]
