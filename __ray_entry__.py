@@ -2469,6 +2469,14 @@ SELECT event_type,
        MAX(CASE WHEN rn = (99*n + 99) // 100 THEN gap END) AS p99_us
 FROM r GROUP BY event_type ORDER BY event_type
 """,
+        # dow×hour heatmap (relational.events_hour_heatmap): epoch day 0
+        # = Thursday, dow = (days+4) % 7 with Sunday = 0 on both sides
+        "events_hour_heatmap": """
+SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+       (epoch_us(ts) // 3600000000) % 24    AS hour,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY dow, hour ORDER BY dow, hour
+""",
         # order fill latency (relational.orders_fill_latency): exact
         # µs-integer day floor on both sides
         "orders_fill_latency": """

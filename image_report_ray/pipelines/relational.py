@@ -3709,3 +3709,45 @@ def orders_fill_latency(sf_dir: str) -> pa.Table:
     out = pa.table({"latency_days": g.column("latency_days"),
                     "n_orders": g.column("n_orders_sum").cast(pa.int64())})
     return finalize(out, [("latency_days", "ascending")])
+
+
+# ---- day-of-week × hour activity heatmap -----------------------------------
+
+
+def events_hour_heatmap(sf_dir: str) -> pa.Table:
+    """Corpus-wide (day-of-week × hour-of-day) activity matrix — the
+    traffic-shape fingerprint (batch jobs vs human diurnal load) that
+    sizes ingestion capacity windows. 168 output rows at any scale:
+    per-batch combine + driver fold (the fold_partials rule); dow/hour
+    derive from epoch µs in pure integer arithmetic (epoch day 0 =
+    Thursday, so dow = (days + 4) % 7 with Sunday = 0 — mirrored
+    exactly by the SQL twin)."""
+    from ._util import fold_partials
+
+    rd = _rd()
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "ts" not in t.column_names:
+            return pa.table({"dow": pa.array([], pa.int64()),
+                             "hour": pa.array([], pa.int64()),
+                             "n_part": pa.array([], pa.int64())})
+        ts = t.column("ts").combine_chunks().to_numpy(
+            zero_copy_only=False).astype("datetime64[us]").view(np.int64)
+        days = ts // _US_PER_DAY
+        g = pa.table({
+            "dow": pa.array((days + 4) % 7, pa.int64()),
+            "hour": pa.array((ts // _US_PER_HOUR) % 24, pa.int64()),
+        }).group_by(["dow", "hour"]).aggregate([([], "count_all")])
+        return g.rename_columns(["dow", "hour", "n_part"])
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    t = fold_partials(ds.map_batches(partial, batch_format="pyarrow"),
+                      ["dow", "hour"], [("n_part", "sum")],
+                      ["dow", "hour", "n_events"])
+    if t.num_columns == 0:
+        return pa.table({"dow": pa.array([], pa.int64()),
+                         "hour": pa.array([], pa.int64()),
+                         "n_events": pa.array([], pa.int64())})
+    t = t.set_column(t.column_names.index("n_events"), "n_events",
+                     t.column("n_events").cast(pa.int64()))
+    return finalize(t, [("dow", "ascending"), ("hour", "ascending")])

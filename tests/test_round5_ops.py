@@ -1793,3 +1793,27 @@ def test_orders_fill_latency_min_and_exclusion(ray_session, tmp_path):
     }), os.path.join(d, "lineitem.parquet"))
     out = orders_fill_latency(d)
     assert out.to_pylist() == [{"latency_days": 2, "n_orders": 2}]
+
+
+def test_events_hour_heatmap_dow_anchor(ray_session, tmp_path):
+    """Epoch day 0 (1970-01-01) was a Thursday: dow must be 4 under the
+    Sunday=0 convention; hour extraction is pure integer µs math."""
+    from image_report_ray.pipelines.relational import events_hour_heatmap
+
+    d = str(tmp_path)
+    ts = np.array(["1970-01-01T05:30:00", "1970-01-01T05:45:00",
+                   "1970-01-04T23:59:59"], dtype="datetime64[us]")
+    pq.write_table(pa.table({
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array([1] * 3, pa.int64()),
+        "event_type": pa.array(["a"] * 3),
+        "value": pa.array([0.0] * 3),
+        "props": pa.array(["{}"] * 3),
+    }), os.path.join(d, "events.parquet"))
+    out = events_hour_heatmap(d)
+    # Jan 1 1970 = Thursday (dow 4); Jan 4 = Sunday (dow 0)
+    assert out.to_pylist() == [
+        {"dow": 0, "hour": 23, "n_events": 1},
+        {"dow": 4, "hour": 5, "n_events": 2},
+    ]
