@@ -313,6 +313,15 @@ def run_textbench(num_cpus: int, n_docs: int = TEXTBENCH_DOCS) -> dict:
     _init_ray(num_cpus)
     from image_report_ray.pipelines import dedup, text
 
+    # fresh-route hygiene (the simbench rule): a previous run's text
+    # index would silently auto-route the four indexed queries and make
+    # the "fresh" walls indexed timings — drop it BEFORE the loop
+    import shutil as _shutil
+
+    from image_report_ray.pipelines.text import _text_index_dir as _tidir
+
+    _shutil.rmtree(_tidir(tb_dir), ignore_errors=True)
+
     out: dict[str, float] = {}
     rows: dict[str, int] = {}
     _TI_ROUTED = ("keyword_search", "bm25_search", "top_tokens", "vocab_stats")

@@ -1579,6 +1579,17 @@ def cdc_orphan_tombstones(sf_dir: str) -> pa.Table:
 # ---- overwrite-churn profiles off the changelog ---------------------------
 
 
+def _select_key_cols(t):
+    """Schema-less empty blocks (Ray may emit them through a map stage)
+    carry no key rows — pass them through instead of crashing select."""
+    import pyarrow as _pa
+
+    if t.num_rows == 0 or "conv_id" not in t.column_names:
+        return _pa.table({"conv_id": _pa.array([], _pa.string()),
+                          "turn_idx": _pa.array([], _pa.int32())})
+    return t.select(["conv_id", "turn_idx"])
+
+
 def _key_version_counts_kernel(pid: int, t: pa.Table) -> pa.Table:
     """Per-partition (conv_id, turn_idx, versions) — a key's whole event
     history co-locates under the conv-keyed exchange, so the count is
@@ -1608,7 +1619,7 @@ def cdc_edit_wars(sf_dir: str) -> pa.Table:
     from .exchange import exchange_reduce, gather_concat
 
     ds = changelog_dataset(sf_dir).map_batches(
-        lambda t: t.select(["conv_id", "turn_idx"]), batch_format="pyarrow",
+        _select_key_cols, batch_format="pyarrow",
     )
 
     def conv_kernel(pid: int, t: pa.Table) -> pa.Table:
@@ -1654,7 +1665,7 @@ def cdc_hot_keys(sf_dir: str, topn: int = 20) -> pa.Table:
     from .exchange import exchange_reduce, gather_concat
 
     ds = changelog_dataset(sf_dir).map_batches(
-        lambda t: t.select(["conv_id", "turn_idx"]), batch_format="pyarrow",
+        _select_key_cols, batch_format="pyarrow",
     )
 
     def topk_kernel(pid: int, t: pa.Table) -> pa.Table:

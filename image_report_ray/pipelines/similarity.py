@@ -739,10 +739,17 @@ def build_lsh_index(
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             return json.load(f)
-    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
-    n_rows = pf.metadata.num_rows
+    import glob
+
+    pat = f"{sf_dir}/embeddings.parquet"
+    paths = sorted(glob.glob(pat)) or sorted(
+        glob.glob(os.path.join(pat, "*.parquet"))
+    )
+    # works for single-file AND directory corpora (both fingerprinted)
+    n_rows = sum(pq.read_metadata(p).num_rows for p in paths)
     band_bits = _nd_band_bits(n_rows)
-    first = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
+    first = next(pq.ParquetFile(paths[0]).iter_batches(
+        batch_size=1, columns=["embedding"]))
     dim = len(first.column(0)[0])
     pl_ref = ray.put(_nd_planes(dim, band_bits))
 
@@ -1403,7 +1410,9 @@ def _kmeans_centroids_cached(
     (the npy sibling of `_cached_refs`): one Lloyd run per (corpus
     content, pins) serves kmeans assignment builds AND the outlier
     query across processes. Atomic-rename publish; np.save round-trips
-    float64 bit-exactly."""
+    float64 bit-exactly. ``refs`` may be a zero-arg CALLABLE producing
+    the block refs — callers whose only use of the corpus is training
+    (cluster_separation) then skip the read entirely on a cache hit."""
     tag = _emb_tag(
         sf_dir,
         f"kmcent:k={k}:iters={iters}:cr={_KM_CENT_ROUND}:dr={_KM_DIST_ROUND}",
@@ -1411,6 +1420,8 @@ def _kmeans_centroids_cached(
     path = os.path.join(_SIM_CACHE_ROOT, f"kmcent-{tag}.npy")
     if os.path.exists(path):
         return np.load(path)
+    if callable(refs):
+        refs = refs()
     cents = _kmeans_centroids(refs, k, iters)
     os.makedirs(_SIM_CACHE_ROOT, exist_ok=True)
     fd, tmp = tempfile.mkstemp(suffix=".npy", dir=_SIM_CACHE_ROOT)
@@ -1756,13 +1767,16 @@ def cluster_separation(sf_dir: str) -> pa.Table:
     rounding so the SQL twin (the kmeans CTE chain's c2 centroids,
     self-joined) reproduces every value bit-for-bit."""
     rd = _rd()
-    refs = rd.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    ).to_arrow_refs()
+
+    def refs_thunk():  # corpus read only on a centroid-cache MISS
+        return rd.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        ).to_arrow_refs()
+
     empty = pa.table({"cid_a": pa.array([], pa.int64()),
                       "cid_b": pa.array([], pa.int64()),
                       "d2": pa.array([], pa.float64())})
-    cents = _kmeans_centroids_cached(sf_dir, refs, _KM_K, _KM_ITERS)
+    cents = _kmeans_centroids_cached(sf_dir, refs_thunk, _KM_K, _KM_ITERS)
     if cents.size == 0:
         return empty
     k = cents.shape[0]

@@ -2923,7 +2923,14 @@ def charclass_profile(sf_dir: str) -> pa.Table:
 
     def partial(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or "text" not in t.column_names:
-            return empty
+            # PARTIAL schema (not the final 7-column one): an all-empty
+            # corpus must still fold through the nd/nc/... aggregate
+            return pa.table({"source": pa.array([], pa.string()),
+                             "nd": pa.array([], pa.int64()),
+                             "nc": pa.array([], pa.int64()),
+                             "le": pa.array([], pa.int64()),
+                             "di": pa.array([], pa.int64()),
+                             "sp": pa.array([], pa.int64())})
         txt = t.column("text")
         part = pa.table({
             "source": t.column("source"),
@@ -3071,6 +3078,19 @@ def _text_index_meta(sf_dir: str) -> "tuple[str, dict] | None":
         return d, json.load(f)
 
 
+def _ti_pid_paths(index_dir: str, meta: dict, sub: str = "postings") -> list:
+    """Sorted parquet paths of every ``sub/pid=K/`` shard — the one
+    glob shared by all indexed readers."""
+    import glob
+    import os
+
+    return [
+        sorted(glob.glob(os.path.join(index_dir, sub, f"pid={i}",
+                                      "*.parquet")))
+        for i in range(meta["P"])
+    ]
+
+
 def build_text_index(
     sf_dir: str, index_dir: str | None = None, P: int = _TI_PARTS
 ) -> dict:
@@ -3095,7 +3115,15 @@ def build_text_index(
     if os.path.exists(mp):
         with open(mp) as f:
             return json.load(f)
-    n_docs = pqt.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    import glob
+
+    pat = f"{sf_dir}/documents.parquet"
+    paths = sorted(glob.glob(pat)) or sorted(
+        glob.glob(os.path.join(pat, "*.parquet"))
+    )
+    # metadata row count works for single-file AND directory corpora
+    # (the layouts _text_index_dir fingerprints)
+    n_docs = sum(pqt.read_metadata(p).num_rows for p in paths)
 
     def explode(t: pa.Table) -> pa.Table:
         empty = pa.table({"token": pa.array([], pa.string()),
@@ -3199,11 +3227,8 @@ def _ti_top_terms(index_dir: str, meta: dict, n_terms: int) -> pa.Table:
         return out.take(idx.slice(0, k))
 
     cands = pa.concat_tables(ray.get([
-        pid_top.remote(
-            sorted(glob.glob(os.path.join(index_dir, "postings",
-                                          f"pid={i}", "*.parquet"))),
-            n_terms)
-        for i in range(meta["P"])
+        pid_top.remote(paths, n_terms)
+        for paths in _ti_pid_paths(index_dir, meta)
     ]))
     idx = pc.sort_indices(cands, sort_keys=[("n", "descending"),
                                             ("token", "ascending")])
@@ -3241,13 +3266,8 @@ def _ti_term_posting_refs(index_dir: str, meta: dict, terms: list) -> list:
         return t.filter(pc.is_in(t.column("token"),
                                  value_set=pa.array(terms_, pa.string())))
 
-    return [
-        read_pid.remote(
-            sorted(glob.glob(os.path.join(index_dir, "postings",
-                                          f"pid={i}", "*.parquet"))),
-            terms)
-        for i in pids
-    ]
+    all_paths = _ti_pid_paths(index_dir, meta)
+    return [read_pid.remote(all_paths[i], terms) for i in pids]
 
 
 def _ti_doclen_refs(index_dir: str, meta: dict) -> list:
@@ -3265,11 +3285,8 @@ def _ti_doclen_refs(index_dir: str, meta: dict) -> list:
                              "dl": pa.array([], pa.int64())})
         return pa.concat_tables([_pq.read_table(p) for p in paths])
 
-    return [
-        read_dl.remote(sorted(glob.glob(os.path.join(
-            index_dir, "doclens", f"pid={i}", "*.parquet"))))
-        for i in range(meta["P"])
-    ]
+    return [read_dl.remote(paths)
+            for paths in _ti_pid_paths(index_dir, meta, "doclens")]
 
 
 def _keyword_search_indexed(
@@ -3380,10 +3397,8 @@ def _top_tokens_indexed(index_dir: str, meta: dict, k: int) -> pa.Table:
         return out.take(idx.slice(0, kk))
 
     cands = pa.concat_tables(ray.get([
-        pid_top.remote(
-            sorted(glob.glob(os.path.join(index_dir, "postings",
-                                          f"pid={i}", "*.parquet"))), k)
-        for i in range(meta["P"])
+        pid_top.remote(paths, k)
+        for paths in _ti_pid_paths(index_dir, meta)
     ]))
     t = finalize(cands, [("n", "descending"), ("token", "ascending")])
     return t.slice(0, k).select(["token", "n"])
@@ -3416,10 +3431,8 @@ def _vocab_stats_indexed(index_dir: str, meta: dict) -> pa.Table:
                          "hapax": pa.array([int((n == 1).sum())], pa.int64())})
 
     parts = pa.concat_tables(ray.get([
-        pid_census.remote(
-            sorted(glob.glob(os.path.join(index_dir, "postings",
-                                          f"pid={i}", "*.parquet"))))
-        for i in range(meta["P"])
+        pid_census.remote(paths)
+        for paths in _ti_pid_paths(index_dir, meta)
     ]))
     occ = int(pc.sum(parts.column("occ")).as_py() or 0)
     ty = int(pc.sum(parts.column("types")).as_py() or 0)
