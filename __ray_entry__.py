@@ -2374,6 +2374,22 @@ FROM rev JOIN supplier s USING (s_suppkey)
 WHERE rev.rev_u = (SELECT MAX(rev_u) FROM rev)
 ORDER BY s.s_suppkey
 """,
+        # Zipf coverage curve (text.token_coverage): top-k type mass in
+        # exact integer basis points; ROW_NUMBER over (count desc, token)
+        "token_coverage": r"""
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(text, '\S+')) AS w FROM documents
+),
+c AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY w),
+r AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, w ASC) AS rn FROM c),
+t AS (SELECT SUM(n) AS total FROM c),
+ks AS (SELECT unnest([10, 100, 1000]) AS k)
+SELECT CAST(ks.k AS BIGINT) AS k,
+       CAST(10000 * COALESCE(
+            (SELECT SUM(n) FROM r WHERE rn <= ks.k), 0)
+            // GREATEST(t.total, 1) AS BIGINT) AS mass_bp
+FROM ks CROSS JOIN t ORDER BY k
+""",
         # corpus vocabulary census (text.vocab_stats): top_tokens' token
         # semantics, exact integer type/token ratio
         "vocab_stats": r"""

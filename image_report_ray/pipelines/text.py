@@ -3442,3 +3442,80 @@ def _vocab_stats_indexed(index_dir: str, meta: dict) -> pa.Table:
                      "n_hapax": pa.array([hp], pa.int64()),
                      "ttr_micro": pa.array(
                          [1_000_000 * ty // max(occ, 1)], pa.int64())})
+
+
+# ---- token coverage curve (Zipf profile) ----------------------------------
+
+_TC_KS = (10, 100, 1000)
+
+
+def token_coverage(sf_dir: str, ks: tuple = _TC_KS) -> pa.Table:
+    """What fraction of the corpus's token MASS the top-k types cover,
+    for k in ``ks`` — the Zipf-curve health check that complements
+    vocab_stats: natural text covers ~half its mass with a few hundred
+    types; id-soup covers almost nothing, template spam covers
+    everything with ten.
+
+    value_counts partials → token-keyed exchange (each type's global
+    count completes in one partition) → per-partition top-``max(ks)``
+    cut (provable superset of every global top-k) plus ONE total-mass
+    scalar per partition; the driver folds P×max(ks) candidate rows,
+    never the vocabulary. Coverage is exact integer basis points."""
+    from .exchange import exchange_reduce, gather_concat
+
+    rd = _rd()
+    kmax = max(ks)
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "text" not in t.column_names:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "n_part": pa.array([], pa.int64())})
+        toks = pc.split_pattern_regex(t.column("text"), _TOKEN_SPLIT)
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = flat.value_counts()
+        return pa.table({"token": vc.field("values"),
+                         "n_part": vc.field("counts").cast(pa.int64())})
+
+    def cut_kernel(pid: int, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "token" not in t.column_names:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "mass": pa.array([], pa.int64())})
+        g = t.group_by(["token"]).aggregate([("n_part", "sum")])
+        n = g.column("n_part_sum").to_numpy().astype(np.int64)
+        out = pa.table({"token": g.column("token"), "n": pa.array(n),
+                        "mass": pa.array(np.full(len(n), -1, np.int64))})
+        idx = pc.sort_indices(out, sort_keys=[("n", "descending"),
+                                              ("token", "ascending")])
+        top = out.take(idx.slice(0, kmax))
+        total = pa.table({"token": pa.array([""], pa.string()),
+                          "n": pa.array([0], pa.int64()),
+                          "mass": pa.array([int(n.sum())], pa.int64())})
+        return pa.concat_tables([top, total])
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    parts = gather_concat(exchange_reduce(
+        [ds.map_batches(partial_counts, batch_format="pyarrow")],
+        ["token"], cut_kernel,
+    ))
+    empty = pa.table({"k": pa.array([], pa.int64()),
+                      "mass_bp": pa.array([], pa.int64())})
+    if parts.num_rows == 0:
+        return empty
+    mass = parts.column("mass").to_numpy()
+    total = int(mass[mass >= 0].sum())
+    if total == 0:
+        return empty
+    cand = parts.filter(pa.array(mass < 0))
+    idx = pc.sort_indices(cand, sort_keys=[("n", "descending"),
+                                           ("token", "ascending")])
+    n_sorted = cand.take(idx).column("n").to_numpy()
+    csum = np.cumsum(n_sorted)
+    rows_k, rows_bp = [], []
+    for k in sorted(ks):
+        top_mass = int(csum[min(k, len(csum)) - 1]) if len(csum) else 0
+        rows_k.append(k)
+        rows_bp.append(10_000 * top_mass // total)
+    return pa.table({"k": pa.array(rows_k, pa.int64()),
+                     "mass_bp": pa.array(rows_bp, pa.int64())})

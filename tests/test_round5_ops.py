@@ -1817,3 +1817,18 @@ def test_events_hour_heatmap_dow_anchor(ray_session, tmp_path):
         {"dow": 0, "hour": 23, "n_events": 1},
         {"dow": 4, "hour": 5, "n_events": 2},
     ]
+
+
+def test_token_coverage_exact_mass(ray_session, tmp_path):
+    """Known Zipf-ish corpus: top-k mass in exact basis points; ties in
+    counts break by token asc identically to the SQL ROW_NUMBER."""
+    from image_report_ray.pipelines.text import token_coverage
+
+    # counts: a=6, b=3, c=1 -> total 10
+    sf = _write_docs(tmp_path, ["a a a b", "a a a b b c"])
+    out = token_coverage(sf, ks=(1, 2, 3))
+    assert out.to_pylist() == [
+        {"k": 1, "mass_bp": 6000},
+        {"k": 2, "mass_bp": 9000},
+        {"k": 3, "mass_bp": 10000},
+    ]
