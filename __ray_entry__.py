@@ -2485,6 +2485,30 @@ SELECT event_type,
        MAX(CASE WHEN rn = (99*n + 99) // 100 THEN gap END) AS p99_us
 FROM r GROUP BY event_type ORDER BY event_type
 """,
+        # signup->purchase funnel latency (relational.conversion_latency):
+        # first purchase AT-OR-AFTER the first signup, exact ceil-rank
+        # order statistics like gap_quantiles
+        "conversion_latency": """
+WITH s AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS s_ts
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+p AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS p_ts
+  FROM events e JOIN s USING (user_id)
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s.s_ts
+  GROUP BY e.user_id
+),
+l AS (SELECT p.user_id, CAST(p.p_ts - s.s_ts AS BIGINT) AS lat
+      FROM p JOIN s USING (user_id)),
+r AS (SELECT lat, ROW_NUMBER() OVER (ORDER BY lat) AS rn,
+             COUNT(*) OVER () AS n FROM l)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s) AS n_signup_users,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM l) AS n_converted,
+       MAX(CASE WHEN rn = (50*n + 99) // 100 THEN lat END) AS p50_us,
+       MAX(CASE WHEN rn = (90*n + 99) // 100 THEN lat END) AS p90_us
+FROM r
+""",
         # dow×hour heatmap (relational.events_hour_heatmap): epoch day 0
         # = Thursday, dow = (days+4) % 7 with Sunday = 0 on both sides
         "events_hour_heatmap": """

@@ -3751,3 +3751,126 @@ def events_hour_heatmap(sf_dir: str) -> pa.Table:
     t = t.set_column(t.column_names.index("n_events"), "n_events",
                      t.column("n_events").cast(pa.int64()))
     return finalize(t, [("dow", "ascending"), ("hour", "ascending")])
+
+
+# ---- signup → purchase conversion latency ---------------------------------
+
+
+def conversion_latency(sf_dir: str, shift: int = _GQ_SHIFT) -> pa.Table:
+    """Funnel timing: of the users who ever signed up, how many later
+    purchased, and the exact P50/P90 of their first-signup →
+    first-subsequent-purchase latency (µs) — the conversion SLO the
+    events stream exists to answer.
+
+    One user-keyed exchange computes each partition's per-user outcome
+    row (first signup, first purchase at-or-after it; every user's
+    events co-locate so both MINs are partition-complete) and KEEPS the
+    outcome tables as refs; the N118 two-pass selection (coarse
+    histogram locate + single-bucket compressed refine) then reads the
+    converted users' latencies off those refs — no global sort, no
+    driver latency array. Unconverted signups ride the same rows with
+    latency −1 so the funnel counts fold from the identical refs."""
+    import ray
+
+    from .exchange import exchange_reduce
+
+    rd = _rd()
+
+    def kernel(pid: int, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return pa.table({"lat": pa.array([], pa.int64())})
+        ts = t.column("ts").combine_chunks().to_numpy(
+            zero_copy_only=False).astype("datetime64[us]").view(np.int64)
+        uid = t.column("user_id").to_numpy()
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        su = et == "signup"
+        pu = et == "purchase"
+        # first signup per user
+        order = np.lexsort((ts[su], uid[su]))
+        u_s, first_idx = np.unique(uid[su][order], return_index=True)
+        if len(u_s) == 0:  # partition holds purchases but no signups
+            return pa.table({"lat": pa.array([], pa.int64())})
+        s_ts = ts[su][order][first_idx]
+        # first purchase AT-OR-AFTER the user's first signup
+        pu_uid, pu_ts = uid[pu], ts[pu]
+        pos = np.searchsorted(u_s, pu_uid)
+        valid = (pos < len(u_s)) & (u_s[np.minimum(pos, len(u_s) - 1)] == pu_uid)
+        ok = valid & (pu_ts >= s_ts[np.minimum(pos, len(u_s) - 1)])
+        lat = np.full(len(u_s), -1, np.int64)
+        if ok.any():
+            order_p = np.lexsort((pu_ts[ok], pu_uid[ok]))
+            u_p, fp = np.unique(pu_uid[ok][order_p], return_index=True)
+            p_ts = pu_ts[ok][order_p][fp]
+            at = np.searchsorted(u_s, u_p)
+            lat[at] = p_ts - s_ts[at]
+        return pa.table({"lat": pa.array(lat, pa.int64())})
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+        filter=pc.field("event_type").isin(["signup", "purchase"]),
+    )
+    refs = exchange_reduce([ds], ["user_id"], kernel, P=16)
+
+    @ray.remote
+    def hist_task(t: pa.Table, sh: int) -> pa.Table:
+        """Bucket rows for converted users plus ONE bucket=-1 meta row
+        carrying the partition's signup-user count."""
+        lat = (t.column("lat").to_numpy()
+               if t.num_rows and "lat" in t.column_names
+               else np.array([], np.int64))
+        conv = lat[lat >= 0]
+        u, c = np.unique(conv >> np.int64(sh), return_counts=True)
+        return pa.table({
+            "bucket": pa.array(np.r_[u.astype(np.int64), np.int64(-1)]),
+            "n": pa.array(np.r_[c.astype(np.int64), np.int64(len(lat))]),
+        })
+
+    @ray.remote
+    def bucket_vals(t: pa.Table, buckets: list, sh: int) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"lat": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        lat = t.column("lat").to_numpy()
+        conv = lat[lat >= 0]
+        keep = np.isin(conv >> np.int64(sh), buckets)
+        u, c = np.unique(conv[keep], return_counts=True)
+        return pa.table({"lat": pa.array(u.astype(np.int64)),
+                         "n": pa.array(c.astype(np.int64))})
+
+    allh = pa.concat_tables(ray.get([hist_task.remote(r, shift)
+                                     for r in refs]))
+    meta = pc.equal(allh.column("bucket"), -1)
+    n_signup = int(pc.sum(allh.filter(meta).column("n")).as_py() or 0)
+    hist = allh.filter(pc.invert(meta))
+    out_cols = {"n_signup_users": pa.array([n_signup], pa.int64())}
+    if hist.num_rows == 0:
+        return pa.table(out_cols | {
+            "n_converted": pa.array([0], pa.int64()),
+            "p50_us": pa.array([None], pa.int64()),
+            "p90_us": pa.array([None], pa.int64())})
+    h = (hist.group_by(["bucket"]).aggregate([("n", "sum")])
+         .rename_columns(["bucket", "n"]).to_pandas().sort_values("bucket"))
+    n_conv = int(h["n"].sum())
+    cum = h["n"].cumsum().to_numpy()
+    buckets = h["bucket"].to_numpy()
+    ks = {p: (p * n_conv + 99) // 100 for p in (50, 90)}
+    tb = sorted({int(buckets[np.searchsorted(cum, k)]) for k in ks.values()})
+    vals = pa.concat_tables(ray.get(
+        [bucket_vals.remote(r, tb, shift) for r in refs]))
+    vt = (vals.group_by(["lat"]).aggregate([("n", "sum")])
+          .rename_columns(["lat", "n"]).to_pandas().sort_values("lat"))
+    vv = vt["lat"].to_numpy()
+    vb = vv >> np.int64(shift)
+    vn = vt["n"].to_numpy()
+    q = {}
+    for p, k in ks.items():
+        i = int(np.searchsorted(cum, k))
+        before = int(cum[i - 1]) if i else 0
+        m = vb == buckets[i]
+        bc = np.cumsum(vn[m])
+        q[p] = int(vv[m][np.searchsorted(bc, k - before)])
+    return pa.table(out_cols | {
+        "n_converted": pa.array([n_conv], pa.int64()),
+        "p50_us": pa.array([q[50]], pa.int64()),
+        "p90_us": pa.array([q[90]], pa.int64())})

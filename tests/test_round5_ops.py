@@ -1832,3 +1832,40 @@ def test_token_coverage_exact_mass(ray_session, tmp_path):
         {"k": 2, "mass_bp": 9000},
         {"k": 3, "mass_bp": 10000},
     ]
+
+
+def test_conversion_latency_bruteforce(ray_session, tmp_path):
+    """Constructed funnel: pre-signup purchases don't count, the FIRST
+    signup anchors, unconverted signups count in the denominator, and
+    quantiles are the exact ceil-rank order statistics."""
+    from image_report_ray.pipelines.relational import conversion_latency
+
+    d = str(tmp_path)
+    rows = [
+        # user 1: purchase BEFORE signup (ignored), signup @10, purchase @25 -> lat 15
+        (1, 5, "purchase"), (1, 10, "signup"), (1, 25, "purchase"),
+        # user 2: two signups (first @20 anchors), purchase @120 -> lat 100
+        (2, 20, "signup"), (2, 90, "signup"), (2, 120, "purchase"),
+        # user 3: signup only -> unconverted
+        (3, 7, "signup"),
+        # user 4: purchase only -> not a signup user
+        (4, 3, "purchase"),
+        # user 5: signup and purchase at the SAME ts -> lat 0
+        (5, 40, "signup"), (5, 40, "purchase"),
+    ]
+    ts = np.array([r[1] * 1_000_000 for r in rows], dtype="datetime64[us]")
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(len(rows)), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[2] for r in rows]),
+        "value": pa.array([0.0] * len(rows)),
+        "props": pa.array(["{}"] * len(rows)),
+    }), os.path.join(d, "events.parquet"), row_group_size=3)
+    out = conversion_latency(d, shift=18)
+    # latencies sorted: [0, 15e6, 100e6]; k50 = ceil(1.5)=2 -> 15e6,
+    # k90 = ceil(2.7)=3 -> 100e6
+    assert out.to_pylist() == [{
+        "n_signup_users": 4, "n_converted": 3,
+        "p50_us": 15_000_000, "p90_us": 100_000_000,
+    }]
