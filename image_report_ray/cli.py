@@ -32,7 +32,12 @@ from .logging_setup import setup_logging
 _LOG_LEVELS = ("DEBUG", "INFO", "WARNING", "ERROR", "CRITICAL")
 
 
-def _init_ray(num_cpus: int | None) -> None:
+def _init_ray(num_cpus: int | None) -> bool:
+    """Init Ray if nobody has; returns True iff THIS call created the
+    session. Commands shut down only sessions they created — tearing
+    down a caller's session (a pytest fixture's, a notebook's) both
+    breaks the caller and destabilizes raylet under repeated
+    init/shutdown cycles in one process."""
     import os
 
     import ray
@@ -40,14 +45,25 @@ def _init_ray(num_cpus: int | None) -> None:
     # see bench.py: numpy's hugepage madvise stalls on THP compaction
     # under memory fragmentation; workers inherit this from raylet
     os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+    created = False
     if not ray.is_initialized():
         kwargs = {"include_dashboard": False, "logging_level": "ERROR"}
         if num_cpus:
             kwargs["num_cpus"] = num_cpus
         ray.init(address="local", **kwargs)
+        created = True
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    return created
+
+
+def _shutdown_if(owned: bool) -> None:
+    """Tear down the Ray session ONLY if this command created it."""
+    if owned:
+        import ray
+
+        ray.shutdown()
 
 
 def cmd_gen(args: argparse.Namespace) -> int:
@@ -69,7 +85,7 @@ def cmd_gen(args: argparse.Namespace) -> int:
 
 
 def cmd_run(args: argparse.Namespace) -> int:
-    _init_ray(args.num_cpus)
+    owns = _init_ray(args.num_cpus)
     from .pipelines.cdc import run_job
 
     cfg = EngineConfig(
@@ -103,9 +119,7 @@ def cmd_run(args: argparse.Namespace) -> int:
             salt_keys=frozenset(args.salt_key or []),
         )
     print(json.dumps(summary))
-    import ray
-
-    ray.shutdown()
+    _shutdown_if(owns)
     # Honest exit-code policy (/root/reference/ir:606-619): even under
     # keep-going, a run that skipped unreadable WAL files is a FAILED run
     # at the exit-code level — the summary carries the count, the code
@@ -119,7 +133,7 @@ def cmd_run(args: argparse.Namespace) -> int:
 
 
 def cmd_export(args: argparse.Namespace) -> int:
-    _init_ray(args.num_cpus)
+    owns = _init_ray(args.num_cpus)
     from .state.manifest import Lake
 
     lake = Lake(args.lake_dir)
@@ -158,9 +172,7 @@ def cmd_export(args: argparse.Namespace) -> int:
         out = _os.path.join(args.out_dir, f"view={args.view}.parquet")
         pq.write_table(t, out)
         print(json.dumps({"rows": t.num_rows, "out_dir": out, "view": args.view}))
-        import ray
-
-        ray.shutdown()
+        _shutdown_if(owns)
         return 0
     from .pipelines.cdc import canonical_state_dataset
 
@@ -177,23 +189,19 @@ def cmd_export(args: argparse.Namespace) -> int:
         {"rows": ds.count(), "out_dir": args.out_dir, "as_of": as_of,
          "format": fmt}
     ))
-    import ray
-
-    ray.shutdown()
+    _shutdown_if(owns)
     return 0
 
 
 def cmd_compact(args: argparse.Namespace) -> int:
-    _init_ray(args.num_cpus)
+    owns = _init_ray(args.num_cpus)
     from .pipelines.cdc import gc_tombstones
     from .state.manifest import Lake
 
     lake = Lake(args.lake_dir)
     res = gc_tombstones(lake, before_lsn=args.before_lsn)
     print(json.dumps(res))
-    import ray
-
-    ray.shutdown()
+    _shutdown_if(owns)
     return 0
 
 
@@ -202,7 +210,7 @@ def cmd_expire(args: argparse.Namespace) -> int:
     GC-style rewrite commit (consumes no lsns or WAL epochs, so future
     events still win; snapshots at or after the fold point no longer
     serve the expired rows)."""
-    _init_ray(args.num_cpus)
+    owns = _init_ray(args.num_cpus)
     from .pipelines.cdc import expire_turns
     from .state.manifest import Lake
 
@@ -216,9 +224,7 @@ def cmd_expire(args: argparse.Namespace) -> int:
     lake = Lake(args.lake_dir)
     res = expire_turns(lake, cutoff)
     print(json.dumps(res))
-    import ray
-
-    ray.shutdown()
+    _shutdown_if(owns)
     return 0
 
 
@@ -226,31 +232,27 @@ def cmd_reshard(args: argparse.Namespace) -> int:
     """Migrate the lake's current state to a new lake with a different
     partition count (P is immutable per lake); the WAL stream resumes on
     the new lake at the next epoch number."""
-    _init_ray(args.num_cpus)
+    owns = _init_ray(args.num_cpus)
     from .pipelines.cdc import reshard_lake
     from .state.manifest import Lake
 
     res = reshard_lake(Lake(args.src_lake), args.dst_lake, args.partitions)
     print(json.dumps(res))
-    import ray
-
-    ray.shutdown()
+    _shutdown_if(owns)
     return 0
 
 
 def cmd_bootstrap(args: argparse.Namespace) -> int:
     """Bootstrap a lake from an existing plain transcripts Parquet table
     (migration INTO the engine); start the WAL at epoch+1."""
-    _init_ray(args.num_cpus)
+    owns = _init_ray(args.num_cpus)
     from .pipelines.cdc import bootstrap_lake
 
     res = bootstrap_lake(
         args.src_parquet, args.lake_dir, args.partitions, epoch=args.epoch
     )
     print(json.dumps(res))
-    import ray
-
-    ray.shutdown()
+    _shutdown_if(owns)
     return 0
 
 
@@ -265,7 +267,7 @@ def cmd_changefeed(args: argparse.Namespace) -> int:
     same range on the next run — safe, because a range feed is the NET
     state diff and applying it twice is idempotent for any
     state-applying consumer. Already-caught-up runs are no-ops."""
-    _init_ray(args.num_cpus)
+    owns = _init_ray(args.num_cpus)
     import ray
 
     from .pipelines.cdc import changefeed_range_refs
@@ -293,9 +295,7 @@ def cmd_changefeed(args: argparse.Namespace) -> int:
                 {"epoch": head, "from_epoch": cursor_epoch, "rows": 0,
                  "caught_up": True, "cursor": cursor_path}
             ))
-            import ray
-
-            ray.shutdown()
+            _shutdown_if(owns)
             return 0
         from_epoch, to_epoch = cursor_epoch, head
     else:
@@ -383,9 +383,7 @@ def cmd_changefeed(args: argparse.Namespace) -> int:
          "out": out_dir,
          "cursor": cursor_path}
     ))
-    import ray
-
-    ray.shutdown()
+    _shutdown_if(owns)
     return 0
 
 
@@ -470,7 +468,7 @@ def cmd_query(args: argparse.Namespace) -> int:
             {"error": f"unknown query {args.name!r}", "queries": sorted(reg)}
         ))
         return 1
-    _init_ray(args.num_cpus)
+    owns = _init_ray(args.num_cpus)
     import time
 
     t0 = time.perf_counter()
@@ -488,9 +486,7 @@ def cmd_query(args: argparse.Namespace) -> int:
         pq.write_table(table, args.out)
         out["out"] = args.out
     print(json.dumps(out))
-    import ray
-
-    ray.shutdown()
+    _shutdown_if(owns)
     return 0
 
 
@@ -500,7 +496,7 @@ def cmd_index(args: argparse.Namespace) -> int:
     invocation over unchanged data returns the existing meta without
     touching the layout, and the matching queries (keyword/bm25 search,
     embedding near-dup, ANN top-k) auto-route through the index."""
-    _init_ray(args.num_cpus)
+    owns = _init_ray(args.num_cpus)
     import time
 
     t0 = time.perf_counter()
@@ -540,9 +536,7 @@ def cmd_index(args: argparse.Namespace) -> int:
         "kind": args.kind, "index_dir": where, "meta": meta,
         "wall_sec": round(time.perf_counter() - t0, 3),
     }))
-    import ray
-
-    ray.shutdown()
+    _shutdown_if(owns)
     return 0
 
 
