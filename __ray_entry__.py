@@ -2485,6 +2485,29 @@ SELECT event_type,
        MAX(CASE WHEN rn = (99*n + 99) // 100 THEN gap END) AS p99_us
 FROM r GROUP BY event_type ORDER BY event_type
 """,
+        # part order-volume concentration (relational.part_concentration):
+        # cut = value at ceil-rank P99 of per-part counts; strictly-above
+        # vs tied-at-cut reported separately (tie-deterministic)
+        "part_concentration": """
+WITH c AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY l_partkey
+),
+r AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n) AS rn,
+             COUNT(*) OVER () AS np FROM c),
+cut AS (SELECT MAX(CASE WHEN rn = (99*np + 99) // 100 THEN n END) AS cc
+        FROM r),
+t AS (SELECT SUM(n) AS total, CAST(COUNT(*) AS BIGINT) AS n_parts FROM c)
+SELECT cut.cc AS cut_count,
+       t.n_parts,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM c WHERE n > cut.cc) AS n_above,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM c WHERE n = cut.cc) AS n_at,
+       CAST(10000 * COALESCE((SELECT SUM(n) FROM c WHERE n > cut.cc), 0)
+            // GREATEST(t.total, 1) AS BIGINT) AS mass_above_bp,
+       CAST(10000 * COALESCE((SELECT SUM(n) FROM c WHERE n = cut.cc), 0)
+            // GREATEST(t.total, 1) AS BIGINT) AS mass_at_bp
+FROM cut CROSS JOIN t
+""",
         # signup->purchase funnel latency (relational.conversion_latency):
         # first purchase AT-OR-AFTER the first signup, exact ceil-rank
         # order statistics like gap_quantiles

@@ -3874,3 +3874,86 @@ def conversion_latency(sf_dir: str, shift: int = _GQ_SHIFT) -> pa.Table:
         "n_converted": pa.array([n_conv], pa.int64()),
         "p50_us": pa.array([q[50]], pa.int64()),
         "p90_us": pa.array([q[90]], pa.int64())})
+
+
+# ---- part order-volume concentration --------------------------------------
+
+
+def part_concentration(sf_dir: str, p: int = 99) -> pa.Table:
+    """Order-volume skew profile: how much of lineitem volume the
+    hottest parts hold — the catalogue's hot-key fingerprint (the same
+    shape that decides whether a partkey exchange needs salting).
+
+    The partkey exchange completes each part's lineitem count and KEEPS
+    the per-partition count tables as refs; the N118 selection finds the
+    exact P``p`` per-part-count cut point over those refs (counts are
+    small ints — shift 0, the histogram IS exact); a second wave folds
+    each partition's (parts, volume) above/at/below the cut — strictly-
+    above vs tied-at-cut reported separately so the census is
+    tie-deterministic on both sides. All exact integers."""
+    import ray
+
+    from .exchange import exchange_reduce
+
+    rd = _rd()
+    empty = pa.table({"cut_count": pa.array([], pa.int64()),
+                      "n_parts": pa.array([], pa.int64()),
+                      "n_above": pa.array([], pa.int64()),
+                      "n_at": pa.array([], pa.int64()),
+                      "mass_above_bp": pa.array([], pa.int64()),
+                      "mass_at_bp": pa.array([], pa.int64())})
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "l_partkey" not in t.column_names:
+            return pa.table({"l_partkey": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        g = t.group_by(["l_partkey"]).aggregate([([], "count_all")])
+        return pa.table({"l_partkey": g.column("l_partkey").cast(pa.int64()),
+                         "n": g.column("count_all").cast(pa.int64())})
+
+    def count_kernel(pid: int, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "l_partkey" not in t.column_names:
+            return pa.table({"l_partkey": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        g = t.group_by(["l_partkey"]).aggregate([("n", "sum")])
+        return g.rename_columns(["l_partkey", "n"])
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_partkey"]
+                         ).map_batches(count_partial, batch_format="pyarrow")
+    refs = exchange_reduce([li], ["l_partkey"], count_kernel, P=16)
+
+    @ray.remote
+    def hist_task(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"c": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        u, c = np.unique(t.column("n").to_numpy(), return_counts=True)
+        return pa.table({"c": pa.array(u.astype(np.int64)),
+                         "n": pa.array(c.astype(np.int64))})
+
+    hist = pa.concat_tables(ray.get([hist_task.remote(r) for r in refs]))
+    if hist.num_rows == 0:
+        return empty
+    h = (hist.group_by(["c"]).aggregate([("n", "sum")])
+         .rename_columns(["c", "n"]).to_pandas().sort_values("c"))
+    n_parts = int(h["n"].sum())
+    total_mass = int((h["c"] * h["n"]).sum())
+    cum = h["n"].cumsum().to_numpy()
+    k = (p * n_parts + 99) // 100
+    cut = int(h["c"].to_numpy()[np.searchsorted(cum, k)])
+    above = h[h["c"] > cut]
+    at = h[h["c"] == cut]
+    n_above = int(above["n"].sum())
+    n_at = int(at["n"].sum())
+    m_above = int((above["c"] * above["n"]).sum())
+    m_at = int((at["c"] * at["n"]).sum())
+    return pa.table({
+        "cut_count": pa.array([cut], pa.int64()),
+        "n_parts": pa.array([n_parts], pa.int64()),
+        "n_above": pa.array([n_above], pa.int64()),
+        "n_at": pa.array([n_at], pa.int64()),
+        "mass_above_bp": pa.array(
+            [10_000 * m_above // max(total_mass, 1)], pa.int64()),
+        "mass_at_bp": pa.array(
+            [10_000 * m_at // max(total_mass, 1)], pa.int64()),
+    })

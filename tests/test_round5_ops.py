@@ -1869,3 +1869,46 @@ def test_conversion_latency_bruteforce(ray_session, tmp_path):
         "n_signup_users": 4, "n_converted": 3,
         "p50_us": 15_000_000, "p90_us": 100_000_000,
     }]
+
+
+def test_part_concentration_bruteforce(ray_session, tmp_path):
+    """Skewed constructed catalogue vs a numpy brute force of the same
+    ceil-rank cut and strictly-above/at-cut split."""
+    from image_report_ray.pipelines.relational import part_concentration
+
+    d = str(tmp_path)
+    rng = np.random.default_rng(31)
+    # 100 parts: one hot part with 500 lineitems, rest 1-20
+    counts = np.r_[500, rng.integers(1, 21, 99)]
+    pk = np.repeat(np.arange(1, 101), counts)
+    n = len(pk)
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(np.arange(n), pa.int64()),
+        "l_partkey": pa.array(pk, pa.int64()),
+        "l_suppkey": pa.array(np.ones(n), pa.int64()),
+        "l_linenumber": pa.array(np.ones(n, np.int32), pa.int32()),
+        "l_quantity": pa.array(np.ones(n)),
+        "l_extendedprice": pa.array(np.ones(n)),
+        "l_discount": pa.array(np.zeros(n)),
+        "l_tax": pa.array(np.zeros(n)),
+        "l_returnflag": pa.array(["N"] * n),
+        "l_linestatus": pa.array(["O"] * n),
+        "l_shipdate": pa.array(
+            np.repeat(np.datetime64("1996-01-01", "us"), n),
+            pa.timestamp("us")),
+    }), os.path.join(d, "lineitem.parquet"), row_group_size=211)
+    out = part_concentration(d).to_pylist()[0]
+
+    v = np.sort(counts)
+    k = (99 * 100 + 99) // 100
+    cut = int(v[k - 1])
+    total = int(counts.sum())
+    want = {
+        "cut_count": cut,
+        "n_parts": 100,
+        "n_above": int((counts > cut).sum()),
+        "n_at": int((counts == cut).sum()),
+        "mass_above_bp": 10_000 * int(counts[counts > cut].sum()) // total,
+        "mass_at_bp": 10_000 * int(counts[counts == cut].sum()) // total,
+    }
+    assert out == want
