@@ -2374,6 +2374,20 @@ FROM rev JOIN supplier s USING (s_suppkey)
 WHERE rev.rev_u = (SELECT MAX(rev_u) FROM rev)
 ORDER BY s.s_suppkey
 """,
+        # per-source duplicate pressure (text.source_dup_rate): the
+        # non-winners of the exact-dedup election, by their own source
+        "source_dup_rate": """
+WITH w AS (
+  SELECT doc_id, source, MIN(doc_id) OVER (PARTITION BY text) AS winner
+  FROM documents
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN doc_id <> winner THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dups,
+       CAST(10000 * SUM(CASE WHEN doc_id <> winner THEN 1 ELSE 0 END)
+            // GREATEST(COUNT(*), 1) AS BIGINT) AS dup_bp
+FROM w GROUP BY source ORDER BY source
+""",
         # Zipf coverage curve (text.token_coverage): top-k type mass in
         # exact integer basis points; ROW_NUMBER over (count desc, token)
         "token_coverage": r"""

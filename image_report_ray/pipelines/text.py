@@ -3519,3 +3519,93 @@ def token_coverage(sf_dir: str, ks: tuple = _TC_KS) -> pa.Table:
         rows_bp.append(10_000 * top_mass // total)
     return pa.table({"k": pa.array(rows_k, pa.int64()),
                      "mass_bp": pa.array(rows_bp, pa.int64())})
+
+
+# ---- per-source duplicate pressure ----------------------------------------
+
+
+def source_dup_rate(sf_dir: str) -> pa.Table:
+    """Which source pumps duplicates: per source, total docs, docs that
+    are exact duplicates of an earlier doc (the non-winners of
+    dedup_exact's hash election, attributed to THEIR OWN source), and
+    the dup rate in exact basis points — the curation dial that decides
+    which feed gets throttled before dedup cost explodes.
+
+    Reuses dedup_exact's 128-bit digest kernel verbatim; only (hash,
+    doc_id, source) rows enter the hash-keyed exchange (bodies never
+    shuffle), each partition elects winners per digest locally (a
+    digest's rows co-locate) and folds its non-winners to per-source
+    counts; the per-source totals are a fold_partials census over a
+    source-only second read. Fixed source cardinality → O(P × sources)
+    driver rows."""
+    from ._util import fold_partials
+    from .exchange import exchange_reduce, gather_concat
+
+    rd = _rd()
+    empty = pa.table({"source": pa.array([], pa.string()),
+                      "n_docs": pa.array([], pa.int64()),
+                      "n_dups": pa.array([], pa.int64()),
+                      "dup_bp": pa.array([], pa.int64())})
+
+    def hash_with_source(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "text" not in t.column_names:
+            return pa.table({"h": pa.array([], pa.binary(16)),
+                             "doc_id": pa.array([], pa.int64()),
+                             "source": pa.array([], pa.string())})
+        part = _dedup_hash_batch(t)
+        return part.append_column("source", t.column("source"))
+
+    def dup_kernel(pid: int, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "h" not in t.column_names:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "n_part": pa.array([], pa.int64())})
+        h = t.column("h").to_numpy(zero_copy_only=False)
+        did = t.column("doc_id").to_numpy()
+        order = np.lexsort((did, h))
+        h_s = h[order]
+        first = np.r_[True, h_s[1:] != h_s[:-1]]
+        dup_idx = np.asarray(order)[~first]
+        if not len(dup_idx):
+            return pa.table({"source": pa.array([], pa.string()),
+                             "n_part": pa.array([], pa.int64())})
+        g = (t.take(pa.array(dup_idx)).group_by(["source"])
+             .aggregate([([], "count_all")]))
+        return pa.table({"source": g.column("source"),
+                         "n_part": g.column("count_all").cast(pa.int64())})
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "source"])
+    dup_parts = gather_concat(exchange_reduce(
+        [ds.map_batches(hash_with_source, batch_format="pyarrow")],
+        ["h"], dup_kernel,
+    ))
+
+    def src_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "source" not in t.column_names:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "n_part": pa.array([], pa.int64())})
+        g = t.group_by(["source"]).aggregate([([], "count_all")])
+        return pa.table({"source": g.column("source"),
+                         "n_part": g.column("count_all").cast(pa.int64())})
+
+    totals = fold_partials(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source"]
+                        ).map_batches(src_partial, batch_format="pyarrow"),
+        ["source"], [("n_part", "sum")], ["source", "n_docs"],
+    )
+    if totals.num_columns == 0 or totals.num_rows == 0:
+        return empty
+    if dup_parts.num_rows:
+        dg = (dup_parts.group_by(["source"]).aggregate([("n_part", "sum")])
+              .rename_columns(["source", "n_dups"]))
+        j = totals.join(dg, keys=["source"], join_type="left outer")
+        nd = j.column("n_dups").fill_null(0).to_numpy().astype(np.int64)
+    else:
+        j = totals
+        nd = np.zeros(totals.num_rows, dtype=np.int64)
+    n = j.column("n_docs").to_numpy().astype(np.int64)
+    out = pa.table({"source": j.column("source"),
+                    "n_docs": pa.array(n),
+                    "n_dups": pa.array(nd),
+                    "dup_bp": pa.array(10_000 * nd // np.maximum(n, 1))})
+    return finalize(out, [("source", "ascending")])

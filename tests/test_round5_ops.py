@@ -1912,3 +1912,25 @@ def test_part_concentration_bruteforce(ray_session, tmp_path):
         "mass_at_bp": 10_000 * int(counts[counts == cut].sum()) // total,
     }
     assert out == want
+
+
+def test_source_dup_rate_attribution(ray_session, tmp_path):
+    """Duplicates attribute to THEIR OWN source (not the winner's), the
+    winner itself is not a dup, and clean sources report 0."""
+    from image_report_ray.pipelines.text import source_dup_rate
+
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        # doc 1 (src a) is the winner; dups live in src b (x2) and a (x1)
+        "text": pa.array(["same", "same", "same", "same", "unique"]),
+        "lang": pa.array(["en"] * 5),
+        "source": pa.array(["a", "b", "b", "a", "c"]),
+        "n_chars": pa.array([4, 4, 4, 4, 6], pa.int64()),
+    }), os.path.join(d, "documents.parquet"), row_group_size=2)
+    out = source_dup_rate(d)
+    assert out.to_pylist() == [
+        {"source": "a", "n_docs": 2, "n_dups": 1, "dup_bp": 5000},
+        {"source": "b", "n_docs": 2, "n_dups": 2, "dup_bp": 10000},
+        {"source": "c", "n_docs": 1, "n_dups": 0, "dup_bp": 0},
+    ]
