@@ -2374,6 +2374,23 @@ FROM rev JOIN supplier s USING (s_suppkey)
 WHERE rev.rev_u = (SELECT MAX(rev_u) FROM rev)
 ORDER BY s.s_suppkey
 """,
+        # duplicate provenance flow (text.dup_flow_matrix): winner's
+        # source -> dup's source counts off the same election
+        "dup_flow_matrix": """
+WITH w AS (
+  SELECT doc_id, source, text,
+         MIN(doc_id) OVER (PARTITION BY text) AS winner
+  FROM documents
+),
+ws AS (SELECT doc_id AS w_id, source AS winner_source FROM w
+       WHERE doc_id = winner)
+SELECT ws.winner_source, w.source AS dup_source,
+       CAST(COUNT(*) AS BIGINT) AS n_dups
+FROM w JOIN ws ON w.winner = ws.w_id
+WHERE w.doc_id <> w.winner
+GROUP BY ws.winner_source, w.source
+ORDER BY winner_source, dup_source
+""",
         # per-source duplicate pressure (text.source_dup_rate): the
         # non-winners of the exact-dedup election, by their own source
         "source_dup_rate": """

@@ -3609,3 +3609,66 @@ def source_dup_rate(sf_dir: str) -> pa.Table:
                     "n_dups": pa.array(nd),
                     "dup_bp": pa.array(10_000 * nd // np.maximum(n, 1))})
     return finalize(out, [("source", "ascending")])
+
+
+def dup_flow_matrix(sf_dir: str) -> pa.Table:
+    """Provenance flow of exact duplicates: (winner's source → dup's
+    source) counts — which feed COPIES FROM which (a syndication map;
+    the off-diagonal mass is cross-feed plagiarism, the diagonal is
+    within-feed re-posting). Same hash election as
+    :func:`source_dup_rate`, but each partition emits the winner×dup
+    source pair census — sources² is a fixed tiny cardinality, so the
+    driver folds O(P × sources²) rows."""
+    from .exchange import exchange_reduce, gather_concat
+
+    rd = _rd()
+    empty = pa.table({"winner_source": pa.array([], pa.string()),
+                      "dup_source": pa.array([], pa.string()),
+                      "n_dups": pa.array([], pa.int64())})
+
+    def hash_with_source(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "text" not in t.column_names:
+            return pa.table({"h": pa.array([], pa.binary(16)),
+                             "doc_id": pa.array([], pa.int64()),
+                             "source": pa.array([], pa.string())})
+        return _dedup_hash_batch(t).append_column("source",
+                                                  t.column("source"))
+
+    def flow_kernel(pid: int, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "h" not in t.column_names:
+            return empty
+        h = t.column("h").to_numpy(zero_copy_only=False)
+        did = t.column("doc_id").to_numpy()
+        src = t.column("source").to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, h))
+        h_s, src_s = h[order], src[order]
+        first = np.r_[True, h_s[1:] != h_s[:-1]]
+        # winner source broadcast down each digest group
+        grp = np.cumsum(first) - 1
+        win_src = src_s[np.flatnonzero(first)][grp]
+        dup = ~first
+        if not dup.any():
+            return empty
+        g = pa.table({"winner_source": pa.array(win_src[dup]),
+                      "dup_source": pa.array(src_s[dup])}
+                     ).group_by(["winner_source", "dup_source"]).aggregate(
+                         [([], "count_all")])
+        return pa.table({"winner_source": g.column("winner_source"),
+                         "dup_source": g.column("dup_source"),
+                         "n_dups": g.column("count_all").cast(pa.int64())})
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "source"])
+    parts = gather_concat(exchange_reduce(
+        [ds.map_batches(hash_with_source, batch_format="pyarrow")],
+        ["h"], flow_kernel,
+    ))
+    if parts.num_rows == 0:
+        return empty
+    g = parts.group_by(["winner_source", "dup_source"]).aggregate(
+        [("n_dups", "sum")])
+    out = pa.table({"winner_source": g.column("winner_source"),
+                    "dup_source": g.column("dup_source"),
+                    "n_dups": g.column("n_dups_sum").cast(pa.int64())})
+    return finalize(out, [("winner_source", "ascending"),
+                          ("dup_source", "ascending")])

@@ -1934,3 +1934,25 @@ def test_source_dup_rate_attribution(ray_session, tmp_path):
         {"source": "b", "n_docs": 2, "n_dups": 2, "dup_bp": 10000},
         {"source": "c", "n_docs": 1, "n_dups": 0, "dup_bp": 0},
     ]
+
+
+def test_dup_flow_matrix_directionality(ray_session, tmp_path):
+    """Flow points winner-source -> dup-source; the diagonal counts
+    within-feed reposts and non-dup docs contribute nothing."""
+    from image_report_ray.pipelines.text import dup_flow_matrix
+
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        # winner 1 (src a): dups in b, b, a; winner 5 (src c): dup in a
+        "text": pa.array(["x", "x", "x", "x", "y", "y"]),
+        "lang": pa.array(["en"] * 6),
+        "source": pa.array(["a", "b", "b", "a", "c", "a"]),
+        "n_chars": pa.array([1] * 6, pa.int64()),
+    }), os.path.join(d, "documents.parquet"), row_group_size=2)
+    out = dup_flow_matrix(d)
+    assert out.to_pylist() == [
+        {"winner_source": "a", "dup_source": "a", "n_dups": 1},
+        {"winner_source": "a", "dup_source": "b", "n_dups": 2},
+        {"winner_source": "c", "dup_source": "a", "n_dups": 1},
+    ]
