@@ -2969,6 +2969,135 @@ SELECT user_id,
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
 FROM o GROUP BY user_id ORDER BY user_id
 """,
+        # two-key distinct census (relational.brand_supplier_census):
+        # Q16's shape — COUNT(*) over j is the distinct pair count
+        # because ps is deduped and partkey is unique in part
+        "brand_supplier_census": """
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+j AS (SELECT p.p_brand, ps.l_partkey, ps.l_suppkey
+      FROM ps JOIN part p ON p.p_partkey = ps.l_partkey)
+SELECT p_brand,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
+FROM j GROUP BY p_brand ORDER BY p_brand
+""",
+        # exact Gini per segment (relational.spend_gini): rank dot
+        # product over the range-partitioned sort; tie order can't move
+        # the sum, so ROW_NUMBER's arbitrary tie-break is safe
+        "spend_gini": """
+WITH t AS (SELECT o_custkey,
+                  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                       AS BIGINT) AS cents
+           FROM orders GROUP BY 1),
+j AS (SELECT c.c_mktsegment AS seg, t.cents
+      FROM t JOIN customer c ON c.c_custkey = t.o_custkey),
+r AS (SELECT seg, cents,
+             ROW_NUMBER() OVER (PARTITION BY seg ORDER BY cents) AS rn
+      FROM j),
+a AS (SELECT seg, CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(CAST(cents AS HUGEINT)) AS HUGEINT) AS tot,
+             CAST(SUM(CAST(rn AS HUGEINT) * cents) AS HUGEINT) AS s
+      FROM r GROUP BY seg)
+SELECT seg AS c_mktsegment, CAST(n AS BIGINT) AS n_customers,
+       CAST(tot AS BIGINT) AS total_cents,
+       CAST(((2 * s - (n + 1) * tot) * 1000000) // (n * tot) AS BIGINT)
+           AS gini_micro
+FROM a ORDER BY c_mktsegment
+""",
+        # exact integer co-moments (relational.value_hour_corr): Pearson
+        # value-cents x hour-of-day as sign + r2_micro, stepwise-floored
+        # on |cov| so every operand is nonnegative and fits HUGEINT
+        "value_hour_corr": """
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS x,
+         (epoch_us(ts) // 3600000000) % 24 AS y
+  FROM events
+),
+a AS (SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+             CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+      FROM c GROUP BY 1),
+m AS (SELECT event_type, n, n * sxy - sx * sy AS cov,
+             n * sxx - sx * sx AS vx, n * syy - sy * sy AS vy
+      FROM a)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       CAST(CASE WHEN cov > 0 THEN 1 WHEN cov < 0 THEN -1 ELSE 0 END
+            AS BIGINT) AS sign,
+       CAST(CASE WHEN vx > 0 AND vy > 0
+                 THEN ((1000000 * ABS(cov) // vx) * ABS(cov)) // vy
+                 ELSE 0 END AS BIGINT) AS r2_micro
+FROM m ORDER BY event_type
+""",
+        # robust stats (relational.value_mad): exact median + MAD in
+        # cents, both at the value_quantiles rank convention ceil(n/2)
+        "value_mad": """
+WITH c AS (SELECT event_type,
+                  CAST(round(value * 100) AS BIGINT) AS v FROM events),
+m AS (SELECT event_type, v,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM c),
+med AS (SELECT event_type,
+               MIN(CASE WHEN rn >= (50 * n + 99) // 100 THEN v END) AS med,
+               MAX(n) AS n_med
+        FROM m GROUP BY event_type),
+d AS (SELECT c.event_type, ABS(c.v - med.med) AS dv
+      FROM c JOIN med USING (event_type)),
+r AS (SELECT event_type, dv,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dv) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM d)
+SELECT event_type, CAST(n_med AS BIGINT) AS n,
+       CAST(med AS BIGINT) AS median_cents,
+       CAST(MIN(CASE WHEN r.rn >= (50 * r.n + 99) // 100 THEN r.dv END)
+            AS BIGINT) AS mad_cents
+FROM r JOIN med USING (event_type)
+GROUP BY event_type, n_med, med ORDER BY event_type
+""",
+        # distributed sweep-line (relational.peak_concurrency): per-day
+        # peak of concurrent 30-min-gap sessions, evaluated at distinct
+        # boundary timestamps (starts <= t, ends < t) so no within-ts
+        # order can move the scan
+        "peak_concurrency": """
+WITH o AS (
+  SELECT user_id, ts,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+m AS (
+  SELECT user_id, epoch_us(ts) AS tus,
+         CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM o
+),
+sid AS (
+  SELECT user_id, tus,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY tus
+                           ROWS UNBOUNDED PRECEDING) AS s
+  FROM m
+),
+ses AS (SELECT MIN(tus) AS st, MAX(tus) AS en
+        FROM sid GROUP BY user_id, s),
+pts AS (SELECT st AS t, 1 AS d_ns, 0 AS d_ne FROM ses
+        UNION ALL SELECT en AS t, 0 AS d_ns, 1 AS d_ne FROM ses),
+g AS (SELECT t, SUM(d_ns) AS ns, SUM(d_ne) AS ne FROM pts GROUP BY t),
+sc AS (
+  SELECT t,
+         SUM(ns) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+         - (SUM(ne) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) - ne) AS conc
+  FROM g
+),
+d AS (SELECT t // 86400000000 AS day, t, conc FROM sc),
+mx AS (SELECT day, MAX(conc) AS peak FROM d GROUP BY day)
+SELECT d.day,
+       CAST(mx.peak AS BIGINT) AS peak_concurrency,
+       CAST(MIN(d.t) AS BIGINT) AS peak_ts_us
+FROM d JOIN mx ON d.day = mx.day AND d.conc = mx.peak
+GROUP BY d.day, mx.peak ORDER BY d.day
+""",
         # HyperLogLog register table (deterministic sketch, exact twin)
         "hll_user_sketch": _HLL_SQL,
         # RANGE join (interval, multi-match) vs the as-of single match

@@ -3957,3 +3957,607 @@ def part_concentration(sf_dir: str, p: int = 99) -> pa.Table:
         "mass_at_bp": pa.array(
             [10_000 * m_at // max(total_mass, 1)], pa.int64()),
     })
+
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000
+_US_PER_DAY_I = 86_400_000_000
+
+
+def _session_points_partition(pid: int, t: pa.Table) -> pa.Table:
+    """Per user-hash partition: sessionize (30-minute gap, the
+    sessionize_users contract) and emit the sweep-line POINT table —
+    per distinct timestamp, how many sessions start (ns) and end (ne)
+    there. A user's events are partition-complete, so session bounds
+    close locally; only O(sessions) boundary points leave the kernel."""
+    empty = pa.table({"t": pa.array([], pa.int64()),
+                      "ns": pa.array([], pa.int64()),
+                      "ne": pa.array([], pa.int64())})
+    if t.num_rows == 0 or "user_id" not in t.column_names:
+        return empty
+    u = t.column("user_id").to_numpy()
+    ts = t.column("ts").to_numpy().astype(np.int64)
+    order = np.lexsort((ts, u))
+    u, ts = u[order], ts[order]
+    new = np.r_[True, (u[1:] != u[:-1]) | ((ts[1:] - ts[:-1]) > _SESSION_GAP_US)]
+    starts_idx = np.flatnonzero(new)
+    st = ts[starts_idx]
+    en = ts[np.r_[starts_idx[1:] - 1, len(ts) - 1]]
+    pts = np.concatenate([st, en])
+    is_start = np.concatenate(
+        [np.ones(len(st), np.int64), np.zeros(len(en), np.int64)]
+    )
+    uq, inv = np.unique(pts, return_inverse=True)
+    ns = np.bincount(inv, weights=is_start).astype(np.int64)
+    ne = np.bincount(inv, weights=1 - is_start).astype(np.int64)
+    return pa.table({"t": pa.array(uq, pa.int64()),
+                     "ns": pa.array(ns, pa.int64()),
+                     "ne": pa.array(ne, pa.int64())})
+
+
+def peak_concurrency(sf_dir: str, P: int = 16) -> pa.Table:
+    """Per-day peak number of concurrent user sessions — the
+    distributed SWEEP-LINE / global-ordered-scan shape (max concurrent
+    connections, room occupancy, live-stream viewers).
+
+    concurrency(t) = #sessions with start <= t AND end >= t, evaluated
+    at every boundary timestamp t; per day we report the max and the
+    FIRST timestamp achieving it. Evaluating at distinct-ts granularity
+    (starts counted <= t, ends counted < t) makes the scan independent
+    of any within-timestamp event order — no tie ambiguity on either
+    engine or oracle side.
+
+    Shape: (1) user-keyed exchange -> per-partition session boundary
+    points (O(sessions) rows, aggregated per ts); (2) RANGE partition
+    by ts (sampled bounds, quality_rank's machinery); (3) each range
+    bucket locally sorts+aggregates and returns its (sum ns, sum ne)
+    totals; the driver computes the EXCLUSIVE PREFIX CARRY over P
+    bucket totals (P ints — never rows) and a second task wave turns
+    local cumsums + carry into exact global concurrency, folding per-day
+    (max, argmax-ts) partials. No stage ever materializes the scan."""
+    import ray
+
+    from .exchange import exchange_reduce
+
+    rd = _rd()
+    empty = pa.table({"day": pa.array([], pa.int64()),
+                      "peak_concurrency": pa.array([], pa.int64()),
+                      "peak_ts_us": pa.array([], pa.int64())})
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    refs = exchange_reduce([ds], ["user_id"], _session_points_partition)
+
+    @ray.remote
+    def sample_t(t: pa.Table, k: int = 64) -> np.ndarray:
+        x = t.column("t").to_numpy()
+        if len(x) <= k:
+            return np.sort(x)
+        return np.sort(x)[np.linspace(0, len(x) - 1, k).astype(np.int64)]
+
+    @ray.remote
+    def split_range(t: pa.Table, bounds: np.ndarray, nb: int):
+        x = t.column("t").to_numpy()
+        b = np.searchsorted(bounds, x, side="left")
+        order = np.argsort(b, kind="stable")
+        tt = t.take(pa.array(order))
+        cuts = np.searchsorted(b[order], np.arange(nb + 1))
+        return tuple(tt.slice(cuts[i], cuts[i + 1] - cuts[i]) for i in range(nb))
+
+    @ray.remote(num_returns=3)
+    def bucket_agg(*slices):
+        live = [s for s in slices if s.num_rows]
+        if not live:
+            return slices[0], 0, 0
+        t = pa.concat_tables(live, promote_options="default")
+        g = (t.group_by(["t"]).aggregate([("ns", "sum"), ("ne", "sum")])
+             .rename_columns(["t", "ns", "ne"]))
+        g = g.take(pc.sort_indices(g, sort_keys=[("t", "ascending")]))
+        return (g, int(pc.sum(g.column("ns")).as_py() or 0),
+                int(pc.sum(g.column("ne")).as_py() or 0))
+
+    @ray.remote
+    def bucket_peaks(g: pa.Table, off_ns: int, off_ne: int) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"day": pa.array([], pa.int64()),
+                             "peak": pa.array([], pa.int64()),
+                             "pts": pa.array([], pa.int64())})
+        tt = g.column("t").to_numpy()
+        ns = g.column("ns").to_numpy()
+        ne = g.column("ne").to_numpy()
+        conc = off_ns + np.cumsum(ns) - off_ne - (np.cumsum(ne) - ne)
+        day = tt // _US_PER_DAY_I
+        seg_start = np.flatnonzero(np.r_[True, day[1:] != day[:-1]])
+        seg = np.cumsum(np.r_[True, day[1:] != day[:-1]]) - 1
+        dmax = np.maximum.reduceat(conc, seg_start)
+        is_max = conc == dmax[seg]
+        big = np.iinfo(np.int64).max
+        first = np.minimum.reduceat(np.where(is_max, tt, big), seg_start)
+        return pa.table({"day": pa.array(day[seg_start], pa.int64()),
+                         "peak": pa.array(dmax, pa.int64()),
+                         "pts": pa.array(first, pa.int64())})
+
+    samples = np.concatenate(ray.get([sample_t.remote(r) for r in refs]))
+    if not len(samples):
+        return empty
+    bounds = np.unique(
+        np.quantile(samples, np.linspace(0, 1, P + 1)[1:-1]).astype(np.int64)
+    )
+    nb = len(bounds) + 1
+    mats = [split_range.options(num_returns=nb).remote(r, bounds, nb)
+            for r in refs]
+    if nb == 1:
+        mats = [[m] for m in mats]
+    agg = [bucket_agg.remote(*[m[b] for m in mats]) for b in range(nb)]
+    totals = ray.get([a[1] for a in agg] + [a[2] for a in agg])
+    tns, tne = totals[:nb], totals[nb:]
+    off_ns = np.r_[0, np.cumsum(tns)[:-1]]
+    off_ne = np.r_[0, np.cumsum(tne)[:-1]]
+    parts = ray.get([
+        bucket_peaks.remote(agg[b][0], int(off_ns[b]), int(off_ne[b]))
+        for b in range(nb)
+    ])
+    allp = pa.concat_tables([p for p in parts if p.num_rows])
+    if allp.num_rows == 0:
+        return empty
+    df = allp.to_pandas()
+    mx = df.groupby("day")["peak"].transform("max")
+    win = df[df["peak"] == mx]
+    out = win.groupby("day").agg(
+        peak_concurrency=("peak", "max"), peak_ts_us=("pts", "min")
+    ).reset_index()
+    t = pa.table({"day": pa.array(out["day"].to_numpy(), pa.int64()),
+                  "peak_concurrency": pa.array(
+                      out["peak_concurrency"].to_numpy(), pa.int64()),
+                  "peak_ts_us": pa.array(
+                      out["peak_ts_us"].to_numpy(), pa.int64())})
+    return finalize(t, [("day", "ascending")])
+
+
+def value_mad(sf_dir: str) -> pa.Table:
+    """Exact median and median-absolute-deviation of ``value`` (cents)
+    per event type — the robust-statistics sibling of value_moments.
+
+    value is a 2-decimal money column, so its cents domain is BOUNDED
+    (distinct cents values, not rows): each block combines to a
+    per-(type, cents) count table, the driver folds O(types x distinct
+    cents) partial rows (fold_partials' bounded-cardinality contract),
+    and BOTH order statistics close from that one folded histogram —
+    the MAD's |v - median| histogram is derived arithmetically from the
+    value histogram, no second data pass. Rank convention is
+    value_quantiles': the value at rank ceil(n/2) = (50n+99)//100."""
+    from ._util import fold_partials
+
+    rd = _rd()
+    empty = pa.table({"event_type": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64()),
+                      "median_cents": pa.array([], pa.int64()),
+                      "mad_cents": pa.array([], pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "v": pa.array([], pa.int64()),
+                             "n_part": pa.array([], pa.int64())})
+        v = _cents(t.column("value"))
+        g = pa.table(
+            {"event_type": t.column("event_type"),
+             "v": pa.array(v, pa.int64())}
+        ).group_by(["event_type", "v"]).aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "v", "n_part"])
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    hist = fold_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "v"], [("n_part", "sum")],
+        ["event_type", "v", "n"],
+    )
+    if hist.num_columns == 0 or hist.num_rows == 0:
+        return empty
+    df = hist.to_pandas().sort_values(["event_type", "v"])
+    rows = []
+    for et, g in df.groupby("event_type", sort=True):
+        v = g["v"].to_numpy()
+        n = g["n"].to_numpy()
+        total = int(n.sum())
+        k = (50 * total + 99) // 100
+        cum = np.cumsum(n)
+        med = int(v[np.searchsorted(cum, k)])
+        # |v - med| histogram: fold mirrored counts, re-sort, same rank
+        d = np.abs(v - med)
+        order = np.argsort(d, kind="stable")
+        ds_, ns_ = d[order], n[order]
+        uq = np.r_[True, ds_[1:] != ds_[:-1]]
+        idx = np.flatnonzero(uq)
+        dd = ds_[idx]
+        nn = np.add.reduceat(ns_, idx)
+        mad = int(dd[np.searchsorted(np.cumsum(nn), k)])
+        rows.append((et, total, med, mad))
+    t = pa.table(
+        {"event_type": pa.array([r[0] for r in rows], pa.string()),
+         "n": pa.array([r[1] for r in rows], pa.int64()),
+         "median_cents": pa.array([r[2] for r in rows], pa.int64()),
+         "mad_cents": pa.array([r[3] for r in rows], pa.int64())}
+    )
+    return finalize(t, [("event_type", "ascending")])
+
+
+def value_hour_corr(sf_dir: str) -> pa.Table:
+    """Pearson correlation between event value (cents) and hour-of-day,
+    per event type — the exact-integer moment-sketch shape extended to
+    CO-moments (n, Σx, Σy, Σx², Σy², Σxy per type; six int64s per block
+    partial, folded in unbounded Python ints on the driver).
+
+    Floats never enter the fold. The result is reported as r² in micro
+    units plus the correlation's sign, both closed in pure integer
+    arithmetic with the SAME two-step floor the HUGEINT twin takes:
+    r2_micro = ((10⁶·cov² stepwise) // vx) · cov // vy with
+    cov = n·Σxy − Σx·Σy, vx = n·Σx² − (Σx)², vy = n·Σy² − (Σy)².
+    The stepwise floor keeps every intermediate below 128 bits at any
+    scale (cov² alone would overflow HUGEINT near 10^10 rows); both
+    sides floor identically so the twin is bit-equal."""
+    from ._util import fold_partials
+
+    rd = _rd()
+    empty = pa.table({"event_type": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64()),
+                      "sign": pa.array([], pa.int64()),
+                      "r2_micro": pa.array([], pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "n_p": pa.array([], pa.int64()),
+                             "sx": pa.array([], pa.int64()),
+                             "sy": pa.array([], pa.int64()),
+                             "sxx": pa.array([], pa.int64()),
+                             "syy": pa.array([], pa.int64()),
+                             "sxy": pa.array([], pa.int64())})
+        x = _cents(t.column("value"))
+        ts = t.column("ts").to_numpy().astype(np.int64)
+        y = (ts // _US_PER_HOUR) % 24
+        g = pa.table(
+            {"event_type": t.column("event_type"),
+             "x": pa.array(x, pa.int64()),
+             "y": pa.array(y, pa.int64()),
+             "xx": pa.array(x * x, pa.int64()),
+             "yy": pa.array(y * y, pa.int64()),
+             "xy": pa.array(x * y, pa.int64())}
+        ).group_by(["event_type"]).aggregate(
+            [([], "count_all"), ("x", "sum"), ("y", "sum"),
+             ("xx", "sum"), ("yy", "sum"), ("xy", "sum")]
+        )
+        return g.rename_columns(
+            ["event_type", "n_p", "sx", "sy", "sxx", "syy", "sxy"])
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value", "ts"])
+    t = fold_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type"],
+        [("n_p", "sum"), ("sx", "sum"), ("sy", "sum"),
+         ("sxx", "sum"), ("syy", "sum"), ("sxy", "sum")],
+        ["event_type", "n", "sx", "sy", "sxx", "syy", "sxy"],
+    )
+    if t.num_columns == 0 or t.num_rows == 0:
+        return empty
+    rows = []
+    for et, n, sx, sy, sxx, syy, sxy in zip(
+        t.column("event_type").to_pylist(), t.column("n").to_pylist(),
+        t.column("sx").to_pylist(), t.column("sy").to_pylist(),
+        t.column("sxx").to_pylist(), t.column("syy").to_pylist(),
+        t.column("sxy").to_pylist(),
+    ):
+        cov = n * sxy - sx * sy
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        acov = abs(cov)  # nonneg operands: floor == truncate on BOTH sides
+        if vx > 0 and vy > 0:
+            r2 = ((1_000_000 * acov // vx) * acov) // vy
+        else:
+            r2 = 0
+        rows.append((et, n, (cov > 0) - (cov < 0), r2))
+    out = pa.table(
+        {"event_type": pa.array([r[0] for r in rows], pa.string()),
+         "n": pa.array([r[1] for r in rows], pa.int64()),
+         "sign": pa.array([r[2] for r in rows], pa.int64()),
+         "r2_micro": pa.array([r[3] for r in rows], pa.int64())}
+    )
+    return finalize(out, [("event_type", "ascending")])
+
+
+def _gini_totals_partition(pid: int, orders_t: pa.Table, cust_t: pa.Table) -> pa.Table:
+    """Per custkey-hash partition: close each customer's order-spend
+    total (cents) and tag it with the customer's market segment — both
+    sides arrive co-partitioned, so the join is local."""
+    empty = pa.table({"seg": pa.array([], pa.string()),
+                      "custkey": pa.array([], pa.int64()),
+                      "cents": pa.array([], pa.int64())})
+    if orders_t.num_rows == 0 or "o_custkey" not in orders_t.column_names:
+        return empty
+    g = (orders_t.group_by(["o_custkey"]).aggregate([("cents", "sum")])
+         .rename_columns(["o_custkey", "cents"]))
+    if cust_t.num_rows == 0 or "c_custkey" not in cust_t.column_names:
+        return empty
+    j = g.join(cust_t, keys=["o_custkey"], right_keys=["c_custkey"],
+               join_type="inner")
+    return pa.table({"seg": j.column("c_mktsegment"),
+                     "custkey": j.column("o_custkey").cast(pa.int64()),
+                     "cents": j.column("cents").cast(pa.int64())})
+
+
+def spend_gini(sf_dir: str, P: int = 8) -> pa.Table:
+    """Exact Gini coefficient of per-customer order spend, per market
+    segment — the inequality-measure shape (who holds the volume), and
+    a second consumer of the distributed-rank machinery:
+
+    1. custkey exchange closes per-customer totals and joins the
+       segment locally (customer rows co-partitioned — no broadcast of
+       a table that grows with the data);
+    2. per segment, totals RANGE-partition by cents (sampled bounds);
+       each bucket sorts locally and returns (n, Σx, Σ local_rank·x);
+    3. the driver folds P smalls per segment: global Σ rank·x =
+       Σ (S_local + rank_offset·Σx) with the exclusive bucket-count
+       prefix as the carry — rows never leave the buckets.
+
+    gini_micro = ⌊(2·Σrank·x − (n+1)·Σx)·10⁶ / (n·Σx)⌋, every term an
+    unbounded Python int (the rank dot product falls back from the
+    int64 fast path to exact object arithmetic if n·max_cents could
+    wrap). Rank ties (equal cents) cannot move the sum — the tied
+    block's rank total is order-free — so custkey tie-break is purely
+    cosmetic and the HUGEINT twin is bit-equal."""
+    import ray
+
+    from .exchange import exchange_reduce
+
+    rd = _rd()
+    empty = pa.table({"c_mktsegment": pa.array([], pa.string()),
+                      "n_customers": pa.array([], pa.int64()),
+                      "total_cents": pa.array([], pa.int64()),
+                      "gini_micro": pa.array([], pa.int64())})
+
+    def order_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"o_custkey": pa.array([], pa.int64()),
+                             "cents": pa.array([], pa.int64())})
+        g = pa.table(
+            {"o_custkey": t.column("o_custkey"),
+             "cents": pa.array(_cents(t.column("o_totalprice")), pa.int64())}
+        ).group_by(["o_custkey"]).aggregate([("cents", "sum")])
+        return g.rename_columns(["o_custkey", "cents"])
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"]
+                             ).map_batches(order_partial, batch_format="pyarrow")
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
+    refs = exchange_reduce([orders, cust], ["o_custkey", "c_custkey"],
+                           _gini_totals_partition)
+
+    @ray.remote
+    def sample_sc(t: pa.Table, k: int = 64):
+        if t.num_rows == 0:
+            return {}
+        df = t.to_pandas()
+        out = {}
+        for seg, g in df.groupby("seg"):
+            x = np.sort(g["cents"].to_numpy())
+            out[seg] = x if len(x) <= k else x[
+                np.linspace(0, len(x) - 1, k).astype(np.int64)]
+        return out
+
+    samples = ray.get([sample_sc.remote(r) for r in refs])
+    segs: dict[str, list] = {}
+    for s in samples:
+        for seg, x in s.items():
+            segs.setdefault(seg, []).append(x)
+    if not segs:
+        return empty
+    seg_names = sorted(segs)
+    seg_bounds = {}
+    for seg in seg_names:
+        x = np.concatenate(segs[seg])
+        seg_bounds[seg] = np.unique(
+            np.quantile(x, np.linspace(0, 1, P + 1)[1:-1]).astype(np.int64))
+    seg_nb = {seg: len(b) + 1 for seg, b in seg_bounds.items()}
+    # flat bucket layout: segment-major, buckets ascending within segment
+    seg_off = {}
+    acc = 0
+    for seg in seg_names:
+        seg_off[seg] = acc
+        acc += seg_nb[seg]
+    nflat = acc
+
+    @ray.remote
+    def split_sc(t: pa.Table, seg_names, seg_bounds, seg_off, nflat):
+        if t.num_rows == 0:
+            return tuple(t for _ in range(nflat))
+        df = t.to_pandas()
+        cents = df["cents"].to_numpy()
+        seg = df["seg"].to_numpy()
+        flat = np.zeros(len(df), np.int64)
+        for sname in seg_names:
+            m = seg == sname
+            if not m.any():
+                continue
+            flat[m] = seg_off[sname] + np.searchsorted(
+                seg_bounds[sname], cents[m], side="left")
+        order = np.argsort(flat, kind="stable")
+        tt = t.take(pa.array(order))
+        cuts = np.searchsorted(flat[order], np.arange(nflat + 1))
+        return tuple(tt.slice(cuts[i], cuts[i + 1] - cuts[i])
+                     for i in range(nflat))
+
+    @ray.remote
+    def bucket_stats(*slices):
+        live = [s for s in slices if s.num_rows]
+        if not live:
+            return (0, 0, 0)
+        t = pa.concat_tables(live, promote_options="default")
+        x = t.column("cents").to_numpy()
+        ck = t.column("custkey").to_numpy()
+        order = np.lexsort((ck, x))
+        x = x[order]
+        n = len(x)
+        ranks = np.arange(1, n + 1, dtype=np.int64)
+        if n and n * int(x.max()) < (1 << 62) // max(n, 1):
+            s_local = int(np.dot(ranks, x))
+        else:  # exact fallback: unbounded ints, no wraparound
+            s_local = sum(int(r) * int(v) for r, v in zip(ranks, x))
+        return (n, int(x.sum()), s_local)
+
+    mats = [split_sc.options(num_returns=nflat).remote(
+        r, seg_names, seg_bounds, seg_off, nflat) for r in refs]
+    if nflat == 1:
+        mats = [[m] for m in mats]
+    stats = ray.get([bucket_stats.remote(*[m[b] for m in mats])
+                     for b in range(nflat)])
+    rows = []
+    for seg in seg_names:
+        o, nb = seg_off[seg], seg_nb[seg]
+        n = T = S = 0
+        for b in range(nb):
+            bn, bt, bs = stats[o + b]
+            S += bs + n * bt      # carry: earlier buckets' count offsets ranks
+            n += bn
+            T += bt
+        if n == 0 or T == 0:
+            continue
+        gini = ((2 * S - (n + 1) * T) * 1_000_000) // (n * T)
+        rows.append((seg, n, T, gini))
+    if not rows:
+        return empty
+    t = pa.table(
+        {"c_mktsegment": pa.array([r[0] for r in rows], pa.string()),
+         "n_customers": pa.array([r[1] for r in rows], pa.int64()),
+         "total_cents": pa.array([r[2] for r in rows], pa.int64()),
+         "gini_micro": pa.array([r[3] for r in rows], pa.int64())}
+    )
+    return finalize(t, [("c_mktsegment", "ascending")])
+
+
+def _bsc_part_kernel(pid: int, li_t: pa.Table, part_t: pa.Table) -> pa.Table:
+    """partkey-partition kernel for brand_supplier_census: dedup the
+    (partkey, suppkey) pairs (partition-complete), tag each with its
+    brand, and emit kind-tagged rows — kind 0: one row per distinct
+    (brand, suppkey) candidate for the second exchange; kind 1: the
+    partition's per-brand (n_parts, n_pairs) partials, which CLOSE here
+    because a partkey lives in exactly one partition."""
+    empty = pa.table({"kind": pa.array([], pa.int64()),
+                      "p_brand": pa.array([], pa.string()),
+                      "suppkey": pa.array([], pa.int64()),
+                      "a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64())})
+    if (li_t.num_rows == 0 or part_t.num_rows == 0
+            or "l_partkey" not in li_t.column_names):
+        return empty
+    pairs = (li_t.group_by(["l_partkey", "l_suppkey"])
+             .aggregate([]).rename_columns(["l_partkey", "l_suppkey"]))
+    j = pairs.join(part_t, keys=["l_partkey"], right_keys=["p_partkey"],
+                   join_type="inner")
+    if j.num_rows == 0:
+        return empty
+    # kind-0: distinct (brand, supp) in this partition
+    bs = (j.group_by(["p_brand", "l_suppkey"]).aggregate([])
+          .rename_columns(["p_brand", "l_suppkey"]))
+    # kind-1: per-brand partition-complete part/pair counts
+    stats = j.group_by(["p_brand"]).aggregate(
+        [("l_partkey", "count_distinct"), ([], "count_all")]
+    ).rename_columns(["p_brand", "n_parts", "n_pairs"])
+    k0 = pa.table({"kind": pa.array(np.zeros(bs.num_rows, np.int64)),
+                   "p_brand": bs.column("p_brand"),
+                   "suppkey": bs.column("l_suppkey").cast(pa.int64()),
+                   "a": pa.array(np.zeros(bs.num_rows, np.int64)),
+                   "b": pa.array(np.zeros(bs.num_rows, np.int64))})
+    k1 = pa.table({"kind": pa.array(np.ones(stats.num_rows, np.int64)),
+                   "p_brand": stats.column("p_brand"),
+                   "suppkey": pa.array(
+                       np.full(stats.num_rows, -1, np.int64)),
+                   "a": stats.column("n_parts").cast(pa.int64()),
+                   "b": stats.column("n_pairs").cast(pa.int64())})
+    return pa.concat_tables([k0, k1])
+
+
+def _bsc_supp_kernel(pid: int, t: pa.Table) -> pa.Table:
+    """suppkey-partition kernel: a supplier's (brand, supp) candidates
+    from every part partition land here — dedup and count per brand."""
+    empty = pa.table({"p_brand": pa.array([], pa.string()),
+                      "n_supp": pa.array([], pa.int64())})
+    if t.num_rows == 0 or "p_brand" not in t.column_names:
+        return empty
+    d = t.group_by(["p_brand", "suppkey"]).aggregate([])
+    g = d.group_by(["p_brand"]).aggregate([([], "count_all")])
+    return g.rename_columns(["p_brand", "n_supp"])
+
+
+def brand_supplier_census(sf_dir: str) -> pa.Table:
+    """TPC-H Q16's shape over the available columns: per part brand,
+    how many distinct parts were ever shipped, by how many distinct
+    suppliers, over how many distinct (part, supplier) lanes.
+
+    Distinct-count at two different keys without ever shipping
+    duplicates: batches pre-dedup (partkey, suppkey); exchange 1
+    co-partitions lineitem pairs with the part table on partkey (part/
+    pair counts close there — a partkey lives in one partition);
+    exchange 2 re-keys the surviving distinct (brand, supp) candidates
+    by suppkey so the supplier census closes. The driver folds only
+    per-brand partials (fixed small brand cardinality)."""
+    import ray
+
+    from .exchange import exchange_reduce
+
+    rd = _rd()
+    empty = pa.table({"p_brand": pa.array([], pa.string()),
+                      "n_parts": pa.array([], pa.int64()),
+                      "n_pairs": pa.array([], pa.int64()),
+                      "n_suppliers": pa.array([], pa.int64())})
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"l_partkey": pa.array([], pa.int64()),
+                             "l_suppkey": pa.array([], pa.int64())})
+        return (t.group_by(["l_partkey", "l_suppkey"]).aggregate([])
+                .rename_columns(["l_partkey", "l_suppkey"]))
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_suppkey"]
+                         ).map_batches(li_partial, batch_format="pyarrow")
+    part = rd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_brand"])
+    refs1 = exchange_reduce([li, part], ["l_partkey", "p_partkey"],
+                            _bsc_part_kernel)
+
+    @ray.remote(num_returns=2)
+    def split_kind(t: pa.Table):
+        if t.num_rows == 0 or "kind" not in t.column_names:
+            e = pa.table({"p_brand": pa.array([], pa.string()),
+                          "suppkey": pa.array([], pa.int64()),
+                          "a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64())})
+            return e, e
+        k = t.column("kind").to_numpy()
+        body = t.select(["p_brand", "suppkey", "a", "b"])
+        return (body.filter(pa.array(k == 0)), body.filter(pa.array(k == 1)))
+
+    halves = [split_kind.remote(r) for r in refs1]
+    pair_refs = [h[0] for h in halves]
+    stat_tabs = ray.get([h[1] for h in halves])
+
+    supp_tabs = ray.get(
+        exchange_reduce([pair_refs], ["suppkey"], _bsc_supp_kernel))
+    supp = pa.concat_tables(
+        [t for t in supp_tabs if t.num_rows], promote_options="default"
+    ) if any(t.num_rows for t in supp_tabs) else None
+    stats = pa.concat_tables(
+        [t for t in stat_tabs if t.num_rows], promote_options="default"
+    ) if any(t.num_rows for t in stat_tabs) else None
+    if stats is None or supp is None:
+        return empty
+    s = (stats.group_by(["p_brand"]).aggregate([("a", "sum"), ("b", "sum")])
+         .rename_columns(["p_brand", "n_parts", "n_pairs"]))
+    u = (supp.group_by(["p_brand"]).aggregate([("n_supp", "sum")])
+         .rename_columns(["p_brand", "n_suppliers"]))
+    out = s.join(u, keys=["p_brand"], join_type="inner")
+    out = pa.table({"p_brand": out.column("p_brand"),
+                    "n_parts": out.column("n_parts").cast(pa.int64()),
+                    "n_pairs": out.column("n_pairs").cast(pa.int64()),
+                    "n_suppliers": out.column("n_suppliers").cast(pa.int64())})
+    return finalize(out, [("p_brand", "ascending")])
