@@ -2969,6 +2969,57 @@ SELECT user_id,
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
 FROM o GROUP BY user_id ORDER BY user_id
 """,
+        # lag-1 sequence autocorrelation (relational.user_value_autocorr):
+        # per-user ordered pairs, closed as exact integer co-moments
+        "user_value_autocorr": """
+WITH s AS (
+  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS v,
+         LAG(CAST(round(value * 100) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS pv
+  FROM events
+),
+p AS (SELECT pv AS x, v AS y FROM s WHERE pv IS NOT NULL),
+a AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(COALESCE(SUM(x), 0) AS HUGEINT) AS sx,
+             CAST(COALESCE(SUM(y), 0) AS HUGEINT) AS sy,
+             CAST(COALESCE(SUM(CAST(x AS HUGEINT) * x), 0) AS HUGEINT) AS sxx,
+             CAST(COALESCE(SUM(CAST(y AS HUGEINT) * y), 0) AS HUGEINT) AS syy,
+             CAST(COALESCE(SUM(CAST(x AS HUGEINT) * y), 0) AS HUGEINT) AS sxy
+      FROM p),
+m AS (SELECT n, n * sxy - sx * sy AS cov,
+             n * sxx - sx * sx AS vx, n * syy - sy * sy AS vy
+      FROM a)
+SELECT CAST(n AS BIGINT) AS n_pairs,
+       CAST(CASE WHEN cov > 0 THEN 1 WHEN cov < 0 THEN -1 ELSE 0 END
+            AS BIGINT) AS sign,
+       CAST(CASE WHEN vx > 0 AND vy > 0
+                 THEN ((1000000 * ABS(cov) // vx) * ABS(cov)) // vy
+                 ELSE 0 END AS BIGINT) AS r2_micro
+FROM m
+""",
+        # per-group argmax (relational.brand_top_supplier): discounted
+        # revenue in exact 1e-4 dollar ints, ties to the smallest suppkey
+        "brand_top_supplier": """
+WITH rev AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                  (100 - CAST(round(l_discount * 100) AS BIGINT)))
+              AS BIGINT) AS r
+  FROM lineitem GROUP BY 1, 2
+),
+b AS (
+  SELECT p.p_brand, rev.l_suppkey AS s, SUM(r) AS r
+  FROM rev JOIN part p ON p.p_partkey = rev.l_partkey
+  GROUP BY 1, 2
+),
+w AS (SELECT p_brand, s, r,
+             ROW_NUMBER() OVER (PARTITION BY p_brand
+                                ORDER BY r DESC, s) AS rn
+      FROM b)
+SELECT p_brand, CAST(s AS BIGINT) AS s_suppkey,
+       CAST(r AS BIGINT) AS revenue_e4
+FROM w WHERE rn = 1 ORDER BY p_brand
+""",
         # two-key distinct census (relational.brand_supplier_census):
         # Q16's shape — COUNT(*) over j is the distinct pair count
         # because ps is deduped and partkey is unique in part
@@ -3405,6 +3456,36 @@ s AS (SELECT e.vec_id,
 SELECT CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rnk,
        vec_id
 FROM s ORDER BY rnk LIMIT 10
+""",
+        # hybrid search (similarity.filtered_knn): knn_cosine restricted
+        # to the query's own label class
+        "filtered_knn": """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe, label AS ql
+           FROM embeddings WHERE vec_id = 0),
+s AS (SELECT e.vec_id,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) AS sim
+      FROM embeddings e, q
+      WHERE e.vec_id <> 0 AND e.label = q.ql)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rnk,
+       vec_id
+FROM s ORDER BY rnk LIMIT 10
+""",
+        # contingency independence (text.lang_source_chi2): stepwise-
+        # floored exact chi-squared cells over the lang x source table
+        "lang_source_chi2": """
+WITH c AS (SELECT lang, source, CAST(COUNT(*) AS HUGEINT) AS n
+           FROM documents GROUP BY 1, 2),
+r AS (SELECT lang, CAST(SUM(n) AS HUGEINT) AS rn FROM c GROUP BY lang),
+s AS (SELECT source, CAST(SUM(n) AS HUGEINT) AS cn FROM c GROUP BY source),
+t AS (SELECT CAST(SUM(n) AS HUGEINT) AS total FROM c),
+m AS (SELECT c.lang, c.source, c.n, r.rn, s.cn, t.total,
+             ABS(c.n * t.total - r.rn * s.cn) AS d
+      FROM c JOIN r USING (lang) JOIN s USING (source) CROSS JOIN t)
+SELECT lang, source, CAST(n AS BIGINT) AS n,
+       CAST(1000 * rn * cn // total AS BIGINT) AS expected_milli,
+       CAST(((1000 * d // (rn * cn)) * d) // total AS BIGINT)
+           AS chi2_contrib_milli
+FROM m ORDER BY lang, source
 """,
         "embedding_near_dups": """
 WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)

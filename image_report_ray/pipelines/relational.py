@@ -4561,3 +4561,162 @@ def brand_supplier_census(sf_dir: str) -> pa.Table:
                     "n_pairs": out.column("n_pairs").cast(pa.int64()),
                     "n_suppliers": out.column("n_suppliers").cast(pa.int64())})
     return finalize(out, [("p_brand", "ascending")])
+
+
+def _autocorr_partition(pid: int, t: pa.Table) -> pa.Table:
+    """Per user-hash partition: lag-1 (prev value, next value) pairs of
+    each user's event sequence ordered by (ts, event_id) — sequences
+    are partition-complete, so pairing closes locally; only six int64
+    moment sums leave the kernel."""
+    empty = pa.table({k: pa.array([], pa.int64())
+                      for k in ("n", "sx", "sy", "sxx", "syy", "sxy")})
+    if t.num_rows == 0 or "user_id" not in t.column_names:
+        return empty
+    u = t.column("user_id").to_numpy()
+    ts = t.column("ts").to_numpy().astype(np.int64)
+    ei = t.column("event_id").to_numpy()
+    v = _cents(t.column("value"))
+    order = np.lexsort((ei, ts, u))
+    u, v = u[order], v[order]
+    same = u[1:] == u[:-1]
+    x, y = v[:-1][same], v[1:][same]
+    return pa.table({
+        "n": pa.array([len(x)], pa.int64()),
+        "sx": pa.array([int(x.sum())], pa.int64()),
+        "sy": pa.array([int(y.sum())], pa.int64()),
+        "sxx": pa.array([int(np.dot(x, x))], pa.int64()),
+        "syy": pa.array([int(np.dot(y, y))], pa.int64()),
+        "sxy": pa.array([int(np.dot(x, y))], pa.int64()),
+    })
+
+
+def user_value_autocorr(sf_dir: str) -> pa.Table:
+    """Lag-1 autocorrelation of event value across each user's event
+    sequence — "does a big spend predict the next one": the sequence-
+    pairing shape (order within key, then exact co-moments).
+
+    One user-keyed exchange closes every user's ordered pair list; each
+    partition emits six int64 sums; the driver folds P rows in
+    unbounded Python ints and closes sign + r2_micro with the same
+    stepwise |cov| floor as value_hour_corr."""
+    from .exchange import exchange_reduce
+
+    import ray
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id", "value"])
+    parts = ray.get(exchange_reduce([ds], ["user_id"], _autocorr_partition))
+    n = sx = sy = sxx = syy = sxy = 0
+    for t in parts:
+        if t.num_rows == 0:
+            continue
+        n += sum(t.column("n").to_pylist())
+        sx += sum(t.column("sx").to_pylist())
+        sy += sum(t.column("sy").to_pylist())
+        sxx += sum(t.column("sxx").to_pylist())
+        syy += sum(t.column("syy").to_pylist())
+        sxy += sum(t.column("sxy").to_pylist())
+    cov = n * sxy - sx * sy
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    acov = abs(cov)
+    r2 = ((1_000_000 * acov // vx) * acov) // vy if vx > 0 and vy > 0 else 0
+    return pa.table({
+        "n_pairs": pa.array([n], pa.int64()),
+        "sign": pa.array([(cov > 0) - (cov < 0)], pa.int64()),
+        "r2_micro": pa.array([r2], pa.int64()),
+    })
+
+
+def _bts_partkey_kernel(pid: int, li_t: pa.Table, part_t: pa.Table) -> pa.Table:
+    """partkey-partition kernel for brand_top_supplier: revenue partials
+    per (brand, suppkey) — cents, discount applied in exact 1e-4 dollar
+    basis like the TPC-H pipelines."""
+    empty = pa.table({"p_brand": pa.array([], pa.string()),
+                      "suppkey": pa.array([], pa.int64()),
+                      "rev": pa.array([], pa.int64())})
+    if (li_t.num_rows == 0 or part_t.num_rows == 0
+            or "l_partkey" not in li_t.column_names):
+        return empty
+    j = li_t.join(part_t, keys=["l_partkey"], right_keys=["p_partkey"],
+                  join_type="inner")
+    if j.num_rows == 0:
+        return empty
+    g = (j.group_by(["p_brand", "l_suppkey"]).aggregate([("rev", "sum")])
+         .rename_columns(["p_brand", "suppkey", "rev"]))
+    return pa.table({"p_brand": g.column("p_brand"),
+                     "suppkey": g.column("suppkey").cast(pa.int64()),
+                     "rev": g.column("rev").cast(pa.int64())})
+
+
+def _bts_supp_kernel(pid: int, t: pa.Table) -> pa.Table:
+    """suppkey-partition kernel: every partial for (brand, supp) lands
+    with supp, so per-supplier brand revenue CLOSES here; emit this
+    partition's per-brand champion (max revenue, ties -> min suppkey)."""
+    empty = pa.table({"p_brand": pa.array([], pa.string()),
+                      "suppkey": pa.array([], pa.int64()),
+                      "rev": pa.array([], pa.int64())})
+    if t.num_rows == 0 or "p_brand" not in t.column_names:
+        return empty
+    g = (t.group_by(["p_brand", "suppkey"]).aggregate([("rev", "sum")])
+         .rename_columns(["p_brand", "suppkey", "rev"]))
+    df = g.to_pandas().sort_values(
+        ["p_brand", "rev", "suppkey"], ascending=[True, False, True])
+    w = df.groupby("p_brand", sort=False).head(1)
+    return pa.table({"p_brand": pa.array(w["p_brand"], pa.string()),
+                     "suppkey": pa.array(w["suppkey"].to_numpy(), pa.int64()),
+                     "rev": pa.array(w["rev"].to_numpy(), pa.int64())})
+
+
+def brand_top_supplier(sf_dir: str) -> pa.Table:
+    """Per part brand, the supplier with the highest discounted revenue
+    (exact 1e-4 dollar ints; ties broken to the smallest suppkey) — the
+    per-group ARGMAX shape through two chained exchanges: partkey
+    co-partition tags revenue partials with the brand; re-keying by
+    suppkey closes each (brand, supplier) total; the driver folds only
+    P per-partition champions per brand."""
+    from .exchange import exchange_reduce
+
+    import ray
+
+    rd = _rd()
+    empty = pa.table({"p_brand": pa.array([], pa.string()),
+                      "s_suppkey": pa.array([], pa.int64()),
+                      "revenue_e4": pa.array([], pa.int64())})
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"l_partkey": pa.array([], pa.int64()),
+                             "l_suppkey": pa.array([], pa.int64()),
+                             "rev": pa.array([], pa.int64())})
+        price = _cents(t.column("l_extendedprice"))
+        disc = _cents(t.column("l_discount"))  # 2-decimal fraction -> e2
+        rev = price * (100 - disc)             # cents * e2 = 1e-4 dollars
+        g = pa.table(
+            {"l_partkey": t.column("l_partkey"),
+             "l_suppkey": t.column("l_suppkey"),
+             "rev": pa.array(rev, pa.int64())}
+        ).group_by(["l_partkey", "l_suppkey"]).aggregate([("rev", "sum")])
+        return g.rename_columns(["l_partkey", "l_suppkey", "rev"])
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    ).map_batches(li_partial, batch_format="pyarrow")
+    part = rd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_brand"])
+    refs1 = exchange_reduce([li, part], ["l_partkey", "p_partkey"],
+                            _bts_partkey_kernel)
+    champs = ray.get(exchange_reduce([refs1], ["suppkey"], _bts_supp_kernel))
+    live = [t for t in champs if t.num_rows]
+    if not live:
+        return empty
+    df = pa.concat_tables(live, promote_options="default").to_pandas()
+    df = df.sort_values(["p_brand", "rev", "suppkey"],
+                        ascending=[True, False, True])
+    w = df.groupby("p_brand", sort=True).head(1)
+    t = pa.table({"p_brand": pa.array(w["p_brand"], pa.string()),
+                  "s_suppkey": pa.array(w["suppkey"].to_numpy(), pa.int64()),
+                  "revenue_e4": pa.array(w["rev"].to_numpy(), pa.int64())})
+    return finalize(t, [("p_brand", "ascending")])

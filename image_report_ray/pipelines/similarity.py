@@ -1790,3 +1790,58 @@ def cluster_separation(sf_dir: str) -> pa.Table:
     return pa.table({"cid_a": pa.array(ia, pa.int64()),
                      "cid_b": pa.array(ib, pa.int64()),
                      "d2": pa.array(dd, pa.float64())})
+
+
+def filtered_knn(sf_dir: str, query_vec_id: int = 0, k: int = 10) -> pa.Table:
+    """Metadata-filtered exact retrieval — the hybrid-search shape
+    (vector similarity AND a structured predicate): top-``k`` cosine
+    neighbors of the query vector restricted to candidates sharing the
+    query's ``label``, excluding the query itself.
+
+    The predicate is pushed into the scan (only the label's rows are
+    scored), the query row itself is fetched with a parquet row-group
+    filter (never a full driver read), and each surviving batch does
+    one matmul + per-batch top-k — the driver folds O(blocks x k)
+    candidate rows. Output is rank + vec_id (float sims never surface,
+    the knn_cosine convention)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    rd = _rd()
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding", "label"],
+                       filters=[("vec_id", "==", query_vec_id)])
+    if qt.num_rows == 0:
+        raise ValueError(f"vec_id {query_vec_id} not found")
+    q = _stack(qt.column("embedding"))[0]
+    qlabel = qt.column("label")[0].as_py()
+    qn = q / np.linalg.norm(q)
+    q_ref = ray.put(qn)
+
+    def batch_topk(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.equal(t.column("label"), qlabel),
+            pc.not_equal(t.column("vec_id"), query_vec_id),
+        )
+        t = t.filter(keep)
+        if t.num_rows == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        qv = ray.get(q_ref)
+        m = _stack(t.column("embedding"))
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (m @ qv) / norms
+        ids = t.column("vec_id").to_numpy()
+        if len(ids) > k:
+            part = np.argpartition(-sims, k)[:k]
+            sims, ids = sims[part], ids[part]
+        return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                         "sim": pa.array(sims, pa.float64())})
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding", "label"])
+    t = ds_to_table(ds.map_batches(batch_topk, batch_format="pyarrow"))
+    t = finalize(t, [("sim", "descending"), ("vec_id", "ascending")]).slice(0, k)
+    rnk = pa.array(np.arange(1, t.num_rows + 1), pa.int64())
+    return t.select(["vec_id"]).append_column("rnk", rnk).select(["rnk", "vec_id"])

@@ -3672,3 +3672,56 @@ def dup_flow_matrix(sf_dir: str) -> pa.Table:
                     "n_dups": g.column("n_dups_sum").cast(pa.int64())})
     return finalize(out, [("winner_source", "ascending"),
                           ("dup_source", "ascending")])
+
+
+def lang_source_chi2(sf_dir: str) -> pa.Table:
+    """Chi-squared independence cells for the lang x source
+    contingency table — the data-drift / composition-shift test in
+    exact integer arithmetic.
+
+    Cells are a fixed tiny cardinality (langs x sources), so per-batch
+    combine + driver fold (no shuffle). Each cell closes expected count
+    and chi2 contribution with a STEPWISE floor on unbounded ints:
+    d = |O*total - row*col|;
+    contrib_milli = ((1000*d // (row*col)) * d) // total — every
+    intermediate stays well under 128 bits at any scale (d² alone would
+    overflow HUGEINT near 10^10 docs), and the HUGEINT twin floors
+    identically so the result is bit-equal."""
+    from ._util import fold_partials
+
+    rd = _rd()
+    empty = pa.table({"lang": pa.array([], pa.string()),
+                      "source": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64()),
+                      "expected_milli": pa.array([], pa.int64()),
+                      "chi2_contrib_milli": pa.array([], pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["lang", "source"]).aggregate([([], "count_all")])
+        return g.rename_columns(["lang", "source", "n_part"])
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "source"])
+    t = fold_partials(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["lang", "source"], [("n_part", "sum")], ["lang", "source", "n"],
+    )
+    if t.num_columns == 0 or t.num_rows == 0:
+        return empty
+    df = t.to_pandas()
+    total = int(df["n"].sum())
+    row = df.groupby("lang")["n"].sum().to_dict()
+    col = df.groupby("source")["n"].sum().to_dict()
+    exp, chi = [], []
+    for lang, source, n in zip(df["lang"], df["source"], df["n"]):
+        r, c = int(row[lang]), int(col[source])
+        n = int(n)
+        exp.append(1000 * r * c // total)
+        d = abs(n * total - r * c)
+        chi.append(((1000 * d // (r * c)) * d) // total)
+    out = pa.table({"lang": pa.array(df["lang"], pa.string()),
+                    "source": pa.array(df["source"], pa.string()),
+                    "n": pa.array(df["n"].to_numpy(), pa.int64()),
+                    "expected_milli": pa.array(exp, pa.int64()),
+                    "chi2_contrib_milli": pa.array(chi, pa.int64())})
+    return finalize(out, [("lang", "ascending"), ("source", "ascending")])
