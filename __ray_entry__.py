@@ -1755,6 +1755,19 @@ ORDER BY epoch
         # SCD2 version history (cdcq.cdc_version_history): each event's
         # validity closes at its key's next lsn (null = current)
         # overwrite-churn census (cdcq.cdc_edit_wars)
+        # delete->re-insert churn (cdcq.cdc_resurrections): D followed
+        # by I/U on the same (conv, turn) in lsn order
+        "cdc_resurrections": CHANGELOG_CTE + """
+, s AS (
+  SELECT conv_id, op,
+         LAG(op) OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn)
+             AS prev_op
+  FROM ch
+)
+SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_resurrections
+FROM s WHERE prev_op = 'D' AND op IN ('I', 'U')
+GROUP BY conv_id ORDER BY conv_id
+""",
         "cdc_edit_wars": CHANGELOG_CTE + """
 , k AS (
   SELECT conv_id, turn_idx, CAST(COUNT(*) AS BIGINT) AS v
@@ -3469,6 +3482,27 @@ s AS (SELECT e.vec_id,
 SELECT CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rnk,
        vec_id
 FROM s ORDER BY rnk LIMIT 10
+""",
+        # vocabulary set algebra (text.source_overlap_jaccard): exact
+        # pairwise token-set overlap between sources, all pairs present
+        "source_overlap_jaccard": r"""
+WITH tok AS (SELECT source, unnest(regexp_extract_all(text, '\S+')) AS w
+             FROM documents),
+ts AS (SELECT DISTINCT source, w FROM tok),
+n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM ts GROUP BY source),
+i AS (SELECT a.source AS sa, b.source AS sb, CAST(COUNT(*) AS BIGINT) AS inter
+      FROM ts a JOIN ts b ON a.w = b.w AND a.source < b.source
+      GROUP BY 1, 2),
+p AS (SELECT na.source AS sa, nb.source AS sb, na.n AS na, nb.n AS nb
+      FROM n na JOIN n nb ON na.source < nb.source)
+SELECT p.sa AS source_a, p.sb AS source_b,
+       CAST(COALESCE(i.inter, 0) AS BIGINT) AS n_inter,
+       CAST(p.na + p.nb - COALESCE(i.inter, 0) AS BIGINT) AS n_union,
+       CAST(10000 * COALESCE(i.inter, 0)
+            // GREATEST(p.na + p.nb - COALESCE(i.inter, 0), 1) AS BIGINT)
+           AS jaccard_bp
+FROM p LEFT JOIN i ON i.sa = p.sa AND i.sb = p.sb
+ORDER BY source_a, source_b
 """,
         # contingency independence (text.lang_source_chi2): stepwise-
         # floored exact chi-squared cells over the lang x source table

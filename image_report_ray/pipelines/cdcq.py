@@ -1689,3 +1689,56 @@ def cdc_hot_keys(sf_dir: str, topn: int = 20) -> pa.Table:
     return pa.table({"conv_id": top.column("conv_id"),
                      "turn_idx": top.column("turn_idx"),
                      "versions": top.column("v")})
+
+
+def cdc_resurrections(sf_dir: str) -> pa.Table:
+    """Delete→re-insert churn per conversation: how many times a turn
+    that was tombstoned later came back (an I or U landing on a key
+    whose LAST event was a D) — the lifecycle smell that tells a lake
+    operator tombstone GC must respect the LWW order, and a sequence
+    query the LWW merge itself never surfaces.
+
+    One conv-keyed exchange: a key's whole history co-locates, the
+    kernel sorts (conv, turn, lsn) and counts D→{I,U} adjacencies
+    vectorized; only conversations with at least one resurrection leave
+    the partition. Exact twin: ``cdc_resurrections`` (LAG over the
+    changelog CTE)."""
+    from .exchange import exchange_reduce, gather_concat
+
+    def sel(t):
+        if t.num_rows == 0 or "conv_id" not in t.column_names:
+            return pa.table({"conv_id": pa.array([], pa.string()),
+                             "turn_idx": pa.array([], pa.int32()),
+                             "lsn": pa.array([], pa.int64()),
+                             "op": pa.array([], pa.string())})
+        return t.select(["conv_id", "turn_idx", "lsn", "op"])
+
+    ds = changelog_dataset(sf_dir).map_batches(sel, batch_format="pyarrow")
+
+    def kernel(pid: int, t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        empty = pa.table({"conv_id": pa.array([], pa.string()),
+                          "n_resurrections": pa.array([], pa.int64())})
+        if t.num_rows == 0 or "conv_id" not in t.column_names:
+            return empty
+        conv = t.column("conv_id").to_numpy(zero_copy_only=False)
+        turn = t.column("turn_idx").to_numpy()
+        lsn = t.column("lsn").to_numpy()
+        op = t.column("op").to_numpy(zero_copy_only=False)
+        order = np.lexsort((lsn, turn, conv))
+        conv, turn, op = conv[order], turn[order], op[order]
+        same = (conv[1:] == conv[:-1]) & (turn[1:] == turn[:-1])
+        res = same & (op[:-1] == "D") & ((op[1:] == "I") | (op[1:] == "U"))
+        if not res.any():
+            return empty
+        rc = conv[1:][res]
+        u, c = np.unique(rc, return_counts=True)
+        return pa.table({"conv_id": pa.array(u, pa.string()),
+                         "n_resurrections": pa.array(c.astype(np.int64))})
+
+    out = gather_concat(exchange_reduce([ds], ["conv_id"], kernel))
+    if out.num_rows == 0:
+        return pa.table({"conv_id": pa.array([], pa.string()),
+                         "n_resurrections": pa.array([], pa.int64())})
+    return finalize(out, [("conv_id", "ascending")])

@@ -3725,3 +3725,98 @@ def lang_source_chi2(sf_dir: str) -> pa.Table:
                     "expected_milli": pa.array(exp, pa.int64()),
                     "chi2_contrib_milli": pa.array(chi, pa.int64())})
     return finalize(out, [("lang", "ascending"), ("source", "ascending")])
+
+
+def source_overlap_jaccard(sf_dir: str) -> pa.Table:
+    """Pairwise token-vocabulary Jaccard between sources — the
+    distributed SET-ALGEBRA shape (corpus overlap / contamination
+    census between feeds).
+
+    No source's vocabulary is ever gathered: batches emit distinct
+    (token, source) pairs; the token-keyed exchange completes each
+    token's source SET in one partition, where it collapses to a ≤2^S
+    bitmask histogram (S = #sources, fixed small); the driver folds
+    P×2^S ints and closes every pairwise |A∩B| / |A∪B| exactly."""
+    from .exchange import exchange_reduce
+    from ._util import fold_partials
+
+    import ray
+
+    rd = _rd()
+    empty = pa.table({"source_a": pa.array([], pa.string()),
+                      "source_b": pa.array([], pa.string()),
+                      "n_inter": pa.array([], pa.int64()),
+                      "n_union": pa.array([], pa.int64()),
+                      "jaccard_bp": pa.array([], pa.int64())})
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(t.column("text"), _TOKEN_SPLIT)
+        n = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        src = pa.array(np.repeat(
+            t.column("source").to_numpy(zero_copy_only=False), n))
+        keep = pc.not_equal(flat, "")
+        p = pa.table({"token": flat.filter(keep), "source": src.filter(keep)})
+        return p.group_by(["token", "source"]).aggregate([]).rename_columns(
+            ["token", "source"])
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["text", "source"])
+    pairs = ds.map_batches(pair_partial, batch_format="pyarrow")
+
+    # fixed small source alphabet: discover it with a fold, then the
+    # mask kernel closes per-token sets against the pinned order
+    srcs_t = fold_partials(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source"]
+                        ).map_batches(
+            lambda t: pa.table({"source": t.column("source").combine_chunks().unique()}),
+            batch_format="pyarrow"),
+        ["source"], [([], "count_all")], ["source", "_n"])
+    if srcs_t.num_columns == 0 or srcs_t.num_rows == 0:
+        return empty
+    srcs = sorted(srcs_t.column("source").to_pylist())
+    sidx = {s: i for i, s in enumerate(srcs)}
+
+    def mask_kernel(pid: int, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "token" not in t.column_names:
+            return pa.table({"mask": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        d = t.group_by(["token", "source"]).aggregate([])
+        tok = d.column("token").to_numpy(zero_copy_only=False)
+        src = d.column("source").to_numpy(zero_copy_only=False)
+        bits = np.array([1 << sidx[s] for s in srcs])[
+            np.searchsorted(srcs, src)]
+        order = np.argsort(tok, kind="stable")
+        tok, bits = tok[order], bits[order]
+        starts = np.flatnonzero(np.r_[True, tok[1:] != tok[:-1]])
+        masks = np.bitwise_or.reduceat(bits, starts)
+        u, c = np.unique(masks, return_counts=True)
+        return pa.table({"mask": pa.array(u.astype(np.int64)),
+                         "n": pa.array(c.astype(np.int64))})
+
+    hist_tabs = ray.get(exchange_reduce([pairs], ["token"], mask_kernel))
+    live = [t for t in hist_tabs if t.num_rows]
+    if not live:
+        return empty
+    h = (pa.concat_tables(live).group_by(["mask"]).aggregate([("n", "sum")])
+         .rename_columns(["mask", "n"]))
+    masks = h.column("mask").to_numpy()
+    counts = h.column("n").to_numpy()
+    rows = []
+    for i in range(len(srcs)):
+        for j in range(i + 1, len(srcs)):
+            a, b = 1 << i, 1 << j
+            inter = int(counts[(masks & a > 0) & (masks & b > 0)].sum())
+            na = int(counts[masks & a > 0].sum())
+            nb = int(counts[masks & b > 0].sum())
+            union = na + nb - inter
+            rows.append((srcs[i], srcs[j], inter, union,
+                         10_000 * inter // max(union, 1)))
+    t = pa.table({"source_a": pa.array([r[0] for r in rows], pa.string()),
+                  "source_b": pa.array([r[1] for r in rows], pa.string()),
+                  "n_inter": pa.array([r[2] for r in rows], pa.int64()),
+                  "n_union": pa.array([r[3] for r in rows], pa.int64()),
+                  "jaccard_bp": pa.array([r[4] for r in rows], pa.int64())})
+    return finalize(t, [("source_a", "ascending"), ("source_b", "ascending")])
