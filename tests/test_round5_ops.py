@@ -1956,3 +1956,86 @@ def test_dup_flow_matrix_directionality(ray_session, tmp_path):
         {"winner_source": "a", "dup_source": "b", "n_dups": 2},
         {"winner_source": "c", "dup_source": "a", "n_dups": 1},
     ]
+
+
+def test_peak_concurrency_bucket_invariance_and_bruteforce(ray_session):
+    """The sweep-line's cross-bucket prefix carry must make the result
+    independent of the range partition count, and match a naive driver
+    sweep over the same session intervals."""
+    import numpy as np
+    import pandas as pd
+
+    from image_report_ray.pipelines.relational import peak_concurrency
+
+    sf = "/root/testdata/sf0.001"
+    out2 = peak_concurrency(sf, P=2).to_pylist()
+    out16 = peak_concurrency(sf, P=16).to_pylist()
+    assert out2 == out16
+
+    # naive oracle: sessionize in pandas, sweep at distinct boundary ts
+    ev = pd.read_parquet(f"{sf}/events.parquet", columns=["user_id", "ts"])
+    ev = ev.sort_values(["user_id", "ts"])
+    gap = ev.groupby("user_id")["ts"].diff() > pd.Timedelta(minutes=30)
+    sid = (gap | ev.groupby("user_id")["ts"].diff().isna()).cumsum()
+    ses = ev.groupby(sid)["ts"].agg(["min", "max"])
+    st = ses["min"].astype("int64").to_numpy()
+    en = ses["max"].astype("int64").to_numpy()
+    pts = np.unique(np.r_[st, en])
+    conc = (np.searchsorted(np.sort(st), pts, side="right")
+            - np.searchsorted(np.sort(en), pts, side="left"))
+    day = pts // 86_400_000_000
+    exp = {}
+    for d in np.unique(day):
+        m = day == d
+        mx = conc[m].max()
+        exp[int(d)] = (int(mx), int(pts[m][conc[m] == mx].min()))
+    got = {r["day"]: (r["peak_concurrency"], r["peak_ts_us"]) for r in out16}
+    assert got == exp
+
+
+def test_spend_gini_bucket_invariance_and_bruteforce(ray_session):
+    """Gini's rank-offset carry is partition-count-free and matches the
+    naive single-array formula."""
+    import numpy as np
+    import pandas as pd
+
+    from image_report_ray.pipelines.relational import spend_gini
+
+    sf = "/root/testdata/sf0.001"
+    out2 = spend_gini(sf, P=2).to_pylist()
+    out8 = spend_gini(sf, P=8).to_pylist()
+    assert out2 == out8
+
+    o = pd.read_parquet(f"{sf}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    c = pd.read_parquet(f"{sf}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    o["cents"] = (o["o_totalprice"] * 100).round().astype("int64")
+    tot = o.groupby("o_custkey")["cents"].sum().reset_index()
+    j = tot.merge(c, left_on="o_custkey", right_on="c_custkey")
+    for row in out8:
+        g = np.sort(j[j["c_mktsegment"] == row["c_mktsegment"]]["cents"].to_numpy())
+        n, T = len(g), int(g.sum())
+        S = int(np.dot(np.arange(1, n + 1), g))
+        assert row["n_customers"] == n and row["total_cents"] == T
+        assert row["gini_micro"] == ((2 * S - (n + 1) * T) * 1_000_000) // (n * T)
+
+
+def test_value_mad_derived_distance_histogram(ray_session):
+    """The MAD closed from the value histogram (no second pass) equals
+    the naive two-pass |v - median| order statistic."""
+    import numpy as np
+    import pandas as pd
+
+    from image_report_ray.pipelines.relational import value_mad
+
+    sf = "/root/testdata/sf0.001"
+    out = value_mad(sf).to_pylist()
+    ev = pd.read_parquet(f"{sf}/events.parquet", columns=["event_type", "value"])
+    ev["v"] = (ev["value"] * 100).round().astype("int64")
+    for row in out:
+        v = np.sort(ev[ev["event_type"] == row["event_type"]]["v"].to_numpy())
+        n = len(v)
+        k = (50 * n + 99) // 100
+        med = int(v[k - 1])
+        d = np.sort(np.abs(v - med))
+        assert row["n"] == n and row["median_cents"] == med
+        assert row["mad_cents"] == int(d[k - 1])
