@@ -2450,6 +2450,40 @@ FROM c
 """,
         # near-dup graph degree distribution (dedup.pair_degree_hist):
         # the shared shingle CTE's verified pair graph, endpoint degrees
+        # degree assortativity of the near-dup graph
+        # (dedup.pair_assortativity): symmetrized endpoint-degree
+        # correlation; symmetry gives sx=sy, vx=vy, stepwise |cov| floor
+        "pair_assortativity": "WITH " + _NGRAM_CTE + r""",
+pairs AS (
+  SELECT da, db
+  FROM inter JOIN cnt ca ON inter.da = ca.doc_id
+             JOIN cnt cb ON inter.db = cb.doc_id
+  WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.2
+),
+deg AS (
+  SELECT doc_id, CAST(COUNT(*) AS HUGEINT) AS d
+  FROM (SELECT da AS doc_id FROM pairs
+        UNION ALL SELECT db AS doc_id FROM pairs)
+  GROUP BY doc_id
+),
+e AS (SELECT xa.d AS da, xb.d AS db
+      FROM pairs JOIN deg xa ON pairs.da = xa.doc_id
+                 JOIN deg xb ON pairs.db = xb.doc_id),
+a AS (SELECT CAST(2 * COUNT(*) AS HUGEINT) AS n,
+             CAST(COALESCE(SUM(da + db), 0) AS HUGEINT) AS sx,
+             CAST(COALESCE(SUM(da * da + db * db), 0) AS HUGEINT) AS sxx,
+             CAST(2 * COALESCE(SUM(da * db), 0) AS HUGEINT) AS sxy,
+             CAST(COUNT(*) AS BIGINT) AS ne
+      FROM e),
+m AS (SELECT ne, n * sxy - sx * sx AS cov, n * sxx - sx * sx AS vx FROM a)
+SELECT ne AS n_edges,
+       CAST(CASE WHEN cov > 0 THEN 1 WHEN cov < 0 THEN -1 ELSE 0 END
+            AS BIGINT) AS sign,
+       CAST(CASE WHEN vx > 0
+                 THEN ((1000000 * ABS(cov) // vx) * ABS(cov)) // vx
+                 ELSE 0 END AS BIGINT) AS r2_micro
+FROM m
+""",
         "pair_degree_hist": "WITH " + _NGRAM_CTE + r""",
 pairs AS (
   SELECT da, db
@@ -2981,6 +3015,50 @@ SELECT user_id,
        CAST(SUM(CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
 FROM o GROUP BY user_id ORDER BY user_id
+""",
+        # two independent exchange chains onto one nation frame
+        # (relational.nation_trade_balance): supplier revenue vs
+        # customer spend, zeros kept
+        "nation_trade_balance": """
+WITH s AS (
+  SELECT sp.s_nationkey AS nk,
+         CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT) *
+                  (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+              AS BIGINT) AS rev
+  FROM lineitem l JOIN supplier sp ON sp.s_suppkey = l.l_suppkey
+  GROUP BY 1
+),
+c AS (
+  SELECT cu.c_nationkey AS nk,
+         CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS spend
+  FROM orders o JOIN customer cu ON cu.c_custkey = o.o_custkey
+  GROUP BY 1
+)
+SELECT n.n_name,
+       CAST(COALESCE(s.rev, 0) AS BIGINT) AS supplier_rev_e4,
+       CAST(COALESCE(c.spend, 0) AS BIGINT) AS customer_spend_cents
+FROM nation n
+LEFT JOIN s ON s.nk = n.n_nationkey
+LEFT JOIN c ON c.nk = n.n_nationkey
+ORDER BY n.n_name
+""",
+        # first-touch attribution (relational.first_touch_attribution):
+        # first event type per user stream + ever-purchased conversion
+        "first_touch_attribution": """
+WITH u AS (
+  SELECT user_id,
+         FIRST_VALUE(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS ft,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id) AS conv
+  FROM events
+),
+d AS (SELECT DISTINCT user_id, ft, conv FROM u)
+SELECT ft AS first_touch, CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(conv) AS BIGINT) AS n_converted,
+       CAST(10000 * SUM(conv) // GREATEST(COUNT(*), 1) AS BIGINT) AS cvr_bp
+FROM d GROUP BY ft ORDER BY first_touch
 """,
         # lag-1 sequence autocorrelation (relational.user_value_autocorr):
         # per-user ordered pairs, closed as exact integer co-moments

@@ -2787,3 +2787,94 @@ def cluster_size_hist(sf_dir: str, tau: float = 0.2) -> pa.Table:
     out = pa.table({"cluster_size": g.column("cluster_size"),
                     "n_clusters": g.column("n_clusters_sum").cast(pa.int64())})
     return finalize(out, [("cluster_size", "ascending")])
+
+
+def pair_assortativity(sf_dir: str, tau: float = 0.2) -> pa.Table:
+    """Degree assortativity of the verified near-dup graph — do highly
+    duplicated documents pair with other hubs (template blobs) or with
+    leaves (hub-and-spoke syndication)? Pearson correlation of endpoint
+    degrees over the SYMMETRIZED edge list, closed in exact integers.
+
+    Composition over partition refs, nothing gathers: the verified pair
+    refs explode to endpoints -> doc-keyed exchange completes per-doc
+    degrees (kept as refs); two more chained exchanges attach deg_a
+    (keyed doc_id_a) then deg_b (keyed doc_id_b); each partition emits
+    four int64 sums. Symmetry makes sx=sy and vx=vy, so
+    r2_micro = ((10^6*|cov| // vx) * |cov|) // vx with
+    cov = n*sxy - sx^2 — the same stepwise floor as the HUGEINT twin."""
+    import ray
+
+    from .exchange import exchange_reduce
+
+    refs, _ = ngram_jaccard_pair_refs(sf_dir, tau)
+
+    @ray.remote
+    def explode_endpoints(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_id_a" not in t.column_names:
+            return pa.table({"doc_id": pa.array([], pa.int64())})
+        return pa.table({"doc_id": pa.concat_arrays([
+            t.column("doc_id_a").combine_chunks(),
+            t.column("doc_id_b").combine_chunks(),
+        ])})
+
+    def degree_kernel(pid: int, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "deg": pa.array([], pa.int64())})
+        g = t.group_by(["doc_id"]).aggregate([([], "count_all")])
+        return pa.table({"doc_id": g.column("doc_id").cast(pa.int64()),
+                         "deg": g.column("count_all").cast(pa.int64())})
+
+    def attach_a(pid: int, pairs_t: pa.Table, deg_t: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id_b": pa.array([], pa.int64()),
+                          "da": pa.array([], pa.int64())})
+        if (pairs_t.num_rows == 0 or deg_t.num_rows == 0
+                or "doc_id_a" not in pairs_t.column_names):
+            return empty
+        j = pairs_t.select(["doc_id_a", "doc_id_b"]).join(
+            deg_t, keys=["doc_id_a"], right_keys=["doc_id"],
+            join_type="inner")
+        return pa.table({"doc_id_b": j.column("doc_id_b").cast(pa.int64()),
+                         "da": j.column("deg").cast(pa.int64())})
+
+    def attach_b(pid: int, half_t: pa.Table, deg_t: pa.Table) -> pa.Table:
+        empty = pa.table({k: pa.array([], pa.int64())
+                          for k in ("n", "s_sum", "s_sq", "s_xy")})
+        if (half_t.num_rows == 0 or deg_t.num_rows == 0
+                or "doc_id_b" not in half_t.column_names):
+            return empty
+        j = half_t.join(deg_t, keys=["doc_id_b"], right_keys=["doc_id"],
+                        join_type="inner")
+        da = j.column("da").to_numpy()
+        db = j.column("deg").to_numpy()
+        return pa.table({
+            "n": pa.array([len(da)], pa.int64()),
+            "s_sum": pa.array([int((da + db).sum())], pa.int64()),
+            "s_sq": pa.array([int(np.dot(da, da) + np.dot(db, db))],
+                             pa.int64()),
+            "s_xy": pa.array([int(np.dot(da, db))], pa.int64()),
+        })
+
+    ends = [explode_endpoints.remote(r) for r in refs]
+    deg_refs = exchange_reduce([ends], ["doc_id"], degree_kernel)
+    half = exchange_reduce([refs, deg_refs], ["doc_id_a", "doc_id"], attach_a)
+    parts = ray.get(
+        exchange_reduce([half, deg_refs], ["doc_id_b", "doc_id"], attach_b))
+    ne = ss = sq = sxy1 = 0
+    for t in parts:
+        if t.num_rows == 0:
+            continue
+        ne += sum(t.column("n").to_pylist())
+        ss += sum(t.column("s_sum").to_pylist())
+        sq += sum(t.column("s_sq").to_pylist())
+        sxy1 += sum(t.column("s_xy").to_pylist())
+    n, sx, sxx, sxy = 2 * ne, ss, sq, 2 * sxy1
+    cov = n * sxy - sx * sx
+    vx = n * sxx - sx * sx
+    acov = abs(cov)
+    r2 = ((1_000_000 * acov // vx) * acov) // vx if vx > 0 else 0
+    return pa.table({
+        "n_edges": pa.array([ne], pa.int64()),
+        "sign": pa.array([(cov > 0) - (cov < 0)], pa.int64()),
+        "r2_micro": pa.array([r2], pa.int64()),
+    })

@@ -4720,3 +4720,158 @@ def brand_top_supplier(sf_dir: str) -> pa.Table:
                   "s_suppkey": pa.array(w["suppkey"].to_numpy(), pa.int64()),
                   "revenue_e4": pa.array(w["rev"].to_numpy(), pa.int64())})
     return finalize(t, [("p_brand", "ascending")])
+
+
+def nation_trade_balance(sf_dir: str) -> pa.Table:
+    """Per-nation trade profile: revenue earned by its suppliers
+    (discounted lineitem, exact 1e-4 dollars) vs spend of its customers
+    (order totals, cents) — two INDEPENDENT keyed-exchange chains
+    folded onto one fixed-small nation frame (every nation present,
+    zeros for inactivity). The multi-subquery report shape: neither
+    side ever sees the other's rows; the driver folds 2×P×25 partials."""
+    import ray
+
+    from .exchange import exchange_reduce
+
+    rd = _rd()
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"l_suppkey": pa.array([], pa.int64()),
+                             "rev": pa.array([], pa.int64())})
+        price = _cents(t.column("l_extendedprice"))
+        disc = _cents(t.column("l_discount"))
+        g = pa.table(
+            {"l_suppkey": t.column("l_suppkey"),
+             "rev": pa.array(price * (100 - disc), pa.int64())}
+        ).group_by(["l_suppkey"]).aggregate([("rev", "sum")])
+        return g.rename_columns(["l_suppkey", "rev"])
+
+    def supp_kernel(pid: int, li_t: pa.Table, s_t: pa.Table) -> pa.Table:
+        empty = pa.table({"nk": pa.array([], pa.int64()),
+                          "rev": pa.array([], pa.int64())})
+        if li_t.num_rows == 0 or s_t.num_rows == 0:
+            return empty
+        j = li_t.join(s_t, keys=["l_suppkey"], right_keys=["s_suppkey"],
+                      join_type="inner")
+        g = j.group_by(["s_nationkey"]).aggregate([("rev", "sum")])
+        return pa.table({"nk": g.column("s_nationkey").cast(pa.int64()),
+                         "rev": g.column("rev_sum").cast(pa.int64())})
+
+    def ord_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"o_custkey": pa.array([], pa.int64()),
+                             "cents": pa.array([], pa.int64())})
+        g = pa.table(
+            {"o_custkey": t.column("o_custkey"),
+             "cents": pa.array(_cents(t.column("o_totalprice")), pa.int64())}
+        ).group_by(["o_custkey"]).aggregate([("cents", "sum")])
+        return g.rename_columns(["o_custkey", "cents"])
+
+    def cust_kernel(pid: int, o_t: pa.Table, c_t: pa.Table) -> pa.Table:
+        empty = pa.table({"nk": pa.array([], pa.int64()),
+                          "cents": pa.array([], pa.int64())})
+        if o_t.num_rows == 0 or c_t.num_rows == 0:
+            return empty
+        j = o_t.join(c_t, keys=["o_custkey"], right_keys=["c_custkey"],
+                     join_type="inner")
+        g = j.group_by(["c_nationkey"]).aggregate([("cents", "sum")])
+        return pa.table({"nk": g.column("c_nationkey").cast(pa.int64()),
+                         "cents": g.column("cents_sum").cast(pa.int64())})
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount"]
+    ).map_batches(li_partial, batch_format="pyarrow")
+    supp = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                           columns=["s_suppkey", "s_nationkey"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"]
+                             ).map_batches(ord_partial, batch_format="pyarrow")
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+    supp_refs = exchange_reduce([li, supp], ["l_suppkey", "s_suppkey"],
+                                supp_kernel)
+    cust_refs = exchange_reduce([orders, cust], ["o_custkey", "c_custkey"],
+                                cust_kernel)
+    srows = [t for t in ray.get(supp_refs) if t.num_rows]
+    crows = [t for t in ray.get(cust_refs) if t.num_rows]
+    srev: dict[int, int] = {}
+    for t in srows:
+        for nk, rv in zip(t.column("nk").to_pylist(), t.column("rev").to_pylist()):
+            srev[nk] = srev.get(nk, 0) + rv
+    cspend: dict[int, int] = {}
+    for t in crows:
+        for nk, cs in zip(t.column("nk").to_pylist(), t.column("cents").to_pylist()):
+            cspend[nk] = cspend.get(nk, 0) + cs
+    import pyarrow.parquet as pq
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    nk = nat.column("n_nationkey").to_pylist()
+    nm = nat.column("n_name").to_pylist()
+    t = pa.table({
+        "n_name": pa.array(nm, pa.string()),
+        "supplier_rev_e4": pa.array([srev.get(k, 0) for k in nk], pa.int64()),
+        "customer_spend_cents": pa.array(
+            [cspend.get(k, 0) for k in nk], pa.int64()),
+    })
+    return finalize(t, [("n_name", "ascending")])
+
+
+def first_touch_attribution(sf_dir: str) -> pa.Table:
+    """Marketing first-touch attribution: per FIRST event type of each
+    user's stream ((ts, event_id) order), how many users started there
+    and how many ever purchased — conversion in exact basis points.
+    One user-keyed exchange (streams are partition-complete), O(types)
+    partials per partition, fixed-cardinality driver fold."""
+    from .exchange import exchange_reduce
+
+    import ray
+
+    rd = _rd()
+    empty = pa.table({"first_touch": pa.array([], pa.string()),
+                      "n_users": pa.array([], pa.int64()),
+                      "n_converted": pa.array([], pa.int64()),
+                      "cvr_bp": pa.array([], pa.int64())})
+
+    def kernel(pid: int, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return pa.table({"first_touch": pa.array([], pa.string()),
+                             "n_users": pa.array([], pa.int64()),
+                             "n_converted": pa.array([], pa.int64())})
+        u = t.column("user_id").to_numpy()
+        ts = t.column("ts").to_numpy().astype(np.int64)
+        ei = t.column("event_id").to_numpy()
+        ty = t.column("event_type").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ei, ts, u))
+        u, ty = u[order], ty[order]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        seg = np.cumsum(np.r_[True, u[1:] != u[:-1]]) - 1
+        first = ty[starts]
+        conv = np.zeros(len(starts), bool)
+        np.logical_or.at(conv, seg, ty == "purchase")
+        g = pa.table({"first_touch": pa.array(first, pa.string()),
+                      "conv": pa.array(conv.astype(np.int64))}
+                     ).group_by(["first_touch"]).aggregate(
+            [([], "count_all"), ("conv", "sum")])
+        return g.rename_columns(["first_touch", "n_users", "n_converted"])
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id", "event_type"])
+    parts = [t for t in ray.get(exchange_reduce([ds], ["user_id"], kernel))
+             if t.num_rows]
+    if not parts:
+        return empty
+    g = (pa.concat_tables(parts, promote_options="default")
+         .group_by(["first_touch"])
+         .aggregate([("n_users", "sum"), ("n_converted", "sum")])
+         .rename_columns(["first_touch", "n_users", "n_converted"]))
+    nu = g.column("n_users").to_numpy()
+    nc = g.column("n_converted").to_numpy()
+    out = pa.table({"first_touch": g.column("first_touch"),
+                    "n_users": pa.array(nu.astype(np.int64)),
+                    "n_converted": pa.array(nc.astype(np.int64)),
+                    "cvr_bp": pa.array(10_000 * nc // np.maximum(nu, 1),
+                                       pa.int64())})
+    return finalize(out, [("first_touch", "ascending")])
