@@ -3173,6 +3173,52 @@ SELECT event_type, CAST(n AS BIGINT) AS n,
                  ELSE 0 END AS BIGINT) AS r2_micro
 FROM m ORDER BY event_type
 """,
+        # user-dimension association lift (relational.user_type_affinity)
+        "user_type_affinity": """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+n AS (SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n FROM ut GROUP BY 1),
+tot AS (SELECT CAST(COUNT(DISTINCT user_id) AS HUGEINT) AS nu FROM events),
+b AS (SELECT a.event_type AS ta, bb.event_type AS tb,
+             CAST(COUNT(*) AS HUGEINT) AS n2
+      FROM ut a JOIN ut bb ON a.user_id = bb.user_id
+                           AND a.event_type < bb.event_type
+      GROUP BY 1, 2),
+p AS (SELECT na.event_type AS ta, nb.event_type AS tb,
+             na.n AS na, nb.n AS nb
+      FROM n na JOIN n nb ON na.event_type < nb.event_type)
+SELECT p.ta AS type_a, p.tb AS type_b,
+       CAST(COALESCE(b.n2, 0) AS BIGINT) AS n_both,
+       CAST(1000000 * COALESCE(b.n2, 0) * tot.nu // (p.na * p.nb)
+            AS BIGINT) AS lift_micro
+FROM p LEFT JOIN b ON b.ta = p.ta AND b.tb = p.tb CROSS JOIN tot
+ORDER BY type_a, type_b
+""",
+        # sweep-line consumer #2 (relational.order_backlog_peak): open
+        # orders [orderdate, last shipdate], same distinct-ts scan
+        "order_backlog_peak": """
+WITH le AS (SELECT l_orderkey, MAX(epoch_us(l_shipdate)) AS en
+            FROM lineitem GROUP BY 1),
+iv AS (SELECT epoch_us(o.o_orderdate) AS st,
+              GREATEST(COALESCE(le.en, epoch_us(o.o_orderdate)),
+                       epoch_us(o.o_orderdate)) AS en
+       FROM orders o LEFT JOIN le ON le.l_orderkey = o.o_orderkey),
+pts AS (SELECT st AS t, 1 AS d_ns, 0 AS d_ne FROM iv
+        UNION ALL SELECT en AS t, 0 AS d_ns, 1 AS d_ne FROM iv),
+g AS (SELECT t, SUM(d_ns) AS ns, SUM(d_ne) AS ne FROM pts GROUP BY t),
+sc AS (
+  SELECT t,
+         SUM(ns) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+         - (SUM(ne) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) - ne) AS conc
+  FROM g
+),
+d AS (SELECT t // 86400000000 AS day, t, conc FROM sc),
+mx AS (SELECT day, MAX(conc) AS peak FROM d GROUP BY day)
+SELECT d.day,
+       CAST(mx.peak AS BIGINT) AS open_orders_peak,
+       CAST(MIN(d.t) AS BIGINT) AS peak_ts_us
+FROM d JOIN mx ON d.day = mx.day AND d.conc = mx.peak
+GROUP BY d.day, mx.peak ORDER BY d.day
+""",
         # robust stats (relational.value_mad): exact median + MAD in
         # cents, both at the value_quantiles rank convention ceil(n/2)
         "value_mad": """

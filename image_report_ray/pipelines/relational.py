@@ -4007,15 +4007,10 @@ def peak_concurrency(sf_dir: str, P: int = 16) -> pa.Table:
     engine or oracle side.
 
     Shape: (1) user-keyed exchange -> per-partition session boundary
-    points (O(sessions) rows, aggregated per ts); (2) RANGE partition
-    by ts (sampled bounds, quality_rank's machinery); (3) each range
-    bucket locally sorts+aggregates and returns its (sum ns, sum ne)
-    totals; the driver computes the EXCLUSIVE PREFIX CARRY over P
-    bucket totals (P ints — never rows) and a second task wave turns
-    local cumsums + carry into exact global concurrency, folding per-day
-    (max, argmax-ts) partials. No stage ever materializes the scan."""
-    import ray
-
+    points (O(sessions) rows, aggregated per ts); (2) the shared
+    :func:`_sweep_day_peaks` scan (RANGE partition by ts, bucket-local
+    cumsums, driver-side EXCLUSIVE PREFIX CARRY over P bucket totals —
+    P ints, never rows). No stage ever materializes the scan."""
     from .exchange import exchange_reduce
 
     rd = _rd()
@@ -4024,6 +4019,27 @@ def peak_concurrency(sf_dir: str, P: int = 16) -> pa.Table:
                       "peak_ts_us": pa.array([], pa.int64())})
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
     refs = exchange_reduce([ds], ["user_id"], _session_points_partition)
+    out = _sweep_day_peaks(refs, P)
+    if out is None:
+        return empty
+    return finalize(out.rename_columns(
+        ["day", "peak_concurrency", "peak_ts_us"]), [("day", "ascending")])
+
+
+def _sweep_day_peaks(refs: list, P: int) -> "pa.Table | None":
+    """The distributed sweep-line core shared by every interval-
+    concurrency operator (:func:`peak_concurrency`,
+    :func:`order_backlog_peak`): ``refs`` are object refs of
+    (t, ns, ne) point tables — per timestamp t, how many intervals
+    start (ns) and end (ne) there, partials ADDING across refs.
+
+    RANGE partition by sampled t bounds; each bucket aggregates+sorts
+    locally and reports its (Σns, Σne); the driver's exclusive prefix
+    over the P bucket totals is the carry that makes each bucket's
+    local cumulative sums globally exact: conc(t) = carry_ns +
+    cum_ns(≤t) − carry_ne − cum_ne(<t). Returns per-day (day, peak,
+    first-ts-at-peak) or None for empty input."""
+    import ray
 
     @ray.remote
     def sample_t(t: pa.Table, k: int = 64) -> np.ndarray:
@@ -4076,7 +4092,7 @@ def peak_concurrency(sf_dir: str, P: int = 16) -> pa.Table:
 
     samples = np.concatenate(ray.get([sample_t.remote(r) for r in refs]))
     if not len(samples):
-        return empty
+        return None
     bounds = np.unique(
         np.quantile(samples, np.linspace(0, 1, P + 1)[1:-1]).astype(np.int64)
     )
@@ -4096,19 +4112,16 @@ def peak_concurrency(sf_dir: str, P: int = 16) -> pa.Table:
     ])
     allp = pa.concat_tables([p for p in parts if p.num_rows])
     if allp.num_rows == 0:
-        return empty
+        return None
     df = allp.to_pandas()
     mx = df.groupby("day")["peak"].transform("max")
     win = df[df["peak"] == mx]
     out = win.groupby("day").agg(
-        peak_concurrency=("peak", "max"), peak_ts_us=("pts", "min")
-    ).reset_index()
-    t = pa.table({"day": pa.array(out["day"].to_numpy(), pa.int64()),
-                  "peak_concurrency": pa.array(
-                      out["peak_concurrency"].to_numpy(), pa.int64()),
-                  "peak_ts_us": pa.array(
-                      out["peak_ts_us"].to_numpy(), pa.int64())})
-    return finalize(t, [("day", "ascending")])
+        peak=("peak", "max"), pts=("pts", "min")
+    ).reset_index().sort_values("day")
+    return pa.table({"day": pa.array(out["day"].to_numpy(), pa.int64()),
+                     "peak": pa.array(out["peak"].to_numpy(), pa.int64()),
+                     "pts": pa.array(out["pts"].to_numpy(), pa.int64())})
 
 
 def value_mad(sf_dir: str) -> pa.Table:
@@ -4875,3 +4888,164 @@ def first_touch_attribution(sf_dir: str) -> pa.Table:
                     "cvr_bp": pa.array(10_000 * nc // np.maximum(nu, 1),
                                        pa.int64())})
     return finalize(out, [("first_touch", "ascending")])
+
+
+def _order_interval_points(pid: int, o_t: pa.Table, li_t: pa.Table) -> pa.Table:
+    """Per orderkey-hash partition: each order's open interval
+    [orderdate, max lineitem shipdate] (clamped to start for unshipped /
+    inverted rows) collapsed to sweep points — partials add across
+    partitions."""
+    empty = pa.table({"t": pa.array([], pa.int64()),
+                      "ns": pa.array([], pa.int64()),
+                      "ne": pa.array([], pa.int64())})
+    if o_t.num_rows == 0 or "o_orderkey" not in o_t.column_names:
+        return empty
+    st_t = pa.table({
+        "o_orderkey": o_t.column("o_orderkey"),
+        "st": o_t.column("o_orderdate").cast(
+            pa.timestamp("us")).cast(pa.int64()),
+    })
+    if li_t.num_rows and "l_orderkey" in li_t.column_names:
+        le = (li_t.group_by(["l_orderkey"]).aggregate([("en", "max")])
+              .rename_columns(["l_orderkey", "en"]))
+        j = st_t.join(le, keys=["o_orderkey"], right_keys=["l_orderkey"],
+                      join_type="left outer")
+    else:
+        j = st_t.append_column(
+            "en", pa.array([None] * st_t.num_rows, pa.int64()))
+    st = j.column("st").to_numpy()
+    en = j.column("en").to_numpy(zero_copy_only=False)
+    en = np.where(pd.isna(en), st, en).astype(np.int64)
+    en = np.maximum(en, st)
+    pts = np.concatenate([st, en])
+    is_start = np.concatenate(
+        [np.ones(len(st), np.int64), np.zeros(len(en), np.int64)])
+    uq, inv = np.unique(pts, return_inverse=True)
+    ns = np.bincount(inv, weights=is_start).astype(np.int64)
+    ne = np.bincount(inv, weights=1 - is_start).astype(np.int64)
+    return pa.table({"t": pa.array(uq, pa.int64()),
+                     "ns": pa.array(ns, pa.int64()),
+                     "ne": pa.array(ne, pa.int64())})
+
+
+def order_backlog_peak(sf_dir: str, P: int = 16) -> pa.Table:
+    """Per-day peak number of simultaneously OPEN orders (placed but
+    not yet fully shipped) — the second consumer of the shared
+    :func:`_sweep_day_peaks` sweep-line: one orderkey-keyed exchange
+    closes each order's [orderdate, last-shipdate] interval (orders and
+    their lineitems co-partition), the scan machinery is reused
+    verbatim."""
+    from .exchange import exchange_reduce
+
+    rd = _rd()
+    empty = pa.table({"day": pa.array([], pa.int64()),
+                      "open_orders_peak": pa.array([], pa.int64()),
+                      "peak_ts_us": pa.array([], pa.int64())})
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"l_orderkey": pa.array([], pa.int64()),
+                             "en": pa.array([], pa.int64())})
+        g = pa.table({
+            "l_orderkey": t.column("l_orderkey"),
+            "en": t.column("l_shipdate").cast(
+                pa.timestamp("us")).cast(pa.int64()),
+        }).group_by(["l_orderkey"]).aggregate([("en", "max")])
+        return g.rename_columns(["l_orderkey", "en"])
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderdate"])
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_shipdate"]
+                         ).map_batches(li_partial, batch_format="pyarrow")
+    refs = exchange_reduce([orders, li], ["o_orderkey", "l_orderkey"],
+                           _order_interval_points)
+    out = _sweep_day_peaks(refs, P)
+    if out is None:
+        return empty
+    return finalize(out.rename_columns(
+        ["day", "open_orders_peak", "peak_ts_us"]), [("day", "ascending")])
+
+
+def user_type_affinity(sf_dir: str) -> pa.Table:
+    """Event-type market-basket affinity: for each type pair, how many
+    users touch BOTH, and the exact integer lift
+    ⌊10⁶·n_both·n_users/(n_a·n_b)⌋ vs independence (>10⁶ = the types
+    travel together) — association mining over the user dimension.
+
+    The source_overlap_jaccard bitmask shape one table over: distinct
+    (user, type) pairs combine per batch, the user-keyed exchange
+    collapses each user to a ≤2^T bitmask (T = #types, fixed small),
+    partitions fold mask histograms and the driver closes every pair
+    from P×2^T ints — per-user rows never gather."""
+    from .exchange import exchange_reduce
+    from ._util import fold_partials
+
+    import ray
+
+    rd = _rd()
+    empty = pa.table({"type_a": pa.array([], pa.string()),
+                      "type_b": pa.array([], pa.string()),
+                      "n_both": pa.array([], pa.int64()),
+                      "lift_micro": pa.array([], pa.int64())})
+
+    types_t = fold_partials(
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"]
+                        ).map_batches(
+            lambda t: pa.table({"event_type":
+                                t.column("event_type").combine_chunks().unique()}),
+            batch_format="pyarrow"),
+        ["event_type"], [([], "count_all")], ["event_type", "_n"])
+    if types_t.num_columns == 0 or types_t.num_rows == 0:
+        return empty
+    types = sorted(types_t.column("event_type").to_pylist())
+    tidx = {ty: i for i, ty in enumerate(types)}
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        return (t.group_by(["user_id", "event_type"]).aggregate([])
+                .rename_columns(["user_id", "event_type"]))
+
+    def mask_kernel(pid: int, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return pa.table({"mask": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        d = t.group_by(["user_id", "event_type"]).aggregate([])
+        u = d.column("user_id").to_numpy()
+        ty = d.column("event_type").to_numpy(zero_copy_only=False)
+        bits = np.array([1 << tidx[s] for s in types])[
+            np.searchsorted(types, ty)]
+        order = np.argsort(u, kind="stable")
+        u, bits = u[order], bits[order]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        masks = np.bitwise_or.reduceat(bits, starts)
+        uq, c = np.unique(masks, return_counts=True)
+        return pa.table({"mask": pa.array(uq.astype(np.int64)),
+                         "n": pa.array(c.astype(np.int64))})
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"]
+                         ).map_batches(pair_partial, batch_format="pyarrow")
+    tabs = [t for t in ray.get(exchange_reduce([ds], ["user_id"], mask_kernel))
+            if t.num_rows]
+    if not tabs:
+        return empty
+    h = (pa.concat_tables(tabs).group_by(["mask"]).aggregate([("n", "sum")])
+         .rename_columns(["mask", "n"]))
+    masks = h.column("mask").to_numpy()
+    counts = h.column("n").to_numpy()
+    n_users = int(counts.sum())
+    rows = []
+    for i in range(len(types)):
+        for j in range(i + 1, len(types)):
+            a, b = 1 << i, 1 << j
+            both = int(counts[(masks & a > 0) & (masks & b > 0)].sum())
+            na = int(counts[masks & a > 0].sum())
+            nb = int(counts[masks & b > 0].sum())
+            lift = (1_000_000 * both * n_users // (na * nb)
+                    if na and nb else 0)
+            rows.append((types[i], types[j], both, lift))
+    t = pa.table({"type_a": pa.array([r[0] for r in rows], pa.string()),
+                  "type_b": pa.array([r[1] for r in rows], pa.string()),
+                  "n_both": pa.array([r[2] for r in rows], pa.int64()),
+                  "lift_micro": pa.array([r[3] for r in rows], pa.int64())})
+    return finalize(t, [("type_a", "ascending"), ("type_b", "ascending")])
