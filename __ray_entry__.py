@@ -610,6 +610,18 @@ FROM a3 ORDER BY vec_id
 """
 
 
+def _cluster_balance_sql() -> str:
+    """cluster_balance twin: the kmeans assignment chain folded to
+    per-cluster counts + exact basis-point shares."""
+    return f"""
+WITH asn AS ({_kmeans_sql()})
+SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(10000 * COUNT(*) // GREATEST((SELECT COUNT(*) FROM asn), 1)
+            AS BIGINT) AS share_bp
+FROM asn GROUP BY cluster_id ORDER BY cluster_id
+"""
+
+
 def _cluster_separation_sql() -> str:
     """Inter-centroid pairwise distances twin: the kmeans CTE chain's
     final (c2) centroids self-joined, same pinned distance rounding."""
@@ -3491,6 +3503,7 @@ FROM documents GROUP BY lang ORDER BY lang
 """,
         # bounded-iteration k-means with pinned rounding (see _kmeans_sql)
         "kmeans_embed": _kmeans_sql(),
+        "cluster_balance": _cluster_balance_sql(),
         # inter-centroid separation (similarity.cluster_separation):
         # the kmeans CTE chain's FINAL centroids (c2), self-joined with
         # the assignment kernel's own distance rounding

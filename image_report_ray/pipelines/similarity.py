@@ -1845,3 +1845,42 @@ def filtered_knn(sf_dir: str, query_vec_id: int = 0, k: int = 10) -> pa.Table:
     t = finalize(t, [("sim", "descending"), ("vec_id", "ascending")]).slice(0, k)
     rnk = pa.array(np.arange(1, t.num_rows + 1), pa.int64())
     return t.select(["vec_id"]).append_column("rnk", rnk).select(["rnk", "vec_id"])
+
+
+def cluster_balance(sf_dir: str, k: int = _KM_K, iters: int = _KM_ITERS) -> pa.Table:
+    """Cluster-size balance of the pinned k-means partitioning — the
+    capacity-planning view of the ANN/semdedup cluster map (a skewed
+    balance means hot IVF cells and lopsided semdedup work), and the
+    fifth consumer of the shared cached Lloyd trainer.
+
+    Assignment refs stay distributed: each partition folds its own
+    cluster counts (K fixed small), the driver sums P×K ints and closes
+    exact basis-point shares."""
+    import ray
+
+    refs = kmeans_assign_refs(sf_dir, k, iters)
+
+    @ray.remote
+    def count_task(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "cluster_id" not in t.column_names:
+            return pa.table({"cluster_id": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        g = t.group_by(["cluster_id"]).aggregate([([], "count_all")])
+        return pa.table({"cluster_id": g.column("cluster_id").cast(pa.int64()),
+                         "n": g.column("count_all").cast(pa.int64())})
+
+    tabs = [t for t in ray.get([count_task.remote(r) for r in refs])
+            if t.num_rows]
+    if not tabs:
+        return pa.table({"cluster_id": pa.array([], pa.int64()),
+                         "n_vectors": pa.array([], pa.int64()),
+                         "share_bp": pa.array([], pa.int64())})
+    g = (pa.concat_tables(tabs).group_by(["cluster_id"])
+         .aggregate([("n", "sum")]).rename_columns(["cluster_id", "n"]))
+    n = g.column("n").to_numpy()
+    total = int(n.sum())
+    out = pa.table({"cluster_id": g.column("cluster_id"),
+                    "n_vectors": pa.array(n.astype(np.int64)),
+                    "share_bp": pa.array(
+                        10_000 * n // max(total, 1), pa.int64())})
+    return finalize(out, [("cluster_id", "ascending")])
