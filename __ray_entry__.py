@@ -1767,6 +1767,20 @@ ORDER BY epoch
         # SCD2 version history (cdcq.cdc_version_history): each event's
         # validity closes at its key's next lsn (null = current)
         # overwrite-churn census (cdcq.cdc_edit_wars)
+        # per-epoch ingest-volume series (cdcq.cdc_epoch_text_growth)
+        "cdc_epoch_text_growth": CHANGELOG_CTE + """
+, e AS (
+  SELECT lsn // 2500 AS epoch,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CASE WHEN op IN ('I', 'U')
+                       THEN octet_length(encode(text)) ELSE 0 END)
+              AS BIGINT) AS bytes_in
+  FROM ch GROUP BY 1)
+SELECT epoch, n_events, bytes_in,
+       CAST(SUM(bytes_in) OVER (ORDER BY epoch ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS bytes_cum
+FROM e ORDER BY epoch
+""",
         # delete->re-insert churn (cdcq.cdc_resurrections): D followed
         # by I/U on the same (conv, turn) in lsn order
         "cdc_resurrections": CHANGELOG_CTE + """
@@ -3184,6 +3198,37 @@ SELECT event_type, CAST(n AS BIGINT) AS n,
                  THEN ((1000000 * ABS(cov) // vx) * ABS(cov)) // vy
                  ELSE 0 END AS BIGINT) AS r2_micro
 FROM m ORDER BY event_type
+""",
+        # weighted order statistic (relational.weighted_price_median):
+        # the price of the median shipped unit, rank (W+1)//2
+        "weighted_price_median": """
+WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+                  CAST(round(l_quantity) AS BIGINT) AS w FROM lineitem),
+a AS (SELECT v, CAST(SUM(w) AS HUGEINT) AS w FROM c GROUP BY v),
+t AS (SELECT CAST(SUM(w) AS HUGEINT) AS tw FROM a),
+r AS (SELECT v, SUM(w) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cw
+      FROM a)
+SELECT CAST(t.tw AS BIGINT) AS total_weight,
+       CAST(MIN(CASE WHEN r.cw >= (t.tw + 1) // 2 THEN r.v END) AS BIGINT)
+           AS median_cents
+FROM r CROSS JOIN t GROUP BY t.tw
+""",
+        # same-amount repeat purchases inside the window
+        # (relational.dup_payment_candidates)
+        "dup_payment_candidates": """
+WITH p AS (
+  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS v, ts, event_id
+  FROM events WHERE event_type = 'purchase'
+),
+s AS (
+  SELECT user_id,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+           PARTITION BY user_id, v ORDER BY ts, event_id) AS gap
+  FROM p
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_suspicious
+FROM s WHERE gap IS NOT NULL AND gap <= 600000000
+GROUP BY user_id ORDER BY user_id
 """,
         # user-dimension association lift (relational.user_type_affinity)
         "user_type_affinity": """

@@ -1742,3 +1742,57 @@ def cdc_resurrections(sf_dir: str) -> pa.Table:
         return pa.table({"conv_id": pa.array([], pa.string()),
                          "n_resurrections": pa.array([], pa.int64())})
     return finalize(out, [("conv_id", "ascending")])
+
+
+def cdc_epoch_text_growth(sf_dir: str, epoch_size: int = 2500) -> pa.Table:
+    """Per-epoch ingest-volume series off the changelog: events, bytes
+    of upsert payload text entering the lake, and the cumulative byte
+    curve — the capacity dashboard (when does the lake cross X GB).
+    Per-block combine folds to O(epochs-in-block) rows (blocks are
+    contiguous lsn ranges, so a block spans few epochs); the driver
+    folds O(epochs) rows — exactly the result's own cardinality — and
+    closes the cumulative sum with one scan."""
+    import numpy as np
+
+    from ._util import ds_to_table
+
+    empty = pa.table({"epoch": pa.array([], pa.int64()),
+                      "n_events": pa.array([], pa.int64()),
+                      "bytes_in": pa.array([], pa.int64()),
+                      "bytes_cum": pa.array([], pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "lsn" not in t.column_names:
+            return pa.table({"epoch": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        lsn = t.column("lsn").to_numpy()
+        op = t.column("op").to_numpy(zero_copy_only=False)
+        txt = t.column("text")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        nbytes = pc.binary_length(txt.cast(pa.binary())).to_numpy(
+            zero_copy_only=False)
+        nbytes = np.where(np.isin(op, ("I", "U")),
+                          np.nan_to_num(nbytes.astype(np.float64)), 0.0
+                          ).astype(np.int64)
+        g = pa.table({"epoch": pa.array(lsn // epoch_size, pa.int64()),
+                      "n": pa.array(np.ones(len(lsn), np.int64)),
+                      "b": pa.array(nbytes, pa.int64())}
+                     ).group_by(["epoch"]).aggregate(
+            [("n", "sum"), ("b", "sum")])
+        return g.rename_columns(["epoch", "n", "b"])
+
+    ds = changelog_dataset(sf_dir).map_batches(partial, batch_format="pyarrow")
+    t = ds_to_table(ds)
+    if t.num_columns == 0 or t.num_rows == 0:
+        return empty
+    g = (t.group_by(["epoch"]).aggregate([("n", "sum"), ("b", "sum")])
+         .rename_columns(["epoch", "n_events", "bytes_in"]))
+    g = g.take(pc.sort_indices(g, sort_keys=[("epoch", "ascending")]))
+    b = g.column("bytes_in").to_numpy()
+    out = pa.table({"epoch": g.column("epoch").cast(pa.int64()),
+                    "n_events": g.column("n_events").cast(pa.int64()),
+                    "bytes_in": g.column("bytes_in").cast(pa.int64()),
+                    "bytes_cum": pa.array(np.cumsum(b), pa.int64())})
+    return finalize(out, [("epoch", "ascending")])

@@ -5049,3 +5049,116 @@ def user_type_affinity(sf_dir: str) -> pa.Table:
                   "n_both": pa.array([r[2] for r in rows], pa.int64()),
                   "lift_micro": pa.array([r[3] for r in rows], pa.int64())})
     return finalize(t, [("type_a", "ascending"), ("type_b", "ascending")])
+
+
+def weighted_price_median(sf_dir: str) -> pa.Table:
+    """WEIGHTED median of lineitem price (cents), weighted by shipped
+    quantity — "the price of the median shipped unit", the
+    inventory-weighted order statistic plain medians misstate.
+
+    Two-pass distributed selection over an unbounded price domain (the
+    gap_quantiles shape with weights): pass 1 folds coarse 4096-cent
+    bucket weight sums (O(price-range/4096) rows); the driver locates
+    the single bucket holding weighted rank ⌈W/2⌉; pass 2 folds that
+    bucket's exact per-cents weights (≤4096 distinct values by
+    construction). All integer; rank = (W+1)//2 on both sides."""
+    from ._util import fold_partials
+
+    rd = _rd()
+    empty = pa.table({"total_weight": pa.array([], pa.int64()),
+                      "median_cents": pa.array([], pa.int64())})
+    cols = ["l_extendedprice", "l_quantity"]
+
+    def coarse(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"b": pa.array([], pa.int64()),
+                             "w": pa.array([], pa.int64())})
+        v = _cents(t.column("l_extendedprice"))
+        w = np.rint(t.column("l_quantity").to_numpy(
+            zero_copy_only=False)).astype(np.int64)
+        g = pa.table({"b": pa.array(v >> 12, pa.int64()),
+                      "w": pa.array(w, pa.int64())}
+                     ).group_by(["b"]).aggregate([("w", "sum")])
+        return g.rename_columns(["b", "w"])
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=cols)
+    h = fold_partials(ds.map_batches(coarse, batch_format="pyarrow"),
+                      ["b"], [("w", "sum")], ["b", "w"])
+    if h.num_columns == 0 or h.num_rows == 0:
+        return empty
+    hb = h.to_pandas().sort_values("b")
+    W = int(hb["w"].sum())
+    k = (W + 1) // 2
+    cum = hb["w"].cumsum().to_numpy()
+    i = int(np.searchsorted(cum, k))
+    bucket = int(hb["b"].to_numpy()[i])
+    k_in = k - (int(cum[i - 1]) if i else 0)
+
+    def refine(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"v": pa.array([], pa.int64()),
+                             "w": pa.array([], pa.int64())})
+        v = _cents(t.column("l_extendedprice"))
+        w = np.rint(t.column("l_quantity").to_numpy(
+            zero_copy_only=False)).astype(np.int64)
+        m = (v >> 12) == bucket
+        g = pa.table({"v": pa.array(v[m], pa.int64()),
+                      "w": pa.array(w[m], pa.int64())}
+                     ).group_by(["v"]).aggregate([("w", "sum")])
+        return g.rename_columns(["v", "w"])
+
+    ds2 = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=cols)
+    f = fold_partials(ds2.map_batches(refine, batch_format="pyarrow"),
+                      ["v"], [("w", "sum")], ["v", "w"])
+    fb = f.to_pandas().sort_values("v")
+    cumv = fb["w"].cumsum().to_numpy()
+    med = int(fb["v"].to_numpy()[np.searchsorted(cumv, k_in)])
+    return pa.table({"total_weight": pa.array([W], pa.int64()),
+                     "median_cents": pa.array([med], pa.int64())})
+
+
+def dup_payment_candidates(sf_dir: str, window_min: int = 10) -> pa.Table:
+    """Suspected double-charges: purchases by the SAME user for the
+    SAME amount within ``window_min`` minutes of the previous identical
+    amount — the fraud/idempotency-bug triage sequence. A user's
+    purchase stream is partition-complete under the user-keyed
+    exchange; the kernel sorts (user, cents, ts, event_id) and counts
+    adjacent same-amount pairs inside the window, vectorized. Output:
+    per-user suspicious-pair counts (only users with hits)."""
+    from .exchange import exchange_reduce, gather_concat
+
+    rd = _rd()
+    win_us = window_min * 60 * 1_000_000
+
+    def kernel(pid: int, t: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.array([], pa.int64()),
+                          "n_suspicious": pa.array([], pa.int64())})
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return empty
+        ty = t.column("event_type").to_numpy(zero_copy_only=False)
+        m = ty == "purchase"
+        if not m.any():
+            return empty
+        u = t.column("user_id").to_numpy()[m]
+        ts = t.column("ts").to_numpy().astype(np.int64)[m]
+        ei = t.column("event_id").to_numpy()[m]
+        v = _cents(t.column("value"))[m]
+        order = np.lexsort((ei, ts, v, u))
+        u, ts, v = u[order], ts[order], v[order]
+        hit = ((u[1:] == u[:-1]) & (v[1:] == v[:-1])
+               & ((ts[1:] - ts[:-1]) <= win_us))
+        if not hit.any():
+            return empty
+        hu = u[1:][hit]
+        uq, c = np.unique(hu, return_counts=True)
+        return pa.table({"user_id": pa.array(uq, pa.int64()),
+                         "n_suspicious": pa.array(c.astype(np.int64))})
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id",
+                                  "event_type", "value"])
+    out = gather_concat(exchange_reduce([ds], ["user_id"], kernel))
+    if out.num_rows == 0:
+        return pa.table({"user_id": pa.array([], pa.int64()),
+                         "n_suspicious": pa.array([], pa.int64())})
+    return finalize(out, [("user_id", "ascending")])
