@@ -3665,6 +3665,46 @@ SELECT CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rnk,
        vec_id
 FROM s ORDER BY rnk LIMIT 10
 """,
+        # normalization-rung exact dedup (text.normalized_dedup)
+        "normalized_dedup": r"""
+WITH n AS (SELECT doc_id,
+                  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+           FROM documents)
+SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM n GROUP BY nt ORDER BY doc_id
+""",
+        # CUBE subtotal lattice (relational.sales_cube): every stratum
+        # derives from the finest cells; 'ALL' marks rolled-up axes
+        "sales_cube": """
+WITH base AS (
+  SELECT l_returnflag AS rf, l_linestatus AS ls,
+         CAST(round(l_extendedprice * 100) AS BIGINT) *
+         (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev
+  FROM lineitem
+)
+SELECT COALESCE(rf, 'ALL') AS l_returnflag,
+       COALESCE(ls, 'ALL') AS l_linestatus,
+       CAST(SUM(rev) AS BIGINT) AS revenue_e4,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM base GROUP BY CUBE (rf, ls)
+ORDER BY l_returnflag, l_linestatus
+""",
+        # Benford observed-digit census (relational.value_benford)
+        "value_benford": """
+WITH c AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v
+           FROM events),
+d AS (SELECT event_type,
+             CAST(left(CAST(v AS VARCHAR), 1) AS BIGINT) AS digit
+      FROM c WHERE v > 0),
+g AS (SELECT event_type, digit, CAST(COUNT(*) AS BIGINT) AS n
+      FROM d GROUP BY 1, 2),
+t AS (SELECT event_type, SUM(n) AS tot FROM g GROUP BY event_type)
+SELECT g.event_type, g.digit, g.n,
+       CAST(10000 * g.n // GREATEST(t.tot, 1) AS BIGINT) AS share_bp
+FROM g JOIN t USING (event_type)
+ORDER BY event_type, digit
+""",
         # vocabulary set algebra (text.source_overlap_jaccard): exact
         # pairwise token-set overlap between sources, all pairs present
         "source_overlap_jaccard": r"""

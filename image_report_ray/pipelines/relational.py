@@ -5162,3 +5162,111 @@ def dup_payment_candidates(sf_dir: str, window_min: int = 10) -> pa.Table:
         return pa.table({"user_id": pa.array([], pa.int64()),
                          "n_suspicious": pa.array([], pa.int64())})
     return finalize(out, [("user_id", "ascending")])
+
+
+def sales_cube(sf_dir: str) -> pa.Table:
+    """CUBE(returnflag, linestatus) revenue rollup — the warehouse
+    subtotal lattice (GROUPING SETS) from ONE base fold: the finest
+    (rf, ls) cells fold distributed (fixed tiny cardinality, exact
+    1e-4-dollar ints), and every coarser stratum — row subtotals,
+    column subtotals, grand total — derives driver-side from those
+    cells by pure addition ('ALL' marks the rolled-up axis; the data
+    has no NULL flags, so the COALESCE twin is unambiguous)."""
+    from ._util import fold_partials
+
+    rd = _rd()
+    empty = pa.table({"l_returnflag": pa.array([], pa.string()),
+                      "l_linestatus": pa.array([], pa.string()),
+                      "revenue_e4": pa.array([], pa.int64()),
+                      "n_items": pa.array([], pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"rf": pa.array([], pa.string()),
+                             "ls": pa.array([], pa.string()),
+                             "rev": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        price = _cents(t.column("l_extendedprice"))
+        disc = _cents(t.column("l_discount"))
+        g = pa.table({"rf": t.column("l_returnflag"),
+                      "ls": t.column("l_linestatus"),
+                      "rev": pa.array(price * (100 - disc), pa.int64()),
+                      "n": pa.array(np.ones(t.num_rows, np.int64))}
+                     ).group_by(["rf", "ls"]).aggregate(
+            [("rev", "sum"), ("n", "sum")])
+        return g.rename_columns(["rf", "ls", "rev", "n"])
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus",
+                 "l_extendedprice", "l_discount"])
+    t = fold_partials(ds.map_batches(partial, batch_format="pyarrow"),
+                      ["rf", "ls"], [("rev", "sum"), ("n", "sum")],
+                      ["rf", "ls", "rev", "n"])
+    if t.num_columns == 0 or t.num_rows == 0:
+        return empty
+    df = t.to_pandas()
+    cells = {(r, s): (int(rv), int(n))
+             for r, s, rv, n in zip(df["rf"], df["ls"], df["rev"], df["n"])}
+    rows = dict(cells)
+    for (r, s), (rv, n) in cells.items():
+        for key in ((r, "ALL"), ("ALL", s), ("ALL", "ALL")):
+            prv, pn = rows.get(key, (0, 0))
+            rows[key] = (prv + rv, pn + n)
+    keys = sorted(rows)
+    out = pa.table({
+        "l_returnflag": pa.array([k[0] for k in keys], pa.string()),
+        "l_linestatus": pa.array([k[1] for k in keys], pa.string()),
+        "revenue_e4": pa.array([rows[k][0] for k in keys], pa.int64()),
+        "n_items": pa.array([rows[k][1] for k in keys], pa.int64()),
+    })
+    return finalize(out, [("l_returnflag", "ascending"),
+                          ("l_linestatus", "ascending")])
+
+
+def value_benford(sf_dir: str) -> pa.Table:
+    """First-significant-digit census of purchase amounts per event
+    type (the Benford fraud screen's observed side) — exact integer
+    shares; the digit extraction is a bounded divide-down loop (values
+    are <= 7 digits of cents), fully vectorized per batch."""
+    from ._util import fold_partials
+
+    rd = _rd()
+    empty = pa.table({"event_type": pa.array([], pa.string()),
+                      "digit": pa.array([], pa.int64()),
+                      "n": pa.array([], pa.int64()),
+                      "share_bp": pa.array([], pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "digit": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        v = _cents(t.column("value"))
+        keep = v > 0
+        v = v[keep]
+        ty = t.column("event_type").filter(pa.array(keep))
+        while (v >= 10).any():
+            v = np.where(v >= 10, v // 10, v)
+        g = pa.table({"event_type": ty,
+                      "digit": pa.array(v, pa.int64())}
+                     ).group_by(["event_type", "digit"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["event_type", "digit", "n"])
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    t = fold_partials(ds.map_batches(partial, batch_format="pyarrow"),
+                      ["event_type", "digit"], [("n", "sum")],
+                      ["event_type", "digit", "n"])
+    if t.num_columns == 0 or t.num_rows == 0:
+        return empty
+    df = t.to_pandas()
+    tot = df.groupby("event_type")["n"].transform("sum").to_numpy()
+    n = df["n"].to_numpy()
+    out = pa.table({"event_type": pa.array(df["event_type"], pa.string()),
+                    "digit": pa.array(df["digit"].to_numpy(), pa.int64()),
+                    "n": pa.array(n.astype(np.int64)),
+                    "share_bp": pa.array(
+                        10_000 * n // np.maximum(tot, 1), pa.int64())})
+    return finalize(out, [("event_type", "ascending"), ("digit", "ascending")])

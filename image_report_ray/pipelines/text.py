@@ -3820,3 +3820,50 @@ def source_overlap_jaccard(sf_dir: str) -> pa.Table:
                   "n_union": pa.array([r[3] for r in rows], pa.int64()),
                   "jaccard_bp": pa.array([r[4] for r in rows], pa.int64())})
     return finalize(t, [("source_a", "ascending"), ("source_b", "ascending")])
+
+
+def normalized_dedup(sf_dir: str) -> pa.Table:
+    """Exact dedup under TEXT NORMALIZATION (lowercase, whitespace runs
+    collapsed, trimmed) — catches reformatting-only copies that byte
+    dedup misses, the first normalization rung of a near-dup ladder.
+
+    Same scale contract as dedup_exact: normalization + 128-bit digest
+    happen per batch, only (digest, min doc_id, count) partials enter
+    the keyed exchange — normalized bodies never shuffle. Output: one
+    row per distinct normalized content (winner doc_id, copy count)."""
+    from .exchange import exchange_reduce, gather_concat
+
+    rd = _rd()
+
+    def norm_hash(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"h": pa.array([], pa.binary(16)),
+                             "doc_id": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        txt = t.column("text")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        norm = pc.utf8_trim(
+            pc.replace_substring_regex(pc.utf8_lower(txt), r"\s+", " "), " ")
+        ht = _dedup_hash_batch(
+            pa.table({"text": norm, "doc_id": t.column("doc_id")}))
+        g = ht.group_by(["h"]).aggregate([("doc_id", "min"), ([], "count_all")])
+        return g.rename_columns(["h", "doc_id", "n"])
+
+    def winner_kernel(pid: int, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "h" not in t.column_names:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_copies": pa.array([], pa.int64())})
+        g = t.group_by(["h"]).aggregate([("doc_id", "min"), ("n", "sum")])
+        return pa.table({"doc_id": g.column("doc_id_min").cast(pa.int64()),
+                         "n_copies": g.column("n_sum").cast(pa.int64())})
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = gather_concat(exchange_reduce(
+        [ds.map_batches(norm_hash, batch_format="pyarrow")],
+        ["h"], winner_kernel))
+    if out.num_rows == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "n_copies": pa.array([], pa.int64())})
+    return finalize(out, [("doc_id", "ascending")])
