@@ -1767,6 +1767,33 @@ ORDER BY epoch
         # SCD2 version history (cdcq.cdc_version_history): each event's
         # validity closes at its key's next lsn (null = current)
         # overwrite-churn census (cdcq.cdc_edit_wars)
+        # LWW dead-row census (cdcq.cdc_dead_version_census): what a
+        # full compaction would drop
+        "cdc_dead_version_census": CHANGELOG_CTE + """
+, k AS (SELECT conv_id, turn_idx, CAST(COUNT(*) AS BIGINT) AS v,
+               arg_max(op, lsn) AS last_op
+        FROM ch GROUP BY 1, 2)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(v) AS BIGINT) AS n_events,
+       CAST(SUM(v - CASE WHEN last_op = 'D' THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_dead_versions,
+       CAST(SUM(CASE WHEN last_op = 'D' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_tombstoned_keys
+FROM k
+""",
+        # daily revenue + trailing 7-day frame
+        # (relational.daily_revenue_rolling7)
+        "daily_revenue_rolling7": """
+WITH d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS r
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT day, r AS revenue_cents,
+       CAST(SUM(r) OVER (ORDER BY day RANGE BETWEEN 6 PRECEDING
+                         AND CURRENT ROW) AS BIGINT) AS rolling7_cents
+FROM d ORDER BY day
+""",
         # per-epoch ingest-volume series (cdcq.cdc_epoch_text_growth)
         "cdc_epoch_text_growth": CHANGELOG_CTE + """
 , e AS (
@@ -3664,6 +3691,35 @@ s AS (SELECT e.vec_id,
 SELECT CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rnk,
        vec_id
 FROM s ORDER BY rnk LIMIT 10
+""",
+        # feed-health pass rate (text.source_quality_matrix): the
+        # quality_score rule pack folded per source
+        "source_quality_matrix": r"""
+WITH q AS (
+  SELECT source, regexp_extract_all(lower(text), '\S+') AS ws
+  FROM documents
+),
+m AS (
+  SELECT source,
+         len(ws) AS n_tokens,
+         len(list_filter(ws, w -> list_contains(
+             ['the','a','and','of','to','table','row','value','key','fast'], w)))
+             AS n_stop,
+         COALESCE(list_sum(list_transform(ws, w -> length(w))), 0) AS sum_len
+  FROM q
+),
+f AS (
+  SELECT source,
+         CASE WHEN (n_tokens BETWEEN 10 AND 1000)
+               AND (n_stop * 10000 // GREATEST(n_tokens, 1) >= 100)
+               AND (sum_len * 10000 // GREATEST(n_tokens, 1) <= 120000)
+              THEN 1 ELSE 0 END AS ok
+  FROM m
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(ok) AS BIGINT) AS n_pass,
+       CAST(10000 * SUM(ok) // GREATEST(COUNT(*), 1) AS BIGINT) AS pass_bp
+FROM f GROUP BY source ORDER BY source
 """,
         # normalization-rung exact dedup (text.normalized_dedup)
         "normalized_dedup": r"""

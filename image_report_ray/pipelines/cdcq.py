@@ -1796,3 +1796,63 @@ def cdc_epoch_text_growth(sf_dir: str, epoch_size: int = 2500) -> pa.Table:
                     "bytes_in": g.column("bytes_in").cast(pa.int64()),
                     "bytes_cum": pa.array(np.cumsum(b), pa.int64())})
     return finalize(out, [("epoch", "ascending")])
+
+
+def cdc_dead_version_census(sf_dir: str) -> pa.Table:
+    """Compaction-planning census off the changelog: how much of the
+    event history is DEAD under LWW — superseded versions plus every
+    version of finally-tombstoned keys — i.e. exactly the rows a full
+    compaction would drop. One conv-keyed exchange; each partition
+    reduces its keys to four int64 scalars (keys, events, dead
+    versions, tombstoned keys); the driver sums P quadruples."""
+    import numpy as np
+
+    from .exchange import exchange_reduce
+
+    import ray
+
+    def sel(t):
+        if t.num_rows == 0 or "conv_id" not in t.column_names:
+            return pa.table({"conv_id": pa.array([], pa.string()),
+                             "turn_idx": pa.array([], pa.int32()),
+                             "lsn": pa.array([], pa.int64()),
+                             "op": pa.array([], pa.string())})
+        return t.select(["conv_id", "turn_idx", "lsn", "op"])
+
+    ds = changelog_dataset(sf_dir).map_batches(sel, batch_format="pyarrow")
+
+    def kernel(pid: int, t: pa.Table) -> pa.Table:
+        empty = pa.table({k: pa.array([], pa.int64())
+                          for k in ("n_keys", "n_events", "n_dead",
+                                    "n_tombstoned")})
+        if t.num_rows == 0 or "conv_id" not in t.column_names:
+            return empty
+        conv = t.column("conv_id").to_numpy(zero_copy_only=False)
+        turn = t.column("turn_idx").to_numpy()
+        lsn = t.column("lsn").to_numpy()
+        op = t.column("op").to_numpy(zero_copy_only=False)
+        order = np.lexsort((lsn, turn, conv))
+        conv, turn, op = conv[order], turn[order], op[order]
+        new_key = np.r_[True, (conv[1:] != conv[:-1]) | (turn[1:] != turn[:-1])]
+        starts = np.flatnonzero(new_key)
+        ends = np.r_[starts[1:], len(conv)] - 1
+        v = ends - starts + 1
+        dead_tomb = op[ends] == "D"
+        n_dead = int((v - np.where(dead_tomb, 0, 1)).sum())
+        return pa.table({
+            "n_keys": pa.array([len(starts)], pa.int64()),
+            "n_events": pa.array([len(conv)], pa.int64()),
+            "n_dead": pa.array([n_dead], pa.int64()),
+            "n_tombstoned": pa.array([int(dead_tomb.sum())], pa.int64()),
+        })
+
+    parts = [t for t in ray.get(exchange_reduce([ds], ["conv_id"], kernel))
+             if t.num_rows]
+    tot = [0, 0, 0, 0]
+    for t in parts:
+        for i, c in enumerate(("n_keys", "n_events", "n_dead", "n_tombstoned")):
+            tot[i] += sum(t.column(c).to_pylist())
+    return pa.table({"n_keys": pa.array([tot[0]], pa.int64()),
+                     "n_events": pa.array([tot[1]], pa.int64()),
+                     "n_dead_versions": pa.array([tot[2]], pa.int64()),
+                     "n_tombstoned_keys": pa.array([tot[3]], pa.int64())})

@@ -5270,3 +5270,48 @@ def value_benford(sf_dir: str) -> pa.Table:
                     "share_bp": pa.array(
                         10_000 * n // np.maximum(tot, 1), pa.int64())})
     return finalize(out, [("event_type", "ascending"), ("digit", "ascending")])
+
+
+def daily_revenue_rolling7(sf_dir: str) -> pa.Table:
+    """Daily purchase revenue with a trailing 7-day rolling sum — the
+    revenue dashboard series. Daily cents fold distributed (days =
+    the result's own cardinality); the rolling frame closes on the
+    driver with one vectorized pass over OBSERVED days (a gap day
+    contributes nothing but still ages out of the window, exactly like
+    the RANGE frame in the twin)."""
+    from ._util import fold_partials
+
+    rd = _rd()
+    empty = pa.table({"day": pa.array([], pa.int64()),
+                      "revenue_cents": pa.array([], pa.int64()),
+                      "rolling7_cents": pa.array([], pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"day": pa.array([], pa.int64()),
+                             "r": pa.array([], pa.int64())})
+        ty = t.column("event_type").to_numpy(zero_copy_only=False)
+        m = ty == "purchase"
+        ts = t.column("ts").to_numpy().astype(np.int64)[m]
+        v = _cents(t.column("value"))[m]
+        g = pa.table({"day": pa.array(ts // _US_PER_DAY_I, pa.int64()),
+                      "r": pa.array(v, pa.int64())}
+                     ).group_by(["day"]).aggregate([("r", "sum")])
+        return g.rename_columns(["day", "r"])
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+    t = fold_partials(ds.map_batches(partial, batch_format="pyarrow"),
+                      ["day"], [("r", "sum")], ["day", "r"])
+    if t.num_columns == 0 or t.num_rows == 0:
+        return empty
+    df = t.to_pandas().sort_values("day")
+    day = df["day"].to_numpy()
+    r = df["r"].to_numpy()
+    cum = np.cumsum(r)
+    # rolling7(d) = sum of revenue on observed days in [d-6, d]
+    lo = np.searchsorted(day, day - 6, side="left")
+    roll = cum - np.where(lo > 0, cum[lo - 1], 0)
+    return pa.table({"day": pa.array(day, pa.int64()),
+                     "revenue_cents": pa.array(r.astype(np.int64)),
+                     "rolling7_cents": pa.array(roll.astype(np.int64))})

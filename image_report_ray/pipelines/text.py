@@ -3867,3 +3867,47 @@ def normalized_dedup(sf_dir: str) -> pa.Table:
         return pa.table({"doc_id": pa.array([], pa.int64()),
                          "n_copies": pa.array([], pa.int64())})
     return finalize(out, [("doc_id", "ascending")])
+
+
+def source_quality_matrix(sf_dir: str) -> pa.Table:
+    """Quality pass-rate per source — the feed-health dashboard that
+    decides which source gets throttled or re-crawled: the N9 quality
+    kernel reused verbatim per batch, folded to (source, docs, passes)
+    partials — fixed-cardinality, no shuffle, exact basis points."""
+    from ._util import fold_partials
+
+    rd = _rd()
+    empty = pa.table({"source": pa.array([], pa.string()),
+                      "n_docs": pa.array([], pa.int64()),
+                      "n_pass": pa.array([], pa.int64()),
+                      "pass_bp": pa.array([], pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "ok": pa.array([], pa.int64())})
+        q = _quality_batch(t)
+        ok = q.column("quality_ok").to_numpy(zero_copy_only=False)
+        g = pa.table({"source": t.column("source"),
+                      "n": pa.array(np.ones(t.num_rows, np.int64)),
+                      "ok": pa.array(ok.astype(np.int64))}
+                     ).group_by(["source"]).aggregate(
+            [("n", "sum"), ("ok", "sum")])
+        return g.rename_columns(["source", "n", "ok"])
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "source"])
+    t = fold_partials(ds.map_batches(partial, batch_format="pyarrow"),
+                      ["source"], [("n", "sum"), ("ok", "sum")],
+                      ["source", "n_docs", "n_pass"])
+    if t.num_columns == 0 or t.num_rows == 0:
+        return empty
+    n = t.column("n_docs").to_numpy()
+    ok = t.column("n_pass").to_numpy()
+    out = pa.table({"source": t.column("source"),
+                    "n_docs": pa.array(n.astype(np.int64)),
+                    "n_pass": pa.array(ok.astype(np.int64)),
+                    "pass_bp": pa.array(10_000 * ok // np.maximum(n, 1),
+                                        pa.int64())})
+    return finalize(out, [("source", "ascending")])
