@@ -3329,6 +3329,26 @@ SELECT event_type, CAST(n_med AS BIGINT) AS n,
 FROM r JOIN med USING (event_type)
 GROUP BY event_type, n_med, med ORDER BY event_type
 """,
+        # engagement-depth histogram (relational.session_length_hist)
+        "session_length_hist": """
+WITH o AS (
+  SELECT user_id, ts, event_id,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+m AS (SELECT user_id, ts, event_id,
+             CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM o),
+sid AS (SELECT user_id,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS s
+        FROM m),
+ses AS (SELECT user_id, s, CAST(COUNT(*) AS BIGINT) AS n
+        FROM sid GROUP BY 1, 2)
+SELECT n AS session_len, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM ses GROUP BY n ORDER BY session_len
+""",
         # distributed sweep-line (relational.peak_concurrency): per-day
         # peak of concurrent 30-min-gap sessions, evaluated at distinct
         # boundary timestamps (starts <= t, ends < t) so no within-ts

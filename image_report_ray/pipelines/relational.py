@@ -5315,3 +5315,47 @@ def daily_revenue_rolling7(sf_dir: str) -> pa.Table:
     return pa.table({"day": pa.array(day, pa.int64()),
                      "revenue_cents": pa.array(r.astype(np.int64)),
                      "rolling7_cents": pa.array(roll.astype(np.int64))})
+
+
+def session_length_hist(sf_dir: str) -> pa.Table:
+    """Histogram of session sizes (events per 30-minute-gap session) —
+    the engagement-depth profile. User streams are partition-complete
+    under the exchange; each partition sessionizes vectorized, folds
+    its own (size, count) histogram, and the driver sums P × distinct-
+    sizes rows — sessions themselves never gather."""
+    from .exchange import exchange_reduce
+
+    import ray
+
+    rd = _rd()
+    empty = pa.table({"session_len": pa.array([], pa.int64()),
+                      "n_sessions": pa.array([], pa.int64())})
+
+    def kernel(pid: int, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return empty
+        u = t.column("user_id").to_numpy()
+        ts = t.column("ts").to_numpy().astype(np.int64)
+        ei = t.column("event_id").to_numpy()
+        order = np.lexsort((ei, ts, u))
+        u, ts = u[order], ts[order]
+        new = np.r_[True, (u[1:] != u[:-1])
+                    | ((ts[1:] - ts[:-1]) > _SESSION_GAP_US)]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.r_[starts, len(u)])
+        s, c = np.unique(sizes, return_counts=True)
+        return pa.table({"session_len": pa.array(s.astype(np.int64)),
+                         "n_sessions": pa.array(c.astype(np.int64))})
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id"])
+    parts = [t for t in ray.get(exchange_reduce([ds], ["user_id"], kernel))
+             if t.num_rows]
+    if not parts:
+        return empty
+    g = (pa.concat_tables(parts).group_by(["session_len"])
+         .aggregate([("n_sessions", "sum")])
+         .rename_columns(["session_len", "n_sessions"]))
+    g = pa.table({"session_len": g.column("session_len").cast(pa.int64()),
+                  "n_sessions": g.column("n_sessions").cast(pa.int64())})
+    return finalize(g, [("session_len", "ascending")])
