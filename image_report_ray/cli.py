@@ -510,6 +510,27 @@ def cmd_index(args: argparse.Namespace) -> int:
 
         meta = build_lsh_index(args.data_dir)
         where = _lsh_index_dir(args.data_dir)
+    elif args.kind == "pq":
+        import os as _os
+
+        from .pipelines.similarity import _pq_index_dir, build_pq_index
+
+        where = _pq_index_dir(args.data_dir)
+        if _os.path.exists(_os.path.join(where, "codebooks.npy")):
+            import numpy as _np
+
+            st = _np.load(_os.path.join(where, "codebooks.npy"))
+            meta = {"m": int(st.shape[0]), "k": int(st.shape[1]),
+                    "subdim": int(st.shape[2]), "reused": True}
+        else:
+            scratch = f"{where}.building-{_os.getpid()}"
+            meta = build_pq_index(args.data_dir, scratch)
+            try:
+                _os.rename(scratch, where)
+            except OSError:  # concurrent builder won the publish race
+                import shutil as _shutil
+
+                _shutil.rmtree(scratch, ignore_errors=True)
     else:
         import os as _os
 
@@ -766,10 +787,11 @@ def build_parser() -> argparse.ArgumentParser:
         parents=[lp],
         help="build (or reuse) a physical at-rest index over a table "
              "directory: text (inverted postings), lsh (banded "
-             "signatures), ivf (cell-partitioned ANN) — matching "
-             "queries auto-route through it",
+             "signatures), ivf (cell-partitioned ANN), pq (at-rest "
+             "product-quantization codes) — matching queries "
+             "auto-route through it",
     )
-    ix.add_argument("kind", choices=["text", "lsh", "ivf"])
+    ix.add_argument("kind", choices=["text", "lsh", "ivf", "pq"])
     ix.add_argument("data_dir", help="directory of parquet tables")
     ix.add_argument("--num-cpus", type=int, default=None)
     ix.set_defaults(fn=cmd_index)

@@ -561,3 +561,38 @@ def test_cli_index_build_and_reuse(ray_session, tmp_path, capsys):
     assert rec2["index_dir"] == rec1["index_dir"]
     assert rec2["meta"] == rec1["meta"]
     assert keyword_search(d).equals(fresh)  # auto-routed, bit-equal
+
+
+def test_cli_index_pq_build_and_reuse(ray_session, tmp_path, capsys):
+    """`cli index pq` publishes the at-rest PQ codes once, a second
+    invocation reuses them, and knn_cosine_pq auto-routes bit-equal."""
+    import json
+    import os
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from image_report_ray.cli import main
+    from image_report_ray.pipelines.similarity import knn_cosine_pq
+
+    d = str(tmp_path)
+    rng = np.random.default_rng(41)
+    mat = rng.standard_normal((80, 32))
+    pq.write_table(pa.table({
+        "vec_id": pa.array(np.arange(len(mat)), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in mat],
+                               pa.list_(pa.float32())),
+    }), os.path.join(d, "embeddings.parquet"))
+
+    fresh = knn_cosine_pq(d)  # no index yet: inline encode route
+    assert main(["index", "pq", d]) == 0
+    rec1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec1["meta"]["n_vectors"] == len(mat)
+    assert main(["index", "pq", d]) == 0
+    rec2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec2["index_dir"] == rec1["index_dir"]
+    assert rec2["meta"].get("reused") is True
+    assert knn_cosine_pq(d).equals(fresh)  # auto-routed, bit-equal
+    shutil.rmtree(rec1["index_dir"], ignore_errors=True)

@@ -1134,3 +1134,63 @@ def test_embedding_outliers_consistent_with_kmeans(ray_session):
     for rs in ranks.values():
         assert rs == list(range(1, len(rs) + 1))
     assert out.equals(embedding_outliers(SF))
+
+
+def test_pq_index_route_equality_and_reuse(ray_session, tmp_path):
+    """build_pq_index persists codebooks + M-byte codes; knn_cosine_pq
+    auto-routes through them and the result is BIT-IDENTICAL to the
+    fresh encode route (codes share the pinned rounded-argmin kernel).
+    Re-queries reuse the published files; the dir tag is content-
+    fingerprinted like the IVF/LSH indexes."""
+    import glob
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from image_report_ray.pipelines.similarity import (
+        _PQ_M,
+        _pq_index_dir,
+        build_pq_index,
+        knn_cosine_pq,
+    )
+
+    rng = np.random.default_rng(77)
+    dim = 32
+    mat = rng.standard_normal((90, dim))
+    mat[5] = mat[0] + 0.01 * rng.standard_normal(dim)  # a clear neighbor
+    d = tmp_path / "emb"
+    os.makedirs(d)
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array(np.arange(len(mat)), pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in mat],
+                                   pa.list_(pa.float32())),
+        }),
+        str(d / "embeddings.parquet"),
+    )
+    sf = str(d)
+    fresh = knn_cosine_pq(sf)
+    assert fresh.num_rows > 0
+
+    idx = _pq_index_dir(sf)
+    assert not os.path.exists(idx)
+    scratch = f"{idx}.building-test"
+    meta = build_pq_index(sf, scratch)
+    os.rename(scratch, idx)
+    assert meta["n_vectors"] == len(mat) and meta["m"] == _PQ_M
+    files = glob.glob(os.path.join(idx, "codes", "*.parquet"))
+    assert files
+    # indexed route == fresh route, bit-for-bit
+    assert knn_cosine_pq(sf).equals(fresh)
+    # reuse: the query rewrote nothing
+    mtimes = {f: os.path.getmtime(f) for f in files}
+    knn_cosine_pq(sf)
+    assert mtimes == {f: os.path.getmtime(f) for f in files}
+    # content change -> different tag (invalidation)
+    with open(os.path.join(sf, "embeddings.parquet"), "ab") as f:
+        f.write(b"\0")
+    os.utime(os.path.join(sf, "embeddings.parquet"))
+    assert _pq_index_dir(sf) != idx
+    shutil.rmtree(idx, ignore_errors=True)
