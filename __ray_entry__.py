@@ -3226,6 +3226,44 @@ SELECT event_type, CAST(n AS BIGINT) AS n,
                  ELSE 0 END AS BIGINT) AS r2_micro
 FROM m ORDER BY event_type
 """,
+        # dimension x time rollup (relational.region_monthly_revenue)
+        "region_monthly_revenue": """
+SELECT r.r_name,
+       CAST(year(l.l_shipdate) * 100 + month(l.l_shipdate) AS BIGINT)
+           AS month,
+       CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT) *
+                (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_e4
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+GROUP BY 1, 2 ORDER BY r_name, month
+""",
+        # fulfilment SLO slice (relational.ship_delay_by_priority):
+        # exact integer mean delay in micro-days, shared floor
+        "ship_delay_by_priority": """
+WITH j AS (
+  SELECT o.o_orderpriority AS p,
+         epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate) AS d
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+)
+SELECT p AS o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(CAST(SUM(CAST(d AS HUGEINT)) AS HUGEINT) * 1000000
+            // (CAST(COUNT(*) AS HUGEINT) * 86400000000) AS BIGINT)
+           AS avg_delay_microdays
+FROM j GROUP BY p ORDER BY p
+""",
+        # RFM table (relational.customer_rfm)
+        "customer_rfm": """
+SELECT o_custkey,
+       CAST(MAX(epoch_us(o_orderdate) // 86400000000) AS BIGINT)
+           AS last_order_day,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM orders GROUP BY o_custkey ORDER BY o_custkey
+""",
         # weighted order statistic (relational.weighted_price_median):
         # the price of the median shipped unit, rank (W+1)//2
         "weighted_price_median": """

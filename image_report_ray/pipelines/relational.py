@@ -5359,3 +5359,203 @@ def session_length_hist(sf_dir: str) -> pa.Table:
     g = pa.table({"session_len": g.column("session_len").cast(pa.int64()),
                   "n_sessions": g.column("n_sessions").cast(pa.int64())})
     return finalize(g, [("session_len", "ascending")])
+
+
+def region_monthly_revenue(sf_dir: str) -> pa.Table:
+    """Monthly discounted revenue per REGION — the dimension×time
+    rollup (q5's join chain crossed with a calendar axis): lineitem
+    partials keyed by suppkey meet the supplier table in the exchange;
+    (nationkey, month) partials fold on the driver and the tiny
+    nation→region frame (fixed 25+5 rows) closes the rollup. Months
+    derive as exact integer year*100+month from epoch µs."""
+    import pyarrow.parquet as pqt
+    import ray
+
+    from .exchange import exchange_reduce
+
+    rd = _rd()
+    empty = pa.table({"r_name": pa.array([], pa.string()),
+                      "month": pa.array([], pa.int64()),
+                      "revenue_e4": pa.array([], pa.int64())})
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"l_suppkey": pa.array([], pa.int64()),
+                             "month": pa.array([], pa.int64()),
+                             "rev": pa.array([], pa.int64())})
+        price = _cents(t.column("l_extendedprice"))
+        disc = _cents(t.column("l_discount"))
+        ship = t.column("l_shipdate").cast(pa.timestamp("us"))
+        y = pc.year(ship).to_numpy(zero_copy_only=False).astype(np.int64)
+        m = pc.month(ship).to_numpy(zero_copy_only=False).astype(np.int64)
+        g = pa.table(
+            {"l_suppkey": t.column("l_suppkey"),
+             "month": pa.array(y * 100 + m, pa.int64()),
+             "rev": pa.array(price * (100 - disc), pa.int64())}
+        ).group_by(["l_suppkey", "month"]).aggregate([("rev", "sum")])
+        return g.rename_columns(["l_suppkey", "month", "rev"])
+
+    def kernel(pid: int, li_t: pa.Table, s_t: pa.Table) -> pa.Table:
+        empty_k = pa.table({"nk": pa.array([], pa.int64()),
+                            "month": pa.array([], pa.int64()),
+                            "rev": pa.array([], pa.int64())})
+        if li_t.num_rows == 0 or s_t.num_rows == 0:
+            return empty_k
+        j = li_t.join(s_t, keys=["l_suppkey"], right_keys=["s_suppkey"],
+                      join_type="inner")
+        g = j.group_by(["s_nationkey", "month"]).aggregate([("rev", "sum")])
+        return pa.table({"nk": g.column("s_nationkey").cast(pa.int64()),
+                         "month": g.column("month").cast(pa.int64()),
+                         "rev": g.column("rev_sum").cast(pa.int64())})
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"]
+    ).map_batches(li_partial, batch_format="pyarrow")
+    supp = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                           columns=["s_suppkey", "s_nationkey"])
+    parts = [t for t in ray.get(
+        exchange_reduce([li, supp], ["l_suppkey", "s_suppkey"], kernel))
+        if t.num_rows]
+    if not parts:
+        return empty
+    g = (pa.concat_tables(parts).group_by(["nk", "month"])
+         .aggregate([("rev", "sum")]).rename_columns(["nk", "month", "rev"]))
+    nat = pqt.read_table(f"{sf_dir}/nation.parquet",
+                         columns=["n_nationkey", "n_regionkey"])
+    reg = pqt.read_table(f"{sf_dir}/region.parquet",
+                         columns=["r_regionkey", "r_name"])
+    nk2r = dict(zip(nat.column("n_nationkey").to_pylist(),
+                    nat.column("n_regionkey").to_pylist()))
+    rk2n = dict(zip(reg.column("r_regionkey").to_pylist(),
+                    reg.column("r_name").to_pylist()))
+    df = g.to_pandas()
+    df["r_name"] = [rk2n[nk2r[int(k)]] for k in df["nk"]]
+    out = df.groupby(["r_name", "month"], as_index=False)["rev"].sum()
+    t = pa.table({"r_name": pa.array(out["r_name"], pa.string()),
+                  "month": pa.array(out["month"].to_numpy(), pa.int64()),
+                  "revenue_e4": pa.array(out["rev"].to_numpy(), pa.int64())})
+    return finalize(t, [("r_name", "ascending"), ("month", "ascending")])
+
+
+def ship_delay_by_priority(sf_dir: str) -> pa.Table:
+    """Fulfilment latency by order priority: exact integer mean of
+    (shipdate − orderdate) per lineitem, reported in micro-days with
+    the shared floor ⌊Σdelay_us·10⁶/(n·86400·10⁶)⌋ — the logistics SLO
+    slice. One orderkey exchange co-partitions lineitems with their
+    order header; per-priority (n, Σdelay) partials fold on the
+    driver (priorities are a fixed tiny set)."""
+    import ray
+
+    from .exchange import exchange_reduce
+
+    rd = _rd()
+    empty = pa.table({"o_orderpriority": pa.array([], pa.string()),
+                      "n_items": pa.array([], pa.int64()),
+                      "avg_delay_microdays": pa.array([], pa.int64())})
+
+    def kernel(pid: int, li_t: pa.Table, o_t: pa.Table) -> pa.Table:
+        empty_k = pa.table({"p": pa.array([], pa.string()),
+                            "n": pa.array([], pa.int64()),
+                            "s": pa.array([], pa.int64())})
+        if li_t.num_rows == 0 or o_t.num_rows == 0:
+            return empty_k
+        j = li_t.join(o_t, keys=["l_orderkey"], right_keys=["o_orderkey"],
+                      join_type="inner")
+        ship = j.column("ship_us").to_numpy()
+        od = j.column("o_orderdate").cast(
+            pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        g = pa.table({"p": j.column("o_orderpriority"),
+                      "n": pa.array(np.ones(j.num_rows, np.int64)),
+                      "s": pa.array(ship - od, pa.int64())}
+                     ).group_by(["p"]).aggregate([("n", "sum"), ("s", "sum")])
+        return g.rename_columns(["p", "n", "s"])
+
+    def li_sel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"l_orderkey": pa.array([], pa.int64()),
+                             "ship_us": pa.array([], pa.int64())})
+        return pa.table({
+            "l_orderkey": t.column("l_orderkey"),
+            "ship_us": t.column("l_shipdate").cast(
+                pa.timestamp("us")).cast(pa.int64()),
+        })
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_shipdate"]
+                         ).map_batches(li_sel, batch_format="pyarrow")
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderdate",
+                                      "o_orderpriority"])
+    parts = [t for t in ray.get(
+        exchange_reduce([li, orders], ["l_orderkey", "o_orderkey"], kernel))
+        if t.num_rows]
+    if not parts:
+        return empty
+    g = (pa.concat_tables(parts).group_by(["p"])
+         .aggregate([("n", "sum"), ("s", "sum")]).rename_columns(["p", "n", "s"]))
+    rows = []
+    for p, n, s in zip(g.column("p").to_pylist(), g.column("n").to_pylist(),
+                       g.column("s").to_pylist()):
+        rows.append((p, int(n), (int(s) * 1_000_000) // (int(n) * _US_PER_DAY_I)))
+    t = pa.table({
+        "o_orderpriority": pa.array([r[0] for r in rows], pa.string()),
+        "n_items": pa.array([r[1] for r in rows], pa.int64()),
+        "avg_delay_microdays": pa.array([r[2] for r in rows], pa.int64()),
+    })
+    return finalize(t, [("o_orderpriority", "ascending")])
+
+
+def customer_rfm(sf_dir: str) -> pa.Table:
+    """Classic RFM table: per customer, the last order day (recency
+    anchor), order count (frequency) and exact total spend in cents
+    (monetary) — one custkey exchange with per-batch combine; the
+    per-customer result is the operator's own output cardinality."""
+    from .exchange import exchange_reduce, gather_concat
+
+    rd = _rd()
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"o_custkey": pa.array([], pa.int64()),
+                             "last_day": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "cents": pa.array([], pa.int64())})
+        od = t.column("o_orderdate").cast(
+            pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        g = pa.table({"o_custkey": t.column("o_custkey"),
+                      "last_day": pa.array(od // _US_PER_DAY_I, pa.int64()),
+                      "n": pa.array(np.ones(t.num_rows, np.int64)),
+                      "cents": pa.array(_cents(t.column("o_totalprice")),
+                                        pa.int64())}
+                     ).group_by(["o_custkey"]).aggregate(
+            [("last_day", "max"), ("n", "sum"), ("cents", "sum")])
+        return g.rename_columns(["o_custkey", "last_day", "n", "cents"])
+
+    def kernel(pid: int, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "o_custkey" not in t.column_names:
+            return pa.table({"o_custkey": pa.array([], pa.int64()),
+                             "last_order_day": pa.array([], pa.int64()),
+                             "n_orders": pa.array([], pa.int64()),
+                             "total_cents": pa.array([], pa.int64())})
+        g = t.group_by(["o_custkey"]).aggregate(
+            [("last_day", "max"), ("n", "sum"), ("cents", "sum")])
+        return g.rename_columns(
+            ["o_custkey", "last_order_day", "n_orders", "total_cents"])
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey", "o_orderdate", "o_totalprice"]
+                         ).map_batches(partial, batch_format="pyarrow")
+    out = gather_concat(exchange_reduce([ds], ["o_custkey"], kernel))
+    if out.num_rows == 0:
+        return pa.table({"o_custkey": pa.array([], pa.int64()),
+                         "last_order_day": pa.array([], pa.int64()),
+                         "n_orders": pa.array([], pa.int64()),
+                         "total_cents": pa.array([], pa.int64())})
+    out = pa.table({
+        "o_custkey": out.column("o_custkey").cast(pa.int64()),
+        "last_order_day": out.column("last_order_day").cast(pa.int64()),
+        "n_orders": out.column("n_orders").cast(pa.int64()),
+        "total_cents": out.column("total_cents").cast(pa.int64()),
+    })
+    return finalize(out, [("o_custkey", "ascending")])
