@@ -1767,6 +1767,13 @@ ORDER BY epoch
         # SCD2 version history (cdcq.cdc_version_history): each event's
         # validity closes at its key's next lsn (null = current)
         # overwrite-churn census (cdcq.cdc_edit_wars)
+        # changelog op mix per role (cdcq.cdc_op_mix_by_role)
+        # tombstones carry no payload -> their role reports as '-'
+        "cdc_op_mix_by_role": CHANGELOG_CTE + """
+SELECT CASE WHEN op = 'D' THEN '-' ELSE role END AS role, op,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM ch GROUP BY 1, 2 ORDER BY role, op
+""",
         # LWW dead-row census (cdcq.cdc_dead_version_census): what a
         # full compaction would drop
         "cdc_dead_version_census": CHANGELOG_CTE + """
@@ -3778,6 +3785,29 @@ SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(ok) AS BIGINT) AS n_pass,
        CAST(10000 * SUM(ok) // GREATEST(COUNT(*), 1) AS BIGINT) AS pass_bp
 FROM f GROUP BY source ORDER BY source
+""",
+        # shingle document-frequency histogram (dedup.shingle_df_hist)
+        "shingle_df_hist": "WITH " + _NGRAM_CTE + """
+SELECT df, CAST(COUNT(*) AS BIGINT) AS n_shingles
+FROM (SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df
+      FROM sh GROUP BY shingle)
+GROUP BY df ORDER BY df
+""",
+        # lang-router mislabel detector (text.cross_lang_dup_rate)
+        "cross_lang_dup_rate": """
+WITH w AS (
+  SELECT doc_id, lang, text,
+         MIN(doc_id) OVER (PARTITION BY text) AS winner
+  FROM documents
+),
+ws AS (SELECT doc_id AS w_id, lang AS winner_lang FROM w
+       WHERE doc_id = winner)
+SELECT ws.winner_lang, w.lang AS dup_lang,
+       CAST(COUNT(*) AS BIGINT) AS n_dups
+FROM w JOIN ws ON w.winner = ws.w_id
+WHERE w.doc_id <> w.winner
+GROUP BY ws.winner_lang, w.lang
+ORDER BY winner_lang, dup_lang
 """,
         # normalization-rung exact dedup (text.normalized_dedup)
         "normalized_dedup": r"""

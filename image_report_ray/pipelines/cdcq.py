@@ -1856,3 +1856,36 @@ def cdc_dead_version_census(sf_dir: str) -> pa.Table:
                      "n_events": pa.array([tot[1]], pa.int64()),
                      "n_dead_versions": pa.array([tot[2]], pa.int64()),
                      "n_tombstoned_keys": pa.array([tot[3]], pa.int64())})
+
+
+def cdc_op_mix_by_role(sf_dir: str) -> pa.Table:
+    """Changelog op mix per participant role (role × {I,U,D} counts) —
+    which side of the conversation generates churn (tool-turn delete
+    storms vs assistant edits). Fixed tiny cardinality: per-block
+    combine + driver fold, no shuffle."""
+    from ._util import ds_to_table
+
+    empty = pa.table({"role": pa.array([], pa.string()),
+                      "op": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "role" not in t.column_names:
+            return pa.table({"role": pa.array([], pa.string()),
+                             "op": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        # tombstones carry no payload: their null role folds under '-'
+        role = pc.coalesce(t.column("role"), "-")
+        g = pa.table({"role": role, "op": t.column("op")}
+                     ).group_by(["role", "op"]).aggregate([([], "count_all")])
+        return g.rename_columns(["role", "op", "n"])
+
+    ds = changelog_dataset(sf_dir).map_batches(partial, batch_format="pyarrow")
+    t = ds_to_table(ds)
+    if t.num_columns == 0 or t.num_rows == 0:
+        return empty
+    g = (t.group_by(["role", "op"]).aggregate([("n", "sum")])
+         .rename_columns(["role", "op", "n"]))
+    g = pa.table({"role": g.column("role"), "op": g.column("op"),
+                  "n": g.column("n").cast(pa.int64())})
+    return finalize(g, [("role", "ascending"), ("op", "ascending")])

@@ -2878,3 +2878,57 @@ def pair_assortativity(sf_dir: str, tau: float = 0.2) -> pa.Table:
         "sign": pa.array([(cov > 0) - (cov < 0)], pa.int64()),
         "r2_micro": pa.array([r2], pa.int64()),
     })
+
+
+def shingle_df_hist(sf_dir: str) -> pa.Table:
+    """Document-frequency histogram of 3-gram shingles — how template-y
+    the corpus is (a heavy df>=2 tail predicts near-dup pair explosions
+    and boilerplate mass; df=1 mass is unique content). Shingles move
+    only as 64-bit hashes with per-batch distinct-per-doc combine; the
+    hash-keyed exchange completes each shingle's df in one partition
+    and folds it straight to a (df, n_shingles) histogram — P ×
+    distinct-df rows to the driver, never the shingle vocabulary."""
+    import ray
+
+    from .exchange import exchange_reduce
+
+    rd = _rd()
+    empty = pa.table({"df": pa.array([], pa.int64()),
+                      "n_shingles": pa.array([], pa.int64())})
+
+    def post_partial(t: pa.Table) -> pa.Table:
+        ept = pa.table({"h": pa.array([], pa.int64()),
+                        "doc_id": pa.array([], pa.int64())})
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return ept
+        df = doc_shingles(t)  # distinct per doc already
+        if not len(df):
+            return ept
+        h = _hash_shingles(df["shingle"].to_numpy()).astype(np.int64)
+        return pa.table({"h": pa.array(h, pa.int64()),
+                         "doc_id": pa.array(df["doc_id"].to_numpy(),
+                                            pa.int64())})
+
+    def df_kernel(pid: int, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "h" not in t.column_names:
+            return empty
+        d = t.group_by(["h", "doc_id"]).aggregate([])
+        g = d.group_by(["h"]).aggregate([([], "count_all")])
+        df = g.column("count_all").to_numpy()
+        u, c = np.unique(df, return_counts=True)
+        return pa.table({"df": pa.array(u.astype(np.int64)),
+                         "n_shingles": pa.array(c.astype(np.int64))})
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"]
+                         ).map_batches(post_partial, batch_format="pyarrow")
+    parts = [t for t in ray.get(exchange_reduce([ds], ["h"], df_kernel))
+             if t.num_rows]
+    if not parts:
+        return empty
+    g = (pa.concat_tables(parts).group_by(["df"])
+         .aggregate([("n_shingles", "sum")])
+         .rename_columns(["df", "n_shingles"]))
+    g = pa.table({"df": g.column("df").cast(pa.int64()),
+                  "n_shingles": g.column("n_shingles").cast(pa.int64())})
+    return finalize(g, [("df", "ascending")])

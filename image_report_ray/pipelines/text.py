@@ -3911,3 +3911,62 @@ def source_quality_matrix(sf_dir: str) -> pa.Table:
                     "pass_bp": pa.array(10_000 * ok // np.maximum(n, 1),
                                         pa.int64())})
     return finalize(out, [("source", "ascending")])
+
+
+def cross_lang_dup_rate(sf_dir: str) -> pa.Table:
+    """Exact duplicates CROSSING language labels — the lang-router
+    mislabel detector (byte-identical text tagged with two different
+    langs is a labeling bug, not translation): dup_flow_matrix's hash
+    election with the lang column riding along; each partition emits
+    the winner-lang × dup-lang census (langs² fixed tiny)."""
+    from .exchange import exchange_reduce, gather_concat
+
+    rd = _rd()
+    empty = pa.table({"winner_lang": pa.array([], pa.string()),
+                      "dup_lang": pa.array([], pa.string()),
+                      "n_dups": pa.array([], pa.int64())})
+
+    def hash_with_lang(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "text" not in t.column_names:
+            return pa.table({"h": pa.array([], pa.binary(16)),
+                             "doc_id": pa.array([], pa.int64()),
+                             "lang": pa.array([], pa.string())})
+        return _dedup_hash_batch(t).append_column("lang", t.column("lang"))
+
+    def flow_kernel(pid: int, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "h" not in t.column_names:
+            return empty
+        h = t.column("h").to_numpy(zero_copy_only=False)
+        did = t.column("doc_id").to_numpy()
+        lg = t.column("lang").to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, h))
+        h_s, lg_s = h[order], lg[order]
+        first = np.r_[True, h_s[1:] != h_s[:-1]]
+        grp = np.cumsum(first) - 1
+        win = lg_s[np.flatnonzero(first)][grp]
+        dup = ~first
+        if not dup.any():
+            return empty
+        g = pa.table({"winner_lang": pa.array(win[dup]),
+                      "dup_lang": pa.array(lg_s[dup])}
+                     ).group_by(["winner_lang", "dup_lang"]).aggregate(
+                         [([], "count_all")])
+        return pa.table({"winner_lang": g.column("winner_lang"),
+                         "dup_lang": g.column("dup_lang"),
+                         "n_dups": g.column("count_all").cast(pa.int64())})
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+    parts = gather_concat(exchange_reduce(
+        [ds.map_batches(hash_with_lang, batch_format="pyarrow")],
+        ["h"], flow_kernel,
+    ))
+    if parts.num_rows == 0:
+        return empty
+    g = parts.group_by(["winner_lang", "dup_lang"]).aggregate(
+        [("n_dups", "sum")])
+    out = pa.table({"winner_lang": g.column("winner_lang"),
+                    "dup_lang": g.column("dup_lang"),
+                    "n_dups": g.column("n_dups_sum").cast(pa.int64())})
+    return finalize(out, [("winner_lang", "ascending"),
+                          ("dup_lang", "ascending")])
