@@ -3374,6 +3374,51 @@ SELECT event_type, CAST(n_med AS BIGINT) AS n,
 FROM r JOIN med USING (event_type)
 GROUP BY event_type, n_med, med ORDER BY event_type
 """,
+        # robust daily-volume anomaly screen
+        # (relational.daily_volume_anomaly): median/MAD in exact ints,
+        # flag decided by integer cross-multiplication
+        "daily_volume_anomaly": """
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+r AS (SELECT event_type, n,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS cnt
+      FROM d),
+med AS (SELECT event_type,
+               MIN(CASE WHEN rn >= (50 * cnt + 99) // 100 THEN n END) AS med
+        FROM r GROUP BY event_type),
+dv AS (SELECT d.event_type, ABS(d.n - med.med) AS adev
+       FROM d JOIN med USING (event_type)),
+r2 AS (SELECT event_type, adev,
+              ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY adev) AS rn,
+              COUNT(*) OVER (PARTITION BY event_type) AS cnt
+       FROM dv),
+mad AS (SELECT event_type,
+               MIN(CASE WHEN rn >= (50 * cnt + 99) // 100 THEN adev END)
+                   AS mad
+        FROM r2 GROUP BY event_type)
+SELECT d.event_type, d.day, d.n AS n_events,
+       CAST(CASE WHEN 2 * ABS(d.n - med.med) > 3 * (2 * mad.mad)
+                 THEN 1 ELSE 0 END AS BIGINT) AS anomaly
+FROM d JOIN med USING (event_type) JOIN mad USING (event_type)
+ORDER BY d.event_type, d.day
+""",
+        # media storage census (multimodal.media_size_stats): the
+        # synthetic header arithmetic folded per kind
+        "media_size_stats": """
+WITH m AS (
+  SELECT ['image','audio','video'][(doc_id % 3) + 1] AS kind,
+         CAST(octet_length(encode(text)) AS BIGINT) AS b
+  FROM documents
+)
+SELECT kind, CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(b) AS BIGINT) AS total_bytes,
+       CAST(MAX(b) AS BIGINT) AS max_bytes
+FROM m GROUP BY kind ORDER BY kind
+""",
         # engagement-depth histogram (relational.session_length_hist)
         "session_length_hist": """
 WITH o AS (

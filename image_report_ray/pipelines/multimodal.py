@@ -237,3 +237,24 @@ def media_dedup(sf_dir: str) -> pa.Table:
                          "kind": pa.array([], pa.string()),
                          "n_copies": pa.array([], pa.int64())})
     return finalize(out, [("media_id", "ascending")])
+
+
+def media_size_stats(sf_dir: str) -> pa.Table:
+    """Per-kind media storage census (items, total and max body bytes)
+    off the decoded metadata — the capacity-planning fold of the media
+    family; the actor-pool decode is the distributed stage, the census
+    is a fixed-cardinality fold over its typed output."""
+    t = media_meta(sf_dir)
+    if t.num_rows == 0:
+        return pa.table({"kind": pa.array([], pa.string()),
+                         "n_items": pa.array([], pa.int64()),
+                         "total_bytes": pa.array([], pa.int64()),
+                         "max_bytes": pa.array([], pa.int64())})
+    g = (t.group_by(["kind"]).aggregate(
+        [([], "count_all"), ("n_body_bytes", "sum"), ("n_body_bytes", "max")])
+        .rename_columns(["kind", "n_items", "total_bytes", "max_bytes"]))
+    g = pa.table({"kind": g.column("kind"),
+                  "n_items": g.column("n_items").cast(pa.int64()),
+                  "total_bytes": g.column("total_bytes").cast(pa.int64()),
+                  "max_bytes": g.column("max_bytes").cast(pa.int64())})
+    return finalize(g, [("kind", "ascending")])

@@ -5559,3 +5559,59 @@ def customer_rfm(sf_dir: str) -> pa.Table:
         "total_cents": out.column("total_cents").cast(pa.int64()),
     })
     return finalize(out, [("o_custkey", "ascending")])
+
+
+def daily_volume_anomaly(sf_dir: str) -> pa.Table:
+    """Robust daily-volume anomaly screen per event type: a day is
+    anomalous when |count − median| · 2 > 3 · (2·MAD) in exact integer
+    cross-multiplication (doubling both sides keeps half-steps exact,
+    no floats) — the monitoring shape that ignores the outliers plain
+    z-scores get dragged by. Per-(type, day) counts fold distributed
+    (the result's own cardinality); median and MAD close from that one
+    histogram driver-side, value_mad's convention (rank ⌈n/2⌉)."""
+    from ._util import fold_partials
+
+    rd = _rd()
+    empty = pa.table({"event_type": pa.array([], pa.string()),
+                      "day": pa.array([], pa.int64()),
+                      "n_events": pa.array([], pa.int64()),
+                      "anomaly": pa.array([], pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "day": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        ts = t.column("ts").to_numpy().astype(np.int64)
+        g = pa.table({"event_type": t.column("event_type"),
+                      "day": pa.array(ts // _US_PER_DAY_I, pa.int64()),
+                      "n": pa.array(np.ones(t.num_rows, np.int64))}
+                     ).group_by(["event_type", "day"]).aggregate([("n", "sum")])
+        return g.rename_columns(["event_type", "day", "n"])
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+    t = fold_partials(ds.map_batches(partial, batch_format="pyarrow"),
+                      ["event_type", "day"], [("n", "sum")],
+                      ["event_type", "day", "n"])
+    if t.num_columns == 0 or t.num_rows == 0:
+        return empty
+    df = t.to_pandas().sort_values(["event_type", "day"])
+    rows = []
+    for et, g in df.groupby("event_type", sort=True):
+        n = np.sort(g["n"].to_numpy())
+        k = (50 * len(n) + 99) // 100
+        med = int(n[k - 1])
+        d = np.sort(np.abs(n - med))
+        mad = int(d[k - 1])
+        for day, cnt in zip(g["day"], g["n"]):
+            cnt = int(cnt)
+            flag = int(2 * abs(cnt - med) > 3 * (2 * mad))
+            rows.append((et, int(day), cnt, flag))
+    out = pa.table({
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "day": pa.array([r[1] for r in rows], pa.int64()),
+        "n_events": pa.array([r[2] for r in rows], pa.int64()),
+        "anomaly": pa.array([r[3] for r in rows], pa.int64()),
+    })
+    return finalize(out, [("event_type", "ascending"), ("day", "ascending")])
