@@ -1767,6 +1767,18 @@ ORDER BY epoch
         # SCD2 version history (cdcq.cdc_version_history): each event's
         # validity closes at its key's next lsn (null = current)
         # overwrite-churn census (cdcq.cdc_edit_wars)
+        # per-epoch new vs returning conversations (cdcq.cdc_conv_novelty)
+        "cdc_conv_novelty": CHANGELOG_CTE + """
+, ce AS (SELECT DISTINCT conv_id, lsn // 2500 AS epoch FROM ch),
+fe AS (SELECT conv_id, MIN(epoch) AS first_epoch FROM ce GROUP BY conv_id)
+SELECT ce.epoch, CAST(COUNT(*) AS BIGINT) AS n_active,
+       CAST(SUM(CASE WHEN fe.first_epoch = ce.epoch THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_new,
+       CAST(SUM(CASE WHEN fe.first_epoch = ce.epoch THEN 0 ELSE 1 END)
+            AS BIGINT) AS n_returning
+FROM ce JOIN fe USING (conv_id)
+GROUP BY ce.epoch ORDER BY ce.epoch
+""",
         # changelog op mix per role (cdcq.cdc_op_mix_by_role)
         # tombstones carry no payload -> their role reports as '-'
         "cdc_op_mix_by_role": CHANGELOG_CTE + """

@@ -1889,3 +1889,69 @@ def cdc_op_mix_by_role(sf_dir: str) -> pa.Table:
     g = pa.table({"role": g.column("role"), "op": g.column("op"),
                   "n": g.column("n").cast(pa.int64())})
     return finalize(g, [("role", "ascending"), ("op", "ascending")])
+
+
+def cdc_conv_novelty(sf_dir: str, epoch_size: int = 2500) -> pa.Table:
+    """Per-epoch conversation growth mix: how many ACTIVE conversations
+    each epoch touches, split into NEW (first-ever event this epoch)
+    vs RETURNING — the audience-growth curve of an agent-transcript
+    stream. Conversations are partition-complete under the conv-keyed
+    exchange, so each kernel closes its convs' (first epoch, active
+    epoch set) and emits per-epoch partials; the driver folds O(epochs)
+    rows."""
+    import numpy as np
+
+    from .exchange import exchange_reduce
+
+    import ray
+
+    empty = pa.table({"epoch": pa.array([], pa.int64()),
+                      "n_active": pa.array([], pa.int64()),
+                      "n_new": pa.array([], pa.int64()),
+                      "n_returning": pa.array([], pa.int64())})
+
+    def sel(t):
+        if t.num_rows == 0 or "conv_id" not in t.column_names:
+            return pa.table({"conv_id": pa.array([], pa.string()),
+                             "lsn": pa.array([], pa.int64())})
+        return t.select(["conv_id", "lsn"])
+
+    ds = changelog_dataset(sf_dir).map_batches(sel, batch_format="pyarrow")
+
+    def kernel(pid: int, t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "conv_id" not in t.column_names:
+            return pa.table({"epoch": pa.array([], pa.int64()),
+                             "act": pa.array([], pa.int64()),
+                             "new": pa.array([], pa.int64())})
+        conv = t.column("conv_id").to_numpy(zero_copy_only=False)
+        ep = t.column("lsn").to_numpy() // epoch_size
+        order = np.lexsort((ep, conv))
+        conv, ep = conv[order], ep[order]
+        # distinct (conv, epoch), sorted by (conv, epoch)
+        first_pair = np.r_[True, (conv[1:] != conv[:-1]) | (ep[1:] != ep[:-1])]
+        conv, ep = conv[first_pair], ep[first_pair]
+        conv_start = np.r_[True, conv[1:] != conv[:-1]]
+        act_e, act_n = np.unique(ep, return_counts=True)
+        new_e, new_n = np.unique(ep[conv_start], return_counts=True)
+        new_map = dict(zip(new_e.tolist(), new_n.tolist()))
+        return pa.table({
+            "epoch": pa.array(act_e.astype(np.int64)),
+            "act": pa.array(act_n.astype(np.int64)),
+            "new": pa.array([new_map.get(e, 0) for e in act_e.tolist()],
+                            pa.int64()),
+        })
+
+    parts = [t for t in ray.get(exchange_reduce([ds], ["conv_id"], kernel))
+             if t.num_rows]
+    if not parts:
+        return empty
+    g = (pa.concat_tables(parts).group_by(["epoch"])
+         .aggregate([("act", "sum"), ("new", "sum")])
+         .rename_columns(["epoch", "n_active", "n_new"]))
+    act = g.column("n_active").to_numpy()
+    new = g.column("n_new").to_numpy()
+    out = pa.table({"epoch": g.column("epoch").cast(pa.int64()),
+                    "n_active": pa.array(act.astype(np.int64)),
+                    "n_new": pa.array(new.astype(np.int64)),
+                    "n_returning": pa.array((act - new).astype(np.int64))})
+    return finalize(out, [("epoch", "ascending")])
