@@ -2801,6 +2801,33 @@ WHERE EXISTS (
 )
 GROUP BY o_orderpriority ORDER BY o_orderpriority
 """,
+        # TPC-H Q21 (relational.q21_late_sole_supplier): sole-late-
+        # supplier census over finished multi-supplier orders; lateness
+        # is q4's 90-day rule (no commit/receipt dates in this lake)
+        "q21_late_sole_supplier": """
+WITH ls AS (
+  SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS max_ship
+  FROM lineitem GROUP BY 1, 2
+),
+flag AS (
+  SELECT ls.l_orderkey, ls.l_suppkey,
+         CASE WHEN ls.max_ship >= o.o_orderdate + INTERVAL 90 DAY
+              THEN 1 ELSE 0 END AS late
+  FROM ls JOIN orders o ON ls.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+),
+per_order AS (
+  SELECT l_orderkey, COUNT(*) AS n_supp, SUM(late) AS n_late
+  FROM flag GROUP BY 1
+)
+SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM flag f
+JOIN per_order p USING (l_orderkey)
+JOIN supplier s ON f.l_suppkey = s.s_suppkey
+WHERE f.late = 1 AND p.n_supp > 1 AND p.n_late = 1
+GROUP BY s.s_name
+ORDER BY numwait DESC, s_name LIMIT 10
+""",
         # TPC-H Q10 (relational.q10_returned_items): returned-item
         # revenue per customer, exact 1e-4-dollar integers, ordered by
         # the INTEGER revenue before the one display division

@@ -5615,3 +5615,114 @@ def daily_volume_anomaly(sf_dir: str) -> pa.Table:
         "anomaly": pa.array([r[3] for r in rows], pa.int64()),
     })
     return finalize(out, [("event_type", "ascending"), ("day", "ascending")])
+
+
+# ---- TPC-H Q21: suppliers who kept orders waiting alone ------------------
+
+
+def q21_late_sole_supplier(sf_dir: str, topn: int = 10) -> pa.Table:
+    """TPC-H Q21 shape (adapted to this lake's columns): suppliers that
+    were the SOLE late supplier of a finished multi-supplier order —
+    the double-correlated EXISTS / NOT-EXISTS pattern. Lateness reuses
+    q4's rule (max l_shipdate ≥ o_orderdate + 90 days, exact µs-integer
+    arithmetic) since this lake carries no commit/receipt dates.
+
+    Scale shape: the existence tests have a one-row sufficient
+    statistic per (orderkey, suppkey) — max l_shipdate — so lineitem
+    folds map-side BEFORE the one orderkey exchange; each partition
+    joins its orders slice, evaluates both correlated predicates
+    vectorized per order group (n_suppliers > 1, exactly one late),
+    and emits (suppkey, numwait) partials. The driver folds P ×
+    O(suppliers) dimension-sized rows (the q15 rule), cuts top-``topn``
+    by (numwait desc, name asc), and resolves the ≤ topn names with a
+    pushdown supplier read — names never enter the exchange."""
+    from .exchange import exchange_reduce, gather_concat
+
+    rd = _rd()
+    empty = pa.table({"s_name": pa.array([], pa.string()),
+                      "numwait": pa.array([], pa.int64())})
+
+    def lmax(t: pa.Table) -> pa.Table:
+        if "l_orderkey" not in t.column_names or t.num_rows == 0:
+            return pa.table({"l_orderkey": pa.array([], pa.int64()),
+                             "l_suppkey": pa.array([], pa.int64()),
+                             "max_ship": pa.array([], pa.timestamp("us"))})
+        g = t.group_by(["l_orderkey", "l_suppkey"]).aggregate(
+            [("l_shipdate", "max")]
+        )
+        return pa.table({"l_orderkey": g.column("l_orderkey").cast(pa.int64()),
+                         "l_suppkey": g.column("l_suppkey").cast(pa.int64()),
+                         "max_ship": g.column("l_shipdate_max")})
+
+    def kernel(pid: int, lt: pa.Table, ot: pa.Table) -> pa.Table:
+        out_empty = pa.table({"s_suppkey": pa.array([], pa.int64()),
+                              "numwait": pa.array([], pa.int64())})
+        if (ot.num_rows == 0 or lt.num_rows == 0
+                or "o_orderkey" not in ot.column_names):
+            return out_empty
+        g = lt.group_by(["l_orderkey", "l_suppkey"]).aggregate(
+            [("max_ship", "max")]
+        )
+        of = ot.filter(pc.equal(ot.column("o_orderstatus"), "F"))
+        j = g.join(of.select(["o_orderkey", "o_orderdate"]),
+                   keys=["l_orderkey"], right_keys=["o_orderkey"],
+                   join_type="inner")
+        if j.num_rows == 0:
+            return out_empty
+        okey = j.column("l_orderkey").to_numpy()
+        skey = j.column("l_suppkey").to_numpy()
+        ship = j.column("max_ship_max").to_numpy().astype("datetime64[us]")
+        odate = j.column("o_orderdate").to_numpy().astype("datetime64[us]")
+        late = (ship.view(np.int64)
+                >= odate.view(np.int64) + _Q4_LATE_US).astype(np.int64)
+        order = np.argsort(okey, kind="stable")
+        okey, skey, late = okey[order], skey[order], late[order]
+        starts = np.flatnonzero(np.r_[True, okey[1:] != okey[:-1]])
+        n_supp = np.diff(np.r_[starts, len(okey)])
+        cl = np.r_[0, np.cumsum(late)]
+        ends = np.r_[starts[1:], len(okey)]
+        n_late = cl[ends] - cl[starts]
+        gid = np.repeat(np.arange(len(starts)), n_supp)
+        win = (late == 1) & (n_supp[gid] > 1) & (n_late[gid] == 1)
+        if not win.any():
+            return out_empty
+        wt = pa.table({"s_suppkey": pa.array(skey[win], pa.int64())})
+        c = wt.group_by(["s_suppkey"]).aggregate([([], "count_all")])
+        return pa.table({"s_suppkey": c.column("s_suppkey"),
+                         "numwait": c.column("count_all").cast(pa.int64())})
+
+    line = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderstatus"],
+    )
+    parts = gather_concat(exchange_reduce(
+        [line.map_batches(lmax, batch_format="pyarrow"), orders],
+        ["l_orderkey", "o_orderkey"], kernel,
+    ))
+    if parts.num_rows == 0:
+        return empty
+    g = parts.group_by(["s_suppkey"]).aggregate([("numwait", "sum")])
+    keys = g.column("s_suppkey").to_numpy()
+    waits = g.column("numwait_sum").to_numpy().astype(np.int64)
+    names = _supplier_names(sf_dir, keys)
+    order = np.lexsort((np.asarray(names, object), -waits))[:topn]
+    out = pa.table({
+        "s_name": pa.array([names[i] for i in order], pa.string()),
+        "numwait": pa.array(waits[order], pa.int64()),
+    })
+    return finalize(out, [("numwait", "descending"), ("s_name", "ascending")])
+
+
+def _supplier_names(sf_dir: str, keys: np.ndarray) -> list:
+    """Resolve supplier names for ≤ dimension-sized key sets with a
+    filtered (predicate-pushdown) read — names never shuffle."""
+    import pyarrow.dataset as pads
+
+    dset = pads.dataset(f"{sf_dir}/supplier.parquet")
+    t = dset.to_table(columns=["s_suppkey", "s_name"],
+                      filter=pads.field("s_suppkey").isin(keys.tolist()))
+    m = dict(zip(t.column("s_suppkey").to_pylist(),
+                 t.column("s_name").to_pylist()))
+    return [m[int(k)] for k in keys]
