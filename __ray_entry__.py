@@ -664,6 +664,56 @@ ORDER BY cluster_id, rank
 """
 
 
+def _kcenter_sql() -> str:
+    """k-center coreset twin (similarity.kcenter_sample): Gonzalez'
+    farthest-first traversal unrolled as one CTE round per step — the
+    incremental LEAST chain. ``m{{s}}`` carries each remaining vector's
+    min squared-L2 to the selected set, with every PAIRWISE distance
+    rounded at the kernel's ``_KM_DIST_ROUND`` BEFORE the min (the
+    kmeans pin, so numpy/DuckDB drift never survives); ``s{{s}}`` picks
+    the max-dmin row (ties -> smallest vec_id, the kernel's lexsort
+    order) and the next round drops it. Seed = global min vec_id,
+    d2 = 0.0."""
+    from image_report_ray.pipelines.similarity import _KC_K, _KM_DIST_ROUND
+
+    def d2(a: str, b: str) -> str:
+        return (
+            f"ROUND(list_sum(list_transform(range(1, len({a}.v) + 1), "
+            f"i -> ({a}.v[i] - {b}.v[i]) * ({a}.v[i] - {b}.v[i]))), "
+            f"{_KM_DIST_ROUND})"
+        )
+
+    parts = [
+        """e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+s1 AS (SELECT 1 AS step, vec_id, 0.0 AS d2, v FROM e ORDER BY vec_id LIMIT 1),
+m1 AS (
+  SELECT e.vec_id, e.v, """ + d2("e", "s1") + """ AS dmin
+  FROM e CROSS JOIN s1 WHERE e.vec_id <> s1.vec_id
+)"""
+    ]
+    for s in range(2, _KC_K + 1):
+        parts.append(f"""s{s} AS (
+  SELECT {s} AS step, vec_id, dmin AS d2, v
+  FROM m{s - 1} ORDER BY dmin DESC, vec_id LIMIT 1
+)""")
+        if s < _KC_K:
+            parts.append(f"""m{s} AS (
+  SELECT m.vec_id, m.v, LEAST(m.dmin, {d2('m', f's{s}')}) AS dmin
+  FROM m{s - 1} m CROSS JOIN s{s} WHERE m.vec_id <> s{s}.vec_id
+)""")
+    union = "\n  UNION ALL\n  ".join(
+        f"SELECT step, vec_id, d2 FROM s{s}" for s in range(1, _KC_K + 1)
+    )
+    return f"""
+WITH {','.join(parts)}
+SELECT CAST(step AS BIGINT) AS step, vec_id, CAST(d2 AS DOUBLE) AS d2
+FROM ({union}) ORDER BY step
+"""
+
+
 # SemDeDup twin (image_report_ray.pipelines.similarity:semdedup): the
 # kmeans CTE chain (same pinned rounding) + cosine pairs RESTRICTED to
 # same-cluster endpoints + the recursive min-label closure — each piece
@@ -3733,6 +3783,9 @@ FROM documents GROUP BY lang ORDER BY lang
         # the kmeans CTE chain's own d3 rounded distances, top-3 per
         # cluster by (d2 desc, vec_id asc) — no float in the output
         "embedding_outliers": _embedding_outliers_sql(),
+        # farthest-first coreset selection (similarity.kcenter_sample):
+        # the incremental LEAST-chain unroll, one CTE round per step
+        "kcenter_sample": _kcenter_sql(),
         # semantic dedup within kmeans clusters (see _semdedup_sql)
         "semdedup": _semdedup_sql(),
         # the two ANN searches, previously no_oracle: inlined-hyperplane

@@ -2005,3 +2005,86 @@ def _pq_index(sf_dir: str):
     stacked = np.load(books_path)
     books = [stacked[i] for i in range(stacked.shape[0])]
     return os.path.join(d, "codes"), books, stacked.shape[2]
+
+
+# ---- k-center coreset selection (farthest-first traversal) ---------------
+
+_KC_K = 8
+
+
+def kcenter_sample(sf_dir: str, k: int = _KC_K) -> pa.Table:
+    """Farthest-first traversal (Gonzalez' 2-approximate k-center) over
+    the embedding corpus — the diversity-maximizing coreset selector a
+    training-data pipeline uses to seed active learning, pick
+    representative exemplars, or cap redundant regions: each step adds
+    the vector FARTHEST (max-min squared L2) from everything selected
+    so far.
+
+    Scale shape: the corpus reads ONCE into block refs; each of the
+    ``k`` steps is one task wave that scores every block against the
+    broadcast selected set (≤ k×dim floats) and emits a single local
+    champion — the driver folds P candidate rows per wave, never the
+    vectors. Distances round at ``_KM_DIST_ROUND`` decimals BEFORE the
+    min/argmax (the kmeans pin, so numpy/DuckDB summation drift never
+    survives a boundary); ties break to the smallest vec_id; already-
+    selected ids are excluded so duplicate-saturated corpora still
+    select k distinct vectors. Twin: ``__ray_entry__._kcenter_sql``
+    (incremental LEAST-chain, one CTE round per step)."""
+    import ray
+
+    rd = _rd()
+    empty = pa.table({"step": pa.array([], pa.int64()),
+                      "vec_id": pa.array([], pa.int64()),
+                      "d2": pa.array([], pa.float64())})
+    refs = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).to_arrow_refs()
+
+    @ray.remote
+    def champion(cents: np.ndarray, chosen_ids: list, t: pa.Table):
+        """Local (dmin, vec_id, vector) champion of one block: max
+        rounded min-distance to the selected set, ties to smallest id;
+        ``cents`` is None for the seed wave (global min vec_id)."""
+        if t.num_rows == 0 or "vec_id" not in t.column_names:
+            return None
+        ids = t.column("vec_id").to_numpy()
+        keep = ~np.isin(ids, np.asarray(chosen_ids, dtype=ids.dtype))
+        if not keep.any():
+            return None
+        m = _stack(t.column("embedding"))[keep]
+        ids = ids[keep]
+        if cents is None:  # seed: smallest vec_id
+            i = int(np.argmin(ids))
+            return (0.0, int(ids[i]), m[i])
+        d2 = np.round(
+            ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2),
+            _KM_DIST_ROUND,
+        )
+        dmin = d2.min(axis=1)
+        best = np.lexsort((ids, -dmin))[0]
+        return (float(dmin[best]), int(ids[best]), m[best])
+
+    steps: list[tuple[int, int, float]] = []
+    cents: np.ndarray | None = None
+    chosen: list[int] = []
+    for s in range(1, k + 1):
+        cref = ray.put(cents)
+        cands = [c for c in ray.get(
+            [champion.remote(cref, chosen, r) for r in refs]) if c]
+        if not cands:
+            break
+        if cents is None:
+            d, vid, vec = min(cands, key=lambda c: c[1])
+        else:
+            d, vid, vec = max(cands, key=lambda c: (c[0], -c[1]))
+        steps.append((s, vid, d))
+        chosen.append(vid)
+        cents = (vec[None, :] if cents is None
+                 else np.vstack([cents, vec[None, :]]))
+    if not steps:
+        return empty
+    return pa.table({
+        "step": pa.array([s for s, _, _ in steps], pa.int64()),
+        "vec_id": pa.array([v for _, v, _ in steps], pa.int64()),
+        "d2": pa.array([d for _, _, d in steps], pa.float64()),
+    })

@@ -2039,3 +2039,43 @@ def test_value_mad_derived_distance_histogram(ray_session):
         d = np.sort(np.abs(v - med))
         assert row["n"] == n and row["median_cents"] == med
         assert row["mad_cents"] == int(d[k - 1])
+
+
+def test_kcenter_sample_bruteforce(ray_session):
+    """Farthest-first selection matches a naive single-process Gonzalez
+    traversal with the same rounding/tie rules, and the max-min radius
+    is non-increasing after the first genuine selection."""
+    import numpy as np
+    import pandas as pd
+
+    from image_report_ray.pipelines.similarity import (
+        _KC_K,
+        _KM_DIST_ROUND,
+        kcenter_sample,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = kcenter_sample(sf).to_pylist()
+    assert len(out) == _KC_K
+    assert [r["step"] for r in out] == list(range(1, _KC_K + 1))
+    assert len({r["vec_id"] for r in out}) == _KC_K
+
+    emb = pd.read_parquet(f"{sf}/embeddings.parquet")
+    emb = emb.sort_values("vec_id").reset_index(drop=True)
+    ids = emb["vec_id"].to_numpy()
+    m = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    chosen = [int(ids[0])]
+    expect = [(1, chosen[0], 0.0)]
+    dmin = np.full(len(ids), np.inf)
+    for s in range(2, _KC_K + 1):
+        last = m[np.where(ids == chosen[-1])[0][0]]
+        d = np.round(((m - last) ** 2).sum(axis=1), _KM_DIST_ROUND)
+        dmin = np.minimum(dmin, d)
+        mask = ~np.isin(ids, chosen)
+        best = np.lexsort((ids[mask], -dmin[mask]))[0]
+        vid = int(ids[mask][best])
+        expect.append((s, vid, float(dmin[mask][best])))
+        chosen.append(vid)
+    assert [(r["step"], r["vec_id"], r["d2"]) for r in out] == expect
+    radii = [r["d2"] for r in out[1:]]
+    assert all(a >= b for a, b in zip(radii, radii[1:]))
