@@ -714,6 +714,77 @@ FROM ({union}) ORDER BY step
 """
 
 
+def _mmr_sql() -> str:
+    """MMR twin (similarity.mmr_diversified_search): candidate pool =
+    top-``_MMR_POOL`` by rounded cosine relevance to the vec_id=0 query
+    (ties -> smallest vec_id), pairwise pool cosines materialize once,
+    then the greedy unrolls as the kcenter twin's incremental chain —
+    ``m{{s}}`` carries each remaining candidate's max-sim-to-selected
+    via GREATEST, ``s{{s}}`` picks max (rel - smax), ties to smallest
+    vec_id. Cosines compute dot/(sqrt(da)*sqrt(db)) and ROUND at the
+    kernel's ``_KM_DIST_ROUND`` before every compare; zero-norm vectors
+    are excluded on both sides."""
+    from image_report_ray.pipelines.similarity import (
+        _KM_DIST_ROUND,
+        _MMR_K,
+        _MMR_POOL,
+    )
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"ROUND(list_sum(list_transform(range(1, len({a}.v) + 1), "
+            f"i -> {a}.v[i] * {b}.v[i])) / "
+            f"(sqrt(list_sum(list_transform({a}.v, x -> x * x))) * "
+            f"sqrt(list_sum(list_transform({b}.v, x -> x * x)))), "
+            f"{_KM_DIST_ROUND})"
+        )
+
+    parts = [
+        f"""e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+q AS (SELECT v FROM e WHERE vec_id = 0),
+p AS (
+  SELECT e.vec_id, e.v, {cos('e', 'q')} AS rel
+  FROM e CROSS JOIN q
+  WHERE e.vec_id <> 0
+    AND list_sum(list_transform(e.v, x -> x * x)) > 0
+  ORDER BY rel DESC, e.vec_id LIMIT {_MMR_POOL}
+),
+ps AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib, {cos('a', 'b')} AS s
+  FROM p a JOIN p b ON a.vec_id <> b.vec_id
+),
+s1 AS (SELECT 1 AS step, vec_id FROM p ORDER BY rel DESC, vec_id LIMIT 1),
+m1 AS (
+  SELECT p.vec_id, p.rel, ps.s AS smax
+  FROM p JOIN s1 ON p.vec_id <> s1.vec_id
+  JOIN ps ON ps.ia = p.vec_id AND ps.ib = s1.vec_id
+)"""
+    ]
+    for s in range(2, _MMR_K + 1):
+        parts.append(f"""s{s} AS (
+  SELECT {s} AS step, vec_id
+  FROM m{s - 1} ORDER BY rel - smax DESC, vec_id LIMIT 1
+)""")
+        if s < _MMR_K:
+            parts.append(f"""m{s} AS (
+  SELECT m.vec_id, m.rel, GREATEST(m.smax, ps.s) AS smax
+  FROM m{s - 1} m JOIN s{s} ON m.vec_id <> s{s}.vec_id
+  JOIN ps ON ps.ia = m.vec_id AND ps.ib = s{s}.vec_id
+)"""
+            )
+    union = "\n  UNION ALL\n  ".join(
+        f"SELECT step, vec_id FROM s{s}" for s in range(1, _MMR_K + 1)
+    )
+    return f"""
+WITH {','.join(parts)}
+SELECT CAST(step AS BIGINT) AS step, vec_id
+FROM ({union}) ORDER BY step
+"""
+
+
 # SemDeDup twin (image_report_ray.pipelines.similarity:semdedup): the
 # kmeans CTE chain (same pinned rounding) + cosine pairs RESTRICTED to
 # same-cluster endpoints + the recursive min-label closure — each piece
@@ -3786,6 +3857,9 @@ FROM documents GROUP BY lang ORDER BY lang
         # farthest-first coreset selection (similarity.kcenter_sample):
         # the incremental LEAST-chain unroll, one CTE round per step
         "kcenter_sample": _kcenter_sql(),
+        # MMR diversified retrieval (similarity.mmr_diversified_search):
+        # top-pool by relevance, then the incremental GREATEST chain
+        "mmr_diversified_search": _mmr_sql(),
         # semantic dedup within kmeans clusters (see _semdedup_sql)
         "semdedup": _semdedup_sql(),
         # the two ANN searches, previously no_oracle: inlined-hyperplane

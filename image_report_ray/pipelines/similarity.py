@@ -2088,3 +2088,102 @@ def kcenter_sample(sf_dir: str, k: int = _KC_K) -> pa.Table:
         "vec_id": pa.array([v for _, v, _ in steps], pa.int64()),
         "d2": pa.array([d for _, _, d in steps], pa.float64()),
     })
+
+
+# ---- MMR diversified retrieval -------------------------------------------
+
+_MMR_K = 8
+_MMR_POOL = 32
+
+
+def mmr_diversified_search(
+    sf_dir: str, query_vec_id: int = 0, k: int = _MMR_K, pool: int = _MMR_POOL
+) -> pa.Table:
+    """Maximal-marginal-relevance top-``k``: the rerank-window retrieval a
+    RAG / training-data pipeline uses when plain top-k returns near-
+    duplicate passages — greedily pick the candidate maximizing
+    ``lambda*rel - (1-lambda)*max_sim_to_selected`` with ``lambda=0.5``
+    (argmax of ``rel - max_sim``, no float scale factor needed).
+
+    Scale shape: stage 1 is the knn_cosine stream — every block emits its
+    local top-``pool`` candidates BY ROUNDED RELEVANCE (cosine to the
+    broadcast query, ties to smallest vec_id) carrying their vectors, a
+    tree fold cuts to the global pool, so the driver holds pool x dim
+    floats; stage 2's greedy runs on that O(pool**2) simility matrix
+    driver-side. Cosines compute as dot/(sqrt(da)*sqrt(db)) and round at
+    ``_KM_DIST_ROUND`` decimals BEFORE any compare (the kmeans pin);
+    zero-norm vectors are excluded on BOTH sides. Twin:
+    ``__ray_entry__._mmr_sql`` (pool CTE + pairwise sims + the kcenter
+    twin's incremental GREATEST chain)."""
+    import ray
+
+    rd = _rd()
+    q = _query_vector(sf_dir, query_vec_id).astype(np.float64)
+    nq = float(np.sqrt(np.dot(q, q)))
+    q_ref = ray.put(q)
+    empty = pa.table({"step": pa.array([], pa.int64()),
+                      "vec_id": pa.array([], pa.int64())})
+    if nq == 0.0:
+        return empty
+
+    def cut(ids: np.ndarray, rel: np.ndarray, m: np.ndarray):
+        """Top-``pool`` by (rel desc, vec_id asc) — the fold rule."""
+        order = np.lexsort((ids, -rel))[:pool]
+        return ids[order], rel[order], m[order]
+
+    @ray.remote
+    def block_pool(t: pa.Table):
+        if t.num_rows == 0 or "vec_id" not in t.column_names:
+            return None
+        qv = ray.get(q_ref)
+        ids = t.column("vec_id").to_numpy()
+        m = _stack(t.column("embedding"))
+        da = (m * m).sum(axis=1)
+        keep = (ids != query_vec_id) & (da > 0)
+        if not keep.any():
+            return None
+        ids, m, da = ids[keep], m[keep], da[keep]
+        rel = np.round((m @ qv) / (np.sqrt(da) * nq), _KM_DIST_ROUND)
+        return cut(ids, rel, m)
+
+    @ray.remote
+    def fold(*parts):
+        live = [p for p in parts if p is not None]
+        if not live:
+            return None
+        ids = np.concatenate([p[0] for p in live])
+        rel = np.concatenate([p[1] for p in live])
+        m = np.vstack([p[2] for p in live])
+        return cut(ids, rel, m)
+
+    refs = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).to_arrow_refs()
+    outs = [block_pool.remote(r) for r in refs]
+    while len(outs) > 1:
+        outs = [fold.remote(*outs[i : i + 8]) for i in range(0, len(outs), 8)]
+    top = ray.get(outs[0])
+    if top is None:
+        return empty
+    ids, rel, m = top
+
+    # pairwise rounded cosines inside the pool (pool**2 doubles, driver)
+    dots = m @ m.T
+    nr = np.sqrt((m * m).sum(axis=1))
+    sims = np.round(dots / np.outer(nr, nr), _KM_DIST_ROUND)
+
+    first = int(np.lexsort((ids, -rel))[0])
+    sel = [first]
+    smax = sims[:, first].copy()
+    steps = [(1, int(ids[first]))]
+    for s in range(2, min(k, len(ids)) + 1):
+        score = rel - smax
+        score[sel] = -np.inf
+        best = int(np.lexsort((ids, -score))[0])
+        steps.append((s, int(ids[best])))
+        sel.append(best)
+        smax = np.maximum(smax, sims[:, best])
+    return pa.table({
+        "step": pa.array([a for a, _ in steps], pa.int64()),
+        "vec_id": pa.array([b for _, b in steps], pa.int64()),
+    })

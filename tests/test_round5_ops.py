@@ -2079,3 +2079,46 @@ def test_kcenter_sample_bruteforce(ray_session):
     assert [(r["step"], r["vec_id"], r["d2"]) for r in out] == expect
     radii = [r["d2"] for r in out[1:]]
     assert all(a >= b for a, b in zip(radii, radii[1:]))
+
+
+def test_mmr_matches_naive_greedy(ray_session):
+    """MMR selection equals a naive single-process greedy with the same
+    rounding/tie rules, and step 1 is the plain top-1 relevance hit."""
+    import numpy as np
+    import pandas as pd
+
+    from image_report_ray.pipelines.similarity import (
+        _KM_DIST_ROUND,
+        _MMR_K,
+        _MMR_POOL,
+        mmr_diversified_search,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = mmr_diversified_search(sf).to_pylist()
+    assert [r["step"] for r in out] == list(range(1, _MMR_K + 1))
+    assert len({r["vec_id"] for r in out}) == _MMR_K
+
+    emb = pd.read_parquet(f"{sf}/embeddings.parquet").sort_values("vec_id")
+    ids = emb["vec_id"].to_numpy()
+    m = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    q = m[ids == 0][0]
+    da = (m * m).sum(axis=1)
+    keep = (ids != 0) & (da > 0)
+    ids, m, da = ids[keep], m[keep], da[keep]
+    rel = np.round((m @ q) / (np.sqrt(da) * np.sqrt(q @ q)), _KM_DIST_ROUND)
+    order = np.lexsort((ids, -rel))[:_MMR_POOL]
+    ids, m, rel = ids[order], m[order], rel[order]
+    nr = np.sqrt((m * m).sum(axis=1))
+    sims = np.round((m @ m.T) / np.outer(nr, nr), _KM_DIST_ROUND)
+    sel = [int(np.lexsort((ids, -rel))[0])]
+    expect = [int(ids[sel[0]])]
+    smax = sims[:, sel[0]].copy()
+    for _ in range(2, _MMR_K + 1):
+        score = rel - smax
+        score[sel] = -np.inf
+        b = int(np.lexsort((ids, -score))[0])
+        expect.append(int(ids[b]))
+        sel.append(b)
+        smax = np.maximum(smax, sims[:, b])
+    assert [r["vec_id"] for r in out] == expect
