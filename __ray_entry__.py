@@ -714,6 +714,34 @@ FROM ({union}) ORDER BY step
 """
 
 
+def _label_purity_sql() -> str:
+    """label_purity twin: the kmeans assignment chain joined back to
+    ``embeddings`` for ground-truth labels, per-cluster majority label
+    (ties -> smallest label) + exact basis-point purity."""
+    _kmeans_sql()  # materialize the shared CTE chain
+    return f"""
+WITH {_kmeans_sql.cte},
+ct AS (
+  SELECT a3.cid AS cluster_id, CAST(emb.label AS BIGINT) AS label,
+         COUNT(*) AS n
+  FROM a3 JOIN embeddings emb ON emb.vec_id = a3.vec_id
+  GROUP BY 1, 2
+)
+SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(n_vectors AS BIGINT) AS n_vectors,
+       CAST(top_label AS BIGINT) AS top_label,
+       CAST(10000 * n // GREATEST(n_vectors, 1) AS BIGINT) AS purity_bp
+FROM (
+  SELECT cluster_id, label AS top_label, n,
+         SUM(n) OVER (PARTITION BY cluster_id) AS n_vectors,
+         ROW_NUMBER() OVER (PARTITION BY cluster_id
+                            ORDER BY n DESC, label) AS rn
+  FROM ct
+) WHERE rn = 1
+ORDER BY cluster_id
+"""
+
+
 def _mmr_sql() -> str:
     """MMR twin (similarity.mmr_diversified_search): candidate pool =
     top-``_MMR_POOL`` by rounded cosine relevance to the vec_id=0 query
@@ -1923,6 +1951,23 @@ FROM k
 """,
         # daily revenue + trailing 7-day frame
         # (relational.daily_revenue_rolling7)
+        # per-type daily EWMA, exact dyadic-integer decay
+        # (relational.value_ewma): 2^-gap_days factor, 20-day cap, the
+        # decayed sum carries the 2^20 scale so both sides stay int64
+        "value_ewma": """
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+)
+SELECT a.event_type, a.day, a.cents,
+       CAST(SUM(b.cents * (CAST(1 AS BIGINT) << (20 - (a.day - b.day))))
+            AS BIGINT) AS ewma_x
+FROM d a JOIN d b
+  ON b.event_type = a.event_type AND b.day BETWEEN a.day - 20 AND a.day
+GROUP BY a.event_type, a.day, a.cents
+ORDER BY a.event_type, a.day
+""",
         "daily_revenue_rolling7": """
 WITH d AS (
   SELECT epoch_us(ts) // 86400000000 AS day,
@@ -3860,6 +3905,8 @@ FROM documents GROUP BY lang ORDER BY lang
         # MMR diversified retrieval (similarity.mmr_diversified_search):
         # top-pool by relevance, then the incremental GREATEST chain
         "mmr_diversified_search": _mmr_sql(),
+        # clustering-vs-ground-truth eval (similarity.label_purity)
+        "label_purity": _label_purity_sql(),
         # semantic dedup within kmeans clusters (see _semdedup_sql)
         "semdedup": _semdedup_sql(),
         # the two ANN searches, previously no_oracle: inlined-hyperplane

@@ -5726,3 +5726,66 @@ def _supplier_names(sf_dir: str, keys: np.ndarray) -> list:
     m = dict(zip(t.column("s_suppkey").to_pylist(),
                  t.column("s_name").to_pylist()))
     return [m[int(k)] for k in keys]
+
+
+_EWMA_LAG = 20  # dyadic half-life window cap: 2^-20 tail is dropped
+
+
+def value_ewma(sf_dir: str) -> pa.Table:
+    """Per-type daily value series with an exponentially-decayed trailing
+    sum (half-life = 1 day) — the smoothed load/revenue monitor. Exact
+    INTEGER arithmetic: the decay factor is dyadic (2^-gap_days) and the
+    window caps at ``_EWMA_LAG`` calendar days, so the decayed sum is
+    ``sum(cents[e] << (LAG - (d - e)))`` over observed days — an int64,
+    order-independent, no float anywhere (``ewma_x`` carries the 2^LAG
+    scale; consumers divide once at the edge).
+
+    Scale shape: the (type, day) cents census folds distributed
+    (fixed-cardinality partials, the rolling7 shape); the driver closes
+    the capped dyadic window with one searchsorted pass per lag over
+    O(types x days) rows."""
+    from ._util import fold_partials
+
+    rd = _rd()
+    empty = pa.table({"event_type": pa.array([], pa.string()),
+                      "day": pa.array([], pa.int64()),
+                      "cents": pa.array([], pa.int64()),
+                      "ewma_x": pa.array([], pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "day": pa.array([], pa.int64()),
+                             "cents": pa.array([], pa.int64())})
+        ts = t.column("ts").to_numpy().astype(np.int64)
+        g = pa.table({
+            "event_type": t.column("event_type"),
+            "day": pa.array(ts // _US_PER_DAY_I, pa.int64()),
+            "cents": pa.array(_cents(t.column("value")), pa.int64()),
+        }).group_by(["event_type", "day"]).aggregate([("cents", "sum")])
+        return g.rename_columns(["event_type", "day", "cents"])
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+    t = fold_partials(ds.map_batches(partial, batch_format="pyarrow"),
+                      ["event_type", "day"], [("cents", "sum")],
+                      ["event_type", "day", "cents"])
+    if t.num_columns == 0 or t.num_rows == 0:
+        return empty
+    df = t.to_pandas().sort_values(["event_type", "day"]).reset_index(drop=True)
+    out_ew = np.zeros(len(df), dtype=np.int64)
+    for ty, grp in df.groupby("event_type", sort=False):
+        day = grp["day"].to_numpy()
+        cents = grp["cents"].to_numpy()
+        ew = np.zeros(len(day), dtype=np.int64)
+        for lag in range(_EWMA_LAG + 1):
+            idx = np.searchsorted(day, day - lag)
+            hit = (idx < len(day)) & (day[np.minimum(idx, len(day) - 1)] == day - lag)
+            ew[hit] += cents[idx[hit]] << (_EWMA_LAG - lag)
+        out_ew[grp.index.to_numpy()] = ew
+    return pa.table({
+        "event_type": pa.array(df["event_type"], pa.string()),
+        "day": pa.array(df["day"].to_numpy(), pa.int64()),
+        "cents": pa.array(df["cents"].to_numpy(), pa.int64()),
+        "ewma_x": pa.array(out_ew, pa.int64()),
+    })

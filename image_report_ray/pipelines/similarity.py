@@ -2187,3 +2187,68 @@ def mmr_diversified_search(
         "step": pa.array([a for a, _ in steps], pa.int64()),
         "vec_id": pa.array([b for _, b in steps], pa.int64()),
     })
+
+
+def label_purity(sf_dir: str, k: int = _KM_K, iters: int = _KM_ITERS) -> pa.Table:
+    """Cluster <-> ground-truth-label agreement census — the standard
+    clustering-quality eval (does the pinned k-means partitioning track
+    the ``label`` column?): per cluster, its size, majority label (ties
+    to the smallest label) and exact basis-point purity. Sixth consumer
+    of the shared cached Lloyd trainer.
+
+    Scale shape: assignment shards and the (vec_id, label) read
+    co-partition on vec_id through ``exchange_reduce``; each partition
+    joins locally and folds a fixed-cardinality (cluster, label)
+    contingency, so the driver sums P x K x L small ints — vectors and
+    full assignments never leave the cluster. Twin: the kmeans CTE
+    chain joined back to ``embeddings`` for labels."""
+    import ray  # noqa: F401  (exchange_reduce drives the tasks)
+
+    from .exchange import exchange_reduce, gather_concat
+
+    rd = _rd()
+    refs = kmeans_assign_refs(sf_dir, k, iters)
+    lab_refs = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"]
+    ).to_arrow_refs()
+
+    def contingency(pid: int, asn: pa.Table, lab: pa.Table) -> pa.Table | None:
+        if asn.num_rows == 0 or lab.num_rows == 0:
+            return None
+        j = asn.select(["vec_id", "cluster_id"]).join(
+            lab.select(["vec_id", "label"]), keys="vec_id", join_type="inner"
+        )
+        g = j.group_by(["cluster_id", "label"]).aggregate([([], "count_all")])
+        return pa.table({
+            "cluster_id": g.column("cluster_id").cast(pa.int64()),
+            "label": g.column("label").cast(pa.int64()),
+            "n": g.column("count_all").cast(pa.int64()),
+        })
+
+    ct = gather_concat(
+        exchange_reduce([refs, lab_refs], ["vec_id", "vec_id"], contingency, P=8)
+    )
+    empty = pa.table({"cluster_id": pa.array([], pa.int64()),
+                      "n_vectors": pa.array([], pa.int64()),
+                      "top_label": pa.array([], pa.int64()),
+                      "purity_bp": pa.array([], pa.int64())})
+    if ct.num_rows == 0 or "cluster_id" not in ct.column_names:
+        return empty
+    g = (ct.group_by(["cluster_id", "label"]).aggregate([("n", "sum")])
+         .rename_columns(["cluster_id", "label", "n"]))
+    cid = g.column("cluster_id").to_numpy()
+    lab = g.column("label").to_numpy()
+    n = g.column("n").to_numpy()
+    rows = []
+    for c in np.unique(cid):
+        m = cid == c
+        tot = int(n[m].sum())
+        best = np.lexsort((lab[m], -n[m]))[0]
+        rows.append((int(c), tot, int(lab[m][best]),
+                     10_000 * int(n[m][best]) // max(tot, 1)))
+    return pa.table({
+        "cluster_id": pa.array([r[0] for r in rows], pa.int64()),
+        "n_vectors": pa.array([r[1] for r in rows], pa.int64()),
+        "top_label": pa.array([r[2] for r in rows], pa.int64()),
+        "purity_bp": pa.array([r[3] for r in rows], pa.int64()),
+    })

@@ -2122,3 +2122,51 @@ def test_mmr_matches_naive_greedy(ray_session):
         sel.append(b)
         smax = np.maximum(smax, sims[:, b])
     assert [r["vec_id"] for r in out] == expect
+
+
+def test_label_purity_bruteforce(ray_session):
+    """Purity rows equal a pandas contingency over the engine's own
+    kmeans assignment (majority label, ties to smallest label)."""
+    import pandas as pd
+
+    from image_report_ray.pipelines.similarity import kmeans_embed, label_purity
+
+    sf = "/root/testdata/sf0.001"
+    out = label_purity(sf).to_pylist()
+    asn = kmeans_embed(sf).to_pandas()
+    lab = pd.read_parquet(f"{sf}/embeddings.parquet", columns=["vec_id", "label"])
+    j = asn.merge(lab, on="vec_id")
+    assert len(out) == j["cluster_id"].nunique()
+    for row in out:
+        g = j[j["cluster_id"] == row["cluster_id"]]
+        counts = (
+            g.groupby("label").size().reset_index(name="n")
+            .sort_values(["n", "label"], ascending=[False, True])
+        )
+        assert row["n_vectors"] == len(g)
+        assert row["top_label"] == int(counts.iloc[0]["label"])
+        assert row["purity_bp"] == 10_000 * int(counts.iloc[0]["n"]) // len(g)
+
+
+def test_value_ewma_bruteforce(ray_session):
+    """The dyadic decayed sum equals a naive per-row window recompute,
+    and a lone day's ewma is exactly cents << LAG."""
+    import pandas as pd
+
+    from image_report_ray.pipelines.relational import _EWMA_LAG, value_ewma
+
+    sf = "/root/testdata/sf0.001"
+    out = value_ewma(sf).to_pandas()
+    ev = pd.read_parquet(f"{sf}/events.parquet", columns=["event_type", "ts", "value"])
+    ev["day"] = ev["ts"].astype("int64") // 86_400_000_000
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    d = ev.groupby(["event_type", "day"])["cents"].sum().reset_index()
+    assert len(out) == len(d)
+    by_type = {t: g.set_index("day")["cents"] for t, g in d.groupby("event_type")}
+    for row in out.itertuples():
+        s = by_type[row.event_type]
+        exp = sum(
+            int(s.get(row.day - lag, 0)) << (_EWMA_LAG - lag)
+            for lag in range(_EWMA_LAG + 1)
+        )
+        assert row.cents == int(s[row.day]) and row.ewma_x == exp
