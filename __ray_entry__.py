@@ -742,6 +742,64 @@ ORDER BY cluster_id
 """
 
 
+def _pca_sql() -> str:
+    """embedding_pca twin: the covariance matrix from an unnest pair
+    join (same mean-centering arithmetic, ROUND at ``_PCA_COV_ROUND``
+    before any iteration), then one CTE round per power iteration —
+    matrix-vector product + L2 normalize + ROUND at ``_PCA_VEC_ROUND``,
+    the kernel's exact pins. Sign fixes on the largest-|loading|
+    component (ties -> smallest index)."""
+    from image_report_ray.pipelines.similarity import (
+        _PCA_COV_ROUND,
+        _PCA_ITERS,
+        _PCA_OUT_ROUND,
+        _PCA_VEC_ROUND,
+    )
+
+    parts = [
+        f"""e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+comp AS (
+  SELECT vec_id, unnest(range(1, len(v) + 1)) AS i, unnest(v) AS xi FROM e
+),
+nn AS (SELECT COUNT(*) AS n FROM e),
+mn AS (SELECT i, SUM(xi) / nn.n AS m FROM comp, nn GROUP BY i, nn.n),
+cm AS MATERIALIZED (
+  SELECT a.i, b.i AS j,
+         ROUND(SUM(a.xi * b.xi) / ANY_VALUE(nn.n)
+               - ANY_VALUE(ma.m) * ANY_VALUE(mb.m), {_PCA_COV_ROUND}) AS c
+  FROM comp a JOIN comp b USING (vec_id)
+  JOIN mn ma ON ma.i = a.i JOIN mn mb ON mb.i = b.i
+  CROSS JOIN nn
+  GROUP BY a.i, b.i
+),
+v0 AS (SELECT i, CASE WHEN i = 1 THEN 1.0 ELSE 0.0 END AS val FROM mn)"""
+    ]
+    for t in range(1, _PCA_ITERS + 1):
+        parts.append(f"""w{t} AS MATERIALIZED (
+  SELECT cm.i, SUM(cm.c * p.val) AS w
+  FROM cm JOIN v{t - 1} p ON p.i = cm.j GROUP BY cm.i
+),
+v{t} AS MATERIALIZED (
+  SELECT i, ROUND(w / (SELECT sqrt(SUM(w * w)) FROM w{t}),
+                  {_PCA_VEC_ROUND}) AS val
+  FROM w{t}
+)""")
+    last = f"v{_PCA_ITERS}"
+    return f"""
+WITH {','.join(parts)},
+sgn AS (
+  SELECT CASE WHEN (SELECT val FROM {last} ORDER BY abs(val) DESC, i LIMIT 1)
+              < 0 THEN -1.0 ELSE 1.0 END AS s
+)
+SELECT CAST({last}.i AS BIGINT) AS i,
+       ROUND({last}.val * sgn.s, {_PCA_OUT_ROUND}) AS loading
+FROM {last}, sgn ORDER BY i
+"""
+
+
 def _mmr_sql() -> str:
     """MMR twin (similarity.mmr_diversified_search): candidate pool =
     top-``_MMR_POOL`` by rounded cosine relevance to the vec_id=0 query
@@ -3907,6 +3965,8 @@ FROM documents GROUP BY lang ORDER BY lang
         "mmr_diversified_search": _mmr_sql(),
         # clustering-vs-ground-truth eval (similarity.label_purity)
         "label_purity": _label_purity_sql(),
+        # power-iteration top principal component (similarity.embedding_pca)
+        "embedding_pca": _pca_sql(),
         # semantic dedup within kmeans clusters (see _semdedup_sql)
         "semdedup": _semdedup_sql(),
         # the two ANN searches, previously no_oracle: inlined-hyperplane
@@ -3992,6 +4052,27 @@ SELECT qid AS query_vec_id,
             PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rnk,
        vec_id
 FROM s QUALIFY rnk <= 10 ORDER BY query_vec_id, rnk
+""",
+        # leave-one-out 1-NN label agreement (similarity.knn_label_match):
+        # the knn_join shape at k=1 over the 64 smallest-vec_id probes,
+        # per-label exact basis-point accuracy
+        "knn_label_match": """
+WITH q AS (
+  SELECT vec_id AS qid, label AS ql, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= 64
+),
+s AS (SELECT q.qid, q.ql, e.vec_id, e.label AS nl,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) AS sim
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+nn AS (SELECT qid, ql, nl FROM s
+       QUALIFY ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY sim DESC, vec_id ASC) = 1)
+SELECT CAST(ql AS BIGINT) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_probes,
+       CAST(SUM(CASE WHEN nl = ql THEN 1 ELSE 0 END) AS BIGINT) AS n_matches,
+       CAST(10000 * SUM(CASE WHEN nl = ql THEN 1 ELSE 0 END) // COUNT(*)
+            AS BIGINT) AS acc_bp
+FROM nn GROUP BY ql ORDER BY label
 """,
         "knn_cosine": """
 WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),

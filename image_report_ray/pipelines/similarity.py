@@ -2252,3 +2252,144 @@ def label_purity(sf_dir: str, k: int = _KM_K, iters: int = _KM_ITERS) -> pa.Tabl
         "top_label": pa.array([r[2] for r in rows], pa.int64()),
         "purity_bp": pa.array([r[3] for r in rows], pa.int64()),
     })
+
+
+_LM_PROBES = 64
+
+
+def knn_label_match(sf_dir: str, n_probes: int = _LM_PROBES) -> pa.Table:
+    """Leave-one-out 1-NN label agreement — the standard intrinsic eval
+    of embedding quality (does cosine neighborhood structure respect the
+    ``label`` column?): for each of the ``n_probes`` smallest-vec_id
+    probe vectors, find its exact nearest OTHER vector in one streamed
+    corpus pass (the knn_join shape, k=1) and score whether the
+    neighbor's label matches; report per-label probe counts, matches and
+    exact basis-point accuracy.
+
+    Scale shape: probes broadcast once (dim x Q matrix), each block does
+    one matmul and emits <= Q candidate rows; the label lookup for the
+    <= 2Q interesting ids is a broadcast-membership fold — the corpus
+    label column never gathers. Twin: QUALIFY top-1 per probe + label
+    join."""
+    import ray
+
+    rd = _rd()
+    nn = knn_join(sf_dir, n_queries=n_probes, k=1)
+    empty = pa.table({"label": pa.array([], pa.int64()),
+                      "n_probes": pa.array([], pa.int64()),
+                      "n_matches": pa.array([], pa.int64()),
+                      "acc_bp": pa.array([], pa.int64())})
+    if nn.num_rows == 0:
+        return empty
+    qids = nn.column("query_vec_id").to_numpy().astype(np.int64)
+    nids = nn.column("vec_id").to_numpy().astype(np.int64)
+    want = np.unique(np.concatenate([qids, nids]))
+    want_ref = ray.put(want)
+
+    @ray.remote
+    def pick(t: pa.Table) -> pa.Table:
+        w = ray.get(want_ref)
+        ids = t.column("vec_id").to_numpy()
+        m = np.isin(ids, w)
+        return pa.table({
+            "vec_id": pa.array(ids[m].astype(np.int64), pa.int64()),
+            "label": t.column("label").filter(pa.array(m)).cast(pa.int64()),
+        })
+
+    refs = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"]
+    ).to_arrow_refs()
+    lt = pa.concat_tables(
+        [t for t in ray.get([pick.remote(r) for r in refs]) if t.num_rows],
+        promote_options="default",
+    )
+    lab = dict(zip(lt.column("vec_id").to_numpy(),
+                   lt.column("label").to_numpy()))
+    ql = np.array([lab[q] for q in qids], np.int64)
+    match = np.array([lab[q] == lab[n] for q, n in zip(qids, nids)])
+    rows = []
+    for lv in np.unique(ql):
+        m = ql == lv
+        np_, nm = int(m.sum()), int(match[m].sum())
+        rows.append((int(lv), np_, nm, 10_000 * nm // np_))
+    return pa.table({
+        "label": pa.array([r[0] for r in rows], pa.int64()),
+        "n_probes": pa.array([r[1] for r in rows], pa.int64()),
+        "n_matches": pa.array([r[2] for r in rows], pa.int64()),
+        "acc_bp": pa.array([r[3] for r in rows], pa.int64()),
+    })
+
+
+# ---- distributed PCA (top principal component, power iteration) ----------
+
+_PCA_ITERS = 64
+_PCA_COV_ROUND = 6  # covariance entries pin here before any iteration
+_PCA_VEC_ROUND = 9  # iterate pins per round (the kmeans-style boundary)
+_PCA_OUT_ROUND = 6
+
+
+def embedding_pca(sf_dir: str, iters: int = _PCA_ITERS) -> pa.Table:
+    """Top principal component of the embedding corpus by ``iters``
+    pinned power-iteration rounds over the covariance matrix — the
+    drift/collapse monitor a training-data pipeline runs on its
+    embedding space (a dominant component explaining most variance
+    means collapsed representations).
+
+    Scale shape: ONE streamed pass folds per-block moment partials
+    (sum x, x^T x, n — each a fixed dim^2 float block, tree-reduced),
+    the dim x dim covariance closes on the driver and the iteration is
+    O(iters * dim^2) driver math. Determinism pins: covariance rounds at
+    ``_PCA_COV_ROUND`` BEFORE the first iteration, each normalized
+    iterate rounds at ``_PCA_VEC_ROUND`` (so cross-engine summation
+    drift never compounds), v0 = e1, and the sign fixes so the
+    largest-|loading| component is positive (ties -> smallest index).
+    Twin: ``__ray_entry__._pca_sql`` (unnest covariance + one CTE round
+    per iteration)."""
+    import ray
+
+    rd = _rd()
+    empty = pa.table({"i": pa.array([], pa.int64()),
+                      "loading": pa.array([], pa.float64())})
+
+    @ray.remote
+    def moments(t: pa.Table):
+        if t.num_rows == 0 or "embedding" not in t.column_names:
+            return None
+        m = _stack(t.column("embedding"))
+        return (m.sum(axis=0), m.T @ m, m.shape[0])
+
+    @ray.remote
+    def fold(*parts):
+        live = [p for p in parts if p is not None]
+        if not live:
+            return None
+        return (sum(p[0] for p in live), sum(p[1] for p in live),
+                sum(p[2] for p in live))
+
+    refs = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+    ).to_arrow_refs()
+    outs = [moments.remote(r) for r in refs]
+    while len(outs) > 1:
+        outs = [fold.remote(*outs[i : i + 8]) for i in range(0, len(outs), 8)]
+    got = ray.get(outs[0])
+    if got is None or got[2] == 0:
+        return empty
+    s1, s2, n = got
+    mean = s1 / n
+    cov = np.round(s2 / n - np.outer(mean, mean), _PCA_COV_ROUND)
+    dim = cov.shape[0]
+    v = np.zeros(dim)
+    v[0] = 1.0
+    for _ in range(iters):
+        w = cov @ v
+        nz = float(np.sqrt((w * w).sum()))
+        if nz == 0.0:
+            break
+        v = np.round(w / nz, _PCA_VEC_ROUND)
+    top = int(np.lexsort((np.arange(dim), -np.abs(v)))[0])
+    s = -1.0 if v[top] < 0 else 1.0
+    return pa.table({
+        "i": pa.array(np.arange(1, dim + 1), pa.int64()),
+        "loading": pa.array(np.round(v * s, _PCA_OUT_ROUND), pa.float64()),
+    })

@@ -2170,3 +2170,59 @@ def test_value_ewma_bruteforce(ray_session):
             for lag in range(_EWMA_LAG + 1)
         )
         assert row.cents == int(s[row.day]) and row.ewma_x == exp
+
+
+def test_knn_label_match_bruteforce(ray_session):
+    """Per-label 1-NN agreement equals a naive full-matrix recompute
+    with the same (sim desc, vec_id asc) neighbor rule."""
+    import numpy as np
+    import pandas as pd
+
+    from image_report_ray.pipelines.similarity import knn_label_match
+
+    sf = "/root/testdata/sf0.001"
+    out = {r["label"]: r for r in knn_label_match(sf).to_pylist()}
+    emb = pd.read_parquet(f"{sf}/embeddings.parquet").sort_values("vec_id")
+    ids = emb["vec_id"].to_numpy()
+    lab = emb["label"].to_numpy()
+    m = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    nm = np.linalg.norm(m, axis=1)
+    nm[nm == 0] = 1.0
+    mn = m / nm[:, None]
+    probes = np.argsort(ids, kind="stable")[:64]
+    agree = {}
+    for p in probes:
+        sims = mn @ mn[p]
+        sims[p] = -np.inf
+        best = np.lexsort((ids, -sims))[0]
+        k = int(lab[p])
+        n_ok, n_all = agree.get(k, (0, 0))
+        agree[k] = (n_ok + int(lab[best] == lab[p]), n_all + 1)
+    assert set(out) == {int(k) for k in agree}
+    for k, (ok, n) in agree.items():
+        r = out[int(k)]
+        assert (r["n_probes"], r["n_matches"], r["acc_bp"]) == (
+            n, ok, 10_000 * ok // n)
+
+
+def test_embedding_pca_matches_eigh(ray_session):
+    """The pinned power-iteration component is (a) unit-norm within the
+    output rounding and (b) aligned with numpy's exact top eigenvector
+    (|cos| > 0.999), with the majority component non-negative."""
+    import numpy as np
+    import pandas as pd
+
+    from image_report_ray.pipelines.similarity import embedding_pca
+
+    sf = "/root/testdata/sf0.001"
+    out = embedding_pca(sf).to_pandas()
+    v = out["loading"].to_numpy()
+    assert list(out["i"]) == list(range(1, len(v) + 1))
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-4
+    emb = pd.read_parquet(f"{sf}/embeddings.parquet")
+    m = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    c = np.cov(m, rowvar=False, bias=True)
+    w, vecs = np.linalg.eigh(c)
+    top = vecs[:, -1]
+    assert abs(float(v @ top)) > 0.99
+    assert v[int(np.argmax(np.abs(v)))] >= 0
