@@ -714,6 +714,70 @@ FROM ({union}) ORDER BY step
 """
 
 
+
+# Leg twins lifted to module constants so the RRF fusion twin composes
+# them verbatim (lockstep by construction, no duplicated arithmetic).
+_BM25_TWIN = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w FROM documents
+),
+dfr AS (SELECT w, CAST(COUNT(DISTINCT doc_id) AS HUGEINT) AS df
+        FROM tok GROUP BY w),
+terms AS (SELECT w, df FROM dfr ORDER BY df DESC, w ASC LIMIT 2),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS HUGEINT) AS dl FROM tok GROUP BY doc_id),
+tot AS (SELECT CAST((SELECT COUNT(*) FROM documents) AS HUGEINT) AS n,
+               CAST((SELECT SUM(dl) FROM dl) AS HUGEINT) AS l),
+tf AS (SELECT t.doc_id, t.w, CAST(COUNT(*) AS HUGEINT) AS tf
+       FROM tok t JOIN terms USING (w) GROUP BY 1, 2),
+contrib AS (
+  SELECT tf.doc_id,
+         ((2 * tot.n - 2 * terms.df + 1) * 44 * tot.l * tf.tf * 1000000)
+         // ((2 * terms.df + 1)
+             * (20 * tot.l * tf.tf + 6 * tot.l + 18 * dl.dl * tot.n)) AS c
+  FROM tf
+  JOIN terms ON tf.w = terms.w
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN tot
+)
+SELECT doc_id, CAST(SUM(c) AS BIGINT) AS score_micro
+FROM contrib GROUP BY doc_id
+ORDER BY score_micro DESC, doc_id ASC LIMIT 20
+"""
+
+_KNN_COS_TWIN = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+s AS (SELECT e.vec_id,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) AS sim
+      FROM embeddings e, q WHERE e.vec_id <> 0)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rnk,
+       vec_id
+FROM s ORDER BY rnk LIMIT 10
+"""
+
+
+def _rrf_sql() -> str:
+    """rrf_hybrid_search twin: both leg twins verbatim as subqueries,
+    fused by the kernel's exact integer weights 10^9 // (60 + rank)."""
+    return f"""
+WITH b AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS r
+  FROM ({_BM25_TWIN})
+),
+v AS (SELECT vec_id AS doc_id, rnk AS r FROM ({_KNN_COS_TWIN})),
+u AS (
+  SELECT doc_id, 1000000000 // (60 + r) AS c FROM b
+  UNION ALL
+  SELECT doc_id, 1000000000 // (60 + r) FROM v
+),
+f AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS rrf_micro FROM u GROUP BY doc_id)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf_micro DESC, doc_id) AS BIGINT)
+           AS rnk,
+       doc_id, rrf_micro
+FROM f QUALIFY rnk <= 10 ORDER BY rnk
+"""
+
+
 def _label_purity_sql() -> str:
     """label_purity twin: the kmeans assignment chain joined back to
     ``embeddings`` for ground-truth labels, per-cluster majority label
@@ -3815,32 +3879,9 @@ WHERE m = (SELECT COUNT(*) FROM terms) ORDER BY doc_id
         # BM25 (k1=6/5, b=3/4, log-free rational idf) — per-term micro
         # contributions floored in HUGEINT before the sum, the identical
         # order-independent fold the engine takes in Python ints
-        "bm25_search": r"""
-WITH tok AS (
-  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w FROM documents
-),
-dfr AS (SELECT w, CAST(COUNT(DISTINCT doc_id) AS HUGEINT) AS df
-        FROM tok GROUP BY w),
-terms AS (SELECT w, df FROM dfr ORDER BY df DESC, w ASC LIMIT 2),
-dl AS (SELECT doc_id, CAST(COUNT(*) AS HUGEINT) AS dl FROM tok GROUP BY doc_id),
-tot AS (SELECT CAST((SELECT COUNT(*) FROM documents) AS HUGEINT) AS n,
-               CAST((SELECT SUM(dl) FROM dl) AS HUGEINT) AS l),
-tf AS (SELECT t.doc_id, t.w, CAST(COUNT(*) AS HUGEINT) AS tf
-       FROM tok t JOIN terms USING (w) GROUP BY 1, 2),
-contrib AS (
-  SELECT tf.doc_id,
-         ((2 * tot.n - 2 * terms.df + 1) * 44 * tot.l * tf.tf * 1000000)
-         // ((2 * terms.df + 1)
-             * (20 * tot.l * tf.tf + 6 * tot.l + 18 * dl.dl * tot.n)) AS c
-  FROM tf
-  JOIN terms ON tf.w = terms.w
-  JOIN dl ON tf.doc_id = dl.doc_id
-  CROSS JOIN tot
-)
-SELECT doc_id, CAST(SUM(c) AS BIGINT) AS score_micro
-FROM contrib GROUP BY doc_id
-ORDER BY score_micro DESC, doc_id ASC LIMIT 20
-""",
+        "bm25_search": _BM25_TWIN,
+        # reciprocal-rank fusion of the two leg twins
+        "rrf_hybrid_search": _rrf_sql(),
         # Pareto frontier / skyline (text.pareto_docs): docs no other
         # doc beats on BOTH (n_tokens max, simpson_micro min); equal
         # pairs never dominate each other — the O(n²) NOT EXISTS is the
@@ -4074,15 +4115,7 @@ SELECT CAST(ql AS BIGINT) AS label,
             AS BIGINT) AS acc_bp
 FROM nn GROUP BY ql ORDER BY label
 """,
-        "knn_cosine": """
-WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
-s AS (SELECT e.vec_id,
-             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) AS sim
-      FROM embeddings e, q WHERE e.vec_id <> 0)
-SELECT CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rnk,
-       vec_id
-FROM s ORDER BY rnk LIMIT 10
-""",
+        "knn_cosine": _KNN_COS_TWIN,
         # hybrid search (similarity.filtered_knn): knn_cosine restricted
         # to the query's own label class
         "filtered_knn": """

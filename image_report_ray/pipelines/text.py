@@ -3970,3 +3970,42 @@ def cross_lang_dup_rate(sf_dir: str) -> pa.Table:
                     "n_dups": g.column("n_dups_sum").cast(pa.int64())})
     return finalize(out, [("winner_lang", "ascending"),
                           ("dup_lang", "ascending")])
+
+
+_RRF_K0 = 60  # the standard RRF damping constant
+_RRF_TOPK = 10
+
+
+def rrf_hybrid_search(sf_dir: str, k: int = _RRF_TOPK) -> pa.Table:
+    """Reciprocal-rank-fusion hybrid retrieval — the standard way a
+    RAG / search pipeline combines a lexical and a semantic ranker
+    without score calibration: fuse :func:`bm25_search`'s top-20 (the
+    corpus-derived hot-term query) with ``knn_cosine``'s top-20 (probe
+    vec_id=0; doc_id == vec_id in this corpus) by EXACT integer
+    reciprocal-rank weights ``10^9 // (RRF_K0 + rank)`` summed per doc,
+    final order (rrf_micro desc, doc_id asc), top-``k``.
+
+    Scale shape: both legs are already distributed top-k streams
+    (bm25's two task waves, knn's broadcast matmul); the fusion is
+    O(leg sizes) driver math over <= 40 rows. Twin: both leg twins
+    compose as subqueries + the same integer weights."""
+    from ..pipelines.similarity import knn_cosine
+
+    b = bm25_search(sf_dir)  # already (score desc, doc_id asc) ordered
+    v = knn_cosine(sf_dir, query_vec_id=0, k=20)
+    scores: dict[int, int] = {}
+    for r, d in enumerate(b.column("doc_id").to_pylist(), start=1):
+        scores[d] = scores.get(d, 0) + 1_000_000_000 // (_RRF_K0 + r)
+    for r, d in zip(v.column("rnk").to_pylist(),
+                    v.column("vec_id").to_pylist()):
+        scores[d] = scores.get(d, 0) + 1_000_000_000 // (_RRF_K0 + r)
+    if not scores:
+        return pa.table({"rnk": pa.array([], pa.int64()),
+                         "doc_id": pa.array([], pa.int64()),
+                         "rrf_micro": pa.array([], pa.int64())})
+    order = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return pa.table({
+        "rnk": pa.array(range(1, len(order) + 1), pa.int64()),
+        "doc_id": pa.array([d for d, _ in order], pa.int64()),
+        "rrf_micro": pa.array([s for _, s in order], pa.int64()),
+    })

@@ -2226,3 +2226,27 @@ def test_embedding_pca_matches_eigh(ray_session):
     top = vecs[:, -1]
     assert abs(float(v @ top)) > 0.99
     assert v[int(np.argmax(np.abs(v)))] >= 0
+
+
+def test_rrf_hybrid_search_fusion(ray_session):
+    """Fusion equals a naive recombination of the two leg queries with
+    the exact integer reciprocal-rank weights."""
+    from image_report_ray.pipelines.similarity import knn_cosine
+    from image_report_ray.pipelines.text import bm25_search, rrf_hybrid_search
+
+    sf = "/root/testdata/sf0.001"
+    out = rrf_hybrid_search(sf).to_pylist()
+    scores = {}
+    for r, d in enumerate(bm25_search(sf).column("doc_id").to_pylist(), 1):
+        scores[d] = scores.get(d, 0) + 1_000_000_000 // (60 + r)
+    v = knn_cosine(sf, query_vec_id=0, k=20)
+    for r, d in zip(v.column("rnk").to_pylist(), v.column("vec_id").to_pylist()):
+        scores[d] = scores.get(d, 0) + 1_000_000_000 // (60 + r)
+    exp = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [(r["rnk"], r["doc_id"], r["rrf_micro"]) for r in out] == [
+        (i + 1, d, s) for i, (d, s) in enumerate(exp)
+    ]
+    # a doc present in both legs must outrank its single-leg twin at
+    # equal single-leg rank — sanity that fusion actually fuses
+    assert all(out[i]["rrf_micro"] >= out[i + 1]["rrf_micro"]
+               for i in range(len(out) - 1))
