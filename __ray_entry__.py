@@ -778,6 +778,51 @@ FROM f QUALIFY rnk <= 10 ORDER BY rnk
 """
 
 
+def _stationary_sql() -> str:
+    """event_stationary twin: the event_transitions LEAD census as the
+    chain, row-stochastic probabilities as the same exact int divisions,
+    dangling rows become self-loops, then one MATERIALIZED CTE round per
+    power iteration with the kernel's per-round ROUND pin."""
+    from image_report_ray.pipelines.relational import (
+        _ST_ITERS,
+        _ST_OUT_ROUND,
+        _ST_VEC_ROUND,
+    )
+
+    parts = ["""tr AS (
+  SELECT event_type AS f, nxt AS t, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (
+    SELECT event_type,
+           LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+    FROM events
+  ) WHERE nxt IS NOT NULL GROUP BY 1, 2
+),
+ty AS (SELECT DISTINCT x AS t FROM (
+  SELECT f AS x FROM tr UNION SELECT t FROM tr)),
+tot AS (SELECT f, CAST(SUM(n) AS BIGINT) AS tn FROM tr GROUP BY f),
+pm AS MATERIALIZED (
+  SELECT a.t AS i, b.t AS j,
+         CASE WHEN tot.tn IS NULL
+              THEN CASE WHEN a.t = b.t THEN 1.0 ELSE 0.0 END
+              ELSE COALESCE(e.n, 0) * 1.0 / tot.tn END AS p
+  FROM ty a CROSS JOIN ty b
+  LEFT JOIN tot ON tot.f = a.t
+  LEFT JOIN tr e ON e.f = a.t AND e.t = b.t
+),
+v0 AS (SELECT t AS j, 1.0 / (SELECT COUNT(*) FROM ty) AS val FROM ty)"""]
+    for t in range(1, _ST_ITERS + 1):
+        parts.append(f"""v{t} AS MATERIALIZED (
+  SELECT pm.j, ROUND(SUM(pm.p * p.val), {_ST_VEC_ROUND}) AS val
+  FROM pm JOIN v{t - 1} p ON p.j = pm.i GROUP BY pm.j
+)""")
+    return f"""
+WITH {','.join(parts)}
+SELECT j AS event_type, ROUND(val, {_ST_OUT_ROUND}) AS pi
+FROM v{_ST_ITERS} ORDER BY event_type
+"""
+
+
 def _label_purity_sql() -> str:
     """label_purity twin: the kmeans assignment chain joined back to
     ``embeddings`` for ground-truth labels, per-cluster majority label
@@ -1650,6 +1695,29 @@ FROM documents ORDER BY doc_id
         # previous stage, exactly like the kernel's fold over
         # _CONTENT_RULES); both engines run RE2, so the rewrites agree
         # byte-for-byte
+        # per-(source, rule) PII exposure census (text.pii_census):
+        # the redact rule pack's counts folded per feed
+        # Markov steady state (relational.event_stationary)
+        "event_stationary": _stationary_sql(),
+        "pii_census": r"""
+WITH c AS (
+  SELECT source,
+         length(regexp_extract_all(text, 'https?://[^\s]+')) AS n_urls,
+         length(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+         length(regexp_extract_all(text, '[0-9]{7,}')) AS n_long_numbers
+  FROM documents
+),
+u AS (
+  SELECT source, 'n_urls' AS rule, n_urls AS n FROM c
+  UNION ALL SELECT source, 'n_emails', n_emails FROM c
+  UNION ALL SELECT source, 'n_long_numbers', n_long_numbers FROM c
+)
+SELECT source, rule,
+       CAST(SUM(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS n_matches
+FROM u GROUP BY source, rule ORDER BY source, rule
+""",
         "redact_text": r"""
 WITH s1 AS (
   SELECT doc_id,

@@ -5789,3 +5789,52 @@ def value_ewma(sf_dir: str) -> pa.Table:
         "cents": pa.array(df["cents"].to_numpy(), pa.int64()),
         "ewma_x": pa.array(out_ew, pa.int64()),
     })
+
+
+_ST_ITERS = 32
+_ST_VEC_ROUND = 9
+_ST_OUT_ROUND = 6
+
+
+def event_stationary(sf_dir: str, iters: int = _ST_ITERS) -> pa.Table:
+    """Stationary distribution of the first-order event-type Markov
+    chain — where user behavior settles in the long run (the
+    steady-state mix a capacity planner or recommender prior uses).
+    Composition: :func:`event_transitions`' distributed count fold
+    (user-co-located adjacency, O(types²) partials) closes the chain;
+    the row-stochastic matrix, dangling-row self-loops and ``iters``
+    pinned power-iteration rounds are O(types²) driver math.
+
+    Pins (the embedding_pca discipline): transition probabilities are
+    exact double divisions of identical ints on both sides, each
+    iterate ROUNDs at ``_ST_VEC_ROUND`` so cross-engine summation drift
+    never compounds, start = uniform 1/|types|. Twin:
+    ``__ray_entry__._stationary_sql``."""
+    tr = event_transitions(sf_dir)
+    empty = pa.table({"event_type": pa.array([], pa.string()),
+                      "pi": pa.array([], pa.float64())})
+    if tr.num_rows == 0:
+        return empty
+    ft = tr.column("from_type").to_pylist()
+    tt = tr.column("to_type").to_pylist()
+    nn = tr.column("n").to_pylist()
+    types = sorted(set(ft) | set(tt))
+    k = len(types)
+    idx = {t: i for i, t in enumerate(types)}
+    cnt = np.zeros((k, k), np.int64)
+    for f, t, c in zip(ft, tt, nn):
+        cnt[idx[f], idx[t]] += c
+    rs = cnt.sum(axis=1)
+    P = np.zeros((k, k), np.float64)
+    for i in range(k):
+        if rs[i] == 0:
+            P[i, i] = 1.0  # dangling type: absorbing self-loop
+        else:
+            P[i] = cnt[i] / rs[i]
+    v = np.full(k, 1.0 / k)
+    for _ in range(iters):
+        v = np.round(P.T @ v, _ST_VEC_ROUND)
+    return pa.table({
+        "event_type": pa.array(types, pa.string()),
+        "pi": pa.array(np.round(v, _ST_OUT_ROUND), pa.float64()),
+    })

@@ -4009,3 +4009,51 @@ def rrf_hybrid_search(sf_dir: str, k: int = _RRF_TOPK) -> pa.Table:
         "doc_id": pa.array([d for d, _ in order], pa.int64()),
         "rrf_micro": pa.array([s for _, s in order], pa.int64()),
     })
+
+
+def pii_census(sf_dir: str) -> pa.Table:
+    """Per-(source, rule) PII exposure census — the compliance dashboard
+    behind :func:`redact_text`: for each feed and each rule in the fixed
+    pack (URLs, emails, long digit runs), how many documents hit and how
+    many total matches a redaction pass would rewrite. One vectorized
+    RE2 count pass per rule per batch folding a fixed-cardinality
+    (source x rule) partial — zero shuffle, bodies never leave the
+    block."""
+    from ._util import fold_partials
+
+    rd = _rd()
+    empty = pa.table({"source": pa.array([], pa.string()),
+                      "rule": pa.array([], pa.string()),
+                      "n_docs": pa.array([], pa.int64()),
+                      "n_matches": pa.array([], pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "text" not in t.column_names:
+            return empty
+        txt = t.column("text")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        outs = []
+        for rule, pat in _CONTENT_RULES:
+            c = pc.count_substring_regex(txt, pat).cast(pa.int64())
+            g = pa.table({
+                "source": t.column("source"),
+                "rule": pa.array([rule] * t.num_rows, pa.string()),
+                "n_docs": pc.greater(c, 0).cast(pa.int64()),
+                "n_matches": c,
+            }).group_by(["source", "rule"]).aggregate(
+                [("n_docs", "sum"), ("n_matches", "sum")]
+            )
+            outs.append(g.rename_columns(
+                ["source", "rule", "n_docs", "n_matches"]))
+        return pa.concat_tables(outs)
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "text"])
+    t = fold_partials(ds.map_batches(partial, batch_format="pyarrow"),
+                      ["source", "rule"],
+                      [("n_docs", "sum"), ("n_matches", "sum")],
+                      ["source", "rule", "n_docs", "n_matches"])
+    if t.num_columns == 0 or t.num_rows == 0:
+        return empty
+    return finalize(t, [("source", "ascending"), ("rule", "ascending")])

@@ -2250,3 +2250,54 @@ def test_rrf_hybrid_search_fusion(ray_session):
     # equal single-leg rank — sanity that fusion actually fuses
     assert all(out[i]["rrf_micro"] >= out[i + 1]["rrf_micro"]
                for i in range(len(out) - 1))
+
+
+def test_pii_census_bruteforce(ray_session):
+    """Census equals a per-doc regex recount (re2-compatible patterns
+    behave identically under Python re for these rules)."""
+    import re
+
+    import pandas as pd
+
+    from image_report_ray.pipelines.text import _CONTENT_RULES, pii_census
+
+    sf = "/root/testdata/sf0.001"
+    out = {(r["source"], r["rule"]): r for r in pii_census(sf).to_pylist()}
+    docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["source", "text"])
+    for rule, pat in _CONTENT_RULES:
+        rx = re.compile(pat)
+        for src, g in docs.groupby("source"):
+            hits = g["text"].map(lambda s: len(rx.findall(s)))
+            key = (src, rule)
+            if key not in out:
+                assert int(hits.sum()) == 0
+                continue
+            assert out[key]["n_docs"] == int((hits > 0).sum())
+            assert out[key]["n_matches"] == int(hits.sum())
+
+
+def test_event_stationary_properties(ray_session):
+    """The stationary vector sums to ~1, is non-negative, and is a
+    fixed point of the chain built naively from event_transitions."""
+    import numpy as np
+
+    from image_report_ray.pipelines.relational import (
+        event_stationary,
+        event_transitions,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = event_stationary(sf).to_pandas()
+    pi = out["pi"].to_numpy()
+    assert (pi >= 0).all() and abs(pi.sum() - 1.0) < 1e-3
+    tr = event_transitions(sf).to_pandas()
+    types = list(out["event_type"])
+    k = len(types)
+    idx = {t: i for i, t in enumerate(types)}
+    P = np.zeros((k, k))
+    for row in tr.itertuples():
+        P[idx[row.from_type], idx[row.to_type]] += row.n
+    rs = P.sum(axis=1)
+    for i in range(k):
+        P[i] = P[i] / rs[i] if rs[i] else np.eye(k)[i]
+    assert np.abs(P.T @ pi - pi).max() < 1e-4
