@@ -2912,6 +2912,20 @@ SELECT ne AS n_edges,
                  ELSE 0 END AS BIGINT) AS r2_micro
 FROM m
 """,
+        # near-dup severity bands (dedup.dup_pair_sim_hist): the shared
+        # shingle CTE's verified pairs bucketed at 500bp off the SAME
+        # rounded jaccard double (LEAST caps the j=1.0 band at 19)
+        "dup_pair_sim_hist": "WITH " + _NGRAM_CTE + r"""
+, pairs AS (
+  SELECT ROUND(i * 1.0 / (ca.n + cb.n - i), 6) AS j
+  FROM inter JOIN cnt ca ON inter.da = ca.doc_id
+             JOIN cnt cb ON inter.db = cb.doc_id
+  WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.2
+)
+SELECT CAST(LEAST(FLOOR(j * 20), 19) * 500 AS BIGINT) AS band_bp,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM pairs GROUP BY 1 ORDER BY band_bp
+""",
         "pair_degree_hist": "WITH " + _NGRAM_CTE + r""",
 pairs AS (
   SELECT da, db
@@ -3374,6 +3388,18 @@ FROM a ORDER BY event_type
 """,
         # per-user event-type Markov transitions (relational.
         # event_transitions): LEAD over (ts, event_id) order
+        # second-order behavior sequences (relational.event_trigrams)
+        "event_trigrams": """
+WITH s AS (
+  SELECT event_type AS a,
+         LEAD(event_type, 1) OVER w AS b,
+         LEAD(event_type, 2) OVER w AS c
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT a, b, c, CAST(COUNT(*) AS BIGINT) AS n
+FROM s WHERE b IS NOT NULL AND c IS NOT NULL
+GROUP BY 1, 2, 3 ORDER BY n DESC, a, b, c LIMIT 20
+""",
         "event_transitions": """
 WITH s AS (
   SELECT user_id, event_type,

@@ -2932,3 +2932,44 @@ def shingle_df_hist(sf_dir: str) -> pa.Table:
     g = pa.table({"df": g.column("df").cast(pa.int64()),
                   "n_shingles": g.column("n_shingles").cast(pa.int64())})
     return finalize(g, [("df", "ascending")])
+
+
+def dup_pair_sim_hist(sf_dir: str, tau: float = 0.2) -> pa.Table:
+    """Severity histogram of the verified near-dup pair graph: pairs per
+    500-basis-point Jaccard band — the dial that tells a dedup operator
+    whether the corpus's duplication is borderline (mass near tau) or
+    hard template cloning (mass near 1.0) before choosing a collapse
+    threshold.
+
+    Refs-native like :func:`pair_degree_hist`: each verified-pair
+    partition folds its own (band, count) histogram from the already-
+    rounded jaccard column (floor(j*20), identical double arithmetic in
+    the twin), driver sums P x <=20 rows — the edge list never
+    gathers."""
+    import ray
+
+    refs, _ = ngram_jaccard_pair_refs(sf_dir, tau)
+
+    @ray.remote
+    def band_hist(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "jaccard" not in t.column_names:
+            return pa.table({"band_bp": pa.array([], pa.int64()),
+                             "n_pairs": pa.array([], pa.int64())})
+        band = np.minimum(
+            np.floor(t.column("jaccard").to_numpy() * 20.0), 19
+        ).astype(np.int64)
+        b, c = np.unique(band, return_counts=True)
+        return pa.table({"band_bp": pa.array(b * 500, pa.int64()),
+                         "n_pairs": pa.array(c.astype(np.int64))})
+
+    tabs = [t for t in ray.get([band_hist.remote(r) for r in refs])
+            if t.num_rows]
+    if not tabs:
+        return pa.table({"band_bp": pa.array([], pa.int64()),
+                         "n_pairs": pa.array([], pa.int64())})
+    g = pa.concat_tables(tabs).group_by(["band_bp"]).aggregate(
+        [("n_pairs", "sum")]
+    )
+    out = pa.table({"band_bp": g.column("band_bp"),
+                    "n_pairs": g.column("n_pairs_sum").cast(pa.int64())})
+    return finalize(out, [("band_bp", "ascending")])

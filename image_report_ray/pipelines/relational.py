@@ -1487,6 +1487,51 @@ def user_burst_anomaly(sf_dir: str, k: int = 2) -> pa.Table:
     return finalize(gather_concat(refs), [("user_id", "ascending")])
 
 
+def _encoded_event_refs(sf_dir: str):
+    """Shared sequence-mining front end: ONE events read, a tiny
+    distinct-type fold, then per-block dictionary-encoding of
+    ``event_type`` to int16 so the user-keyed exchange ships only
+    fixed-width columns. Returns (encoded block refs, sorted type
+    list) — consumed by :func:`event_transitions` (pairs) and
+    :func:`event_trigrams` (triples)."""
+    import ray
+
+    rd = _rd()
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    base_refs = ds.to_arrow_refs()
+
+    @ray.remote
+    def types_of(t: pa.Table) -> pa.Table:
+        et = t.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        return pa.table({"t": pc.unique(et)})
+
+    types = pa.concat_tables(ray.get([types_of.remote(r) for r in base_refs]))
+    tlist = np.sort(
+        np.unique(types.column("t").to_numpy(zero_copy_only=False))
+    )
+
+    @ray.remote
+    def encode(t: pa.Table, tl: np.ndarray) -> pa.Table:
+        et = t.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        code = np.searchsorted(tl, et.to_numpy(zero_copy_only=False))
+        return pa.table(
+            {"user_id": t.column("user_id"),
+             "ts": t.column("ts").cast(pa.int64()),
+             "event_id": t.column("event_id"),
+             "code": pa.array(code.astype(np.int16), pa.int16())}
+        )
+
+    tl_ref = ray.put(tlist)
+    return [encode.remote(r, tl_ref) for r in base_refs], tlist
+
+
 def _transition_partition(n_types: int, pid: int, t: pa.Table) -> pa.Table:
     """Per-partition transition fold: a user's events are
     partition-complete, so one lexsort by (user, ts, event_id) makes
@@ -1537,40 +1582,7 @@ def event_transitions(sf_dir: str) -> pa.Table:
 
     from .exchange import exchange_reduce, gather_concat
 
-    rd = _rd()
-    ds = rd.read_parquet(
-        f"{sf_dir}/events.parquet",
-        columns=["user_id", "ts", "event_id", "event_type"],
-    )
-    base_refs = ds.to_arrow_refs()
-
-    @ray.remote
-    def types_of(t: pa.Table) -> pa.Table:
-        et = t.column("event_type")
-        if isinstance(et, pa.ChunkedArray):
-            et = et.combine_chunks()
-        return pa.table({"t": pc.unique(et)})
-
-    types = pa.concat_tables(ray.get([types_of.remote(r) for r in base_refs]))
-    tlist = np.sort(
-        np.unique(types.column("t").to_numpy(zero_copy_only=False))
-    )
-
-    @ray.remote
-    def encode(t: pa.Table, tl: np.ndarray) -> pa.Table:
-        et = t.column("event_type")
-        if isinstance(et, pa.ChunkedArray):
-            et = et.combine_chunks()
-        code = np.searchsorted(tl, et.to_numpy(zero_copy_only=False))
-        return pa.table(
-            {"user_id": t.column("user_id"),
-             "ts": t.column("ts").cast(pa.int64()),
-             "event_id": t.column("event_id"),
-             "code": pa.array(code.astype(np.int16), pa.int16())}
-        )
-
-    tl_ref = ray.put(tlist)
-    enc_refs = [encode.remote(r, tl_ref) for r in base_refs]
+    enc_refs, tlist = _encoded_event_refs(sf_dir)
     refs = exchange_reduce(
         [enc_refs], ["user_id"],
         fpartial(_transition_partition, len(tlist)),
@@ -5838,3 +5850,71 @@ def event_stationary(sf_dir: str, iters: int = _ST_ITERS) -> pa.Table:
         "event_type": pa.array(types, pa.string()),
         "pi": pa.array(np.round(v, _ST_OUT_ROUND), pa.float64()),
     })
+
+
+def _trigram_partition(n_types: int, pid: int, t: pa.Table) -> pa.Table:
+    """Per-partition triple fold: same lexsort as
+    :func:`_transition_partition`, adjacency extended one more step —
+    only O(types³) partial rows leave (types is tiny and fixed)."""
+    empty = pa.table({"abc": pa.array([], pa.int64()),
+                      "n_part": pa.array([], pa.int64())})
+    if t.num_rows == 0:
+        return empty
+    u = t.column("user_id").to_numpy()
+    ts = t.column("ts").to_numpy()
+    eid = t.column("event_id").to_numpy()
+    code = t.column("code").to_numpy()
+    order = np.lexsort((eid, ts, u))
+    u, code = u[order], code[order].astype(np.int64)
+    if len(u) < 3:
+        return empty
+    same = (u[2:] == u[:-2]) & (u[1:-1] == u[:-2])
+    if not same.any():
+        return empty
+    flat = (code[:-2][same] * n_types + code[1:-1][same]) * n_types \
+        + code[2:][same]
+    cnt = np.bincount(flat, minlength=n_types ** 3)
+    nz = np.flatnonzero(cnt)
+    return pa.table({"abc": pa.array(nz, pa.int64()),
+                     "n_part": pa.array(cnt[nz], pa.int64())})
+
+
+_TRI_TOPK = 20
+
+
+def event_trigrams(sf_dir: str, k: int = _TRI_TOPK) -> pa.Table:
+    """Top-``k`` second-order behavior sequences — the (a → b → c)
+    triple census that surfaces multi-step funnels and degenerate loops
+    plain first-order transitions blur. Same shape as
+    :func:`event_transitions` off the shared encoded front end: the
+    user-keyed exchange co-locates each stream, partitions fold
+    O(types³) packed-code partials, the driver unpacks and cuts the
+    global top-``k`` under (n desc, a, b, c)."""
+    from functools import partial as fpartial
+
+    from .exchange import exchange_reduce, gather_concat
+
+    enc_refs, tlist = _encoded_event_refs(sf_dir)
+    empty = pa.table({"a": pa.array([], pa.string()),
+                      "b": pa.array([], pa.string()),
+                      "c": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64())})
+    refs = exchange_reduce(
+        [enc_refs], ["user_id"],
+        fpartial(_trigram_partition, len(tlist)),
+    )
+    coded = gather_concat(refs)
+    if coded.num_rows == 0 or "abc" not in coded.column_names:
+        return empty
+    g = coded.group_by(["abc"]).aggregate([("n_part", "sum")])
+    abc = g.column("abc").to_numpy()
+    nt = len(tlist)
+    out = pa.table({
+        "a": pa.array(tlist[abc // (nt * nt)], pa.string()),
+        "b": pa.array(tlist[(abc // nt) % nt], pa.string()),
+        "c": pa.array(tlist[abc % nt], pa.string()),
+        "n": g.column("n_part_sum").cast(pa.int64()),
+    })
+    out = finalize(out, [("n", "descending"), ("a", "ascending"),
+                         ("b", "ascending"), ("c", "ascending")])
+    return out.slice(0, k)

@@ -2301,3 +2301,48 @@ def test_event_stationary_properties(ray_session):
     for i in range(k):
         P[i] = P[i] / rs[i] if rs[i] else np.eye(k)[i]
     assert np.abs(P.T @ pi - pi).max() < 1e-4
+
+
+def test_dup_pair_sim_hist_consistency(ray_session):
+    """Band histogram totals equal the gathered verified-pair count and
+    match a naive banding of dedup_ngram_jaccard's jaccard column."""
+    import numpy as np
+
+    from image_report_ray.pipelines.dedup import (
+        dedup_ngram_jaccard,
+        dup_pair_sim_hist,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    hist = dup_pair_sim_hist(sf).to_pylist()
+    pairs = dedup_ngram_jaccard(sf)
+    assert sum(r["n_pairs"] for r in hist) == pairs.num_rows
+    j = pairs.column("jaccard").to_numpy()
+    band = (np.minimum(np.floor(j * 20.0), 19) * 500).astype(np.int64)
+    b, c = np.unique(band, return_counts=True)
+    assert [(r["band_bp"], r["n_pairs"]) for r in hist] == list(
+        zip(b.tolist(), c.tolist()))
+
+
+def test_event_trigrams_bruteforce(ray_session):
+    """Top-20 triples equal a pandas shift-based recount under the
+    same (n desc, a, b, c) order."""
+    import pandas as pd
+
+    from image_report_ray.pipelines.relational import event_trigrams
+
+    sf = "/root/testdata/sf0.001"
+    out = event_trigrams(sf).to_pylist()
+    ev = pd.read_parquet(
+        f"{sf}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    ).sort_values(["user_id", "ts", "event_id"])
+    ev["b"] = ev.groupby("user_id")["event_type"].shift(-1)
+    ev["c"] = ev.groupby("user_id")["event_type"].shift(-2)
+    tri = ev.dropna(subset=["b", "c"])
+    g = (tri.groupby(["event_type", "b", "c"]).size().reset_index(name="n")
+         .sort_values(["n", "event_type", "b", "c"],
+                      ascending=[False, True, True, True]).head(20))
+    assert [(r["a"], r["b"], r["c"], r["n"]) for r in out] == [
+        (t.event_type, t.b, t.c, t.n) for t in g.itertuples()
+    ]
