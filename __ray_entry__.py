@@ -1699,6 +1699,29 @@ FROM documents ORDER BY doc_id
         # the redact rule pack's counts folded per feed
         # Markov steady state (relational.event_stationary)
         "event_stationary": _stationary_sql(),
+        # pairwise feed divergence (text.source_tv_distance): exact
+        # cross-multiplied total variation over the shared vocabulary
+        "source_tv_distance": r"""
+WITH tok AS (
+  SELECT source, unnest(regexp_extract_all(text, '\S+')) AS w FROM documents
+),
+c AS (SELECT source, w, CAST(COUNT(*) AS HUGEINT) AS n FROM tok GROUP BY 1, 2),
+tot AS (SELECT source, CAST(SUM(n) AS HUGEINT) AS nt FROM c GROUP BY source),
+x AS (SELECT a.source AS sa, b.source AS sb, a.nt AS na, b.nt AS nb
+      FROM tot a JOIN tot b ON a.source < b.source),
+v AS (SELECT DISTINCT w FROM c),
+d AS (
+  SELECT x.sa, x.sb, ANY_VALUE(x.na) AS na, ANY_VALUE(x.nb) AS nb,
+         SUM(ABS(COALESCE(ca.n, 0) * x.nb - COALESCE(cb.n, 0) * x.na)) AS s
+  FROM x CROSS JOIN v
+  LEFT JOIN c ca ON ca.source = x.sa AND ca.w = v.w
+  LEFT JOIN c cb ON cb.source = x.sb AND cb.w = v.w
+  GROUP BY x.sa, x.sb
+)
+SELECT sa AS source_a, sb AS source_b,
+       CAST((1000000 * s) // (2 * na * nb) AS BIGINT) AS tv_micro
+FROM d ORDER BY source_a, source_b
+""",
         "pii_census": r"""
 WITH c AS (
   SELECT source,
@@ -3399,6 +3422,36 @@ WITH s AS (
 SELECT a, b, c, CAST(COUNT(*) AS BIGINT) AS n
 FROM s WHERE b IS NOT NULL AND c IS NOT NULL
 GROUP BY 1, 2, 3 ORDER BY n DESC, a, b, c LIMIT 20
+""",
+        # pricing-policy census (relational.discount_bands)
+        "discount_bands": """
+WITH c AS (
+  SELECT CAST(round(l_discount * 100) AS BIGINT) AS disc_pct,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+         CAST(round(l_quantity) AS BIGINT) AS qty
+  FROM lineitem
+)
+SELECT disc_pct, CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(price_c) AS BIGINT) AS gross_cents,
+       CAST(SUM(price_c * (100 - disc_pct)) // 100 AS BIGINT) AS net_cents,
+       CAST(1000000 * SUM(qty) // COUNT(*) AS BIGINT) AS avg_qty_micro
+FROM c GROUP BY disc_pct ORDER BY disc_pct
+""",
+        # ingest-health referential audit (relational.ref_integrity_audit)
+        "ref_integrity_audit": """
+SELECT * FROM (
+  SELECT 'empty_orders' AS "check", CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders o WHERE NOT EXISTS (
+    SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+  UNION ALL
+  SELECT 'orphan_lineitems', CAST(COUNT(*) AS BIGINT)
+  FROM lineitem l WHERE NOT EXISTS (
+    SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+  UNION ALL
+  SELECT 'orphan_orders', CAST(COUNT(*) AS BIGINT)
+  FROM orders o WHERE NOT EXISTS (
+    SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+) ORDER BY "check"
 """,
         "event_transitions": """
 WITH s AS (

@@ -5918,3 +5918,121 @@ def event_trigrams(sf_dir: str, k: int = _TRI_TOPK) -> pa.Table:
     out = finalize(out, [("n", "descending"), ("a", "ascending"),
                          ("b", "ascending"), ("c", "ascending")])
     return out.slice(0, k)
+
+
+def discount_bands(sf_dir: str) -> pa.Table:
+    """Discount-effectiveness census: per integer discount band (cents
+    of discount percent, the q6 convention), line count, gross and
+    discounted revenue in exact cents and mean quantity in exact
+    micro-units — the pricing-policy dashboard. Fixed-cardinality fold
+    (bands ≤ ~11), zero shuffle, all money math int64."""
+    from ._util import fold_partials
+
+    rd = _rd()
+    empty = pa.table({"disc_pct": pa.array([], pa.int64()),
+                      "n_lines": pa.array([], pa.int64()),
+                      "gross_cents": pa.array([], pa.int64()),
+                      "net_cents": pa.array([], pa.int64()),
+                      "avg_qty_micro": pa.array([], pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"disc_pct": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "g": pa.array([], pa.int64()),
+                             "w": pa.array([], pa.int64()),
+                             "q": pa.array([], pa.int64())})
+        price = _cents(t.column("l_extendedprice"))
+        disc = _cents(t.column("l_discount"))  # integer percent points
+        qty = np.round(
+            t.column("l_quantity").to_numpy()).astype(np.int64)
+        g = pa.table({
+            "disc_pct": pa.array(disc, pa.int64()),
+            "n": pa.array(np.ones(len(disc), np.int64)),
+            "g": pa.array(price, pa.int64()),
+            "w": pa.array(price * (100 - disc), pa.int64()),
+            "q": pa.array(qty, pa.int64()),
+        }).group_by(["disc_pct"]).aggregate(
+            [("n", "sum"), ("g", "sum"), ("w", "sum"), ("q", "sum")]
+        )
+        return g.rename_columns(["disc_pct", "n", "g", "w", "q"])
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice", "l_discount", "l_quantity"],
+    )
+    t = fold_partials(ds.map_batches(partial, batch_format="pyarrow"),
+                      ["disc_pct"],
+                      [("n", "sum"), ("g", "sum"), ("w", "sum"), ("q", "sum")],
+                      ["disc_pct", "n", "g", "w", "q"])
+    if t.num_columns == 0 or t.num_rows == 0:
+        return empty
+    n = t.column("n").to_numpy()
+    w = t.column("w").to_numpy()
+    q = t.column("q").to_numpy()
+    out = pa.table({
+        "disc_pct": t.column("disc_pct"),
+        "n_lines": pa.array(n.astype(np.int64)),
+        "gross_cents": t.column("g"),
+        "net_cents": pa.array(w // 100, pa.int64()),
+        "avg_qty_micro": pa.array(1_000_000 * q // n, pa.int64()),
+    })
+    return finalize(out, [("disc_pct", "ascending")])
+
+
+def ref_integrity_audit(sf_dir: str) -> pa.Table:
+    """Referential-integrity monitor — the ingest-health check a lake
+    operator schedules: orphan lineitems (orderkey missing from
+    orders), empty orders (no lineitems), and orphan orders (custkey
+    missing from customer), each an exact count. Two keyed exchanges
+    (orderkey, custkey) co-locate both sides; every partition closes
+    its own anti-join counts vectorized and the driver folds 3 fixed
+    rows."""
+    import ray
+
+    from .exchange import exchange_reduce
+
+    rd = _rd()
+    lo = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey"]).to_arrow_refs()
+    oo = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderkey", "o_custkey"]).to_arrow_refs()
+    cc = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey"]).to_arrow_refs()
+
+    def order_kernel(pid: int, li: pa.Table, od: pa.Table) -> pa.Table:
+        lk = (li.column("l_orderkey").to_numpy()
+              if li.num_rows and "l_orderkey" in li.column_names
+              else np.array([], np.int64))
+        ok = (od.column("o_orderkey").to_numpy()
+              if od.num_rows and "o_orderkey" in od.column_names
+              else np.array([], np.int64))
+        oset = np.unique(ok)
+        orphan = int((~np.isin(lk, oset)).sum())
+        empty_orders = int((~np.isin(oset, np.unique(lk))).sum())
+        return pa.table({"check": pa.array(
+            ["orphan_lineitems", "empty_orders"], pa.string()),
+            "n": pa.array([orphan, empty_orders], pa.int64())})
+
+    def cust_kernel(pid: int, od: pa.Table, cu: pa.Table) -> pa.Table:
+        ok = (od.column("o_custkey").to_numpy()
+              if od.num_rows and "o_custkey" in od.column_names
+              else np.array([], np.int64))
+        ck = (cu.column("c_custkey").to_numpy()
+              if cu.num_rows and "c_custkey" in cu.column_names
+              else np.array([], np.int64))
+        orphan = int((~np.isin(ok, np.unique(ck))).sum())
+        return pa.table({"check": pa.array(["orphan_orders"], pa.string()),
+                         "n": pa.array([orphan], pa.int64())})
+
+    import ray
+
+    p1 = ray.get(exchange_reduce([lo, oo], ["l_orderkey", "o_orderkey"],
+                                 order_kernel))
+    p2 = ray.get(exchange_reduce([oo, cc], ["o_custkey", "c_custkey"],
+                                 cust_kernel))
+    allp = pa.concat_tables([t for t in p1 + p2 if t is not None])
+    g = allp.group_by(["check"]).aggregate([("n", "sum")])
+    out = pa.table({"check": g.column("check"),
+                    "n": g.column("n_sum").cast(pa.int64())})
+    return finalize(out, [("check", "ascending")])

@@ -4057,3 +4057,124 @@ def pii_census(sf_dir: str) -> pa.Table:
     if t.num_columns == 0 or t.num_rows == 0:
         return empty
     return finalize(t, [("source", "ascending"), ("rule", "ascending")])
+
+
+def source_tv_distance(sf_dir: str) -> pa.Table:
+    """Pairwise total-variation distance between source unigram
+    distributions — the drift/contamination monitor between feeds
+    (TV = ½ Σ_w |p_a(w) − p_b(w)|), computed EXACTLY in integers by
+    cross-multiplication: ``tv_micro = 10⁶·Σ_w |c_a(w)·N_b − c_b(w)·N_a|
+    // (2·N_a·N_b)`` so the distributed fold is order-independent and
+    the HUGEINT twin is bit-equal.
+
+    Shape: batches emit (token, source, n) count partials; the
+    token-keyed exchange completes each token's per-source counts in
+    one partition, which folds the |cross-product| sum for every source
+    pair (sources² fixed small); the driver sums P × pairs ints and
+    closes the division once. Per-source totals N_s come from one tiny
+    fixed-cardinality fold before the exchange. A 100-TB run would
+    carry the partial sums as big ints (they are bounded by
+    2·N_a·N_b) — at these corpus sizes int64 holds with headroom."""
+    from functools import partial as fpartial
+
+    from ._util import fold_partials
+    from .exchange import exchange_reduce, gather_concat
+
+    rd = _rd()
+    empty = pa.table({"source_a": pa.array([], pa.string()),
+                      "source_b": pa.array([], pa.string()),
+                      "tv_micro": pa.array([], pa.int64())})
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "text" not in t.column_names:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "source": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        toks = pc.split_pattern_regex(t.column("text"), _TOKEN_SPLIT)
+        ln = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        src = pa.array(np.repeat(
+            t.column("source").to_numpy(zero_copy_only=False), ln))
+        keep = pc.not_equal(flat, "")
+        p = pa.table({"token": flat.filter(keep), "source": src.filter(keep)})
+        g = p.group_by(["token", "source"]).aggregate([([], "count_all")])
+        return pa.table({"token": g.column("token"),
+                         "source": g.column("source"),
+                         "n": g.column("count_all").cast(pa.int64())})
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["text", "source"])
+    cnt_ds = ds.map_batches(count_partial, batch_format="pyarrow")
+    cnt_refs = cnt_ds.to_arrow_refs()
+
+    # per-source token totals: fixed-cardinality fold over the partials
+    import ray
+
+    @ray.remote
+    def totals_of(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        g = t.group_by(["source"]).aggregate([("n", "sum")])
+        return g.rename_columns(["source", "n"])
+
+    tot_tabs = [t for t in ray.get([totals_of.remote(r) for r in cnt_refs])
+                if t.num_rows]
+    if not tot_tabs:
+        return empty
+    tot = (pa.concat_tables(tot_tabs).group_by(["source"])
+           .aggregate([("n", "sum")]).rename_columns(["source", "n"]))
+    srcs = sorted(tot.column("source").to_pylist())
+    totals = dict(zip(tot.column("source").to_pylist(),
+                      tot.column("n").to_pylist()))
+    ns = np.array([totals[s] for s in srcs], np.int64)
+    sidx = {s: i for i, s in enumerate(srcs)}
+
+    def tv_kernel(pid: int, t: pa.Table) -> pa.Table:
+        ecols = {"ai": pa.array([], pa.int64()),
+                 "bi": pa.array([], pa.int64()),
+                 "s": pa.array([], pa.int64())}
+        if t.num_rows == 0 or "token" not in t.column_names:
+            return pa.table(ecols)
+        g = t.group_by(["token", "source"]).aggregate([("n", "sum")])
+        tok = g.column("token").to_numpy(zero_copy_only=False)
+        src = g.column("source").to_numpy(zero_copy_only=False)
+        n = g.column("n_sum").to_numpy().astype(np.int64)
+        order = np.argsort(tok, kind="stable")
+        tok, src, n = tok[order], src[order], n[order]
+        row = np.cumsum(np.r_[False, tok[1:] != tok[:-1]])
+        col = np.array([sidx[s] for s in src])
+        m = np.zeros((int(row[-1]) + 1 if len(row) else 0, len(srcs)),
+                     np.int64)
+        m[row, col] = n
+        rows = []
+        for a in range(len(srcs)):
+            for b in range(a + 1, len(srcs)):
+                s = int(np.abs(m[:, a] * ns[b] - m[:, b] * ns[a]).sum())
+                rows.append((a, b, s))
+        return pa.table({
+            "ai": pa.array([r[0] for r in rows], pa.int64()),
+            "bi": pa.array([r[1] for r in rows], pa.int64()),
+            "s": pa.array([r[2] for r in rows], pa.int64()),
+        })
+
+    parts = gather_concat(
+        exchange_reduce([cnt_refs], ["token"], tv_kernel)
+    )
+    if parts.num_rows == 0:
+        return empty
+    g = parts.group_by(["ai", "bi"]).aggregate([("s", "sum")])
+    rows = []
+    for a, b, s in zip(g.column("ai").to_pylist(), g.column("bi").to_pylist(),
+                       g.column("s_sum").to_pylist()):
+        na, nb = int(ns[a]), int(ns[b])
+        rows.append((srcs[a], srcs[b],
+                     (1_000_000 * int(s)) // (2 * na * nb)))
+    rows.sort()
+    return pa.table({
+        "source_a": pa.array([r[0] for r in rows], pa.string()),
+        "source_b": pa.array([r[1] for r in rows], pa.string()),
+        "tv_micro": pa.array([r[2] for r in rows], pa.int64()),
+    })

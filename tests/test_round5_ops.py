@@ -2346,3 +2346,82 @@ def test_event_trigrams_bruteforce(ray_session):
     assert [(r["a"], r["b"], r["c"], r["n"]) for r in out] == [
         (t.event_type, t.b, t.c, t.n) for t in g.itertuples()
     ]
+
+
+def test_source_tv_distance_bruteforce(ray_session):
+    """TV distances equal a pandas recount with the exact integer
+    cross-multiplication, and sit in [0, 1e6]."""
+    import pandas as pd
+
+    from image_report_ray.pipelines.text import source_tv_distance
+
+    sf = "/root/testdata/sf0.001"
+    out = source_tv_distance(sf).to_pylist()
+    docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["source", "text"])
+    cnt = {}
+    tot = {}
+    for src, txt in zip(docs["source"], docs["text"]):
+        for w in txt.split():
+            cnt[(src, w)] = cnt.get((src, w), 0) + 1
+            tot[src] = tot.get(src, 0) + 1
+    srcs = sorted(tot)
+    exp = []
+    vocab = {w for _, w in cnt}
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            s = sum(abs(cnt.get((a, w), 0) * tot[b] - cnt.get((b, w), 0) * tot[a])
+                    for w in vocab)
+            exp.append((a, b, (1_000_000 * s) // (2 * tot[a] * tot[b])))
+    assert [(r["source_a"], r["source_b"], r["tv_micro"]) for r in out] == exp
+    assert all(0 <= r["tv_micro"] <= 1_000_000 for r in out)
+
+
+def test_discount_bands_bruteforce(ray_session):
+    import pandas as pd
+
+    from image_report_ray.pipelines.relational import discount_bands
+
+    sf = "/root/testdata/sf0.001"
+    out = discount_bands(sf).to_pylist()
+    li = pd.read_parquet(
+        f"{sf}/lineitem.parquet",
+        columns=["l_extendedprice", "l_discount", "l_quantity"])
+    li["d"] = (li["l_discount"] * 100).round().astype("int64")
+    li["p"] = (li["l_extendedprice"] * 100).round().astype("int64")
+    li["q"] = li["l_quantity"].round().astype("int64")
+    for row in out:
+        g = li[li["d"] == row["disc_pct"]]
+        assert row["n_lines"] == len(g)
+        assert row["gross_cents"] == int(g["p"].sum())
+        assert row["net_cents"] == int((g["p"] * (100 - g["d"])).sum()) // 100
+        assert row["avg_qty_micro"] == 1_000_000 * int(g["q"].sum()) // len(g)
+    assert sum(r["n_lines"] for r in out) == len(li)
+
+
+def test_ref_integrity_audit_clean_and_dirty(ray_session, tmp_path):
+    """The standard corpus is referentially clean; a constructed dirty
+    corpus yields the exact planted violation counts."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import shutil
+
+    from image_report_ray.pipelines.relational import ref_integrity_audit
+
+    sf = "/root/testdata/sf0.001"
+    out = {r["check"]: r["n"] for r in ref_integrity_audit(sf).to_pylist()}
+    assert set(out) == {"orphan_lineitems", "empty_orders", "orphan_orders"}
+    assert out["orphan_lineitems"] == 0 and out["orphan_orders"] == 0
+
+    d = tmp_path / "dirty"
+    d.mkdir()
+    for f in ("lineitem", "orders", "customer"):
+        shutil.copy(f"{sf}/{f}.parquet", d / f"{f}.parquet")
+    li = pq.read_table(f"{sf}/lineitem.parquet")
+    extra = li.slice(0, 3).set_column(
+        li.schema.get_field_index("l_orderkey"), "l_orderkey",
+        pa.array([10**9, 10**9 + 1, 10**9 + 2], pa.int64()))
+    pq.write_table(pa.concat_tables([li, extra]), d / "lineitem.parquet")
+    dirty = {r["check"]: r["n"]
+             for r in ref_integrity_audit(str(d)).to_pylist()}
+    assert dirty["orphan_lineitems"] == out["orphan_lineitems"] + 3
+    assert dirty["empty_orders"] == out["empty_orders"]
