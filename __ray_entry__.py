@@ -2035,6 +2035,28 @@ FROM f WHERE op = 'D' AND COALESCE(prior_up, 0) = 0
 GROUP BY conv_id ORDER BY conv_id
 """,
         # FIRST/LAST projection (cdcq.cdc_conv_first_last)
+        # role-transition grammar over the replayed state
+        # (cdcq.cdc_role_bigrams)
+        "cdc_role_bigrams": CHANGELOG_CTE + """
+, final AS (
+    SELECT conv_id, turn_idx, role
+    FROM (
+        SELECT ch.*, ROW_NUMBER() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+        FROM ch
+    )
+    WHERE rn = 1 AND op <> 'D'
+),
+s AS (
+    SELECT role AS role_from,
+           LEAD(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+               AS role_to
+    FROM final
+)
+SELECT role_from, role_to, CAST(COUNT(*) AS BIGINT) AS n
+FROM s WHERE role_to IS NOT NULL
+GROUP BY 1, 2 ORDER BY role_from, role_to
+""",
         "cdc_conv_first_last": CHANGELOG_CTE + """
 , final AS (
     SELECT conv_id, turn_idx, text
@@ -3424,6 +3446,17 @@ FROM s WHERE b IS NOT NULL AND c IS NOT NULL
 GROUP BY 1, 2, 3 ORDER BY n DESC, a, b, c LIMIT 20
 """,
         # pricing-policy census (relational.discount_bands)
+        # order-shape profile (relational.order_size_hist)
+        "order_size_hist": """
+WITH s AS (
+  SELECT o.o_orderkey, COUNT(l.l_orderkey) AS n_lines
+  FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1
+)
+SELECT CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM s GROUP BY n_lines ORDER BY n_lines
+""",
         "discount_bands": """
 WITH c AS (
   SELECT CAST(round(l_discount * 100) AS BIGINT) AS disc_pct,

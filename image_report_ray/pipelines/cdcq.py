@@ -1955,3 +1955,61 @@ def cdc_conv_novelty(sf_dir: str, epoch_size: int = 2500) -> pa.Table:
                     "n_new": pa.array(new.astype(np.int64)),
                     "n_returning": pa.array((act - new).astype(np.int64))})
     return finalize(out, [("epoch", "ascending")])
+
+
+def cdc_role_bigrams(sf_dir: str) -> pa.Table:
+    """Role-transition census over the REPLAYED live state — who follows
+    whom inside conversations (the user→assistant→tool grammar check;
+    a heavy assistant→assistant band means fragmented replies, missing
+    user→assistant mass means orphaned prompts).
+
+    One remote task per lake partition (conversations are
+    partition-complete by pid routing): export_canonical's
+    (conv_id, turn_idx) sort makes every adjacent pair visible
+    locally; partials are O(roles²) fixed-cardinality rows the driver
+    folds."""
+    import numpy as np
+    import ray
+
+    empty = pa.table({"role_from": pa.array([], pa.string()),
+                      "role_to": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64())})
+
+    @ray.remote
+    def part_bigrams(paths: list) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        from image_report_ray.state.merge import (
+            export_canonical,
+            fold_state_tables,
+        )
+
+        folded = fold_state_tables([pq.read_table(p) for p in paths])
+        if folded is None:
+            return pa.table({})
+        t = export_canonical(folded)
+        if t.num_rows < 2:
+            return pa.table({})
+        conv = t.column("conv_id").to_numpy(zero_copy_only=False)
+        role = t.column("role").to_numpy(zero_copy_only=False)
+        same = conv[1:] == conv[:-1]
+        if not same.any():
+            return pa.table({})
+        g = pa.table({
+            "role_from": pa.array(role[:-1][same], pa.string()),
+            "role_to": pa.array(role[1:][same], pa.string()),
+        }).group_by(["role_from", "role_to"]).aggregate([([], "count_all")])
+        return pa.table({"role_from": g.column("role_from"),
+                         "role_to": g.column("role_to"),
+                         "n": g.column("count_all").cast(pa.int64())})
+
+    lake = _full_lake(sf_dir)
+    sets = lake.current_file_sets()
+    refs = [part_bigrams.remote(paths) for _, paths in sorted(sets.items())]
+    tabs = [t for t in ray.get(refs) if t.num_rows]
+    if not tabs:
+        return empty
+    g = (pa.concat_tables(tabs).group_by(["role_from", "role_to"])
+         .aggregate([("n", "sum")])
+         .rename_columns(["role_from", "role_to", "n"]))
+    return finalize(g, [("role_from", "ascending"), ("role_to", "ascending")])

@@ -6036,3 +6036,47 @@ def ref_integrity_audit(sf_dir: str) -> pa.Table:
     out = pa.table({"check": g.column("check"),
                     "n": g.column("n_sum").cast(pa.int64())})
     return finalize(out, [("check", "ascending")])
+
+
+def order_size_hist(sf_dir: str) -> pa.Table:
+    """Lines-per-order histogram (zero-line orders included) — the
+    order-shape profile that sizes fan-out joins and flags truncated
+    ingests. The orderkey exchange co-locates each order with its
+    lines; partitions fold their own (n_lines, n_orders) histogram,
+    driver sums P × distinct-sizes rows."""
+    import ray
+
+    from .exchange import exchange_reduce, gather_concat
+
+    rd = _rd()
+    lo = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey"]).to_arrow_refs()
+    oo = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderkey"]).to_arrow_refs()
+
+    def size_kernel(pid: int, li: pa.Table, od: pa.Table) -> pa.Table:
+        empty = pa.table({"n_lines": pa.array([], pa.int64()),
+                          "n_orders": pa.array([], pa.int64())})
+        if od.num_rows == 0 or "o_orderkey" not in od.column_names:
+            return empty
+        ok = np.unique(od.column("o_orderkey").to_numpy())
+        lk = (li.column("l_orderkey").to_numpy()
+              if li.num_rows and "l_orderkey" in li.column_names
+              else np.array([], np.int64))
+        pos = np.searchsorted(ok, lk)
+        hit = (pos < len(ok)) & (ok[np.minimum(pos, len(ok) - 1)] == lk)
+        counts = np.zeros(len(ok), np.int64)
+        np.add.at(counts, pos[hit], 1)
+        sz, n = np.unique(counts, return_counts=True)
+        return pa.table({"n_lines": pa.array(sz.astype(np.int64)),
+                         "n_orders": pa.array(n.astype(np.int64))})
+
+    parts = gather_concat(
+        exchange_reduce([lo, oo], ["l_orderkey", "o_orderkey"], size_kernel)
+    )
+    if parts.num_rows == 0:
+        return pa.table({"n_lines": pa.array([], pa.int64()),
+                         "n_orders": pa.array([], pa.int64())})
+    g = (parts.group_by(["n_lines"]).aggregate([("n_orders", "sum")])
+         .rename_columns(["n_lines", "n_orders"]))
+    return finalize(g, [("n_lines", "ascending")])

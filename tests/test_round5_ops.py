@@ -2425,3 +2425,53 @@ def test_ref_integrity_audit_clean_and_dirty(ray_session, tmp_path):
              for r in ref_integrity_audit(str(d)).to_pylist()}
     assert dirty["orphan_lineitems"] == out["orphan_lineitems"] + 3
     assert dirty["empty_orders"] == out["empty_orders"]
+
+
+def test_cdc_role_bigrams_bruteforce(ray_session):
+    """Role bigrams over the replayed lake equal a pandas LEAD recount
+    over the same live snapshot (via cdc_flatten's source state)."""
+    import pandas as pd
+
+    from image_report_ray.pipelines.cdcq import (
+        cdc_role_bigrams,
+        cdc_conv_summary,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = cdc_role_bigrams(sf).to_pylist()
+    # rebuild the same snapshot naively through the shared lake helper
+    from image_report_ray.pipelines.cdcq import _full_lake
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from image_report_ray.state.merge import export_canonical, fold_state_tables
+
+    tabs = []
+    for _, paths in sorted(_full_lake(sf).current_file_sets().items()):
+        folded = fold_state_tables([pq.read_table(p) for p in paths])
+        if folded is not None:
+            tabs.append(export_canonical(folded))
+    st = pa.concat_tables(tabs).to_pandas().sort_values(["conv_id", "turn_idx"])
+    st["to"] = st.groupby("conv_id")["role"].shift(-1)
+    g = (st.dropna(subset=["to"]).groupby(["role", "to"]).size()
+         .reset_index(name="n").sort_values(["role", "to"]))
+    assert [(r["role_from"], r["role_to"], r["n"]) for r in out] == [
+        (t.role, t.to, t.n) for t in g.itertuples()
+    ]
+    assert cdc_conv_summary(sf).num_rows > 0  # lake cache still healthy
+
+
+def test_order_size_hist_bruteforce(ray_session):
+    import pandas as pd
+
+    from image_report_ray.pipelines.relational import order_size_hist
+
+    sf = "/root/testdata/sf0.001"
+    out = order_size_hist(sf).to_pylist()
+    li = pd.read_parquet(f"{sf}/lineitem.parquet", columns=["l_orderkey"])
+    od = pd.read_parquet(f"{sf}/orders.parquet", columns=["o_orderkey"])
+    cnt = li.groupby("l_orderkey").size()
+    sizes = od["o_orderkey"].map(cnt).fillna(0).astype(int)
+    exp = sizes.value_counts().sort_index()
+    assert [(r["n_lines"], r["n_orders"]) for r in out] == list(
+        zip(exp.index.tolist(), exp.tolist()))
+    assert sum(r["n_orders"] for r in out) == len(od)
