@@ -2037,6 +2037,35 @@ GROUP BY conv_id ORDER BY conv_id
         # FIRST/LAST projection (cdcq.cdc_conv_first_last)
         # role-transition grammar over the replayed state
         # (cdcq.cdc_role_bigrams)
+        # per-role live-turn length order statistics
+        # (cdcq.cdc_turn_len_quantiles): the integer-rank rule both
+        # sides share — smallest len whose cumulative count reaches
+        # ceil(q*n)
+        "cdc_turn_len_quantiles": CHANGELOG_CTE + """
+, final AS (
+    SELECT conv_id, turn_idx, role, text
+    FROM (
+        SELECT ch.*, ROW_NUMBER() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+        FROM ch
+    )
+    WHERE rn = 1 AND op <> 'D'
+),
+l AS (SELECT role, CAST(octet_length(encode(text)) AS BIGINT) AS len
+      FROM final),
+r AS (
+  SELECT role, len,
+         ROW_NUMBER() OVER (PARTITION BY role ORDER BY len) AS rk,
+         COUNT(*) OVER (PARTITION BY role) AS n
+  FROM l
+)
+SELECT role, CAST(ANY_VALUE(n) AS BIGINT) AS n_turns,
+       CAST(MIN(CASE WHEN rk >= (1 * n + 1) // 2 THEN len END)
+            AS BIGINT) AS p50_len,
+       CAST(MIN(CASE WHEN rk >= (9 * n + 9) // 10 THEN len END)
+            AS BIGINT) AS p90_len
+FROM r GROUP BY role ORDER BY role
+""",
         "cdc_role_bigrams": CHANGELOG_CTE + """
 , final AS (
     SELECT conv_id, turn_idx, role

@@ -2013,3 +2013,78 @@ def cdc_role_bigrams(sf_dir: str) -> pa.Table:
          .aggregate([("n", "sum")])
          .rename_columns(["role_from", "role_to", "n"]))
     return finalize(g, [("role_from", "ascending"), ("role_to", "ascending")])
+
+
+_TLQ = ((1, 2, "p50_len"), (9, 10, "p90_len"))
+
+
+def cdc_turn_len_quantiles(sf_dir: str) -> pa.Table:
+    """Exact per-role P50/P90 of live-turn text length (bytes) over the
+    replayed state — the context-budget profile (are tool outputs
+    bloating? are user prompts shrinking?). The value_quantiles
+    bounded-domain discipline on the lake: each partition folds a
+    (role, len, n) histogram (distinct observed lengths, not rows),
+    the driver closes cumulative ranks with the pure integer
+    ``(q_num·n + q_den − 1) // q_den`` rule both sides share."""
+    import numpy as np
+    import ray
+
+    empty = pa.table({"role": pa.array([], pa.string()),
+                      "n_turns": pa.array([], pa.int64()),
+                      **{nm: pa.array([], pa.int64()) for _, _, nm in _TLQ}})
+
+    @ray.remote
+    def part_hist(paths: list) -> pa.Table:
+        import pyarrow.compute as pcc
+        import pyarrow.parquet as pq
+
+        from image_report_ray.state.merge import (
+            export_canonical,
+            fold_state_tables,
+        )
+
+        folded = fold_state_tables([pq.read_table(p) for p in paths])
+        if folded is None:
+            return pa.table({})
+        t = export_canonical(folded)
+        if t.num_rows == 0:
+            return pa.table({})
+        g = pa.table({
+            "role": t.column("role"),
+            "len": pcc.binary_length(t.column("text")).cast(pa.int64()),
+        }).group_by(["role", "len"]).aggregate([([], "count_all")])
+        return pa.table({"role": g.column("role"), "len": g.column("len"),
+                         "n": g.column("count_all").cast(pa.int64())})
+
+    lake = _full_lake(sf_dir)
+    sets = lake.current_file_sets()
+    tabs = [t for t in ray.get(
+        [part_hist.remote(paths) for _, paths in sorted(sets.items())])
+        if t.num_rows]
+    if not tabs:
+        return empty
+    hist = (pa.concat_tables(tabs).group_by(["role", "len"])
+            .aggregate([("n", "sum")]).rename_columns(["role", "len", "n"]))
+    import pyarrow.compute as pcc
+
+    hist = hist.take(pcc.sort_indices(
+        hist, sort_keys=[("role", "ascending"), ("len", "ascending")]))
+    role = hist.column("role").to_numpy(zero_copy_only=False)
+    ln = hist.column("len").to_numpy()
+    n = hist.column("n").to_numpy().astype(np.int64)
+    starts = np.flatnonzero(np.r_[True, role[1:] != role[:-1]])
+    ends = np.r_[starts[1:], len(role)]
+    roles, totals = [], []
+    cols = {nm: [] for _, _, nm in _TLQ}
+    for s, e in zip(starts, ends):
+        cum = np.cumsum(n[s:e])
+        total = int(cum[-1])
+        roles.append(role[s])
+        totals.append(total)
+        for qn, qd, nm in _TLQ:
+            k = (qn * total + qd - 1) // qd
+            cols[nm].append(int(ln[s:e][np.searchsorted(cum, k)]))
+    return pa.table({"role": pa.array(roles, pa.string()),
+                     "n_turns": pa.array(totals, pa.int64()),
+                     **{nm: pa.array(v, pa.int64())
+                        for nm, v in cols.items()}})

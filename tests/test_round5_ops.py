@@ -2475,3 +2475,33 @@ def test_order_size_hist_bruteforce(ray_session):
     assert [(r["n_lines"], r["n_orders"]) for r in out] == list(
         zip(exp.index.tolist(), exp.tolist()))
     assert sum(r["n_orders"] for r in out) == len(od)
+
+
+def test_cdc_turn_len_quantiles_bruteforce(ray_session):
+    """Per-role P50/P90 equal naive order statistics over the same
+    snapshot with the ceil-rank rule."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from image_report_ray.pipelines.cdcq import (
+        _full_lake,
+        cdc_turn_len_quantiles,
+    )
+    from image_report_ray.state.merge import export_canonical, fold_state_tables
+
+    sf = "/root/testdata/sf0.001"
+    out = cdc_turn_len_quantiles(sf).to_pylist()
+    tabs = []
+    for _, paths in sorted(_full_lake(sf).current_file_sets().items()):
+        folded = fold_state_tables([pq.read_table(p) for p in paths])
+        if folded is not None:
+            tabs.append(export_canonical(folded))
+    st = pa.concat_tables(tabs).to_pandas()
+    st["len"] = st["text"].str.encode("utf-8").str.len()
+    for row in out:
+        v = np.sort(st[st["role"] == row["role"]]["len"].to_numpy())
+        n = len(v)
+        assert row["n_turns"] == n
+        assert row["p50_len"] == int(v[(n + 1) // 2 - 1])
+        assert row["p90_len"] == int(v[(9 * n + 9) // 10 - 1])
