@@ -2989,6 +2989,39 @@ FROM m
         # near-dup severity bands (dedup.dup_pair_sim_hist): the shared
         # shingle CTE's verified pairs bucketed at 500bp off the SAME
         # rounded jaccard double (LEAST caps the j=1.0 band at 19)
+        # dup-vs-quality 2x2 census (dedup.dup_quality_matrix): the
+        # shared shingle CTE's verified endpoints x the quality_score
+        # rule verbatim
+        "dup_quality_matrix": "WITH " + _NGRAM_CTE + r"""
+, pairs AS (
+  SELECT da, db
+  FROM inter JOIN cnt ca ON inter.da = ca.doc_id
+             JOIN cnt cb ON inter.db = cb.doc_id
+  WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.2
+),
+dups AS (SELECT DISTINCT doc_id FROM (
+  SELECT da AS doc_id FROM pairs UNION ALL SELECT db FROM pairs)),
+m AS (
+  SELECT doc_id,
+         len(ws) AS n_tokens,
+         len(list_filter(ws, w -> list_contains(
+             ['the','a','and','of','to','table','row','value','key','fast'], w)))
+             AS n_stop,
+         COALESCE(list_sum(list_transform(ws, w -> length(w))), 0) AS sum_len
+  FROM arr
+),
+f AS (
+  SELECT d.doc_id,
+         d.doc_id IN (SELECT doc_id FROM dups) AS is_dup,
+         (m.n_tokens BETWEEN 10 AND 1000)
+           AND (m.n_stop * 10000 // GREATEST(m.n_tokens, 1) >= 100)
+           AND (m.sum_len * 10000 // GREATEST(m.n_tokens, 1) <= 120000)
+             AS quality_ok
+  FROM documents d JOIN m ON m.doc_id = d.doc_id
+)
+SELECT is_dup, quality_ok, CAST(COUNT(*) AS BIGINT) AS n
+FROM f GROUP BY 1, 2 ORDER BY is_dup, quality_ok
+""",
         "dup_pair_sim_hist": "WITH " + _NGRAM_CTE + r"""
 , pairs AS (
   SELECT ROUND(i * 1.0 / (ca.n + cb.n - i), 6) AS j
@@ -3485,6 +3518,18 @@ WITH s AS (
 SELECT CAST(n_lines AS BIGINT) AS n_lines,
        CAST(COUNT(*) AS BIGINT) AS n_orders
 FROM s GROUP BY n_lines ORDER BY n_lines
+""",
+        # supplier-quality screen (relational.brand_return_rates)
+        "brand_return_rates": """
+WITH j AS (
+  SELECT p.p_brand,
+         CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS r
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+)
+SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(r) AS BIGINT) AS n_returned,
+       CAST(10000 * SUM(r) // COUNT(*) AS BIGINT) AS return_bp
+FROM j GROUP BY p_brand ORDER BY p_brand
 """,
         "discount_bands": """
 WITH c AS (

@@ -2973,3 +2973,69 @@ def dup_pair_sim_hist(sf_dir: str, tau: float = 0.2) -> pa.Table:
     out = pa.table({"band_bp": g.column("band_bp"),
                     "n_pairs": g.column("n_pairs_sum").cast(pa.int64())})
     return finalize(out, [("band_bp", "ascending")])
+
+
+def dup_quality_matrix(sf_dir: str, tau: float = 0.2) -> pa.Table:
+    """Does duplication correlate with low quality? The 2x2 census a
+    corpus curator reads before deciding whether near-dup collapse and
+    quality filtering are redundant: every document classified
+    (near-dup involved x quality_ok), exact counts.
+
+    Cross-pipeline composition, refs-native: the verified pair refs
+    explode to endpoint ids (never gathered), per-batch quality flags
+    ride the documents read (the quality_score kernel verbatim), the
+    doc-keyed exchange co-locates both and each partition folds a 4-row
+    census the driver sums."""
+    import ray
+
+    from .exchange import exchange_reduce, gather_concat
+    from .text import _quality_batch
+
+    rd = _rd()
+    refs, _ = ngram_jaccard_pair_refs(sf_dir, tau)
+
+    @ray.remote
+    def endpoints(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_id_a" not in t.column_names:
+            return pa.table({"doc_id": pa.array([], pa.int64())})
+        return pa.table({"doc_id": pa.concat_arrays([
+            t.column("doc_id_a").combine_chunks(),
+            t.column("doc_id_b").combine_chunks(),
+        ])})
+
+    def qflags(t: pa.Table) -> pa.Table:
+        q = _quality_batch(t)
+        return q.select(["doc_id", "quality_ok"])
+
+    ends = [endpoints.remote(r) for r in refs]
+    flags = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(qflags, batch_format="pyarrow")
+
+    def census(pid: int, et: pa.Table, ft: pa.Table) -> pa.Table:
+        empty_k = pa.table({"is_dup": pa.array([], pa.bool_()),
+                            "quality_ok": pa.array([], pa.bool_()),
+                            "n": pa.array([], pa.int64())})
+        if ft.num_rows == 0 or "doc_id" not in ft.column_names:
+            return empty_k
+        did = ft.column("doc_id").to_numpy()
+        dset = (np.unique(et.column("doc_id").to_numpy())
+                if et.num_rows and "doc_id" in et.column_names
+                else np.array([], np.int64))
+        g = pa.table({
+            "is_dup": pa.array(np.isin(did, dset)),
+            "quality_ok": ft.column("quality_ok"),
+            "n": pa.array(np.ones(len(did), np.int64)),
+        }).group_by(["is_dup", "quality_ok"]).aggregate([("n", "sum")])
+        return g.rename_columns(["is_dup", "quality_ok", "n"])
+
+    parts = gather_concat(
+        exchange_reduce([ends, flags], ["doc_id", "doc_id"], census)
+    )
+    if parts.num_rows == 0:
+        return pa.table({"is_dup": pa.array([], pa.bool_()),
+                         "quality_ok": pa.array([], pa.bool_()),
+                         "n": pa.array([], pa.int64())})
+    g = (parts.group_by(["is_dup", "quality_ok"]).aggregate([("n", "sum")])
+         .rename_columns(["is_dup", "quality_ok", "n"]))
+    return finalize(g, [("is_dup", "ascending"), ("quality_ok", "ascending")])

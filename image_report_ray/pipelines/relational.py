@@ -6080,3 +6080,71 @@ def order_size_hist(sf_dir: str) -> pa.Table:
     g = (parts.group_by(["n_lines"]).aggregate([("n_orders", "sum")])
          .rename_columns(["n_lines", "n_orders"]))
     return finalize(g, [("n_lines", "ascending")])
+
+
+def brand_return_rates(sf_dir: str) -> pa.Table:
+    """Return-rate league table per part brand — the supplier-quality
+    screen (which brands come back marked 'R'): lineitem partials
+    (partkey, lines, returns) co-partition with the part dimension on
+    partkey, each partition tags brands and folds a fixed-cardinality
+    (brand, n, nret) census, the driver closes exact basis points."""
+    import ray
+
+    from .exchange import exchange_reduce
+
+    rd = _rd()
+    empty = pa.table({"p_brand": pa.array([], pa.string()),
+                      "n_lines": pa.array([], pa.int64()),
+                      "n_returned": pa.array([], pa.int64()),
+                      "return_bp": pa.array([], pa.int64())})
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"l_partkey": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "nret": pa.array([], pa.int64())})
+        ret = pc.equal(t.column("l_returnflag"), "R").cast(pa.int64())
+        g = pa.table({
+            "l_partkey": t.column("l_partkey"),
+            "n": pa.array(np.ones(t.num_rows, np.int64)),
+            "nret": ret,
+        }).group_by(["l_partkey"]).aggregate([("n", "sum"), ("nret", "sum")])
+        return g.rename_columns(["l_partkey", "n", "nret"])
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_returnflag"]
+    ).map_batches(li_partial, batch_format="pyarrow")
+    part = rd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_brand"])
+
+    def brand_kernel(pid: int, lt: pa.Table, pt: pa.Table) -> pa.Table:
+        empty_k = pa.table({"p_brand": pa.array([], pa.string()),
+                            "n": pa.array([], pa.int64()),
+                            "nret": pa.array([], pa.int64())})
+        if lt.num_rows == 0 or pt.num_rows == 0 \
+                or "l_partkey" not in lt.column_names:
+            return empty_k
+        j = lt.join(pt.select(["p_partkey", "p_brand"]),
+                    keys="l_partkey", right_keys="p_partkey",
+                    join_type="inner")
+        g = j.group_by(["p_brand"]).aggregate(
+            [("n", "sum"), ("nret", "sum")])
+        return g.rename_columns(["p_brand", "n", "nret"])
+
+    parts = ray.get(exchange_reduce(
+        [li, part], ["l_partkey", "p_partkey"], brand_kernel))
+    live = [t for t in parts if t.num_rows]
+    if not live:
+        return empty
+    g = (pa.concat_tables(live).group_by(["p_brand"])
+         .aggregate([("n", "sum"), ("nret", "sum")])
+         .rename_columns(["p_brand", "n", "nret"]))
+    n = g.column("n").to_numpy()
+    nr = g.column("nret").to_numpy()
+    out = pa.table({
+        "p_brand": g.column("p_brand"),
+        "n_lines": pa.array(n.astype(np.int64)),
+        "n_returned": pa.array(nr.astype(np.int64)),
+        "return_bp": pa.array(10_000 * nr // n, pa.int64()),
+    })
+    return finalize(out, [("p_brand", "ascending")])

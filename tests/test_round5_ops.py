@@ -2505,3 +2505,48 @@ def test_cdc_turn_len_quantiles_bruteforce(ray_session):
         assert row["n_turns"] == n
         assert row["p50_len"] == int(v[(n + 1) // 2 - 1])
         assert row["p90_len"] == int(v[(9 * n + 9) // 10 - 1])
+
+
+def test_brand_return_rates_bruteforce(ray_session):
+    import pandas as pd
+
+    from image_report_ray.pipelines.relational import brand_return_rates
+
+    sf = "/root/testdata/sf0.001"
+    out = brand_return_rates(sf).to_pylist()
+    li = pd.read_parquet(f"{sf}/lineitem.parquet",
+                         columns=["l_partkey", "l_returnflag"])
+    pt = pd.read_parquet(f"{sf}/part.parquet",
+                         columns=["p_partkey", "p_brand"])
+    j = li.merge(pt, left_on="l_partkey", right_on="p_partkey")
+    for row in out:
+        g = j[j["p_brand"] == row["p_brand"]]
+        nr = int((g["l_returnflag"] == "R").sum())
+        assert (row["n_lines"], row["n_returned"], row["return_bp"]) == (
+            len(g), nr, 10_000 * nr // len(g))
+    assert sum(r["n_lines"] for r in out) == len(j)
+
+
+def test_dup_quality_matrix_consistency(ray_session):
+    """The 2x2 census totals the corpus, its dup margin equals the
+    distinct endpoints of the verified pair graph, and its quality
+    margin equals quality_score's verdict counts."""
+    import pyarrow.parquet as pq
+
+    from image_report_ray.pipelines.dedup import (
+        dedup_ngram_jaccard,
+        dup_quality_matrix,
+    )
+    from image_report_ray.pipelines.text import quality_score
+
+    sf = "/root/testdata/sf0.001"
+    out = dup_quality_matrix(sf).to_pylist()
+    n_docs = pq.ParquetFile(f"{sf}/documents.parquet").metadata.num_rows
+    assert sum(r["n"] for r in out) == n_docs
+    pairs = dedup_ngram_jaccard(sf)
+    dups = set(pairs.column("doc_id_a").to_pylist()) | set(
+        pairs.column("doc_id_b").to_pylist())
+    assert sum(r["n"] for r in out if r["is_dup"]) == len(dups)
+    q = quality_score(sf)
+    n_ok = sum(1 for v in q.column("quality_ok").to_pylist() if v)
+    assert sum(r["n"] for r in out if r["quality_ok"]) == n_ok
