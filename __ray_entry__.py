@@ -1984,6 +1984,43 @@ SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
        CAST(score AS BIGINT) AS score, CAST(rnk AS BIGINT) AS rank
 FROM r WHERE rnk <= 5 ORDER BY doc_id, rank
 """,
+        # tokenizer cost model per lang (text.token_fertility)
+        # ingest-frontier burst leaderboard (text.trending_tokens)
+        "trending_tokens": r"""
+WITH mx AS (SELECT ((MAX(doc_id) + 1) * 4) // 5 AS cutoff FROM documents),
+tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS w
+  FROM documents
+),
+c AS (
+  SELECT w,
+         CAST(SUM(CASE WHEN doc_id >= mx.cutoff THEN 1 ELSE 0 END)
+              AS HUGEINT) AS cr,
+         CAST(COUNT(*) AS HUGEINT) AS ct
+  FROM tok, mx GROUP BY w
+),
+tots AS (SELECT SUM(cr) AS nr, SUM(ct) AS nt FROM c)
+SELECT w AS token, CAST(ct AS BIGINT) AS n_total,
+       CAST(cr AS BIGINT) AS n_recent,
+       CAST((10000 * cr * tots.nt) // (ct * tots.nr) AS BIGINT) AS burst_bp
+FROM c, tots WHERE ct >= 5
+ORDER BY burst_bp DESC, token LIMIT 20
+""",
+        "token_fertility": r"""
+WITH c AS (
+  SELECT lang,
+         length(regexp_extract_all(lower(text), '[a-z]+'))
+           + length(regexp_extract_all(lower(text), '[0-9]+'))
+           + length(regexp_extract_all(lower(text), '[^a-z0-9\s]')) AS bpe,
+         length(regexp_extract_all(lower(text), '\S+')) AS w
+  FROM documents
+)
+SELECT lang, CAST(SUM(bpe) AS BIGINT) AS n_bpe_tokens,
+       CAST(SUM(w) AS BIGINT) AS n_words,
+       CAST(10000 * SUM(bpe) // GREATEST(SUM(w), 1) AS BIGINT)
+           AS fertility_bp
+FROM c GROUP BY lang ORDER BY lang
+""",
         "tokenize_bpe": r"""
 WITH c AS (
   SELECT doc_id,

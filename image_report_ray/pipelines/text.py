@@ -4178,3 +4178,169 @@ def source_tv_distance(sf_dir: str) -> pa.Table:
         "source_b": pa.array([r[1] for r in rows], pa.string()),
         "tv_micro": pa.array([r[2] for r in rows], pa.int64()),
     })
+
+
+def token_fertility(sf_dir: str) -> pa.Table:
+    """Tokenizer fertility per language — BPE-ish subword tokens per
+    whitespace word in exact basis points (the cost model for context
+    budgets: a lang with fertility 2.5 eats 2.5x the context per word).
+    One vectorized regex pass per batch folding a fixed-cardinality
+    (lang, bpe, words) partial; zero shuffle, exact integer close."""
+    from ._util import fold_partials
+
+    rd = _rd()
+    empty = pa.table({"lang": pa.array([], pa.string()),
+                      "n_bpe_tokens": pa.array([], pa.int64()),
+                      "n_words": pa.array([], pa.int64()),
+                      "fertility_bp": pa.array([], pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "text" not in t.column_names:
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "bpe": pa.array([], pa.int64()),
+                             "w": pa.array([], pa.int64())})
+        low = pc.utf8_lower(t.column("text"))
+        bpe = pc.add(
+            pc.add(pc.count_substring_regex(low, _BPE_ALPHA),
+                   pc.count_substring_regex(low, _BPE_NUM)),
+            pc.count_substring_regex(low, _BPE_OTHER),
+        ).cast(pa.int64())
+        words = pc.count_substring_regex(low, r"\S+").cast(pa.int64())
+        g = pa.table({"lang": t.column("lang"), "bpe": bpe, "w": words}
+                     ).group_by(["lang"]).aggregate(
+            [("bpe", "sum"), ("w", "sum")])
+        return g.rename_columns(["lang", "bpe", "w"])
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "text"])
+    t = fold_partials(ds.map_batches(partial, batch_format="pyarrow"),
+                      ["lang"], [("bpe", "sum"), ("w", "sum")],
+                      ["lang", "bpe", "w"])
+    if t.num_columns == 0 or t.num_rows == 0:
+        return empty
+    bpe = t.column("bpe").to_numpy()
+    w = t.column("w").to_numpy()
+    out = pa.table({
+        "lang": t.column("lang"),
+        "n_bpe_tokens": pa.array(bpe.astype(np.int64)),
+        "n_words": pa.array(w.astype(np.int64)),
+        "fertility_bp": pa.array(
+            10_000 * bpe // np.maximum(w, 1), pa.int64()),
+    })
+    return finalize(out, [("lang", "ascending")])
+
+
+_TREND_MIN_COUNT = 5
+_TREND_TOPK = 20
+
+
+def trending_tokens(sf_dir: str) -> pa.Table:
+    """Burst leaderboard: tokens over-represented in the RECENT corpus
+    slice (top 20% of doc_ids, the data-derived ingest frontier) vs
+    overall — the drift/trending monitor a feed operator reads. Burst
+    is the exact cross-multiplied rate ratio
+    ``burst_bp = 10⁴·c_recent·N_total // (c_total·N_recent)`` with a
+    ``c_total >= 5`` noise floor.
+
+    Shape: batches emit (token, c_recent, c_total) partials; the
+    token-keyed exchange completes each token's pair in one partition,
+    which scores and cuts a LOCAL top-20 (the score is per-token
+    monotone, so the local cut is a provable superset of the global
+    one); the driver folds P × 20 champions. Corpus totals (N_r, N_t)
+    broadcast from one tiny fold."""
+    import ray
+
+    from .exchange import exchange_reduce, gather_concat
+
+    rd = _rd()
+    empty = pa.table({"token": pa.array([], pa.string()),
+                      "n_total": pa.array([], pa.int64()),
+                      "n_recent": pa.array([], pa.int64()),
+                      "burst_bp": pa.array([], pa.int64())})
+
+    # one tiny fold: max doc_id -> the deterministic recent cutoff
+    @ray.remote
+    def max_id(t: pa.Table):
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return None
+        return int(t.column("doc_id").to_numpy().max())
+
+    base = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    base_refs = base.to_arrow_refs()
+    ids = [m for m in ray.get([max_id.remote(r) for r in base_refs])
+           if m is not None]
+    if not ids:
+        return empty
+    cutoff = (max(ids) + 1) * 4 // 5
+
+    @ray.remote
+    def count_partial(t: pa.Table) -> pa.Table:
+        e = pa.table({"token": pa.array([], pa.string()),
+                      "cr": pa.array([], pa.int64()),
+                      "ct": pa.array([], pa.int64())})
+        if t.num_rows == 0 or "text" not in t.column_names:
+            return e
+        low = pc.utf8_lower(t.column("text"))
+        toks = pc.split_pattern_regex(low, _TOKEN_SPLIT)
+        ln = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        recent = pa.array(np.repeat(
+            t.column("doc_id").to_numpy() >= cutoff, ln).astype(np.int64))
+        keep = pc.not_equal(flat, "")
+        p = pa.table({"token": flat.filter(keep),
+                      "r": recent.filter(keep)})
+        g = p.group_by(["token"]).aggregate(
+            [("r", "sum"), ([], "count_all")])
+        return pa.table({"token": g.column("token"),
+                         "cr": g.column("r_sum").cast(pa.int64()),
+                         "ct": g.column("count_all").cast(pa.int64())})
+
+    cnt_refs = [count_partial.remote(r) for r in base_refs]
+
+    @ray.remote
+    def totals_of(t: pa.Table):
+        if t.num_rows == 0:
+            return (0, 0)
+        return (int(pc.sum(t.column("cr")).as_py() or 0),
+                int(pc.sum(t.column("ct")).as_py() or 0))
+
+    tots = ray.get([totals_of.remote(r) for r in cnt_refs])
+    nr = sum(a for a, _ in tots)
+    nt = sum(b for _, b in tots)
+    if nr == 0 or nt == 0:
+        return empty
+
+    def champion(pid: int, t: pa.Table) -> pa.Table:
+        e = pa.table({"token": pa.array([], pa.string()),
+                      "n_total": pa.array([], pa.int64()),
+                      "n_recent": pa.array([], pa.int64()),
+                      "burst_bp": pa.array([], pa.int64())})
+        if t.num_rows == 0 or "token" not in t.column_names:
+            return e
+        g = t.group_by(["token"]).aggregate([("cr", "sum"), ("ct", "sum")])
+        cr = g.column("cr_sum").to_numpy().astype(np.int64)
+        ct = g.column("ct_sum").to_numpy().astype(np.int64)
+        keep = ct >= _TREND_MIN_COUNT
+        if not keep.any():
+            return e
+        tok = g.column("token").to_numpy(zero_copy_only=False)[keep]
+        cr, ct = cr[keep], ct[keep]
+        burst = (10_000 * cr * nt) // (ct * nr)
+        order = np.lexsort((tok, -burst))[:_TREND_TOPK]
+        return pa.table({
+            "token": pa.array(tok[order], pa.string()),
+            "n_total": pa.array(ct[order], pa.int64()),
+            "n_recent": pa.array(cr[order], pa.int64()),
+            "burst_bp": pa.array(burst[order], pa.int64()),
+        })
+
+    allc = gather_concat(exchange_reduce([cnt_refs], ["token"], champion))
+    if allc.num_rows == 0:
+        return empty
+    tok = allc.column("token").to_numpy(zero_copy_only=False)
+    burst = allc.column("burst_bp").to_numpy()
+    order = np.lexsort((tok, -burst))[:_TREND_TOPK]
+    return allc.take(pa.array(order)).combine_chunks()

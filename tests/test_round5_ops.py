@@ -2550,3 +2550,51 @@ def test_dup_quality_matrix_consistency(ray_session):
     q = quality_score(sf)
     n_ok = sum(1 for v in q.column("quality_ok").to_pylist() if v)
     assert sum(r["n"] for r in out if r["quality_ok"]) == n_ok
+
+
+def test_token_fertility_bruteforce(ray_session):
+    import re
+
+    import pandas as pd
+
+    from image_report_ray.pipelines.text import token_fertility
+
+    sf = "/root/testdata/sf0.001"
+    out = token_fertility(sf).to_pylist()
+    docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["lang", "text"])
+    for row in out:
+        g = docs[docs["lang"] == row["lang"]]["text"].str.lower()
+        bpe = int(g.map(lambda s: len(re.findall(r"[a-z]+", s))
+                        + len(re.findall(r"[0-9]+", s))
+                        + len(re.findall(r"[^a-z0-9\s]", s))).sum())
+        w = int(g.map(lambda s: len(s.split())).sum())
+        assert (row["n_bpe_tokens"], row["n_words"]) == (bpe, w)
+        assert row["fertility_bp"] == 10_000 * bpe // max(w, 1)
+
+
+def test_trending_tokens_bruteforce(ray_session):
+    import pandas as pd
+
+    from image_report_ray.pipelines.text import trending_tokens
+
+    sf = "/root/testdata/sf0.001"
+    out = trending_tokens(sf).to_pylist()
+    docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    cutoff = (int(docs["doc_id"].max()) + 1) * 4 // 5
+    ct, cr = {}, {}
+    for did, txt in zip(docs["doc_id"], docs["text"]):
+        rec = did >= cutoff
+        for w in txt.lower().split():
+            ct[w] = ct.get(w, 0) + 1
+            if rec:
+                cr[w] = cr.get(w, 0) + 1
+    nt = sum(ct.values())
+    nr = sum(cr.values())
+    scored = sorted(
+        ((10_000 * cr.get(w, 0) * nt) // (c * nr), w, c, cr.get(w, 0))
+        for w, c in ct.items() if c >= 5
+    )
+    exp = [(w, c, r, b) for b, w, c, r in
+           sorted(scored, key=lambda x: (-x[0], x[1]))[:20]]
+    assert [(r["token"], r["n_total"], r["n_recent"], r["burst_bp"])
+            for r in out] == exp
