@@ -2078,6 +2078,38 @@ GROUP BY conv_id ORDER BY conv_id
         # (cdcq.cdc_turn_len_quantiles): the integer-rank rule both
         # sides share — smallest len whose cumulative count reaches
         # ceil(q*n)
+        # assistant responsiveness SLO (cdcq.cdc_reply_latency): exact
+        # P50/P90 of user->assistant gaps over the replayed state, the
+        # ceil-rank rule; negative gaps excluded and counted
+        "cdc_reply_latency": CHANGELOG_CTE + """
+, final AS (
+    SELECT conv_id, turn_idx, role, ts
+    FROM (
+        SELECT ch.*, ROW_NUMBER() OVER (
+            PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+        FROM ch
+    )
+    WHERE rn = 1 AND op <> 'D'
+),
+g AS (
+    SELECT epoch_us(LEAD(ts) OVER w) - epoch_us(ts) AS gap,
+           role AS r0, LEAD(role) OVER w AS r1
+    FROM final WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+),
+ua AS (SELECT gap FROM g WHERE r0 = 'user' AND r1 = 'assistant'),
+ok AS (
+    SELECT gap, ROW_NUMBER() OVER (ORDER BY gap) AS rk,
+           COUNT(*) OVER () AS n
+    FROM ua WHERE gap >= 0
+)
+SELECT CAST(COALESCE(ANY_VALUE(n), 0) AS BIGINT) AS n_pairs,
+       CAST((SELECT COUNT(*) FROM ua WHERE gap < 0) AS BIGINT) AS n_negative,
+       CAST(MIN(CASE WHEN rk >= (50 * n + 99) // 100 THEN gap END)
+            AS BIGINT) AS p50_us,
+       CAST(MIN(CASE WHEN rk >= (90 * n + 99) // 100 THEN gap END)
+            AS BIGINT) AS p90_us
+FROM ok
+""",
         "cdc_turn_len_quantiles": CHANGELOG_CTE + """
 , final AS (
     SELECT conv_id, turn_idx, role, text
@@ -3546,6 +3578,17 @@ GROUP BY 1, 2, 3 ORDER BY n DESC, a, b, c LIMIT 20
 """,
         # pricing-policy census (relational.discount_bands)
         # order-shape profile (relational.order_size_hist)
+        # engagement-longevity profile (relational.user_lifetime_hist)
+        "user_lifetime_hist": """
+WITH u AS (
+  SELECT user_id,
+         (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 86400000000 AS days
+  FROM events GROUP BY user_id
+)
+SELECT CAST(days AS BIGINT) AS lifetime_days,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM u GROUP BY days ORDER BY lifetime_days
+""",
         "order_size_hist": """
 WITH s AS (
   SELECT o.o_orderkey, COUNT(l.l_orderkey) AS n_lines

@@ -2088,3 +2088,112 @@ def cdc_turn_len_quantiles(sf_dir: str) -> pa.Table:
                      "n_turns": pa.array(totals, pa.int64()),
                      **{nm: pa.array(v, pa.int64())
                         for nm, v in cols.items()}})
+
+
+_RL_SHIFT = 26  # coarse bucket = 2^26 us ~= 67 s (the gap_quantiles dial)
+
+
+def cdc_reply_latency(sf_dir: str, shift: int = _RL_SHIFT) -> pa.Table:
+    """Assistant responsiveness over the REPLAYED state: exact P50/P90
+    of the timestamp gap across adjacent user -> assistant turn pairs
+    (the conversational SLO; negative gaps — a later writer rewrote the
+    user turn after the reply — are excluded and counted separately).
+
+    Scale shape: one task per lake partition emits its gap table and
+    KEEPS it as a ref; the N118 two-pass selection (coarse 2^shift-us
+    histogram locate + single-bucket refine, conversion_latency's close
+    verbatim) finds the exact order statistics — no global sort, no
+    driver gap array."""
+    import numpy as np
+    import ray
+
+    @ray.remote
+    def part_gaps(paths: list) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        from image_report_ray.state.merge import (
+            export_canonical,
+            fold_state_tables,
+        )
+
+        empty = pa.table({"gap": pa.array([], pa.int64())})
+        folded = fold_state_tables([pq.read_table(p) for p in paths])
+        if folded is None:
+            return empty
+        t = export_canonical(folded)
+        if t.num_rows < 2:
+            return empty
+        conv = t.column("conv_id").to_numpy(zero_copy_only=False)
+        role = t.column("role").to_numpy(zero_copy_only=False)
+        ts = t.column("ts").combine_chunks().to_numpy(
+            zero_copy_only=False).astype("datetime64[us]").view(np.int64)
+        m = (conv[1:] == conv[:-1]) & (role[:-1] == "user") \
+            & (role[1:] == "assistant")
+        return pa.table({"gap": pa.array(ts[1:][m] - ts[:-1][m], pa.int64())})
+
+    lake = _full_lake(sf_dir)
+    sets = lake.current_file_sets()
+    refs = [part_gaps.remote(paths) for _, paths in sorted(sets.items())]
+
+    @ray.remote
+    def hist_task(t: pa.Table, sh: int) -> pa.Table:
+        gap = (t.column("gap").to_numpy()
+               if t.num_rows and "gap" in t.column_names
+               else np.array([], np.int64))
+        ok = gap[gap >= 0]
+        u, c = np.unique(ok >> np.int64(sh), return_counts=True)
+        return pa.table({
+            "bucket": pa.array(np.r_[u.astype(np.int64), np.int64(-1)]),
+            "n": pa.array(np.r_[c.astype(np.int64),
+                                np.int64((gap < 0).sum())]),
+        })
+
+    @ray.remote
+    def bucket_vals(t: pa.Table, buckets: list, sh: int) -> pa.Table:
+        if t.num_rows == 0 or "gap" not in t.column_names:
+            return pa.table({"gap": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        gap = t.column("gap").to_numpy()
+        ok = gap[gap >= 0]
+        keep = np.isin(ok >> np.int64(sh), buckets)
+        u, c = np.unique(ok[keep], return_counts=True)
+        return pa.table({"gap": pa.array(u.astype(np.int64)),
+                         "n": pa.array(c.astype(np.int64))})
+
+    import pyarrow.compute as pcc
+
+    allh = pa.concat_tables(ray.get([hist_task.remote(r, shift)
+                                     for r in refs]))
+    meta = pcc.equal(allh.column("bucket"), -1)
+    n_neg = int(pcc.sum(allh.filter(meta).column("n")).as_py() or 0)
+    hist = allh.filter(pcc.invert(meta))
+    if hist.num_rows == 0:
+        return pa.table({"n_pairs": pa.array([0], pa.int64()),
+                         "n_negative": pa.array([n_neg], pa.int64()),
+                         "p50_us": pa.array([None], pa.int64()),
+                         "p90_us": pa.array([None], pa.int64())})
+    h = (hist.group_by(["bucket"]).aggregate([("n", "sum")])
+         .rename_columns(["bucket", "n"]).to_pandas().sort_values("bucket"))
+    n_ok = int(h["n"].sum())
+    cum = h["n"].cumsum().to_numpy()
+    buckets = h["bucket"].to_numpy()
+    ks = {p: (p * n_ok + 99) // 100 for p in (50, 90)}
+    tb = sorted({int(buckets[np.searchsorted(cum, k)]) for k in ks.values()})
+    vals = pa.concat_tables(ray.get(
+        [bucket_vals.remote(r, tb, shift) for r in refs]))
+    vt = (vals.group_by(["gap"]).aggregate([("n", "sum")])
+          .rename_columns(["gap", "n"]).to_pandas().sort_values("gap"))
+    vv = vt["gap"].to_numpy()
+    vb = vv >> np.int64(shift)
+    vn = vt["n"].to_numpy()
+    q = {}
+    for p, k in ks.items():
+        i = int(np.searchsorted(cum, k))
+        before = int(cum[i - 1]) if i else 0
+        m = vb == buckets[i]
+        bc = np.cumsum(vn[m])
+        q[p] = int(vv[m][np.searchsorted(bc, k - before)])
+    return pa.table({"n_pairs": pa.array([n_ok], pa.int64()),
+                     "n_negative": pa.array([n_neg], pa.int64()),
+                     "p50_us": pa.array([q[50]], pa.int64()),
+                     "p90_us": pa.array([q[90]], pa.int64())})

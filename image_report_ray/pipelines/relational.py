@@ -6148,3 +6148,55 @@ def brand_return_rates(sf_dir: str) -> pa.Table:
         "return_bp": pa.array(10_000 * nr // n, pa.int64()),
     })
     return finalize(out, [("p_brand", "ascending")])
+
+
+def user_lifetime_hist(sf_dir: str) -> pa.Table:
+    """User-lifetime histogram: days between each user's first and last
+    event, bucketed exactly — the engagement-longevity profile behind
+    retention planning (distinct from retention_cohorts' week matrix).
+    The user-keyed exchange completes each user's (min, max) in one
+    partition; partitions fold (days, n_users) histograms, driver sums
+    P × distinct-lifetimes rows."""
+    import ray
+
+    from .exchange import exchange_reduce, gather_concat
+
+    rd = _rd()
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "lo": pa.array([], pa.int64()),
+                             "hi": pa.array([], pa.int64())})
+        ts = t.column("ts").to_numpy().astype(np.int64)
+        g = pa.table({"user_id": t.column("user_id"),
+                      "lo": pa.array(ts, pa.int64()),
+                      "hi": pa.array(ts, pa.int64())}
+                     ).group_by(["user_id"]).aggregate(
+            [("lo", "min"), ("hi", "max")])
+        return g.rename_columns(["user_id", "lo", "hi"])
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"]
+                         ).map_batches(partial, batch_format="pyarrow")
+
+    def life_kernel(pid: int, t: pa.Table) -> pa.Table:
+        empty_k = pa.table({"lifetime_days": pa.array([], pa.int64()),
+                            "n_users": pa.array([], pa.int64())})
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return empty_k
+        g = t.group_by(["user_id"]).aggregate(
+            [("lo", "min"), ("hi", "max")])
+        days = (g.column("hi_max").to_numpy()
+                - g.column("lo_min").to_numpy()) // _US_PER_DAY_I
+        d, c = np.unique(days, return_counts=True)
+        return pa.table({"lifetime_days": pa.array(d.astype(np.int64)),
+                         "n_users": pa.array(c.astype(np.int64))})
+
+    parts = gather_concat(exchange_reduce([ds], ["user_id"], life_kernel))
+    if parts.num_rows == 0:
+        return pa.table({"lifetime_days": pa.array([], pa.int64()),
+                         "n_users": pa.array([], pa.int64())})
+    g = (parts.group_by(["lifetime_days"]).aggregate([("n_users", "sum")])
+         .rename_columns(["lifetime_days", "n_users"]))
+    return finalize(g, [("lifetime_days", "ascending")])

@@ -2598,3 +2598,52 @@ def test_trending_tokens_bruteforce(ray_session):
            sorted(scored, key=lambda x: (-x[0], x[1]))[:20]]
     assert [(r["token"], r["n_total"], r["n_recent"], r["burst_bp"])
             for r in out] == exp
+
+
+def test_user_lifetime_hist_bruteforce(ray_session):
+    import pandas as pd
+
+    from image_report_ray.pipelines.relational import user_lifetime_hist
+
+    sf = "/root/testdata/sf0.001"
+    out = user_lifetime_hist(sf).to_pylist()
+    ev = pd.read_parquet(f"{sf}/events.parquet", columns=["user_id", "ts"])
+    ev["us"] = ev["ts"].astype("int64")
+    g = ev.groupby("user_id")["us"].agg(["min", "max"])
+    days = ((g["max"] - g["min"]) // 86_400_000_000).value_counts().sort_index()
+    assert [(r["lifetime_days"], r["n_users"]) for r in out] == list(
+        zip(days.index.tolist(), days.tolist()))
+    assert sum(r["n_users"] for r in out) == ev["user_id"].nunique()
+
+
+def test_cdc_reply_latency_bruteforce(ray_session):
+    """Two-pass P50/P90 equal a naive sort over the same snapshot's
+    user->assistant gaps with the ceil-rank rule."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from image_report_ray.pipelines.cdcq import _full_lake, cdc_reply_latency
+    from image_report_ray.state.merge import export_canonical, fold_state_tables
+
+    sf = "/root/testdata/sf0.001"
+    out = cdc_reply_latency(sf).to_pylist()[0]
+    gaps = []
+    for _, paths in sorted(_full_lake(sf).current_file_sets().items()):
+        folded = fold_state_tables([pq.read_table(p) for p in paths])
+        if folded is None:
+            continue
+        t = export_canonical(folded)
+        conv = t.column("conv_id").to_numpy(zero_copy_only=False)
+        role = t.column("role").to_numpy(zero_copy_only=False)
+        ts = t.column("ts").combine_chunks().to_numpy(
+            zero_copy_only=False).astype("datetime64[us]").view(np.int64)
+        m = (conv[1:] == conv[:-1]) & (role[:-1] == "user") \
+            & (role[1:] == "assistant")
+        gaps.extend((ts[1:][m] - ts[:-1][m]).tolist())
+    ok = np.sort(np.array([g for g in gaps if g >= 0], np.int64))
+    assert out["n_pairs"] == len(ok)
+    assert out["n_negative"] == sum(1 for g in gaps if g < 0)
+    n = len(ok)
+    assert out["p50_us"] == int(ok[(50 * n + 99) // 100 - 1])
+    assert out["p90_us"] == int(ok[(90 * n + 99) // 100 - 1])
