@@ -2313,6 +2313,37 @@ SELECT day, r AS revenue_cents,
 FROM d ORDER BY day
 """,
         # per-epoch ingest-volume series (cdcq.cdc_epoch_text_growth)
+        # ingest capacity trend (cdcq.cdc_ingest_trend): exact integer
+        # least squares over the per-epoch bytes series; sign-separated
+        # magnitude division (DuckDB // truncates, Python // floors)
+        "cdc_ingest_trend": CHANGELOG_CTE + """
+, e AS (
+  SELECT lsn // 2500 AS epoch,
+         CAST(SUM(CASE WHEN op IN ('I', 'U')
+                       THEN octet_length(encode(text)) ELSE 0 END)
+              AS HUGEINT) AS bytes_in
+  FROM ch GROUP BY 1),
+m AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(CAST(epoch AS HUGEINT)) AS sx, SUM(bytes_in) AS sy,
+         SUM(CAST(epoch AS HUGEINT) * CAST(epoch AS HUGEINT)) AS sxx,
+         SUM(CAST(epoch AS HUGEINT) * bytes_in) AS sxy
+  FROM e),
+d AS (
+  SELECT n, sy, n * sxy - sx * sy AS num_s, sy * sxx - sx * sxy AS num_i,
+         n * sxx - sx * sx AS den
+  FROM m)
+SELECT CAST(n AS BIGINT) AS n_epochs,
+       CAST(CASE WHEN den = 0 THEN 0
+                 ELSE (CASE WHEN (num_s < 0) <> (den < 0) THEN -1 ELSE 1 END)
+                      * ((1000000 * ABS(num_s)) // ABS(den)) END
+            AS BIGINT) AS slope_micro,
+       CAST(CASE WHEN den = 0 THEN (1000000 * sy) // n
+                 ELSE (CASE WHEN (num_i < 0) <> (den < 0) THEN -1 ELSE 1 END)
+                      * ((1000000 * ABS(num_i)) // ABS(den)) END
+            AS BIGINT) AS intercept_micro
+FROM d
+""",
         "cdc_epoch_text_growth": CHANGELOG_CTE + """
 , e AS (
   SELECT lsn // 2500 AS epoch,

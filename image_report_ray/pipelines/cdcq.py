@@ -2197,3 +2197,44 @@ def cdc_reply_latency(sf_dir: str, shift: int = _RL_SHIFT) -> pa.Table:
                      "n_negative": pa.array([n_neg], pa.int64()),
                      "p50_us": pa.array([q[50]], pa.int64()),
                      "p90_us": pa.array([q[90]], pa.int64())})
+
+
+def cdc_ingest_trend(sf_dir: str) -> pa.Table:
+    """Exact least-squares trend of ingest volume across epochs — the
+    capacity forecast (is the WAL growing and how fast?): slope and
+    intercept of bytes_in over epoch index in micro-bytes, computed as
+    EXACT integer rationals (slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²))
+    with sign-separated magnitude division so Python's floor and
+    DuckDB's truncate agree. Rides :func:`cdc_epoch_text_growth`'s
+    distributed per-epoch fold; the regression close is O(epochs)
+    driver math."""
+    t = cdc_epoch_text_growth(sf_dir)
+    empty = pa.table({"n_epochs": pa.array([], pa.int64()),
+                      "slope_micro": pa.array([], pa.int64()),
+                      "intercept_micro": pa.array([], pa.int64())})
+    if t.num_rows == 0:
+        return empty
+    x = [int(v) for v in t.column("epoch").to_pylist()]
+    y = [int(v) for v in t.column("bytes_in").to_pylist()]
+    n = len(x)
+    sx, sy = sum(x), sum(y)
+    sxx = sum(v * v for v in x)
+    sxy = sum(a * b for a, b in zip(x, y))
+    den = n * sxx - sx * sx
+    if den == 0:  # single epoch: no trend, intercept = the one value
+        return pa.table({"n_epochs": pa.array([n], pa.int64()),
+                         "slope_micro": pa.array([0], pa.int64()),
+                         "intercept_micro": pa.array(
+                             [1_000_000 * sy // n], pa.int64())})
+
+    def micro(num: int, d: int) -> int:
+        s = -1 if (num < 0) != (d < 0) else 1
+        return s * ((1_000_000 * abs(num)) // abs(d))
+
+    num_s = n * sxy - sx * sy
+    num_i = sy * sxx - sx * sxy
+    return pa.table({
+        "n_epochs": pa.array([n], pa.int64()),
+        "slope_micro": pa.array([micro(num_s, den)], pa.int64()),
+        "intercept_micro": pa.array([micro(num_i, den)], pa.int64()),
+    })

@@ -2647,3 +2647,47 @@ def test_cdc_reply_latency_bruteforce(ray_session):
     n = len(ok)
     assert out["p50_us"] == int(ok[(50 * n + 99) // 100 - 1])
     assert out["p90_us"] == int(ok[(90 * n + 99) // 100 - 1])
+
+
+def test_cdc_ingest_trend_bruteforce(ray_session):
+    """Exact integer least squares equals numpy polyfit within the
+    micro resolution, and the rational arithmetic reproduces exactly."""
+    import numpy as np
+
+    from image_report_ray.pipelines.cdcq import (
+        cdc_epoch_text_growth,
+        cdc_ingest_trend,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = cdc_ingest_trend(sf).to_pylist()[0]
+    g = cdc_epoch_text_growth(sf)
+    x = [int(v) for v in g.column("epoch").to_pylist()]
+    y = [int(v) for v in g.column("bytes_in").to_pylist()]
+    n, sx, sy = len(x), sum(x), sum(y)
+    sxx = sum(v * v for v in x)
+    sxy = sum(a * b for a, b in zip(x, y))
+    den = n * sxx - sx * sx
+
+    def micro(num, d):
+        s = -1 if (num < 0) != (d < 0) else 1
+        return s * ((1_000_000 * abs(num)) // abs(d))
+
+    assert out["n_epochs"] == n
+    if den == 0:  # single epoch: no trend, intercept = mean
+        assert out["slope_micro"] == 0
+        assert out["intercept_micro"] == 1_000_000 * sy // n
+    else:
+        assert out["slope_micro"] == micro(n * sxy - sx * sy, den)
+        assert out["intercept_micro"] == micro(sy * sxx - sx * sxy, den)
+        sl, ic = np.polyfit(np.array(x, float), np.array(y, float), 1)
+        assert abs(out["slope_micro"] / 1e6 - sl) < max(1e-3, abs(sl) * 1e-6)
+        assert abs(out["intercept_micro"] / 1e6 - ic) < max(
+            1e-3, abs(ic) * 1e-6)
+    # multi-epoch synthetic check of the exact rational close
+    xs, ys = [0, 1, 2, 3], [10, 13, 15, 20]
+    nn, sx2, sy2 = 4, 6, 58
+    sxx2 = 14
+    sxy2 = sum(a * b for a, b in zip(xs, ys))
+    dd = nn * sxx2 - sx2 * sx2
+    assert micro(nn * sxy2 - sx2 * sy2, dd) == 3_200_000  # slope 3.2
