@@ -2691,3 +2691,45 @@ def test_cdc_ingest_trend_bruteforce(ray_session):
     sxy2 = sum(a * b for a, b in zip(xs, ys))
     dd = nn * sxx2 - sx2 * sx2
     assert micro(nn * sxy2 - sx2 * sy2, dd) == 3_200_000  # slope 3.2
+
+
+def test_ngram_pair_refs_cache_roundtrip(ray_session, tmp_path):
+    """Cached pair refs are bit-identical to a fresh build, stats
+    round-trip through the sidecar, and rewriting the corpus
+    invalidates the entry (new content fingerprint)."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from image_report_ray.pipelines.dedup import (
+        _doc_tag,
+        _ngram_jaccard_pair_refs_build,
+        ngram_jaccard_pair_refs,
+    )
+
+    sf = str(tmp_path / "corpus")
+    (tmp_path / "corpus").mkdir()
+    src = "/root/testdata/sf0.001/documents.parquet"
+    shutil.copy(src, f"{sf}/documents.parquet")
+
+    fresh_refs, fresh_stats = _ngram_jaccard_pair_refs_build(sf)
+    fresh = pa.concat_tables(
+        [t for t in ray.get(fresh_refs) if t.num_rows])
+    r1, s1 = ngram_jaccard_pair_refs(sf)   # builds + publishes
+    tag1 = _doc_tag(sf, "ngjac:tau=0.2:P=16")
+    r2, s2 = ngram_jaccard_pair_refs(sf)   # served from the cache
+    c2 = pa.concat_tables([t for t in ray.get(r2) if t.num_rows])
+    assert s1 == fresh_stats and s2 == fresh_stats
+    assert c2.equals(fresh)
+
+    # content change -> different fingerprint -> rebuild
+    t = pq.read_table(src)
+    pq.write_table(t.slice(0, 100), f"{sf}/documents.parquet")
+    tag2 = _doc_tag(sf, "ngjac:tau=0.2:P=16")
+    assert tag1 != tag2
+    r3, _ = ngram_jaccard_pair_refs(sf)
+    c3 = pa.concat_tables([t for t in ray.get(r3) if t.num_rows] or
+                          [fresh.slice(0, 0)])
+    assert c3.num_rows <= fresh.num_rows
