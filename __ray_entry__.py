@@ -2287,6 +2287,40 @@ FROM k
         # per-type daily EWMA, exact dyadic-integer decay
         # (relational.value_ewma): 2^-gap_days factor, 20-day cap, the
         # decayed sum carries the 2^20 scale so both sides stay int64
+        # temporal value-distribution drift (relational.value_drift_tv):
+        # exact cross-multiplied TV over fixed 128-cent buckets between
+        # the two halves of the day range
+        "value_drift_tv": """
+WITH r AS (
+  SELECT MIN(epoch_us(ts) // 86400000000) AS lo,
+         MAX(epoch_us(ts) // 86400000000) AS hi
+  FROM events
+),
+e AS (
+  SELECT event_type,
+         CASE WHEN epoch_us(ts) // 86400000000 > (r.lo + r.hi) // 2
+              THEN 1 ELSE 0 END AS half,
+         CAST(round(value * 100) AS BIGINT) >> 7 AS bucket
+  FROM events, r
+),
+c AS (SELECT event_type, half, bucket, CAST(COUNT(*) AS HUGEINT) AS n
+      FROM e GROUP BY 1, 2, 3),
+p AS (SELECT event_type, bucket,
+             SUM(CASE WHEN half = 0 THEN n ELSE 0 END) AS c1,
+             SUM(CASE WHEN half = 1 THEN n ELSE 0 END) AS c2
+      FROM c GROUP BY 1, 2),
+tot AS (SELECT event_type, SUM(c1) AS n1, SUM(c2) AS n2 FROM p GROUP BY 1)
+SELECT p.event_type,
+       CAST(tot.n1 AS BIGINT) AS n_first,
+       CAST(tot.n2 AS BIGINT) AS n_second,
+       CAST(CASE WHEN tot.n1 = 0 OR tot.n2 = 0
+                 THEN CASE WHEN tot.n1 + tot.n2 > 0 THEN 1000000 ELSE 0 END
+                 ELSE (1000000 * SUM(ABS(p.c1 * tot.n2 - p.c2 * tot.n1)))
+                      // (2 * tot.n1 * tot.n2) END AS BIGINT) AS tv_micro
+FROM p JOIN tot USING (event_type)
+GROUP BY p.event_type, tot.n1, tot.n2
+ORDER BY event_type
+""",
         "value_ewma": """
 WITH d AS (
   SELECT event_type, epoch_us(ts) // 86400000000 AS day,

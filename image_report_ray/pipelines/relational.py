@@ -6200,3 +6200,88 @@ def user_lifetime_hist(sf_dir: str) -> pa.Table:
     g = (parts.group_by(["lifetime_days"]).aggregate([("n_users", "sum")])
          .rename_columns(["lifetime_days", "n_users"]))
     return finalize(g, [("lifetime_days", "ascending")])
+
+
+_VDT_SHIFT = 7  # fixed 128-cent buckets: data-independent, exact
+
+
+def value_drift_tv(sf_dir: str) -> pa.Table:
+    """Temporal drift monitor: per event type, the exact total-variation
+    distance between the value distribution of the FIRST and SECOND
+    half of the time range (split at the midpoint day, data-derived
+    but deterministic), over fixed 128-cent buckets — the
+    train/serve-skew check run before trusting a model trained on old
+    events. Cross-multiplied integers end-to-end
+    (``tv_micro = 10⁶·Σ_b |c1·N2 − c2·N1| // (2·N1·N2)``).
+
+    Shape: one tiny (min, max) day fold fixes the split; batches emit
+    (type, half, bucket, n) partials; the fixed-cardinality fold closes
+    per-type sums on the driver — no shuffle of row data."""
+    from ._util import fold_partials
+
+    import ray
+
+    rd = _rd()
+    empty = pa.table({"event_type": pa.array([], pa.string()),
+                      "n_first": pa.array([], pa.int64()),
+                      "n_second": pa.array([], pa.int64()),
+                      "tv_micro": pa.array([], pa.int64())})
+
+    @ray.remote
+    def day_range(t: pa.Table):
+        if t.num_rows == 0 or "ts" not in t.column_names:
+            return None
+        d = t.column("ts").to_numpy().astype(np.int64) // _US_PER_DAY_I
+        return (int(d.min()), int(d.max()))
+
+    base = rd.read_parquet(f"{sf_dir}/events.parquet",
+                           columns=["event_type", "ts", "value"])
+    refs = base.to_arrow_refs()
+    rngs = [r for r in ray.get([day_range.remote(r) for r in refs]) if r]
+    if not rngs:
+        return empty
+    lo = min(r[0] for r in rngs)
+    hi = max(r[1] for r in rngs)
+    mid = (lo + hi) // 2  # first half: day <= mid
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "half": pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        day = t.column("ts").to_numpy().astype(np.int64) // _US_PER_DAY_I
+        g = pa.table({
+            "event_type": t.column("event_type"),
+            "half": pa.array((day > mid).astype(np.int64), pa.int64()),
+            "bucket": pa.array(
+                _cents(t.column("value")) >> _VDT_SHIFT, pa.int64()),
+            "n": pa.array(np.ones(t.num_rows, np.int64)),
+        }).group_by(["event_type", "half", "bucket"]).aggregate([("n", "sum")])
+        return g.rename_columns(["event_type", "half", "bucket", "n"])
+
+    t = fold_partials(base.map_batches(partial, batch_format="pyarrow"),
+                      ["event_type", "half", "bucket"], [("n", "sum")],
+                      ["event_type", "half", "bucket", "n"])
+    if t.num_columns == 0 or t.num_rows == 0:
+        return empty
+    df = t.to_pandas()
+    rows = []
+    for ty, g in df.groupby("event_type"):
+        p = g.pivot_table(index="bucket", columns="half", values="n",
+                          aggfunc="sum", fill_value=0)
+        c1 = p[0].to_numpy().astype(object) if 0 in p else np.zeros(len(p), object)
+        c2 = p[1].to_numpy().astype(object) if 1 in p else np.zeros(len(p), object)
+        n1, n2 = int(sum(c1)), int(sum(c2))
+        if n1 == 0 or n2 == 0:
+            rows.append((ty, n1, n2, 1_000_000 if (n1 or n2) else 0))
+            continue
+        s = int(sum(abs(int(a) * n2 - int(b) * n1) for a, b in zip(c1, c2)))
+        rows.append((ty, n1, n2, (1_000_000 * s) // (2 * n1 * n2)))
+    rows.sort()
+    return pa.table({
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "n_first": pa.array([r[1] for r in rows], pa.int64()),
+        "n_second": pa.array([r[2] for r in rows], pa.int64()),
+        "tv_micro": pa.array([r[3] for r in rows], pa.int64()),
+    })

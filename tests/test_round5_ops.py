@@ -2733,3 +2733,29 @@ def test_ngram_pair_refs_cache_roundtrip(ray_session, tmp_path):
     c3 = pa.concat_tables([t for t in ray.get(r3) if t.num_rows] or
                           [fresh.slice(0, 0)])
     assert c3.num_rows <= fresh.num_rows
+
+
+def test_value_drift_tv_bruteforce(ray_session):
+    import pandas as pd
+
+    from image_report_ray.pipelines.relational import value_drift_tv
+
+    sf = "/root/testdata/sf0.001"
+    out = value_drift_tv(sf).to_pylist()
+    ev = pd.read_parquet(f"{sf}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+    day = ev["ts"].astype("int64") // 86_400_000_000
+    mid = (int(day.min()) + int(day.max())) // 2
+    ev["half"] = (day > mid).astype(int)
+    ev["bucket"] = ((ev["value"] * 100).round().astype("int64").to_numpy()) >> 7
+    for row in out:
+        g = ev[ev["event_type"] == row["event_type"]]
+        c1 = g[g["half"] == 0]["bucket"].value_counts()
+        c2 = g[g["half"] == 1]["bucket"].value_counts()
+        n1, n2 = int(c1.sum()), int(c2.sum())
+        assert (row["n_first"], row["n_second"]) == (n1, n2)
+        buckets = set(c1.index) | set(c2.index)
+        s = sum(abs(int(c1.get(b, 0)) * n2 - int(c2.get(b, 0)) * n1)
+                for b in buckets)
+        assert row["tv_micro"] == (1_000_000 * s) // (2 * n1 * n2)
+        assert 0 <= row["tv_micro"] <= 1_000_000
