@@ -450,6 +450,34 @@ ORDER BY doc_id_a, doc_id_b
 """
 
 
+def _minhash_calibration_sql() -> str:
+    """minhash_calibration twin: the ENTIRE _minhash_sql chain verbatim
+    (sig / cand / scored), retargeted — verified pairs keep their exact
+    jaccard band, per-pair component matches come from a self-join of
+    the sig CTE, mean estimate closes in the same exact integers."""
+    base = _minhash_sql()
+    cut = base.index("SELECT da AS doc_id_a")
+    tail = """ver AS (
+  SELECT da, db, ROUND(i * 1.0 / (na + nb - i), 6) AS jac
+  FROM scored WHERE i * 1.0 / (na + nb - i) >= 0.5
+),
+est AS (
+  SELECT v.da, v.db, SUM(CASE WHEN x.s = y.s THEN 1 ELSE 0 END) AS m
+  FROM ver v
+  JOIN sig x ON x.doc_id = v.da
+  JOIN sig y ON y.doc_id = v.db AND y.j = x.j
+  GROUP BY v.da, v.db
+)
+SELECT CAST(LEAST(FLOOR(v.jac * 20), 19) * 500 AS BIGINT) AS band_bp,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST((10000 * SUM(e.m)) // (128 * COUNT(*)) AS BIGINT)
+           AS mean_est_bp
+FROM ver v JOIN est e ON e.da = v.da AND e.db = v.db
+GROUP BY 1 ORDER BY band_bp
+"""
+    return base[:cut].rstrip().rstrip(")") + "),\n" + tail
+
+
 _SHUFFLE_SQL = f"""
 WITH s0 AS (
   SELECT doc_id, CAST((doc_id + {_SM_SEED}) % {_SM_M} AS UBIGINT) AS h
@@ -1585,6 +1613,8 @@ ORDER BY d.doc_id
         # mul-mix/xor Horner); exact-Jaccard verify over distinct
         # shingle hashes
         "dedup_minhash_lsh": _minhash_sql(),
+        # sketch-vs-exact calibration (dedup.minhash_calibration)
+        "minhash_calibration": _minhash_calibration_sql(),
         "dup_span_coverage": _dupspan_sql(),
         # n-gram novelty (dedup.ngram_novelty): shingle owner = MIN
         # doc_id; novelty = a doc's share of self-owned shingles

@@ -1543,6 +1543,68 @@ def _verify_candidates(
     )
 
 
+def _minhash_sig_and_set(t: pa.Table) -> pa.Table:
+    """One shingling pass feeds both the signatures (banding) and the
+    hashed sets (exact verify) — the corpus is never re-read. Shared by
+    :func:`dedup_minhash_lsh` and :func:`minhash_calibration`."""
+    df = doc_shingles(t)
+    if not len(df):
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "sig": pa.array([], pa.list_(pa.uint64())),
+             "hs": pa.array([], pa.list_(pa.uint64()))}
+        )
+    doc_of, starts, h, sigs = _sig_kernel(df)
+    order = np.lexsort((h, doc_of))
+    offsets = np.r_[starts, len(h)]
+    hs = pa.ListArray.from_arrays(
+        pa.array(offsets, pa.int32()),
+        pa.array(h[order], pa.uint64()),
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_of[starts], pa.int64()),
+            "sig": pa.array(list(sigs), pa.list_(pa.uint64())),
+            "hs": hs,
+        }
+    )
+
+
+def _minhash_band_explode(t: pa.Table) -> pa.Table:
+    """(band_key, doc_id) posting rows from per-doc signatures."""
+    if t.num_rows == 0:
+        return pa.table(
+            {"band_key": pa.array([], pa.string()),
+             "doc_id": pa.array([], pa.int64())}
+        )
+    sig = np.stack(t.column("sig").to_numpy(zero_copy_only=False))
+    doc = t.column("doc_id").to_numpy()
+    keys, docs = [], []
+    mix = _BAND_MIX
+    for bi in range(_MH_BANDS):
+        rowslice = sig[:, bi * _MH_ROWS : (bi + 1) * _MH_ROWS]
+        bh = rowslice[:, 0].copy()
+        for j in range(1, _MH_ROWS):
+            bh = bh * mix ^ rowslice[:, j]
+        keys.append(np.char.add(f"{bi}:", bh.astype("U20")))
+        docs.append(doc)
+    return pa.table(
+        {
+            "band_key": pa.array(np.concatenate(keys)),
+            "doc_id": pa.array(np.concatenate(docs), pa.int64()),
+        }
+    )
+
+
+def _minhash_base_refs(sf_dir: str) -> list:
+    """Per-block (doc_id, sig, hs) refs — the minhash front end."""
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ds.map_batches(
+        _minhash_sig_and_set, batch_format="pyarrow").to_arrow_refs()
+
+
 def dedup_minhash_lsh(sf_dir: str, tau: float = 0.5) -> pa.Table:
     """Near-dup pairs via MinHash banding, verified with exact Jaccard.
 
@@ -1554,64 +1616,8 @@ def dedup_minhash_lsh(sf_dir: str, tau: float = 0.5) -> pa.Table:
     materializes on the driver."""
     import ray
 
-    rd = _rd()
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-
-    def sig_and_set(t: pa.Table) -> pa.Table:
-        """One shingling pass feeds both the signatures (banding) and the
-        hashed sets (exact verify) — the corpus is never re-read."""
-        df = doc_shingles(t)
-        if not len(df):
-            return pa.table(
-                {"doc_id": pa.array([], pa.int64()),
-                 "sig": pa.array([], pa.list_(pa.uint64())),
-                 "hs": pa.array([], pa.list_(pa.uint64()))}
-            )
-        doc_of, starts, h, sigs = _sig_kernel(df)
-        # per-doc sorted hash lists as ONE lexsort + ListArray — no
-        # per-doc Python loop
-        order = np.lexsort((h, doc_of))
-        offsets = np.r_[starts, len(h)]
-        hs = pa.ListArray.from_arrays(
-            pa.array(offsets, pa.int32()),
-            pa.array(h[order], pa.uint64()),
-        )
-        return pa.table(
-            {
-                "doc_id": pa.array(doc_of[starts], pa.int64()),
-                "sig": pa.array(list(sigs), pa.list_(pa.uint64())),
-                "hs": hs,
-            }
-        )
-
-    # blocks stay in the object store; the driver only ever holds refs
-    base_refs = ds.map_batches(sig_and_set, batch_format="pyarrow").to_arrow_refs()
-
-    def band_explode(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table(
-                {"band_key": pa.array([], pa.string()),
-                 "doc_id": pa.array([], pa.int64())}
-            )
-        sig = np.stack(t.column("sig").to_numpy(zero_copy_only=False))
-        doc = t.column("doc_id").to_numpy()
-        keys, docs = [], []
-        mix = _BAND_MIX
-        for bi in range(_MH_BANDS):
-            rowslice = sig[:, bi * _MH_ROWS : (bi + 1) * _MH_ROWS]
-            bh = rowslice[:, 0].copy()
-            for j in range(1, _MH_ROWS):
-                bh = bh * mix ^ rowslice[:, j]
-            keys.append(np.char.add(f"{bi}:", bh.astype("U20")))
-            docs.append(doc)
-        return pa.table(
-            {
-                "band_key": pa.array(np.concatenate(keys)),
-                "doc_id": pa.array(np.concatenate(docs), pa.int64()),
-            }
-        )
-
-    band_task = ray.remote(band_explode)
+    base_refs = _minhash_base_refs(sf_dir)
+    band_task = ray.remote(_minhash_band_explode)
     cands_t, _ = pair_counts(
         [band_task.remote(r) for r in base_refs], "band_key", "doc_id"
     )
@@ -3136,3 +3142,71 @@ def dup_quality_matrix(sf_dir: str, tau: float = 0.2) -> pa.Table:
     g = (parts.group_by(["is_dup", "quality_ok"]).aggregate([("n", "sum")])
          .rename_columns(["is_dup", "quality_ok", "n"]))
     return finalize(g, [("is_dup", "ascending"), ("quality_ok", "ascending")])
+
+
+def minhash_calibration(sf_dir: str, tau: float = 0.5) -> pa.Table:
+    """Sketch-quality report: how well the 128-permutation MinHash
+    estimate tracks exact Jaccard on the pairs the banding actually
+    verified — per 500-basis-point exact-Jaccard band, the pair count
+    and the EXACT mean estimate (10⁴·Σmatching_components //
+    (128·n_pairs)). The calibration a pipeline owner reads before
+    trusting sketch-only thresholds at scale.
+
+    Shape: the shared minhash front end streams once
+    (:func:`_minhash_base_refs`); candidates band-collide and verify
+    exactly as in :func:`dedup_minhash_lsh`; signatures for ONLY the
+    verified pairs' endpoint docs (≤ 2·pairs rows) come back via a
+    broadcast-membership fold, and the per-pair component matches close
+    on the driver — bounded by the result's own pair count, never the
+    corpus."""
+    import ray
+
+    base_refs = _minhash_base_refs(sf_dir)
+    band_task = ray.remote(_minhash_band_explode)
+    cands_t, _ = pair_counts(
+        [band_task.remote(r) for r in base_refs], "band_key", "doc_id"
+    )
+    exact = _verify_candidates(base_refs, cands_t, tau)
+    empty = pa.table({"band_bp": pa.array([], pa.int64()),
+                      "n_pairs": pa.array([], pa.int64()),
+                      "mean_est_bp": pa.array([], pa.int64())})
+    if exact.num_rows == 0:
+        return empty
+    da = exact.column("doc_id_a").to_numpy()
+    db = exact.column("doc_id_b").to_numpy()
+    jac = exact.column("jaccard").to_numpy()
+    want = np.unique(np.concatenate([da, db]))
+    want_ref = ray.put(want)
+
+    @ray.remote
+    def pick_sigs(t: pa.Table):
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return None
+        ids = t.column("doc_id").to_numpy()
+        m = np.isin(ids, ray.get(want_ref))
+        if not m.any():
+            return None
+        return (ids[m],
+                np.stack(t.column("sig").filter(pa.array(m))
+                         .to_numpy(zero_copy_only=False)))
+
+    got = [g for g in ray.get([pick_sigs.remote(r) for r in base_refs]) if g]
+    ids = np.concatenate([g[0] for g in got])
+    sigs = np.vstack([g[1] for g in got])
+    order = np.argsort(ids)
+    ids, sigs = ids[order], sigs[order]
+    ia = np.searchsorted(ids, da)
+    ib = np.searchsorted(ids, db)
+    matches = (sigs[ia] == sigs[ib]).sum(axis=1).astype(np.int64)
+    band = np.minimum(np.floor(jac * 20.0), 19).astype(np.int64) * 500
+    rows = []
+    for b in np.unique(band):
+        m = band == b
+        n = int(m.sum())
+        rows.append((int(b), n,
+                     (10_000 * int(matches[m].sum())) // (128 * n)))
+    return pa.table({
+        "band_bp": pa.array([r[0] for r in rows], pa.int64()),
+        "n_pairs": pa.array([r[1] for r in rows], pa.int64()),
+        "mean_est_bp": pa.array([r[2] for r in rows], pa.int64()),
+    })

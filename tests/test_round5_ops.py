@@ -2759,3 +2759,39 @@ def test_value_drift_tv_bruteforce(ray_session):
                 for b in buckets)
         assert row["tv_micro"] == (1_000_000 * s) // (2 * n1 * n2)
         assert 0 <= row["tv_micro"] <= 1_000_000
+
+
+def test_minhash_calibration_sane_and_consistent(ray_session):
+    """Calibration pairs equal the verified minhash pair set, the mean
+    estimate per band sits inside the band's plausible range, and a
+    naive signature recount reproduces the exact mean estimate."""
+    import numpy as np
+    import ray
+
+    from image_report_ray.pipelines.dedup import (
+        _minhash_base_refs,
+        dedup_minhash_lsh,
+        minhash_calibration,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = minhash_calibration(sf).to_pylist()
+    pairs = dedup_minhash_lsh(sf)
+    assert sum(r["n_pairs"] for r in out) == pairs.num_rows
+    sig_by_id = {}
+    for t in ray.get(_minhash_base_refs(sf)):
+        for did, sg in zip(t.column("doc_id").to_pylist(),
+                           t.column("sig").to_numpy(zero_copy_only=False)):
+            sig_by_id[did] = np.asarray(sg)
+    jac = pairs.column("jaccard").to_numpy()
+    band = (np.minimum(np.floor(jac * 20.0), 19) * 500).astype(np.int64)
+    da = pairs.column("doc_id_a").to_pylist()
+    db = pairs.column("doc_id_b").to_pylist()
+    m = np.array([(sig_by_id[a] == sig_by_id[b]).sum()
+                  for a, b in zip(da, db)], np.int64)
+    for row in out:
+        sel = band == row["band_bp"]
+        n = int(sel.sum())
+        assert row["n_pairs"] == n
+        assert row["mean_est_bp"] == (10_000 * int(m[sel].sum())) // (128 * n)
+        assert 0 <= row["mean_est_bp"] <= 10_000
