@@ -2111,6 +2111,20 @@ GROUP BY conv_id ORDER BY conv_id
         # assistant responsiveness SLO (cdcq.cdc_reply_latency): exact
         # P50/P90 of user->assistant gaps over the replayed state, the
         # ceil-rank rule; negative gaps excluded and counted
+        # edit churn by first-seen cohort (cdcq.cdc_cohort_churn)
+        "cdc_cohort_churn": CHANGELOG_CTE + """
+, c AS (
+  SELECT conv_id, MIN(lsn) // 2500 AS first_epoch,
+         CAST(COUNT(*) AS BIGINT) AS n_ops
+  FROM ch GROUP BY conv_id
+)
+SELECT CAST(first_epoch AS BIGINT) AS first_epoch,
+       CAST(COUNT(*) AS BIGINT) AS n_convs,
+       CAST(SUM(n_ops) AS BIGINT) AS n_ops,
+       CAST(1000000 * SUM(n_ops) // COUNT(*) AS BIGINT)
+           AS ops_per_conv_micro
+FROM c GROUP BY first_epoch ORDER BY first_epoch
+""",
         "cdc_reply_latency": CHANGELOG_CTE + """
 , final AS (
     SELECT conv_id, turn_idx, role, ts

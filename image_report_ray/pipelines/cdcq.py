@@ -2238,3 +2238,58 @@ def cdc_ingest_trend(sf_dir: str) -> pa.Table:
         "slope_micro": pa.array([micro(num_s, den)], pa.int64()),
         "intercept_micro": pa.array([micro(num_i, den)], pa.int64()),
     })
+
+
+def cdc_cohort_churn(sf_dir: str) -> pa.Table:
+    """Edit churn by conversation age cohort: conversations grouped by
+    the epoch they FIRST appeared in, with their lifetime change-event
+    total and exact mean ops per conversation — do young or old
+    conversations drive the write load? One conv-keyed exchange (a
+    conversation's events co-locate) folds per-cohort
+    (n_convs, n_ops) partials; the driver sums O(epochs) rows."""
+    import numpy as np
+    import ray  # noqa: F401
+
+    from .exchange import exchange_reduce, gather_concat
+
+    ds = changelog_dataset(sf_dir).map_batches(
+        lambda t: t.select(["lsn", "conv_id"]), batch_format="pyarrow",
+    )
+
+    def cohort_kernel(pid: int, t: pa.Table) -> pa.Table:
+        empty_k = pa.table({"first_epoch": pa.array([], pa.int64()),
+                            "n_convs": pa.array([], pa.int64()),
+                            "n_ops": pa.array([], pa.int64())})
+        if t.num_rows == 0 or "conv_id" not in t.column_names:
+            return empty_k
+        g = (pa.table({"conv_id": t.column("conv_id"),
+                       "lsn": t.column("lsn")})
+             .group_by(["conv_id"])
+             .aggregate([("lsn", "min"), ([], "count_all")]))
+        fe = g.column("lsn_min").to_numpy() // 2500
+        n = g.column("count_all").to_numpy().astype(np.int64)
+        out = (pa.table({"first_epoch": pa.array(fe.astype(np.int64)),
+                         "n_convs": pa.array(np.ones(len(fe), np.int64)),
+                         "n_ops": pa.array(n)})
+               .group_by(["first_epoch"])
+               .aggregate([("n_convs", "sum"), ("n_ops", "sum")]))
+        return out.rename_columns(["first_epoch", "n_convs", "n_ops"])
+
+    parts = gather_concat(exchange_reduce([ds], ["conv_id"], cohort_kernel))
+    if parts.num_rows == 0:
+        return pa.table({"first_epoch": pa.array([], pa.int64()),
+                         "n_convs": pa.array([], pa.int64()),
+                         "n_ops": pa.array([], pa.int64()),
+                         "ops_per_conv_micro": pa.array([], pa.int64())})
+    g = (parts.group_by(["first_epoch"])
+         .aggregate([("n_convs", "sum"), ("n_ops", "sum")])
+         .rename_columns(["first_epoch", "n_convs", "n_ops"]))
+    nc = g.column("n_convs").to_numpy()
+    no = g.column("n_ops").to_numpy()
+    out = pa.table({
+        "first_epoch": g.column("first_epoch"),
+        "n_convs": pa.array(nc.astype(np.int64)),
+        "n_ops": pa.array(no.astype(np.int64)),
+        "ops_per_conv_micro": pa.array(1_000_000 * no // nc, pa.int64()),
+    })
+    return finalize(out, [("first_epoch", "ascending")])

@@ -2795,3 +2795,26 @@ def test_minhash_calibration_sane_and_consistent(ray_session):
         assert row["n_pairs"] == n
         assert row["mean_est_bp"] == (10_000 * int(m[sel].sum())) // (128 * n)
         assert 0 <= row["mean_est_bp"] <= 10_000
+
+
+def test_cdc_cohort_churn_bruteforce(ray_session):
+    import pandas as pd
+
+    from image_report_ray.pipelines.cdcq import (
+        cdc_cohort_churn,
+        changelog_dataset,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = cdc_cohort_churn(sf).to_pylist()
+    ch = changelog_dataset(sf).to_pandas()[["lsn", "conv_id"]]
+    c = ch.groupby("conv_id").agg(first_lsn=("lsn", "min"),
+                                  n_ops=("lsn", "size"))
+    c["fe"] = c["first_lsn"] // 2500
+    g = c.groupby("fe").agg(n_convs=("n_ops", "size"), n_ops=("n_ops", "sum"))
+    assert [(r["first_epoch"], r["n_convs"], r["n_ops"],
+             r["ops_per_conv_micro"]) for r in out] == [
+        (int(fe), int(row.n_convs), int(row.n_ops),
+         1_000_000 * int(row.n_ops) // int(row.n_convs))
+        for fe, row in g.sort_index().iterrows()
+    ]
