@@ -3674,6 +3674,38 @@ FROM a ORDER BY event_type
         # per-user event-type Markov transitions (relational.
         # event_transitions): LEAD over (ts, event_id) order
         # second-order behavior sequences (relational.event_trigrams)
+        # churn-surface ranking (relational.exit_rates)
+        # customer-base maturation curve (relational.repeat_share_monthly):
+        # month key = months since year 0 (year*12 + month-1)
+        "repeat_share_monthly": """
+WITH o AS (
+  SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)
+             AS month,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders
+)
+SELECT month, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeat,
+       CAST(10000 * SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) // COUNT(*)
+            AS BIGINT) AS repeat_bp
+FROM o GROUP BY month ORDER BY month
+""",
+        "exit_rates": """
+WITH l AS (
+  SELECT user_id, event_type FROM events
+  QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+),
+c AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1),
+e AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS x FROM l GROUP BY 1)
+SELECT c.event_type, c.n AS n_events,
+       CAST(COALESCE(e.x, 0) AS BIGINT) AS n_exits,
+       CAST(1000000 * COALESCE(e.x, 0) // c.n AS BIGINT) AS exit_micro
+FROM c LEFT JOIN e USING (event_type)
+ORDER BY event_type
+""",
         "event_trigrams": """
 WITH s AS (
   SELECT event_type AS a,

@@ -6285,3 +6285,121 @@ def value_drift_tv(sf_dir: str) -> pa.Table:
         "n_second": pa.array([r[2] for r in rows], pa.int64()),
         "tv_micro": pa.array([r[3] for r in rows], pa.int64()),
     })
+
+
+def exit_rates(sf_dir: str) -> pa.Table:
+    """Session-exit census: for each event type, how often an
+    occurrence is the LAST thing its user ever does (exact micro rate
+    n_exits / n_events) — the churn-surface ranking a funnel owner
+    reads next to event_transitions' dangling mass. The user-keyed
+    exchange completes each stream; partitions elect the (ts,
+    event_id)-max exit event and fold BOTH the per-type exit and
+    occurrence censuses in one pass (fixed cardinality)."""
+    import ray
+
+    from .exchange import exchange_reduce, gather_concat
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id", "event_type"])
+
+    def kernel(pid: int, t: pa.Table) -> pa.Table:
+        empty_k = pa.table({"event_type": pa.array([], pa.string()),
+                            "n_events": pa.array([], pa.int64()),
+                            "n_exits": pa.array([], pa.int64())})
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return empty_k
+        u = t.column("user_id").to_numpy()
+        ts = t.column("ts").to_numpy().astype(np.int64)
+        eid = t.column("event_id").to_numpy()
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        u, et = u[order], et[order]
+        last = np.r_[u[1:] != u[:-1], True]  # stream tails
+        types, counts = np.unique(et, return_counts=True)
+        e_types, e_counts = np.unique(et[last], return_counts=True)
+        ex = dict(zip(e_types.tolist(), e_counts.tolist()))
+        return pa.table({
+            "event_type": pa.array(types, pa.string()),
+            "n_events": pa.array(counts.astype(np.int64)),
+            "n_exits": pa.array(
+                [int(ex.get(x, 0)) for x in types.tolist()], pa.int64()),
+        })
+
+    parts = gather_concat(exchange_reduce([ds], ["user_id"], kernel))
+    if parts.num_rows == 0:
+        return pa.table({"event_type": pa.array([], pa.string()),
+                         "n_events": pa.array([], pa.int64()),
+                         "n_exits": pa.array([], pa.int64()),
+                         "exit_micro": pa.array([], pa.int64())})
+    g = (parts.group_by(["event_type"])
+         .aggregate([("n_events", "sum"), ("n_exits", "sum")])
+         .rename_columns(["event_type", "n_events", "n_exits"]))
+    n = g.column("n_events").to_numpy()
+    x = g.column("n_exits").to_numpy()
+    out = pa.table({
+        "event_type": g.column("event_type"),
+        "n_events": pa.array(n.astype(np.int64)),
+        "n_exits": pa.array(x.astype(np.int64)),
+        "exit_micro": pa.array(1_000_000 * x // n, pa.int64()),
+    })
+    return finalize(out, [("event_type", "ascending")])
+
+
+def repeat_share_monthly(sf_dir: str) -> pa.Table:
+    """New-vs-repeat order mix per calendar month — the customer-base
+    maturation curve (a falling repeat share means acquisition is
+    outpacing retention). An order is REPEAT iff its customer placed an
+    earlier order under the total (o_orderdate, o_orderkey) order (ties
+    deterministic). The custkey exchange completes each customer's
+    history; partitions mark first orders vectorized and fold a
+    (month, n, n_repeat) census the driver sums."""
+    import ray
+
+    from .exchange import exchange_reduce, gather_concat
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey", "o_orderkey", "o_orderdate"])
+
+    def kernel(pid: int, t: pa.Table) -> pa.Table:
+        empty_k = pa.table({"month": pa.array([], pa.int64()),
+                            "n_orders": pa.array([], pa.int64()),
+                            "n_repeat": pa.array([], pa.int64())})
+        if t.num_rows == 0 or "o_custkey" not in t.column_names:
+            return empty_k
+        ck = t.column("o_custkey").to_numpy()
+        ok = t.column("o_orderkey").to_numpy()
+        od = t.column("o_orderdate").to_numpy().astype(
+            "datetime64[us]").view(np.int64)
+        order = np.lexsort((ok, od, ck))
+        ck, ok, od = ck[order], ok[order], od[order]
+        repeat = np.r_[False, ck[1:] == ck[:-1]]
+        dt = od.view("datetime64[us]").astype("datetime64[M]")
+        month = (dt.astype(np.int64) + 1970 * 12)  # months since year 0
+        g = pa.table({
+            "month": pa.array(month, pa.int64()),
+            "n_orders": pa.array(np.ones(len(month), np.int64)),
+            "n_repeat": pa.array(repeat.astype(np.int64)),
+        }).group_by(["month"]).aggregate(
+            [("n_orders", "sum"), ("n_repeat", "sum")])
+        return g.rename_columns(["month", "n_orders", "n_repeat"])
+
+    parts = gather_concat(exchange_reduce([ds], ["o_custkey"], kernel))
+    if parts.num_rows == 0:
+        return pa.table({"month": pa.array([], pa.int64()),
+                         "n_orders": pa.array([], pa.int64()),
+                         "n_repeat": pa.array([], pa.int64()),
+                         "repeat_bp": pa.array([], pa.int64())})
+    g = (parts.group_by(["month"])
+         .aggregate([("n_orders", "sum"), ("n_repeat", "sum")])
+         .rename_columns(["month", "n_orders", "n_repeat"]))
+    n = g.column("n_orders").to_numpy()
+    r = g.column("n_repeat").to_numpy()
+    out = pa.table({
+        "month": g.column("month"),
+        "n_orders": pa.array(n.astype(np.int64)),
+        "n_repeat": pa.array(r.astype(np.int64)),
+        "repeat_bp": pa.array(10_000 * r // n, pa.int64()),
+    })
+    return finalize(out, [("month", "ascending")])

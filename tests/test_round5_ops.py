@@ -2818,3 +2818,47 @@ def test_cdc_cohort_churn_bruteforce(ray_session):
          1_000_000 * int(row.n_ops) // int(row.n_convs))
         for fe, row in g.sort_index().iterrows()
     ]
+
+
+def test_exit_rates_bruteforce(ray_session):
+    import pandas as pd
+
+    from image_report_ray.pipelines.relational import exit_rates
+
+    sf = "/root/testdata/sf0.001"
+    out = exit_rates(sf).to_pylist()
+    ev = pd.read_parquet(
+        f"{sf}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"]
+    ).sort_values(["user_id", "ts", "event_id"])
+    last = ev.groupby("user_id").tail(1)["event_type"].value_counts()
+    total = ev["event_type"].value_counts()
+    assert len(out) == len(total)
+    for row in out:
+        n = int(total[row["event_type"]])
+        x = int(last.get(row["event_type"], 0))
+        assert (row["n_events"], row["n_exits"]) == (n, x)
+        assert row["exit_micro"] == 1_000_000 * x // n
+    assert sum(r["n_exits"] for r in out) == ev["user_id"].nunique()
+
+
+def test_repeat_share_monthly_bruteforce(ray_session):
+    import pandas as pd
+
+    from image_report_ray.pipelines.relational import repeat_share_monthly
+
+    sf = "/root/testdata/sf0.001"
+    out = repeat_share_monthly(sf).to_pylist()
+    od = pd.read_parquet(
+        f"{sf}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_orderdate"]
+    ).sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+    od["repeat"] = od.groupby("o_custkey").cumcount() > 0
+    od["month"] = (od["o_orderdate"].dt.year * 12
+                   + od["o_orderdate"].dt.month - 1)
+    g = od.groupby("month").agg(n=("repeat", "size"), r=("repeat", "sum"))
+    assert [(r["month"], r["n_orders"], r["n_repeat"], r["repeat_bp"])
+            for r in out] == [
+        (int(m), int(row.n), int(row.r), 10_000 * int(row.r) // int(row.n))
+        for m, row in g.sort_index().iterrows()
+    ]
